@@ -1,0 +1,433 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator gate queries over the synthetic tables.
+  *
+  * Each query exercises one operator family from SURVEY.md §2 (scan /
+  * filter / projection / aggregation / join / window / sort / set-op),
+  * re-expressed over the TPC-H-ish testdata so the driver's DuckDB
+  * oracle can hash-match results. Floating aggregates are rounded on
+  * BOTH sides (2–4 decimals) so double summation order cannot flip the
+  * hash.
+  *
+  * Scale notes (100 TB design): every query is a declarative DataFrame
+  * plan — Catalyst pushes filters/projections into the parquet scan,
+  * aggregations run partial+final, small dimension tables are broadcast
+  * explicitly, and nothing is ever collected to the driver.
+  */
+object Rel {
+  import Tables._
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // S1/S3/P3: scan + projection + filter pushdown (TPC-H Q6 shape).
+    GateQuery(
+      "q_scan_filter",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+            && col("l_discount").between(0.03, 0.07)
+            && col("l_quantity") < 24)
+          .agg(
+            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             |       count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |  AND l_shipdate < TIMESTAMP '1996-01-01'
+             |  AND l_discount BETWEEN 0.03 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // G1/G5: multi-aggregate groupBy (TPC-H Q1 pricing summary).
+    GateQuery(
+      "q_agg_pricing",
+      (s, d) =>
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_base_price,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |       round(avg(l_quantity), 4) AS avg_qty,
+             |       round(avg(l_discount), 4) AS avg_disc,
+             |       count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // O4/G3: aggregate + top-k (sort + limit with deterministic tiebreak).
+    GateQuery(
+      "q_topk_brands",
+      (s, d) =>
+        part(s, d)
+          .groupBy("p_brand")
+          .agg(
+            round(sum("p_retailprice"), 2).as("sum_retail"),
+            count(lit(1)).as("n_parts"))
+          .orderBy(desc("sum_retail"), asc("p_brand"))
+          .limit(10),
+      Some("""SELECT p_brand, round(sum(p_retailprice), 2) AS sum_retail,
+             |       count(*) AS n_parts
+             |FROM part
+             |GROUP BY p_brand
+             |ORDER BY sum_retail DESC, p_brand ASC
+             |LIMIT 10""".stripMargin)),
+
+    // Join (shuffle hash / SMJ on fact side) + aggregation.
+    GateQuery(
+      "q_join_agg",
+      (s, d) =>
+        orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            round(sum("o_totalprice"), 2).as("sum_price"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
+             |       count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Broadcast join chain over small dims (supplier ⋈ nation ⋈ region).
+    GateQuery(
+      "q_broadcast_dims",
+      (s, d) =>
+        supplier(s, d)
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            count(lit(1)).as("n_suppliers"),
+            round(sum("s_acctbal"), 2).as("sum_bal"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS n_suppliers,
+             |       round(sum(s_acctbal), 2) AS sum_bal
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name
+             |ORDER BY r_name""".stripMargin)),
+
+    // Left outer join + null handling (P4 coalesce/fillna analogue).
+    GateQuery(
+      "q_left_join_hist",
+      (s, d) => {
+        val perCust = customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+        perCust
+          .groupBy("n_orders")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("n_orders")
+      },
+      Some("""SELECT n_orders, count(*) AS n_customers
+             |FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS n_orders
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey)
+             |GROUP BY n_orders
+             |ORDER BY n_orders""".stripMargin)),
+
+    // Semi join (EXISTS).
+    GateQuery(
+      "q_semi_join",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_totalprice") > 200000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_big_customers"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_big_customers
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Anti join (NOT EXISTS) — orphan detection, mirrors P3's orphaned rewards.
+    GateQuery(
+      "q_anti_join",
+      (s, d) =>
+        customer(s, d)
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orphans"),
+            round(sum("c_acctbal"), 2).as("sum_bal"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_orphans,
+             |       round(sum(c_acctbal), 2) AS sum_bal
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // W1: window functions — lag over (user, time) ordering.
+    GateQuery(
+      "q_window_lag",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        events(s, d)
+          .withColumn("prev_value", lag("value", 1).over(w))
+          .filter(col("prev_value").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            round(sum(abs(col("value") - col("prev_value"))), 2).as("sum_abs_delta"),
+            count(lit(1)).as("n_steps"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |       round(sum(abs(value - prev_value)), 2) AS sum_abs_delta,
+             |       count(*) AS n_steps
+             |FROM (
+             |  SELECT user_id, value,
+             |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+             |  FROM events)
+             |WHERE prev_value IS NOT NULL
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // W1 variant: ranking window + per-group top-N rows.
+    GateQuery(
+      "q_window_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("event_type", "rn", "event_id", "value")
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, rn, event_id, value
+             |FROM (
+             |  SELECT event_type, event_id, value,
+             |         row_number() OVER (PARTITION BY event_type
+             |                            ORDER BY value DESC, event_id ASC) AS rn
+             |  FROM events)
+             |WHERE rn <= 3
+             |ORDER BY event_type, rn""".stripMargin)),
+
+    // U1/U2: union of same-schema projections then re-aggregate.
+    GateQuery(
+      "q_union_kinds",
+      (s, d) => {
+        val c = customer(s, d).select(
+          col("c_custkey").as("id"), lit("customer").as("kind"), col("c_acctbal").as("bal"))
+        val sup = supplier(s, d).select(
+          col("s_suppkey").as("id"), lit("supplier").as("kind"), col("s_acctbal").as("bal"))
+        c.unionByName(sup)
+          .groupBy("kind")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("bal"), 2).as("sum_bal"),
+            round(avg("bal"), 4).as("avg_bal"))
+          .orderBy("kind")
+      },
+      Some("""SELECT kind, count(*) AS n, round(sum(bal), 2) AS sum_bal,
+             |       round(avg(bal), 4) AS avg_bal
+             |FROM (
+             |  SELECT c_custkey AS id, 'customer' AS kind, c_acctbal AS bal FROM customer
+             |  UNION ALL
+             |  SELECT s_suppkey AS id, 'supplier' AS kind, s_acctbal AS bal FROM supplier)
+             |GROUP BY kind
+             |ORDER BY kind""".stripMargin)),
+
+    // O1/O2: global sort + limit, min/max extraction.
+    GateQuery(
+      "q_sort_limit",
+      (s, d) =>
+        orders(s, d)
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(25),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC
+             |LIMIT 25""".stripMargin)),
+
+    GateQuery(
+      "q_minmax",
+      (s, d) =>
+        orders(s, d).agg(
+          date_format(min("o_orderdate"), "yyyy-MM-dd").as("min_date"),
+          date_format(max("o_orderdate"), "yyyy-MM-dd").as("max_date"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"),
+          count(lit(1)).as("n")),
+      Some("""SELECT strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+             |       strftime(max(o_orderdate), '%Y-%m-%d') AS max_date,
+             |       min(o_orderkey) AS min_key,
+             |       max(o_orderkey) AS max_key,
+             |       count(*) AS n
+             |FROM orders""".stripMargin)),
+
+    // G5: describe()-style summary stats incl. exact interpolated median.
+    GateQuery(
+      "q_describe",
+      (s, d) =>
+        events(s, d).agg(
+          count("value").as("n"),
+          round(avg("value"), 4).as("mean"),
+          round(stddev_samp("value"), 4).as("std"),
+          round(min("value"), 2).as("min_v"),
+          round(expr("percentile(value, 0.5)"), 4).as("median"),
+          round(max("value"), 2).as("max_v")),
+      Some("""SELECT count(value) AS n, round(avg(value), 4) AS mean,
+             |       round(stddev_samp(value), 4) AS std,
+             |       round(min(value), 2) AS min_v,
+             |       round(quantile_cont(value, 0.5), 4) AS median,
+             |       round(max(value), 2) AS max_v
+             |FROM events""".stripMargin)),
+
+    // P7: rlike predicate.
+    GateQuery(
+      "q_regex_filter",
+      (s, d) =>
+        documents(s, d)
+          .filter(col("source").rlike("^src1[0-9]$"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE regexp_matches(source, '^src1[0-9]$')
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // P5: binarization (reward > 0 → 1.0 analogue) + conditional agg.
+    GateQuery(
+      "q_binarize",
+      (s, d) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_high"),
+            count(lit(1)).as("n"),
+            round(avg(when(col("value") > 100, 1.0).otherwise(0.0)), 4).as("high_rate"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |       count(*) AS n,
+             |       round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 4) AS high_rate
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // F5-adjacent: JSON payload extraction from a string column.
+    GateQuery(
+      "q_json_extract",
+      (s, d) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy("event_type")
+          .agg(
+            sum("k").as("sum_k"),
+            round(avg("k"), 4).as("avg_k"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+             |       count(*) AS n
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // G1 analogue on testdata: decision/reward full-outer merge keyed by
+    // user (clicks = decisions, purchases = rewards; reward null-fills
+    // to 0.0 exactly like P4). See SURVEY §2.3.
+    GateQuery(
+      "q_reward_merge",
+      (s, d) => {
+        val ev = events(s, d)
+        val decisions = ev.filter(col("event_type") === "click")
+          .groupBy("user_id")
+          .agg(min("event_id").as("first_decision"), count(lit(1)).as("n_decisions"))
+        val rewards = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(round(sum("value"), 2).as("reward_sum"), count(lit(1)).as("n_rewards"))
+        decisions
+          .join(rewards, Seq("user_id"), "full_outer")
+          .select(
+            col("user_id"),
+            col("first_decision"),
+            coalesce(col("n_decisions"), lit(0L)).as("n_decisions"),
+            coalesce(col("reward_sum"), lit(0.0)).as("reward_sum"),
+            coalesce(col("n_rewards"), lit(0L)).as("n_rewards"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT COALESCE(d.user_id, r.user_id) AS user_id,
+             |       d.first_decision AS first_decision,
+             |       COALESCE(d.n_decisions, 0) AS n_decisions,
+             |       COALESCE(r.reward_sum, 0.0) AS reward_sum,
+             |       COALESCE(r.n_rewards, 0) AS n_rewards
+             |FROM (SELECT user_id, min(event_id) AS first_decision,
+             |             count(*) AS n_decisions
+             |      FROM events WHERE event_type = 'click' GROUP BY user_id) d
+             |FULL OUTER JOIN
+             |     (SELECT user_id, round(sum(value), 2) AS reward_sum,
+             |             count(*) AS n_rewards
+             |      FROM events WHERE event_type = 'purchase' GROUP BY user_id) r
+             |ON d.user_id = r.user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // Distinct aggregation.
+    GateQuery(
+      "q_distinct_agg",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+             |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Date bucketing + time-series aggregation (month grain).
+    GateQuery(
+      "q_time_bucket",
+      (s, d) =>
+        events(s, d)
+          .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+          .groupBy("month")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("value"), 2).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("month"),
+      Some("""SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n,
+             |       round(sum(value), 2) AS sum_value,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM events
+             |GROUP BY month
+             |ORDER BY month""".stripMargin)),
+  )
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact dedup, fingerprinting, token counting, quality scoring,
+  * language ID, n-gram Jaccard near-dup. All are pure column programs
+  * (codegen'd, no UDFs) so they scale linearly with executors; the
+  * pairwise Jaccard bounds its candidate set by grouping on `source`
+  * (at 100 TB: replace with the MinHash band join in Dedup.scala).
+  */
+object TextOps {
+  import Tables._
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** words = whitespace-split of trimmed text. */
+  private def withWords(df: DataFrame): DataFrame =
+    df.withColumn("words", split(trim(col("text")), " "))
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // Exact dedup: hash-groupBy, keep first row per key, count dups.
+    GateQuery(
+      "q_dedup_exact",
+      (s, d) =>
+        events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(min("event_id").as("keep_event"), count(lit(1)).as("n_dups"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum("n_dups").as("n_rows"),
+            max("n_dups").as("max_group"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_groups,
+             |       CAST(sum(n_dups) AS BIGINT) AS n_rows,
+             |       max(n_dups) AS max_group
+             |FROM (
+             |  SELECT user_id, event_type, min(event_id) AS keep_event,
+             |         count(*) AS n_dups
+             |  FROM events GROUP BY user_id, event_type)
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // Content fingerprint (md5 of normalized text) → near-exact dedup census.
+    GateQuery(
+      "q_fingerprint",
+      (s, d) =>
+        documents(s, d)
+          .withColumn("fp", substring(md5(lower(trim(col("text")))), 1, 16))
+          .groupBy("source")
+          .agg(
+            countDistinct(col("fp")).as("n_unique"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source"),
+      Some("""SELECT source,
+             |       count(DISTINCT substr(md5(lower(trim(text))), 1, 16)) AS n_unique,
+             |       count(*) AS n_docs
+             |FROM documents
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // Token counting (whitespace tokenization) per source.
+    GateQuery(
+      "q_token_count",
+      (s, d) =>
+        withWords(documents(s, d))
+          .withColumn("n_tokens", size(col("words")))
+          .groupBy("source")
+          .agg(
+            sum("n_tokens").as("sum_tokens"),
+            round(avg("n_tokens"), 4).as("avg_tokens"),
+            max("n_tokens").as("max_tokens"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source"),
+      Some(s"""SELECT source, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              |       round(avg(n_tokens), 4) AS avg_tokens,
+              |       max(n_tokens) AS max_tokens, count(*) AS n_docs
+              |FROM (
+              |  SELECT source, len(string_split(trim(text), ' ')) AS n_tokens
+              |  FROM documents)
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)),
+
+    // Quality scoring: stopword ratio + mean token length per language.
+    GateQuery(
+      "q_quality_score",
+      (s, d) =>
+        withWords(documents(s, d))
+          .withColumn("n_tokens", size(col("words")))
+          .withColumn("n_stop",
+            size(expr(s"filter(words, w -> w IN ($stopListSql))")))
+          .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+          .withColumn("mean_tok_len",
+            (length(col("text")) - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+          .groupBy("lang")
+          .agg(
+            round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
+            round(avg("mean_tok_len"), 4).as("avg_tok_len"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang"),
+      Some(s"""SELECT lang, round(avg(stop_ratio), 4) AS avg_stop_ratio,
+              |       round(avg(mean_tok_len), 4) AS avg_tok_len,
+              |       count(*) AS n_docs
+              |FROM (
+              |  SELECT lang,
+              |         CAST(len(list_filter(string_split(trim(text), ' '),
+              |                              w -> w IN ($stopListSql))) AS DOUBLE)
+              |           / len(string_split(trim(text), ' ')) AS stop_ratio,
+              |         CAST(length(text) - len(string_split(trim(text), ' ')) + 1 AS DOUBLE)
+              |           / len(string_split(trim(text), ' ')) AS mean_tok_len
+              |  FROM documents)
+              |GROUP BY lang
+              |ORDER BY lang""".stripMargin)),
+
+    // Language ID by stopword-hit heuristic, scored against the label.
+    GateQuery(
+      "q_lang_id",
+      (s, d) =>
+        withWords(documents(s, d))
+          .withColumn("n_stop",
+            size(expr(s"filter(words, w -> w IN ($stopListSql))")))
+          .withColumn("predicted",
+            when(col("n_stop") * 20 >= size(col("words")), lit("en")).otherwise(lit("other")))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted"),
+      Some(s"""SELECT lang, predicted, count(*) AS n
+              |FROM (
+              |  SELECT lang,
+              |         CASE WHEN len(list_filter(string_split(trim(text), ' '),
+              |                                   w -> w IN ($stopListSql))) * 20
+              |                   >= len(string_split(trim(text), ' '))
+              |              THEN 'en' ELSE 'other' END AS predicted
+              |  FROM documents)
+              |GROUP BY lang, predicted
+              |ORDER BY lang, predicted""".stripMargin)),
+
+    // N-gram (word-set) Jaccard near-dup pairs, candidate-bounded by source.
+    GateQuery(
+      "q_jaccard_pairs",
+      (s, d) => {
+        val docs = withWords(documents(s, d))
+          .select(col("doc_id"), col("source"), array_distinct(col("words")).as("wset"))
+        val a = docs.select(col("doc_id").as("id_a"), col("source"), col("wset").as("set_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("source"), col("wset").as("set_b"))
+        a.join(b, Seq("source"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
+          .withColumn("n_union",
+            size(col("set_a")) + size(col("set_b")) - col("n_common"))
+          .withColumn("jac", col("n_common").cast("double") / col("n_union"))
+          .filter(col("jac") >= 0.9)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"), round(avg("jac"), 4).as("avg_jac"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_pairs, round(avg(jac), 4) AS avg_jac
+             |FROM (
+             |  SELECT a.source AS source,
+             |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             |           / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jac
+             |  FROM (SELECT doc_id, source,
+             |               list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) a
+             |  JOIN (SELECT doc_id, source,
+             |               list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) b
+             |    ON a.source = b.source AND a.doc_id < b.doc_id)
+             |WHERE jac >= 0.9
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+  )
+}

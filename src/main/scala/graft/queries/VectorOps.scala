@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators over the `embeddings` table: norms,
+  * brute-force cosine top-k (the exact ANN baseline), sign-LSH
+  * bucketing (the scale path), centroid reduction. Vector math uses
+  * higher-order array functions (`transform`/`zip_with`/`aggregate`)
+  * — codegen'd, no UDFs, executes element-wise inside the row, so a
+  * 100 TB scan stays a single narrow stage.
+  *
+  * Floats are cast to double BEFORE multiplication on both engines so
+  * products are bit-identical; folds run in list order on both.
+  */
+object VectorOps {
+  import Tables._
+
+  /** Σ x²  over an array<double> column. */
+  private def sumSq(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  /** dot product of two array<double> columns (sequential fold). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("v", transform(col("embedding"), x => x.cast("double")))
+
+  private val sqlNormSq =
+    "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // L2-norm distribution per label.
+    GateQuery(
+      "q_vec_norms",
+      (s, d) =>
+        withVec(embeddings(s, d))
+          .withColumn("nrm", sqrt(sumSq(col("v"))))
+          .groupBy("label")
+          .agg(
+            round(avg("nrm"), 4).as("avg_norm"),
+            round(min("nrm"), 4).as("min_norm"),
+            round(max("nrm"), 4).as("max_norm"),
+            count(lit(1)).as("n"))
+          .orderBy("label"),
+      Some(s"""SELECT label, round(avg(nrm), 4) AS avg_norm,
+              |       round(min(nrm), 4) AS min_norm,
+              |       round(max(nrm), 4) AS max_norm, count(*) AS n
+              |FROM (SELECT label, sqrt($sqlNormSq) AS nrm FROM embeddings)
+              |GROUP BY label
+              |ORDER BY label""".stripMargin)),
+
+    // Brute-force cosine top-k against one query vector (exact ANN baseline).
+    GateQuery(
+      "q_knn_cosine",
+      (s, d) => {
+        val emb = withVec(embeddings(s, d))
+        val qv = broadcast(
+          emb.filter(col("vec_id") === 0).select(col("v").as("qv")))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .withColumn("cos",
+            round(dot(col("v"), col("qv")) /
+              (sqrt(sumSq(col("v"))) * sqrt(sumSq(col("qv")))), 4))
+          .select("vec_id", "label", "cos")
+          .orderBy(desc("cos"), asc("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |           FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |       round(
+             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
+             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+             |FROM embeddings, q
+             |WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC
+             |LIMIT 10""".stripMargin)),
+
+    // Sign-LSH bucketing: the ANN scale path (bucket → search in-bucket).
+    GateQuery(
+      "q_ann_buckets",
+      (s, d) =>
+        withVec(embeddings(s, d))
+          .withColumn("bucket",
+            (when(element_at(col("v"), 1) > 0, 4).otherwise(0)
+              + when(element_at(col("v"), 2) > 0, 2).otherwise(0)
+              + when(element_at(col("v"), 3) > 0, 1).otherwise(0)))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(sqrt(sumSq(col("v")))), 4).as("avg_norm"),
+            countDistinct(col("label")).as("n_labels"))
+          .orderBy("bucket"),
+      Some(s"""SELECT (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              |        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              |        + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket,
+              |       count(*) AS n,
+              |       round(avg(sqrt($sqlNormSq)), 4) AS avg_norm,
+              |       count(DISTINCT label) AS n_labels
+              |FROM embeddings
+              |GROUP BY bucket
+              |ORDER BY bucket""".stripMargin)),
+
+    // Per-label centroid via posexplode + two-level aggregation.
+    GateQuery(
+      "q_centroids",
+      (s, d) =>
+        withVec(embeddings(s, d))
+          .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(avg("x").as("mean_x"))
+          .groupBy("label")
+          .agg(
+            round(sqrt(sum(col("mean_x") * col("mean_x"))), 4).as("centroid_norm"),
+            count(lit(1)).as("n_dims"))
+          .orderBy("label"),
+      Some("""SELECT label, round(sqrt(sum(mean_x * mean_x)), 4) AS centroid_norm,
+             |       count(*) AS n_dims
+             |FROM (
+             |  SELECT label, pos, avg(x) AS mean_x
+             |  FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |               generate_subscripts(embedding, 1) AS pos
+             |        FROM embeddings)
+             |  GROUP BY label, pos)
+             |GROUP BY label
+             |ORDER BY label""".stripMargin)),
+  )
+}
