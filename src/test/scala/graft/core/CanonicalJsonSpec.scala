@@ -1,0 +1,38 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CanonicalJsonSpec extends AnyFunSuite {
+
+  test("sorts object keys recursively, compact output") {
+    val s = """{"b": 1, "a": {"z": true, "y": [3, {"q": null, "p": "x"}]}}"""
+    assert(CanonicalJson.canonicalize(s) ==
+      """{"a":{"y":[3,{"p":"x","q":null}],"z":true},"b":1}""")
+  }
+
+  test("preserves integers and renders integral doubles with .0") {
+    assert(CanonicalJson.canonicalize("""{"i": 5, "f": 5.0, "g": 2.5}""") ==
+      """{"f":5.0,"g":2.5,"i":5}""")
+    assert(CanonicalJson.canonicalize("[9007199254740993]") == "[9007199254740993]")
+  }
+
+  test("escapes control characters and quotes") {
+    assert(CanonicalJson.dumps(CanonicalJson.parse("\"a\\nb\\\"c\\u0001\"")) ==
+      "\"a\\nb\\\"c\\u0001\"")
+  }
+
+  test("wrapping primitive: null → {}, primitive → {\"$value\": p}, containers as-is") {
+    assert(CanonicalJson.dumpsWrappingPrimitive(CanonicalJson.parse("null")) == "{}")
+    assert(CanonicalJson.dumpsWrappingPrimitive(null) == "{}")
+    assert(CanonicalJson.dumpsWrappingPrimitive(CanonicalJson.parse("3")) == """{"$value":3}""")
+    assert(CanonicalJson.dumpsWrappingPrimitive(CanonicalJson.parse("\"hi\"")) == """{"$value":"hi"}""")
+    assert(CanonicalJson.dumpsWrappingPrimitive(CanonicalJson.parse("true")) == """{"$value":true}""")
+    assert(CanonicalJson.dumpsWrappingPrimitive(CanonicalJson.parse("""{"b":2,"a":1}""")) == """{"a":1,"b":2}""")
+    assert(CanonicalJson.dumpsWrappingPrimitive(CanonicalJson.parse("[1,2]")) == "[1,2]")
+  }
+
+  test("tryParse returns None on invalid json") {
+    assert(CanonicalJson.tryParse("{not json").isEmpty)
+    assert(CanonicalJson.tryParse("""{"a":1}""").isDefined)
+  }
+}
