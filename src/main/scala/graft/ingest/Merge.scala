@@ -1,0 +1,91 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.CanonicalJson
+import graft.schema.Schema._
+
+import scala.jdk.CollectionConverters._
+
+/** G1 — the rewarded-decision merge, the engine's core aggregation
+  * (reference: src/ingest/partition.py:155-338). Decisions and
+  * partial reward rows share one schema; merging groups them by
+  * `decision_id` and per group:
+  *
+  *   - item/context/count/sample: first non-null value (only the
+  *     decision row carries them, so first-non-null is deterministic;
+  *     a duplicate decision row does NOT overwrite — reference test
+  *     semantics);
+  *   - rewards: union of all JSON reward maps (keys are unique reward
+  *     message_ids; on conflict the later value wins), canonical
+  *     sorted-keys serialization; no rewards → "{}";
+  *   - reward: Σ of the merged map's values; no rewards → 0.0.
+  *
+  * Spark shape: ONE hash-aggregate shuffle keyed on (model,
+  * decision_id) with map-side partial aggregation — at 100 TB this is
+  * the minimal-communication plan (the reference needs a global sort
+  * for the same result; we don't, because the filename index is
+  * written separately by PartitionStore).
+  */
+object Merge {
+
+  /** Merge a list of JSON reward-map strings into (canonical map, sum).
+    * Values keep their original JSON number form (an integral reward
+    * tracked as `100` stays `100`, not `100.0`), as orjson does.
+    */
+  def mergeRewardMaps(maps: Seq[String]): (String, Double) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val acc = mapper.createObjectNode()
+    maps.foreach { m =>
+      if (m != null && m != EmptyRewardsJson) {
+        CanonicalJson.tryParse(m).foreach { node =>
+          node.fields().asScala.foreach(e => acc.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue))
+        }
+      }
+    }
+    if (acc.isEmpty) (EmptyRewardsJson, NoRewardsValue)
+    else {
+      val sum = acc.elements().asScala.map(_.doubleValue()).sum
+      (CanonicalJson.dumps(acc), sum) // dumps sorts keys
+    }
+  }
+
+  /** Source-order column: rows from already-merged partitions carry a
+    * lower order than the fresh batch, so on a duplicate reward key
+    * the LATER source wins — the reference's dict.update() order
+    * (partitions load first, fresh batch appended last;
+    * partition.py:60-74, 203-205).
+    */
+  val SrcOrder = "_src_order"
+
+  private val mergeRewardsUdf =
+    udf((maps: Seq[org.apache.spark.sql.Row]) => mergeRewardMaps(maps.map(_.getString(1))))
+
+  /** first-non-null per non-reward column + reward-map union. */
+  def merge(df: DataFrame): DataFrame = {
+    val ordered =
+      if (df.columns.contains(SrcOrder)) df else df.withColumn(SrcOrder, lit(0))
+    val grouped = ordered
+      .groupBy(col(Model), col(DecisionId))
+      .agg(
+        first(Item, ignoreNulls = true).as(Item),
+        first(Context, ignoreNulls = true).as(Context),
+        first(Count, ignoreNulls = true).as(Count),
+        first(Sample, ignoreNulls = true).as(Sample),
+        mergeRewardsUdf(sort_array(collect_list(
+          when(col(Rewards).isNotNull, struct(col(SrcOrder), col(Rewards)))))).as("_rw"))
+    grouped.select(
+      col(DecisionId), col(Item), col(Context), col(Count), col(Sample),
+      col("_rw._1").as(Rewards), col("_rw._2").as(Reward), col(Model))
+  }
+
+  /** Convenience: parse firehose files and merge in one go —
+    * the reference's ingest path (ingest_firehose.py:18-31).
+    */
+  def ingest(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      nowEpochSeconds: Long = System.currentTimeMillis() / 1000): DataFrame = {
+    import spark.implicits._
+    merge(FirehoseRecords.records(spark, paths, nowEpochSeconds).toDF())
+  }
+}

@@ -1,0 +1,152 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.{PartitionFilename, Schema}
+
+/** The partition store: sorted ZSTD parquet chunks of ≤10k rewarded
+  * decisions whose FILENAMES index the data —
+  * `{maxTs}-{minTs}-{count}-{uuid}.parquet` under
+  * `rewarded_decisions/{model}/parquet/{yyyy}/{MM}/{dd}/`
+  * (reference: src/ingest/partition.py:77-109, 375-463).
+  *
+  * Write pipeline (all distributed; the only driver-side data are the
+  * per-prefix row counts and the file listing, both bounded):
+  *
+  *  1. assign each row its KSUID-timestamp prefix at the coarsest
+  *     resolution (YYYYmm → YYYYmmddTHHMMSS) at which every prefix
+  *     group holds ≤ maxRowsPerFile rows — the reference's
+  *     "split on timestamp boundaries" (partition.py:375-405), which
+  *     disperses overlap repairs through the timeline so grooming
+  *     converges in ~O(log N) passes;
+  *  2. shuffle by prefix, sort rows by decision_id within partitions,
+  *     write one parquet file per prefix chunk (maxRecordsPerFile as
+  *     a backstop);
+  *  3. rename each written file to the name-encoded index using the
+  *     parquet FOOTER statistics (min/max decision_id, row count) —
+  *     metadata-only reads, no data scan.
+  */
+object PartitionStore {
+
+  val MaxRowsPerFile = 10000
+
+  /** Prefix lengths: YYYYmm (6) … YYYYmmddTHHMMSS (15) of the basic-ISO
+    * timestamp rendering of the KSUID's time.
+    */
+  private val MinPrefix = 6
+  private val MaxPrefix = 15
+
+  /** Write a merged rewarded-decision DataFrame for ONE model into the
+    * store at `baseDir`; returns the written keys (relative to baseDir).
+    */
+  def write(df: DataFrame, baseDir: String, model: String,
+      maxRowsPerFile: Int = MaxRowsPerFile): Seq[String] = {
+    val spark = df.sparkSession
+    val tsOf = udf((id: String) => PartitionFilename.timestampOf(id))
+    val withTs = df.drop(Schema.Model)
+      .withColumn("_ts", tsOf(col(Schema.DecisionId)))
+
+    // one aggregation pass at second resolution; coarser levels are
+    // rolled up from this (small) result without rescanning the data
+    val secondCounts = withTs.groupBy(substring(col("_ts"), 1, MaxPrefix).as("_p"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1))
+    val prefixLen = (MinPrefix to MaxPrefix).find { i =>
+      secondCounts.groupBy(_._1.take(i)).forall(_._2.map(_._2).sum <= maxRowsPerFile)
+    }.getOrElse(MaxPrefix)
+
+    val tmpDir = s"$baseDir/_tmp_${java.util.UUID.randomUUID()}"
+    withTs
+      .withColumn("_chunk", substring(col("_ts"), 1, prefixLen))
+      .drop("_ts")
+      .repartition(col("_chunk"))
+      .sortWithinPartitions("_chunk", Schema.DecisionId)
+      .write
+      .partitionBy("_chunk")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .parquet(tmpDir)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(baseDir).getFileSystem(conf)
+    val written = listFiles(fs, new Path(tmpDir)).filter(_.getName.endsWith(".parquet"))
+    val keys = written.map { file =>
+      val (minId, maxId, rows) = footerStats(conf, file)
+      val key = PartitionFilename.key(model, minId, maxId, rows)
+      val dest = new Path(baseDir, key)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(file, dest))
+        throw new java.io.IOException(s"rename $file -> $dest failed")
+      key
+    }
+    fs.delete(new Path(tmpDir), true)
+    keys
+  }
+
+  /** min/max decision_id + row count from the parquet footer only. */
+  def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path): (String, String, Long) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var min: String = null
+      var max: String = null
+      var rows = 0L
+      blocks.forEach { b =>
+        rows += b.getRowCount
+        val col = b.getColumns.get(0) // decision_id is the first column
+        val stats = col.getStatistics
+        def asString(v: Any): String = v match {
+          case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+          case other => other.toString
+        }
+        val bMin = asString(stats.genericGetMin)
+        val bMax = asString(stats.genericGetMax)
+        if (min == null || bMin < min) min = bMin
+        if (max == null || bMax > max) max = bMax
+      }
+      (min, max, rows)
+    } finally reader.close()
+  }
+
+  /** Lexicographically sorted valid partition keys for a model —
+    * chronological by max decision time (partition.py:461-463).
+    */
+  def listKeys(spark: SparkSession, baseDir: String, model: String): Seq[String] = {
+    val root = new Path(s"$baseDir/rewarded_decisions/$model/parquet")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    listFiles(fs, root)
+      .map(p => relativize(baseDir, p))
+      .filter(PartitionFilename.isValidKey)
+      .sorted
+  }
+
+  /** Read partition files (by key) back as one DataFrame. */
+  def read(spark: SparkSession, baseDir: String, keys: Seq[String]): DataFrame =
+    spark.read.schema(Schema.rewardedDecision)
+      .parquet(keys.map(k => s"$baseDir/$k"): _*)
+
+  def delete(spark: SparkSession, baseDir: String, keys: Seq[String]): Unit = {
+    val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    keys.foreach(k => fs.delete(new Path(baseDir, k), false))
+  }
+
+  private def relativize(baseDir: String, p: Path): String = {
+    val base = new Path(baseDir).toUri.getPath.stripSuffix("/")
+    p.toUri.getPath.stripPrefix(base).stripPrefix("/")
+  }
+
+  private def listFiles(fs: FileSystem, root: Path): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) out += f.getPath
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core.Ksuid
+import graft.schema.{PartitionFilename, RewardedDecisionRow, Schema}
+
+class PartitionStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private val base = 1660000000L // fixed, in the past
+
+  private def syntheticRows(n: Int, spreadSeconds: Long): Seq[RewardedDecisionRow] =
+    (0 until n).map { i =>
+      val ts = base + (i * spreadSeconds / n)
+      RewardedDecisionRow(
+        decision_id = Ksuid.deterministic(ts, i.toLong),
+        item = Some(s"""{"v":$i}"""), context = Some("{}"),
+        count = Some(5.0), sample = None,
+        rewards = Some("{}"), reward = Some(0.0), model = "m")
+    }
+
+  test("write → name-encoded chunks; listing is chronological; round-trip intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pstore").toString
+    // 2000 rows over ~3 months with 100-row files forces prefix splits
+    val rows = syntheticRows(2000, 90L * 24 * 3600)
+    val keys = PartitionStore.write(rows.toDF(), dir, "m", maxRowsPerFile = 100)
+
+    assert(keys.nonEmpty)
+    keys.foreach(k => assert(PartitionFilename.isValidKey(k), k))
+
+    val listed = PartitionStore.listKeys(spark, dir, "m")
+    assert(listed.sorted == listed)
+    assert(listed.toSet == keys.toSet)
+
+    // name-encoded [minTs, maxTs] and row counts are truthful
+    var totalRows = 0L
+    listed.foreach { key =>
+      val parsed = PartitionFilename.parse(key.split('/').last).get
+      val df = PartitionStore.read(spark, dir, Seq(key))
+      val Array(minId, maxId, n) = df
+        .agg(min(Schema.DecisionId), max(Schema.DecisionId), count(lit(1)))
+        .collect().head.toSeq.toArray
+      assert(parsed.rowCount == n.asInstanceOf[Long])
+      assert(parsed.minTs == PartitionFilename.timestampOf(minId.asInstanceOf[String]))
+      assert(parsed.maxTs == PartitionFilename.timestampOf(maxId.asInstanceOf[String]))
+      assert(parsed.rowCount <= 100)
+      totalRows += parsed.rowCount
+    }
+    assert(totalRows == 2000)
+
+    // full read-back preserves every row
+    val back = PartitionStore.read(spark, dir, listed)
+    assert(back.count() == 2000)
+    assert(back.select(Schema.DecisionId).distinct().count() == 2000)
+
+    // non-overlapping ranges after a single consolidated write
+    val ranges = listed.map(k => PartitionFilename.parse(k.split('/').last).get)
+      .map(p => (p.minTs, p.maxTs)).sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Seq((_, prevMax), (curMin, _)) => assert(prevMax <= curMin)
+      case _ =>
+    }
+
+    // delete removes the files
+    PartitionStore.delete(spark, dir, listed)
+    assert(PartitionStore.listKeys(spark, dir, "m").isEmpty)
+  }
+
+  test("small batch stays one file named by its bounds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pstore2").toString
+    val rows = syntheticRows(50, 10)
+    val keys = PartitionStore.write(rows.toDF(), dir, "m")
+    assert(keys.length == 1)
+    val parsed = PartitionFilename.parse(keys.head.split('/').last).get
+    assert(parsed.rowCount == 50)
+  }
+}
