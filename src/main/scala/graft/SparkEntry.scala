@@ -6,7 +6,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All gate queries, in registration order. */
-  def all: Seq[GateQuery] = Rel.queries ++ TextOps.queries ++ VectorOps.queries
+  def all: Seq[GateQuery] =
+    Rel.queries ++ TextOps.queries ++ VectorOps.queries ++ PipelineOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

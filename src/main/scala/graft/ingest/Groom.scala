@@ -1,0 +1,183 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.schema.{PartitionFilename, Schema}
+
+/** Groom — background compaction of the partition store until
+  * quiescent (reference: src/ingest/groom.py). The grouping runs on
+  * the FILE LISTING only (names encode [minTs, maxTs] + row count),
+  * never the data:
+  *
+  *  1. fold lexicographically-listed keys into groups of adjacent
+  *     keys while Σ rowcount ≤ 10k and ≤ 500 keys;
+  *  2. merge single ADJACENT PAIRS of groups whose timestamp ranges
+  *     overlap (pairs only, bounding a group at 1000 keys / 20k rows);
+  *  3. drop singleton groups (nothing to do);
+  *  4. cap total key bytes (the reference's Step-Function payload cap
+  *     — kept for output-size parity);
+  *
+  * then each group is load → merge → split-write → delete-inputs, and
+  * the loop repeats (≤ 30 iterations) until no groups remain, at which
+  * point the listing must be overlap-free. Rewards arrive unboundedly
+  * late by design, so this idempotent re-consolidation — not a
+  * watermarked streaming state — is the correct streaming model
+  * (SURVEY §2.9).
+  */
+object Groom {
+
+  val MaxGroomIterations = 30
+  val MaxKeyBytes = 204800
+
+  private def parsed(key: String): PartitionFilename.Parsed =
+    PartitionFilename.parse(key.split('/').last)
+      .getOrElse(throw new IllegalArgumentException(s"invalid partition key $key"))
+
+  def rowCount(key: String): Long = parsed(key).rowCount
+  def minTs(key: String): String = parsed(key).minTs
+  def maxTs(key: String): String = parsed(key).maxTs
+
+  /** Adjacent keys while Σ rows ≤ maxRowCount and < maxGroupSize keys. */
+  def groupSmallAdjacentPartitions(keys: Seq[String],
+      maxRowCount: Long = PartitionStore.MaxRowsPerFile,
+      maxGroupSize: Int = 500): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    var group = Vector.empty[String]
+    var groupRows = 0L
+    keys.foreach { key =>
+      val rows = rowCount(key)
+      if (groupRows + rows <= maxRowCount && group.size < maxGroupSize) {
+        group :+= key
+        groupRows += rows
+      } else {
+        if (group.nonEmpty) out += group
+        group = Vector(key)
+        groupRows = rows
+      }
+    }
+    if (group.nonEmpty) out += group
+    out.result()
+  }
+
+  /** Merge single pairs of adjacent groups with overlapping
+    * [minTs, maxTs] ranges — pairs only, never unbounded runs.
+    */
+  def mergeOverlappingAdjacentGroupPairs(groups: Seq[Seq[String]]): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    var candidate: Option[Seq[String]] = None
+    groups.foreach { group =>
+      require(group.nonEmpty)
+      candidate match {
+        case Some(cand) =>
+          if (cand.map(maxTs).max >= group.map(minTs).min) {
+            out += (cand ++ group)
+            candidate = None // pairs only
+          } else {
+            out += cand
+            candidate = Some(group)
+          }
+        case None => candidate = Some(group)
+      }
+    }
+    candidate.foreach(out += _)
+    out.result()
+  }
+
+  /** Cap cumulative key bytes; a trailing partial group survives only
+    * if it still has ≥ 2 keys (groom.py:143-156).
+    */
+  def capKeyBytes(groups: Seq[Seq[String]], maxBytes: Long = MaxKeyBytes): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    var bytes = 0L
+    var done = false
+    groups.foreach { group =>
+      if (!done) {
+        var capped = Vector.empty[String]
+        group.foreach { key =>
+          if (!done) {
+            bytes += key.getBytes("UTF-8").length
+            if (bytes > maxBytes) {
+              if (capped.length > 1) out += capped
+              done = true
+            } else capped :+= key
+          }
+        }
+        if (!done) out += capped
+      }
+    }
+    out.result()
+  }
+
+  /** The full grouping pipeline; empty result = store is quiescent. */
+  def groupPartitionsToGroom(keys: Seq[String]): Seq[Seq[String]] =
+    capKeyBytes(
+      mergeOverlappingAdjacentGroupPairs(groupSmallAdjacentPartitions(keys))
+        .filter(_.length > 1))
+
+  /** No two files' [min, max] ranges may overlap; ranges sorted by max,
+    * next min must be STRICTLY greater than current max (groom.py:71-84).
+    */
+  def findOverlaps(keys: Seq[String]): Seq[(String, String)] = {
+    val infos = keys.map(k => (minTs(k), maxTs(k), k)).sortBy(_._2)
+    infos.sliding(2).collect {
+      case Seq((_, prevMax, prevKey), (curMin, _, curKey)) if curMin <= prevMax =>
+        (prevKey, curKey)
+    }.toSeq
+  }
+
+  def assertNoOverlappingKeys(keys: Seq[String]): Unit = {
+    val overlaps = findOverlaps(keys)
+    require(overlaps.isEmpty, s"overlapping keys detected: ${overlaps.take(3)}")
+  }
+
+  /** Compact one group: load its files (listing order = precedence
+    * order for duplicate reward keys), merge, split-write, delete
+    * inputs (reference groom_handler → RewardedDecisionPartition.process).
+    */
+  def compactGroup(spark: SparkSession, baseDir: String, model: String,
+      keys: Seq[String], maxRowsPerFile: Int = PartitionStore.MaxRowsPerFile): Seq[String] = {
+    require(keys.length <= 1000)
+    // filenames are uuid-unique, so the last path segment keys the order
+    val orderOf = keys.zipWithIndex.map { case (k, i) => k.split('/').last -> i }.toMap
+    val pathOrder = udf((path: String) =>
+      orderOf.getOrElse(path.split('/').last, 0))
+    val df = PartitionStore.read(spark, baseDir, keys)
+      .withColumn(Merge.SrcOrder, pathOrder(input_file_name()))
+      .withColumn(Schema.Model, lit(model))
+    val written = PartitionStore.write(Merge.merge(df), baseDir, model, maxRowsPerFile)
+    PartitionStore.delete(spark, baseDir, keys)
+    written
+  }
+
+  /** Groom loop: iterate until no groups remain or the cap is hit;
+    * returns iterations used. Groups within an iteration are
+    * independent (disjoint key sets) and submitted as concurrent
+    * Spark jobs — the reference fans out ≤ 64 Lambdas.
+    */
+  def groom(spark: SparkSession, baseDir: String, model: String,
+      maxIterations: Int = MaxGroomIterations,
+      maxRowsPerFile: Int = PartitionStore.MaxRowsPerFile): Int = {
+    var iteration = 0
+    while (iteration < maxIterations) {
+      val keys = PartitionStore.listKeys(spark, baseDir, model)
+      val groups = groupPartitionsToGroom(keys)
+      if (groups.isEmpty) {
+        assertNoOverlappingKeys(keys)
+        return iteration
+      }
+      iteration += 1
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(groups.size, 8))
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futures = groups.map(g => scala.concurrent.Future {
+          compactGroup(spark, baseDir, model, g, maxRowsPerFile)
+        })
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+    iteration
+  }
+}

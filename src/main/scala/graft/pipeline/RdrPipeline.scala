@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Ksuid
+import graft.ingest.{FirehoseRecords, Groom, Merge, PartitionStore}
+import graft.queries.Tables
+import graft.schema.Schema
+
+/** End-to-end rewarded-decision pipeline over driver testdata: derive
+  * a deterministic firehose JSONL stream from the `events` table, then
+  * run the REAL ingest → merge (→ store → groom) dataflow.
+  *
+  * Derivation (so a SQL oracle can predict the merged result exactly):
+  *   - every event becomes one decision record keyed by
+  *     ksuid(ts, event_id) with `props` as the item;
+  *   - every `purchase` event additionally emits one reward record of
+  *     round(value, 2) against its OWN decision.
+  * Hence: merged rows == #events; rewarded rows == #purchases;
+  * Σ reward == Σ round(value, 2) over purchases.
+  */
+object RdrPipeline {
+
+  private val ksuidUdf = udf((ts: Long, seed: Long) => Ksuid.deterministic(ts, seed))
+
+  /** Events → gzipped firehose JSONL under `outDir` (deterministic). */
+  def generateFirehose(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("_sec", col("ts").cast("long"))
+    val decisions = ev.select(concat(
+      lit("""{"message_id":""""), ksuidUdf(col("_sec"), col("event_id")),
+      lit("""","model":"events","count":2,"item":"""), col("props"),
+      lit(""","context":{"t":""""), col("event_type"), lit(""""}}""")).as("value"))
+    val rewards = ev.filter(col("event_type") === "purchase").select(concat(
+      lit("""{"message_id":""""), ksuidUdf(col("_sec"), col("event_id") + 1000000000L),
+      lit("""","model":"events","decision_id":""""), ksuidUdf(col("_sec"), col("event_id")),
+      lit("""","reward":"""), round(col("value"), 2), lit("}")).as("value"))
+    decisions.unionByName(rewards)
+      .write.mode("overwrite").option("compression", "gzip").text(outDir)
+  }
+
+  private def firehoseFiles(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles().toSeq
+      .map(_.getPath).filter(_.endsWith(".txt.gz"))
+
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** ingest → merge → summary row (the gate query; DuckDB-checkable).
+    * Materialized eagerly so the temp firehose dir can be cleaned up.
+    */
+  def mergeSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("rdr_fh").toString
+    try {
+      generateFirehose(spark, sfDir, work)
+      val merged = Merge.ingest(spark, firehoseFiles(work))
+      val r = merged.agg(
+        count(lit(1)).as("n_decisions"),
+        sum(when(col(Schema.Reward) > 0, 1L).otherwise(0L)).as("n_rewarded"),
+        round(sum(Schema.Reward), 2).as("total_reward")).collect().head
+      Seq((r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toDF("n_decisions", "n_rewarded", "total_reward")
+    } finally deleteRecursively(work)
+  }
+
+  /** Full dataflow incl. partition store + groom; returns store stats
+    * (rows-only gate — the store layout is not SQL-expressible).
+    */
+  def storeSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("rdr_store").toString
+    try {
+      generateFirehose(spark, sfDir, s"$work/firehose")
+      val merged = Merge.ingest(spark, firehoseFiles(s"$work/firehose"))
+      PartitionStore.write(merged, s"$work/store", "events")
+      val iters = Groom.groom(spark, s"$work/store", "events")
+      val keys = PartitionStore.listKeys(spark, s"$work/store", "events")
+      Groom.assertNoOverlappingKeys(keys)
+      val back = PartitionStore.read(spark, s"$work/store", keys)
+      val stats = back.agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(Schema.Reward), 2).as("total_reward")).collect().head
+      Seq((stats.getLong(0), stats.getDouble(1), keys.length.toLong, iters.toLong))
+        .toDF("n_rows", "total_reward", "n_files", "groom_iterations")
+    } finally deleteRecursively(work)
+  }
+}

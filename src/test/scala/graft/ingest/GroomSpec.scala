@@ -1,0 +1,127 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core.Ksuid
+import graft.schema.{RewardedDecisionRow, Schema}
+
+class GroomSpec extends AnyFunSuite with SparkTestBase {
+
+  // the reference's curated overlap test lists (test_overlapping_s3_keys.py)
+  private def key(maxTs: String, minTs: String, rows: Int) =
+    s"rewarded_decisions/appconfig/parquet/2023/07/05/$maxTs-$minTs-$rows-" +
+      "00000000-0000-0000-0000-000000000000.parquet"
+
+  private val allOverlapping = Seq(
+    key("20230705T135416Z", "20230705T135106Z", 82),
+    key("20230705T135246Z", "20230705T135106Z", 81),
+    key("20230705T135116Z", "20230705T135106Z", 50),
+    key("20230705T135546Z", "20230705T135106Z", 80))
+
+  private val noOverlapping = Seq(
+    key("20230705T135546Z", "20230705T135106Z", 200),
+    key("20230705T124005Z", "20230705T113025Z", 10050),
+    key("20230705T112905Z", "20230705T112425Z", 200),
+    key("20230705T140527Z", "20230705T135706Z", 10050))
+
+  test("overlap detection matches the reference's curated cases") {
+    Groom.assertNoOverlappingKeys(noOverlapping)
+    assert(Groom.findOverlaps(allOverlapping).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Groom.assertNoOverlappingKeys(allOverlapping ++ noOverlapping)
+    }
+  }
+
+  test("adjacent grouping folds while ≤ max rows and ≤ max keys") {
+    val keys = Seq(key("20230705T000003Z", "20230705T000001Z", 4000),
+      key("20230705T000005Z", "20230705T000004Z", 4000),
+      key("20230705T000007Z", "20230705T000006Z", 4000),
+      key("20230705T000009Z", "20230705T000008Z", 900),
+      key("20230705T000011Z", "20230705T000010Z", 20000))
+    val groups = Groom.groupSmallAdjacentPartitions(keys, maxRowCount = 10000)
+    assert(groups.map(_.map(Groom.rowCount).sum) == Seq(8000, 4900, 20000))
+    // group size cap
+    val many = (0 until 10).map(i => key(f"20230705T0000${10 + i}Z", f"20230705T0000${10 + i}Z", 1))
+    assert(Groom.groupSmallAdjacentPartitions(many, maxGroupSize = 4).map(_.size) == Seq(4, 4, 2))
+  }
+
+  test("only single adjacent overlapping group pairs merge") {
+    val g1 = Seq(key("20230705T000010Z", "20230705T000001Z", 10))
+    val g2 = Seq(key("20230705T000020Z", "20230705T000005Z", 10)) // overlaps g1
+    val g3 = Seq(key("20230705T000030Z", "20230705T000015Z", 10)) // overlaps g2
+    val g4 = Seq(key("20230705T000040Z", "20230705T000035Z", 10)) // clean
+    val merged = Groom.mergeOverlappingAdjacentGroupPairs(Seq(g1, g2, g3, g4))
+    // g1+g2 pair; g3 NOT chained in; g4 stays alone
+    assert(merged == Seq(g1 ++ g2, g3, g4))
+  }
+
+  test("singleton groups are dropped; key-byte cap truncates") {
+    val a = key("20230705T000010Z", "20230705T000001Z", 10)
+    val b = key("20230705T000020Z", "20230705T000011Z", 10)
+    val c = key("20230705T000030Z", "20230705T000021Z", 10)
+    assert(Groom.groupPartitionsToGroom(Seq(a, b, c)).isEmpty == false)
+    // a+b+c fold into one adjacent group (30 rows) → one group of 3
+    assert(Groom.groupPartitionsToGroom(Seq(a, b, c)) == Seq(Seq(a, b, c)))
+    // byte cap: only first two fit
+    val capped = Groom.capKeyBytes(Seq(Seq(a, b, c)), maxBytes = a.length.toLong * 2 + 10)
+    assert(capped == Seq(Seq(a, b)))
+  }
+
+  test("end-to-end: repeated ingests groom to a quiescent, overlap-free store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("groom").toString
+    val base = 1660000000L
+
+    // 5 out-of-order batches: decisions in batch i, their rewards in i+1
+    val nBatches = 5
+    val perBatch = 120
+    (0 until nBatches).foreach { b =>
+      val decisions = (0 until perBatch).map { i =>
+        val ts = base + ((i * 7 + b * 3) % 600) // interleaved timelines → overlaps
+        RewardedDecisionRow(Ksuid.deterministic(ts, (b * 1000 + i).toLong),
+          Some(s"""{"v":$i}"""), Some("{}"), Some(3.0), None, None, None, "m")
+      }
+      val rewards = if (b == 0) Seq.empty else (0 until perBatch).map { i =>
+        val ts = base + ((i * 7 + (b - 1) * 3) % 600)
+        val did = Ksuid.deterministic(ts, ((b - 1) * 1000 + i).toLong)
+        RewardedDecisionRow(did, None, None, None, None,
+          Some(s"""{"${Ksuid.deterministic(ts + 900, (b * 7000 + i).toLong)}":1.5}"""),
+          None, "m")
+      }
+      val merged = Merge.merge((decisions ++ rewards).toDF())
+      PartitionStore.write(merged, dir, "m", maxRowsPerFile = 100)
+    }
+
+    val keysBefore = PartitionStore.listKeys(spark, dir, "m")
+    assert(Groom.findOverlaps(keysBefore).nonEmpty, "setup should create overlaps")
+
+    val iters = Groom.groom(spark, dir, "m", maxRowsPerFile = 100)
+    assert(iters > 0)
+
+    val keysAfter = PartitionStore.listKeys(spark, dir, "m")
+    Groom.assertNoOverlappingKeys(keysAfter)
+    assert(keysAfter.length < keysBefore.length)
+
+    val all = PartitionStore.read(spark, dir, keysAfter)
+    // every decision exactly once
+    assert(all.count() == (nBatches * perBatch).toLong)
+    assert(all.select(Schema.DecisionId).distinct().count() == (nBatches * perBatch).toLong)
+    // rewards joined: batches 0..3 rewarded with 1.5 each, batch 4 not
+    val rewarded = all.filter(col(Schema.Reward) > 0)
+    assert(rewarded.count() == ((nBatches - 1) * perBatch).toLong)
+    assert(all.agg(sum(Schema.Reward)).collect().head.getDouble(0)
+      === 1.5 * (nBatches - 1) * perBatch +- 1e-9)
+    // no partial rows survive grooming (every row has its decision)
+    assert(all.filter(col(Schema.Item).isNull).count() == 0)
+  }
+
+  private implicit class ApproxEq(val x: Double) {
+    def ===(other: ApproxTarget): Boolean = math.abs(x - other.v) <= other.tol
+  }
+  private case class ApproxTarget(v: Double, tol: Double)
+  private implicit class ApproxOps(val v: Double) {
+    def +-(tol: Double): ApproxTarget = ApproxTarget(v, tol)
+  }
+}
