@@ -12,7 +12,7 @@ package graft.core
   * derived from the low 32 hash bits (so unseen strings disperse
   * instead of colliding at one value).
   */
-final class StringTable(hashTable: Seq[Long], modelSeed: Long) {
+final class StringTable(hashTable: Seq[Long], modelSeed: Long) extends Serializable {
   require(modelSeed >= 0, "xxh3 seed must be a non-negative 64-bit value")
 
   val mask: Long = StringTable.maskFor(hashTable)

@@ -70,6 +70,34 @@ object RdrPipeline {
     } finally deleteRecursively(work)
   }
 
+  /** ingest → merge → two-phase train; returns model stats (rows-only
+    * gate — training output is not SQL-expressible). Small tree/depth
+    * config keeps the gate fast; the operators are the real ones.
+    */
+  def trainSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.train.Trainer
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("rdr_train").toString
+    try {
+      generateFirehose(spark, sfDir, work)
+      val merged = Merge.ingest(spark, firehoseFiles(work))
+        .filter(col(Schema.Item).isNotNull && col(Schema.Context).isNotNull)
+        .withColumn(Schema.Reward, coalesce(col(Schema.Reward), lit(0.0)))
+        .persist()
+      val cfg = Trainer.TrainConfig(
+        maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 8,
+        propensityTrees = 8, treeDepth = 4, seed = 42L)
+      val pm = Trainer.trainPropensity(merged, cfg)
+      val dm = Trainer.trainDecision(merged, pm, cfg)
+      merged.unpersist()
+      Seq((pm.featureNames.length.toLong, dm.featureNames.length.toLong,
+        pm.model.getNumTrees.toLong, dm.model.getNumTrees.toLong,
+        math.rint(pm.meanItemCount * 100) / 100, math.rint(dm.rewardMean * 10000) / 10000))
+        .toDF("n_features_p1", "n_features_p2", "n_trees_p1", "n_trees_p2",
+          "mean_item_count", "reward_mean")
+    } finally deleteRecursively(work)
+  }
+
   /** Full dataflow incl. partition store + groom; returns store stats
     * (rows-only gate — the store layout is not SQL-expressible).
     */

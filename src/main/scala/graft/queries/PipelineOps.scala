@@ -25,5 +25,10 @@ object PipelineOps {
       "q_rdr_store",
       (s, d) => RdrPipeline.storeSummary(s, d),
       None),
+
+    GateQuery(
+      "q_rdr_train",
+      (s, d) => RdrPipeline.trainSummary(s, d),
+      None),
   )
 }

@@ -1,0 +1,108 @@
+package graft.train
+
+import org.apache.spark.ml.classification.GBTClassificationModel
+import org.apache.spark.ml.regression.GBTRegressionModel
+import org.apache.spark.sql.SparkSession
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core.CanonicalJson
+import graft.train.Trainer.{DecisionModel, PropensityModel}
+
+import java.nio.file.{Files, Paths}
+
+/** Model artifact + checkpoint layout (reference: model_utils.py
+  * metadata embedding, checkpoint.py phase-1 reuse, unpack_models.py
+  * publish layout). The booster is the MLlib model directory; the
+  * reference's in-booster attributes become a metadata.json sidecar
+  * (string tables, feature names, seed, created_at, version).
+  */
+object ModelStore {
+
+  val Version = "1.0"
+
+  private val mapper = new ObjectMapper()
+
+  private def metadataJson(featureNames: Seq[String], tables: Map[String, Seq[Long]],
+      modelSeed: Long, extra: Map[String, Double]): String = {
+    val root = mapper.createObjectNode()
+    root.put("version", Version)
+    root.put("model_seed", modelSeed)
+    root.put("created_at", java.time.Instant.now().toString)
+    val fn = root.putArray("feature_names")
+    featureNames.foreach(fn.add)
+    val st = root.putObject("string_tables")
+    tables.foreach { case (k, hashes) =>
+      val arr = st.putArray(k)
+      hashes.foreach(arr.add)
+    }
+    extra.foreach { case (k, v) => root.put(k, v) }
+    CanonicalJson.dumps(root)
+  }
+
+  // ---- phase-1 checkpoint (M4) -------------------------------------------
+
+  def saveCheckpoint(pm: PropensityModel, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    pm.model.write.overwrite().save(s"$dir/phase1_model")
+    Files.writeString(Paths.get(s"$dir/metadata.json"),
+      metadataJson(pm.featureNames, pm.stringTables, pm.modelSeed,
+        Map("mean_item_count" -> pm.meanItemCount)))
+  }
+
+  /** Reuse the phase-1 model when version matches and it is younger
+    * than maxAgeSeconds (checkpoint.py:26-110).
+    */
+  def loadCheckpoint(spark: SparkSession, dir: String,
+      maxAgeSeconds: Long = 24 * 3600,
+      now: java.time.Instant = java.time.Instant.now()): Option[PropensityModel] = {
+    val metaPath = Paths.get(s"$dir/metadata.json")
+    if (!Files.exists(metaPath)) return None
+    try {
+      val meta = CanonicalJson.parse(Files.readString(metaPath))
+      if (meta.get("version").textValue() != Version) return None
+      val created = java.time.Instant.parse(meta.get("created_at").textValue())
+      if (java.time.Duration.between(created, now).getSeconds > maxAgeSeconds) return None
+      val names = (0 until meta.get("feature_names").size())
+        .map(meta.get("feature_names").get(_).textValue())
+      val tablesNode = meta.get("string_tables")
+      val tables = scala.jdk.CollectionConverters.IteratorHasAsScala(tablesNode.fieldNames())
+        .asScala.map { f =>
+          val arr = tablesNode.get(f)
+          f -> (0 until arr.size()).map(arr.get(_).longValue()).toSeq
+        }.toMap
+      val model = GBTClassificationModel.load(s"$dir/phase1_model")
+      Some(PropensityModel(model, names, tables,
+        meta.get("model_seed").longValue(), meta.get("mean_item_count").doubleValue()))
+    } catch { case _: Exception => None }
+  }
+
+  // ---- final model publish (S9/S10 layout) -------------------------------
+
+  def saveDecisionModel(dm: DecisionModel, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    dm.model.write.overwrite().save(s"$dir/model")
+    Files.writeString(Paths.get(s"$dir/metadata.json"),
+      metadataJson(dm.featureNames, dm.stringTables, dm.modelSeed,
+        Map("reward_mean" -> dm.rewardMean, "reward_std" -> dm.rewardStd)))
+  }
+
+  def loadDecisionModel(spark: SparkSession, dir: String): Option[DecisionModel] = {
+    val metaPath = Paths.get(s"$dir/metadata.json")
+    if (!Files.exists(metaPath)) return None
+    try {
+      val meta = CanonicalJson.parse(Files.readString(metaPath))
+      val names = (0 until meta.get("feature_names").size())
+        .map(meta.get("feature_names").get(_).textValue())
+      val tablesNode = meta.get("string_tables")
+      val tables = scala.jdk.CollectionConverters.IteratorHasAsScala(tablesNode.fieldNames())
+        .asScala.map { f =>
+          val arr = tablesNode.get(f)
+          f -> (0 until arr.size()).map(arr.get(_).longValue()).toSeq
+        }.toMap
+      Some(DecisionModel(
+        GBTRegressionModel.load(s"$dir/model"), names, tables,
+        meta.get("model_seed").longValue(),
+        meta.get("reward_mean").doubleValue(), meta.get("reward_std").doubleValue()))
+    } catch { case _: Exception => None }
+  }
+}

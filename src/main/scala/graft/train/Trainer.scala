@@ -1,0 +1,174 @@
+package graft.train
+
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.encoding.Encoding
+import graft.encoding.Encoding._
+import graft.schema.Schema
+
+/** Two-phase contextual-bandit training (reference:
+  * src/trainer/code/{train,propensities.py,decision_trainer.py}):
+  *
+  * Phase 1 — propensity model: each decision expands to (chosen item,
+  * y=1, w=1) and (sample, y=0, w=count−1); a binary classifier learns
+  * P(chosen | features, t). Deliberately memorization-oriented
+  * (inference happens on the training records themselves).
+  *
+  * Phase 2 — decision model: per record, weight =
+  * (1 / max(p, clip)) / meanItemCount · nonZeroPoisson(1) and target =
+  * normalized reward; a squared-error regressor learns reward.
+  *
+  * Gradient-boosted trees are MLlib GBTClassifier/GBTRegressor with
+  * weightCol (objective parity with the reference's binary:logistic /
+  * reg:squarederror; XGBoost4J is not on the zero-egress classpath —
+  * SURVEY §7.4). Every stochastic choice (poisson, context dropout,
+  * population noise, seeds) flows from an injectable seed.
+  */
+object Trainer {
+
+  final case class TrainConfig(
+      maxFeatures: Int = 300,
+      maxStringsPerFeature: Int = 10000,
+      pruneMinStringCount: Int = 20,
+      maxTrees: Int = 150,
+      propensityTrees: Int = 200,
+      treeDepth: Int = 6,
+      explore: Boolean = true,
+      normalizeRewards: Boolean = true,
+      binaryRewards: Boolean = false,
+      sampleContext: Double = 0.95,
+      rewardPriorCount: Int = 300,
+      clipMinPropensity: Double = 1e-4,
+      testSplit: Double = 0.3,
+      seed: Long = 42L)
+
+  final case class PropensityModel(
+      model: GBTClassificationModel,
+      featureNames: Seq[String],
+      stringTables: Map[String, Seq[Long]],
+      modelSeed: Long,
+      meanItemCount: Double) {
+    /** phase-2 features: everything but the timestamp. */
+    def selectedFeatures: Seq[String] = featureNames.filterNot(_ == TimestampFeature)
+  }
+
+  final case class DecisionModel(
+      model: GBTRegressionModel,
+      featureNames: Seq[String],
+      stringTables: Map[String, Seq[Long]],
+      modelSeed: Long,
+      rewardMean: Double,
+      rewardStd: Double)
+
+  /** Phase 1. `df` = rewarded decisions (item/context/sample/count). */
+  def trainPropensity(df: DataFrame, config: TrainConfig = TrainConfig()): PropensityModel = {
+    val meanItemCount = df.agg(avg(Schema.Count)).collect().head.getDouble(0)
+    val modelSeed = config.seed
+
+    val expanded = Encoding.expandForPropensity(df)
+    val flat = Encoding.withFlatFeatures(expanded)
+      .withColumn("nums",
+        map_concat(col("nums"), map(lit(TimestampFeature), col("_t"))))
+      .persist()
+
+    val featureNames = Encoding.selectFeatures(flat, config.maxFeatures)
+    // no prior: propensity is memorization (propensities.py design note)
+    val tables = Encoding.buildStringTables(flat, featureNames, modelSeed,
+      priorMean = 0.0, priorCount = 0,
+      pruneMinCount = config.pruneMinStringCount,
+      maxStringsPerFeature = config.maxStringsPerFeature)
+
+    val encoded = Encoding.withFeatureVector(flat, featureNames, tables, modelSeed)
+      .select(col("features"), col(TargetCol).cast("double").as("label"), col(WeightCol))
+
+    val gbt = new GBTClassifier()
+      .setMaxIter(config.propensityTrees)
+      .setMaxDepth(config.treeDepth)
+      .setWeightCol(WeightCol)
+      .setSeed(modelSeed)
+    val model = fitWithValidation(gbt.fit, gbt.setValidationIndicatorCol _, encoded, config)
+    flat.unpersist()
+    PropensityModel(model, featureNames, tables, modelSeed, meanItemCount)
+  }
+
+  /** Inverse-propensity weights: (1/max(p, clip)) / meanItemCount. */
+  def inversePropensityWeights(df: DataFrame, pm: PropensityModel,
+      config: TrainConfig): DataFrame = {
+    val flat = Encoding.withFlatFeatures(df)
+      .withColumn("nums", map_concat(col("nums"),
+        map(lit(TimestampFeature), Encoding.ksuidTimestamp(col(Schema.DecisionId)))))
+    val encoded = Encoding.withFeatureVector(flat, pm.featureNames, pm.stringTables, pm.modelSeed)
+    val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    pm.model.transform(encoded)
+      .withColumn("_p", p1(col("probability")))
+      .withColumn("_ipw",
+        (lit(1.0) / greatest(col("_p"), lit(config.clipMinPropensity))) / lit(pm.meanItemCount))
+      .drop("features", "rawPrediction", "probability", "prediction", "_p")
+  }
+
+  /** Phase 2. `df` = rewarded decisions (item/context/reward). */
+  def trainDecision(df0: DataFrame, pm: PropensityModel,
+      config: TrainConfig = TrainConfig()): DecisionModel = {
+    val modelSeed = config.seed + 1
+    var df = df0
+    if (config.binaryRewards)
+      df = df.withColumn(Schema.Reward, when(col(Schema.Reward) > 0, 1.0).otherwise(0.0))
+
+    val stats = df.agg(avg(Schema.Reward), stddev_samp(Schema.Reward)).collect().head
+    val rewardMean = stats.getDouble(0)
+    val rewardStd = {
+      val s = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+      if (s == 0.0) 1.0 else s // all-identical-rewards guard
+    }
+
+    // context dropout (5% of rows lose context — regularization)
+    val dropped = df.withColumn(Schema.Context,
+      when(rand(modelSeed + 11) < config.sampleContext, col(Schema.Context)))
+
+    val weighted = inversePropensityWeights(dropped, pm, config)
+      .withColumn(WeightCol,
+        col("_ipw") * (if (config.explore) Encoding.nonZeroPoisson(rand(modelSeed + 13)) else lit(1.0)))
+      .withColumn(TargetCol,
+        if (config.normalizeRewards)
+          (col(Schema.Reward) - lit(rewardMean)) / lit(rewardStd)
+        else col(Schema.Reward))
+      .persist()
+
+    val featureNames = pm.selectedFeatures
+    val priorMean = if (config.normalizeRewards) 0.0 else rewardMean
+    val tables = Encoding.buildStringTables(weighted, featureNames, modelSeed,
+      priorMean = priorMean, priorCount = config.rewardPriorCount,
+      pruneMinCount = config.pruneMinStringCount,
+      maxStringsPerFeature = config.maxStringsPerFeature)
+
+    // per-row population-id noise sprinkled over every feature
+    val encoded = Encoding.withFeatureVector(
+        weighted, featureNames, tables, modelSeed, Some(rand(modelSeed + 17)))
+      .select(col("features"), col(TargetCol).cast("double").as("label"), col(WeightCol))
+
+    val gbt = new GBTRegressor()
+      .setMaxIter(config.maxTrees)
+      .setMaxDepth(config.treeDepth)
+      .setWeightCol(WeightCol)
+      .setSeed(modelSeed)
+    val model = gbt.fit(encoded) // no early stop in phase 2 (reference)
+    weighted.unpersist()
+    DecisionModel(model, featureNames, tables, modelSeed, rewardMean, rewardStd)
+  }
+
+  /** 70/30 split with early-stop validation (reference model_utils
+    * TEST_SPLIT + early_stopping_rounds; MLlib's analogue is
+    * validationIndicatorCol + validationTol).
+    */
+  private def fitWithValidation(
+      fit: DataFrame => GBTClassificationModel,
+      setValidation: String => GBTClassifier,
+      encoded: DataFrame, config: TrainConfig): GBTClassificationModel = {
+    val withVal = encoded.withColumn("_is_val", rand(config.seed + 7) < config.testSplit)
+    setValidation("_is_val")
+    fit(withVal)
+  }
+}

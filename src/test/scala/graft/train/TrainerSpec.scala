@@ -1,0 +1,134 @@
+package graft.train
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core.Ksuid
+import graft.encoding.Encoding
+import graft.schema.RewardedDecisionRow
+import graft.train.Trainer.TrainConfig
+
+class TrainerSpec extends AnyFunSuite with SparkTestBase {
+
+  private val cfg = TrainConfig(
+    maxFeatures = 50, pruneMinStringCount = 0, maxTrees = 5,
+    propensityTrees = 5, treeDepth = 3, explore = true, seed = 7L)
+
+  /** Synthetic bandit data: items a/b/c; "a" chosen often and rewarded
+    * highly, "c" rarely and never rewarded.
+    */
+  private def syntheticDecisions(n: Int): Seq[RewardedDecisionRow] = {
+    val rnd = new scala.util.Random(3)
+    val base = 1660000000L
+    (0 until n).map { i =>
+      val r = rnd.nextDouble()
+      val (item, sample, reward) =
+        if (r < 0.6) ("\"a\"", "\"b\"", 2.0 + rnd.nextDouble())
+        else if (r < 0.9) ("\"b\"", "\"c\"", 0.5)
+        else ("\"c\"", "\"a\"", 0.0)
+      RewardedDecisionRow(
+        Ksuid.deterministic(base + i, i.toLong),
+        Some(item), Some(s"""{"device":"d${i % 3}"}"""), Some(3.0), Some(sample),
+        Some("{}"), Some(reward), "m")
+    }
+  }
+
+  test("propensity expansion: 2 rows per decision, correct weights/targets") {
+    import spark.implicits._
+    val df = syntheticDecisions(50).toDF()
+    val expanded = Encoding.expandForPropensity(df)
+    assert(expanded.count() == 100) // count=3 → chosen + sample rows
+    val byTarget = expanded.groupBy(Encoding.TargetCol)
+      .agg(count(lit(1)).as("n"), sum(Encoding.WeightCol).as("sw"))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byTarget(1.0) == ((50L, 50.0)))   // chosen: w=1
+    assert(byTarget(0.0) == ((50L, 100.0)))  // sample: w=count−1=2
+  }
+
+  test("two-phase training end-to-end; propensity and reward signals learned") {
+    import spark.implicits._
+    val df = syntheticDecisions(400).toDF().persist()
+
+    val pm = Trainer.trainPropensity(df, cfg)
+    assert(pm.meanItemCount === 3.0 +- 1e-9)
+    assert(pm.featureNames.contains(Encoding.TimestampFeature))
+    assert(pm.featureNames.contains("item"))
+    assert(!pm.selectedFeatures.contains(Encoding.TimestampFeature))
+
+    // chosen-item rows should get higher propensity than sample rows:
+    // check via inverse weights (lower ipw ⇒ higher propensity)
+    val weighted = Trainer.inversePropensityWeights(df, pm, cfg)
+    val ipwByItem = weighted.groupBy(col("item"))
+      .agg(avg("_ipw").as("ipw")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ipwByItem("\"a\"") < ipwByItem("\"c\""),
+      s"frequent item should have lower inverse-propensity weight: $ipwByItem")
+
+    val dm = Trainer.trainDecision(df, pm, cfg)
+    assert(dm.featureNames == pm.selectedFeatures)
+
+    // predictions: item "a" (high reward) should beat "c" (zero reward)
+    val enc = Encoding.makeVectorEncoder(dm.featureNames, dm.stringTables, dm.modelSeed)
+    def predict(item: String, device: String): Double = {
+      val (nums, strs) = Encoding.flattenPair(item, s"""{"device":"$device"}""")
+      dm.model.predict(enc(nums, strs, 0.0))
+    }
+    val denorm = (p: Double) => p * dm.rewardStd + dm.rewardMean
+    assert(denorm(predict("\"a\"", "d0")) > denorm(predict("\"c\"", "d0")),
+      "high-reward item should predict higher")
+
+    df.unpersist()
+  }
+
+  test("checkpoint round-trips and respects age/version gates") {
+    import spark.implicits._
+    val df = syntheticDecisions(100).toDF()
+    val pm = Trainer.trainPropensity(df, cfg)
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+
+    ModelStore.saveCheckpoint(pm, dir)
+    val loaded = ModelStore.loadCheckpoint(spark, dir).get
+    assert(loaded.featureNames == pm.featureNames)
+    assert(loaded.stringTables == pm.stringTables)
+    assert(loaded.meanItemCount === pm.meanItemCount +- 1e-12)
+
+    // stale checkpoint rejected
+    val future = java.time.Instant.now().plusSeconds(25 * 3600)
+    assert(ModelStore.loadCheckpoint(spark, dir, maxAgeSeconds = 24 * 3600, now = future).isEmpty)
+    // missing dir
+    assert(ModelStore.loadCheckpoint(spark, dir + "/nope").isEmpty)
+  }
+
+  test("decision model artifacts round-trip") {
+    import spark.implicits._
+    val df = syntheticDecisions(100).toDF()
+    val pm = Trainer.trainPropensity(df, cfg)
+    val dm = Trainer.trainDecision(df, pm, cfg)
+    val dir = java.nio.file.Files.createTempDirectory("model").toString
+    ModelStore.saveDecisionModel(dm, dir)
+    val loaded = ModelStore.loadDecisionModel(spark, dir).get
+    assert(loaded.featureNames == dm.featureNames)
+    assert(loaded.rewardMean === dm.rewardMean +- 1e-12)
+    // same predictions after round-trip
+    val enc = Encoding.makeVectorEncoder(dm.featureNames, dm.stringTables, dm.modelSeed)
+    val (nums, strs) = Encoding.flattenPair("\"a\"", """{"device":"d1"}""")
+    val v = enc(nums, strs, 0.0)
+    assert(loaded.model.predict(v) === dm.model.predict(v) +- 1e-12)
+  }
+
+  test("poisson weights are zero-rejected with mean ≈ e/(e−1)") {
+    val rnd = new scala.util.Random(5)
+    val ws = (1 to 20000).map(_ => Encoding.nonZeroPoissonWeight(rnd.nextDouble()))
+    assert(ws.forall(_ >= 1.0))
+    val mean = ws.sum / ws.size
+    assert(mean === math.E / (math.E - 1) +- 0.02) // ≈ 1.582
+  }
+
+  private implicit class ApproxOps(val v: Double) {
+    def +-(tol: Double): (Double, Double) = (v, tol)
+  }
+  private implicit class ApproxEq(val x: Double) {
+    def ===(t: (Double, Double)): Boolean = math.abs(x - t._1) <= t._2
+  }
+}
