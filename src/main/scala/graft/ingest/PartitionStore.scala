@@ -47,8 +47,11 @@ object PartitionStore {
       maxRowsPerFile: Int = MaxRowsPerFile): Seq[String] = {
     val spark = df.sparkSession
     val tsOf = udf((id: String) => PartitionFilename.timestampOf(id))
+    // two passes follow (prefix counts, then the write) — cache so an
+    // expensive upstream (ingest+merge) isn't recomputed per pass
     val withTs = df.drop(Schema.Model)
       .withColumn("_ts", tsOf(col(Schema.DecisionId)))
+      .persist()
 
     // one aggregation pass at second resolution; coarser levels are
     // rolled up from this (small) result without rescanning the data
@@ -70,6 +73,7 @@ object PartitionStore {
       .option("maxRecordsPerFile", maxRowsPerFile)
       .parquet(tmpDir)
 
+    withTs.unpersist(blocking = false)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(baseDir).getFileSystem(conf)
     val written = listFiles(fs, new Path(tmpDir)).filter(_.getName.endsWith(".parquet"))

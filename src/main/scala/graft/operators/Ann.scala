@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbor over an embedding column.
+  *
+  * IVF (inverted file) layout: C coarse centroids partition the
+  * corpus into cells; a query scores only the cells whose centroids
+  * rank in its top `nprobe` — at nprobe = C the search is exhaustive
+  * (exact brute-force baseline), at nprobe ≪ C only a fraction of the
+  * corpus is scanned. The cell assignment is a narrow per-row map
+  * against broadcast centroids; the cell column doubles as the
+  * partition key at scale, turning a probe into partition pruning.
+  *
+  * Vector math is higher-order array functions (zip_with/aggregate) —
+  * codegen'd, no UDF in the scoring path.
+  */
+object Ann {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic coarse centroids: the first C vectors by id (a
+    * stand-in for k-means at this corpus size; the IVF mechanics are
+    * identical).
+    */
+  def centroids(df: DataFrame, vecCol: String, idCol: String, c: Int): Array[Seq[Double]] =
+    df.orderBy(col(idCol)).limit(c).select(col(vecCol))
+      .collect().map(_.getSeq[Double](0))
+
+  /** Adds a `cell` column: index of the nearest centroid. */
+  def withCell(df: DataFrame, vecCol: String, cents: Array[Seq[Double]]): DataFrame = {
+    val assign = udf((v: Seq[Double]) => {
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var s = 0.0; var n2 = 0.0
+        var i = 0
+        while (i < cent.length) { s += v(i) * cent(i); n2 += cent(i) * cent(i); i += 1 }
+        val score = s / math.sqrt(n2 + 1e-12)
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      best
+    })
+    df.withColumn("cell", assign(col(vecCol)))
+  }
+
+  /** Top-k cosine neighbors of `query` scanning only the `nprobe`
+    * cells nearest to it. nprobe == centroids.length ⇒ exact.
+    */
+  def topK(df: DataFrame, vecCol: String, idCol: String, query: Seq[Double],
+      k: Int, cents: Array[Seq[Double]], nprobe: Int): DataFrame = {
+    val probed = cents.zipWithIndex.map { case (cent, i) =>
+      val qn = math.sqrt(query.map(x => x * x).sum)
+      val cn = math.sqrt(cent.map(x => x * x).sum)
+      (i, query.zip(cent).map { case (a, b) => a * b }.sum / (qn * cn + 1e-12))
+    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+
+    val withCells = withCell(df, vecCol, cents)
+      .filter(col("cell").isin(probed: _*))
+    val qCol = array(query.map(lit): _*)
+    withCells
+      .withColumn("cos", round(cosine(col(vecCol), qCol), 4))
+      .orderBy(desc("cos"), asc(idCol))
+      .limit(k)
+  }
+}

