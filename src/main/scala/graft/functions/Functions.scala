@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{CanonicalJson, JsonFlattener, Ksuid, XxHash3}
+
+/** xxh3_64(str, seed) as a native Catalyst expression with codegen —
+  * stays inside WholeStageCodegen (no UDF boxing): the generated code
+  * is a static call on raw UTF8 bytes (reference semantics:
+  * xxhash.xxh3_64_intdigest; SURVEY §2.10/F4).
+  */
+case class Xxh3Expression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"xxh3_64 expects (STRING, BIGINT), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "xxh3_64"
+
+  override protected def nullSafeEval(str: Any, seed: Any): Any =
+    XxHash3.hash(str.asInstanceOf[UTF8String].getBytes, seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, seed) =>
+      s"graft.core.XxHash3.hash($s.getBytes(), $seed)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session-level registration of the engine's scalar functions so
+  * they are usable from both the DataFrame API and `spark.sql`
+  * (SURVEY §2.10): ksuid_timestamp / is_valid_ksuid (F3/P8),
+  * xxh3_64 (F4, native codegen), to_sorted_json / wrap_primitive_json
+  * (F1/F2), flatten_json (F5).
+  */
+object Functions {
+
+  def register(spark: SparkSession): Unit = {
+    // native expression via the function registry (not a UDF)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "xxh3_64",
+      { args =>
+        require(args.length == 1 || args.length == 2, "xxh3_64(str[, seed])")
+        val seed = if (args.length == 2) args(1)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0L)
+        Xxh3Expression(args.head, seed)
+      },
+      "scala_udf")
+
+    spark.udf.register("ksuid_timestamp",
+      (id: String) => Ksuid.timestampSeconds(id).map(java.lang.Long.valueOf).orNull)
+    spark.udf.register("is_valid_ksuid",
+      (id: String, nowEpochSeconds: Long) => Ksuid.isValid(id, nowEpochSeconds))
+    spark.udf.register("to_sorted_json",
+      (json: String) => CanonicalJson.tryParse(json).map(CanonicalJson.dumps).orNull)
+    spark.udf.register("wrap_primitive_json",
+      (json: String) =>
+        CanonicalJson.tryParse(json).map(CanonicalJson.dumpsWrappingPrimitive).orNull)
+    spark.udf.register("flatten_json",
+      (json: String, root: String) =>
+        JsonFlattener.flatten(json, root).map {
+          case (k, graft.core.FlatValue.Num(v)) => k -> v.toString
+          case (k, graft.core.FlatValue.Str(v)) => k -> v
+        }.toMap)
+  }
+}

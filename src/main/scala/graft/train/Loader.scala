@@ -66,7 +66,11 @@ object Loader {
     val sel = selectFiles(keys, maxRows, minRows, sample, seed)
     if (sel.keys.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema.rewardedDecision)
-    var df = PartitionStore.read(spark, baseDir, sel.keys)
+    // S5: per-file corruption tolerance — a bad partition file yields
+    // an empty scan for that file instead of failing the job
+    var df = spark.read.schema(Schema.rewardedDecision)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(sel.keys.map(k => s"$baseDir/$k"): _*)
     if (filterOrphans)
       df = df.filter(col(Schema.Item).isNotNull && col(Schema.Context).isNotNull)
     if (sel.rowSampleFraction < 1.0) df = df.sample(sel.rowSampleFraction, seed)
