@@ -76,12 +76,20 @@ object Dedup {
       threshold: Double, seed: Long = 1234L): DataFrame = {
     val signed = withSignature(df, textCol, seed).persist()
     val cands = candidatePairs(signed, idCol)
-    // the (id → word-hash set) side is tiny relative to the pair set —
-    // broadcast it so the verify join never shuffles the candidates
-    val sets = broadcast(signed.select(col(idCol), col("wset")))
+    // the (id → word-hash set, signature) side is tiny relative to the
+    // pair set — broadcast it so the verify never shuffles candidates
+    val sides = broadcast(signed.select(col(idCol), col("wset"), col("sig")))
+    // signature-estimated similarity gates the exact verify: matching
+    // positions / k estimates jaccard (sd ≈ √(j(1−j)/64) ≈ 0.037 at
+    // j=0.9), so est ≥ threshold − 0.25 is a > 6σ margin — it cannot
+    // drop a true pair, but discards the mid-similarity candidate bulk
+    // before the (more expensive) set intersection
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast("double") / NumHashes
     val out = cands
-      .join(sets.select(col(idCol).as("id_a"), col("wset").as("set_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("wset").as("set_b")), Seq("id_b"))
+      .join(sides.select(col(idCol).as("id_a"), col("wset").as("set_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sides.select(col(idCol).as("id_b"), col("wset").as("set_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(est >= threshold - 0.25)
       .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jac", col("n_common").cast("double") /
         (size(col("set_a")) + size(col("set_b")) - col("n_common")))
