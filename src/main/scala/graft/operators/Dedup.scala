@@ -128,6 +128,50 @@ object Dedup {
     df.withColumn("simhash",
       simHashUdf(array_distinct(split(trim(col(textCol)), " "))))
 
+  // ---- embedding-cosine near-dup ----------------------------------------
+
+  /** Random-hyperplane (sign-LSH) signature for embedding vectors:
+    * bit i = sign(v · plane_i); P(bits agree) = 1 − θ/π. Candidates
+    * from 16×4-bit band buckets, then EXACT cosine verification — the
+    * embedding analogue of the MinHash pipeline (same guarantee
+    * shape: banding generates candidates, verification is exact).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, seed: Long = 99L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(64, dim)(rnd.nextGaussian())
+    val signUdf = udf((v: Seq[Double]) => {
+      var sig = 0L
+      var p = 0
+      while (p < 64) {
+        var s = 0.0
+        var i = 0
+        while (i < dim && i < v.length) { s += v(i) * planes(p)(i); i += 1 }
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    })
+    val signed = df.withColumn("_sig", signUdf(col(vecCol))).persist()
+    val chunks = array((0 until 16).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("_sig"), c * 4).bitwiseAND(lit(0xfL)).as("key"))): _*)
+    val exploded = signed.select(col(idCol), explode(chunks).as("ck"))
+      .select(col(idCol), col("ck.chunk"), col("ck.key"))
+    val a = exploded.select(col(idCol).as("id_a"), col("chunk"), col("key"))
+    val b = exploded.select(col(idCol).as("id_b"), col("chunk"), col("key"))
+    val cands = a.join(b, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = broadcast(signed.select(col(idCol), col(vecCol)))
+    cands
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
+      .withColumn("cos", Ann.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3
     * guaranteed complete via 4-chunk bucketing; pigeonhole).
     */

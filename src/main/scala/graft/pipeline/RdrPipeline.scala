@@ -70,31 +70,37 @@ object RdrPipeline {
     } finally deleteRecursively(work)
   }
 
-  /** ingest → merge → two-phase train; returns model stats (rows-only
-    * gate — training output is not SQL-expressible). Small tree/depth
-    * config keeps the gate fast; the operators are the real ones.
+  /** The FULL reference chain in one query: ingest → merge → partition
+    * store → listing-driven load (S4/O3/P3/P4) → two-phase train →
+    * score a probe item. Rows-only gate (training output is not
+    * SQL-expressible). Small tree/depth config keeps the gate fast;
+    * the operators are the real ones.
     */
   def trainSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.train.Trainer
+    import graft.train.{Loader, Trainer}
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("rdr_train").toString
     try {
-      generateFirehose(spark, sfDir, work)
-      val merged = Merge.ingest(spark, firehoseFiles(work))
-        .filter(col(Schema.Item).isNotNull && col(Schema.Context).isNotNull)
-        .withColumn(Schema.Reward, coalesce(col(Schema.Reward), lit(0.0)))
-        .persist()
+      generateFirehose(spark, sfDir, s"$work/firehose")
+      val ingested = Merge.ingest(spark, firehoseFiles(s"$work/firehose"))
+      PartitionStore.write(ingested, s"$work/store", "events")
+      val merged = Loader.load(spark, s"$work/store", "events",
+        maxRows = 8000000L).withColumn(Schema.Model, lit("events")).persist()
       val cfg = Trainer.TrainConfig(
         maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
         propensityTrees = 5, treeDepth = 4, seed = 42L)
       val pm = Trainer.trainPropensity(merged, cfg)
       val dm = Trainer.trainDecision(merged, pm, cfg)
       merged.unpersist()
+      // exercise the scoring surface too: expected reward of a probe item
+      val probeScore = graft.train.Scorer
+        .rank(spark, dm, Seq("""{"k":50}"""), """{"t":"click"}""").head._2
       Seq((pm.featureNames.length.toLong, dm.featureNames.length.toLong,
         pm.model.getNumTrees.toLong, dm.model.getNumTrees.toLong,
-        math.rint(pm.meanItemCount * 100) / 100, math.rint(dm.rewardMean * 10000) / 10000))
+        math.rint(pm.meanItemCount * 100) / 100, math.rint(dm.rewardMean * 10000) / 10000,
+        math.rint(probeScore * 100) / 100))
         .toDF("n_features_p1", "n_features_p2", "n_trees_p1", "n_trees_p2",
-          "mean_item_count", "reward_mean")
+          "mean_item_count", "reward_mean", "probe_score")
     } finally deleteRecursively(work)
   }
 

@@ -52,6 +52,22 @@ object ExtOps {
       },
       None),
 
+    // Embedding-cosine near-dup via sign-LSH + exact verify. The
+    // synthetic embeddings are near-orthogonal (max pair cos ≈ 0.5)
+    // so this runs at a low threshold and is gated rows-only; the
+    // planted-duplicate recall guarantee lives in DedupSpec.
+    GateQuery(
+      "q_dedup_embedding",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        Dedup.embeddingNearDupPairs(emb, "vec_id", "v", dim = 64, threshold = 0.4)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(avg("cos"), 4).as("avg_cos"))
+      },
+      None),
+
     // IVF ANN with nprobe = C (exhaustive ⇒ must equal brute force).
     GateQuery(
       "q_ann_ivf",

@@ -41,6 +41,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding near-dup: planted high-cosine pairs found, orthogonal vectors not") {
+    import spark.implicits._
+    val dim = 32
+    val rnd = new scala.util.Random(17)
+    def randomVec() = Seq.fill(dim)(rnd.nextGaussian())
+    def perturb(v: Seq[Double]) = v.map(x => x + rnd.nextGaussian() * 0.05)
+    // 30 base vectors; ids 1000+i are slight perturbations (cos ≈ 0.996)
+    val bases = (0 until 30).map(i => (i.toLong, randomVec()))
+    val dups = bases.map { case (i, v) => (1000L + i, perturb(v)) }
+    val df = (bases ++ dups).toDF("vec_id", "v")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "v", dim, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair found, nothing else (random gaussians are
+    // near-orthogonal at dim 32 — cos far below 0.95)
+    assert(pairs == (0 until 30).map(i => (i.toLong, 1000L + i)).toSet)
+  }
+
   test("decode stub is deterministic and entropy-sane") {
     val bytes = "hello world hello world".getBytes("UTF-8")
     val (e1, f1, n1) = Multimodal.decodeStub(bytes)
