@@ -10,14 +10,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (profiling aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // deterministic name order: run-to-run timings stay comparable
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolate queries: operators may persist intermediates that only
+      // their own job needs — leftover blocks would evict/slow later
+      // queries in this single shared JVM. Spark's ContextCleaner only
+      // reclaims shuffle/broadcast state on GC, so force one.
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -137,7 +137,12 @@ object Dedup {
     * shape: banding generates candidates, verification is exact).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, seed: Long = 99L): DataFrame = {
+      dim: Int, threshold: Double, seed: Long = 99L,
+      bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    require(bands * bitsPerBand <= 64)
+    // band geometry trades recall for selectivity: 16×4 ⇒ recall ≈ 1
+    // at cos ≥ 0.95; 8×8 ⇒ far smaller buckets for low-threshold
+    // sweeps where partial recall is acceptable
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(64, dim)(rnd.nextGaussian())
     val signUdf = udf((v: Seq[Double]) => {
@@ -153,9 +158,10 @@ object Dedup {
       sig
     })
     val signed = df.withColumn("_sig", signUdf(col(vecCol))).persist()
-    val chunks = array((0 until 16).map(c =>
+    val mask = (1L << bitsPerBand) - 1
+    val chunks = array((0 until bands).map(c =>
       struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("_sig"), c * 4).bitwiseAND(lit(0xfL)).as("key"))): _*)
+        shiftrightunsigned(col("_sig"), c * bitsPerBand).bitwiseAND(lit(mask)).as("key"))): _*)
     val exploded = signed.select(col(idCol), explode(chunks).as("ck"))
       .select(col(idCol), col("ck.chunk"), col("ck.key"))
     val a = exploded.select(col(idCol).as("id_a"), col("chunk"), col("key"))

@@ -24,6 +24,18 @@ object RdrPipeline {
 
   private val ksuidUdf = udf((ts: Long, seed: Long) => Ksuid.deterministic(ts, seed))
 
+  // the three gate queries all consume the same derived stream —
+  // generate it once per (JVM, sfDir); cleaned up at JVM exit
+  private val firehoseCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedFirehose(spark: SparkSession, sfDir: String): String =
+    firehoseCache.computeIfAbsent(sfDir, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("rdr_fh_cache").toString
+      generateFirehose(spark, sfDir, dir)
+      sys.addShutdownHook(deleteRecursively(dir))
+      dir
+    })
+
   /** Events → gzipped firehose JSONL under `outDir` (deterministic). */
   def generateFirehose(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val ev = Tables.events(spark, sfDir)
@@ -52,22 +64,17 @@ object RdrPipeline {
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
-  /** ingest → merge → summary row (the gate query; DuckDB-checkable).
-    * Materialized eagerly so the temp firehose dir can be cleaned up.
-    */
+  /** ingest → merge → summary row (the gate query; DuckDB-checkable). */
   def mergeSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("rdr_fh").toString
-    try {
-      generateFirehose(spark, sfDir, work)
-      val merged = Merge.ingest(spark, firehoseFiles(work))
-      val r = merged.agg(
-        count(lit(1)).as("n_decisions"),
-        sum(when(col(Schema.Reward) > 0, 1L).otherwise(0L)).as("n_rewarded"),
-        round(sum(Schema.Reward), 2).as("total_reward")).collect().head
-      Seq((r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .toDF("n_decisions", "n_rewarded", "total_reward")
-    } finally deleteRecursively(work)
+    val work = cachedFirehose(spark, sfDir)
+    val merged = Merge.ingest(spark, firehoseFiles(work))
+    val r = merged.agg(
+      count(lit(1)).as("n_decisions"),
+      sum(when(col(Schema.Reward) > 0, 1L).otherwise(0L)).as("n_rewarded"),
+      round(sum(Schema.Reward), 2).as("total_reward")).collect().head
+    Seq((r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toDF("n_decisions", "n_rewarded", "total_reward")
   }
 
   /** The FULL reference chain in one query: ingest → merge → partition
@@ -81,8 +88,8 @@ object RdrPipeline {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("rdr_train").toString
     try {
-      generateFirehose(spark, sfDir, s"$work/firehose")
-      val ingested = Merge.ingest(spark, firehoseFiles(s"$work/firehose"))
+      val fh = cachedFirehose(spark, sfDir)
+      val ingested = Merge.ingest(spark, firehoseFiles(fh))
       PartitionStore.write(ingested, s"$work/store", "events")
       val merged = Loader.load(spark, s"$work/store", "events",
         maxRows = 8000000L).withColumn(Schema.Model, lit("events")).persist()
@@ -111,8 +118,8 @@ object RdrPipeline {
     import spark.implicits._
     val work = java.nio.file.Files.createTempDirectory("rdr_store").toString
     try {
-      generateFirehose(spark, sfDir, s"$work/firehose")
-      val merged = Merge.ingest(spark, firehoseFiles(s"$work/firehose"))
+      val fh = cachedFirehose(spark, sfDir)
+      val merged = Merge.ingest(spark, firehoseFiles(fh))
       PartitionStore.write(merged, s"$work/store", "events")
       val iters = Groom.groom(spark, s"$work/store", "events")
       val keys = PartitionStore.listKeys(spark, s"$work/store", "events")

@@ -61,7 +61,8 @@ object ExtOps {
       (s, d) => {
         val emb = embeddings(s, d)
           .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-        Dedup.embeddingNearDupPairs(emb, "vec_id", "v", dim = 64, threshold = 0.4)
+        Dedup.embeddingNearDupPairs(emb, "vec_id", "v", dim = 64, threshold = 0.4,
+          bands = 8, bitsPerBand = 8)
           .agg(
             count(lit(1)).as("n_pairs"),
             round(avg("cos"), 4).as("avg_cos"))

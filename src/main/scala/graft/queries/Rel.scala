@@ -411,6 +411,45 @@ object Rel {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Hierarchical aggregation: ROLLUP with grouping level id.
+    GateQuery(
+      "q_rollup",
+      (s, d) =>
+        lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping_id().as("gid"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"), asc("gid")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       count(*) AS n,
+             |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid ASC""".stripMargin)),
+
+    // Set operations: INTERSECT / EXCEPT between two key populations.
+    GateQuery(
+      "q_setops",
+      (s, d) => {
+        val big = orders(s, d).filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey").as("k"))
+        val recent = orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("date"))
+          .select(col("o_custkey").as("k"))
+        val both = big.intersect(recent).agg(count(lit(1)).as("n")).select(lit("both").as("pop"), col("n"))
+        val onlyBig = big.except(recent).agg(count(lit(1)).as("n")).select(lit("only_big").as("pop"), col("n"))
+        both.unionByName(onlyBig).orderBy("pop")
+      },
+      Some("""WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+             |     recent AS (SELECT o_custkey AS k FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+             |SELECT 'both' AS pop, count(*) AS n FROM (SELECT k FROM big INTERSECT SELECT k FROM recent)
+             |UNION ALL
+             |SELECT 'only_big' AS pop, count(*) AS n FROM (SELECT k FROM big EXCEPT SELECT k FROM recent)
+             |ORDER BY pop""".stripMargin)),
+
     // Date bucketing + time-series aggregation (month grain).
     GateQuery(
       "q_time_bucket",
