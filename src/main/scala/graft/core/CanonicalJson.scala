@@ -49,7 +49,10 @@ object CanonicalJson {
     case JsonNodeType.OBJECT =>
       sb.append('{')
       val names = node.fieldNames().asScala.toArray
-      java.util.Arrays.sort(names.asInstanceOf[Array[Object]])
+      // sort by CODE POINT (like orjson/Python), not UTF-16 units —
+      // they disagree when supplementary-plane keys (surrogate pairs)
+      // meet keys in [U+E000, U+FFFF]
+      java.util.Arrays.sort(names, codePointOrder)
       var first = true
       names.foreach { name =>
         if (!first) sb.append(',')
@@ -75,11 +78,31 @@ object CanonicalJson {
     case other => throw new IllegalArgumentException(s"non-JSON node type $other")
   }
 
+  private val codePointOrder: java.util.Comparator[String] =
+    (a: String, b: String) => {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      var res = 0
+      while (res == 0 && i < n) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(i)
+        if (ca != cb) res = Integer.compare(ca, cb)
+        else i += Character.charCount(ca)
+      }
+      if (res != 0) res else Integer.compare(a.length, b.length)
+    }
+
+  /** NOTE: double rendering targets self-consistency; it matches
+    * orjson for the common range but diverges in exponent style for
+    * |d| ≥ 1e15 (Java "1.0E15" vs Python "1e+15") — documented
+    * deviation, only the engine's own hashes depend on it.
+    */
   private def writeNumber(node: JsonNode): String =
     if (node.isIntegralNumber) node.bigIntegerValue().toString
     else {
       val d = node.doubleValue()
-      if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString + ".0"
+      if (d == 0.0 && 1.0 / d < 0) "-0.0" // orjson preserves the sign
+      else if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString + ".0"
       else d.toString
     }
 

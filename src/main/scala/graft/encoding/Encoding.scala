@@ -109,22 +109,33 @@ object Encoding {
       priorMean: Double = 0.0, priorCount: Int = 0,
       pruneMinCount: Int = 20, maxStringsPerFeature: Int = 10000): Map[String, Seq[Long]] = {
     val allowed = featureNames.toSet
+    // everything except the final (bounded) tables stays distributed:
+    // non-selected features are filtered BEFORE aggregation and each
+    // feature is truncated to its top-maxStrings by weight with a
+    // window, so the driver never sees more than
+    // |featureNames| × maxStringsPerFeature rows
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("feature").orderBy(desc("weight"), asc("value"))
     val stats = df
       .select(explode(col("strs")).as(Seq("feature", "value")), col(WeightCol), col(TargetCol))
+      .filter(col("feature").isin(allowed.toSeq: _*))
       .groupBy("feature", "value")
       .agg(
         sum(WeightCol).as("weight"),
         sum(col(TargetCol) * col(WeightCol)).as("target"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") > pruneMinCount)
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= maxStringsPerFeature)
+      .drop("_rank")
       .collect()
       .groupBy(_.getString(0))
 
-    stats.collect { case (feature, rows) if allowed.contains(feature) =>
-      // prune by weight first (top maxStringsPerFeature), then rank by
-      // mean target with prior, descending; ties broken by value for
-      // determinism (the reference relies on python sort stability)
-      val pruned = rows.sortBy(r => (-r.getDouble(2), r.getString(1))).take(maxStringsPerFeature)
+    stats.map { case (feature, rows) =>
+      // rank by mean target with prior, descending; ties broken by
+      // value for determinism (the reference relies on python sort
+      // stability)
+      val pruned = rows.sortBy(r => (-r.getDouble(2), r.getString(1)))
       val ranked = pruned.sortBy { r =>
         val (w, t, c) = (r.getDouble(2), r.getDouble(3), r.getLong(4))
         val priorWeight = priorCount * w / c
@@ -142,6 +153,14 @@ object Encoding {
     */
   def sprinkle(x: Double, noise: Double): Double =
     (x + noise * math.pow(2, -142)) * (1 + noise * math.pow(2, -17))
+
+  /** P(Poisson(1) > 0) = 1 − 1/e ≈ 0.632 — when exploring, the zero
+    * mass of the bootstrap is realized by sampling records at THIS
+    * rate at load time; survivors then get zero-rejected weights, so
+    * the expected weight per original record stays 1
+    * (reference exploration.py:8-25, decision_trainer.py:43-45).
+    */
+  val NonZeroPoissonProbability: Double = 1.0 - 1.0 / math.E
 
   /** Zero-rejected Poisson(1) weight via inverse CDF of u ∈ [0,1):
     * P(k | k>0) = e⁻¹/k! / (1 − e⁻¹) (exploration.py:8-25).

@@ -51,8 +51,11 @@ object Functions {
       "xxh3_64",
       { args =>
         require(args.length == 1 || args.length == 2, "xxh3_64(str[, seed])")
-        val seed = if (args.length == 2) args(1)
-          else org.apache.spark.sql.catalyst.expressions.Literal(0L)
+        // coerce integer seed literals — the natural SQL spelling is
+        // xxh3_64(s, 42), and 42 parses as INT
+        val seed = if (args.length == 2)
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1), LongType)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0L)
         Xxh3Expression(args.head, seed)
       },
       "scala_udf")

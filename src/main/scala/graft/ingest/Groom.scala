@@ -159,6 +159,7 @@ object Groom {
       maxIterations: Int = MaxGroomIterations,
       maxRowsPerFile: Int = PartitionStore.MaxRowsPerFile): Int = {
     var iteration = 0
+    var previousKeys: Seq[String] = null
     while (iteration < maxIterations) {
       val keys = PartitionStore.listKeys(spark, baseDir, model)
       val groups = groupPartitionsToGroom(keys)
@@ -166,6 +167,12 @@ object Groom {
         assertNoOverlappingKeys(keys)
         return iteration
       }
+      // progress guard: identical chunk structure (ranges+counts) after
+      // a full pass means further passes cannot converge — stop instead
+      // of burning the remaining iterations rewriting the same rows
+      val shape = keys.map(_.split('/').last.split('-').take(3).mkString("-")).sorted
+      if (previousKeys != null && shape == previousKeys) return iteration
+      previousKeys = shape
       iteration += 1
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(groups.size, 8))
       try {

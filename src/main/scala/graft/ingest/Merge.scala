@@ -60,12 +60,16 @@ object Merge {
   val SrcOrder = "_src_order"
 
   private val mergeRewardsUdf =
-    udf((maps: Seq[org.apache.spark.sql.Row]) => mergeRewardMaps(maps.map(_.getString(1))))
+    udf((maps: Seq[org.apache.spark.sql.Row]) => mergeRewardMaps(maps.map(_.getString(2))))
 
   /** first-non-null per non-reward column + reward-map union. */
   def merge(df: DataFrame): DataFrame = {
     val ordered =
-      if (df.columns.contains(SrcOrder)) df else df.withColumn(SrcOrder, lit(0))
+      (if (df.columns.contains(SrcOrder)) df else df.withColumn(SrcOrder, lit(0)))
+        // secondary order: arrival position within a source tier, so a
+        // duplicate reward message_id re-tracked later in the SAME batch
+        // also resolves last-wins (reference dict.update order)
+        .withColumn("_seq", monotonically_increasing_id())
     val grouped = ordered
       .groupBy(col(Model), col(DecisionId))
       .agg(
@@ -74,7 +78,8 @@ object Merge {
         first(Count, ignoreNulls = true).as(Count),
         first(Sample, ignoreNulls = true).as(Sample),
         mergeRewardsUdf(sort_array(collect_list(
-          when(col(Rewards).isNotNull, struct(col(SrcOrder), col(Rewards)))))).as("_rw"))
+          when(col(Rewards).isNotNull,
+            struct(col(SrcOrder), col("_seq"), col(Rewards)))))).as("_rw"))
     grouped.select(
       col(DecisionId), col(Item), col(Context), col(Count), col(Sample),
       col("_rw._1").as(Rewards), col("_rw._2").as(Reward), col(Model))

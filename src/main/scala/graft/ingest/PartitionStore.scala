@@ -62,6 +62,13 @@ object PartitionStore {
     }.getOrElse(MaxPrefix)
 
     val tmpDir = s"$baseDir/_tmp_${java.util.UUID.randomUUID()}"
+    // NOTE: deliberately no maxRecordsPerFile backstop. If >maxRows
+    // rows share one SECOND (prefix length 15 still over the cap),
+    // splitting them into several files would create same-second
+    // overlapping ranges that groom re-merges forever (livelock);
+    // the reference writes one oversized file in that case
+    // (partition.py:375-405 splits only down to 1s resolution) and
+    // so do we.
     withTs
       .withColumn("_chunk", substring(col("_ts"), 1, prefixLen))
       .drop("_ts")
@@ -70,7 +77,6 @@ object PartitionStore {
       .write
       .partitionBy("_chunk")
       .option("compression", "zstd")
-      .option("maxRecordsPerFile", maxRowsPerFile)
       .parquet(tmpDir)
 
     withTs.unpersist(blocking = false)

@@ -75,6 +75,7 @@ object Dedup {
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, seed: Long = 1234L): DataFrame = {
     val signed = withSignature(df, textCol, seed).persist()
+    try {
     val cands = candidatePairs(signed, idCol)
     // the (id → word-hash set, signature) side is tiny relative to the
     // pair set — broadcast it so the verify never shuffles candidates
@@ -95,7 +96,13 @@ object Dedup {
         (size(col("set_a")) + size(col("set_b")) - col("n_common")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
+    // materialize eagerly so the corpus-sized signature cache can be
+    // released; the (bounded) pair set is what stays cached — callers
+    // may unpersist it when done
+    out.persist()
+    out.count()
     out
+    } finally signed.unpersist(blocking = false)
   }
 
   // ---- SimHash -----------------------------------------------------------
@@ -138,7 +145,7 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, seed: Long = 99L,
-      bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     require(bands * bitsPerBand <= 64)
     // band geometry trades recall for selectivity: 16×4 ⇒ recall ≈ 1
     // at cos ≥ 0.95; 8×8 ⇒ far smaller buckets for low-threshold
@@ -158,6 +165,7 @@ object Dedup {
       sig
     })
     val signed = df.withColumn("_sig", signUdf(col(vecCol))).persist()
+    try {
     val mask = (1L << bitsPerBand) - 1
     val chunks = array((0 until bands).map(c =>
       struct(lit(c).as("chunk"),
@@ -170,12 +178,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val vecs = broadcast(signed.select(col(idCol), col(vecCol)))
-    cands
+    val out = cands
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .withColumn("cos", Ann.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    out.persist()
+    out.count()
+    out
+    } finally signed.unpersist(blocking = false)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3

@@ -91,14 +91,24 @@ object RdrPipeline {
       val fh = cachedFirehose(spark, sfDir)
       val ingested = Merge.ingest(spark, firehoseFiles(fh))
       PartitionStore.write(ingested, s"$work/store", "events")
-      val merged = Loader.load(spark, s"$work/store", "events",
-        maxRows = 8000000L).withColumn(Schema.Model, lit("events")).persist()
       val cfg = Trainer.TrainConfig(
         maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
         propensityTrees = 5, treeDepth = 4, seed = 42L)
-      val pm = Trainer.trainPropensity(merged, cfg)
-      val dm = Trainer.trainDecision(merged, pm, cfg)
-      merged.unpersist()
+      // explore-mode bootstrap: the 1−1/e sample at load realizes the
+      // Poisson zero mass (phase 1 sets minRows=maxRows so scarce data
+      // overrides the sample; phase 2 samples unconditionally)
+      val sample = if (cfg.explore) graft.encoding.Encoding.NonZeroPoissonProbability else 1.0
+      val maxRows = 8000000L
+      val phase1 = Loader.load(spark, s"$work/store", "events",
+        maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
+        .withColumn(Schema.Model, lit("events")).persist()
+      val pm = Trainer.trainPropensity(phase1, cfg)
+      phase1.unpersist()
+      val phase2 = Loader.load(spark, s"$work/store", "events",
+        maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
+        .withColumn(Schema.Model, lit("events")).persist()
+      val dm = Trainer.trainDecision(phase2, pm, cfg)
+      phase2.unpersist()
       // exercise the scoring surface too: expected reward of a probe item
       val probeScore = graft.train.Scorer
         .rank(spark, dm, Seq("""{"k":50}"""), """{"t":"click"}""").head._2

@@ -53,8 +53,10 @@ object Loader {
     }
 
     val listedRows = selected.map(_._2).sum
-    val rowFraction =
-      if (listedRows > maxRows) maxRows.toDouble / listedRows else 1.0
+    // the sample always applies row-wise (reference parquet_io.py
+    // ddf.sample(adjusted_sample)); cap additionally at maxRows
+    val rowFraction = math.min(effSample,
+      if (listedRows > maxRows) maxRows.toDouble / listedRows else 1.0)
     Selection(selected.map(_._1), listedRows, rowFraction)
   }
 

@@ -31,6 +31,13 @@ class CanonicalJsonSpec extends AnyFunSuite {
     assert(CanonicalJson.dumpsWrappingPrimitive(CanonicalJson.parse("[1,2]")) == "[1,2]")
   }
 
+  test("keys sort by code point, not UTF-16 units; -0.0 keeps its sign") {
+    // U+1F600 (surrogate pair, high unit 0xD83D) must sort AFTER U+E000
+    val s = "{\"😀\": 1, \"\": 2}"
+    assert(CanonicalJson.canonicalize(s) == "{\"\":2,\"😀\":1}")
+    assert(CanonicalJson.canonicalize("""{"a": -0.0}""") == """{"a":-0.0}""")
+  }
+
   test("tryParse returns None on invalid json") {
     assert(CanonicalJson.tryParse("{not json").isEmpty)
     assert(CanonicalJson.tryParse("""{"a":1}""").isDefined)
