@@ -117,6 +117,35 @@ class GroomSpec extends AnyFunSuite with SparkTestBase {
     assert(all.filter(col(Schema.Item).isNull).count() == 0)
   }
 
+  test("same-second overload: one oversized file, groom reaches quiescence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("groom_ss").toString
+    val base = 1660000000L
+    // 250 rows in ONE second with a 100-row cap: prefix splitting
+    // cannot separate them — must yield one oversized file, not
+    // same-range siblings that groom would rewrite forever
+    val rows = (0 until 250).map { i =>
+      RewardedDecisionRow(Ksuid.deterministic(base, i.toLong),
+        Some(s"""{"v":$i}"""), Some("{}"), Some(2.0), None, Some("{}"), Some(0.0), "m")
+    }
+    val keys = PartitionStore.write(Merge.merge(rows.toDF()), dir, "m", maxRowsPerFile = 100)
+    assert(keys.length == 1, s"expected one oversized chunk, got $keys")
+    assert(Groom.rowCount(keys.head) == 250)
+
+    // a second batch in the same second: overlap exists, one compaction
+    // resolves it, loop terminates far below the iteration cap
+    val rows2 = (250 until 300).map { i =>
+      RewardedDecisionRow(Ksuid.deterministic(base, i.toLong),
+        Some(s"""{"v":$i}"""), Some("{}"), Some(2.0), None, Some("{}"), Some(0.0), "m")
+    }
+    PartitionStore.write(Merge.merge(rows2.toDF()), dir, "m", maxRowsPerFile = 100)
+    val iters = Groom.groom(spark, dir, "m", maxRowsPerFile = 100)
+    assert(iters <= 3, s"groom should converge quickly, used $iters")
+    val after = PartitionStore.listKeys(spark, dir, "m")
+    assert(after.length == 1)
+    assert(PartitionStore.read(spark, dir, after).count() == 300)
+  }
+
   private implicit class ApproxEq(val x: Double) {
     def ===(other: ApproxTarget): Boolean = math.abs(x - other.v) <= other.tol
   }

@@ -32,6 +32,13 @@ class LoaderSpec extends AnyFunSuite with SparkTestBase {
     assert(sel.rowSampleFraction == 1.0)
   }
 
+  test("sample applies row-wise even when the data fits under maxRows") {
+    val keys = (0 until 4).map(i =>
+      key(f"20230705T00002${i}Z", f"20230705T00001${i}Z", 1000))
+    val sel = Loader.selectFiles(keys, maxRows = 1000000, minRows = 0, sample = 0.5, seed = 1)
+    assert(sel.rowSampleFraction == 0.5)
+  }
+
   test("corrupt partition files are skipped, not fatal") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("loader").toString
