@@ -85,6 +85,29 @@ object TextOps {
               |GROUP BY source
               |ORDER BY source""".stripMargin)),
 
+    // BPE-style regex tokenization (word / number / punctuation
+    // classes, no lookahead so Java and RE2 semantics agree).
+    GateQuery(
+      "q_token_regex",
+      (s, d) =>
+        documents(s, d)
+          .withColumn("toks",
+            expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"""))
+          .groupBy("source")
+          .agg(
+            sum(size(col("toks"))).cast("long").as("sum_tokens"),
+            sum(size(expr("filter(toks, t -> t rlike '^[0-9]+$')"))).cast("long").as("n_number_toks"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source"),
+      Some("""SELECT source,
+             |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS sum_tokens,
+             |       CAST(sum(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+             |                                t -> regexp_matches(t, '^[0-9]+$')))) AS BIGINT) AS n_number_toks,
+             |       count(*) AS n_docs
+             |FROM documents
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
     // Quality scoring: stopword ratio + mean token length per language.
     GateQuery(
       "q_quality_score",
