@@ -1,0 +1,101 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.Functions
+import graft.ingest.{FirehoseRecords, Groom, Merge, PartitionStore}
+import graft.train.{Loader, ModelStore, Trainer}
+
+/** User-facing job entry points — the engine's equivalents of the
+  * reference's serverless handlers (ingest lambda, groom state
+  * machine, SageMaker train script), runnable via spark-submit or
+  * `sbt "runMain graft.jobs.<Job>"`.
+  */
+object Jobs {
+  private[jobs] def session(app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(app)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Functions.register(s)
+    s
+  }
+}
+
+/** IngestJob <storeDir> <jsonl-or-gz-file...> — parse, validate,
+  * merge, write partitions (per model found in the batch); prints the
+  * invalid-record census like the reference ingest lambda.
+  */
+object IngestJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: IngestJob <storeDir> <file...>")
+    val storeDir = args.head
+    val spark = Jobs.session("graft-ingest")
+    import spark.implicits._
+
+    val parsed = FirehoseRecords.parse(spark, args.drop(1).toSeq).persist()
+    val census = FirehoseRecords.invalidCensus(parsed)
+    if (census.nonEmpty) println(s"invalid records: $census")
+
+    val merged = Merge.merge(parsed.flatMap(_.row).toDF()).persist()
+    val models = merged.select(graft.schema.Schema.Model).distinct()
+      .collect().map(_.getString(0))
+    models.foreach { model =>
+      val keys = PartitionStore.write(
+        merged.filter(org.apache.spark.sql.functions.col(graft.schema.Schema.Model) === model),
+        storeDir, model)
+      println(s"model $model: wrote ${keys.length} partition(s)")
+    }
+    spark.stop()
+  }
+}
+
+/** GroomJob <storeDir> <model> — compact until quiescent. */
+object GroomJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: GroomJob <storeDir> <model>")
+    val spark = Jobs.session("graft-groom")
+    val iters = Groom.groom(spark, args(0), args(1))
+    val keys = PartitionStore.listKeys(spark, args(0), args(1))
+    println(s"groomed in $iters iteration(s); ${keys.length} partition(s), no overlaps")
+    spark.stop()
+  }
+}
+
+/** TrainJob <storeDir> <model> <modelOutDir> [maxRows] — two-phase
+  * train from the partition store (checkpoint-aware) and publish the
+  * model artifacts.
+  */
+object TrainJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: TrainJob <storeDir> <model> <modelOutDir> [maxRows]")
+    val Array(storeDir, model, outDir) = args.take(3)
+    val maxRows = args.lift(3).map(_.toLong).getOrElse(8000000L)
+    val spark = Jobs.session("graft-train")
+    import org.apache.spark.sql.functions.lit
+
+    val cfg = Trainer.TrainConfig()
+    val sample = if (cfg.explore) graft.encoding.Encoding.NonZeroPoissonProbability else 1.0
+
+    val pm = ModelStore.loadCheckpoint(spark, s"$outDir/checkpoint").getOrElse {
+      val phase1 = Loader.load(spark, storeDir, model,
+        maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
+        .withColumn(graft.schema.Schema.Model, lit(model))
+      val trained = Trainer.trainPropensity(phase1, cfg)
+      ModelStore.saveCheckpoint(trained, s"$outDir/checkpoint")
+      trained
+    }
+
+    val phase2 = Loader.load(spark, storeDir, model,
+      maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
+      .withColumn(graft.schema.Schema.Model, lit(model))
+    val dm = Trainer.trainDecision(phase2, pm, cfg)
+    ModelStore.saveDecisionModel(dm, s"$outDir/latest")
+    println(s"trained ${dm.model.getNumTrees} trees over ${dm.featureNames.length} features -> $outDir/latest")
+    spark.stop()
+  }
+}

@@ -27,12 +27,27 @@ object Ann {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Deterministic coarse centroids: the first C vectors by id (a
-    * stand-in for k-means at this corpus size; the IVF mechanics are
-    * identical).
+    * cheap stand-in when clustering quality doesn't matter; the IVF
+    * mechanics are identical).
     */
   def centroids(df: DataFrame, vecCol: String, idCol: String, c: Int): Array[Seq[Double]] =
     df.orderBy(col(idCol)).limit(c).select(col(vecCol))
       .collect().map(_.getSeq[Double](0))
+
+  /** Proper coarse quantizer: seeded k-means over (a sample of) the
+    * corpus — better-balanced cells ⇒ better recall per probe. This is
+    * the variant to use at scale; `centroids` exists for deterministic
+    * fixtures.
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, k: Int, seed: Long = 7L,
+      sampleFraction: Double = 1.0): Array[Seq[Double]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
+    val vecs = sampled.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20).fit(vecs)
+    model.clusterCenters.map(_.toArray.toSeq)
+  }
 
   /** Adds a `cell` column: index of the nearest centroid. */
   def withCell(df: DataFrame, vecCol: String, cents: Array[Seq[Double]]): DataFrame = {

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class AnnSpec extends AnyFunSuite with SparkTestBase {
+
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian() * 5)
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield ((c * perCluster + i).toLong,
+      centers(c).map(_ + rnd.nextGaussian() * 0.1).toSeq)
+    (rows.toDF("vec_id", "v"), centers)
+  }
+
+  test("kmeans centroids recover the cluster structure; low-nprobe search finds in-cell neighbors") {
+    val dim = 16
+    val (df, _) = clustered(nClusters = 4, perCluster = 50, dim = dim)
+    val cents = Ann.kmeansCentroids(df, "v", k = 4, seed = 3L)
+    assert(cents.length == 4)
+
+    // each cell should hold roughly one cluster (50 ± slack)
+    val cells = Ann.withCell(df, "v", cents)
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(cells.length == 4)
+    assert(cells.forall(c => c > 30 && c < 70), cells.toSeq.toString)
+
+    // query = member of cluster 0; nprobe=1 must return its own
+    // cluster's members (top-k all from vec_id < 50)
+    val query = df.filter(col("vec_id") === 0).select("v")
+      .collect().head.getSeq[Double](0)
+    val top = Ann.topK(df.filter(col("vec_id") =!= 0), "v", "vec_id",
+      query, k = 10, cents, nprobe = 1)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(top.length == 10)
+    assert(top.forall(_ < 50), s"nprobe=1 neighbors must come from the query's cluster: ${top.toSeq}")
+  }
+
+  test("nprobe = C equals brute force exactly") {
+    val (df, _) = clustered(nClusters = 3, perCluster = 30, dim = 8)
+    val query = df.filter(col("vec_id") === 5).select("v").collect().head.getSeq[Double](0)
+    val corpus = df.filter(col("vec_id") =!= 5)
+    val cents = Ann.kmeansCentroids(corpus, "v", k = 3, seed = 3L)
+    val ivf = Ann.topK(corpus, "v", "vec_id", query, 15, cents, nprobe = 3)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qCol = array(query.map(lit): _*)
+    val brute = corpus
+      .withColumn("cos", round(Ann.cosine(col("v"), qCol), 4))
+      .orderBy(desc("cos"), asc("vec_id")).limit(15)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == brute)
+  }
+}
