@@ -13,13 +13,17 @@ import graft.train.{Loader, ModelStore, Trainer}
   */
 object Jobs {
   private[jobs] def session(app: String): SparkSession = {
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(app)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
-        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
-      .getOrCreate()
+    // precedence: explicit env > spark-submit's --master > local dev
+    // fallback (never override a cluster manager the submitter chose)
+    val s = (sys.env.get("SPARK_GRAFT_MASTER") match {
+      case Some(m) => builder.master(m)
+      case None if sys.props.contains("spark.master") => builder
+      case None => builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    }).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     Functions.register(s)
     s
@@ -61,7 +65,12 @@ object GroomJob {
     val spark = Jobs.session("graft-groom")
     val iters = Groom.groom(spark, args(0), args(1))
     val keys = PartitionStore.listKeys(spark, args(0), args(1))
-    println(s"groomed in $iters iteration(s); ${keys.length} partition(s), no overlaps")
+    val overlaps = Groom.findOverlaps(keys)
+    if (overlaps.isEmpty)
+      println(s"groomed in $iters iteration(s); ${keys.length} partition(s), no overlaps")
+    else
+      println(s"groom stopped after $iters iteration(s) with ${overlaps.length} " +
+        s"overlapping range(s) remaining across ${keys.length} partition(s) — rerun to continue")
     spark.stop()
   }
 }
@@ -78,15 +87,23 @@ object TrainJob {
     val spark = Jobs.session("graft-train")
     import org.apache.spark.sql.functions.lit
 
+    val keys = PartitionStore.listKeys(spark, storeDir, model)
+    require(keys.nonEmpty,
+      s"no partitions for model '$model' under $storeDir/rewarded_decisions/$model/parquet — " +
+        "check the model name and store path")
+
     val cfg = Trainer.TrainConfig()
     val sample = if (cfg.explore) graft.encoding.Encoding.NonZeroPoissonProbability else 1.0
+    // artifacts are scoped per model so a shared outDir can never
+    // cross-contaminate checkpoints between models
+    val modelOut = s"$outDir/$model"
 
-    val pm = ModelStore.loadCheckpoint(spark, s"$outDir/checkpoint").getOrElse {
+    val pm = ModelStore.loadCheckpoint(spark, s"$modelOut/checkpoint").getOrElse {
       val phase1 = Loader.load(spark, storeDir, model,
         maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
         .withColumn(graft.schema.Schema.Model, lit(model))
       val trained = Trainer.trainPropensity(phase1, cfg)
-      ModelStore.saveCheckpoint(trained, s"$outDir/checkpoint")
+      ModelStore.saveCheckpoint(trained, s"$modelOut/checkpoint")
       trained
     }
 
@@ -94,8 +111,8 @@ object TrainJob {
       maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
       .withColumn(graft.schema.Schema.Model, lit(model))
     val dm = Trainer.trainDecision(phase2, pm, cfg)
-    ModelStore.saveDecisionModel(dm, s"$outDir/latest")
-    println(s"trained ${dm.model.getNumTrees} trees over ${dm.featureNames.length} features -> $outDir/latest")
+    ModelStore.saveDecisionModel(dm, s"$modelOut/latest")
+    println(s"trained ${dm.model.getNumTrees} trees over ${dm.featureNames.length} features -> $modelOut/latest")
     spark.stop()
   }
 }

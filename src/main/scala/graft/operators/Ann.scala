@@ -45,7 +45,11 @@ object Ann {
     val sampled = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
     val vecs = sampled.select(array_to_vector(col(vecCol)).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20).fit(vecs)
+      .setK(k).setSeed(seed).setMaxIter(20)
+      // cells are assigned and probed by cosine (withCell/topK), so
+      // the quantizer must optimize the same metric
+      .setDistanceMeasure("cosine")
+      .fit(vecs)
     model.clusterCenters.map(_.toArray.toSeq)
   }
 

@@ -8,15 +8,42 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import graft.core.CanonicalJson
 import graft.train.Trainer.{DecisionModel, PropensityModel}
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
 
 /** Model artifact + checkpoint layout (reference: model_utils.py
   * metadata embedding, checkpoint.py phase-1 reuse, unpack_models.py
   * publish layout). The booster is the MLlib model directory; the
   * reference's in-booster attributes become a metadata.json sidecar
   * (string tables, feature names, seed, created_at, version).
+  *
+  * All IO goes through the Hadoop FileSystem API so artifact dirs may
+  * live on any supported filesystem (local, HDFS, object stores) —
+  * the same place the MLlib model itself is written.
   */
 object ModelStore {
+
+  private def fs(dir: String) = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    new HPath(dir).getFileSystem(conf)
+  }
+
+  private def writeString(dir: String, name: String, content: String): Unit = {
+    val f = fs(dir)
+    f.mkdirs(new HPath(dir))
+    val out = f.create(new HPath(dir, name), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(dir: String, name: String): Option[String] = {
+    val f = fs(dir)
+    val p = new HPath(dir, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
 
   val Version = "1.0"
 
@@ -42,9 +69,8 @@ object ModelStore {
   // ---- phase-1 checkpoint (M4) -------------------------------------------
 
   def saveCheckpoint(pm: PropensityModel, dir: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
     pm.model.write.overwrite().save(s"$dir/phase1_model")
-    Files.writeString(Paths.get(s"$dir/metadata.json"),
+    writeString(dir, "metadata.json",
       metadataJson(pm.featureNames, pm.stringTables, pm.modelSeed,
         Map("mean_item_count" -> pm.meanItemCount)))
   }
@@ -55,10 +81,9 @@ object ModelStore {
   def loadCheckpoint(spark: SparkSession, dir: String,
       maxAgeSeconds: Long = 24 * 3600,
       now: java.time.Instant = java.time.Instant.now()): Option[PropensityModel] = {
-    val metaPath = Paths.get(s"$dir/metadata.json")
-    if (!Files.exists(metaPath)) return None
+    val metaText = readString(dir, "metadata.json").getOrElse(return None)
     try {
-      val meta = CanonicalJson.parse(Files.readString(metaPath))
+      val meta = CanonicalJson.parse(metaText)
       if (meta.get("version").textValue() != Version) return None
       val created = java.time.Instant.parse(meta.get("created_at").textValue())
       if (java.time.Duration.between(created, now).getSeconds > maxAgeSeconds) return None
@@ -79,18 +104,16 @@ object ModelStore {
   // ---- final model publish (S9/S10 layout) -------------------------------
 
   def saveDecisionModel(dm: DecisionModel, dir: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
     dm.model.write.overwrite().save(s"$dir/model")
-    Files.writeString(Paths.get(s"$dir/metadata.json"),
+    writeString(dir, "metadata.json",
       metadataJson(dm.featureNames, dm.stringTables, dm.modelSeed,
         Map("reward_mean" -> dm.rewardMean, "reward_std" -> dm.rewardStd)))
   }
 
   def loadDecisionModel(spark: SparkSession, dir: String): Option[DecisionModel] = {
-    val metaPath = Paths.get(s"$dir/metadata.json")
-    if (!Files.exists(metaPath)) return None
+    val metaText = readString(dir, "metadata.json").getOrElse(return None)
     try {
-      val meta = CanonicalJson.parse(Files.readString(metaPath))
+      val meta = CanonicalJson.parse(metaText)
       val names = (0 until meta.get("feature_names").size())
         .map(meta.get("feature_names").get(_).textValue())
       val tablesNode = meta.get("string_tables")
