@@ -411,6 +411,73 @@ object Rel {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // 3-way shuffle join + agg + top-k (TPC-H Q3 shape).
+    GateQuery(
+      "q_three_way_join",
+      (s, d) =>
+        customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("date")
+            && col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+          .groupBy("o_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderkey"))
+          .limit(10),
+      Some("""SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < DATE '1995-03-15'
+             |  AND l_shipdate > TIMESTAMP '1995-03-15'
+             |GROUP BY o_orderkey
+             |ORDER BY revenue DESC, o_orderkey ASC
+             |LIMIT 10""".stripMargin)),
+
+    // Sessionization: 30-minute-gap sessions per user via lag +
+    // cumulative boundary sum — the batch form of session windows.
+    GateQuery(
+      "q_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sessions = events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull
+              || col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sessions
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            max("n_events").as("max_session_events"),
+            round(avg("n_events"), 4).as("avg_session_events"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_sessions,
+             |       max(n_events) AS max_session_events,
+             |       round(avg(n_events), 4) AS avg_session_events
+             |FROM (
+             |  SELECT user_id, session_id, count(*) AS n_events
+             |  FROM (
+             |    SELECT user_id,
+             |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                                  ROWS UNBOUNDED PRECEDING) AS session_id
+             |    FROM (
+             |      SELECT user_id, ts, event_id,
+             |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             |                  THEN 1 ELSE 0 END AS new_session
+             |      FROM events))
+             |  GROUP BY user_id, session_id)
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
     // Hierarchical aggregation: ROLLUP with grouping level id.
     GateQuery(
       "q_rollup",
