@@ -15,10 +15,18 @@ object Skew {
 
   /** Equi-join `big ⋈ small` on `key`, salted `salts` ways.
     * Result columns = big.* ++ (small.* minus key).
+    *
+    * Inner/left joins only: a right/full outer join would emit one
+    * null-extended row PER SALT for unmatched small-side keys.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner", seed: Long = 42L): DataFrame = {
-    require(salts > 0)
+    require(salts > 0, "salts must be positive")
+    require(Set("inner", "left", "leftouter", "leftsemi")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left-family joins only, got $joinType")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "input already has a _salt column")
     val saltedBig = big.withColumn("_salt", (rand(seed) * salts).cast("int"))
     val saltedSmall = small
       .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
@@ -28,11 +36,22 @@ object Skew {
   /** Salted aggregation for skewed group keys: two-phase — partial
     * aggregate on (key, salt), then final aggregate on key. `partial`
     * and `finalAgg` must compose (e.g. sum/sum, count/sum).
+    *
+    * The salt is a CONTENT hash (xxhash64 over all columns), not
+    * rand(): task retries then re-derive identical salts, so a
+    * recomputed partition can never double-count or drop rows
+    * (rand() is order-dependent under recomputation). Rows that are
+    * full duplicates share a salt; the hot KEY still spreads as long
+    * as its rows differ in any column.
     */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
       partial: Map[String, Column => Column], finalAgg: Map[String, Column => Column],
       seed: Long = 42L): DataFrame = {
-    val salted = df.withColumn("_salt", (rand(seed) * salts).cast("int"))
+    require(salts > 0, "salts must be positive")
+    require(partial.nonEmpty && finalAgg.nonEmpty, "aggregation maps must be non-empty")
+    require(!df.columns.contains("_salt"), "input already has a _salt column")
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(salts)).cast("int"))
     val phase1 = salted.groupBy(col(key), col("_salt"))
       .agg(partial.head._2(col(partial.head._1)).as(partial.head._1),
         partial.tail.map { case (c, f) => f(col(c)).as(c) }.toSeq: _*)

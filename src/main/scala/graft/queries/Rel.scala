@@ -471,7 +471,8 @@ object Rel {
              |    FROM (
              |      SELECT user_id, ts, event_id,
              |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             |                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             |                    OR CAST(floor(epoch(ts)) AS BIGINT)
+             |                       - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
              |                  THEN 1 ELSE 0 END AS new_session
              |      FROM events))
              |  GROUP BY user_id, session_id)

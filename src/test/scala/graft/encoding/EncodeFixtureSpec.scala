@@ -73,18 +73,21 @@ class EncodeFixtureSpec extends AnyFunSuite with SparkTestBase {
       }
 
     assert(actual.length == expected.length, s"$name: row count")
+    // multiset comparison: each expected row consumes one actual row
+    val pool = scala.collection.mutable.ArrayBuffer.from(actual)
     expected.foreach { exp =>
       import scala.jdk.CollectionConverters._
       val expNums = exp.fields().asScala.filter(_.getValue.isNumber)
         .map(e => e.getKey -> e.getValue.doubleValue()).toMap
       val expStrs = exp.fields().asScala.filter(_.getValue.isTextual)
         .map(e => e.getKey -> e.getValue.textValue()).toMap
-      val hit = actual.find { case (nums, strs) =>
-        nums.get("t") == expNums.get("t") && nums.get("y") == expNums.get("y") &&
-          nums == expNums && strs == expStrs
+      val idx = pool.indexWhere { case (nums, strs) =>
+        nums == expNums && strs == expStrs
       }
-      assert(hit.isDefined,
-        s"$name: no expanded row matches expected $expNums / $expStrs; actual: ${actual.toSeq}")
+      assert(idx >= 0,
+        s"$name: no expanded row matches expected $expNums / $expStrs; remaining: ${pool.toSeq}")
+      pool.remove(idx)
     }
+    assert(pool.isEmpty, s"$name: unmatched actual rows: ${pool.toSeq}")
   }
 }

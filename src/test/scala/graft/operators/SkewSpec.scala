@@ -27,6 +27,22 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("_salt"))
   }
 
+  test("guards: outer joins, bad salt counts, and _salt collisions are rejected") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException](Skew.saltedJoin(a, b, "k", 8, joinType = "full"))
+    intercept[IllegalArgumentException](Skew.saltedJoin(a, b, "k", 8, joinType = "right_outer"))
+    intercept[IllegalArgumentException](Skew.saltedJoin(a, b, "k", 0))
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(a.withColumn("_salt", lit(1)), b, "k", 8))
+    intercept[IllegalArgumentException](Skew.saltedAgg(a, "k", 0,
+      Map("v" -> (c => first(c))), Map("v" -> (c => first(c)))))
+    intercept[IllegalArgumentException](Skew.saltedAgg(a, "k", 8, Map.empty, Map.empty))
+    // left joins remain supported
+    assert(Skew.saltedJoin(a, b, "k", 4, joinType = "left").count() == 1)
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     import spark.implicits._
     val df = ((1 to 5000).map(_ => (1L, 2.0)) ++ (1 to 500).map(i => ((i % 20 + 2).toLong, 1.0)))
