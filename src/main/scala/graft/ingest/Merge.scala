@@ -62,21 +62,36 @@ object Merge {
   private val mergeRewardsUdf =
     udf((maps: Seq[org.apache.spark.sql.Row]) => mergeRewardMaps(maps.map(_.getString(2))))
 
+  /** Earliest row's non-null value under (SrcOrder, _seq): min over a
+    * struct orders lexicographically, and `when` nulls out rows where
+    * the column is absent so min skips them — a deterministic
+    * replacement for first(ignoreNulls), whose answer depends on
+    * post-shuffle row order when a decision_id is re-tracked with a
+    * different payload.
+    */
+  private def firstNonNullByOrder(c: String): Column =
+    min(when(col(c).isNotNull,
+      struct(col(SrcOrder), col("_seq"), col(c).as("v")))).getField("v").as(c)
+
   /** first-non-null per non-reward column + reward-map union. */
   def merge(df: DataFrame): DataFrame = {
     val ordered =
       (if (df.columns.contains(SrcOrder)) df else df.withColumn(SrcOrder, lit(0)))
-        // secondary order: arrival position within a source tier, so a
-        // duplicate reward message_id re-tracked later in the SAME batch
-        // also resolves last-wins (reference dict.update order)
-        .withColumn("_seq", monotonically_increasing_id())
+        // secondary order within a source tier: a content hash of the
+        // payload rather than monotonically_increasing_id, which is
+        // partition-layout-dependent (a task retry or different file
+        // split could flip which duplicate reward wins). The hash is
+        // retry-stable: equal payloads tie harmlessly, different
+        // payloads resolve in an arbitrary-but-deterministic order.
+        .withColumn("_seq", xxhash64(
+          col(Item), col(Context), col(Count), col(Sample), col(Rewards)))
     val grouped = ordered
       .groupBy(col(Model), col(DecisionId))
       .agg(
-        first(Item, ignoreNulls = true).as(Item),
-        first(Context, ignoreNulls = true).as(Context),
-        first(Count, ignoreNulls = true).as(Count),
-        first(Sample, ignoreNulls = true).as(Sample),
+        firstNonNullByOrder(Item),
+        firstNonNullByOrder(Context),
+        firstNonNullByOrder(Count),
+        firstNonNullByOrder(Sample),
         mergeRewardsUdf(sort_array(collect_list(
           when(col(Rewards).isNotNull,
             struct(col(SrcOrder), col("_seq"), col(Rewards)))))).as("_rw"))

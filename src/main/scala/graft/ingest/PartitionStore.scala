@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
 
 import graft.schema.{PartitionFilename, Schema}
 
+import scala.jdk.CollectionConverters._
+
 /** The partition store: sorted ZSTD parquet chunks of ≤10k rewarded
   * decisions whose FILENAMES index the data —
   * `{maxTs}-{minTs}-{count}-{uuid}.parquet` under
   * `rewarded_decisions/{model}/parquet/{yyyy}/{MM}/{dd}/`
   * (reference: src/ingest/partition.py:77-109, 375-463).
   *
-  * Write pipeline (all distributed; the only driver-side data are the
-  * per-prefix row counts and the file listing, both bounded):
+  * Write pipeline (all distributed; the only driver-side data are one
+  * (prefixLength → maxGroupCount) row per candidate resolution — ten
+  * rows — and the file listing, both bounded):
   *
   *  1. assign each row its KSUID-timestamp prefix at the coarsest
   *     resolution (YYYYmm → YYYYmmddTHHMMSS) at which every prefix
@@ -47,19 +50,40 @@ object PartitionStore {
       maxRowsPerFile: Int = MaxRowsPerFile): Seq[String] = {
     val spark = df.sparkSession
     val tsOf = udf((id: String) => PartitionFilename.timestampOf(id))
-    // two passes follow (prefix counts, then the write) — cache so an
-    // expensive upstream (ingest+merge) isn't recomputed per pass
-    val withTs = df.drop(Schema.Model)
-      .withColumn("_ts", tsOf(col(Schema.DecisionId)))
-      .persist()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(baseDir).getFileSystem(conf)
 
-    // one aggregation pass at second resolution; coarser levels are
-    // rolled up from this (small) result without rescanning the data
-    val secondCounts = withTs.groupBy(substring(col("_ts"), 1, MaxPrefix).as("_p"))
-      .count().collect().map(r => r.getString(0) -> r.getLong(1))
-    val prefixLen = (MinPrefix to MaxPrefix).find { i =>
-      secondCounts.groupBy(_._1.take(i)).forall(_._2.map(_._2).sum <= maxRowsPerFile)
-    }.getOrElse(MaxPrefix)
+    // Stage the batch to parquet ONCE: the upstream (typically gzip
+    // JSONL parse + merge — not prunable, not cheap) executes exactly
+    // one time, and both follow-up passes read the staged columnar
+    // files instead (the counts pass reads just the decision_id
+    // column). Disk staging instead of persist() means the batch never
+    // has to fit in executor memory — a 100× backfill costs 2× write
+    // I/O, not an OOM.
+    val stageDir = s"$baseDir/_stage_${java.util.UUID.randomUUID()}"
+    df.drop(Schema.Model)
+      .withColumn("_ts", tsOf(col(Schema.DecisionId)))
+      .write.option("compression", "zstd").parquet(stageDir)
+    val staged = spark.read.parquet(stageDir)
+
+    // Prefix-length choice: the coarsest resolution at which every
+    // prefix group holds ≤ maxRowsPerFile rows. Per-second counts —
+    // one row per distinct second — roll up over all candidate
+    // lengths in one distributed agg, so exactly
+    // (MaxPrefix−MinPrefix+1) rows reach the driver.
+    val levelMax = staged
+      .select(substring(col("_ts"), 1, MaxPrefix).as("_p"))
+      .groupBy("_p").count()
+      .select(explode(array((MinPrefix to MaxPrefix).map(i =>
+        struct(lit(i).as("len"), substring(col("_p"), 1, i).as("pfx"))): _*)).as("lp"),
+        col("count"))
+      .groupBy(col("lp.len").as("len"), col("lp.pfx"))
+      .agg(sum("count").as("n"))
+      .groupBy("len").agg(max("n").as("maxN"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefixLen = (MinPrefix to MaxPrefix)
+      .find(i => levelMax.getOrElse(i, 0L) <= maxRowsPerFile)
+      .getOrElse(MaxPrefix)
 
     val tmpDir = s"$baseDir/_tmp_${java.util.UUID.randomUUID()}"
     // NOTE: deliberately no maxRecordsPerFile backstop. If >maxRows
@@ -69,7 +93,7 @@ object PartitionStore {
     // the reference writes one oversized file in that case
     // (partition.py:375-405 splits only down to 1s resolution) and
     // so do we.
-    withTs
+    staged
       .withColumn("_chunk", substring(col("_ts"), 1, prefixLen))
       .drop("_ts")
       .repartition(col("_chunk"))
@@ -78,10 +102,8 @@ object PartitionStore {
       .partitionBy("_chunk")
       .option("compression", "zstd")
       .parquet(tmpDir)
+    fs.delete(new Path(stageDir), true)
 
-    withTs.unpersist(blocking = false)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(baseDir).getFileSystem(conf)
     val written = listFiles(fs, new Path(tmpDir)).filter(_.getName.endsWith(".parquet"))
     val keys = written.map { file =>
       val (minId, maxId, rows) = footerStats(conf, file)
@@ -107,7 +129,13 @@ object PartitionStore {
       var rows = 0L
       blocks.forEach { b =>
         rows += b.getRowCount
-        val col = b.getColumns.get(0) // decision_id is the first column
+        // resolve decision_id by NAME: write() is public API and a
+        // caller's column order must not silently corrupt the
+        // name-encoded ranges the groom overlap invariant relies on
+        val col = b.getColumns.asScala
+          .find(_.getPath.toDotString == Schema.DecisionId)
+          .getOrElse(throw new IllegalStateException(
+            s"no ${Schema.DecisionId} column in footer of $file"))
         val stats = col.getStatistics
         def asString(v: Any): String = v match {
           case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8

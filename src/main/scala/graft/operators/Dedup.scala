@@ -71,15 +71,17 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard verification of candidates against word sets. */
-  def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, seed: Long = 1234L): DataFrame = {
-    val signed = withSignature(df, textCol, seed).persist()
-    try {
-    val cands = candidatePairs(signed, idCol)
-    // the (id → word-hash set, signature) side is tiny relative to the
-    // pair set — broadcast it so the verify never shuffles candidates
-    val sides = broadcast(signed.select(col(idCol), col("wset"), col("sig")))
+  /** Exact Jaccard verification of candidate pairs against word sets.
+    *
+    * Both lookups are plain equi-joins on id: Spark hash-partitions
+    * candidates and the (id → wset, sig) relation on the same key, so
+    * the verify scales with the corpus instead of requiring the whole
+    * corpus's word sets to fit in one executor's memory (a broadcast
+    * here is a scale-killer — the "small" side IS the corpus).
+    */
+  def exactVerify(signed: DataFrame, cands: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val sides = signed.select(col(idCol), col("wset"), col("sig"))
     // signature-estimated similarity gates the exact verify: matching
     // positions / k estimates jaccard (sd ≈ √(j(1−j)/64) ≈ 0.037 at
     // j=0.9), so est ≥ threshold − 0.25 is a > 6σ margin — it cannot
@@ -87,7 +89,7 @@ object Dedup {
     // before the (more expensive) set intersection
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast("double") / NumHashes
-    val out = cands
+    cands
       .join(sides.select(col(idCol).as("id_a"), col("wset").as("set_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sides.select(col(idCol).as("id_b"), col("wset").as("set_b"), col("sig").as("sig_b")), Seq("id_b"))
       .filter(est >= threshold - 0.25)
@@ -96,6 +98,14 @@ object Dedup {
         (size(col("set_a")) + size(col("set_b")) - col("n_common")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Exact Jaccard verification of candidates against word sets. */
+  def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, seed: Long = 1234L): DataFrame = {
+    val signed = withSignature(df, textCol, seed).persist()
+    try {
+    val out = exactVerify(signed, candidatePairs(signed, idCol), idCol, threshold)
     // materialize eagerly so the corpus-sized signature cache can be
     // released; the (bounded) pair set is what stays cached — callers
     // may unpersist it when done
@@ -139,9 +149,15 @@ object Dedup {
 
   /** Random-hyperplane (sign-LSH) signature for embedding vectors:
     * bit i = sign(v · plane_i); P(bits agree) = 1 − θ/π. Candidates
-    * from 16×4-bit band buckets, then EXACT cosine verification — the
+    * from band buckets, then EXACT cosine verification — the
     * embedding analogue of the MinHash pipeline (same guarantee
     * shape: banding generates candidates, verification is exact).
+    *
+    * Band geometry trades recall for selectivity. The 8×8 DEFAULT
+    * favors small buckets and is a partial-recall sweep setting
+    * (at cos ≥ 0.95 each 8-bit band matches with p ≈ 0.88⁸ ≈ 0.36,
+    * so recall ≈ 1 − (1 − 0.36)⁸ ≈ 0.97 — lower as cos → threshold).
+    * For recall ≈ 1 at cos ≥ 0.95 pass bands = 16, bitsPerBand = 4.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, seed: Long = 99L,
@@ -177,17 +193,26 @@ object Dedup {
     val cands = a.join(b, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vecs = broadcast(signed.select(col(idCol), col(vecCol)))
-    val out = cands
+    val out = exactCosineVerify(signed, cands, idCol, vecCol, threshold)
+    out.persist()
+    out.count()
+    out
+    } finally signed.unpersist(blocking = false)
+  }
+
+  /** Exact cosine verification of candidate pairs — plain equi-joins
+    * on id (NOT a broadcast of the vector relation: the "small" side
+    * is the whole corpus's vectors, which must stay partitioned).
+    */
+  def exactCosineVerify(vectors: DataFrame, cands: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val vecs = vectors.select(col(idCol), col(vecCol))
+    cands
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .withColumn("cos", Ann.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-    out.persist()
-    out.count()
-    out
-    } finally signed.unpersist(blocking = false)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3

@@ -48,7 +48,12 @@ object RdrPipeline {
       lit("""{"message_id":""""), ksuidUdf(col("_sec"), col("event_id") + 1000000000L),
       lit("""","model":"events","decision_id":""""), ksuidUdf(col("_sec"), col("event_id")),
       lit("""","reward":"""), round(col("value"), 2), lit("}")).as("value"))
+    // events.parquet is a single small file → one input partition; gzip
+    // is unsplittable, so without an explicit fan-out the whole
+    // downstream JSONL parse would run on one or two cores. Round-robin
+    // repartition is safe: merge semantics are row-order independent.
     decisions.unionByName(rewards)
+      .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").option("compression", "gzip").text(outDir)
   }
 

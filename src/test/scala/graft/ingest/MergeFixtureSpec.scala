@@ -65,6 +65,28 @@ class MergeFixtureSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("duplicate reward message_id in one batch resolves identically under any partitioning") {
+    import spark.implicits._
+    // two rewards carrying the SAME reward message_id but different
+    // values, plus a re-tracked decision with a different payload — the
+    // merged row must not depend on partition layout or task retry
+    val decisionId = "2PjCcQ3KUDvRzJzbS5V4wNX8XyZ"
+    val rows = Seq(
+      (decisionId, Some("\"itemA\""), Some("{}"), Some(2.0), None: Option[String], None: Option[String], "m"),
+      (decisionId, Some("\"itemB\""), Some("{}"), Some(2.0), None: Option[String], None: Option[String], "m"), // duplicate decision
+      (decisionId, None: Option[String], None: Option[String], None: Option[Double], None: Option[String], Some("""{"2PjCcQ3KUDvRzJzbS5V4wNXrwd":1.5}"""), "m"),
+      (decisionId, None: Option[String], None: Option[String], None: Option[Double], None: Option[String], Some("""{"2PjCcQ3KUDvRzJzbS5V4wNXrwd":2.5}"""), "m"))
+      .toDF(Schema.DecisionId, Schema.Item, Schema.Context, Schema.Count,
+        Schema.Sample, Schema.Rewards, Schema.Model)
+
+    val results = Seq(1, 8, 3).map { n =>
+      Merge.merge(rows.repartition(n)).collect().map(_.toSeq).toSeq
+    }
+    assert(results(0) == results(1) && results(1) == results(2),
+      s"merge result depends on partitioning: $results")
+    assert(results(0).length == 1)
+  }
+
   for (name <- caseNames) test(s"golden merge fixture: $name") {
     assume(new java.io.File(s"$casesDir/$name.json").exists())
     val tc = loadCase(name).get("test_case")

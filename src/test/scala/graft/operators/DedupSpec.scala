@@ -60,6 +60,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == (0 until 30).map(i => (i.toLong, 1000L + i)).toSet)
   }
 
+  test("verify joins never broadcast the corpus relation") {
+    // explicit broadcast() hints override autoBroadcastJoinThreshold, so
+    // with the threshold disabled any BroadcastExchange in the plan can
+    // only come from a corpus-sized hint left in the operator — the
+    // scale-killer this asserts against (mirrors BucketingSpec's style)
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = (1L to 50L).map(i => (i, (1 to 30).map(j => s"w${i % 5}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val signed = Dedup.withSignature(df, "text")
+      val jacPlan = Dedup.exactVerify(signed, Dedup.candidatePairs(signed, "doc_id"),
+        "doc_id", 0.8).queryExecution.executedPlan.toString
+      assert(!jacPlan.contains("BroadcastExchange"), jacPlan)
+
+      val vecs = (1L to 50L).map(i => (i, Seq.fill(8)(i.toDouble))).toDF("vec_id", "v")
+      val cands = vecs.select(col("vec_id").as("id_a"))
+        .crossJoin(vecs.select(col("vec_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val cosPlan = Dedup.exactCosineVerify(vecs, cands, "vec_id", "v", 0.9)
+        .queryExecution.executedPlan.toString
+      assert(!cosPlan.contains("BroadcastExchange"), cosPlan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("decode stub is deterministic and entropy-sane") {
     val bytes = "hello world hello world".getBytes("UTF-8")
     val (e1, f1, n1) = Multimodal.decodeStub(bytes)
