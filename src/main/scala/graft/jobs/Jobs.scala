@@ -112,7 +112,12 @@ object TrainJob {
       .withColumn(graft.schema.Schema.Model, lit(model))
     val dm = Trainer.trainDecision(phase2, pm, cfg)
     ModelStore.saveDecisionModel(dm, s"$modelOut/latest")
-    println(s"trained ${dm.model.getNumTrees} trees over ${dm.featureNames.length} features -> $modelOut/latest")
+    // publish the consumer-facing artifact: gzipped bundle under
+    // models/archive/... with a models/latest/{model}.tar.gz copy
+    // (reference: unpack_models.py:62-97)
+    val (arc, latest) = ModelStore.publish(s"$modelOut/latest", outDir, model)
+    println(s"trained ${dm.model.getNumTrees} trees over ${dm.featureNames.length} features -> " +
+      s"$modelOut/latest; published $outDir/$arc -> $outDir/$latest")
     spark.stop()
   }
 }

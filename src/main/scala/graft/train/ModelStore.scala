@@ -5,7 +5,7 @@ import org.apache.spark.ml.regression.GBTRegressionModel
 import org.apache.spark.sql.SparkSession
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import graft.core.CanonicalJson
+import graft.core.{CanonicalJson, Tar}
 import graft.train.Trainer.{DecisionModel, PropensityModel}
 
 import org.apache.hadoop.fs.{Path => HPath}
@@ -108,6 +108,96 @@ object ModelStore {
     writeString(dir, "metadata.json",
       metadataJson(dm.featureNames, dm.stringTables, dm.modelSeed,
         Map("reward_mean" -> dm.rewardMean, "reward_std" -> dm.rewardStd)))
+  }
+
+  // ---- publish layout (unpack_models.py:62-97) ---------------------------
+  //
+  // The reference gzips each booster and writes
+  //   models/archive/{name}/{name}-{yyyy-MM-dd-HH-mm-ss}-{uuid}.xgb.gz
+  // then copies it to models/latest/{name}.xgb.gz — the key consumers
+  // poll. Our booster is an MLlib model DIRECTORY, so the single-file
+  // artifact is a tar.gz bundle of that directory (the same model.tar.gz
+  // shape the reference's unpack lambda itself consumes).
+
+  val PublishExtension = ".tar.gz"
+
+  def latestKey(modelName: String): String =
+    s"models/latest/$modelName$PublishExtension"
+
+  private def archiveKey(modelName: String, now: java.time.Instant): String = {
+    val ts = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd-HH-mm-ss")
+      .withZone(java.time.ZoneOffset.UTC).format(now)
+    s"models/archive/$modelName/$modelName-$ts-${java.util.UUID.randomUUID()}$PublishExtension"
+  }
+
+  /** Recursively list regular files under dir, (relativeName, path),
+    * sorted by name for deterministic archives.
+    */
+  private def walk(f: org.apache.hadoop.fs.FileSystem, root: HPath): Seq[(String, HPath)] = {
+    val rootUri = root.toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, HPath)]
+    def go(p: HPath): Unit = f.listStatus(p).foreach { st =>
+      if (st.isDirectory) go(st.getPath)
+      else {
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        out += rel -> st.getPath
+      }
+    }
+    go(root)
+    out.sortBy(_._1).toSeq
+  }
+
+  /** Bundle a saved model directory (model/ + metadata.json) into a
+    * gzipped tar and publish it under modelsRoot as both a timestamped
+    * archive object and the `models/latest/{name}.tar.gz` key consumers
+    * poll. Returns (archiveKey, latestKey).
+    */
+  def publish(modelDir: String, modelsRoot: String, modelName: String,
+      now: java.time.Instant = java.time.Instant.now()): (String, String) = {
+    val f = fs(modelDir)
+    val outFs = fs(modelsRoot)
+    val arcKey = archiveKey(modelName, now)
+    val arcPath = new HPath(modelsRoot, arcKey)
+    outFs.mkdirs(arcPath.getParent)
+    val gz = new java.util.zip.GZIPOutputStream(outFs.create(arcPath, true))
+    try {
+      walk(f, new HPath(modelDir)).foreach { case (rel, p) =>
+        val size = f.getFileStatus(p).getLen
+        val in = f.open(p)
+        try Tar.writeEntry(gz, rel, size, now.getEpochSecond, in)
+        finally in.close()
+      }
+      Tar.finish(gz)
+    } finally gz.close()
+    // copy archive → latest (reference copy_object semantics)
+    val latest = new HPath(modelsRoot, latestKey(modelName))
+    outFs.mkdirs(latest.getParent)
+    val in = outFs.open(arcPath)
+    val out = outFs.create(latest, true)
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, true)
+    catch { case e: Exception => in.close(); out.close(); throw e }
+    (arcKey, latestKey(modelName))
+  }
+
+  /** Extract `models/latest/{name}.tar.gz` into destDir (the inverse
+    * of publish); returns false when no published artifact exists.
+    */
+  def unpackLatest(modelsRoot: String, modelName: String, destDir: String): Boolean = {
+    val f = fs(modelsRoot)
+    val latest = new HPath(modelsRoot, latestKey(modelName))
+    if (!f.exists(latest)) return false
+    val destFs = fs(destDir)
+    val in = new java.util.zip.GZIPInputStream(f.open(latest))
+    try {
+      Tar.read(in, (name, _, data) => {
+        val p = new HPath(destDir, name)
+        destFs.mkdirs(p.getParent)
+        val out = destFs.create(p, true)
+        try org.apache.hadoop.io.IOUtils.copyBytes(data, out, 64 * 1024, false)
+        finally out.close()
+      })
+      true
+    } finally in.close()
   }
 
   def loadDecisionModel(spark: SparkSession, dir: String): Option[DecisionModel] = {

@@ -117,6 +117,39 @@ class TrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(loaded.model.predict(v) === dm.model.predict(v) +- 1e-12)
   }
 
+  test("publish writes latest + timestamped archive; unpack round-trips the model") {
+    import spark.implicits._
+    val df = syntheticDecisions(100).toDF()
+    val pm = Trainer.trainPropensity(df, cfg)
+    val dm = Trainer.trainDecision(df, pm, cfg)
+    val dir = java.nio.file.Files.createTempDirectory("pubmodel").toString
+    ModelStore.saveDecisionModel(dm, s"$dir/saved")
+
+    val root = java.nio.file.Files.createTempDirectory("pubroot").toString
+    val (arcKey, latestKey) = ModelStore.publish(s"$dir/saved", root, "messages-2.0")
+    assert(latestKey == "models/latest/messages-2.0.tar.gz")
+    assert(arcKey.startsWith("models/archive/messages-2.0/messages-2.0-"))
+    assert(new java.io.File(s"$root/$latestKey").isFile)
+    assert(new java.io.File(s"$root/$arcKey").isFile)
+    // latest is a byte-for-byte copy of the archive object
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/$latestKey")),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$root/$arcKey"))))
+
+    // a consumer polling latest/ can fetch, unpack, load, and predict
+    val dest = java.nio.file.Files.createTempDirectory("pubdest").toString
+    assert(ModelStore.unpackLatest(root, "messages-2.0", dest))
+    val loaded = ModelStore.loadDecisionModel(spark, dest).get
+    val enc = Encoding.makeVectorEncoder(dm.featureNames, dm.stringTables, dm.modelSeed)
+    val (nums, strs) = Encoding.flattenPair("\"a\"", """{"device":"d1"}""")
+    val v = enc(nums, strs, 0.0)
+    assert(loaded.model.predict(v) === dm.model.predict(v) +- 1e-12)
+    assert(loaded.stringTables == dm.stringTables)
+
+    // no artifact → false, not an exception
+    assert(!ModelStore.unpackLatest(root, "absent-model", dest + "2"))
+  }
+
   test("poisson weights are zero-rejected with mean ≈ e/(e−1)") {
     val rnd = new scala.util.Random(5)
     val ws = (1 to 20000).map(_ => Encoding.nonZeroPoissonWeight(rnd.nextDouble()))
