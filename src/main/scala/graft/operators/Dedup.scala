@@ -123,10 +123,33 @@ object Dedup {
     * gives candidates for hamming ≤ 3 verification (any pair within
     * distance 3 shares at least one of 4 intact chunks).
     */
-  def simHash(words: Seq[String]): Long = {
+  /** Default word hash: XXH3-64 (fast, high quality). */
+  val xxh3WordHash: String => Long = w => graft.core.XxHash3.hash(w, 0L)
+
+  /** MD5-nibble word hash: nibble j is hex char j of md5(word), and
+    * bit i of the result is bit (i % 4) of nibble (i / 4) — an
+    * arrangement chosen because BOTH Spark and DuckDB expose md5, so
+    * a SQL oracle can reproduce the simhash bit-for-bit (the XXH3
+    * default is not SQL-expressible). Same statistical quality for
+    * simhash purposes; ~3× slower per word.
+    */
+  val md5WordHash: String => Long = { w =>
+    val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+    var h = 0L
+    var j = 0
+    while (j < 16) {
+      val b = d(j / 2) & 0xff
+      val nib = if (j % 2 == 0) b >>> 4 else b & 0xf
+      h |= nib.toLong << (4 * j)
+      j += 1
+    }
+    h
+  }
+
+  def simHash(words: Seq[String], wordHash: String => Long = xxh3WordHash): Long = {
     val v = new Array[Int](64)
     words.foreach { w =>
-      val h = graft.core.XxHash3.hash(w, 0L)
+      val h = wordHash(w)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) v(i) += 1 else v(i) -= 1
@@ -139,11 +162,12 @@ object Dedup {
     out
   }
 
-  private val simHashUdf = udf((ws: Seq[String]) => simHash(ws))
-
-  def withSimHash(df: DataFrame, textCol: String): DataFrame =
+  def withSimHash(df: DataFrame, textCol: String,
+      wordHash: String => Long = xxh3WordHash): DataFrame = {
+    val simHashUdf = udf((ws: Seq[String]) => simHash(ws, wordHash))
     df.withColumn("simhash",
       simHashUdf(array_distinct(split(trim(col(textCol)), " "))))
+  }
 
   // ---- embedding-cosine near-dup ----------------------------------------
 
@@ -219,9 +243,10 @@ object Dedup {
     * guaranteed complete via 4-chunk bucketing; pigeonhole).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      wordHash: String => Long = xxh3WordHash): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing only guarantees hamming <= 3")
-    val hashed = withSimHash(df, textCol)
+    val hashed = withSimHash(df, textCol, wordHash)
     val chunks = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)

@@ -40,17 +40,43 @@ object ExtOps {
              |    ON a.doc_id < b.doc_id)
              |WHERE jac >= 0.9""".stripMargin)),
 
-    // SimHash near-dups (hamming ≤ 3) — not SQL-expressible, rows-only.
+    // SimHash near-dups (hamming ≤ 3). The gate uses the md5-nibble
+    // word hash (both engines expose md5) so DuckDB reproduces the
+    // 64-bit fingerprints bit-for-bit and checks the full hamming
+    // census; bucketing completeness (pigeonhole) makes the operator's
+    // candidate set equal the all-pairs census the SQL computes.
     GateQuery(
       "q_dedup_simhash",
       (s, d) => {
         val docs = documents(s, d).select("doc_id", "text")
-        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+        Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3,
+          wordHash = Dedup.md5WordHash)
           .agg(
             count(lit(1)).as("n_pairs"),
             round(avg("hamming"), 4).as("avg_hamming"))
       },
-      None),
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
+             |  FROM documents
+             |), contrib AS (
+             |  SELECT doc_id, bits.bit,
+             |         CASE WHEN ((strpos('0123456789abcdef',
+             |                            substring(md5(word), CAST(bits.bit // 4 AS INT) + 1, 1)) - 1)
+             |                    >> CAST(bits.bit % 4 AS INT)) & 1 = 1
+             |              THEN 1 ELSE -1 END AS c
+             |  FROM w, (SELECT unnest(range(64)) AS bit) bits
+             |), fp AS (
+             |  SELECT doc_id,
+             |         CAST(sum(CASE WHEN s > 0 AND bit < 32  THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+             |         CAST(sum(CASE WHEN s > 0 AND bit >= 32 THEN (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+             |  FROM (SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit)
+             |  GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+             |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |)
+             |SELECT count(*) AS n_pairs, round(avg(hamming), 4) AS avg_hamming
+             |FROM pairs WHERE hamming <= 3""".stripMargin)),
 
     // Embedding-cosine near-dup via sign-LSH + exact verify. The
     // synthetic embeddings are near-orthogonal (max pair cos ≈ 0.5)
@@ -115,7 +141,10 @@ object ExtOps {
              |GROUP BY source
              |ORDER BY source""".stripMargin)),
 
-    // Stubbed decode + feature extraction over binary batches (rows-only).
+    // Stubbed decode + feature extraction over binary batches. The
+    // stub's pseudo-features (byte-histogram entropy, every-16th-byte
+    // frame samples) are pure byte algebra, so DuckDB recomputes them
+    // from hex(encode(text)) and checks the full aggregate.
     GateQuery(
       "q_multimodal_decode",
       (s, d) => {
@@ -128,6 +157,31 @@ object ExtOps {
             round(avg("frame_mean"), 4).as("avg_frame_mean"),
             sum("n_frames").as("total_frames"))
       },
-      None),
+      Some("""WITH d AS (
+             |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents
+             |), byt AS (
+             |  SELECT doc_id, n, hx, unnest(range(n)) AS i FROM d
+             |), bv AS (
+             |  SELECT doc_id, n, i,
+             |         (strpos('0123456789ABCDEF', substring(hx, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+             |         (strpos('0123456789ABCDEF', substring(hx, CAST(2 * i + 2 AS INT), 1)) - 1) AS b
+             |  FROM byt
+             |), ent AS (
+             |  SELECT doc_id,
+             |         -sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))) AS entropy
+             |  FROM (SELECT doc_id, n, b, CAST(count(*) AS DOUBLE) AS c
+             |        FROM bv GROUP BY doc_id, n, b)
+             |  GROUP BY doc_id
+             |), fr AS (
+             |  SELECT doc_id, avg(CAST(b AS DOUBLE)) AS frame_mean, count(*) AS n_frames
+             |  FROM bv WHERE i % 16 = 0 GROUP BY doc_id
+             |)
+             |SELECT count(*) AS n_media,
+             |       round(avg(coalesce(ent.entropy, 0)), 4) AS avg_entropy,
+             |       round(avg(coalesce(fr.frame_mean, 0)), 4) AS avg_frame_mean,
+             |       CAST(sum(coalesce(fr.n_frames, 0)) AS BIGINT) AS total_frames
+             |FROM d LEFT JOIN ent USING (doc_id) LEFT JOIN fr USING (doc_id)""".stripMargin)),
   )
 }
