@@ -59,16 +59,25 @@ object Dedup {
         col("sig").getItem(b * RowsPerBand + r)): _*)).as("bucket"))
   }: _*)
 
-  /** Candidate id pairs from shared band buckets (id_a < id_b). */
-  def candidatePairs(signed: DataFrame, idCol: String): DataFrame = {
+  /** Candidate id pairs from shared band buckets (id_a < id_b).
+    *
+    * `groupCols` scope the dedup: the band join is keyed on
+    * (band, bucket, groupCols...), so only same-group documents can
+    * ever pair — smaller buckets AND no post-hoc filtering of
+    * cross-group candidates (e.g. per-source dedup of a web corpus).
+    * Group columns are carried through to the output.
+    */
+  def candidatePairs(signed: DataFrame, idCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val gcols = groupCols.map(col)
     val exploded = signed
-      .select(col(idCol), explode(bandKeys).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bucket"))
-    val a = exploded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = exploded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col(idCol) +: gcols :+ explode(bandKeys).as("bk"): _*)
+      .select(col(idCol) +: gcols :+ col("bk.band") :+ col("bk.bucket"): _*)
+    val a = exploded.select(col(idCol).as("id_a") +: gcols :+ col("band") :+ col("bucket"): _*)
+    val b = exploded.select(col(idCol).as("id_b") +: gcols :+ col("band") :+ col("bucket"): _*)
+    a.join(b, Seq("band", "bucket") ++ groupCols)
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a" +: "id_b" +: groupCols map col: _*).distinct()
   }
 
   /** Exact Jaccard verification of candidate pairs against word sets.
@@ -80,7 +89,7 @@ object Dedup {
     * here is a scale-killer — the "small" side IS the corpus).
     */
   def exactVerify(signed: DataFrame, cands: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, carryCols: Seq[String] = Nil): DataFrame = {
     val sides = signed.select(col(idCol), col("wset"), col("sig"))
     // signature-estimated similarity gates the exact verify: matching
     // positions / k estimates jaccard (sd ≈ √(j(1−j)/64) ≈ 0.037 at
@@ -97,15 +106,20 @@ object Dedup {
       .withColumn("jac", col("n_common").cast("double") /
         (size(col("set_a")) + size(col("set_b")) - col("n_common")))
       .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      .select(col("id_a") +: col("id_b") +: col("jac") +: carryCols.map(col): _*)
   }
 
-  /** Exact Jaccard verification of candidates against word sets. */
+  /** Exact Jaccard verification of candidates against word sets.
+    * `groupCols` scope the dedup to same-group pairs (see
+    * candidatePairs) and appear in the output.
+    */
   def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, seed: Long = 1234L): DataFrame = {
+      threshold: Double, seed: Long = 1234L,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val signed = withSignature(df, textCol, seed).persist()
     try {
-    val out = exactVerify(signed, candidatePairs(signed, idCol), idCol, threshold)
+    val out = exactVerify(signed, candidatePairs(signed, idCol, groupCols),
+      idCol, threshold, carryCols = groupCols)
     // materialize eagerly so the corpus-sized signature cache can be
     // released; the (bounded) pair set is what stays cached — callers
     // may unpersist it when done

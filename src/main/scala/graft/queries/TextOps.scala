@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Dedup
+
 /** Training-data-pipeline text operators over the `documents` table:
   * exact dedup, fingerprinting, token counting, quality scoring,
   * language ID, n-gram Jaccard near-dup. All are pure column programs
@@ -162,25 +164,17 @@ object TextOps {
               |GROUP BY lang, predicted
               |ORDER BY lang, predicted""".stripMargin)),
 
-    // N-gram (word-set) Jaccard near-dup pairs, candidate-bounded by source.
+    // Word-set Jaccard near-dup pairs, scoped per source — runs the
+    // MinHash-LSH pipeline with `source` in the band-join key, so the
+    // oracle-checked plan is the one that scales (bounded buckets; the
+    // all-pairs join never materializes). LSH at b=16/r=4 detects
+    // j ≥ 0.9 pairs with p ≈ 1 − 3·10⁻⁸ and the verify is exact, so
+    // the census equals the oracle's all-pairs result.
     GateQuery(
       "q_jaccard_pairs",
       (s, d) => {
-        // word sets as 64-bit hashes: long set-intersects are ~10×
-        // cheaper than string ones and collision-free in practice, so
-        // jaccard values match the string-based oracle exactly
-        val docs = withWords(documents(s, d))
-          .select(col("doc_id"), col("source"),
-            array_distinct(expr("transform(words, w -> xxhash64(w))")).as("wset"))
-        val a = docs.select(col("doc_id").as("id_a"), col("source"), col("wset").as("set_a"))
-        val b = docs.select(col("doc_id").as("id_b"), col("source"), col("wset").as("set_b"))
-        a.join(b, Seq("source"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
-          .withColumn("n_union",
-            size(col("set_a")) + size(col("set_b")) - col("n_common"))
-          .withColumn("jac", col("n_common").cast("double") / col("n_union"))
-          .filter(col("jac") >= 0.9)
+        val docs = documents(s, d).select("doc_id", "source", "text")
+        Dedup.verifiedPairs(docs, "doc_id", "text", 0.9, groupCols = Seq("source"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_pairs"), round(avg("jac"), 4).as("avg_jac"))
           .orderBy("source")

@@ -41,6 +41,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("group-scoped minhash dedup pairs only within a group") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // identical docs split across two sources: only same-source pairs
+    val df = Seq(
+      (1L, "src_a", base), (2L, "src_a", base),
+      (3L, "src_b", base), (4L, "src_b", base), (5L, "src_b", base))
+      .toDF("doc_id", "source", "text")
+    val pairs = Dedup.verifiedPairs(df, "doc_id", "text", 0.9, groupCols = Seq("source"))
+      .select("id_a", "id_b", "source").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(pairs == Set(
+      (1L, 2L, "src_a"),
+      (3L, 4L, "src_b"), (3L, 5L, "src_b"), (4L, 5L, "src_b")))
+  }
+
   test("embedding near-dup: planted high-cosine pairs found, orthogonal vectors not") {
     import spark.implicits._
     val dim = 32
