@@ -107,8 +107,20 @@ object RdrPipeline {
       val phase1 = Loader.load(spark, s"$work/store", "events",
         maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
         .withColumn(Schema.Model, lit("events")).persist()
-      val pm = Trainer.trainPropensity(phase1, cfg)
+      val trained = Trainer.trainPropensity(phase1, cfg)
       phase1.unpersist()
+      // exercise the checkpoint surface inside the gate chain, exactly
+      // as the reference trainer's first branch does (checkpoint.py:
+      // 26-110): save phase 1, reload it, and train phase 2 from the
+      // RELOADED model — a silent feature/table drift through the
+      // save/load round-trip fails the gate loudly here
+      graft.train.ModelStore.saveCheckpoint(trained, s"$work/ckpt")
+      val pm = graft.train.ModelStore.loadCheckpoint(spark, s"$work/ckpt")
+        .getOrElse(sys.error("q_rdr_train: checkpoint failed to reload"))
+      require(pm.featureNames == trained.featureNames &&
+        pm.stringTables == trained.stringTables &&
+        pm.modelSeed == trained.modelSeed,
+        "q_rdr_train: reloaded checkpoint differs from the trained phase-1 model")
       val phase2 = Loader.load(spark, s"$work/store", "events",
         maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
         .withColumn(Schema.Model, lit("events")).persist()

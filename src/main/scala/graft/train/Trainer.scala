@@ -2,7 +2,7 @@ package graft.train
 
 import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
 import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.encoding.Encoding
@@ -63,6 +63,17 @@ object Trainer {
       rewardMean: Double,
       rewardStd: Double)
 
+  /** Deterministic uniform [0,1) from a content hash of `c` — the
+    * retry-stable replacement for rand(seed): a rand() column re-rolls
+    * per task attempt and per partition layout, so dropout/poisson/
+    * noise drawn from it can differ between two runs over identical
+    * data. Hashing the decision id (plus a per-use seed) pins every
+    * stochastic choice to the ROW, not the schedule.
+    */
+  private def hashUniform(c: Column, seed: Long): Column =
+    shiftrightunsigned(xxhash64(c, lit(seed)), 12).cast("double") /
+      (1L << 52).toDouble
+
   /** Phase 1. `df` = rewarded decisions (item/context/sample/count). */
   def trainPropensity(df: DataFrame, config: TrainConfig = TrainConfig()): PropensityModel = {
     val meanItemCount = df.agg(avg(Schema.Count)).collect().head.getDouble(0)
@@ -82,7 +93,8 @@ object Trainer {
       maxStringsPerFeature = config.maxStringsPerFeature)
 
     val encoded = Encoding.withFeatureVector(flat, featureNames, tables, modelSeed)
-      .select(col("features"), col(TargetCol).cast("double").as("label"), col(WeightCol))
+      .select(col(Schema.DecisionId), col("features"),
+        col(TargetCol).cast("double").as("label"), col(WeightCol))
 
     val gbt = new GBTClassifier()
       .setMaxIter(config.propensityTrees)
@@ -126,11 +138,14 @@ object Trainer {
 
     // context dropout (5% of rows lose context — regularization)
     val dropped = df.withColumn(Schema.Context,
-      when(rand(modelSeed + 11) < config.sampleContext, col(Schema.Context)))
+      when(hashUniform(col(Schema.DecisionId), modelSeed + 11) < config.sampleContext,
+        col(Schema.Context)))
 
     val weighted = inversePropensityWeights(dropped, pm, config)
       .withColumn(WeightCol,
-        col("_ipw") * (if (config.explore) Encoding.nonZeroPoisson(rand(modelSeed + 13)) else lit(1.0)))
+        col("_ipw") * (if (config.explore)
+          Encoding.nonZeroPoisson(hashUniform(col(Schema.DecisionId), modelSeed + 13))
+        else lit(1.0)))
       .withColumn(TargetCol,
         if (config.normalizeRewards)
           (col(Schema.Reward) - lit(rewardMean)) / lit(rewardStd)
@@ -146,7 +161,8 @@ object Trainer {
 
     // per-row population-id noise sprinkled over every feature
     val encoded = Encoding.withFeatureVector(
-        weighted, featureNames, tables, modelSeed, Some(rand(modelSeed + 17)))
+        weighted, featureNames, tables, modelSeed,
+        Some(hashUniform(col(Schema.DecisionId), modelSeed + 17)))
       .select(col("features"), col(TargetCol).cast("double").as("label"), col(WeightCol))
 
     val gbt = new GBTRegressor()
@@ -167,7 +183,10 @@ object Trainer {
       fit: DataFrame => GBTClassificationModel,
       setValidation: String => GBTClassifier,
       encoded: DataFrame, config: TrainConfig): GBTClassificationModel = {
-    val withVal = encoded.withColumn("_is_val", rand(config.seed + 7) < config.testSplit)
+    // fold by decision-id hash: retry-stable, and both expanded rows of
+    // one decision land in the same fold (no chosen/sample leakage)
+    val withVal = encoded.withColumn("_is_val",
+      hashUniform(col(Schema.DecisionId), config.seed + 7) < config.testSplit)
     setValidation("_is_val")
     fit(withVal)
   }

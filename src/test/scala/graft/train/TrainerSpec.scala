@@ -117,6 +117,38 @@ class TrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(loaded.model.predict(v) === dm.model.predict(v) +- 1e-12)
   }
 
+  test("training is partition-layout independent (content-hash noise, not rand)") {
+    import spark.implicits._
+    val rows = syntheticDecisions(200)
+    // same data, three different physical layouts
+    val models = Seq(1, 8, 3).map { n =>
+      val df = rows.toDF().repartition(n)
+      val pm = Trainer.trainPropensity(df, cfg)
+      Trainer.trainDecision(df, pm, cfg)
+    }
+    // every stochastic choice (dropout, poisson, sprinkle, val split)
+    // derives from content hashes, so the fitted models must agree on
+    // every prediction — here checked over the full item×context grid
+    val enc = Encoding.makeVectorEncoder(
+      models.head.featureNames, models.head.stringTables, models.head.modelSeed)
+    for (item <- Seq("\"a\"", "\"b\"", "\"c\""); d <- 0 until 3) {
+      val (nums, strs) = Encoding.flattenPair(item, s"""{"device":"d$d"}""")
+      val v = enc(nums, strs, 0.0)
+      val preds = models.map(_.model.predict(v))
+      // exact data equality is asserted below via stringTables; the
+      // predictions themselves may drift in the last ulp because
+      // MLlib's tree-stat aggregation sums floats in partition order
+      // (inherent FP non-associativity, not a noise-determinism leak)
+      assert(preds.max - preds.min < 1e-9,
+        s"model depends on partitioning for ($item, d$d): $preds")
+    }
+    // string tables are EXACTLY equal — the content-hashed encode path
+    // (target-mean shrink, sprinkle, poisson) has no layout dependence
+    assert(models.map(_.stringTables).distinct.size == 1)
+    // avg() itself sums in partition order: ulp-level drift only
+    assert(models.map(_.rewardMean).max - models.map(_.rewardMean).min < 1e-12)
+  }
+
   test("publish writes latest + timestamped archive; unpack round-trips the model") {
     import spark.implicits._
     val df = syntheticDecisions(100).toDF()
