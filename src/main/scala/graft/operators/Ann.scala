@@ -72,16 +72,22 @@ object Ann {
     df.withColumn("cell", assign(col(vecCol)))
   }
 
+  /** The `nprobe` cell indices whose centroids are cosine-nearest to
+    * the query (driver-side: C centroids, not corpus-sized).
+    */
+  def nearestCells(query: Seq[Double], cents: Array[Seq[Double]], nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (cent, i) =>
+      val qn = math.sqrt(query.map(x => x * x).sum)
+      val cn = math.sqrt(cent.map(x => x * x).sum)
+      (i, query.zip(cent).map { case (a, b) => a * b }.sum / (qn * cn + 1e-12))
+    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+
   /** Top-k cosine neighbors of `query` scanning only the `nprobe`
     * cells nearest to it. nprobe == centroids.length ⇒ exact.
     */
   def topK(df: DataFrame, vecCol: String, idCol: String, query: Seq[Double],
       k: Int, cents: Array[Seq[Double]], nprobe: Int): DataFrame = {
-    val probed = cents.zipWithIndex.map { case (cent, i) =>
-      val qn = math.sqrt(query.map(x => x * x).sum)
-      val cn = math.sqrt(cent.map(x => x * x).sum)
-      (i, query.zip(cent).map { case (a, b) => a * b }.sum / (qn * cn + 1e-12))
-    }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
+    val probed = nearestCells(query, cents, nprobe)
 
     val withCells = withCell(df, vecCol, cents)
       .filter(col("cell").isin(probed: _*))

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.hadoop.fs.{Path => HPath}
+
+/** Materialized IVF index: the cell assignment from `Ann` persisted as
+  * a cell-PARTITIONED parquet table plus a centroids sidecar. Probing
+  * becomes partition pruning — a 1-probe query reads ONLY the probed
+  * cell's files, never the rest of the corpus. This is the 100 TB
+  * shape of ANN search: assignment cost is paid once at build time,
+  * every query after that scans |corpus| · nprobe / C rows.
+  *
+  * Layout under `dir`:
+  *   cells/cell=<i>/part-….parquet — all input columns, one dir per cell
+  *   centroids.json             — [[d0, d1, …], …] (C × dim)
+  */
+object IvfIndex {
+
+  final case class Index(dir: String, centroids: Array[Seq[Double]])
+
+  private def fs(dir: String) = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    new HPath(dir).getFileSystem(conf)
+  }
+
+  /** Assign cells (seeded cosine k-means quantizer by default) and
+    * write the partitioned table + sidecar. One full pass over the
+    * corpus; the only driver-side state is C centroid vectors.
+    */
+  def build(df: DataFrame, vecCol: String, idCol: String, dir: String,
+      numCells: Int, seed: Long = 7L, kmeansQuantizer: Boolean = true): Index = {
+    val cents =
+      if (kmeansQuantizer) Ann.kmeansCentroids(df, vecCol, numCells, seed)
+      else Ann.centroids(df, vecCol, idCol, numCells)
+    Ann.withCell(df, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val out = fs(dir).create(new HPath(dir, "centroids.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    Index(dir, cents)
+  }
+
+  /** Reopen a previously built index (centroids only — the cell table
+    * stays on disk until probed).
+    */
+  def load(spark: SparkSession, dir: String): Index = {
+    val in = fs(dir).open(new HPath(dir, "centroids.json"))
+    val json =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val cents = (0 until node.size()).map { i =>
+      val row = node.get(i)
+      (0 until row.size()).map(row.get(_).doubleValue()): Seq[Double]
+    }.toArray
+    Index(dir, cents)
+  }
+
+  /** The probed subset of the corpus: a partition-pruned scan of the
+    * `nprobe` cells nearest the query.
+    */
+  def probe(spark: SparkSession, index: Index, query: Seq[Double],
+      nprobe: Int): DataFrame = {
+    val cells = Ann.nearestCells(query, index.centroids, nprobe)
+    spark.read.parquet(s"${index.dir}/cells")
+      .filter(col("cell").isin(cells: _*))
+  }
+
+  /** Top-k cosine neighbors from the materialized index. */
+  def topK(spark: SparkSession, index: Index, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val qCol = array(query.map(lit): _*)
+    probe(spark, index, query, nprobe)
+      .withColumn("cos", round(Ann.cosine(col(vecCol), qCol), 4))
+      .orderBy(desc("cos"), asc(idCol))
+      .limit(k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Dedup, IvfIndex, Multimodal}
 
 /** Gate queries for the scale extensions: MinHash-LSH / SimHash dedup,
   * IVF ANN, multimodal binary plumbing. Where the result is
@@ -106,6 +106,36 @@ object ExtOps {
         val corpus = emb.filter(col("vec_id") =!= 0)
         val cents = Ann.centroids(corpus, "v", "vec_id", 8)
         Ann.topK(corpus, "v", "vec_id", query, 10, cents, nprobe = 8)
+          .select("vec_id", "label", "cos")
+      },
+      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |           FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |       round(
+             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
+             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+             |FROM embeddings, q
+             |WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC
+             |LIMIT 10""".stripMargin)),
+
+    // Same search through the MATERIALIZED index: build the
+    // cell-partitioned table once, probe all cells (nprobe = C ⇒
+    // exact, same oracle as q_ann_ivf). Partition pruning itself is
+    // plan-asserted in IvfIndexSpec.
+    GateQuery(
+      "q_ann_ivf_index",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        val query = emb.filter(col("vec_id") === 0)
+          .select("v").collect().head.getSeq[Double](0)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_gate").toString
+        val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 8, seed = 5L)
+        IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
       },
       Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  // 4 well-separated clusters along the axes of R^8, 25 vectors each
+  private def corpus() = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    (0 until 100).map { i =>
+      val axis = i % 4
+      val v = Seq.tabulate(8)(d =>
+        (if (d == axis * 2) 10.0 else 0.0) + rnd.nextGaussian() * 0.1)
+      (i.toLong, s"c$axis", v)
+    }.toDF("vec_id", "label", "v")
+  }
+
+  test("materialized index at nprobe=C matches brute-force exactly") {
+    val df = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val idx = IvfIndex.build(df, "v", "vec_id", dir, numCells = 4, seed = 5L)
+    val query = Seq.tabulate(8)(d => if (d == 2) 1.0 else 0.0) // axis-1 direction
+
+    val viaIndex = IvfIndex.topK(spark, idx, "v", "vec_id", query, 10, nprobe = 4)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = df
+      .withColumn("cos", round(Ann.cosine(col("v"), array(query.map(lit): _*)), 4))
+      .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == brute)
+
+    // reopened index behaves identically
+    val reopened = IvfIndex.load(spark, dir)
+    assert(reopened.centroids.toSeq == idx.centroids.toSeq)
+  }
+
+  test("a 1-probe query reads ONLY the probed cell's files (partition pruning)") {
+    val df = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_prune").toString
+    val idx = IvfIndex.build(df, "v", "vec_id", dir, numCells = 4, seed = 5L)
+    val query = Seq.tabulate(8)(d => if (d == 2) 1.0 else 0.0)
+    val probedCell = Ann.nearestCells(query, idx.centroids, 1).head
+
+    val result = IvfIndex.topK(spark, idx, "v", "vec_id", query, 10, nprobe = 1)
+    val rows = result.collect()
+    assert(rows.length == 10)
+
+    // every file the scan actually read lives under the probed cell's
+    // partition directory — the probe IS partition pruning
+    val scans = result.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val filesOnDisk = new java.io.File(s"$dir/cells/cell=$probedCell")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    scans.foreach { scan =>
+      assert(scan.metadata("PartitionFilters").contains("cell"),
+        s"no partition filter on cell: ${scan.metadata("PartitionFilters")}")
+      assert(scan.metrics("numFiles").value == filesOnDisk,
+        s"scan read ${scan.metrics("numFiles").value} files; " +
+          s"probed cell has $filesOnDisk")
+    }
+    // correctness of the pruned result: all hits from the probed cluster
+    assert(rows.forall(_.getAs[String]("label") == "c1"))
+  }
+}
