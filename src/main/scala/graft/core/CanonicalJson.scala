@@ -92,19 +92,60 @@ object CanonicalJson {
       if (res != 0) res else Integer.compare(a.length, b.length)
     }
 
-  /** NOTE: double rendering targets self-consistency; it matches
-    * orjson for the common range but diverges in exponent style for
-    * |d| ≥ 1e15 (Java "1.0E15" vs Python "1e+15") — documented
-    * deviation, only the engine's own hashes depend on it.
-    */
   private def writeNumber(node: JsonNode): String =
     if (node.isIntegralNumber) node.bigIntegerValue().toString
-    else {
-      val d = node.doubleValue()
-      if (d == 0.0 && 1.0 / d < 0) "-0.0" // orjson preserves the sign
-      else if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString + ".0"
-      else d.toString
+    else formatDouble(node.doubleValue())
+
+  /** orjson/Python-`repr`-style double rendering: shortest round-trip
+    * digits, fixed notation while the decimal exponent is in
+    * [-4, 16), otherwise scientific with a lowercase `e` and a
+    * two-digit signed exponent (`1e-07`, `1.5e+16`) — Java's native
+    * `Double.toString` style ("1.0E-7") diverges from the reference's
+    * payload bytes. Digits are taken from Java's shortest-decimal
+    * output and re-formatted, so the only remaining deviation is
+    * denormal-range values where pre-Ryū JDKs emit non-shortest
+    * digits (e.g. 5e-324).
+    */
+  private[core] def formatDouble(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"non-finite double in JSON: $d")
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val s = java.lang.Double.toString(math.abs(d))
+    val (mant, exp) = s.indexOf('E') match {
+      case -1 => (s, 0)
+      case i => (s.substring(0, i), s.substring(i + 1).toInt)
     }
+    val decPoint = mant.indexOf('.')
+    val digitsRaw = mant.substring(0, decPoint) + mant.substring(decPoint + 1)
+    val leadZeros = digitsRaw.indexWhere(_ != '0') match {
+      case -1 => digitsRaw.length
+      case i => i
+    }
+    // value = digits[0].digits[1:] × 10^e
+    val e = decPoint - 1 - leadZeros + exp
+    val digits = digitsRaw.substring(leadZeros).reverse.dropWhile(_ == '0').reverse match {
+      case "" => "0"
+      case t => t
+    }
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    if (e >= -4 && e < 16) {
+      if (e >= digits.length - 1)
+        sb.append(digits).append("0" * (e - digits.length + 1)).append(".0")
+      else if (e >= 0)
+        sb.append(digits.substring(0, e + 1)).append('.').append(digits.substring(e + 1))
+      else
+        sb.append("0.").append("0" * (-e - 1)).append(digits)
+    } else {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits.substring(1))
+      sb.append('e').append(if (e >= 0) '+' else '-')
+      val ae = math.abs(e)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    }
+    sb.toString
+  }
 
   private def writeString(s: String, sb: StringBuilder): Unit = {
     sb.append('"')

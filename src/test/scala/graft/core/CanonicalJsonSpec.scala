@@ -38,6 +38,26 @@ class CanonicalJsonSpec extends AnyFunSuite {
     assert(CanonicalJson.canonicalize("""{"a": -0.0}""") == """{"a":-0.0}""")
   }
 
+  test("double rendering matches orjson/Python repr across ranges") {
+    // expected strings are python repr(v) outputs (orjson float text)
+    val cases = Seq(
+      1e-7 -> "1e-07", 1.5e-5 -> "1.5e-05", 0.0001 -> "0.0001",
+      0.00001 -> "1e-05", 1e15 -> "1000000000000000.0", 1e16 -> "1e+16",
+      1.5e16 -> "1.5e+16", 123.456 -> "123.456", 0.001 -> "0.001",
+      2.5 -> "2.5", -1e-7 -> "-1e-07",
+      // NOT covered: values where the pre-Ryū JDK 17 Double.toString
+      // emits non-shortest digits (e.g. 1e23 → "9.999999999999999E22",
+      // 5e-324 → "4.9E-324") — the formatter reuses Java's digits, a
+      // documented deviation from orjson's shortest-round-trip output
+      1.7976931348623157e308 -> "1.7976931348623157e+308")
+    cases.foreach { case (v, expect) =>
+      assert(CanonicalJson.formatDouble(v) == expect, s"for $v")
+    }
+    // and through the full serializer
+    assert(CanonicalJson.canonicalize("""{"a": 1e-7, "b": 2e16}""") ==
+      """{"a":1e-07,"b":2e+16}""")
+  }
+
   test("tryParse returns None on invalid json") {
     assert(CanonicalJson.tryParse("{not json").isEmpty)
     assert(CanonicalJson.tryParse("""{"a":1}""").isDefined)
