@@ -145,7 +145,10 @@ object Groom {
     val df = PartitionStore.read(spark, baseDir, keys)
       .withColumn(Merge.SrcOrder, pathOrder(input_file_name()))
       .withColumn(Schema.Model, lit(model))
-    val written = PartitionStore.write(Merge.merge(df), baseDir, model, maxRowsPerFile)
+    // groom batches are bounded (≤ a group's files × maxRowsPerFile):
+    // persist instead of disk-staging the merge
+    val written = PartitionStore.write(Merge.merge(df), baseDir, model, maxRowsPerFile,
+      stageToDisk = false)
     PartitionStore.delete(spark, baseDir, keys)
     written
   }

@@ -47,7 +47,8 @@ object PartitionStore {
     * store at `baseDir`; returns the written keys (relative to baseDir).
     */
   def write(df: DataFrame, baseDir: String, model: String,
-      maxRowsPerFile: Int = MaxRowsPerFile): Seq[String] = {
+      maxRowsPerFile: Int = MaxRowsPerFile,
+      stageToDisk: Boolean = true): Seq[String] = {
     val spark = df.sparkSession
     val tsOf = udf((id: String) => PartitionFilename.timestampOf(id))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -59,12 +60,21 @@ object PartitionStore {
     // files instead (the counts pass reads just the decision_id
     // column). Disk staging instead of persist() means the batch never
     // has to fit in executor memory — a 100× backfill costs 2× write
-    // I/O, not an OOM.
+    // I/O, not an OOM. LZ4 because the stage is transient: encode/
+    // decode speed is the cost that matters, not bytes on disk.
+    //
+    // stageToDisk = false swaps the stage for a memory persist — for
+    // callers whose batches are small and bounded by construction
+    // (groom pair-merges cap at a few files × maxRowsPerFile), where
+    // a per-call disk round-trip costs more than it saves.
     val stageDir = s"$baseDir/_stage_${java.util.UUID.randomUUID()}"
-    df.drop(Schema.Model)
+    val withTs = df.drop(Schema.Model)
       .withColumn("_ts", tsOf(col(Schema.DecisionId)))
-      .write.option("compression", "zstd").parquet(stageDir)
-    val staged = spark.read.parquet(stageDir)
+    val staged =
+      if (stageToDisk) {
+        withTs.write.option("compression", "lz4").parquet(stageDir)
+        spark.read.parquet(stageDir)
+      } else withTs.persist()
 
     // Prefix-length choice: the coarsest resolution at which every
     // prefix group holds ≤ maxRowsPerFile rows. Per-second counts —
@@ -102,7 +112,8 @@ object PartitionStore {
       .partitionBy("_chunk")
       .option("compression", "zstd")
       .parquet(tmpDir)
-    fs.delete(new Path(stageDir), true)
+    if (stageToDisk) fs.delete(new Path(stageDir), true)
+    else staged.unpersist(blocking = false)
 
     val written = listFiles(fs, new Path(tmpDir)).filter(_.getName.endsWith(".parquet"))
     val keys = written.map { file =>
