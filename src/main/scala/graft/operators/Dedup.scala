@@ -129,6 +129,55 @@ object Dedup {
     } finally signed.unpersist(blocking = false)
   }
 
+  // ---- duplicate clusters (connected components) -------------------------
+
+  /** Collapse a near-dup PAIR list into duplicate CLUSTERS: every id
+    * is labeled with the MINIMUM id reachable from it — the cluster's
+    * canonical representative (keep that one, drop the rest).
+    *
+    * Min-label propagation: each round joins the symmetric edge list
+    * against current labels and takes the elementwise min; a round is
+    * one shuffle, and convergence needs O(graph diameter) rounds.
+    * Near-dup clusters are clique-like (mutual similarity), so the
+    * diameter is tiny in practice — 2-3 rounds — while the per-round
+    * plan is all hash-partitioned joins/aggs that scale with the pair
+    * list, never O(n²). Iteration stops as soon as a round changes
+    * nothing (checked by count, cheap against the persisted labels).
+    *
+    * Returns (id, cluster) for every id that appears in `pairs`.
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    // localCheckpoint per round: each next references the previous
+    // labels TWICE (propagation join + convergence diff), so without
+    // lineage truncation the logical plan doubles every iteration and
+    // the driver drowns in plan analysis long before executors do any
+    // work. The checkpoint materializes the round AND makes the next
+    // plan a leaf.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min neighbor label per node, then elementwise min with own
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min("cluster").as("_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("_nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster", "_old"), Seq("id"))
+        .filter(col("cluster") =!= col("_old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over the word multiset: bit i of the fingerprint

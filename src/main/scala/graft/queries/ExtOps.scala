@@ -40,6 +40,51 @@ object ExtOps {
              |    ON a.doc_id < b.doc_id)
              |WHERE jac >= 0.9""".stripMargin)),
 
+    // Near-dup pairs collapsed into duplicate clusters (connected
+    // components, min-id canonical representative). The DuckDB oracle
+    // recomputes the same census from the all-pairs Jaccard graph with
+    // a recursive min-label CTE.
+    GateQuery(
+      "q_dedup_clusters",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val pairs = Dedup.verifiedPairs(docs, "doc_id", "text", 0.9)
+        Dedup.duplicateClusters(pairs)
+          .groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .agg(
+            count(lit(1)).as("n_clusters"),
+            sum("sz").cast("long").as("n_docs_clustered"),
+            max("sz").cast("long").as("max_cluster"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) a
+             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) b
+             |    ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             |          / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.9
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION
+             |  SELECT id_b AS src, id_a AS dst FROM pairs
+             |), lab AS (
+             |  WITH RECURSIVE walk(id, lbl) AS (
+             |    SELECT src, src FROM edges
+             |    UNION
+             |    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+             |    WHERE w.lbl < e.dst
+             |  )
+             |  SELECT id, min(lbl) AS cluster FROM walk GROUP BY id
+             |), sizes AS (
+             |  SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster
+             |)
+             |SELECT count(*) AS n_clusters,
+             |       CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
+             |       CAST(max(sz) AS BIGINT) AS max_cluster
+             |FROM sizes""".stripMargin)),
+
     // SimHash near-dups (hamming ≤ 3). The gate uses the md5-nibble
     // word hash (both engines expose md5) so DuckDB reproduces the
     // 64-bit fingerprints bit-for-bit and checks the full hamming

@@ -57,6 +57,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (3L, 4L, "src_b"), (3L, 5L, "src_b"), (4L, 5L, "src_b")))
   }
 
+  test("duplicate clusters: min-id label over chained pairs, independent of layout") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a chain, diameter 3 — forces multiple
+    // propagation rounds), {10,11}, isolated pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    for (n <- Seq(1, 4)) {
+      val got = Dedup.duplicateClusters(pairs.repartition(n))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    }
+  }
+
   test("embedding near-dup: planted high-cosine pairs found, orthogonal vectors not") {
     import spark.implicits._
     val dim = 32
