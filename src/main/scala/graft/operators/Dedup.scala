@@ -170,10 +170,17 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster", "_old"), Seq("id"))
         .filter(col("cluster") =!= col("_old")).limit(1).count()
+      // the previous snapshot was only needed for that diff — release
+      // it so at most two label snapshots are ever pinned
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters: not converged after $maxIter rounds — a component " +
+          s"with diameter > $maxIter is still split; raise maxIter for chain-shaped graphs")
     edges.unpersist(blocking = false)
     labels
   }
@@ -196,8 +203,15 @@ object Dedup {
     * default is not SQL-expressible). Same statistical quality for
     * simhash purposes; ~3× slower per word.
     */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   val md5WordHash: String => Long = { w =>
-    val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(w.getBytes("UTF-8"))
     var h = 0L
     var j = 0
     while (j < 16) {

@@ -134,12 +134,17 @@ object ModelStore {
     * sorted by name for deterministic archives.
     */
   private def walk(f: org.apache.hadoop.fs.FileSystem, root: HPath): Seq[(String, HPath)] = {
-    val rootUri = root.toUri.getPath
+    // qualify BOTH sides before prefix-stripping: listStatus returns
+    // fully-qualified paths, so a relative `root` (legal CLI input)
+    // would strip nothing and yield near-absolute entry names that
+    // blow the 100-char tar field or unpack to wrong directories
+    val rootUri = f.makeQualified(root).toUri.getPath
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, HPath)]
     def go(p: HPath): Unit = f.listStatus(p).foreach { st =>
       if (st.isDirectory) go(st.getPath)
       else {
-        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        val full = f.makeQualified(st.getPath).toUri.getPath
+        val rel = full.stripPrefix(rootUri).stripPrefix("/")
         out += rel -> st.getPath
       }
     }
@@ -169,13 +174,18 @@ object ModelStore {
       }
       Tar.finish(gz)
     } finally gz.close()
-    // copy archive → latest (reference copy_object semantics)
+    // copy archive → latest via tmp + rename: S3 copy_object is atomic
+    // and `latest` is the key consumers poll, so a truncate-then-stream
+    // overwrite would expose a partial artifact during the copy window
     val latest = new HPath(modelsRoot, latestKey(modelName))
     outFs.mkdirs(latest.getParent)
+    val tmp = new HPath(latest.getParent, s".${latest.getName}.tmp")
     val in = outFs.open(arcPath)
-    val out = outFs.create(latest, true)
+    val out = outFs.create(tmp, true)
     try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, true)
     catch { case e: Exception => in.close(); out.close(); throw e }
+    if (outFs.exists(latest)) outFs.delete(latest, false)
+    require(outFs.rename(tmp, latest), s"rename $tmp -> $latest failed")
     (arcKey, latestKey(modelName))
   }
 
