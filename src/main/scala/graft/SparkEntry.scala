@@ -8,7 +8,7 @@ object SparkEntry {
   /** All gate queries, in registration order. */
   def all: Seq[GateQuery] =
     Rel.queries ++ TextOps.queries ++ VectorOps.queries ++
-      PipelineOps.queries ++ ExtOps.queries
+      PipelineOps.queries ++ ExtOps.queries ++ CurationOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * stratified sampling, token-budget shard packing, eval-set
+  * decontamination, and PII/denylist redaction.
+  *
+  * Everything here is a pure column program or a key-partitioned
+  * join/agg — no UDFs, no driver-side state, no broadcast of anything
+  * that grows with the corpus — so each operator's plan shape survives
+  * a 100× scale-up unchanged. Hash-derived decisions (sampling,
+  * shingle keys) use md5, which both Spark and DuckDB expose, so every
+  * operator is oracle-checkable bit-for-bit AND retry-stable: a task
+  * retry or repartition cannot flip a sampling decision the way
+  * rand()/monotonically_increasing_id can.
+  */
+object Curation {
+
+  /** Sampling-bucket space: 7 hex chars = 28 bits. */
+  val BucketSpace: Long = 1L << 28
+
+  /** Deterministic 28-bit bucket from md5(key): uniform on
+    * [0, 2^28), content-derived (retry-stable), and reproducible in
+    * any engine with md5 — `CAST('0x' || substr(md5(k),1,7) AS BIGINT)`
+    * in DuckDB.
+    */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key), 1, 7), 16, 10).cast("long")
+
+  /** Per-stratum deterministic sampling: keep a row iff its bucket
+    * falls below the stratum's rate. The bucket key salts the id with
+    * the stratum so re-using an id across strata draws independently.
+    *
+    * Scale shape: a filter — fully pushdown-adjacent, no shuffle, no
+    * state; the sample is a property of the row alone. Contrast
+    * df.sample(), whose outcome depends on partition layout and seed
+    * plumbing under retry.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(
+      hashBucket(concat_ws(":", col(groupCol), col(idCol).cast("string")))
+        < rate * BucketSpace)
+  }
+
+  /** Token-budget shard assignment: within each group (ordered by
+    * `orderCol`) rows are packed greedily into shards of ~`budget`
+    * tokens; a row belongs to the shard its cumulative-token START
+    * offset falls in, so every shard except a group's last holds at
+    * least `budget` tokens' worth of starts and assignment is a pure
+    * prefix-sum — one window sort per group, no iteration.
+    *
+    * Scale shape: a partitioned window (sort within group), which at
+    * 100 TB is a single range-partitioned sort per group — groups
+    * (sources/shard-families) bound the sort width, and no global
+    * total order is ever required.
+    */
+  def packShards(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("shard",
+        floor((col("_cum") - col(tokensCol)) / lit(budget).cast("double")).cast("long"))
+      .drop("_cum")
+  }
+
+  /** Distinct word-`n`-gram shingle hashes of `textCol` (16-hex-char
+    * md5 prefixes — 64 bits, collision-negligible at corpus scale and
+    * far narrower than raw shingle strings in the shuffle). Documents
+    * shorter than `n` words have no shingles.
+    */
+  def shingleHashes(textCol: Column, n: Int): Column = {
+    val words = split(trim(textCol), " ")
+    val grams = transform(sequence(lit(0), size(words) - n),
+      i => substring(md5(array_join(slice(words, i + 1, lit(n)), " ")), 1, 16))
+    // sequence(0, neg) counts DOWN in Spark — guard short docs explicitly
+    array_distinct(when(size(words) >= n, grams).otherwise(array()))
+  }
+
+  /** Eval-set decontamination: training documents sharing at least
+    * `minHits` distinct `n`-gram shingles with any eval document.
+    * Returns (id, n_hits) for flagged documents.
+    *
+    * Scale shape: both sides explode to (shingle-hash) keys and meet
+    * in a hash-partitioned equi-join — the eval side is typically tiny
+    * (Spark will auto-broadcast it under the threshold) but nothing
+    * REQUIRES it to fit in memory; the same plan handles
+    * corpus-vs-corpus decontamination. The per-doc distinct + count is
+    * a partial-aggregated groupBy on the doc id.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minHits: Int = 2): DataFrame = {
+    val evalSh = eval
+      .select(explode(shingleHashes(col(textCol), n)).as("sh")).distinct()
+    val trainSh = train
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("sh"))
+    trainSh.join(evalSh, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // shingles are pre-distinct per doc
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Built-in redaction patterns (Java-regex and RE2 compatible — no
+    * lookaround, so Spark and DuckDB agree on every match).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  val LongDigitsPattern = "\\b[0-9]{6,}\\b"
+
+  /** Replace every match of each pattern (applied in order) with
+    * `replacement`. A pure regexp_replace chain: codegen'd, no UDF.
+    */
+  def redact(textCol: Column, patterns: Seq[String],
+      replacement: String = "<PII>"): Column =
+    patterns.foldLeft(textCol)((c, p) => regexp_replace(c, p, replacement))
+
+  /** Match count of `pattern` in `textCol` (0 when no match). */
+  def matchCount(textCol: Column, pattern: String): Column =
+    size(regexp_extract_all(textCol, lit(pattern), lit(0)))
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Curation}
+
+/** Gate queries for the corpus-curation operators: deterministic
+  * stratified sampling, token-budget shard packing, eval-set
+  * decontamination, repetition/quality signals, denylist+PII
+  * redaction, embedding quantization, and the cross-source
+  * contamination matrix. Every query here has a DuckDB oracle — the
+  * hash-derived decisions are md5-based precisely so a second engine
+  * can reproduce them bit-for-bit.
+  */
+object CurationOps {
+  import Tables._
+
+  /** Oracle fragment: the 28-bit md5 sampling bucket (mirrors
+    * Curation.hashBucket).
+    */
+  private def bucketSql(key: String): String =
+    s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
+
+  /** Oracle fragment: distinct 16-hex-md5 5-gram shingles of trimmed
+    * whitespace-split text (mirrors Curation.shingleHashes at n=5).
+    */
+  private val shingleSql =
+    """list_distinct(CASE WHEN len(words) >= 5
+      |  THEN list_transform(range(len(words) - 4),
+      |         i -> substring(md5(array_to_string(words[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')), 1, 16))
+      |  ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // Deterministic per-stratum sampling: down-weight two sources to
+    // 10%, keep the rest at 40%. Census proves per-stratum achieved
+    // rates (a filter, zero shuffle — the 100 TB plan is the scan).
+    GateQuery(
+      "q_stratified_sample",
+      (s, d) =>
+        Curation.stratifiedSample(documents(s, d), "doc_id", "source",
+            Map("src0" -> 0.1, "src1" -> 0.1), 0.4)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(size(split(trim(col("text")), " "))).cast("long").as("kept_tokens"))
+          .orderBy("source"),
+      Some(s"""SELECT source, count(*) AS n_kept,
+              |       CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS kept_tokens
+              |FROM documents
+              |WHERE ${bucketSql("source || ':' || CAST(doc_id AS VARCHAR)")}
+              |      < CASE WHEN source IN ('src0', 'src1') THEN 0.1 ELSE 0.4 END * 268435456
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)),
+
+    // Token-budget shard packing (budget 256): prefix-sum shard
+    // assignment within each source, then per-source packing census.
+    GateQuery(
+      "q_pack_shards",
+      (s, d) => {
+        val toks = documents(s, d)
+          .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+        Curation.packShards(toks, "source", "doc_id", "n_tokens", 256L)
+          .groupBy("source", "shard")
+          .agg(sum("n_tokens").cast("long").as("shard_tokens"),
+            count(lit(1)).as("n_docs"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_shards"),
+            max("shard_tokens").as("max_shard_tokens"),
+            sum("n_docs").cast("long").as("n_docs"),
+            round(avg(col("shard_tokens") / 256.0), 4).as("avg_fill"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id, len(string_split(trim(text), ' ')) AS n_tokens
+             |  FROM documents
+             |), c AS (
+             |  SELECT source, n_tokens,
+             |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |                             ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t
+             |), per AS (
+             |  SELECT source, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS shard,
+             |         CAST(sum(n_tokens) AS BIGINT) AS shard_tokens, count(*) AS n_docs
+             |  FROM c GROUP BY source, shard
+             |)
+             |SELECT source, count(*) AS n_shards, max(shard_tokens) AS max_shard_tokens,
+             |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |       round(avg(shard_tokens / 256.0), 4) AS avg_fill
+             |FROM per GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Eval-set decontamination: eval = doc_id % 17 = 0; flag training
+    // docs sharing ≥ 2 distinct 5-gram shingles with any eval doc.
+    GateQuery(
+      "q_decontaminate",
+      (s, d) => {
+        val docs = documents(s, d)
+        val eval  = docs.filter(col("doc_id") % 17 === 0)
+        val train = docs.filter(col("doc_id") % 17 =!= 0)
+        Curation.decontaminate(train, eval, "doc_id", "text", n = 5, minHits = 2)
+          .agg(
+            count(lit(1)).as("n_flagged"),
+            sum("n_hits").cast("long").as("total_hits"),
+            min("doc_id").as("first_flagged"))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents
+              |), sh AS (
+              |  SELECT doc_id, unnest($shingleSql) AS sh FROM w
+              |), ev AS (
+              |  SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0
+              |), hits AS (
+              |  SELECT t.doc_id, count(*) AS n_hits
+              |  FROM (SELECT doc_id, sh FROM sh WHERE doc_id % 17 <> 0) t
+              |  JOIN ev USING (sh)
+              |  GROUP BY t.doc_id
+              |)
+              |SELECT count(*) AS n_flagged, CAST(sum(n_hits) AS BIGINT) AS total_hits,
+              |       min(doc_id) AS first_flagged
+              |FROM hits WHERE n_hits >= 2""".stripMargin)),
+
+    // Gopher/C4-style repetition signals: duplicate-word fraction and
+    // top-bigram fraction per document, censused per source. Pure
+    // column programs (the per-doc O(n²) distinct-count is bounded by
+    // document length, not corpus size).
+    GateQuery(
+      "q_repetition",
+      (s, d) => {
+        val words = split(trim(col("text")), " ")
+        val bigrams = transform(sequence(lit(0), size(words) - 2),
+          i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2)))
+        val topBg = array_max(transform(array_distinct(col("bg")),
+          x => size(filter(col("bg"), y => y === x))))
+        documents(s, d)
+          .withColumn("n_words", size(words))
+          .withColumn("dup_frac",
+            round(lit(1.0) - size(array_distinct(words)).cast("double") / col("n_words"), 6))
+          .withColumn("bg", when(col("n_words") >= 2, bigrams).otherwise(array()))
+          .withColumn("top_bg_frac",
+            when(col("n_words") >= 2,
+              round(topBg.cast("double") / (col("n_words") - 1), 6)).otherwise(lit(0.0)))
+          .groupBy("source")
+          .agg(
+            round(avg("dup_frac"), 4).as("avg_dup_frac"),
+            round(avg("top_bg_frac"), 4).as("avg_top_bg_frac"),
+            round(max("top_bg_frac"), 4).as("max_top_bg_frac"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT source, string_split(trim(text), ' ') AS words FROM documents
+             |), m AS (
+             |  SELECT source, len(words) AS n_words,
+             |         round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS dup_frac,
+             |         CASE WHEN len(words) >= 2 THEN
+             |           list_transform(range(len(words) - 1),
+             |                          i -> words[CAST(i + 1 AS INT)] || ' ' || words[CAST(i + 2 AS INT)])
+             |         ELSE CAST([] AS VARCHAR[]) END AS bg
+             |  FROM w
+             |), t AS (
+             |  SELECT source, dup_frac,
+             |         CASE WHEN n_words >= 2 THEN
+             |           round(CAST(list_max(list_transform(list_distinct(bg),
+             |                        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+             |                 / (n_words - 1), 6)
+             |         ELSE 0.0 END AS top_bg_frac
+             |  FROM m
+             |)
+             |SELECT source, round(avg(dup_frac), 4) AS avg_dup_frac,
+             |       round(avg(top_bg_frac), 4) AS avg_top_bg_frac,
+             |       round(max(top_bg_frac), 4) AS max_top_bg_frac,
+             |       count(*) AS n_docs
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Denylist + PII redaction census: term scrub (nonzero on this
+    // corpus) plus email/long-digit PII patterns (provably zero here —
+    // the oracle checks that too; pattern behavior on PII-bearing text
+    // is spec-covered in CurationSpec).
+    GateQuery(
+      "q_redact",
+      (s, d) => {
+        val termPat = "\\b(customer|vector)\\b"
+        documents(s, d)
+          .withColumn("n_terms", Curation.matchCount(col("text"), termPat))
+          .withColumn("n_email", Curation.matchCount(col("text"), Curation.EmailPattern))
+          .withColumn("n_digits", Curation.matchCount(col("text"), Curation.LongDigitsPattern))
+          .withColumn("red_len",
+            length(Curation.redact(col("text"), Seq(termPat), "<X>")))
+          .groupBy("source")
+          .agg(
+            sum("n_terms").cast("long").as("n_term_hits"),
+            sum("n_email").cast("long").as("n_email_hits"),
+            sum("n_digits").cast("long").as("n_digit_hits"),
+            sum("red_len").cast("long").as("sum_red_len"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |       CAST(sum(len(regexp_extract_all(text, '\b(customer|vector)\b'))) AS BIGINT) AS n_term_hits,
+             |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email_hits,
+             |       CAST(sum(len(regexp_extract_all(text, '\b[0-9]{6,}\b'))) AS BIGINT) AS n_digit_hits,
+             |       CAST(sum(length(regexp_replace(text, '\b(customer|vector)\b', '<X>', 'g'))) AS BIGINT) AS sum_red_len,
+             |       count(*) AS n_docs
+             |FROM documents
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
+    // Int8 max-abs embedding quantization: reconstruction-cosine
+    // census. floor(x + 0.5) rounding so both engines agree exactly;
+    // min(cos) is order-independent (6 decimals), averages rounded to
+    // 4 to absorb summation-order noise.
+    GateQuery(
+      "q_embed_quant",
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val vmax = array_max(transform(col("v"), x => abs(x)))
+        val q = transform(col("v"), x => floor(x * col("scale") + 0.5))
+        val dq = transform(col("q"), x => x / col("scale"))
+        embeddings(s, d)
+          .withColumn("v", v)
+          .withColumn("scale", lit(127.0) / vmax)
+          .withColumn("q", q)
+          .withColumn("dq", dq)
+          .withColumn("cos", Ann.cosine(col("v"), col("dq")))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            round(avg("cos"), 4).as("avg_cos"),
+            round(min("cos"), 6).as("min_cos"),
+            round(avg("scale"), 4).as("avg_scale"))
+      },
+      Some("""WITH e AS (
+             |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+             |), sc AS (
+             |  SELECT v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM e
+             |), dq AS (
+             |  SELECT v, scale,
+             |         list_transform(v, x -> floor(x * scale + 0.5) / scale) AS dq
+             |  FROM sc
+             |), c AS (
+             |  SELECT scale,
+             |         list_sum(list_transform(list_zip(v, dq), p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |           / (sqrt(list_sum(list_transform(v, x -> x * x)))
+             |              * sqrt(list_sum(list_transform(dq, x -> x * x)))) AS cos
+             |  FROM dq
+             |)
+             |SELECT count(*) AS n_vecs, round(avg(cos), 4) AS avg_cos,
+             |       round(min(cos), 6) AS min_cos, round(avg(scale), 4) AS avg_scale
+             |FROM c""".stripMargin)),
+
+    // Cross-source contamination matrix: distinct shared 5-gram
+    // shingles per source pair — the fan-out is (shingle, source)
+    // DISTINCT pairs meeting in one hash join; no all-pairs of
+    // documents anywhere. Top-10 most-overlapping pairs.
+    GateQuery(
+      "q_source_overlap",
+      (s, d) => {
+        val sh = documents(s, d)
+          .select(col("source"),
+            explode(Curation.shingleHashes(col("text"), 5)).as("sh"))
+          .distinct()
+        sh.select(col("source").as("s_a"), col("sh"))
+          .join(sh.select(col("source").as("s_b"), col("sh")), Seq("sh"))
+          .filter(col("s_a") < col("s_b"))
+          .groupBy("s_a", "s_b")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(desc("n_shared"), col("s_a"), col("s_b"))
+          .limit(10)
+      },
+      Some(s"""WITH w AS (
+              |  SELECT source, string_split(trim(text), ' ') AS words FROM documents
+              |), sh AS (
+              |  SELECT DISTINCT source, unnest($shingleSql) AS sh FROM w
+              |)
+              |SELECT a.source AS s_a, b.source AS s_b, count(*) AS n_shared
+              |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+              |GROUP BY s_a, s_b
+              |ORDER BY n_shared DESC, s_a, s_b
+              |LIMIT 10""".stripMargin)),
+  )
+}

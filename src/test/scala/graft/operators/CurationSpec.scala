@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "grp_a", "the quick brown fox jumps over the lazy dog"),
+    (1L, "grp_a", "the quick brown fox jumps over the lazy cat"),
+    (2L, "grp_a", "one two three"),
+    (3L, "grp_b", "alpha beta gamma delta epsilon zeta eta theta"),
+    (4L, "grp_b", "totally unrelated words in this document here now"),
+    (5L, "grp_b", "alpha beta gamma delta epsilon zeta eta iota")
+  ).toDF("id", "grp", "text")
+
+  // ---- stratifiedSample --------------------------------------------------
+
+  test("stratifiedSample is deterministic and layout-independent") {
+    val big = spark.range(0, 2000)
+      .withColumn("grp", when(col("id") % 2 === 0, "even").otherwise("odd"))
+    def ids(parts: Int): Set[Long] =
+      Curation.stratifiedSample(big.repartition(parts), "id", "grp",
+          Map("even" -> 0.1), 0.5)
+        .select("id").as[Long].collect().toSet
+    val a = ids(1)
+    assert(a == ids(8), "sample must not depend on partition layout")
+    // achieved rates near targets (md5 is uniform; 1000 draws each)
+    val even = a.count(_ % 2 == 0).toDouble / 1000
+    val odd  = a.count(_ % 2 == 1).toDouble / 1000
+    assert(math.abs(even - 0.1) < 0.04, s"even rate $even")
+    assert(math.abs(odd - 0.5) < 0.06, s"odd rate $odd")
+  }
+
+  test("stratifiedSample bucket matches a reference md5 computation") {
+    // Curation.hashBucket must equal the first 7 hex chars of md5,
+    // parsed base-16 — the exact quantity the DuckDB oracle computes.
+    val got = docs.select(
+      Curation.hashBucket(concat_ws(":", col("grp"), col("id").cast("string"))).as("b"),
+      concat_ws(":", col("grp"), col("id").cast("string")).as("k"))
+      .as[(Long, String)].collect()
+    got.foreach { case (b, k) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(b == java.lang.Long.parseLong(md.take(7), 16), k)
+    }
+  }
+
+  // ---- packShards --------------------------------------------------------
+
+  test("packShards: every non-final shard reaches the budget, order is stable") {
+    val toks = docs.withColumn("n", size(split(col("text"), " ")))
+    val packed = Curation.packShards(toks, "grp", "id", "n", 12L)
+      .select("grp", "id", "n", "shard")
+      .as[(String, Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    // shard ids are non-decreasing within a group and start at 0
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val shards = rows.map(_._4)
+      assert(shards.head == 0L)
+      assert(shards.zip(shards.tail).forall { case (a, b) => a <= b })
+      // the token-start offset of each row's shard matches the prefix sum
+      var cum = 0L
+      rows.foreach { case (_, _, n, shard) =>
+        assert(shard == cum / 12L, s"row at cum=$cum")
+        cum += n
+      }
+    }
+    // layout independence
+    val packed8 = Curation.packShards(toks.repartition(8), "grp", "id", "n", 12L)
+      .select("grp", "id", "shard").as[(String, Long, Long)].collect().toSet
+    assert(packed.map(r => (r._1, r._2, r._4)).toSet == packed8)
+  }
+
+  // ---- shingles / decontaminate -----------------------------------------
+
+  test("shingleHashes: n-gram count, distinctness, short-doc guard") {
+    val sh = docs.select(col("id"),
+      Curation.shingleHashes(col("text"), 5).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(0L).size == 5) // 9 words -> 5 shingles
+    assert(sh(2L).isEmpty)   // 3 words < n
+    assert(sh(0L).forall(_.length == 16))
+    // doc 0 and 1 share the first 4 shingles (differ only in last word)
+    assert(sh(0L).toSet.intersect(sh(1L).toSet).size == 4)
+  }
+
+  test("decontaminate flags docs sharing >= minHits shingles with eval") {
+    val eval  = docs.filter(col("id") === 0L || col("id") === 3L)
+    val train = docs.filter(col("id") =!= 0L && col("id") =!= 3L)
+    val flagged = Curation.decontaminate(train, eval, "id", "text", n = 5, minHits = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(1L, 5L)) // near-dups of the eval docs
+    assert(flagged(1L) == 4L) // 9-word docs: 5 shingles, 4 shared with doc 0
+    assert(flagged(5L) == 3L) // 8-word docs: 4 shingles, 3 shared with doc 3
+    // unrelated docs are not flagged even at minHits = 1
+    val all = Curation.decontaminate(train, eval, "id", "text", n = 5, minHits = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(!all.contains(4L))
+  }
+
+  // ---- redaction ---------------------------------------------------------
+
+  test("redact scrubs emails, phones, and long digit runs") {
+    val pii = Seq(
+      (0L, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+      (1L, "account 123456789 is fine but 12345 stays"),
+      (2L, "clean text with no pii at all")
+    ).toDF("id", "text")
+    val red = pii.select(col("id"), Curation.redact(col("text"),
+        Seq(Curation.EmailPattern, Curation.PhonePattern, Curation.LongDigitsPattern))
+        .as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(red(0L) == "contact <PII> or <PII> today")
+    assert(red(1L) == "account <PII> is fine but 12345 stays")
+    assert(red(2L) == "clean text with no pii at all")
+    // census column agrees
+    val counts = pii.select(col("id"),
+        Curation.matchCount(col("text"), Curation.EmailPattern).as("e"))
+      .as[(Long, Int)].collect().toMap
+    assert(counts == Map(0L -> 1, 1L -> 0, 2L -> 0))
+  }
+}
