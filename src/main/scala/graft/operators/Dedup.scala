@@ -66,6 +66,16 @@ object Dedup {
     * ever pair — smaller buckets AND no post-hoc filtering of
     * cross-group candidates (e.g. per-source dedup of a web corpus).
     * Group columns are carried through to the output.
+    *
+    * The cross-band duplicate collisions (a near-dup pair collides in
+    * ~b·j^r ≈ 10 of 16 bands at j = 0.9) are collapsed by the narrow
+    * (id_a, id_b) `distinct`. Measured alternative for the record: a
+    * "first-shared-band" filter (carry both docs' band-key arrays
+    * through the join, keep a collision only at the first agreeing
+    * band) removes that shuffle but runs ~7× SLOWER here — the
+    * higher-order-function filter breaks whole-stage codegen and the
+    * 16-struct arrays inflate every buffered join row, which dwarfs
+    * the 16-byte-row distinct it saves.
     */
   def candidatePairs(signed: DataFrame, idCol: String,
       groupCols: Seq[String] = Nil): DataFrame = {
@@ -148,32 +158,44 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // Pre-partition AND pre-sort the (large) edge list on the join key
+    // once: the cached plan's partitioning/ordering survive into every
+    // round's join, so the edge side of the propagation join never
+    // re-shuffles or re-sorts — each round moves only label-sized data.
+    // (labels come out of localCheckpoint with unknown stats, so
+    // without this the planner would sort-merge the FULL edge list
+    // from scratch every iteration.)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().persist()
-    // localCheckpoint per round: each next references the previous
-    // labels TWICE (propagation join + convergence diff), so without
-    // lineage truncation the logical plan doubles every iteration and
-    // the driver drowns in plan analysis long before executors do any
-    // work. The checkpoint materializes the round AND makes the next
-    // plan a leaf.
+      .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+      .persist()
+    // localCheckpoint per round: `next` references the previous labels
+    // twice, so without lineage truncation the logical plan doubles
+    // every iteration and the driver drowns in plan analysis long
+    // before executors do any work. The checkpoint materializes the
+    // round AND makes the next plan a leaf.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // min neighbor label per node, then elementwise min with own
+      // min neighbor label per node, elementwise min with own label,
+      // and the convergence flag — all in ONE pass over the edges (no
+      // separate old-vs-new diff join).
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min("cluster").as("_nbr"))
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("_nbr"), col("cluster"))).as("cluster"))
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nbr"), col("cluster"))).as("cluster"),
+          (coalesce(col("_nbr"), col("cluster")) < col("cluster")).as("_changed"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster", "_old"), Seq("id"))
-        .filter(col("cluster") =!= col("_old")).limit(1).count()
-      // the previous snapshot was only needed for that diff — release
-      // it so at most two label snapshots are ever pinned
+      val changed = next.filter(col("_changed")).limit(1).count()
+      // the previous snapshot is no longer referenced — release it so
+      // at most two label snapshots are ever pinned
       labels.unpersist(blocking = false)
-      labels = next
+      labels = next.select("id", "cluster")
       converged = changed == 0
       iter += 1
     }
