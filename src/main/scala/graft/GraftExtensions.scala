@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Xxh3Expression
+
+/** Library packaging as a Spark extension: running ANY Spark app with
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)`) injects the engine's
+  * native SQL functions at session build time — no imperative
+  * `Functions.register(spark)` call needed, and the functions exist in
+  * every session derived from the context (thrift server, connect,
+  * notebooks). Only the NATIVE expression is injectable here
+  * (`injectFunction` takes expression builders); the UDF-backed
+  * helpers still come from `Functions.register`, which this extension
+  * cannot replace because UDF registration needs a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("xxh3_64"),
+      new ExpressionInfo(classOf[Xxh3Expression].getName, "xxh3_64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2, "xxh3_64(str[, seed])")
+        val seed =
+          if (args.length == 2) Cast(args(1), LongType) else Literal(0L)
+        Xxh3Expression(args.head, seed)
+      }))
+  }
+}

@@ -207,6 +207,19 @@ object Dedup {
     labels
   }
 
+  /** The removal step: keep each cluster's canonical (minimum-id)
+    * representative plus every unclustered document. One anti-join of
+    * the corpus against the non-canonical label rows — both sides
+    * hash-partitioned on id, output ≈ corpus minus duplicates.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val drop = duplicateClusters(pairs, idA, idB)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over the word multiset: bit i of the fingerprint

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming exact deduplication of a document feed — the ingestion
+  * guard in front of a training-data lake: drop re-crawled/re-sent
+  * duplicates AT ARRIVAL so downstream storage and the (batch)
+  * near-dup pipeline see each content fingerprint once.
+  *
+  * `dropDuplicatesWithinWatermark` keys state by content fingerprint
+  * (md5 of normalized text — same fingerprint the batch
+  * `q_fingerprint` path uses) and expires state with the watermark, so
+  * state is bounded by the dedup horizon × arrival rate instead of
+  * growing with the corpus: the streaming analogue of the batch
+  * hash-groupBy. Duplicates farther apart than the horizon are left
+  * for the batch pipeline (exact groupBy or MinHash) — the split a
+  * 100 TB deployment wants anyway, since unbounded streaming state
+  * for an append-forever corpus cannot fit any cluster.
+  */
+object StreamingDedup {
+
+  /** JSONL documents {doc_id, ts: epoch-seconds, text} under
+    * `dropDir` → first arrival per content fingerprint within the
+    * `horizon` watermark, appended to `outDir` as parquet with the
+    * fingerprint column attached.
+    */
+  def dedupStream(spark: SparkSession, dropDir: String, outDir: String,
+      checkpointDir: String, horizon: String = "1 hour"): StreamingQuery =
+    dedup(readDocs(spark, dropDir), horizon)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+
+  /** The transformation alone (testable without a sink): attach the
+    * content fingerprint, watermark, and keep each fingerprint's first
+    * arrival within the horizon.
+    */
+  def dedup(docs: DataFrame, horizon: String): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
+  private def readDocs(spark: SparkSession, dropDir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+      .text(dropDir)
+      .select(from_json(col("value"), schema).as("d"))
+      .select(
+        col("d.doc_id").as("doc_id"),
+        timestamp_seconds(col("d.ts")).as("event_time"),
+        col("d.text").as("text"))
+  }
+}

@@ -70,6 +70,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("keepCanonical retains cluster minimum + unclustered docs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 7L, 10L, 11L).toDF("doc_id")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 7L, 10L)) // cluster reps 1 and 10, untouched 7
+  }
+
   test("embedding near-dup: planted high-cosine pairs found, orthogonal vectors not") {
     import spark.implicits._
     val dim = 32
