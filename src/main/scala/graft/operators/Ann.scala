@@ -82,6 +82,36 @@ object Ann {
       (i, query.zip(cent).map { case (a, b) => a * b }.sum / (qn * cn + 1e-12))
     }.sortBy(-_._2).take(nprobe).map(_._1).toSeq
 
+  /** k-NN JOIN — the batch production shape: every row of `queries`
+    * finds its top-k cosine neighbors in `corpus` at once (vs `topK`'s
+    * one driver-side vector). nprobe == centroids.length ⇒ exact.
+    *
+    * Scale shape: queries explode to (query, probed-cell) — nprobe
+    * rows each — and meet the cell-assigned corpus in ONE
+    * hash-partitioned equi-join on `cell`; scored candidates then
+    * rank per query in a partitioned window. Work is
+    * Σ_query Σ_probed-cell |cell| — the IVF contract — and both
+    * shuffles are keyed (cell, then query id): nothing is ever
+    * broadcast or collected, so query set and corpus may BOTH be
+    * corpus-sized. With an `IvfIndex`-materialized corpus the cell
+    * join becomes a partition-pruned read instead of a fresh
+    * assignment pass.
+    */
+  def topKJoin(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, qIdCol: String, k: Int,
+      cents: Array[Seq[Double]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeUdf = udf((v: Seq[Double]) => nearestCells(v, cents, nprobe))
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("cell", explode(probeUdf(col("_qv"))))
+    val joined = q.join(withCell(corpus, vecCol, cents), Seq("cell"))
+      .withColumn("cos", round(cosine(col("_qv"), col(vecCol)), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", idCol, "cos", "rank")
+  }
+
   /** Top-k cosine neighbors of `query` scanning only the `nprobe`
     * cells nearest to it. nprobe == centroids.length ⇒ exact.
     */

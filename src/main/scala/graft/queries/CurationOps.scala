@@ -247,6 +247,98 @@ object CurationOps {
              |       round(min(cos), 6) AS min_cos, round(avg(scale), 4) AS avg_scale
              |FROM c""".stripMargin)),
 
+    // The END-TO-END curation funnel: quality filter → exact dedup →
+    // eval-set decontamination → stratified sample → shard packing,
+    // with per-stage attrition in one row. Every stage is the REAL
+    // operator (not a re-derivation), so this is the pipeline a 100 TB
+    // deployment runs, verified as a whole: stage ordering bugs,
+    // double-removals, or sampling drift all shift the census.
+    GateQuery(
+      "q_curation_funnel",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val words = split(trim(col("text")), " ")
+        val annotated = docs
+          .withColumn("n_words", size(words))
+          .withColumn("dup_frac",
+            lit(1.0) - size(array_distinct(words)).cast("double") / col("n_words"))
+        val quality = annotated
+          .filter(col("n_words") >= 20 && col("dup_frac") <= 0.65)
+        val unique = quality
+          .withColumn("fp", md5(lower(trim(col("text")))))
+          .withColumn("_rn",
+            row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("_rn") === 1).drop("_rn", "fp")
+        val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+        val corpus = unique.filter(col("doc_id") % 17 =!= 0)
+        val flagged = Curation
+          .decontaminate(corpus, evalDocs, "doc_id", "text", n = 5, minHits = 2)
+          .select("doc_id")
+        val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+        val sampled = Curation.stratifiedSample(clean, "doc_id", "source",
+          Map.empty, 0.5)
+        val packed = Curation.packShards(sampled, "source", "doc_id", "n_words", 256L)
+        docs.agg(count(lit(1)).as("n_total"))
+          .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
+          .crossJoin(unique.agg(count(lit(1)).as("n_unique")))
+          .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+          .crossJoin(packed.agg(
+            count(lit(1)).as("n_sampled"),
+            countDistinct(col("source"), col("shard")).as("n_shards"),
+            sum("n_words").cast("long").as("sum_tokens")))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, source, text, string_split(trim(text), ' ') AS words
+              |  FROM documents
+              |), ann AS (
+              |  SELECT doc_id, source, text, len(words) AS n_words,
+              |         1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_frac
+              |  FROM w
+              |), quality AS (
+              |  SELECT * FROM ann WHERE n_words >= 20 AND dup_frac <= 0.65
+              |), uniq AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+              |                                 ORDER BY doc_id) AS rn
+              |    FROM quality) WHERE rn = 1
+              |), evsh AS (
+              |  SELECT DISTINCT sh FROM (
+              |    SELECT unnest($shingleSql) AS sh
+              |    FROM (SELECT string_split(trim(text), ' ') AS words
+              |          FROM documents WHERE doc_id % 17 = 0))
+              |), corpus AS (
+              |  SELECT * FROM uniq WHERE doc_id % 17 <> 0
+              |), corpsh AS (
+              |  SELECT doc_id, unnest($shingleSql) AS sh
+              |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM corpus)
+              |), flagged AS (
+              |  SELECT doc_id FROM (
+              |    SELECT t.doc_id, count(*) AS n
+              |    FROM corpsh t JOIN evsh USING (sh) GROUP BY t.doc_id)
+              |  WHERE n >= 2
+              |), clean AS (
+              |  SELECT * FROM corpus
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+              |), sampled AS (
+              |  SELECT * FROM clean
+              |  WHERE ${bucketSql("source || ':' || CAST(doc_id AS VARCHAR)")}
+              |        < 0.5 * 268435456
+              |), packed AS (
+              |  SELECT source, n_words,
+              |         CAST(floor((sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+              |                                        ROWS UNBOUNDED PRECEDING)
+              |                     - n_words) / 256.0) AS BIGINT) AS shard
+              |  FROM sampled
+              |)
+              |SELECT (SELECT count(*) FROM documents) AS n_total,
+              |       (SELECT count(*) FROM quality) AS n_quality,
+              |       (SELECT count(*) FROM uniq) AS n_unique,
+              |       (SELECT count(*) FROM clean) AS n_clean,
+              |       (SELECT count(*) FROM packed) AS n_sampled,
+              |       (SELECT count(DISTINCT source || ':' || CAST(shard AS VARCHAR)) FROM packed) AS n_shards,
+              |       (SELECT CAST(sum(n_words) AS BIGINT) FROM packed) AS sum_tokens""".stripMargin)),
+
     // Cross-source contamination matrix: distinct shared 5-gram
     // shingles per source pair — the fan-out is (shingle, source)
     // DISTINCT pairs meeting in one hash join; no all-pairs of

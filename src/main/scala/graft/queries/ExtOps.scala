@@ -196,6 +196,46 @@ object ExtOps {
              |ORDER BY cos DESC, vec_id ASC
              |LIMIT 10""".stripMargin)),
 
+    // k-NN JOIN: 5 query vectors × rest-of-corpus, top-3 each, through
+    // the IVF cell join at nprobe = C (exhaustive ⇒ exact, so the
+    // brute-force SQL cross join is the oracle).
+    GateQuery(
+      "q_knn_join",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        val queries = emb.filter(col("vec_id") < 5)
+        val corpus = emb.filter(col("vec_id") >= 5)
+        val cents = Ann.centroids(corpus, "v", "vec_id", 8)
+        Ann.topKJoin(queries, corpus, "v", "vec_id", "vec_id", 3, cents, nprobe = 8)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |  FROM embeddings WHERE vec_id < 5
+             |), c AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+             |  FROM embeddings WHERE vec_id >= 5
+             |), s AS (
+             |  SELECT query_id, vec_id,
+             |         round(
+             |           list_sum(list_transform(list_zip(qv, cv),
+             |                                   p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+             |              * sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS cos
+             |  FROM q, c
+             |), r AS (
+             |  SELECT query_id, vec_id, cos,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY cos DESC, vec_id ASC) AS rank
+             |  FROM s
+             |)
+             |SELECT query_id, vec_id, cos, rank
+             |FROM r WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // Binary-column metadata plumbing (oracle on byte lengths).
     GateQuery(
       "q_multimodal_meta",

@@ -56,4 +56,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(ivf == brute)
   }
+
+  test("topKJoin: exact at nprobe = C; nprobe = 1 stays within the query's cell") {
+    val (df, _) = clustered(nClusters = 3, perCluster = 30, dim = 8)
+    val queries = df.filter(col("vec_id") < 3)
+    val corpus = df.filter(col("vec_id") >= 3)
+    val cents = Ann.kmeansCentroids(corpus, "v", k = 3, seed = 3L)
+
+    val knn = Ann.topKJoin(queries, corpus, "v", "vec_id", "vec_id", 5, cents, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(knn.length == 15) // 3 queries × top-5
+    // per query, equals the single-vector exact search
+    for (qid <- 0L until 3L) {
+      val qv = df.filter(col("vec_id") === qid).select("v").collect().head.getSeq[Double](0)
+      val single = Ann.topK(corpus, "v", "vec_id", qv, 5, cents, nprobe = 3)
+        .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = knn.filter(_._1 == qid).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(mine == single, s"query $qid")
+    }
+    // nprobe = 1: all neighbors of a clustered query share its cluster
+    val near = Ann.topKJoin(queries, corpus, "v", "vec_id", "vec_id", 5, cents, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.forall { case (_, n) => n < 30 },
+      s"cluster-0 queries must probe only their own cell: ${near.toSeq}")
+  }
 }
