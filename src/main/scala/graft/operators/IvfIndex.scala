@@ -77,4 +77,68 @@ object IvfIndex {
       .orderBy(desc("cos"), asc(idCol))
       .limit(k)
   }
+
+  // ---- IVF-PQ ------------------------------------------------------------
+
+  /** IVF-PQ build: PQ codes + exact norms materialized INTO the cell
+    * table alongside the vectors. A probe then composes BOTH prunings:
+    * partition pruning picks the cells, column pruning reads only
+    * (id, code, vnorm) for ADC scoring — the fat vector column is
+    * never deserialized unless a re-rank asks for it.
+    */
+  def buildPq(df: DataFrame, vecCol: String, idCol: String, dir: String,
+      numCells: Int, dim: Int, m: Int, k: Int, seed: Long = 7L): (Index, Pq.Codebook) = {
+    val cents = Ann.kmeansCentroids(df, vecCol, numCells, seed)
+    val cb = Pq.train(df, vecCol, dim, m, k, seed)
+    Pq.encode(Ann.withCell(df, vecCol, cents), vecCol, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val out = fs(dir).create(new HPath(dir, "centroids.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val cbJson = cb.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val out2 = fs(dir).create(new HPath(dir, "codebook.json"), true)
+    try out2.write(cbJson.getBytes("UTF-8")) finally out2.close()
+    (Index(dir, cents), cb)
+  }
+
+  /** Reopen an IVF-PQ index (centroids + codebook sidecars). */
+  def loadPq(spark: SparkSession, dir: String): (Index, Pq.Codebook) = {
+    val idx = load(spark, dir)
+    val in = fs(dir).open(new HPath(dir, "codebook.json"))
+    val json =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val cb = Array.tabulate(node.size()) { i =>
+      val sub = node.get(i)
+      Array.tabulate(sub.size()) { c =>
+        val row = sub.get(c)
+        Array.tabulate(row.size())(row.get(_).doubleValue())
+      }
+    }
+    (idx, cb)
+  }
+
+  /** ADC top-k through the index: partition-pruned cells, column-pruned
+    * (id, code, vnorm) scan. `rerank > 0` re-scores the ADC top
+    * k·rerank shortlist with exact cosine (reading vectors for the
+    * shortlist's cells only) — the standard two-stage recall repair.
+    */
+  def topKPq(spark: SparkSession, index: Index, codebook: Pq.Codebook,
+      vecCol: String, idCol: String, query: Seq[Double], k: Int,
+      nprobe: Int, rerank: Int = 0): DataFrame = {
+    val probed = probe(spark, index, query, nprobe)
+    val shortlist = Pq.topK(
+      probed.select(col(idCol), col("code"), col("vnorm")),
+      idCol, query, if (rerank > 0) k * rerank else k, codebook)
+    if (rerank == 0) shortlist
+    else {
+      val qCol = array(query.map(lit): _*)
+      probed.join(shortlist.select(col(idCol)), Seq(idCol))
+        .withColumn("cos", round(Ann.cosine(col(vecCol), qCol), 4))
+        .orderBy(desc("cos"), asc(idCol))
+        .limit(k)
+    }
+  }
 }

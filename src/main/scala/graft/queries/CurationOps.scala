@@ -339,6 +339,45 @@ object CurationOps {
               |       (SELECT count(DISTINCT source || ':' || CAST(shard AS VARCHAR)) FROM packed) AS n_shards,
               |       (SELECT CAST(sum(n_words) AS BIGINT) FROM packed) AS sum_tokens""".stripMargin)),
 
+    // Corpus-trained unigram-LM quality score: token frequencies are
+    // learned from the corpus itself in one groupBy, docs score as the
+    // mean token log-probability, censused per language. Two keyed
+    // shuffles (token freq agg, token→freq join) + per-doc agg — no
+    // driver-side vocabulary, so the LM "trains" at corpus scale.
+    GateQuery(
+      "q_lm_score",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), " ")).as("tok"))
+        val n = toks.count()
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+        toks.join(freq, Seq("tok"))
+          .groupBy("doc_id", "lang")
+          .agg(avg(log(col("tf").cast("double") / n)).as("lp"))
+          .groupBy("lang")
+          .agg(
+            round(avg("lp"), 4).as("avg_logprob"),
+            round(min("lp"), 4).as("min_logprob"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents
+             |), freq AS (
+             |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+             |), n AS (
+             |  SELECT count(*) AS n FROM toks
+             |), doc AS (
+             |  SELECT doc_id, lang, avg(ln(CAST(tf AS DOUBLE) / n.n)) AS lp
+             |  FROM toks JOIN freq USING (tok), n
+             |  GROUP BY doc_id, lang
+             |)
+             |SELECT lang, round(avg(lp), 4) AS avg_logprob,
+             |       round(min(lp), 4) AS min_logprob, count(*) AS n_docs
+             |FROM doc GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Cross-source contamination matrix: distinct shared 5-gram
     // shingles per source pair — the fan-out is (shingle, source)
     // DISTINCT pairs meeting in one hash join; no all-pairs of

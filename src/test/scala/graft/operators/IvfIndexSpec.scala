@@ -68,4 +68,43 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     // correctness of the pruned result: all hits from the probed cluster
     assert(rows.forall(_.getAs[String]("label") == "c1"))
   }
+
+  test("IVF-PQ: ADC probe never reads the vector column; rerank equals exact") {
+    val df = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq").toString
+    val (idx, cb) = IvfIndex.buildPq(df, "v", "vec_id", dir,
+      numCells = 4, dim = 8, m = 4, k = 16, seed = 5L)
+    val query = Seq.tabulate(8)(d => if (d == 2) 1.0 else 0.0)
+
+    // pure ADC: every hit from the probed cluster, and the scan's read
+    // schema excludes the vector column entirely
+    val adc = IvfIndex.topKPq(spark, idx, cb, "v", "vec_id", query, 10, nprobe = 1)
+    val hits = adc.collect()
+    assert(hits.length == 10)
+    assert(hits.forall(r => r.getAs[Long]("vec_id") % 4 == 1),
+      s"ADC hits outside the axis-1 cluster: ${hits.toSeq}")
+    val scans = adc.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { scan =>
+      val read = scan.metadata("ReadSchema")
+      assert(!read.contains("v:"), s"vector column deserialized: $read")
+    }
+
+    // ADC + exact re-rank at nprobe=C reproduces brute force
+    val reranked = IvfIndex.topKPq(spark, idx, cb, "v", "vec_id", query,
+        10, nprobe = 4, rerank = 3)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = df
+      .withColumn("cos", round(Ann.cosine(col("v"), array(query.map(lit): _*)), 4))
+      .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(reranked == brute)
+
+    // sidecar round-trip
+    val (idx2, cb2) = IvfIndex.loadPq(spark, dir)
+    assert(idx2.centroids.toSeq == idx.centroids.toSeq)
+    assert(cb2.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+  }
 }
