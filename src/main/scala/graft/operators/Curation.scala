@@ -49,6 +49,22 @@ object Curation {
         < rate * BucketSpace)
   }
 
+  /** Exactly-n deterministic sample per group (eval-set construction,
+    * per-source caps): rows rank within their group by md5 bucket — a
+    * content-derived total order, so the chosen set is stable under
+    * retries and layout — and the first n survive. One partitioned
+    * window; group width bounds the sort, not the corpus.
+    */
+  def sampleExactPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(
+      hashBucket(concat_ws(":", col(groupCol), col(idCol).cast("string"))),
+      col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Token-budget shard assignment: within each group (ordered by
     * `orderCol`) rows are packed greedily into shards of ~`budget`
     * tokens; a row belongs to the shard its cumulative-token START

@@ -207,6 +207,52 @@ object Dedup {
     labels
   }
 
+  /** Incremental dedup: near-dup pairs between a NEW batch and the
+    * EXISTING corpus only — the production mode at lake scale, where
+    * re-pairing the corpus against itself for every arriving batch
+    * would be quadratic in deliveries. The band join is asymmetric
+    * (delta side ⋈ corpus side), so corpus-internal pairs are never
+    * generated at all, and the per-bucket work is |delta ∩ bucket| ·
+    * |corpus ∩ bucket| instead of the full bucket square.
+    *
+    * Returns (id_delta, id_corpus, jac) for pairs with Jaccard ≥
+    * threshold. Both inputs must carry `idCol` + `textCol`; ids may
+    * overlap between the two relations (they are distinct keyspaces in
+    * the output).
+    */
+  def deltaPairs(delta: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, seed: Long = 1234L): DataFrame = {
+    val sd = withSignature(delta, textCol, seed).persist()
+    val sc = withSignature(corpus, textCol, seed).persist()
+    try {
+      val a = sd.select(col(idCol).as("id_delta"), explode(bandKeys).as("bk"))
+        .select(col("id_delta"), col("bk.band"), col("bk.bucket"))
+      val b = sc.select(col(idCol).as("id_corpus"), explode(bandKeys).as("bk"))
+        .select(col("id_corpus"), col("bk.band"), col("bk.bucket"))
+      val cands = a.join(b, Seq("band", "bucket"))
+        .select("id_delta", "id_corpus").distinct()
+      val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+        v => v)).cast("double") / NumHashes
+      val out = cands
+        .join(sd.select(col(idCol).as("id_delta"), col("wset").as("set_a"), col("sig").as("sig_a")),
+          Seq("id_delta"))
+        .join(sc.select(col(idCol).as("id_corpus"), col("wset").as("set_b"), col("sig").as("sig_b")),
+          Seq("id_corpus"))
+        .filter(est >= threshold - 0.25)
+        .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
+        .withColumn("jac", col("n_common").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("n_common")))
+        .filter(col("jac") >= threshold)
+        .select("id_delta", "id_corpus", "jac")
+      out.persist()
+      out.count()
+      out
+    } finally {
+      sd.unpersist(blocking = false)
+      sc.unpersist(blocking = false)
+    }
+  }
+
   /** The removal step: keep each cluster's canonical (minimum-id)
     * representative plus every unclustered document. One anti-join of
     * the corpus against the non-canonical label rows — both sides

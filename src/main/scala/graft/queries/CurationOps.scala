@@ -89,6 +89,55 @@ object CurationOps {
              |       round(avg(shard_tokens / 256.0), 4) AS avg_fill
              |FROM per GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Exactly-7-per-source deterministic sample: full membership is
+    // the gate output (not just counts), so the oracle pins every
+    // chosen id.
+    GateQuery(
+      "q_sample_exact",
+      (s, d) =>
+        Curation.sampleExactPerGroup(documents(s, d), "doc_id", "source", 7)
+          .select("source", "doc_id")
+          .orderBy("source", "doc_id"),
+      Some(s"""SELECT source, doc_id
+              |FROM (
+              |  SELECT source, doc_id,
+              |         row_number() OVER (
+              |           PARTITION BY source
+              |           ORDER BY ${bucketSql("source || ':' || CAST(doc_id AS VARCHAR)")},
+              |                    doc_id) AS rn
+              |  FROM documents)
+              |WHERE rn <= 7
+              |ORDER BY source, doc_id""".stripMargin)),
+
+    // Incremental dedup: the doc_id % 10 = 0 slice plays the freshly
+    // arrived batch, the rest the existing lake; only delta↔corpus
+    // pairs may appear (corpus-internal near-dups must NOT be
+    // re-found — the oracle's join is asymmetric too).
+    GateQuery(
+      "q_dedup_delta",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        graft.operators.Dedup.deltaPairs(delta, corpus, "doc_id", "text", 0.9)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(avg("jac"), 4).as("avg_jac"),
+            countDistinct(col("id_delta")).as("n_delta_docs"))
+      },
+      Some("""SELECT count(*) AS n_pairs, round(avg(jac), 4) AS avg_jac,
+             |       count(DISTINCT id_delta) AS n_delta_docs
+             |FROM (
+             |  SELECT a.doc_id AS id_delta,
+             |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             |           / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jac
+             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents WHERE doc_id % 10 = 0) a
+             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents WHERE doc_id % 10 <> 0) b
+             |    ON true)
+             |WHERE jac >= 0.9""".stripMargin)),
+
     // Eval-set decontamination: eval = doc_id % 17 = 0; flag training
     // docs sharing ≥ 2 distinct 5-gram shingles with any eval doc.
     GateQuery(

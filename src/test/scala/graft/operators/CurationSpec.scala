@@ -49,6 +49,21 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sampleExactPerGroup: exactly n per group, layout-independent") {
+    val big = spark.range(0, 300)
+      .withColumn("grp", (col("id") % 3).cast("string"))
+    def ids(parts: Int): Seq[Long] =
+      Curation.sampleExactPerGroup(big.repartition(parts), "id", "grp", 10)
+        .select("id").as[Long].collect().toSeq.sorted
+    val a = ids(1)
+    assert(a == ids(8))
+    assert(a.size == 30)
+    // exactly 10 per group
+    (0 until 3).foreach { g =>
+      assert(a.count(_ % 3 == g) == 10, s"group $g")
+    }
+  }
+
   // ---- packShards --------------------------------------------------------
 
   test("packShards: every non-final shard reaches the budget, order is stable") {

@@ -70,6 +70,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("deltaPairs finds delta-vs-corpus near-dups only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight again"), // corpus-internal dup of 1
+      (3L, "completely different words live in this other document here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight again"), // dup of 1 and 2
+      (101L, "nothing matches this fresh arrival in any way at all"),
+      (102L, "nothing matches this fresh arrival in any way at all") // delta-internal dup
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.deltaPairs(delta, corpus, "doc_id", "text", 0.9)
+      .select("id_delta", "id_corpus").as[(Long, Long)].collect().toSet
+    // only delta↔corpus edges: the corpus-internal (1,2) and
+    // delta-internal (101,102) pairs must not appear
+    assert(pairs == Set((100L, 1L), (100L, 2L)), pairs.toString)
+  }
+
   test("keepCanonical retains cluster minimum + unclustered docs") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
