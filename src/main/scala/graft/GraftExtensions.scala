@@ -1,10 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.types.LongType
 
 import graft.functions.Xxh3Expression
 
@@ -27,11 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("xxh3_64"),
       new ExpressionInfo(classOf[Xxh3Expression].getName, "xxh3_64"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1 || args.length == 2, "xxh3_64(str[, seed])")
-        val seed =
-          if (args.length == 2) Cast(args(1), LongType) else Literal(0L)
-        Xxh3Expression(args.head, seed)
-      }))
+      graft.functions.Functions.xxh3Builder(_)))
   }
 }

@@ -45,20 +45,24 @@ case class Xxh3Expression(left: Expression, right: Expression)
   */
 object Functions {
 
+  /** The xxh3_64 expression builder — ONE definition shared by the
+    * imperative registration below and `graft.GraftExtensions`, so the
+    * two registration paths can never drift semantically.
+    */
+  def xxh3Builder(args: Seq[Expression]): Expression = {
+    require(args.length == 1 || args.length == 2, "xxh3_64(str[, seed])")
+    // coerce integer seed literals — the natural SQL spelling is
+    // xxh3_64(s, 42), and 42 parses as INT
+    val seed = if (args.length == 2)
+      org.apache.spark.sql.catalyst.expressions.Cast(args(1), LongType)
+    else org.apache.spark.sql.catalyst.expressions.Literal(0L)
+    Xxh3Expression(args.head, seed)
+  }
+
   def register(spark: SparkSession): Unit = {
     // native expression via the function registry (not a UDF)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "xxh3_64",
-      { args =>
-        require(args.length == 1 || args.length == 2, "xxh3_64(str[, seed])")
-        // coerce integer seed literals — the natural SQL spelling is
-        // xxh3_64(s, 42), and 42 parses as INT
-        val seed = if (args.length == 2)
-          org.apache.spark.sql.catalyst.expressions.Cast(args(1), LongType)
-        else org.apache.spark.sql.catalyst.expressions.Literal(0L)
-        Xxh3Expression(args.head, seed)
-      },
-      "scala_udf")
+      "xxh3_64", xxh3Builder, "scala_udf")
 
     spark.udf.register("ksuid_timestamp",
       (id: String) => Ksuid.timestampSeconds(id).map(java.lang.Long.valueOf).orNull)

@@ -77,15 +77,26 @@ object Curation {
     * (sources/shard-families) bound the sort width, and no global
     * total order is ever required.
     */
-  def packShards(df: DataFrame, groupCol: String, orderCol: String,
+  def packShards(df: DataFrame, groupCol: String, orderCols: Seq[String],
       tokensCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+    // orderCols must reach a total order within each group (end with a
+    // unique id): with ties the running sum cumulates in
+    // partition-arrival order and a retry could flip a row's shard —
+    // the exact instability this module promises to avoid.
+    val w = Window.partitionBy(groupCol).orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(tokensCol)).over(w))
       .withColumn("shard",
         floor((col("_cum") - col(tokensCol)) / lit(budget).cast("double")).cast("long"))
       .drop("_cum")
   }
+
+  /** Single-order-column convenience; the column must be unique within
+    * each group (see above).
+    */
+  def packShards(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: String, budget: Long): DataFrame =
+    packShards(df, groupCol, Seq(orderCol), tokensCol, budget)
 
   /** Distinct word-`n`-gram shingle hashes of `textCol` (16-hex-char
     * md5 prefixes — 64 bits, collision-negligible at corpus scale and

@@ -98,24 +98,33 @@ object Dedup {
     * corpus's word sets to fit in one executor's memory (a broadcast
     * here is a scale-killer — the "small" side IS the corpus).
     */
-  def exactVerify(signed: DataFrame, cands: DataFrame, idCol: String,
-      threshold: Double, carryCols: Seq[String] = Nil): DataFrame = {
-    val sides = signed.select(col(idCol), col("wset"), col("sig"))
-    // signature-estimated similarity gates the exact verify: matching
-    // positions / k estimates jaccard (sd ≈ √(j(1−j)/64) ≈ 0.037 at
-    // j=0.9), so est ≥ threshold − 0.25 is a > 6σ margin — it cannot
-    // drop a true pair, but discards the mid-similarity candidate bulk
-    // before the (more expensive) set intersection
+  /** est-gate + exact Jaccard over a joined frame carrying
+    * set_a/set_b/sig_a/sig_b — shared by the symmetric and incremental
+    * verify paths. The signature estimate gates the exact verify:
+    * matching positions / k estimates jaccard (sd ≈ √(j(1−j)/64) ≈
+    * 0.037 at j=0.9), so est ≥ threshold − 0.25 is a > 6σ margin — it
+    * cannot drop a true pair, but discards the mid-similarity
+    * candidate bulk before the (more expensive) set intersection.
+    */
+  private def verifyJaccard(joined: DataFrame, threshold: Double): DataFrame = {
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast("double") / NumHashes
-    cands
-      .join(sides.select(col(idCol).as("id_a"), col("wset").as("set_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sides.select(col(idCol).as("id_b"), col("wset").as("set_b"), col("sig").as("sig_b")), Seq("id_b"))
+    joined
       .filter(est >= threshold - 0.25)
       .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jac", col("n_common").cast("double") /
         (size(col("set_a")) + size(col("set_b")) - col("n_common")))
       .filter(col("jac") >= threshold)
+  }
+
+  def exactVerify(signed: DataFrame, cands: DataFrame, idCol: String,
+      threshold: Double, carryCols: Seq[String] = Nil): DataFrame = {
+    val sides = signed.select(col(idCol), col("wset"), col("sig"))
+    verifyJaccard(
+      cands
+        .join(sides.select(col(idCol).as("id_a"), col("wset").as("set_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sides.select(col(idCol).as("id_b"), col("wset").as("set_b"), col("sig").as("sig_b")), Seq("id_b")),
+      threshold)
       .select(col("id_a") +: col("id_b") +: col("jac") +: carryCols.map(col): _*)
   }
 
@@ -171,13 +180,22 @@ object Dedup {
       .repartition(col("src"))
       .sortWithinPartitions("src")
       .persist()
-    // localCheckpoint per round: `next` references the previous labels
-    // twice, so without lineage truncation the logical plan doubles
-    // every iteration and the driver drowns in plan analysis long
-    // before executors do any work. The checkpoint materializes the
-    // round AND makes the next plan a leaf.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    // Per-round lineage cut: `next` references the previous labels
+    // twice, so without truncation the logical plan doubles every
+    // iteration and the driver drowns in plan analysis long before
+    // executors do any work. The cut pins the round's label RDD and
+    // rebuilds a leaf DataFrame over it — NOT localCheckpoint, whose
+    // pinned blocks Dataset.unpersist cannot release (it only consults
+    // the CacheManager): with the explicit RDD handle the previous
+    // snapshot is truly freed each round, so at most two label
+    // snapshots are ever pinned even on a deep chain-shaped graph.
+    val spark = pairs.sparkSession
+    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -186,16 +204,15 @@ object Dedup {
       // separate old-vs-new diff join).
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min("cluster").as("_nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val (next, nextRdd) = pin(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("_nbr"), col("cluster"))).as("cluster"),
-          (coalesce(col("_nbr"), col("cluster")) < col("cluster")).as("_changed"))
-        .localCheckpoint()
+          (coalesce(col("_nbr"), col("cluster")) < col("cluster")).as("_changed")))
       val changed = next.filter(col("_changed")).limit(1).count()
-      // the previous snapshot is no longer referenced — release it so
-      // at most two label snapshots are ever pinned
-      labels.unpersist(blocking = false)
+      // the previous snapshot is no longer referenced — release it
+      labelsRdd.unpersist(blocking = false)
       labels = next.select("id", "cluster")
+      labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
     }
@@ -231,18 +248,13 @@ object Dedup {
         .select(col("id_corpus"), col("bk.band"), col("bk.bucket"))
       val cands = a.join(b, Seq("band", "bucket"))
         .select("id_delta", "id_corpus").distinct()
-      val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-        v => v)).cast("double") / NumHashes
-      val out = cands
-        .join(sd.select(col(idCol).as("id_delta"), col("wset").as("set_a"), col("sig").as("sig_a")),
-          Seq("id_delta"))
-        .join(sc.select(col(idCol).as("id_corpus"), col("wset").as("set_b"), col("sig").as("sig_b")),
-          Seq("id_corpus"))
-        .filter(est >= threshold - 0.25)
-        .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
-        .withColumn("jac", col("n_common").cast("double") /
-          (size(col("set_a")) + size(col("set_b")) - col("n_common")))
-        .filter(col("jac") >= threshold)
+      val out = verifyJaccard(
+        cands
+          .join(sd.select(col(idCol).as("id_delta"), col("wset").as("set_a"), col("sig").as("sig_a")),
+            Seq("id_delta"))
+          .join(sc.select(col(idCol).as("id_corpus"), col("wset").as("set_b"), col("sig").as("sig_b")),
+            Seq("id_corpus")),
+        threshold)
         .select("id_delta", "id_corpus", "jac")
       out.persist()
       out.count()

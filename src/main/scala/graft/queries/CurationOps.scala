@@ -399,11 +399,14 @@ object CurationOps {
         val toks = documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(split(trim(col("text")), " ")).as("tok"))
-        val n = toks.count()
+        // total token count stays IN the plan (single-row cross join,
+        // exactly the oracle's `, n` CTE) — one lazy query, no side
+        // job or second corpus scan
+        val n = toks.agg(count(lit(1)).as("_n"))
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
-        toks.join(freq, Seq("tok"))
+        toks.join(freq, Seq("tok")).crossJoin(n)
           .groupBy("doc_id", "lang")
-          .agg(avg(log(col("tf").cast("double") / n)).as("lp"))
+          .agg(avg(log(col("tf").cast("double") / col("_n"))).as("lp"))
           .groupBy("lang")
           .agg(
             round(avg("lp"), 4).as("avg_logprob"),

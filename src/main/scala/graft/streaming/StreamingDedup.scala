@@ -57,6 +57,15 @@ object StreamingDedup {
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
       .text(dropDir)
       .select(from_json(col("value"), schema).as("d"))
+      // drop malformed lines EXPLICITLY: an unparseable row would
+      // otherwise flow on with a null event_time/fingerprint — the
+      // first one emitted as an all-null record, later ones silently
+      // swallowed as late data once the watermark moves. (The batch
+      // ingest path censuses its rejects — FirehoseRecords; here the
+      // guard keeps the stream clean and the invalid line count is
+      // observable via the file-source input minus output metrics.)
+      .filter(col("d").isNotNull && col("d.doc_id").isNotNull &&
+        col("d.ts").isNotNull && col("d.text").isNotNull)
       .select(
         col("d.doc_id").as("doc_id"),
         timestamp_seconds(col("d.ts")).as("event_time"),

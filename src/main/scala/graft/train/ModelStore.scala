@@ -174,9 +174,14 @@ object ModelStore {
       }
       Tar.finish(gz)
     } finally gz.close()
-    // copy archive → latest via tmp + rename: S3 copy_object is atomic
-    // and `latest` is the key consumers poll, so a truncate-then-stream
-    // overwrite would expose a partial artifact during the copy window
+    // copy archive → latest via tmp + OVERWRITE rename: `latest` is the
+    // key consumers poll, so it must never be absent or partial. A
+    // truncate-then-stream overwrite exposes a partial artifact during
+    // the copy; a delete-then-rename leaves a missing-key window and —
+    // if the rename then fails — no artifact AT ALL. FileContext.rename
+    // with Options.Rename.OVERWRITE replaces the destination atomically
+    // on HDFS/local. (On an object store a publisher would instead PUT
+    // the latest key directly — the PUT itself is atomic there.)
     val latest = new HPath(modelsRoot, latestKey(modelName))
     outFs.mkdirs(latest.getParent)
     val tmp = new HPath(latest.getParent, s".${latest.getName}.tmp")
@@ -184,8 +189,8 @@ object ModelStore {
     val out = outFs.create(tmp, true)
     try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, true)
     catch { case e: Exception => in.close(); out.close(); throw e }
-    if (outFs.exists(latest)) outFs.delete(latest, false)
-    require(outFs.rename(tmp, latest), s"rename $tmp -> $latest failed")
+    org.apache.hadoop.fs.FileContext.getFileContext(latest.toUri, outFs.getConf)
+      .rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     (arcKey, latestKey(modelName))
   }
 
