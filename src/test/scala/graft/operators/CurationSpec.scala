@@ -87,6 +87,14 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     val packed8 = Curation.packShards(toks.repartition(8), "grp", "id", "n", 12L)
       .select("grp", "id", "shard").as[(String, Long, Long)].collect().toSet
     assert(packed.map(r => (r._1, r._2, r._4)).toSet == packed8)
+    // multi-column order: a tied leading column with a unique
+    // tiebreak assigns shards layout-independently
+    val tied = toks.withColumn("bucket", lit(1))
+    val m1 = Curation.packShards(tied.repartition(1), "grp", Seq("bucket", "id"), "n", 12L)
+      .select("grp", "id", "shard").as[(String, Long, Long)].collect().toSet
+    val m8 = Curation.packShards(tied.repartition(8), "grp", Seq("bucket", "id"), "n", 12L)
+      .select("grp", "id", "shard").as[(String, Long, Long)].collect().toSet
+    assert(m1 == m8)
   }
 
   // ---- shingles / decontaminate -----------------------------------------

@@ -25,15 +25,20 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
       .awaitTermination(120000)
 
     // batch 2: another re-send within the horizon (dropped — state
-    // persists across restarts via the checkpoint) and a fresh doc
+    // persists across restarts via the checkpoint), a fresh doc, and
+    // malformed lines that must be filtered, not emitted as nulls
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/b2.jsonl"), Seq(
       line(4L, t0 + 120, "alpha beta gamma"), // still a dup
+      """{"doc_id":6,"text":"missing ts entirely"}""",
+      """not json at all {{{""",
       line(5L, t0 + 150, "brand new content")).mkString("\n"))
     StreamingDedup.dedupStream(spark, drop, s"$work/out", s"$work/ckpt", "1 hour")
       .awaitTermination(120000)
 
-    val kept = spark.read.parquet(s"$work/out")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = spark.read.parquet(s"$work/out").collect()
+    val kept = rows.map(_.getAs[Long]("doc_id")).toSet
     assert(kept == Set(1L, 3L, 5L), s"got $kept")
+    // malformed lines are dropped, never emitted as null records
+    assert(rows.forall(r => !r.anyNull), "null fields leaked from malformed input")
   }
 }
