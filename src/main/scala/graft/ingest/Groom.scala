@@ -30,9 +30,22 @@ object Groom {
   val MaxGroomIterations = 30
   val MaxKeyBytes = 204800
 
-  private def parsed(key: String): PartitionFilename.Parsed =
-    PartitionFilename.parse(key.split('/').last)
-      .getOrElse(throw new IllegalArgumentException(s"invalid partition key $key"))
+  // memoized: the grouping/overlap pipeline reads rowCount/minTs/maxTs
+  // of the same key several times per groom iteration — on a 100k-file
+  // listing that is ~half a million driver-side regex parses per
+  // iteration without the cache. Bounded: one entry per listed key.
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PartitionFilename.Parsed]()
+
+  private def parsed(key: String): PartitionFilename.Parsed = {
+    // groomed stores mint fresh filenames every pass, so in a
+    // long-lived driver the cache would creep — reset it instead of
+    // letting it outgrow the listings it serves
+    if (parseCache.size() > 1000000) parseCache.clear()
+    parseCache.computeIfAbsent(key, k =>
+      PartitionFilename.parse(k.split('/').last)
+        .getOrElse(throw new IllegalArgumentException(s"invalid partition key $k")))
+  }
 
   def rowCount(key: String): Long = parsed(key).rowCount
   def minTs(key: String): String = parsed(key).minTs

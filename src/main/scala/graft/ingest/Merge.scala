@@ -35,8 +35,10 @@ object Merge {
     * tracked as `100` stays `100`, not `100.0`), as orjson does.
     */
   def mergeRewardMaps(maps: Seq[String]): (String, Double) = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val acc = mapper.createObjectNode()
+    // node factory, not a fresh ObjectMapper: this runs once per
+    // (model, decision_id) group — the engine's hottest aggregation —
+    // and mapper construction is heavyweight next to the map union
+    val acc = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance.objectNode()
     maps.foreach { m =>
       if (m != null && m != EmptyRewardsJson) {
         CanonicalJson.tryParse(m).foreach { node =>

@@ -47,16 +47,22 @@ object Loader {
     var selected = taken.result()
 
     // file-level sampling for large selections
-    if (effSample < 1.0 && acc > FileSamplingMinRows && selected.length > FileSamplingMinFiles) {
+    val fileSampled =
+      effSample < 1.0 && acc > FileSamplingMinRows && selected.length > FileSamplingMinFiles
+    if (fileSampled) {
       val rnd = new scala.util.Random(seed)
       selected = selected.filter(_ => rnd.nextDouble() < effSample)
     }
 
     val listedRows = selected.map(_._2).sum
-    // the sample always applies row-wise (reference parquet_io.py
-    // ddf.sample(adjusted_sample)); cap additionally at maxRows
-    val rowFraction = math.min(effSample,
-      if (listedRows > maxRows) maxRows.toDouble / listedRows else 1.0)
+    // the sample applies ONCE: row-wise (reference parquet_io.py
+    // ddf.sample(adjusted_sample)) — unless file-level sampling already
+    // realized it, in which case rows are only trimmed to the maxRows
+    // cap (composing both would sample at effSample² and break the
+    // explore bootstrap's survival-rate contract)
+    val capFraction = if (listedRows > maxRows) maxRows.toDouble / listedRows else 1.0
+    val rowFraction =
+      if (fileSampled) capFraction else math.min(effSample, capFraction)
     Selection(selected.map(_._1), listedRows, rowFraction)
   }
 

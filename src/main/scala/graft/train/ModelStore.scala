@@ -69,10 +69,25 @@ object ModelStore {
   // ---- phase-1 checkpoint (M4) -------------------------------------------
 
   def saveCheckpoint(pm: PropensityModel, dir: String): Unit = {
-    pm.model.write.overwrite().save(s"$dir/phase1_model")
-    writeString(dir, "metadata.json",
+    // stage the WHOLE checkpoint (model + metadata) in a side dir, then
+    // swap it in: writing the pieces in place would let a crash between
+    // the model save and the metadata write pair a NEW booster with
+    // yesterday's still-valid metadata — loadCheckpoint would then
+    // encode with the wrong feature/string mapping and silently poison
+    // phase-2 propensities. The crash windows of the swap leave either
+    // the old checkpoint or none (loadCheckpoint → None → retrain,
+    // which is always safe: the checkpoint is an optimization).
+    val root = new HPath(dir)
+    val f = fs(dir)
+    val tmp = new HPath(root.getParent, s".${root.getName}.tmp-${java.util.UUID.randomUUID()}")
+    pm.model.write.overwrite().save(s"$tmp/phase1_model")
+    writeString(tmp.toString, "metadata.json",
       metadataJson(pm.featureNames, pm.stringTables, pm.modelSeed,
         Map("mean_item_count" -> pm.meanItemCount)))
+    if (f.exists(root)) f.delete(root, true)
+    f.mkdirs(root.getParent)
+    if (!f.rename(tmp, root))
+      throw new java.io.IOException(s"checkpoint swap $tmp -> $root failed")
   }
 
   /** Reuse the phase-1 model when version matches and it is younger
@@ -130,22 +145,24 @@ object ModelStore {
     s"models/archive/$modelName/$modelName-$ts-${java.util.UUID.randomUUID()}$PublishExtension"
   }
 
-  /** Recursively list regular files under dir, (relativeName, path),
-    * sorted by name for deterministic archives.
+  /** Recursively list regular files under dir as
+    * (relativeName, path, length), sorted by name for deterministic
+    * archives. The length rides along from listStatus so publish never
+    * re-stats each file (one RPC per file on a remote store).
     */
-  private def walk(f: org.apache.hadoop.fs.FileSystem, root: HPath): Seq[(String, HPath)] = {
+  private def walk(f: org.apache.hadoop.fs.FileSystem, root: HPath): Seq[(String, HPath, Long)] = {
     // qualify BOTH sides before prefix-stripping: listStatus returns
     // fully-qualified paths, so a relative `root` (legal CLI input)
     // would strip nothing and yield near-absolute entry names that
     // blow the 100-char tar field or unpack to wrong directories
     val rootUri = f.makeQualified(root).toUri.getPath
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, HPath)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, HPath, Long)]
     def go(p: HPath): Unit = f.listStatus(p).foreach { st =>
       if (st.isDirectory) go(st.getPath)
       else {
         val full = f.makeQualified(st.getPath).toUri.getPath
         val rel = full.stripPrefix(rootUri).stripPrefix("/")
-        out += rel -> st.getPath
+        out += ((rel, st.getPath, st.getLen))
       }
     }
     go(root)
@@ -166,8 +183,7 @@ object ModelStore {
     outFs.mkdirs(arcPath.getParent)
     val gz = new java.util.zip.GZIPOutputStream(outFs.create(arcPath, true))
     try {
-      walk(f, new HPath(modelDir)).foreach { case (rel, p) =>
-        val size = f.getFileStatus(p).getLen
+      walk(f, new HPath(modelDir)).foreach { case (rel, p, size) =>
         val in = f.open(p)
         try Tar.writeEntry(gz, rel, size, now.getEpochSecond, in)
         finally in.close()
@@ -196,15 +212,24 @@ object ModelStore {
 
   /** Extract `models/latest/{name}.tar.gz` into destDir (the inverse
     * of publish); returns false when no published artifact exists.
+    * destDir is CLEARED first — consumers re-unpack each new artifact
+    * into the same directory, and leftover part-files from a previous
+    * artifact would otherwise mix into the MLlib directory-load (which
+    * reads every parquet file present) as a silently wrong model.
     */
   def unpackLatest(modelsRoot: String, modelName: String, destDir: String): Boolean = {
     val f = fs(modelsRoot)
     val latest = new HPath(modelsRoot, latestKey(modelName))
     if (!f.exists(latest)) return false
     val destFs = fs(destDir)
+    if (destFs.exists(new HPath(destDir))) destFs.delete(new HPath(destDir), true)
     val in = new java.util.zip.GZIPInputStream(f.open(latest))
     try {
       Tar.read(in, (name, _, data) => {
+        // tar entry names come from the (possibly hostile) archive:
+        // reject anything that could escape destDir (zip-slip)
+        require(!name.startsWith("/") && !name.split('/').contains(".."),
+          s"unsafe tar entry name: $name")
         val p = new HPath(destDir, name)
         destFs.mkdirs(p.getParent)
         val out = destFs.create(p, true)

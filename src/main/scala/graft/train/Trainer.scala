@@ -172,7 +172,12 @@ object Trainer {
       .setSeed(modelSeed)
     val model = gbt.fit(encoded) // no early stop in phase 2 (reference)
     weighted.unpersist()
-    DecisionModel(model, featureNames, tables, modelSeed, rewardMean, rewardStd)
+    // the stored (mean, std) are the Scorer's DE-normalization params:
+    // identity when the target was trained raw, else predictions in
+    // reward units would be scaled a second time
+    val (outMean, outStd) =
+      if (config.normalizeRewards) (rewardMean, rewardStd) else (0.0, 1.0)
+    DecisionModel(model, featureNames, tables, modelSeed, outMean, outStd)
   }
 
   /** 70/30 split with early-stop validation (reference model_utils

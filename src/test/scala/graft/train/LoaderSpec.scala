@@ -39,6 +39,22 @@ class LoaderSpec extends AnyFunSuite with SparkTestBase {
     assert(sel.rowSampleFraction == 0.5)
   }
 
+  test("file-level sampling does NOT re-apply the sample row-wise") {
+    // >100 files, >1M listed rows, sample < 1 → file sampling kicks in;
+    // composing both levels would load at sample² and break the explore
+    // bootstrap's survival-rate contract (weights assume 1−1/e ONCE)
+    val keys = (0 until 200).map(i =>
+      key(f"20230705T${i}%06dZ", f"20230704T${i}%06dZ", 10000))
+    val sel = Loader.selectFiles(keys, maxRows = 2000000, minRows = 0,
+      sample = 0.632, seed = 1)
+    assert(sel.keys.length < 200, "file sampling should have dropped files")
+    // rows are only trimmed to the maxRows cap afterwards — never
+    // multiplied by the sample again
+    val cap = math.min(1.0, 2000000.0 / sel.listedRows)
+    assert(math.abs(sel.rowSampleFraction - cap) < 1e-9,
+      s"rowFraction ${sel.rowSampleFraction} must equal cap $cap, not cap·sample")
+  }
+
   test("corrupt partition files are skipped, not fatal") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("loader").toString

@@ -117,6 +117,24 @@ class TrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(loaded.model.predict(v) === dm.model.predict(v) +- 1e-12)
   }
 
+  test("raw-reward training stores identity de-normalization (scores stay in reward units)") {
+    import spark.implicits._
+    val df = syntheticDecisions(100).toDF()
+    val raw = cfg.copy(normalizeRewards = false)
+    val pm = Trainer.trainPropensity(df, raw)
+    val dm = Trainer.trainDecision(df, pm, raw)
+    // a raw-target model predicts reward units already; the stored
+    // (mean, std) must be the identity or score() would scale twice
+    assert(dm.rewardMean == 0.0 && dm.rewardStd == 1.0,
+      s"(${dm.rewardMean}, ${dm.rewardStd})")
+    val scored = Scorer.score(
+      Seq(("\"a\"", """{"device":"d1"}""")).toDF("item", "context"), dm)
+      .select("score").head().getDouble(0)
+    val enc = Encoding.makeVectorEncoder(dm.featureNames, dm.stringTables, dm.modelSeed)
+    val (nums, strs) = Encoding.flattenPair("\"a\"", """{"device":"d1"}""")
+    assert(scored === dm.model.predict(enc(nums, strs, 0.0)) +- 1e-12)
+  }
+
   test("training is partition-layout independent (content-hash noise, not rand)") {
     import spark.implicits._
     val rows = syntheticDecisions(200)
