@@ -51,6 +51,10 @@ object JsonFlattener {
         flattenInto(it.next(), path + "." + i, out)
         i += 1
       }
+    } else if (node.isMissingNode) {
+      // readTree("") returns MissingNode (no exception) — an empty or
+      // whitespace-only payload flattens to no features, it must not
+      // abort the job
     } else throw new IllegalArgumentException(s"invalid node ${node.getNodeType}")
   }
 

@@ -17,7 +17,12 @@ object Tar {
   private val Nul: Byte = 0
 
   private def octal(v: Long, width: Int): Array[Byte] = {
-    // width-1 octal digits then a NUL terminator (classic numeric field)
+    // width-1 octal digits then a NUL terminator (classic numeric
+    // field); overflow must fail fast — silently writing extra digits
+    // would smear into the next header field (size ≥ 8 GiB → mtime)
+    // and corrupt the archive
+    require(v >= 0 && v.toOctalString.length <= width - 1,
+      s"value $v does not fit a $width-byte octal tar field")
     val s = v.toOctalString.reverse.padTo(width - 1, '0').reverse
     s.getBytes("US-ASCII") :+ Nul
   }

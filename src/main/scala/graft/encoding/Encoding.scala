@@ -132,11 +132,9 @@ object Encoding {
       .groupBy(_.getString(0))
 
     stats.map { case (feature, rows) =>
-      // rank by mean target with prior, descending; ties broken by
-      // value for determinism (the reference relies on python sort
-      // stability)
-      val pruned = rows.sortBy(r => (-r.getDouble(2), r.getString(1)))
-      val ranked = pruned.sortBy { r =>
+      // rank by mean target with prior, descending; the value tiebreak
+      // makes the key total, so no pre-sort is needed for determinism
+      val ranked = rows.sortBy { r =>
         val (w, t, c) = (r.getDouble(2), r.getDouble(3), r.getLong(4))
         val priorWeight = priorCount * w / c
         (-((t + priorMean * priorWeight) / (w + priorWeight)), r.getString(1))
@@ -200,7 +198,12 @@ object Encoding {
       while (i < names.length) {
         val name = names(i)
         nums.get(name) match {
-          case Some(v) => arr(i) = sprinkle(v, noise)
+          // NaN (e.g. ksuidTimestamp's undecodable-id fallback) is
+          // MISSING, not a value: sprinkling it would put NaN in the
+          // dense vector, and MLlib GBT split evaluation cannot route
+          // NaN (the documented 0.0-for-missing deviation)
+          case Some(v) if !v.isNaN => arr(i) = sprinkle(v, noise)
+          case Some(_) => arr(i) = 0.0
           case None => strs.get(name) match {
             case Some(s) =>
               arr(i) = sprinkle(stringTables.getOrElse(name, emptyTable).encode(s), noise)

@@ -53,17 +53,22 @@ object Ann {
     model.clusterCenters.map(_.toArray.toSeq)
   }
 
-  /** Adds a `cell` column: index of the nearest centroid. */
+  /** Adds a `cell` column: index of the nearest centroid. Centroid
+    * norms are precomputed once outside the UDF — recomputing them
+    * per row doubles the FLOPs of the corpus-wide assignment pass.
+    */
   def withCell(df: DataFrame, vecCol: String, cents: Array[Seq[Double]]): DataFrame = {
+    val centArr = cents.map(_.toArray)
+    val centNorms = centArr.map(c => math.sqrt(c.map(x => x * x).sum + 1e-12))
     val assign = udf((v: Seq[Double]) => {
       var best = 0; var bestScore = Double.NegativeInfinity
       var c = 0
-      while (c < cents.length) {
-        val cent = cents(c)
-        var s = 0.0; var n2 = 0.0
+      while (c < centArr.length) {
+        val cent = centArr(c)
+        var s = 0.0
         var i = 0
-        while (i < cent.length) { s += v(i) * cent(i); n2 += cent(i) * cent(i); i += 1 }
-        val score = s / math.sqrt(n2 + 1e-12)
+        while (i < cent.length) { s += v(i) * cent(i); i += 1 }
+        val score = s / centNorms(c)
         if (score > bestScore) { bestScore = score; best = c }
         c += 1
       }

@@ -42,7 +42,15 @@ object Dedup {
     * only affect LSH candidate quality, never verification).
     */
   def withSignature(df: DataFrame, textCol: String, seed: Long = 1234L): DataFrame = {
+    // NULL text is dropped up front: it propagates to a null wset and
+    // signature, every such doc then lands in the SAME band buckets
+    // (concat_ws skips nulls), and m null docs would inflate the band
+    // join by m² candidate pairs that the verify discards anyway (jac
+    // is null) — pure blowup, no output. Empty-STRING docs stay: their
+    // singleton word sets make them genuine jaccard-1 duplicates of
+    // each other, which is what the all-pairs semantics say.
     val base = df
+      .filter(col(textCol).isNotNull)
       .withColumn("wset", array_distinct(transform(
         split(trim(col(textCol)), " "), w => xxhash64(w))))
       .withColumn("_h31", transform(col("wset"), h => pmod(h, lit(MersennePrime))))
@@ -163,7 +171,12 @@ object Dedup {
     * list, never O(n²). Iteration stops as soon as a round changes
     * nothing (checked by count, cheap against the persisted labels).
     *
-    * Returns (id, cluster) for every id that appears in `pairs`.
+    * Returns (id, cluster) for every id that appears in `pairs`. The
+    * returned frame reads the FINAL label snapshot from executor
+    * storage (one pinned RDD); Spark's ContextCleaner unpersists it
+    * automatically once the caller drops the last reference — the
+    * intermediate rounds' snapshots are released eagerly inside the
+    * loop.
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20): DataFrame = {

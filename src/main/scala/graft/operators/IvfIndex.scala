@@ -25,6 +25,35 @@ object IvfIndex {
     new HPath(dir).getFileSystem(conf)
   }
 
+  /** Write `content` as a small sidecar file under dir. */
+  private def writeSidecar(dir: String, name: String, content: String): Unit = {
+    val out = fs(dir).create(new HPath(dir, name), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Build the whole index (cells + sidecars) in a side directory,
+    * then swap it in. Writing pieces in place would let a failed
+    * rebuild pair NEW cell assignments with the OLD centroids sidecar
+    * — load() would accept the mismatch and probes would prune the
+    * wrong partitions, silently returning wrong neighbors. The swap's
+    * crash windows leave the old index or none (load on none fails
+    * loudly).
+    */
+  private def buildAtomically(dir: String)(writeTo: String => Unit): Unit = {
+    val root = new HPath(dir)
+    val f = fs(dir)
+    val tmp = new HPath(root.getParent,
+      s".${root.getName}.tmp-${java.util.UUID.randomUUID()}")
+    writeTo(tmp.toString)
+    if (f.exists(root)) f.delete(root, true)
+    f.mkdirs(root.getParent)
+    if (!f.rename(tmp, root))
+      throw new java.io.IOException(s"index swap $tmp -> $root failed")
+  }
+
+  private def centroidsJson(cents: Array[Seq[Double]]): String =
+    cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** Assign cells (seeded cosine k-means quantizer by default) and
     * write the partitioned table + sidecar. One full pass over the
     * corpus; the only driver-side state is C centroid vectors.
@@ -34,11 +63,11 @@ object IvfIndex {
     val cents =
       if (kmeansQuantizer) Ann.kmeansCentroids(df, vecCol, numCells, seed)
       else Ann.centroids(df, vecCol, idCol, numCells)
-    Ann.withCell(df, vecCol, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val out = fs(dir).create(new HPath(dir, "centroids.json"), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    buildAtomically(dir) { tmp =>
+      Ann.withCell(df, vecCol, cents)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
+      writeSidecar(tmp, "centroids.json", centroidsJson(cents))
+    }
     Index(dir, cents)
   }
 
@@ -90,15 +119,14 @@ object IvfIndex {
       numCells: Int, dim: Int, m: Int, k: Int, seed: Long = 7L): (Index, Pq.Codebook) = {
     val cents = Ann.kmeansCentroids(df, vecCol, numCells, seed)
     val cb = Pq.train(df, vecCol, dim, m, k, seed)
-    Pq.encode(Ann.withCell(df, vecCol, cents), vecCol, cb)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    val out = fs(dir).create(new HPath(dir, "centroids.json"), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    val cbJson = cb.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
-      .mkString("[", ",", "]")
-    val out2 = fs(dir).create(new HPath(dir, "codebook.json"), true)
-    try out2.write(cbJson.getBytes("UTF-8")) finally out2.close()
+    buildAtomically(dir) { tmp =>
+      Pq.encode(Ann.withCell(df, vecCol, cents), vecCol, cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
+      writeSidecar(tmp, "centroids.json", centroidsJson(cents))
+      writeSidecar(tmp, "codebook.json",
+        cb.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
+          .mkString("[", ",", "]"))
+    }
     (Index(dir, cents), cb)
   }
 

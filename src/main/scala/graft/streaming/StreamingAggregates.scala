@@ -30,6 +30,11 @@ object StreamingAggregates {
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
       .text(dropDir)
       .select(from_json(col("value"), schema).as("e"))
+      // malformed lines parse to null — a null event_time would enter
+      // the window state under a key the watermark can never close
+      // (state grows forever, nothing is emitted for it)
+      .filter(col("e").isNotNull && col("e.ts").isNotNull &&
+        col("e.event_type").isNotNull)
       .select(
         timestamp_seconds(col("e.ts")).as("event_time"),
         col("e.event_type"), col("e.value"))
