@@ -17,8 +17,16 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failure must be LOUD and visible in the JSON (-1 marker):
+      // swallowing it would record a crashing query as a ~0s success
+      // and report the regression as a bench speedup
+      val dt =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            -1.0
+        }
       // isolate queries: operators may persist intermediates that only
       // their own job needs — leftover blocks would evict/slow later
       // queries in this single shared JVM. Spark's ContextCleaner only

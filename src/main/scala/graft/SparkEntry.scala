@@ -6,9 +6,16 @@ import graft.queries._
 object SparkEntry {
 
   /** All gate queries, in registration order. */
-  def all: Seq[GateQuery] =
-    Rel.queries ++ TextOps.queries ++ VectorOps.queries ++
+  def all: Seq[GateQuery] = {
+    val qs = Rel.queries ++ TextOps.queries ++ VectorOps.queries ++
       PipelineOps.queries ++ ExtOps.queries ++ CurationOps.queries
+    // six contributing files: a duplicated name would silently drop a
+    // query from queries.toMap (Bench AND Verify would skip it) — fail
+    // loudly instead
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate gate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

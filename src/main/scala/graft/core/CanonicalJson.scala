@@ -106,7 +106,7 @@ object CanonicalJson {
     * denormal-range values where pre-Ryū JDKs emit non-shortest
     * digits (e.g. 5e-324).
     */
-  private[core] def formatDouble(d: Double): String = {
+  def formatDouble(d: Double): String = {
     require(!d.isNaN && !d.isInfinite, s"non-finite double in JSON: $d")
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
     val neg = d < 0

@@ -76,7 +76,10 @@ object Functions {
     spark.udf.register("flatten_json",
       (json: String, root: String) =>
         JsonFlattener.flatten(json, root).map {
-          case (k, graft.core.FlatValue.Num(v)) => k -> v.toString
+          // orjson-style rendering (not Double.toString, whose
+          // scientific-notation threshold is 1e7 vs orjson's 1e16) so
+          // the SQL surface matches the reference flattener's strings
+          case (k, graft.core.FlatValue.Num(v)) => k -> CanonicalJson.formatDouble(v)
           case (k, graft.core.FlatValue.Str(v)) => k -> v
         }.toMap)
   }

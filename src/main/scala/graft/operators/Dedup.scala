@@ -348,8 +348,11 @@ object Dedup {
   def withSimHash(df: DataFrame, textCol: String,
       wordHash: String => Long = xxh3WordHash): DataFrame = {
     val simHashUdf = udf((ws: Seq[String]) => simHash(ws, wordHash))
-    df.withColumn("simhash",
-      simHashUdf(array_distinct(split(trim(col(textCol)), " "))))
+    // same null-text guard as withSignature: a null word list reaches
+    // the UDF as null (Seq is a reference type) and would NPE
+    df.filter(col(textCol).isNotNull)
+      .withColumn("simhash",
+        simHashUdf(array_distinct(split(trim(col(textCol)), " "))))
   }
 
   // ---- embedding-cosine near-dup ----------------------------------------

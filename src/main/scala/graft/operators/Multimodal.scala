@@ -24,14 +24,19 @@ object Multimodal {
   /** Attach binary + metadata columns derived from a text column (the
     * testdata has no real media; bytes are the UTF-8 payload).
     */
-  def withBinaryColumn(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def withBinaryColumn(df: DataFrame, textCol: String, idCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
+    // carryCols ride along in the projection — re-joining the source
+    // table later just to recover a metadata column would be a
+    // corpus-sized shuffle for something the scan gives for free
     df.select(
-      col(idCol).cast("long").as("id"),
-      encode(col(textCol), "UTF-8").as("bytes"),
+      col(idCol).cast("long").as("id") +:
+      encode(col(textCol), "UTF-8").as("bytes") +:
       struct(
         octet_length(encode(col(textCol), "UTF-8")).as("n_bytes"),
         lit("application/octet-stream").as("mime"),
-        lit(1).as("channels")).as("media_meta"))
+        lit(1).as("channels")).as("media_meta") +:
+      carryCols.map(col): _*)
 
   /** STUB decode: replace with a real codec (e.g. image decode +
     * resize) — signature and batching stay identical. Deterministic:

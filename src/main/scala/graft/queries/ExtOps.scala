@@ -178,7 +178,12 @@ object ExtOps {
         val query = emb.filter(col("vec_id") === 0)
           .select("v").collect().head.getSeq[Double](0)
         val corpus = emb.filter(col("vec_id") =!= 0)
-        val dir = java.nio.file.Files.createTempDirectory("ivf_gate").toString
+        // ONE fixed scratch location, not a fresh createTempDirectory
+        // per invocation: the index holds a materialized copy of the
+        // corpus, and build() swaps the directory atomically, so
+        // repeated gate/bench rounds overwrite instead of accumulating
+        // corpus-sized /tmp leftovers
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_gate"
         val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 8, seed = 5L)
         IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
@@ -241,8 +246,8 @@ object ExtOps {
       "q_multimodal_meta",
       (s, d) => {
         val docs = documents(s, d)
-        val media = Multimodal.withBinaryColumn(docs, "text", "doc_id")
-          .join(docs.select(col("doc_id").cast("long").as("id"), col("source")), Seq("id"))
+        val media = Multimodal.withBinaryColumn(docs, "text", "doc_id",
+          carryCols = Seq("source"))
         media.groupBy("source")
           .agg(
             sum(col("media_meta.n_bytes")).cast("long").as("sum_bytes"),

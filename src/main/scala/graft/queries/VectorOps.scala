@@ -20,9 +20,11 @@ object VectorOps {
   private def sumSq(v: Column): Column =
     aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
 
-  /** dot product of two array<double> columns (sequential fold). */
+  /** dot product — delegates to Ann so the fold the oracles are
+    * bit-matched against exists in exactly one place.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.operators.Ann.dot(a, b)
 
   private def withVec(df: DataFrame): DataFrame =
     df.withColumn("v", transform(col("embedding"), x => x.cast("double")))

@@ -82,12 +82,15 @@ object PartitionFilename {
     s"$maxTs-$minTs-$rowCount-${java.util.UUID.randomUUID()}.parquet"
   }
 
-  /** Relative key for a chunk, reference key layout. */
+  /** Relative key for a chunk, reference key layout. Delegates the
+    * name to filename() — the name IS an index parsed by groom, so
+    * there must be exactly one place that renders it.
+    */
   def key(model: String, minDecisionId: String, maxDecisionId: String, rowCount: Long): String = {
     val maxTs = timestampOf(maxDecisionId)
     val (yyyy, mm, dd) = (maxTs.substring(0, 4), maxTs.substring(4, 6), maxTs.substring(6, 8))
     s"rewarded_decisions/$model/parquet/$yyyy/$mm/$dd/" +
-      s"$maxTs-${timestampOf(minDecisionId)}-$rowCount-${java.util.UUID.randomUUID()}.parquet"
+      filename(minDecisionId, maxDecisionId, rowCount)
   }
 
   def parse(name: String): Option[Parsed] = name match {
