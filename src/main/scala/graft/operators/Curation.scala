@@ -134,6 +134,18 @@ object Curation {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Context-length capping: truncate `textCol` to its first
+    * `maxTokens` whitespace tokens, adding `<textCol>_trunc` and
+    * `n_tokens_kept`. A pure column program (split/slice/join — no
+    * UDF), so it rides the scan at any scale.
+    */
+  def truncateToBudget(df: DataFrame, textCol: String, maxTokens: Int): DataFrame = {
+    val words = split(trim(col(textCol)), " ")
+    df.withColumn("n_tokens_kept", least(size(words), lit(maxTokens)))
+      .withColumn(s"${textCol}_trunc",
+        array_join(slice(words, 1, maxTokens), " "))
+  }
+
   /** Built-in redaction patterns (Java-regex and RE2 compatible — no
     * lookaround, so Spark and DuckDB agree on every match).
     */

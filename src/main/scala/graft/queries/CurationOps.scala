@@ -388,6 +388,32 @@ object CurationOps {
               |       (SELECT count(DISTINCT source || ':' || CAST(shard AS VARCHAR)) FROM packed) AS n_shards,
               |       (SELECT CAST(sum(n_words) AS BIGINT) FROM packed) AS sum_tokens""".stripMargin)),
 
+    // Context-length capping at 32 tokens: per-source census of how
+    // much survives (the md5 fingerprint of the truncated text pins
+    // the exact string, not just its length).
+    GateQuery(
+      "q_truncate",
+      (s, d) =>
+        Curation.truncateToBudget(documents(s, d), "text", 32)
+          .groupBy("source")
+          .agg(
+            sum("n_tokens_kept").cast("long").as("kept_tokens"),
+            sum(when(col("n_tokens_kept") === 32, 1L).otherwise(0L)).as("n_truncated"),
+            countDistinct(substring(md5(col("text_trunc")), 1, 16)).as("n_unique_trunc"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source"),
+      Some("""WITH t AS (
+             |  SELECT source,
+             |         LEAST(len(string_split(trim(text), ' ')), 32) AS kept,
+             |         array_to_string(string_split(trim(text), ' ')[1:32], ' ') AS trunc
+             |  FROM documents
+             |)
+             |SELECT source, CAST(sum(kept) AS BIGINT) AS kept_tokens,
+             |       CAST(sum(CASE WHEN kept = 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+             |       count(DISTINCT substring(md5(trunc), 1, 16)) AS n_unique_trunc,
+             |       count(*) AS n_docs
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
     // Corpus-trained unigram-LM quality score: token frequencies are
     // learned from the corpus itself in one groupBy, docs score as the
     // mean token log-probability, censused per language. Two keyed

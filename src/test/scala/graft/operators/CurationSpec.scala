@@ -97,6 +97,14 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(m1 == m8)
   }
 
+  test("truncateToBudget caps tokens and preserves short docs verbatim") {
+    val out = Curation.truncateToBudget(docs, "text", 5)
+      .select("id", "text_trunc", "n_tokens_kept")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) == (("the quick brown fox jumps", 5))) // 9 words -> 5
+    assert(out(2L) == (("one two three", 3)))             // short: verbatim
+  }
+
   // ---- shingles / decontaminate -----------------------------------------
 
   test("shingleHashes: n-gram count, distinctness, short-doc guard") {
