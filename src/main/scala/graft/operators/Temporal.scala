@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/** Temporal joins Spark's built-in operators lack: as-of join and
+  * bounded range (interval) join.
+  *
+  * Both are composed from existing operators — preference (a) of the
+  * custom-operator ladder — so Catalyst plans, AQE re-plans, and
+  * whole-stage codegen all apply untouched:
+  *
+  *  - `asofJoin` is ONE shuffle (hash-partition by key) + ONE
+  *    partition-local sort + a running `last(ignoreNulls)` window —
+  *    the union-tag-scan technique. No per-left-row range probe, no
+  *    broadcast, no O(n·m) bucket product; cost is O((|L|+|R|) log)
+  *    for the sort and O(1) per row after, at any scale.
+  *  - `rangeJoin` buckets both sides into fixed windows at least as
+  *    wide as the join span, so a right row lands in exactly one
+  *    bucket and a left row expands to at most TWO — the equi-join on
+  *    (keys, bucket) then bounds every comparison group, never
+  *    degrading to the BroadcastNestedLoopJoin Spark would pick for a
+  *    raw inequality condition.
+  */
+object Temporal {
+
+  /** Micros-since-epoch ordering key for a timestamp or numeric column. */
+  private def orderKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _             => col(c).cast("long")
+    }
+
+  /** As-of join: for every left row, the single right row with the
+    * same `on` keys and the greatest `rightTs` ≤ `leftTs` (direction
+    * "backward"; with "forward", the least `rightTs` ≥ `leftTs`).
+    * Left rows keep their columns; the matched right row's columns
+    * are appended under `rightPrefix` (all null when no match).
+    *
+    * Semantics (tradingview "trades ← quotes"):
+    *  - `strict = true` excludes right rows at exactly `leftTs`
+    *    (DuckDB `ASOF ... ON l.ts > r.ts`); default is inclusive ≥.
+    *  - `toleranceUs` bounds the match gap in microseconds: a match
+    *    farther than the tolerance resolves to null, as in pandas
+    *    `merge_asof(tolerance=...)`.
+    *  - Ties among right rows at the identical timestamp resolve
+    *    deterministically (max xxhash64 of the right row) — stable
+    *    under task retry and any input partitioning.
+    *  - Join keys must carry the same names on both sides; right rows
+    *    with a null timestamp never match; left rows with a null
+    *    timestamp pass through unmatched.
+    *
+    * Plan shape: one Exchange on `on`, one sort per partition, one
+    * running window — the same cost as a groupBy over the union of
+    * the two inputs. Skewed keys concentrate a partition exactly as a
+    * window function would; there is no remedy that preserves the
+    * running order, so pre-split pathological keys upstream.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String,
+      direction: String = "backward",
+      strict: Boolean = false,
+      toleranceUs: Option[Long] = None,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    toleranceUs.foreach(t => require(t >= 0, "toleranceUs must be >= 0"))
+
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val lPay = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rPay = struct(right.columns.map(col).toIndexedSeq: _*)
+
+    // Sort position of a right row vs a left row at the SAME ts picks
+    // the semantics: right-first => the running frame at the left row
+    // already contains it (inclusive ≥); left-first => it doesn't (strict).
+    val (leftOrd, rightOrd) = if (strict) (0, 1) else (1, 0)
+
+    val lSide = left.where(col(leftTs).isNotNull).select(
+      (on.map(col) ++ Seq(
+        orderKey(left, leftTs).as("_at_ts"),
+        lit(leftOrd).as("_at_side"),
+        lit(0L).as("_at_tie"),
+        lit(true).as("_at_isleft"),
+        lPay.as("_at_l"),
+        lit(null).cast(rType).as("_at_r"))).toIndexedSeq: _*)
+    val rSide = right.where(col(rightTs).isNotNull).select(
+      (on.map(col) ++ Seq(
+        orderKey(right, rightTs).as("_at_ts"),
+        lit(rightOrd).as("_at_side"),
+        xxhash64(rPay).as("_at_tie"),
+        lit(false).as("_at_isleft"),
+        lit(null).cast(lType).as("_at_l"),
+        rPay.as("_at_r"))).toIndexedSeq: _*)
+
+    val ordering =
+      if (direction == "backward")
+        Seq(col("_at_ts").asc, col("_at_side").asc, col("_at_tie").asc)
+      else
+        Seq(col("_at_ts").desc, col("_at_side").asc, col("_at_tie").asc)
+    val w = Window.partitionBy(on.map(col).toIndexedSeq: _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matchedCol = last(col("_at_r"), ignoreNulls = true).over(w)
+    val withMatch = lSide.unionByName(rSide)
+      .withColumn("_at_m", matchedCol)
+      .where(col("_at_isleft"))
+    val gated = toleranceUs match {
+      case None => withMatch
+      case Some(tol) =>
+        val mTs = right.schema(rightTs).dataType match {
+          case TimestampType => unix_micros(col("_at_m").getField(rightTs))
+          case _             => col("_at_m").getField(rightTs).cast("long")
+        }
+        withMatch.withColumn("_at_m",
+          when(abs(col("_at_ts") - mTs) <= tol, col("_at_m")))
+    }
+    val matched = gated.select(
+      (left.columns.map(c => col("_at_l").getField(c).as(c)) ++
+        right.columns.map(c => col("_at_m").getField(c).as(rightPrefix + c)))
+        .toIndexedSeq: _*)
+
+    // Null-ts left rows bypass the window (a desc sort would otherwise
+    // place them AFTER every right row and mis-match them).
+    val nullPass = left.where(col(leftTs).isNull).select(
+      (left.columns.map(col) ++
+        right.columns.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(rightPrefix + c)))
+        .toIndexedSeq: _*)
+    matched.unionByName(nullPass)
+  }
+
+  /** Bounded range join: inner-join every left row to the right rows
+    * sharing its `on` keys with `rightTs ∈ [leftTs + lowerUs,
+    * leftTs + upperUs]` (offsets in microseconds, either sign; e.g.
+    * (-3600e6, 3600e6) = "within one hour either way"). Right columns
+    * are appended under `rightPrefix`.
+    *
+    * Scale path: both sides are assigned to fixed time buckets of
+    * width = the window span, so the right side is NOT replicated and
+    * the left side is replicated at most twice; the join is a plain
+    * shuffle equi-join on (keys, bucket) with the exact range check as
+    * a post-filter. A raw `l.ts BETWEEN ...` join condition would give
+    * Catalyst nothing to hash on and degenerate to a nested-loop —
+    * this never does. Hot (key, bucket) pairs are subject to AQE skew
+    * splitting like any other shuffle join.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String,
+      lowerUs: Long, upperUs: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(upperUs >= lowerUs, s"empty range [$lowerUs, $upperUs]")
+    val width = math.max(upperUs - lowerUs, 1L)
+
+    val l = left
+      .withColumn("_rj_ts", orderKey(left, leftTs))
+      .withColumn("_rj_bucket", explode(sequence(
+        floor((col("_rj_ts") + lowerUs) / width).cast("long"),
+        floor((col("_rj_ts") + upperUs) / width).cast("long"))))
+    val r = right.select(
+      (Seq(struct(right.columns.map(col).toIndexedSeq: _*).as("_rj_r"),
+        orderKey(right, rightTs).as("_rj_rts")) ++ on.map(col))
+        .toIndexedSeq: _*)
+      .withColumn("_rj_bucket", floor(col("_rj_rts") / width).cast("long"))
+
+    val cond = (on :+ "_rj_bucket")
+      .map(k => l(k) === r(k))
+      .reduce(_ && _) &&
+      r("_rj_rts") >= l("_rj_ts") + lowerUs &&
+      r("_rj_rts") <= l("_rj_ts") + upperUs
+    l.join(r, cond)
+      .select((left.columns.map(c => l(c)) ++
+        right.columns.map(c => col("_rj_r").getField(c).as(rightPrefix + c)))
+        .toIndexedSeq: _*)
+  }
+}
