@@ -8,7 +8,8 @@ object SparkEntry {
   /** All gate queries, in registration order. */
   def all: Seq[GateQuery] = {
     val qs = Rel.queries ++ TextOps.queries ++ VectorOps.queries ++
-      PipelineOps.queries ++ ExtOps.queries ++ CurationOps.queries
+      PipelineOps.queries ++ ExtOps.queries ++ CurationOps.queries ++
+      TemporalOps.queries
     // six contributing files: a duplicated name would silently drop a
     // query from queries.toMap (Bench AND Verify would skip it) — fail
     // loudly instead

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** Gate queries for the temporal joins (as-of join, bounded range
+  * join) over the `events` table. Both are fully SQL-expressible —
+  * DuckDB has a native `ASOF JOIN`, and the range join is a plain
+  * inequality join — so both gates are exact-hash oracled.
+  */
+object TemporalOps {
+  import Tables._
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // As-of join: every purchase matched to the same user's most
+    // recent view at-or-before it (backward, inclusive — the default).
+    // The right side is pre-deduped to one row per (user_id, ts) so
+    // the oracle never depends on tie order; the per-user census
+    // (counts, total match gap, matched-id checksum) pins every
+    // individual match — one flipped match changes its user's row.
+    GateQuery(
+      "q_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+        Temporal.asofJoin(purchases, views, Seq("user_id"), "ts", "ts")
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            count(col("r_view_id")).as("n_matched"),
+            sum(unix_micros(col("ts")) - unix_micros(col("r_ts")))
+              .cast("long").as("sum_gap_us"),
+            sum(col("r_view_id")).cast("long").as("sum_view_id"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+             |), v AS (
+             |  SELECT user_id, ts, max(event_id) AS view_id
+             |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+             |)
+             |SELECT p.user_id,
+             |       count(*) AS n_purchases,
+             |       count(v.view_id) AS n_matched,
+             |       CAST(sum(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_gap_us,
+             |       CAST(sum(v.view_id) AS BIGINT) AS sum_view_id
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.ts >= v.ts
+             |GROUP BY p.user_id
+             |ORDER BY p.user_id""".stripMargin)),
+
+    // Bounded range join: every purchase inner-joined to the same
+    // user's clicks within ±2 hours, aggregated per purchase. The
+    // matched-id checksum and value sum pin the exact match set.
+    GateQuery(
+      "q_range_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts"), col("value"))
+        val twoHoursUs = 2L * 3600L * 1000000L
+        Temporal.rangeJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          -twoHoursUs, twoHoursUs)
+          .groupBy("event_id")
+          .agg(
+            count(lit(1)).as("n_nearby"),
+            sum(col("r_click_id")).cast("long").as("sum_click_id"),
+            round(sum("r_value"), 2).as("sum_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+             |), c AS (
+             |  SELECT event_id AS click_id, user_id, ts, value
+             |  FROM events WHERE event_type = 'click'
+             |)
+             |SELECT p.event_id,
+             |       count(*) AS n_nearby,
+             |       CAST(sum(c.click_id) AS BIGINT) AS sum_click_id,
+             |       round(sum(c.value), 2) AS sum_value
+             |FROM p JOIN c
+             |  ON p.user_id = c.user_id
+             | AND c.ts >= p.ts - INTERVAL 2 HOUR
+             | AND c.ts <= p.ts + INTERVAL 2 HOUR
+             |GROUP BY p.event_id
+             |ORDER BY p.event_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TemporalSpec extends AnyFunSuite with SparkTestBase {
+
+  // trades ← quotes fixture: long ts columns (the operator accepts
+  // timestamps or numerics; the gate queries cover TimestampType)
+  private def trades = {
+    import spark.implicits._
+    Seq(
+      ("A", 100L, "t1"),
+      ("A", 205L, "t2"),
+      ("A", 300L, "t3"), // exactly at a quote ts
+      ("B", 50L, "t4"),  // before any B quote
+      ("C", 10L, "t5")   // key with no quotes at all
+    ).toDF("sym", "ts", "trade")
+  }
+
+  private def quotes = {
+    import spark.implicits._
+    Seq(
+      ("A", 90L, 1.0),
+      ("A", 200L, 2.0),
+      ("A", 300L, 3.0),
+      ("A", 400L, 4.0),
+      ("B", 60L, 5.0)
+    ).toDF("sym", "ts", "px")
+  }
+
+  private def matchesOf(df: org.apache.spark.sql.DataFrame): Map[String, Option[Double]] =
+    df.collect().map { r =>
+      r.getString(r.fieldIndex("trade")) ->
+        (if (r.isNullAt(r.fieldIndex("r_px"))) None
+         else Some(r.getDouble(r.fieldIndex("r_px"))))
+    }.toMap
+
+  test("backward inclusive: greatest quote ts <= trade ts; no-match rows survive as null") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "ts", "ts")
+    assert(out.count() == 5)
+    assert(matchesOf(out) == Map(
+      "t1" -> Some(1.0), "t2" -> Some(2.0), "t3" -> Some(3.0),
+      "t4" -> None, "t5" -> None))
+  }
+
+  test("strict excludes the equal-timestamp quote") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "ts", "ts", strict = true)
+    assert(matchesOf(out)("t3") == Some(2.0)) // 300 itself excluded, falls back to 200
+  }
+
+  test("forward picks the least quote ts >= trade ts") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "ts", "ts",
+      direction = "forward")
+    assert(matchesOf(out) == Map(
+      "t1" -> Some(2.0), // 200 is the first quote >= 100
+      "t2" -> Some(3.0),
+      "t3" -> Some(3.0), // inclusive: 300 matches itself
+      "t4" -> Some(5.0),
+      "t5" -> None))
+  }
+
+  test("tolerance nulls matches farther than the bound") {
+    val out = Temporal.asofJoin(trades, quotes, Seq("sym"), "ts", "ts",
+      toleranceUs = Some(5L))
+    assert(matchesOf(out) == Map(
+      "t1" -> None,      // gap 10 > 5
+      "t2" -> Some(2.0), // gap 5 allowed (inclusive)
+      "t3" -> Some(3.0), // gap 0
+      "t4" -> None, "t5" -> None))
+  }
+
+  test("null timestamps: left rows pass through unmatched, right rows never match") {
+    import spark.implicits._
+    val l = Seq(("A", Some(100L), "ok"), ("A", None, "nullts"))
+      .toDF("sym", "ts", "trade")
+    val r = Seq(("A", Some(90L), 1.0), ("A", None, 99.0))
+      .toDF("sym", "ts", "px")
+    val out = Temporal.asofJoin(l, r, Seq("sym"), "ts", "ts")
+    assert(out.count() == 2)
+    val m = out.collect().map(x =>
+      x.getString(x.fieldIndex("trade")) -> x.isNullAt(x.fieldIndex("r_px"))).toMap
+    assert(m == Map("ok" -> false, "nullts" -> true))
+    // and the null-ts quote (px=99) was never the match
+    assert(matchesOf(out)("ok") == Some(1.0))
+  }
+
+  test("right-side ties at one timestamp resolve deterministically to a single row") {
+    import spark.implicits._
+    val l = Seq(("A", 100L, "t")).toDF("sym", "ts", "trade")
+    val r = Seq(("A", 90L, 1.0), ("A", 90L, 2.0), ("A", 90L, 3.0))
+      .toDF("sym", "ts", "px")
+    val first = Temporal.asofJoin(l, r, Seq("sym"), "ts", "ts").collect()
+    assert(first.length == 1)
+    // rerun with different partitioning — same winner (content-hash tiebreak)
+    val second = Temporal.asofJoin(l.repartition(7), r.repartition(5),
+      Seq("sym"), "ts", "ts").collect()
+    assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq)
+  }
+
+  test("asofJoin equals per-row brute force on random data (both directions)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ls = (1 to 300).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i))
+    val rs = (1 to 300).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, i.toDouble))
+    val l = ls.toDF("k", "ts", "lid")
+    val r = rs.toDF("k", "ts", "px")
+
+    // brute force: max px among right rows at the winning timestamp is
+    // not well-defined under ties, so compare the matched TIMESTAMP
+    // (tie-invariant) per left row
+    def brute(forward: Boolean): Map[Int, Option[Long]] =
+      ls.map { case (k, ts, lid) =>
+        val c = rs.filter(q => q._1 == k && (if (forward) q._2 >= ts else q._2 <= ts))
+        lid -> (if (c.isEmpty) None
+                else Some(if (forward) c.map(_._2).min else c.map(_._2).max))
+      }.toMap
+
+    for (dir <- Seq("backward", "forward")) {
+      val got = Temporal.asofJoin(l, r, Seq("k"), "ts", "ts", direction = dir)
+        .collect().map { row =>
+          row.getInt(row.fieldIndex("lid")) ->
+            (if (row.isNullAt(row.fieldIndex("r_ts"))) None
+             else Some(row.getLong(row.fieldIndex("r_ts"))))
+        }.toMap
+      assert(got == brute(dir == "forward"), s"direction=$dir")
+    }
+  }
+
+  test("rangeJoin equals brute-force inequality join, bounds inclusive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val ls = (1 to 200).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong, i))
+    val rs = (1 to 200).map(i => (s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong, i))
+    val l = ls.toDF("k", "ts", "lid")
+    val r = rs.toDF("k", "ts", "rid")
+
+    // asymmetric window crossing zero, plus windows strictly negative
+    // and strictly positive (bucket arithmetic must hold for all signs)
+    for ((lo, hi) <- Seq((-50L, 120L), (-80L, -10L), (5L, 60L))) {
+      val got = Temporal.rangeJoin(l, r, Seq("k"), "ts", "ts", lo, hi)
+        .select("lid", "r_rid").collect()
+        .map(x => (x.getInt(0), x.getInt(1))).sorted.toSeq
+      val want = (for {
+        (lk, lts, lid) <- ls
+        (rk, rts, rid) <- rs
+        if rk == lk && rts >= lts + lo && rts <= lts + hi
+      } yield (lid, rid)).sorted
+      assert(got == want, s"range [$lo, $hi]")
+      // exact bound inclusivity: planted pair at each edge
+      val le = Seq(("e", 100L, 0)).toDF("k", "ts", "lid")
+      val re = Seq(("e", 100L + lo, 1), ("e", 100L + hi, 2),
+        ("e", 100L + lo - 1, 3), ("e", 100L + hi + 1, 4)).toDF("k", "ts", "rid")
+      val edge = Temporal.rangeJoin(le, re, Seq("k"), "ts", "ts", lo, hi)
+        .select("r_rid").collect().map(_.getInt(0)).sorted.toSeq
+      assert(edge == Seq(1, 2), s"edge bounds for [$lo, $hi]")
+    }
+  }
+
+  test("rangeJoin plan is a shuffle equi-join, not a nested loop") {
+    import spark.implicits._
+    val l = (1 to 100).map(i => ("k", i.toLong, i)).toDF("k", "ts", "lid")
+    val r = (1 to 100).map(i => ("k", i.toLong, i)).toDF("k", "ts", "rid")
+    val plan = Temporal.rangeJoin(l, r, Seq("k"), "ts", "ts", -10L, 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("guards: bad direction, negative tolerance, empty range") {
+    intercept[IllegalArgumentException](
+      Temporal.asofJoin(trades, quotes, Seq("sym"), "ts", "ts", direction = "sideways"))
+    intercept[IllegalArgumentException](
+      Temporal.asofJoin(trades, quotes, Seq("sym"), "ts", "ts", toleranceUs = Some(-1L)))
+    intercept[IllegalArgumentException](
+      Temporal.rangeJoin(trades, quotes, Seq("sym"), "ts", "ts", 10L, 5L))
+  }
+}
