@@ -345,14 +345,50 @@ object Dedup {
     out
   }
 
+  /** The md5 simhash as a PURE COLUMN PROGRAM — no UDF in the gate
+    * path. Bit-for-bit equal to `simHash(words, md5WordHash)` (spec-
+    * asserted): the word hash's bit 4j+b is bit b of md5 hex char j,
+    * so parsing the REVERSED 8-char hex halves yields exactly the
+    * lo/hi 32-bit words (parse(reverse(s))[bit 4m+b] = char m's bit b).
+    * Per-row arrays only — no explode, no shuffle; the bit-count
+    * accumulator is one `aggregate` over the word-hash array.
+    */
+  private def md5SimHashColumn(textCol: Column): Column = {
+    val words = array_distinct(split(trim(textCol), " "))
+    val hashes = transform(words, w => {
+      val m = md5(w)
+      struct(
+        conv(reverse(substring(m, 1, 8)), 16, 10).cast("long").as("lo"),
+        conv(reverse(substring(m, 9, 8)), 16, 10).cast("long").as("hi"))
+    })
+    val bitIdx = sequence(lit(0), lit(63))
+    val counts = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitIdx, (c, i) =>
+        c + when(i < 32,
+          call_function("shiftrightunsigned", h.getField("lo"), i))
+          .otherwise(
+            call_function("shiftrightunsigned", h.getField("hi"), i - 32))
+          .bitwiseAND(lit(1L)).cast("int")))
+    val n = size(words)
+    aggregate(
+      zip_with(counts, bitIdx, (c, i) =>
+        when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
   def withSimHash(df: DataFrame, textCol: String,
       wordHash: String => Long = xxh3WordHash): DataFrame = {
-    val simHashUdf = udf((ws: Seq[String]) => simHash(ws, wordHash))
     // same null-text guard as withSignature: a null word list reaches
     // the UDF as null (Seq is a reference type) and would NPE
-    df.filter(col(textCol).isNotNull)
-      .withColumn("simhash",
+    val nonNull = df.filter(col(textCol).isNotNull)
+    if (wordHash eq md5WordHash)
+      // SQL-expressible hash ⇒ UDF-free plan (matches the DuckDB oracle)
+      nonNull.withColumn("simhash", md5SimHashColumn(col(textCol)))
+    else {
+      val simHashUdf = udf((ws: Seq[String]) => simHash(ws, wordHash))
+      nonNull.withColumn("simhash",
         simHashUdf(array_distinct(split(trim(col(textCol)), " "))))
+    }
   }
 
   // ---- embedding-cosine near-dup ----------------------------------------

@@ -41,6 +41,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("md5 simhash column program is bit-identical to the scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    // varied docs: unicode, single word, empty string, repeated words
+    val texts = Seq("", "one", "héllo wörld ünïcode",
+      "a a a b b c", (1 to 80).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")) ++
+      (1 to 40).map(_ => (1 to rnd.nextInt(60) + 1)
+        .map(_ => s"tok${rnd.nextInt(200)}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.withSimHash(df, "text", Dedup.md5WordHash)
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> Dedup.simHash(
+        t.trim.split(" ", -1).distinct.toSeq, Dedup.md5WordHash)
+    }.toMap
+    assert(got == want)
+    // and the plan is UDF-free
+    val plan = Dedup.withSimHash(df, "text", Dedup.md5WordHash)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
   test("group-scoped minhash dedup pairs only within a group") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
