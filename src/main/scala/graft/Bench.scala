@@ -15,7 +15,12 @@ object Bench {
     // deterministic name order: run-to-run timings stay comparable
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // shared-box load can inflate a single pass by >10×; queries whose
+    // first pass exceeds this get one re-run and report min-of-2, so
+    // recorded numbers track the plan, not the neighbors (per-query
+    // work under a minute of retries keeps the suite bounded)
+    val rerunThreshold = sys.env.getOrElse("SPARK_GRAFT_RERUN_SEC", "10").toDouble
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failure must be LOUD and visible in the JSON (-1 marker):
       // swallowing it would record a crashing query as a ~0s success
@@ -33,6 +38,15 @@ object Bench {
       // reclaims shuffle/broadcast state on GC, so force one.
       spark.catalog.clearCache()
       System.gc()
+      dt
+    }
+    val results = selected.map { case (name, fn) =>
+      val first = once(name, fn)
+      val dt =
+        if (first >= rerunThreshold) {
+          val second = once(name, fn)
+          if (second < 0) first else math.min(first, second)
+        } else first
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

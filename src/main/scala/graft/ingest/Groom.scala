@@ -28,6 +28,15 @@ import graft.schema.{PartitionFilename, Schema}
 object Groom {
 
   val MaxGroomIterations = 30
+
+  /** Concurrent compaction fan-out per iteration. Groups are disjoint
+    * key ranges, so they can compact in parallel; the reference fans
+    * out up to 64 workers (one Lambda per group). In a single shared
+    * SparkSession the jobs multiplex the same executor pool, so the
+    * default matches the reference's 64 rather than serializing on a
+    * small driver-side pool.
+    */
+  val MaxConcurrentGroups = 64
   val MaxKeyBytes = 204800
 
   // memoized: the grouping/overlap pipeline reads rowCount/minTs/maxTs
@@ -148,9 +157,30 @@ object Groom {
     * order for duplicate reward keys), merge, split-write, delete
     * inputs (reference groom_handler → RewardedDecisionPartition.process).
     */
+  // concurrency probe: high-water mark of simultaneously running
+  // compactGroup calls since the last reset — lets a spec assert the
+  // fan-out actually overlaps without racing on wall-clock timing
+  private val activeCompactions = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val peakCompactions = new java.util.concurrent.atomic.AtomicInteger(0)
+  def resetConcurrencyProbe(): Unit = peakCompactions.set(0)
+  def peakConcurrentCompactions: Int = peakCompactions.get()
+  // test seam: runs on entry to every compactGroup (e.g. a latch that
+  // only opens once all groups of an iteration have started)
+  private[ingest] var compactionStartHook: () => Unit = () => ()
+
   def compactGroup(spark: SparkSession, baseDir: String, model: String,
       keys: Seq[String], maxRowsPerFile: Int = PartitionStore.MaxRowsPerFile): Seq[String] = {
     require(keys.length <= 1000)
+    val active = activeCompactions.incrementAndGet()
+    peakCompactions.getAndAccumulate(active, math.max)
+    try {
+      compactionStartHook()
+      compactGroupImpl(spark, baseDir, model, keys, maxRowsPerFile)
+    } finally activeCompactions.decrementAndGet()
+  }
+
+  private def compactGroupImpl(spark: SparkSession, baseDir: String, model: String,
+      keys: Seq[String], maxRowsPerFile: Int): Seq[String] = {
     // filenames are uuid-unique, so the last path segment keys the order
     val orderOf = keys.zipWithIndex.map { case (k, i) => k.split('/').last -> i }.toMap
     val pathOrder = udf((path: String) =>
@@ -173,7 +203,8 @@ object Groom {
     */
   def groom(spark: SparkSession, baseDir: String, model: String,
       maxIterations: Int = MaxGroomIterations,
-      maxRowsPerFile: Int = PartitionStore.MaxRowsPerFile): Int = {
+      maxRowsPerFile: Int = PartitionStore.MaxRowsPerFile,
+      maxConcurrentGroups: Int = MaxConcurrentGroups): Int = {
     var iteration = 0
     var previousKeys: Seq[String] = null
     while (iteration < maxIterations) {
@@ -190,7 +221,8 @@ object Groom {
       if (previousKeys != null && shape == previousKeys) return iteration
       previousKeys = shape
       iteration += 1
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(groups.size, 8))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(groups.size, maxConcurrentGroups)))
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)

@@ -107,6 +107,37 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** k-NN JOIN through the materialized index — the batch production
+    * shape. Query vectors explode to their `nprobe` nearest cells and
+    * meet the cell table in one hash-partitioned equi-join; because
+    * the union of probed cells across ALL queries is bounded by C
+    * (numCells), it is collected driver-side (scalar-sized regardless
+    * of query count) and applied as a STATIC partition filter — the
+    * corpus scan reads only the probed cells' files, with no fresh
+    * assignment pass and no reliance on dynamic partition pruning.
+    * nprobe = C ⇒ exact.
+    */
+  def topKJoin(spark: SparkSession, index: Index, queries: DataFrame,
+      vecCol: String, idCol: String, qIdCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeUdf = udf((v: Seq[Double]) => Ann.nearestCells(v, index.centroids, nprobe))
+    // consumed twice (probed-cell union, then the join) — the probe
+    // projection is a scan + centroid UDF, cheap to recompute; callers
+    // with an expensive upstream should persist `queries` themselves
+    val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("cell", explode(probeUdf(col("_qv"))))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"${index.dir}/cells")
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+    val joined = q.join(corpus, Seq("cell"))
+      .withColumn("cos", round(Ann.cosine(col("_qv"), col(vecCol)), 4))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", idCol, "cos", "rank")
+  }
+
   // ---- IVF-PQ ------------------------------------------------------------
 
   /** IVF-PQ build: PQ codes + exact norms materialized INTO the cell

@@ -263,8 +263,9 @@ object ExtOps {
              |LIMIT 10""".stripMargin)),
 
     // k-NN JOIN: 5 query vectors × rest-of-corpus, top-3 each, through
-    // the IVF cell join at nprobe = C (exhaustive ⇒ exact, so the
-    // brute-force SQL cross join is the oracle).
+    // the MATERIALIZED IVF index (partition-pruned cell table — the
+    // batch production shape) at nprobe = C (exhaustive ⇒ exact, so
+    // the brute-force SQL cross join is the oracle).
     GateQuery(
       "q_knn_join",
       (s, d) => {
@@ -272,8 +273,11 @@ object ExtOps {
           .withColumn("v", transform(col("embedding"), x => x.cast("double")))
         val queries = emb.filter(col("vec_id") < 5)
         val corpus = emb.filter(col("vec_id") >= 5)
-        val cents = Ann.centroids(corpus, "v", "vec_id", 8)
-        Ann.topKJoin(queries, corpus, "v", "vec_id", "vec_id", 3, cents, nprobe = 8)
+        // fixed scratch location: build() swaps atomically, repeated
+        // rounds overwrite instead of accumulating /tmp leftovers
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_knn_gate"
+        val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 8, seed = 5L)
+        IvfIndex.topKJoin(s, idx, queries, "v", "vec_id", "vec_id", 3, nprobe = 8)
           .orderBy("query_id", "rank")
       },
       Some("""WITH q AS (

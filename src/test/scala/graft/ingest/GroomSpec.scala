@@ -117,6 +117,44 @@ class GroomSpec extends AnyFunSuite with SparkTestBase {
     assert(all.filter(col(Schema.Item).isNull).count() == 0)
   }
 
+  test("disjoint groups of one iteration compact concurrently (latch-proven)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("groom_conc").toString
+    val base = 1660000000L
+    // two clusters of overlapping files far apart in time, each window
+    // 2 × 4000 rows: folding the first window's 8000 rows plus any file
+    // of the second overruns the 10k adjacency budget, so the grouping
+    // breaks exactly at the window boundary → two disjoint groups in
+    // one iteration
+    for (window <- Seq(0L, 100000L); b <- 0 until 2) {
+      val rows = (0 until 4000).map { i =>
+        val ts = base + window + ((i * 7 + b * 3) % 120)
+        RewardedDecisionRow(Ksuid.deterministic(ts, (window + b * 10000 + i).toLong),
+          Some(s"""{"v":$i}"""), Some("{}"), Some(1.0), None, None, None, "m")
+      }
+      PartitionStore.write(Merge.merge(rows.toDF()), dir, "m", maxRowsPerFile = 4000)
+    }
+    val groups = Groom.groupPartitionsToGroom(PartitionStore.listKeys(spark, dir, "m"))
+    assert(groups.size >= 2, s"setup should produce >= 2 groups, got ${groups.size}")
+
+    // timing-independent proof: every group of the first iteration must
+    // be INSIDE compactGroup at the same moment for the latch to open —
+    // a serial pool would park the first task until the await times out
+    val latch = new java.util.concurrent.CountDownLatch(groups.size)
+    Groom.resetConcurrencyProbe()
+    Groom.compactionStartHook = () => {
+      latch.countDown()
+      if (!latch.await(2, java.util.concurrent.TimeUnit.MINUTES))
+        throw new AssertionError("compaction fan-out never overlapped")
+    }
+    try {
+      val iters = Groom.groom(spark, dir, "m", maxRowsPerFile = 4000)
+      assert(iters > 0)
+    } finally Groom.compactionStartHook = () => ()
+    assert(Groom.peakConcurrentCompactions >= groups.size)
+    Groom.assertNoOverlappingKeys(PartitionStore.listKeys(spark, dir, "m"))
+  }
+
   test("same-second overload: one oversized file, groom reaches quiescence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("groom_ss").toString

@@ -57,6 +57,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf == brute)
   }
 
+  test("recall@10 >= 0.9 at nprobe=2 with the k-means quantizer") {
+    // quality guard against quantizer regressions: on a clustered
+    // corpus, probing 2 of 8 cells must recover (nearly) all of the
+    // exhaustive top-10 — the query's own cell holds its cluster and
+    // the second probe covers boundary spill
+    val (df, _) = clustered(nClusters = 8, perCluster = 30, dim = 16)
+    val cents = Ann.kmeansCentroids(df, "v", k = 8, seed = 3L)
+    val queryIds = (0 until 8).map(c => (c * 30 + 7).toLong) // one per cluster
+    val recalls = queryIds.map { qid =>
+      val qv = df.filter(col("vec_id") === qid).select("v")
+        .collect().head.getSeq[Double](0)
+      val corpus = df.filter(col("vec_id") =!= qid)
+      val approx = Ann.topK(corpus, "v", "vec_id", qv, 10, cents, nprobe = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = Ann.topK(corpus, "v", "vec_id", qv, 10, cents, nprobe = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 at nprobe=2 was $mean (${recalls.toList})")
+  }
+
   test("topKJoin: exact at nprobe = C; nprobe = 1 stays within the query's cell") {
     val (df, _) = clustered(nClusters = 3, perCluster = 30, dim = 8)
     val queries = df.filter(col("vec_id") < 3)

@@ -1,12 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
 class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  // collect file scans through AQE wrappers — AdaptiveSparkPlanExec and
+  // the materialized QueryStageExec nodes are leaves from
+  // TreeNode.collect's point of view
+  private def fileScans(plan: SparkPlan): Seq[FileSourceScanExec] =
+    plan.collect {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case s: QueryStageExec        => fileScans(s.plan)
+      case f: FileSourceScanExec    => Seq(f)
+    }.flatten
 
   // 4 well-separated clusters along the axes of R^8, 25 vectors each
   private def corpus() = {
@@ -67,6 +78,52 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     }
     // correctness of the pruned result: all hits from the probed cluster
     assert(rows.forall(_.getAs[String]("label") == "c1"))
+  }
+
+  test("indexed topKJoin: exact at nprobe=C; scan reads only the probed cells' files") {
+    import spark.implicits._
+    val df = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_knn").toString
+    val idx = IvfIndex.build(df, "v", "vec_id", dir, numCells = 4, seed = 5L)
+    // three queries, all in the axis-1 cluster direction
+    val rnd = new scala.util.Random(33)
+    val queries = (0 until 3).map { i =>
+      (1000L + i, Seq.tabulate(8)(d =>
+        (if (d == 2) 1.0 else 0.0) + rnd.nextGaussian() * 0.01))
+    }.toDF("vec_id", "v")
+
+    // nprobe = C: per query equals the single-vector exhaustive search
+    val knn = IvfIndex.topKJoin(spark, idx, queries, "v", "vec_id", "vec_id",
+      k = 5, nprobe = 4)
+    val got = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.length == 15)
+    for ((qid, qv) <- queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))) {
+      val single = IvfIndex.topK(spark, idx, "v", "vec_id", qv, 5, nprobe = 4)
+        .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      assert(mine == single, s"query $qid")
+    }
+
+    // nprobe = 1: every query probes the same (axis-1) cell, so the
+    // corpus-side scan must read ONLY that cell's files
+    val near = IvfIndex.topKJoin(spark, idx, queries, "v", "vec_id", "vec_id",
+      k = 5, nprobe = 1)
+    near.collect()
+    val probedCell = Ann.nearestCells(
+      queries.collect().head.getSeq[Double](1), idx.centroids, 1).head
+    val filesOnDisk = new java.io.File(s"$dir/cells/cell=$probedCell")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val scans = fileScans(near.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("cells"))
+    assert(scans.nonEmpty)
+    scans.foreach { scan =>
+      assert(scan.metadata("PartitionFilters").contains("cell"),
+        s"no partition filter on cell: ${scan.metadata("PartitionFilters")}")
+      assert(scan.metrics("numFiles").value == filesOnDisk,
+        s"scan read ${scan.metrics("numFiles").value} files; " +
+          s"probed cell has $filesOnDisk")
+    }
   }
 
   test("IVF-PQ: ADC probe never reads the vector column; rerank equals exact") {
