@@ -368,5 +368,49 @@ object ExtOps {
              |       round(avg(coalesce(fr.frame_mean, 0)), 4) AS avg_frame_mean,
              |       CAST(sum(coalesce(fr.n_frames, 0)) AS BIGINT) AS total_frames
              |FROM d LEFT JOIN ent USING (doc_id) LEFT JOIN fr USING (doc_id)""".stripMargin)),
+
+    // HLL++ sketch census: exact per-group distincts (oracled) plus an
+    // in-plan guard that the approx sketch lands within 5% of exact —
+    // the oracle's literal TRUE fails the gate if the sketch drifts.
+    GateQuery(
+      "q_approx_distinct",
+      (s, d) =>
+        events(s, d)
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).as("n_exact"),
+            approx_count_distinct(col("user_id")).as("_apx"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("_apx") - col("n_exact")) <=
+              col("n_exact") * 0.05).as("hll_ok"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             |       TRUE AS hll_ok
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // Quantile sketch census: exact interpolated percentiles (oracled
+    // vs quantile_cont) plus the approx-sketch drift guard (≤ 1%).
+    GateQuery(
+      "q_approx_quantile",
+      (s, d) =>
+        events(s, d)
+          .agg(
+            expr("percentile(value, array(0.5, 0.9, 0.99))").as("_ex"),
+            expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)").as("_ap"))
+          .select(
+            round(element_at(col("_ex"), 1), 4).as("p50"),
+            round(element_at(col("_ex"), 2), 4).as("p90"),
+            round(element_at(col("_ex"), 3), 4).as("p99"),
+            (abs(element_at(col("_ap"), 1) - element_at(col("_ex"), 1)) <=
+              abs(element_at(col("_ex"), 1)) * 0.01 + 0.001).as("apx_ok_p50"),
+            (abs(element_at(col("_ap"), 3) - element_at(col("_ex"), 3)) <=
+              abs(element_at(col("_ex"), 3)) * 0.01 + 0.001).as("apx_ok_p99")),
+      Some("""SELECT round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.9), 4) AS p90,
+             |       round(quantile_cont(value, 0.99), 4) AS p99,
+             |       TRUE AS apx_ok_p50, TRUE AS apx_ok_p99
+             |FROM events""".stripMargin)),
   )
 }

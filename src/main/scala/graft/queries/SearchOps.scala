@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Search}
+
+/** Lexical + hybrid retrieval gates over `documents`/`embeddings`:
+  * TF-IDF weighting, BM25 ranking, and reciprocal-rank fusion of a
+  * lexical and a vector ranking (the ids share one keyspace). Rankings
+  * are computed over ROUNDED scores on both engines so float summation
+  * order can never flip a near-tie across the rank boundary.
+  */
+object SearchOps {
+  import Tables._
+
+  // query terms present in the synthetic corpus vocabulary
+  private val QueryTerms = Seq("spark", "join", "merge", "hash")
+  private val qTermsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // TF-IDF: the inverted-posting relation with weights; top-20 by
+    // weight. df/N are relations/1-row aggs — never driver state.
+    GateQuery(
+      "q_tfidf",
+      (s, d) =>
+        Search.tfIdf(documents(s, d), "doc_id", "text")
+          .withColumn("tfidf", round(col("tfidf"), 4))
+          .orderBy(desc("tfidf"), asc("doc_id"), asc("term"))
+          .limit(20)
+          .select("doc_id", "term", "tf", "df", "tfidf"),
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+              |        FROM documents)
+              |  GROUP BY doc_id, term
+              |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |n AS (SELECT count(*) AS n_docs FROM documents)
+              |SELECT doc_id, term, tf, df,
+              |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+              |FROM tf JOIN dfs USING (term), n
+              |ORDER BY tfidf DESC, doc_id, term
+              |LIMIT 20""".stripMargin)),
+
+    // Okapi BM25 against a 4-term query; top-10 docs.
+    GateQuery(
+      "q_bm25",
+      (s, d) =>
+        Search.bm25(documents(s, d), "doc_id", "text", QueryTerms)
+          .withColumn("bm25", round(col("bm25"), 4))
+          .orderBy(desc("bm25"), asc("doc_id"))
+          .limit(10),
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+              |), lens AS (SELECT doc_id, len(ws) AS dl FROM words),
+              |tf AS (
+              |  SELECT doc_id, term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+              |  WHERE term IN ($qTermsSql)
+              |  GROUP BY doc_id, term
+              |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens)
+              |SELECT doc_id,
+              |       round(sum(
+              |         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+              |         * tf * 2.2
+              |         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+              |FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id), stats
+              |GROUP BY doc_id
+              |ORDER BY bm25 DESC, doc_id
+              |LIMIT 10""".stripMargin)),
+
+    // Hybrid retrieval: BM25 top-50 ⊕ cosine-vs-vec-0 top-50, fused by
+    // reciprocal rank (k = 60); top-10 of the fused list. Ranks are
+    // over rounded scores with id tiebreaks, so both engines rank
+    // identically and the fused score is an exact sum of rationals.
+    GateQuery(
+      "q_hybrid_rrf",
+      (s, d) => {
+        // distributed top-K (TakeOrdered) FIRST, then the rank window
+        // runs over the 50 surviving rows — no global single-partition
+        // window over the corpus-sized score relation
+        val lex = Search.bm25(documents(s, d), "doc_id", "text", QueryTerms)
+          .withColumn("s", round(col("bm25"), 4))
+          .orderBy(desc("s"), asc("doc_id")).limit(50)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("s"), asc("doc_id"))))
+          .select(col("doc_id").as("id"), col("rank"))
+        val emb = embeddings(s, d)
+          .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        val qv = broadcast(
+          emb.filter(col("vec_id") === 0).select(col("v").as("qv")))
+        val vec = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(qv)
+          .withColumn("s", round(Ann.cosine(col("v"), col("qv")), 4))
+          .orderBy(desc("s"), asc("vec_id")).limit(50)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(desc("s"), asc("vec_id"))))
+          .select(col("vec_id").as("id"), col("rank"))
+        Search.rrfFuse(Seq(lex, vec), "id")
+          .withColumn("rrf", round(col("rrf"), 6))
+          .orderBy(desc("rrf"), asc("id"))
+          .limit(10)
+          .select("id", "rrf", "n_lists")
+      },
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+              |), lens AS (SELECT doc_id, len(ws) AS dl FROM words),
+              |tf AS (
+              |  SELECT doc_id, term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+              |  WHERE term IN ($qTermsSql)
+              |  GROUP BY doc_id, term
+              |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+              |bm AS (
+              |  SELECT doc_id,
+              |         round(sum(
+              |           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+              |           * tf * 2.2
+              |           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS s
+              |  FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id), stats
+              |  GROUP BY doc_id
+              |), lex AS (
+              |  SELECT doc_id AS id,
+              |         row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+              |  FROM bm QUALIFY rank <= 50
+              |), q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              |         FROM embeddings WHERE vec_id = 0),
+              |cosd AS (
+              |  SELECT vec_id,
+              |         round(
+              |           list_sum(list_transform(
+              |             list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
+              |             p -> struct_extract(p, 1) * struct_extract(p, 2)))
+              |           / (sqrt(list_sum(list_transform(embedding,
+              |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              |              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS s
+              |  FROM embeddings, q WHERE vec_id <> 0
+              |), vec AS (
+              |  SELECT vec_id AS id,
+              |         row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+              |  FROM cosd QUALIFY rank <= 50
+              |), unioned AS (
+              |  SELECT id, 1.0 / (60 + rank) AS c FROM lex
+              |  UNION ALL
+              |  SELECT id, 1.0 / (60 + rank) AS c FROM vec
+              |)
+              |SELECT id, round(sum(c), 6) AS rrf, count(*) AS n_lists
+              |FROM unioned
+              |GROUP BY id
+              |ORDER BY rrf DESC, id
+              |LIMIT 10""".stripMargin)))
+}
