@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Search}
+import graft.operators.{Ann, InvertedIndex, Search}
 
 /** Lexical + hybrid retrieval gates over `documents`/`embeddings`:
   * TF-IDF weighting, BM25 ranking, and reciprocal-rank fusion of a
@@ -51,6 +51,41 @@ object SearchOps {
           .withColumn("bm25", round(col("bm25"), 4))
           .orderBy(desc("bm25"), asc("doc_id"))
           .limit(10),
+      Some(s"""WITH words AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+              |), lens AS (SELECT doc_id, len(ws) AS dl FROM words),
+              |tf AS (
+              |  SELECT doc_id, term, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+              |  WHERE term IN ($qTermsSql)
+              |  GROUP BY doc_id, term
+              |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens)
+              |SELECT doc_id,
+              |       round(sum(
+              |         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+              |         * tf * 2.2
+              |         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+              |FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id), stats
+              |GROUP BY doc_id
+              |ORDER BY bm25 DESC, doc_id
+              |LIMIT 10""".stripMargin)),
+
+    // BM25 through the MATERIALIZED inverted index (term-hash-bucket
+    // partition pruning, no query-time joins) — same oracle as q_bm25:
+    // the index path must reproduce the direct computation exactly.
+    GateQuery(
+      "q_inverted_bm25",
+      (s, d) => {
+        // fixed scratch location: build() swaps atomically, repeated
+        // rounds overwrite instead of accumulating /tmp leftovers
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_inv_idx_gate"
+        val idx = InvertedIndex.build(documents(s, d), "doc_id", "text", dir)
+        InvertedIndex.bm25(s, idx, QueryTerms)
+          .select(col("id").as("doc_id"), round(col("bm25"), 4).as("bm25"))
+          .orderBy(desc("bm25"), asc("doc_id"))
+          .limit(10)
+      },
       Some(s"""WITH words AS (
               |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
               |), lens AS (SELECT doc_id, len(ws) AS dl FROM words),
