@@ -163,4 +163,32 @@ object Curation {
   /** Match count of `pattern` in `textCol` (0 when no match). */
   def matchCount(textCol: Column, pattern: String): Column =
     size(regexp_extract_all(textCol, lit(pattern), lit(0)))
+
+  /** Deterministic weighted domain mixing: the standard training-mix
+    * transform (e.g. "wiki ×2.5, web ×0.3"). A weight w = k + f
+    * repeats each row k times and emits one further copy iff the row's
+    * content-hash bucket falls below f — so expectation is exactly w
+    * per row, the realized mix is layout/retry-stable, and repeated
+    * runs emit identical epochs. Output rows carry `epoch`
+    * ∈ [0, copies) so downstream shuffling can keep epochs apart.
+    *
+    * Scale shape: a per-row weight lookup (CASE chain), one explode
+    * bounded by ⌈w⌉ — no shuffle, no state; rows with weight 0 (or a
+    * losing fractional draw at w < 1) are filtered before the explode,
+    * so down-weighting is pushdown-shaped like stratifiedSample.
+    */
+  def weightedMix(df: DataFrame, idCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0), "negative mix weight")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    val copies = (floor(w) +
+      when(hashBucket(concat_ws(":", col(groupCol), col(idCol).cast("string"), lit("mix")))
+        < (w - floor(w)) * BucketSpace, 1).otherwise(0)).cast("int")
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_copies")
+  }
 }

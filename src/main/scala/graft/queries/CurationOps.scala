@@ -485,5 +485,42 @@ object CurationOps {
               |GROUP BY s_a, s_b
               |ORDER BY n_shared DESC, s_a, s_b
               |LIMIT 10""".stripMargin)),
+
+    // Weighted domain mixing (src0 ×2.5, src1 ×0.25, rest ×1):
+    // epoch-repetition + content-hashed fractional copies; census pins
+    // exact realized copy counts and the epoch range per source.
+    GateQuery(
+      "q_weighted_mix",
+      (s, d) =>
+        Curation.weightedMix(documents(s, d), "doc_id", "source",
+            Map("src0" -> 2.5, "src1" -> 0.25), 1.0)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_rows_out"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            max("epoch").cast("long").as("max_epoch"))
+          .orderBy("source"),
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, source,
+              |         CASE WHEN source = 'src0' THEN 2.5
+              |              WHEN source = 'src1' THEN 0.25
+              |              ELSE 1.0 END AS wt
+              |  FROM documents
+              |), c AS (
+              |  SELECT doc_id, source,
+              |         CAST(floor(wt) AS INT) +
+              |         CASE WHEN ${bucketSql("source || ':' || CAST(doc_id AS VARCHAR) || ':mix'")}
+              |                   < (wt - floor(wt)) * 268435456 THEN 1 ELSE 0 END AS copies
+              |  FROM w
+              |), exploded AS (
+              |  SELECT doc_id, source, unnest(range(copies)) AS epoch
+              |  FROM c WHERE copies > 0
+              |)
+              |SELECT source, count(*) AS n_rows_out,
+              |       count(DISTINCT doc_id) AS n_docs,
+              |       CAST(max(epoch) AS BIGINT) AS max_epoch
+              |FROM exploded
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)),
   )
 }

@@ -134,6 +134,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- redaction ---------------------------------------------------------
 
+  test("weightedMix: integer epochs always emitted, fractional draws stable, zero removes") {
+    val big = spark.range(0, 3000).toDF("id")
+      .withColumn("grp",
+        when(col("id") % 3 === 0, "up").when(col("id") % 3 === 1, "down").otherwise("gone"))
+    def run(parts: Int) =
+      Curation.weightedMix(big.repartition(parts), "id", "grp",
+          Map("up" -> 2.5, "down" -> 0.25, "gone" -> 0.0))
+        .select("id", "grp", "epoch").as[(Long, String, Int)].collect().toSet
+    val out = run(1)
+    assert(out == run(8), "mix must not depend on partition layout")
+    // weight 0 erases the group
+    assert(!out.exists(_._2 == "gone"))
+    // up-weight 2.5: every doc appears 2 or 3 times (epochs 0..copies-1),
+    // realized mean ≈ 2.5
+    val upCounts = out.filter(_._2 == "up").groupBy(_._1).map(_._2.size).toSeq
+    assert(upCounts.forall(c => c == 2 || c == 3))
+    val upMean = upCounts.sum.toDouble / upCounts.size
+    assert(math.abs(upMean - 2.5) < 0.1, s"realized up-weight $upMean")
+    // epochs are contiguous from 0
+    val epochsPerDoc = out.filter(_._2 == "up").groupBy(_._1).values
+    assert(epochsPerDoc.forall(g => g.map(_._3).toSeq.sorted == (0 until g.size)))
+    // down-weight 0.25: each doc 0 or 1 copies, rate ≈ 0.25
+    val downDocs = out.filter(_._2 == "down")
+    assert(downDocs.forall(_._3 == 0))
+    val downRate = downDocs.size / 1000.0
+    assert(math.abs(downRate - 0.25) < 0.06, s"realized down-weight $downRate")
+  }
+
   test("redact scrubs emails, phones, and long digit runs") {
     val pii = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
