@@ -345,50 +345,51 @@ object Dedup {
     out
   }
 
-  /** The md5 simhash as a PURE COLUMN PROGRAM — no UDF in the gate
-    * path. Bit-for-bit equal to `simHash(words, md5WordHash)` (spec-
-    * asserted): the word hash's bit 4j+b is bit b of md5 hex char j,
-    * so parsing the REVERSED 8-char hex halves yields exactly the
-    * lo/hi 32-bit words (parse(reverse(s))[bit 4m+b] = char m's bit b).
-    * Per-row arrays only — no explode, no shuffle; the bit-count
-    * accumulator is one `aggregate` over the word-hash array.
+  /** The md5 simhash as a UDF-free COLUMN PROGRAM, bit-for-bit equal
+    * to `simHash(words, md5WordHash)` (spec-asserted). The word hash's
+    * bit 4j+b is bit b of md5 hex char j, so parsing the REVERSED
+    * 8-char hex halves yields exactly the lo/hi 32-bit words
+    * (parse(reverse(s))[bit 4m+b] = char m's bit b).
+    *
+    * Shape: explode to (id, word), then ONE wide HashAggregate with 64
+    * codegen'd bit-sums and the majority vote folded back into a
+    * 64-bit fingerprint. The explode adds a shuffle on the id, but
+    * map-side partial aggregation reduces it to one 64-long row per
+    * (id, partition) — corpus-linear. The measured alternative (a
+    * per-row `aggregate`/`zip_with` accumulator, no shuffle) is ~10×
+    * SLOWER: higher-order functions don't enter whole-stage codegen,
+    * so every word paid a 64-wide interpreted fold. Returns
+    * (idCol, simhash).
     */
-  private def md5SimHashColumn(textCol: Column): Column = {
-    val words = array_distinct(split(trim(textCol), " "))
-    val hashes = transform(words, w => {
-      val m = md5(w)
-      struct(
-        conv(reverse(substring(m, 1, 8)), 16, 10).cast("long").as("lo"),
-        conv(reverse(substring(m, 9, 8)), 16, 10).cast("long").as("hi"))
-    })
-    val bitIdx = sequence(lit(0), lit(63))
-    val counts = aggregate(hashes, array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, bitIdx, (c, i) =>
-        c + when(i < 32,
-          call_function("shiftrightunsigned", h.getField("lo"), i))
-          .otherwise(
-            call_function("shiftrightunsigned", h.getField("hi"), i - 32))
-          .bitwiseAND(lit(1L)).cast("int")))
-    val n = size(words)
-    aggregate(
-      zip_with(counts, bitIdx, (c, i) =>
-        when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (a, x) => a.bitwiseOR(x))
+  def md5SimHashById(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(array_distinct(split(trim(col(textCol)), " "))).as("_w"))
+    val m = md5(col("_w"))
+    val lo = conv(reverse(substring(m, 1, 8)), 16, 10).cast("long")
+    val hi = conv(reverse(substring(m, 9, 8)), 16, 10).cast("long")
+    val bitSums = (0 until 64).map { i =>
+      val half = if (i < 32) lo else hi
+      sum(shiftrightunsigned(half, i % 32).bitwiseAND(lit(1L))).as(s"_b$i")
+    }
+    val fingerprint = (0 until 64)
+      .map(i => when(col(s"_b$i") * 2 > col("_n"),
+        shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    words.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n"), bitSums: _*)
+      .select(col(idCol), fingerprint.as("simhash"))
   }
 
   def withSimHash(df: DataFrame, textCol: String,
       wordHash: String => Long = xxh3WordHash): DataFrame = {
-    // same null-text guard as withSignature: a null word list reaches
-    // the UDF as null (Seq is a reference type) and would NPE
-    val nonNull = df.filter(col(textCol).isNotNull)
-    if (wordHash eq md5WordHash)
-      // SQL-expressible hash ⇒ UDF-free plan (matches the DuckDB oracle)
-      nonNull.withColumn("simhash", md5SimHashColumn(col(textCol)))
-    else {
-      val simHashUdf = udf((ws: Seq[String]) => simHash(ws, wordHash))
-      nonNull.withColumn("simhash",
+    // null-text guard: a null word list reaches the UDF as null (Seq
+    // is a reference type) and would NPE
+    val simHashUdf = udf((ws: Seq[String]) => simHash(ws, wordHash))
+    df.filter(col(textCol).isNotNull)
+      .withColumn("simhash",
         simHashUdf(array_distinct(split(trim(col(textCol)), " "))))
-    }
   }
 
   // ---- embedding-cosine near-dup ----------------------------------------
@@ -468,7 +469,11 @@ object Dedup {
       maxHamming: Int = 3,
       wordHash: String => Long = xxh3WordHash): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing only guarantees hamming <= 3")
-    val hashed = withSimHash(df, textCol, wordHash)
+    // the md5 hash is SQL-expressible, so its fingerprint computes as a
+    // UDF-free codegen'd aggregate (and matches the DuckDB oracle)
+    val hashed =
+      if (wordHash eq md5WordHash) md5SimHashById(df, idCol, textCol)
+      else withSimHash(df, textCol, wordHash).select(col(idCol), col("simhash"))
     val chunks = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)

@@ -51,16 +51,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .map(_ => s"tok${rnd.nextInt(200)}").mkString(" "))
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    val got = Dedup.withSimHash(df, "text", Dedup.md5WordHash)
-      .select("doc_id", "simhash").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.md5SimHashById(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = texts.zipWithIndex.map { case (t, i) =>
       i.toLong -> Dedup.simHash(
         t.trim.split(" ", -1).distinct.toSeq, Dedup.md5WordHash)
     }.toMap
     assert(got == want)
     // and the plan is UDF-free
-    val plan = Dedup.withSimHash(df, "text", Dedup.md5WordHash)
+    val plan = Dedup.md5SimHashById(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), plan)
   }
