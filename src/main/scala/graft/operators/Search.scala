@@ -75,6 +75,42 @@ object Search {
       .agg(sum("w").as("bm25"))
   }
 
+  /** More-like-this: rank documents by cosine similarity to a QUERY
+    * DOCUMENT in TF-IDF space — sim(q,d) = Σ_t w_q(t)·w_d(t) /
+    * (‖w_q‖·‖w_d‖) over shared terms. One posting self-join on term:
+    * the query side is a single document's postings (tiny), the corpus
+    * side stays partitioned; norms come from a per-doc aggregate of
+    * the same weighted relation. The query doc itself is excluded.
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      queryId: Any): DataFrame = {
+    // the weighted relation feeds four consumers (query terms, query
+    // norm, corpus norms, the dot join) — persist it for the operator's
+    // lifetime and materialize the (top-list-sized) result eagerly so
+    // the corpus-sized cache can be released, same pattern as
+    // Dedup.verifiedPairs
+    val weighted = tfIdf(docs, idCol, textCol).persist()
+    try {
+      val norms = weighted.groupBy(col(idCol))
+        .agg(sqrt(sum(col("tfidf") * col("tfidf"))).as("_norm"))
+      val q = weighted.filter(col(idCol) === lit(queryId))
+        .select(col("term"), col("tfidf").as("_wq"))
+      val qNorm = norms.filter(col(idCol) === lit(queryId))
+        .select(col("_norm").as("_qnorm"))
+      val out = weighted.filter(col(idCol) =!= lit(queryId))
+        .join(q, "term") // query side is one doc's terms — auto-broadcast
+        .groupBy(col(idCol))
+        .agg(sum(col("tfidf") * col("_wq")).as("_dot"))
+        .join(norms, idCol)
+        .crossJoin(broadcast(qNorm))
+        .withColumn("sim", col("_dot") / (col("_norm") * col("_qnorm")))
+        .select(col(idCol), col("sim"))
+      out.persist()
+      out.count()
+      out
+    } finally weighted.unpersist(blocking = false)
+  }
+
   /** Reciprocal-rank fusion: rrf(d) = Σ_lists 1/(k + rank_list(d)).
     * Each input carries (idCol, "rank") with rank starting at 1; ids
     * absent from a list simply contribute nothing (standard RRF). The

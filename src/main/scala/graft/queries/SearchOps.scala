@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, InvertedIndex, Search}
+import graft.operators.{Ann, Bloom, InvertedIndex, Search}
 
 /** Lexical + hybrid retrieval gates over `documents`/`embeddings`:
   * TF-IDF weighting, BM25 ranking, and reciprocal-rank fusion of a
@@ -70,6 +70,63 @@ object SearchOps {
               |GROUP BY doc_id
               |ORDER BY bm25 DESC, doc_id
               |LIMIT 10""".stripMargin)),
+
+    // More-like-this: documents ranked by TF-IDF-space cosine against
+    // a query DOCUMENT (doc 0) — one posting join on term, norms from
+    // the same weighted relation.
+    GateQuery(
+      "q_more_like_this",
+      (s, d) =>
+        Search.moreLikeThis(documents(s, d), "doc_id", "text", 0L)
+          .withColumn("sim", round(col("sim"), 4))
+          .orderBy(desc("sim"), asc("doc_id"))
+          .limit(10),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, term, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+             |        FROM documents)
+             |  GROUP BY doc_id, term
+             |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |w AS (
+             |  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS wt
+             |  FROM tf JOIN dfs USING (term), n
+             |), norms AS (
+             |  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id
+             |), q AS (SELECT term, wt FROM w WHERE doc_id = 0),
+             |qn AS (SELECT nrm FROM norms WHERE doc_id = 0),
+             |dots AS (
+             |  SELECT w.doc_id, sum(w.wt * q.wt) AS dt
+             |  FROM w JOIN q USING (term) WHERE w.doc_id <> 0
+             |  GROUP BY w.doc_id
+             |)
+             |SELECT doc_id, round(dt / (norms.nrm * qn.nrm), 4) AS sim
+             |FROM dots JOIN norms USING (doc_id), qn
+             |ORDER BY sim DESC, doc_id
+             |LIMIT 10""".stripMargin)),
+
+    // Bloom-prefiltered semi-join: lineitem rows of high-value orders.
+    // The bloom predicate prunes the probe scan before its shuffle;
+    // the exact semi join corrects false positives, so the census is
+    // identical to the plain semi join the oracle runs.
+    GateQuery(
+      "q_bloom_semi",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val highValue = orders(s, d).filter(col("o_totalprice") > 400000)
+        val expected = highValue.count()
+        Bloom.semiJoin(li, highValue, "l_orderkey", "o_orderkey", expected)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum("l_quantity").cast("long").as("sum_qty"),
+            countDistinct("l_orderkey").as("n_orders"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |       count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_totalprice > 400000)""".stripMargin)),
 
     // BM25 through the MATERIALIZED inverted index (term-hash-bucket
     // partition pruning, no query-time joins) — same oracle as q_bm25:

@@ -50,6 +50,23 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
     assert(scores.values.forall(s => s > 0 && !s.isNaN && !s.isInfinite))
   }
 
+  test("moreLikeThis: a near-duplicate outranks partial overlap; self excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "spark join merge window filter"),
+      (1L, "spark join merge window filter"),        // identical to query
+      (2L, "spark join merge scan scan scan table"), // partial overlap
+      (3L, "alpha beta gamma delta epsilon")         // disjoint
+    ).toDF("doc_id", "text")
+    val sims = Search.moreLikeThis(df, "doc_id", "text", 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!sims.contains(0L), "query doc must be excluded")
+    assert(!sims.contains(3L), "disjoint doc shares no terms")
+    // identical doc: cosine 1 up to float error; strictly above partial
+    assert(math.abs(sims(1L) - 1.0) < 1e-9, s"identical-doc sim ${sims(1L)}")
+    assert(sims(1L) > sims(2L))
+  }
+
   test("rrfFuse: presence in both lists dominates a single better rank") {
     import spark.implicits._
     val l1 = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
