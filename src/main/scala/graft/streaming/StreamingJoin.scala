@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** Stream-stream watermarked join: the REAL-TIME analogue of the
+  * decision↔reward association the batch pipeline does with
+  * union + groupBy (Merge.ingest). Decisions and rewards arrive on
+  * separate streams; a reward joins its decision iff it lands within
+  * `maxRewardDelay` of the decision's event time.
+  *
+  * State stays bounded on both sides: the event-time range condition
+  * plus the two watermarks let Spark expire a decision's join state
+  * once the reward-side watermark passes decision_time +
+  * maxRewardDelay — nothing accumulates forever, which is what makes
+  * this shape survive an unbounded stream. Inner join emits each
+  * match as soon as both sides have arrived (no watermark wait on the
+  * emit path).
+  */
+object StreamingJoin {
+
+  private val decisionSchema = StructType(Seq(
+    StructField("decision_id", StringType),
+    StructField("ts", LongType),
+    StructField("item", StringType)))
+
+  private val rewardSchema = StructType(Seq(
+    StructField("decision_id", StringType),
+    StructField("ts", LongType),
+    StructField("reward", DoubleType)))
+
+  private def jsonlStream(spark: SparkSession, dir: String, schema: StructType) =
+    spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir)
+      .select(from_json(col("value"), schema).as("e"))
+      // malformed lines parse to null — null keys/timestamps would pin
+      // unexpirable join state
+      .filter(col("e").isNotNull && col("e.decision_id").isNotNull &&
+        col("e.ts").isNotNull)
+
+  /** JSONL decisions {decision_id, ts, item} under `decisionsDir` and
+    * rewards {decision_id, ts, reward} under `rewardsDir` →
+    * (decision_id, item, reward, delay_sec) appended to `outDir`.
+    */
+  def rewardJoinStream(spark: SparkSession, decisionsDir: String,
+      rewardsDir: String, outDir: String, checkpointDir: String,
+      lateness: String = "1 hour",
+      maxRewardDelay: String = "2 hours"): StreamingQuery = {
+    val decisions = jsonlStream(spark, decisionsDir, decisionSchema)
+      .select(col("e.decision_id"), timestamp_seconds(col("e.ts")).as("d_time"),
+        col("e.item"))
+      .withWatermark("d_time", lateness)
+    val rewards = jsonlStream(spark, rewardsDir, rewardSchema)
+      .filter(col("e.reward").isNotNull)
+      .select(col("e.decision_id").as("r_decision_id"),
+        timestamp_seconds(col("e.ts")).as("r_time"), col("e.reward"))
+      .withWatermark("r_time", lateness)
+
+    decisions.join(rewards,
+      col("decision_id") === col("r_decision_id") &&
+        col("r_time") >= col("d_time") &&
+        col("r_time") <= col("d_time") + expr(s"interval $maxRewardDelay"))
+      .select(col("decision_id"), col("item"), col("reward"),
+        (unix_timestamp(col("r_time")) - unix_timestamp(col("d_time"))).as("delay_sec"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}
