@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Bloom, InvertedIndex, Search}
+import graft.operators.{Ann, Bloom, InvertedIndex, Layout, Search}
 
 /** Lexical + hybrid retrieval gates over `documents`/`embeddings`:
   * TF-IDF weighting, BM25 ranking, and reciprocal-rank fusion of a
@@ -17,6 +17,12 @@ object SearchOps {
   // query terms present in the synthetic corpus vocabulary
   private val QueryTerms = Seq("spark", "join", "merge", "hash")
   private val qTermsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  // the 16-term Morton interleave, generated term-for-term from the
+  // same indices Layout.interleaveBits unrolls — qa/qb are 16-bit
+  private val interleaveSql = (0 until 16).map { i =>
+    s"(((qa >> $i) & 1) * ${1L << (2 * i)}) + (((qb >> $i) & 1) * ${1L << (2 * i + 1)})"
+  }.mkString(" + ")
 
   val queries: Seq[GateQuery] = Seq(
 
@@ -162,6 +168,37 @@ object SearchOps {
               |GROUP BY doc_id
               |ORDER BY bm25 DESC, doc_id
               |LIMIT 10""".stripMargin)),
+
+    // Z-order (Morton) values over two lineitem dimensions with fixed
+    // quantization ranges; census per high-byte bucket pins the exact
+    // bit interleave. The layout operator built on this is spec-tested
+    // for file-level locality (LayoutSpec).
+    GateQuery(
+      "q_zorder",
+      (s, d) =>
+        lineitem(s, d)
+          .withColumn("z", Layout.zValue(
+            col("l_quantity"), 1.0, 50.0, col("l_extendedprice"), 900.0, 105000.0))
+          .withColumn("zbucket", shiftrightunsigned(col("z"), 26))
+          .groupBy("zbucket")
+          .agg(
+            count(lit(1)).as("n"),
+            min("z").as("z_min"),
+            max("z").as("z_max"),
+            sum("z").cast("long").as("z_sum"))
+          .orderBy("zbucket"),
+      Some(s"""WITH q AS (
+              |  SELECT
+              |    CAST(least(greatest(round((CAST(l_quantity AS DOUBLE) - 1.0) / 49.0 * 65535.0), 0), 65535) AS BIGINT) AS qa,
+              |    CAST(least(greatest(round((CAST(l_extendedprice AS DOUBLE) - 900.0) / 104100.0 * 65535.0), 0), 65535) AS BIGINT) AS qb
+              |  FROM lineitem
+              |), z AS (SELECT $interleaveSql AS z FROM q)
+              |SELECT z >> 26 AS zbucket, count(*) AS n,
+              |       min(z) AS z_min, max(z) AS z_max,
+              |       CAST(sum(z) AS BIGINT) AS z_sum
+              |FROM z
+              |GROUP BY zbucket
+              |ORDER BY zbucket""".stripMargin)),
 
     // Hybrid retrieval: BM25 top-50 ⊕ cosine-vs-vec-0 top-50, fused by
     // reciprocal rank (k = 60); top-10 of the fused list. Ranks are
