@@ -71,6 +71,25 @@ object IvfIndex {
     Index(dir, cents)
   }
 
+  /** Incremental maintenance: assign a NEW batch of vectors to the
+    * EXISTING centroids and append into the cell partitions — the
+    * production path for a growing corpus, linear in the batch instead
+    * of a full rebuild per delivery. The quantizer is intentionally
+    * frozen (same centroids ⇒ existing cell assignments stay valid and
+    * probes stay correct); rebuild when drift degrades recall — the
+    * AnnSpec recall gate is the regression guard for that call.
+    *
+    * Parquet append is atomic per file and `partitionBy` only touches
+    * the batch's cells; a crashed append can leave a partial BATCH but
+    * never corrupts existing files, and re-running the batch after
+    * dedup (see Dedup.deltaPairs) restores consistency.
+    */
+  def append(index: Index, df: DataFrame, vecCol: String, idCol: String): Index = {
+    Ann.withCell(df, vecCol, index.centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"${index.dir}/cells")
+    index
+  }
+
   /** Reopen a previously built index (centroids only — the cell table
     * stays on disk until probed).
     */

@@ -126,6 +126,37 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("append: incremental batch joins the index; nprobe=C equals brute force over the union") {
+    import spark.implicits._
+    val df = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val idx = IvfIndex.build(df, "v", "vec_id", dir, numCells = 4, seed = 5L)
+
+    // a new batch clustered near axis 1 (cell of the query) + one stray
+    val rnd = new scala.util.Random(77)
+    val batch = ((0 until 10).map { i =>
+      (500L + i, "new1", Seq.tabulate(8)(d =>
+        (if (d == 2) 10.0 else 0.0) + rnd.nextGaussian() * 0.1))
+    } :+ ((600L, "new0", Seq.tabulate(8)(d => if (d == 0) 10.0 else 0.0))))
+      .toDF("vec_id", "label", "v")
+    IvfIndex.append(idx, batch, "v", "vec_id")
+
+    val query = Seq.tabulate(8)(d => if (d == 2) 1.0 else 0.0)
+    val viaIndex = IvfIndex.topK(spark, idx, "v", "vec_id", query, 10, nprobe = 4)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = df.unionByName(batch)
+      .withColumn("cos", round(Ann.cosine(col("v"), array(query.map(lit): _*)), 4))
+      .orderBy(desc("cos"), asc("vec_id")).limit(10)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == brute)
+
+    // a reopened index sees the appended rows (no sidecar change needed)
+    val reopened = IvfIndex.load(spark, dir)
+    val again = IvfIndex.topK(spark, reopened, "v", "vec_id", query, 10, nprobe = 4)
+      .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(again == brute)
+  }
+
   test("IVF-PQ: ADC probe never reads the vector column; rerank equals exact") {
     val df = corpus()
     val dir = java.nio.file.Files.createTempDirectory("ivf_pq").toString
