@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+
+/** Exact heavy hitters over an unbounded-cardinality column via the
+  * classic two-pass scheme: a Misra–Gries sketch pass to find
+  * candidates with bounded state, then an exact re-count of ONLY the
+  * candidates. The reference counts frequencies driver-side per batch
+  * (pandas value_counts in src/trainer/code/train.py); at 100 TB the
+  * vocabulary fits nowhere, so the sketch pass replaces the
+  * full-vocabulary shuffle a plain groupBy would need.
+  *
+  * Why two passes: the MG candidate SET depends on partition/merge
+  * order, but its guarantee does not — every item with true frequency
+  * > n/(k+1) is in the sketch, with no false negatives. Re-counting
+  * candidates exactly and filtering on the same n/(k+1) bound makes
+  * the final answer EXACT and order/partitioning/retry-independent
+  * (identical to `GROUP BY v HAVING count(*)·(k+1) > n`), which is
+  * what lets the gate query hash-match a DuckDB oracle.
+  *
+  * Scale shape:
+  *  - pass 1 is one scan; each partition shuffles ≤ k counters
+  *    (map-side partial agg of the typed Aggregator) and the driver
+  *    receives ≤ k candidates + one total — bounded by k, never by
+  *    cardinality;
+  *  - pass 2 is one scan with an `IN (candidates)` predicate that
+  *    Catalyst converts to an InSet and pushes into the parquet scan,
+  *    then a groupBy over ≤ k surviving keys — a trivial shuffle.
+  */
+object Frequency {
+
+  /** Items of `valueCol` (cast to string) whose exact count `c`
+    * satisfies `c·(k+1) > n` (n = non-null rows) and `c ≥ minSupport`.
+    * Output: (`item` string, `cnt` long). Completeness holds only at
+    * the n/(k+1) bound — a `minSupport` below it tightens nothing and
+    * is rejected to keep the operator's contract honest.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int,
+      minSupport: Option[Long] = None): DataFrame = {
+    require(k > 0, s"sketch capacity must be positive, got $k")
+    val vals = df.select(col(valueCol).cast("string").as("item"))
+      .where(col("item").isNotNull)
+
+    val mg = udaf(new MisraGries(k), Encoders.STRING)
+    val first = vals.agg(mg(col("item")).as("hits"), count(lit(1)).as("n")).head()
+    val n = first.getLong(1)
+    val cands = first.getSeq[Row](0).map(_.getString(0))
+    minSupport.foreach { s =>
+      require(s * (k + 1L) > n,
+        s"minSupport=$s is below the MG completeness bound n/(k+1)=" +
+          s"${n / (k + 1L)} — raise k or minSupport")
+    }
+
+    vals
+      .where(col("item").isin(cands: _*))
+      .groupBy("item")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * (k + 1L) > n &&
+        col("cnt") >= minSupport.getOrElse(0L))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, IvfIndex, Multimodal}
+import graft.operators.{Ann, Dedup, Frequency, IvfIndex, Multimodal}
 
 /** Gate queries for the scale extensions: MinHash-LSH / SimHash dedup,
   * IVF ANN, multimodal binary plumbing. Where the result is
@@ -412,5 +412,23 @@ object ExtOps {
              |       round(quantile_cont(value, 0.99), 4) AS p99,
              |       TRUE AS apx_ok_p50, TRUE AS apx_ok_p99
              |FROM events""".stripMargin)),
+
+    // Two-pass Misra–Gries heavy hitters: the sketch pass keeps ≤ k
+    // counters per partition (bounded state at any cardinality), the
+    // exact re-count of candidates makes the result identical to
+    // GROUP BY ... HAVING count·(k+1) > n — which IS the oracle. At
+    // k=200 the n/201 cut lands between the busiest and quietest
+    // users, so the gate pins a non-trivial selection.
+    GateQuery(
+      "q_heavy_hitters",
+      (s, d) =>
+        Frequency.heavyHitters(events(s, d), "user_id", k = 200)
+          .orderBy("item"),
+      Some("""SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS cnt
+             |FROM events
+             |WHERE user_id IS NOT NULL
+             |GROUP BY 1
+             |HAVING count(*) * 201 > (SELECT count(user_id) FROM events)
+             |ORDER BY item""".stripMargin)),
   )
 }
