@@ -176,4 +176,52 @@ object Temporal {
         right.columns.map(c => col("_rj_r").getField(c).as(rightPrefix + c)))
         .toIndexedSeq: _*)
   }
+
+  /** Time-series resample + gap fill: aggregate per (`on`, fixed
+    * `stepUs`-wide time bucket), densify every key's observed bucket
+    * range, and forward-fill the aggregated columns across the
+    * generated gaps (pandas `resample(...).agg(...).ffill()`
+    * semantics: a fill carries the last NON-NULL value; buckets before
+    * a key's first observation do not exist, so nothing leads with
+    * nulls).
+    *
+    * Output: `on` ++ (`bucket_us` long — bucket start in micros since
+    * epoch, `is_gap` boolean, one column per named agg).
+    *
+    * Scale shape: the dense grid is generated per key from its own
+    * (min, max) bucket span — `explode(sequence(lo, hi))` — so grid
+    * size is Σ span/step per key, never global-range × keys; every
+    * stage (bucket agg, span agg, grid⋈observed join, forward-fill
+    * window) partitions on the SAME key columns, no broadcast, no
+    * driver state. A pathological key whose span/step is huge inflates
+    * only its own partition — cap the span upstream if steps are tiny.
+    */
+  def resample(df: DataFrame, on: Seq[String], ts: String, stepUs: Long,
+      aggs: Seq[(String, Column)]): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    require(aggs.nonEmpty, "at least one aggregation required")
+    val keyed = df.where(col(ts).isNotNull)
+      .withColumn("_rs_b", floor(orderKey(df, ts) / stepUs).cast("long"))
+    val bucketed = keyed
+      .groupBy((on :+ "_rs_b").map(col).toIndexedSeq: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }.toIndexedSeq: _*)
+      .withColumn("_rs_obs", lit(true))
+    val grid = bucketed
+      .groupBy(on.map(col).toIndexedSeq: _*)
+      .agg(min("_rs_b").as("_rs_lo"), max("_rs_b").as("_rs_hi"))
+      .withColumn("_rs_b", explode(sequence(col("_rs_lo"), col("_rs_hi"))))
+      .drop("_rs_lo", "_rs_hi")
+    val w = Window.partitionBy(on.map(col).toIndexedSeq: _*)
+      .orderBy(col("_rs_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid.join(bucketed, on :+ "_rs_b", "left")
+      .withColumn("is_gap", col("_rs_obs").isNull)
+    aggs.foldLeft(filled) { case (acc, (n, _)) =>
+        acc.withColumn(n, last(col(n), ignoreNulls = true).over(w))
+      }
+      .select((on.map(col) ++ Seq(
+        (col("_rs_b") * stepUs).as("bucket_us"), col("is_gap")) ++
+        aggs.map { case (n, _) => col(n) }).toIndexedSeq: _*)
+  }
 }

@@ -536,5 +536,48 @@ object Rel {
              |FROM events
              |GROUP BY month
              |ORDER BY month""".stripMargin)),
+
+    // Pivot (long→wide): per-user event-type value matrix. The value
+    // list is explicit, so Spark skips the pre-scan a dynamic pivot
+    // needs to discover columns and the whole pivot compiles to ONE
+    // conditional-aggregation shuffle — the shape that scales.
+    GateQuery(
+      "q_pivot",
+      (s, d) =>
+        events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(round(sum("value"), 2))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+             |       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+             |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+             |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+             |       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS "view"
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // Unpivot (wide→long, melt): per-metric census over lineitem's
+    // numeric columns. Unpivot is a zero-shuffle column program (each
+    // row expands in place); the only exchange is the final census agg.
+    GateQuery(
+      "q_unpivot",
+      (s, d) =>
+        lineitem(s, d)
+          .select("l_quantity", "l_extendedprice", "l_discount")
+          .unpivot(Array.empty[org.apache.spark.sql.Column],
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "metric", "val")
+          .groupBy("metric")
+          .agg(round(sum("val"), 2).as("sum_val"), count(lit(1)).as("n"))
+          .orderBy("metric"),
+      Some("""SELECT 'l_quantity' AS metric, round(sum(l_quantity), 2) AS sum_val, count(*) AS n FROM lineitem
+             |UNION ALL
+             |SELECT 'l_extendedprice', round(sum(l_extendedprice), 2), count(*) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_discount', round(sum(l_discount), 2), count(*) FROM lineitem
+             |ORDER BY metric""".stripMargin)),
   )
 }

@@ -92,5 +92,52 @@ object TemporalOps {
              | AND c.ts <= p.ts + INTERVAL 2 HOUR
              |GROUP BY p.event_id
              |ORDER BY p.event_id""".stripMargin)),
+
+    // Resample + gap fill: per-user daily buckets over each user's own
+    // observed span, gaps forward-filled with the last non-null bucket
+    // value. The per-user census (bucket/gap counts + checksums over
+    // ALL filled values and over gap rows alone) pins every generated
+    // grid row and every carried fill — one wrong fill shifts its
+    // user's sums.
+    GateQuery(
+      "q_resample",
+      (s, d) => {
+        val dayUs = 86400000000L
+        Temporal.resample(events(s, d), Seq("user_id"), "ts", dayUs,
+          Seq("v" -> round(sum(col("value")), 2)))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            sum(col("is_gap").cast("long")).as("n_gaps"),
+            round(sum("v"), 2).as("sum_filled"),
+            round(sum(when(col("is_gap"), col("v"))), 2).as("sum_gap_fill"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS bk,
+             |         round(sum(value), 2) AS v
+             |  FROM events GROUP BY 1, 2
+             |), span AS (
+             |  SELECT user_id, min(bk) AS lo, max(bk) AS hi FROM b GROUP BY 1
+             |), grid AS (
+             |  SELECT user_id, unnest(range(lo, hi + 1)) AS bk FROM span
+             |), j AS (
+             |  SELECT g.user_id, g.bk, b.v, b.user_id IS NULL AS is_gap
+             |  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bk = b.bk
+             |), f AS (
+             |  SELECT user_id, bk, is_gap,
+             |         last_value(v IGNORE NULLS) OVER (
+             |           PARTITION BY user_id ORDER BY bk
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |  FROM j
+             |)
+             |SELECT user_id, count(*) AS n_buckets,
+             |       CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+             |       round(sum(v), 2) AS sum_filled,
+             |       round(sum(CASE WHEN is_gap THEN v END), 2) AS sum_gap_fill
+             |FROM f
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
   )
 }

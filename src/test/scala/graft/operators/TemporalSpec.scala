@@ -177,4 +177,47 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Temporal.rangeJoin(trades, quotes, Seq("sym"), "ts", "ts", 10L, 5L))
   }
+
+  test("resample densifies each key's own span and forward-fills gaps") {
+    import spark.implicits._
+    // key a observes buckets 0,1,4 (gaps 2,3); key b observes only 7 —
+    // its grid is a single bucket, NOT stretched to a's range
+    val df = Seq(
+      ("a", 5L, 1.0), ("a", 8L, 2.0),   // bucket 0: sum 3.0
+      ("a", 15L, 4.0),                  // bucket 1
+      ("a", 42L, 8.0),                  // bucket 4
+      ("b", 75L, 16.0)                  // bucket 7
+    ).toDF("k", "ts", "v")
+    val out = Temporal.resample(df, Seq("k"), "ts", 10L,
+        Seq("sv" -> sum(col("v"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      ("a", 0L, false, 3.0),
+      ("a", 10L, false, 4.0),
+      ("a", 20L, true, 4.0),  // gap carries bucket 1's value
+      ("a", 30L, true, 4.0),
+      ("a", 40L, false, 8.0),
+      ("b", 70L, false, 16.0)))
+  }
+
+  test("resample: null timestamps drop, multi-agg columns fill independently") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(5L), 1.0), (None, 99.0),    // null ts never lands anywhere
+      (Some(25L), 3.0)
+    ).map { case (ts, v) => ("k", ts, v) }.toDF("k", "ts", "v")
+    val out = Temporal.resample(df, Seq("k"), "ts", 10L,
+        Seq("sv" -> sum(col("v")), "n" -> count(lit(1))))
+      .orderBy("bucket_us").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 10L, 20L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 1.0, 3.0)) // sv filled
+    assert(out.map(_.getLong(4)).toSeq == Seq(1L, 1L, 1L))      // n filled
+    assert(out.map(_.getBoolean(2)).toSeq == Seq(false, true, false))
+    intercept[IllegalArgumentException](
+      Temporal.resample(df, Seq("k"), "ts", 0L, Seq("sv" -> sum(col("v")))))
+    intercept[IllegalArgumentException](
+      Temporal.resample(df, Seq("k"), "ts", 10L, Seq.empty))
+  }
 }
