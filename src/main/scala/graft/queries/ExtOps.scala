@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Frequency, IvfIndex, Multimodal}
+import graft.operators.{Ann, Dedup, Frequency, IvfIndex, Multimodal, SketchRollup}
 
 /** Gate queries for the scale extensions: MinHash-LSH / SimHash dedup,
   * IVF ANN, multimodal binary plumbing. Where the result is
@@ -430,5 +430,36 @@ object ExtOps {
              |GROUP BY 1
              |HAVING count(*) * 201 > (SELECT count(user_id) FROM events)
              |ORDER BY item""".stripMargin)),
+
+    // Sketch-as-table rollup: per-(event_type, day) HLL unit sketches
+    // merged across days answer the per-type distinct-user census
+    // without rescanning raw events — the incremental-rollup shape a
+    // 100 TB metrics store needs. The oracle pins the exact census;
+    // the in-plan guard fails the gate if the merged-sketch estimate
+    // drifts >5% from it.
+    GateQuery(
+      "q_hll_rollup",
+      (s, d) => {
+        val ev = events(s, d)
+        val units = SketchRollup.buildUnits(
+          ev.withColumn("day", to_date(col("ts"))),
+          Seq("event_type", "day"), "user_id")
+        val merged = SketchRollup.distinctOverSlice(units, Seq("event_type"))
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+            count(lit(1)).as("n_rows"))
+        exact
+          .join(merged.select(col("event_type"), col("distinct_est")),
+            Seq("event_type"))
+          .select(col("event_type"), col("n_exact"), col("n_rows"),
+            (abs(col("distinct_est") - col("n_exact")) <=
+              col("n_exact") * 0.05).as("sketch_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             |       count(*) AS n_rows, TRUE AS sketch_ok
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
   )
 }
