@@ -61,4 +61,43 @@ object Frequency {
       .where(col("cnt") * (k + 1L) > n &&
         col("cnt") >= minSupport.getOrElse(0L))
   }
+
+  /** Per-group heavy hitters: for every `groupCols` combination, the
+    * items whose within-group count `c` satisfies `c·(k+1) > n_g`
+    * (n_g = the group's non-null rows). Output: `groupCols` ++
+    * (`item` string, `cnt` long).
+    *
+    * Unlike the global variant there is NO driver round-trip: the
+    * number of groups is unbounded at corpus scale (candidates would
+    * be groups×k), so the candidate relation stays distributed — a
+    * semi join keyed on (`groupCols`, item) restricts the exact
+    * re-count, and the per-group totals join back for the threshold.
+    * Every stage is a hash-partitioned agg/join on the same keys; the
+    * sketch still bounds each GROUP's aggregation state at k counters
+    * where a plain groupBy(group, item) would carry the full per-group
+    * vocabulary through the shuffle.
+    */
+  def heavyHittersByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int, minSupport: Option[Long] = None): DataFrame = {
+    require(k > 0, s"sketch capacity must be positive, got $k")
+    require(groupCols.nonEmpty, "groupCols must be non-empty (use heavyHitters)")
+    val gcols = groupCols.map(col)
+    val vals = df.select((gcols :+ col(valueCol).cast("string").as("item"))
+      .toIndexedSeq: _*).where(col("item").isNotNull)
+
+    val mg = udaf(new MisraGries(k), Encoders.STRING)
+    val sketched = vals.groupBy(gcols.toIndexedSeq: _*)
+      .agg(mg(col("item")).as("_hits"), count(lit(1)).as("_n"))
+    val cands = sketched.select(
+      (gcols :+ explode(col("_hits.item")).as("item")).toIndexedSeq: _*)
+
+    vals
+      .join(cands, groupCols :+ "item", "left_semi")
+      .groupBy((gcols :+ col("item")).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .join(sketched.select((gcols :+ col("_n")).toIndexedSeq: _*), groupCols)
+      .where(col("cnt") * (k + 1L) > col("_n") &&
+        col("cnt") >= minSupport.getOrElse(0L))
+      .drop("_n")
+  }
 }

@@ -431,6 +431,33 @@ object ExtOps {
              |HAVING count(*) * 201 > (SELECT count(user_id) FROM events)
              |ORDER BY item""".stripMargin)),
 
+    // Per-group heavy hitters: top tokens per document source, k=25 <
+    // the per-source vocabulary so the MG sketch genuinely prunes, and
+    // the n_g/(k+1) cut (~4%) lands mid-distribution — a non-trivial
+    // per-group selection with zero driver state (candidates stay a
+    // distributed relation; see Frequency.heavyHittersByGroup).
+    GateQuery(
+      "q_heavy_hitters_grouped",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("source"),
+            explode(split(trim(col("text")), " ")).as("tok"))
+        Frequency.heavyHittersByGroup(toks, Seq("source"), "tok", k = 25)
+          .orderBy("source", "item")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(string_split(trim(text), ' ')) AS item
+             |  FROM documents
+             |), c AS (
+             |  SELECT source, item, count(*) AS cnt FROM toks GROUP BY 1, 2
+             |), n AS (
+             |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1
+             |)
+             |SELECT c.source, c.item, c.cnt
+             |FROM c JOIN n ON c.source = n.source
+             |WHERE c.cnt * 26 > n.n
+             |ORDER BY c.source, c.item""".stripMargin)),
+
     // Sketch-as-table rollup: per-(event_type, day) HLL unit sketches
     // merged across days answer the per-type distinct-user census
     // without rescanning raw events — the incremental-rollup shape a

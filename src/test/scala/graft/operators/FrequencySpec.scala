@@ -66,6 +66,27 @@ class FrequencySpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Frequency.heavyHitters(df, "v", 0))
   }
 
+  test("per-group heavy hitters: exact per-group cuts, no cross-group bleed") {
+    import spark.implicits._
+    // gA's hitters (x, y) and gB's (z) clear their OWN group's n/(k+1)
+    // cut; tails never do. x appears in gB only below its cut — it
+    // must not bleed through from gA's candidacy.
+    val rows = Seq.fill(300)(("gA", "x")) ++ Seq.fill(200)(("gA", "y")) ++
+      (1 to 150).map(i => ("gA", s"a$i")) ++
+      Seq.fill(400)(("gB", "z")) ++ Seq.fill(10)(("gB", "x")) ++
+      (1 to 90).map(i => ("gB", s"b$i"))
+    val df = rows.toDF("g", "v").repartition(8)
+    val got = Frequency.heavyHittersByGroup(df, Seq("g"), "v", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // nA=650: cut 72.2 → x(300), y(200); nB=500: cut 55.6 → z(400)
+    assert(got == Set(("gA", "x", 300L), ("gA", "y", 200L), ("gB", "z", 400L)))
+    val reparted = Frequency.heavyHittersByGroup(df.repartition(1), Seq("g"), "v", 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(reparted == got)
+    intercept[IllegalArgumentException](
+      Frequency.heavyHittersByGroup(df, Seq.empty, "v", 8))
+  }
+
   test("nulls are ignored and an empty input yields an empty result") {
     import spark.implicits._
     val withNulls = Seq(Some("a"), None, Some("a"), Some("b"), None)
