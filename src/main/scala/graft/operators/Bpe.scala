@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary learning over a distributed corpus —
+  * the tokenizer-training step of an LLM data pipeline (Sennrich et
+  * al. 2016). The reference has no tokenizer; at 100 TB the classic
+  * in-memory trainers (single-host hash maps over the word list) stop
+  * fitting, so the word-TYPE table — orders of magnitude smaller than
+  * the corpus but still potentially billions of rows — stays a
+  * DataFrame throughout.
+  *
+  * Shape per merge round: ONE distributed weighted pair-count agg over
+  * the vocab table + a 1-row argmax to the driver (the chosen pair —
+  * the only driver state is the merge list itself), then a codegen'd
+  * array fold rewrites each word's token array in place (no shuffle —
+  * the rewrite is a map). Lineage is truncated every round with
+  * `localCheckpoint`, so plan depth stays O(1) instead of O(rounds).
+  *
+  * Ties break (count desc, pair asc) — deterministic across runs and
+  * partitionings, which is what makes the merge sequence testable.
+  */
+object Bpe {
+
+  /** Word-type frequency table: (`w` string, `freq` long). Exposed so
+    * callers can reuse/persist it across trainings.
+    */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Weighted adjacent-pair counts over the current token arrays:
+    * (`a`, `b`, `cnt`). The gate query oracles round 0 of this
+    * (character pairs), where the SQL mirror is direct.
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .where(size(col("toks")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i + 1] AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+
+  /** Learn `nMerges` BPE merge rules from the corpus. Returns the
+    * merge sequence in order; stops early if no adjacent pair remains.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    var vocab = wordTable(docs, textCol)
+      .select(split(col("w"), "").as("toks"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val best = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        // greedy left-to-right in-place rewrite: fold the token array,
+        // fusing each adjacent (a, b) — "aaa" under (a,a) becomes
+        // [aa, a], matching the sequential trainers
+        val merged = aggregate(col("toks"),
+          array().cast("array<string>"),
+          (acc, t) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && t === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(t))))
+        val prev = vocab
+        vocab = vocab.withColumn("toks", merged).localCheckpoint(true)
+        prev.unpersist()
+      }
+      round += 1
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
+  /** Tokenize words with a learned merge list (applies rules in
+    * order — same greedy fold the trainer used).
+    */
+  def applyMerges(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(vocab) { case (df, (a, b)) =>
+      df.withColumn("toks", aggregate(col("toks"),
+        array().cast("array<string>"),
+        (acc, t) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(t)))))
+    }
+}

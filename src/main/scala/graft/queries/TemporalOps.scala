@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Temporal
@@ -139,5 +140,50 @@ object TemporalOps {
              |FROM f
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
+
+    // SCD2 / changelog compaction: collapse each user's event stream
+    // into type-change validity intervals (valid_from = the change
+    // event, valid_to = the next change, open interval = current) —
+    // the slowly-changing-dimension build step of a warehouse load.
+    // Census per type: segment count, open-segment count, mean closed
+    // duration. Two windows, both partitioned on user_id — one
+    // shuffle, no self-join.
+    GateQuery(
+      "q_scd2",
+      (s, d) => {
+        val ev = events(s, d).select("user_id", "ts", "event_id", "event_type")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = ev
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        val iv = changes.withColumn("valid_to",
+          lead("ts", 1).over(Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        iv.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_segments"),
+            sum(col("valid_to").isNull.cast("long")).as("n_current"),
+            round(avg(when(col("valid_to").isNotNull,
+              (unix_micros(col("valid_to")) - unix_micros(col("ts"))) / 1e6)), 2)
+              .as("avg_dur_sec"))
+          .orderBy("event_type")
+      },
+      Some("""WITH seg AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events
+             |), ch AS (
+             |  SELECT * FROM seg WHERE prev IS NULL OR prev <> event_type
+             |), iv AS (
+             |  SELECT user_id, ts, event_type,
+             |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+             |  FROM ch
+             |)
+             |SELECT event_type, count(*) AS n_segments,
+             |       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+             |       round(avg(CASE WHEN valid_to IS NOT NULL
+             |                 THEN (epoch_us(valid_to) - epoch_us(ts)) / 1e6 END), 2) AS avg_dur_sec
+             |FROM iv
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Bpe, Dedup}
 
 /** Training-data-pipeline text operators over the `documents` table:
   * exact dedup, fingerprinting, token counting, quality scoring,
@@ -194,5 +194,31 @@ object TextOps {
              |WHERE jac >= 0.9
              |GROUP BY source
              |ORDER BY source""".stripMargin)),
+
+    // BPE round-0 pair statistics: weighted adjacent character-pair
+    // counts over the word-TYPE table (the tokenizer trainer's first
+    // argmax input). The distributed counting is what must scale —
+    // the greedy merge loop on top is BpeSpec's hand-computed fixture.
+    GateQuery(
+      "q_bpe_pairs",
+      (s, d) => {
+        val vocab = Bpe.wordTable(documents(s, d), "text")
+          .select(split(col("w"), "").as("toks"), col("freq"))
+        Bpe.pairCounts(vocab)
+          .orderBy(desc("cnt"), asc("a"), asc("b"))
+          .limit(20)
+      },
+      Some("""WITH w AS (
+             |  SELECT w, count(*) AS freq FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE length(w) >= 1 GROUP BY w
+             |), p AS (
+             |  SELECT substring(w, CAST(i AS INT) + 1, 1) AS a,
+             |         substring(w, CAST(i AS INT) + 2, 1) AS b, freq
+             |  FROM (SELECT w, freq, unnest(range(length(w) - 1)) AS i FROM w)
+             |)
+             |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+             |FROM p GROUP BY a, b
+             |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin)),
   )
 }
