@@ -579,5 +579,63 @@ object Rel {
              |UNION ALL
              |SELECT 'l_discount', round(sum(l_discount), 2), count(*) FROM lineitem
              |ORDER BY metric""".stripMargin)),
+
+    // Data-quality expectations: the relation-level contract check a
+    // pipeline runs before ingesting a batch. Row-local rules share
+    // ONE aggregation pass; uniqueness is one keyed agg; the FK check
+    // is distinct + left join + agg (reference side may be
+    // corpus-sized — never collected). Violation counts are exact, so
+    // the whole verdict table is oracle-able; three rules are
+    // deliberately failing ones.
+    GateQuery(
+      "q_quality",
+      (s, d) =>
+        graft.operators.Quality.check(lineitem(s, d), Seq(
+          graft.operators.Quality.NotNull("l_orderkey"),
+          graft.operators.Quality.InRange("l_quantity", 1.0, 25.0),
+          graft.operators.Quality.InSet("l_returnflag", Seq("A", "N")),
+          graft.operators.Quality.Matches("l_linestatus", "^[FO]$"),
+          graft.operators.Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+          graft.operators.Quality.ForeignKey(Seq("l_orderkey"),
+            orders(s, d), Seq("o_orderkey"))))
+          .orderBy("rule"),
+      Some("""SELECT 'not_null(l_orderkey)' AS rule,
+             |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             |       count(*) AS checked,
+             |       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'in_range(l_quantity,1.0,25.0)',
+             |       CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 25) THEN 1 ELSE 0 END) AS BIGINT),
+             |       count(*),
+             |       sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 25) THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'in_set(l_returnflag)',
+             |       CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END) AS BIGINT),
+             |       count(*),
+             |       sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'matches(l_linestatus)',
+             |       CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[FO]$') THEN 1 ELSE 0 END) AS BIGINT),
+             |       count(*),
+             |       sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[FO]$') THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'unique(l_orderkey+l_linenumber)',
+             |       CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+             |       CAST(coalesce(sum(c), 0) AS BIGINT),
+             |       coalesce(sum(c - 1), 0) = 0
+             |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+             |UNION ALL
+             |SELECT 'fk(l_orderkey->o_orderkey)',
+             |       CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       count(*),
+             |       sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+             |FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+             |LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             |  ON l.l_orderkey = o.o_orderkey
+             |ORDER BY rule""".stripMargin)),
   )
 }
