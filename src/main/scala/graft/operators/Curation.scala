@@ -65,6 +65,28 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Weighted sample WITHOUT replacement, exactly k rows, inclusion
+    * probability ∝ `weight` (Efraimidis–Spirakis A-ES): each row draws
+    * its uniform u from a content-hash bucket (salted, retry/layout-
+    * stable like every sampler here) and ranks by the exponential key
+    * e = −ln(u)/w; the k smallest win. Appends `_es_key` (the rank
+    * key, for auditability).
+    *
+    * Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    * a size-k heap per partition and a k-way driver merge; no global
+    * sort, no shuffle of the data, driver state = k rows.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (hashBucket(concat_ws(":", lit("ws"), col(idCol).cast("string")))
+      + 1.0) / BucketSpace.toDouble
+    df.where(weight > 0)
+      .withColumn("_es_key", -log(u) / weight)
+      .orderBy(col("_es_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Token-budget shard assignment: within each group (ordered by
     * `orderCol`) rows are packed greedily into shards of ~`budget`
     * tokens; a row belongs to the shard its cumulative-token START

@@ -522,5 +522,70 @@ object CurationOps {
               |FROM exploded
               |GROUP BY source
               |ORDER BY source""".stripMargin)),
+
+    // Weighted sample without replacement (Efraimidis–Spirakis): k=10
+    // docs, inclusion ∝ token count, exponential keys from the same
+    // md5 bucket space as every other sampler — so the EXACT chosen
+    // set (and each row's rank key) is reproducible in SQL.
+    GateQuery(
+      "q_weighted_sample",
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+        Curation.weightedSample(docs, "doc_id",
+            col("n_tokens").cast("double"), k = 10)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("_es_key") * 1000, 4).as("es_key_k"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id,
+              |         len(string_split(trim(text), ' ')) AS n_tokens,
+              |         -ln((${bucketSql("'ws:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+              |             / 268435456.0)
+              |         / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS e
+              |  FROM documents
+              |  WHERE len(string_split(trim(text), ' ')) > 0
+              |)
+              |SELECT doc_id, n_tokens, round(e * 1000, 4) AS es_key_k
+              |FROM w
+              |ORDER BY e, doc_id
+              |LIMIT 10""".stripMargin)),
+
+    // Robust per-group outlier census: token-count z-scores within each
+    // source (sample stddev), |z| > 2 flags — the distribution-drift
+    // check a curation pipeline runs per batch. Pure window/agg column
+    // program, one shuffle on source.
+    GateQuery(
+      "q_outliers",
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("n_tokens",
+            size(split(trim(col("text")), " ")).cast("double"))
+        val stats = docs.groupBy("source")
+          .agg(avg("n_tokens").as("mu"), stddev_samp(col("n_tokens")).as("sd"))
+        docs.join(stats, Seq("source"))
+          .withColumn("z", (col("n_tokens") - col("mu")) / col("sd"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((abs(col("z")) > 2).cast("long")).as("n_outliers"),
+            round(max(abs(col("z"))), 4).as("max_abs_z"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |         CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n
+             |  FROM documents
+             |), st AS (
+             |  SELECT source, avg(n) AS mu, stddev_samp(n) AS sd
+             |  FROM t GROUP BY source
+             |)
+             |SELECT t.source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN abs((n - mu) / sd) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |       round(max(abs((n - mu) / sd)), 4) AS max_abs_z
+             |FROM t JOIN st ON t.source = st.source
+             |GROUP BY t.source
+             |ORDER BY t.source""".stripMargin)),
   )
 }

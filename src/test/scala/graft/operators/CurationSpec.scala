@@ -181,4 +181,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Int)].collect().toMap
     assert(counts == Map(0L -> 1, 1L -> 0, 2L -> 0))
   }
+
+  test("weightedSample: exact A-ES selection, layout-independent, weight-sensitive") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val got = Curation.weightedSample(df.repartition(8), "id", col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    // exact mirror of the operator's arithmetic: e = -ln((bucket+1)/2^28)/w
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(s"ws:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expect = (1L to 500L)
+      .map { i =>
+        val w = if (i <= 10) 1000.0 else 1.0
+        (-math.log((bucket(i) + 1.0) / (1L << 28).toDouble) / w, i)
+      }
+      .sorted.take(50).map(_._2).toSet
+    assert(got == expect)
+    // the 1000x-weighted rows should essentially always be chosen
+    assert((1L to 10L).toSet.subsetOf(got))
+    // exactly k, deterministic across partitionings
+    val again = Curation.weightedSample(df.repartition(1), "id", col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(again == got && got.size == 50)
+    intercept[IllegalArgumentException](
+      Curation.weightedSample(df, "id", col("w"), 0))
+  }
 }
