@@ -83,15 +83,19 @@ object Bpe {
   }
 
   /** Tokenize words with a learned merge list (applies rules in
-    * order — same greedy fold the trainer used).
+    * order — same greedy fold the trainer used). Lineage is truncated
+    * every 64 rules: a production merge list is 10⁴–10⁵ entries and an
+    * unbounded expression chain would blow plan compilation long
+    * before execution.
     */
   def applyMerges(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(vocab) { case (df, (a, b)) =>
-      df.withColumn("toks", aggregate(col("toks"),
+    merges.zipWithIndex.foldLeft(vocab) { case (df, ((a, b), i)) =>
+      val next = df.withColumn("toks", aggregate(col("toks"),
         array().cast("array<string>"),
         (acc, t) => when(
           size(acc) > 0 && element_at(acc, -1) === lit(a) && t === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(t)))))
+      if ((i + 1) % 64 == 0) next.localCheckpoint(true) else next
     }
 }

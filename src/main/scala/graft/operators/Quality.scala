@@ -88,6 +88,8 @@ object Quality {
             coalesce(sum(col("_c")), lit(0L)).as("checked"))
           .select(lit(label(r)).as("rule"), col("violations"), col("checked"))
       case r @ ForeignKey(cs, ref, rcs) =>
+        require(cs.size == rcs.size,
+          s"fk arity mismatch: ${cs.size} columns vs ${rcs.size} ref columns")
         val nn = df
           .where(cs.map(c => col(c).isNotNull).reduce(_ && _))
           .select(cs.map(col).toIndexedSeq: _*)

@@ -569,7 +569,10 @@ object CurationOps {
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),
-            sum((abs(col("z")) > 2).cast("long")).as("n_outliers"),
+            // coalesce: a single-row group has sd = null → null flags —
+            // the SQL CASE yields 0 there, so mirror that, not null
+            coalesce(sum((abs(col("z")) > 2).cast("long")), lit(0L))
+              .as("n_outliers"),
             round(max(abs(col("z"))), 4).as("max_abs_z"))
           .orderBy("source")
       },
