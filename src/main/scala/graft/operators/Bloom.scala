@@ -38,12 +38,17 @@ object Bloom {
     * driver-bounded — 1M items × 8 bits ≈ 1 MB.
     */
   def buildFilter(keys: DataFrame, keyCol: String,
-      expectedItems: Long, bitsPerItem: Long = 8): Array[Byte] = {
+      expectedItems: Long, bitsPerItem: Long = 8): Option[Array[Byte]] = {
     ensureRegistered(keys.sparkSession)
-    val bits = math.max(64L, expectedItems * bitsPerItem)
-    keys.select(call_function("graft_bloom_agg",
-        xxhash64(col(keyCol)), lit(expectedItems), lit(bits)).as("bf"))
-      .collect().head.getAs[Array[Byte]](0)
+    // BloomFilterAggregate rejects a non-positive estimate, and an
+    // EMPTY build side aggregates to null bytes — both legal inputs
+    // for a semi join (whose answer is simply empty), so normalize
+    // rather than throw
+    val items = math.max(1L, expectedItems)
+    val bits = math.max(64L, items * bitsPerItem)
+    Option(keys.select(call_function("graft_bloom_agg",
+        xxhash64(col(keyCol)), lit(items), lit(bits)).as("bf"))
+      .collect().head.getAs[Array[Byte]](0))
   }
 
   /** The probe-side predicate: true iff `keyCol` MAY be in the filter.
@@ -65,7 +70,11 @@ object Bloom {
       buildKey: String, expectedItems: Long): DataFrame = {
     val spark = probe.sparkSession
     val bf = buildFilter(build.select(col(buildKey)).distinct(), buildKey, expectedItems)
-    probe.filter(mightContain(spark, bf, col(probeKey)))
+    val prefiltered = bf match {
+      case Some(bytes) => probe.filter(mightContain(spark, bytes, col(probeKey)))
+      case None        => probe // empty build side: the exact join yields empty
+    }
+    prefiltered
       .join(build.select(col(buildKey).as(probeKey)).distinct(),
         Seq(probeKey), "left_semi")
   }

@@ -43,13 +43,25 @@ object InvertedIndex {
   private def buildAtomically(dir: String)(writeTo: String => Unit): Unit = {
     val root = new HPath(dir)
     val f = fs(dir)
-    val tmp = new HPath(root.getParent,
-      s".${root.getName}.tmp-${java.util.UUID.randomUUID()}")
-    writeTo(tmp.toString)
-    if (f.exists(root)) f.delete(root, true)
+    val uuid = java.util.UUID.randomUUID()
+    val tmp = new HPath(root.getParent, s".${root.getName}.tmp-$uuid")
+    try writeTo(tmp.toString)
+    catch { case e: Throwable => f.delete(tmp, true); throw e }
     f.mkdirs(root.getParent)
-    if (!f.rename(tmp, root))
+    // never delete-then-rename: move the previous build aside, swap
+    // the new one in, THEN drop the old — every crash window leaves
+    // either the old or the new build live at `dir`, and a failed
+    // swap restores the old instead of destroying it
+    val old = new HPath(root.getParent, s".${root.getName}.old-$uuid")
+    val hadOld = f.exists(root)
+    if (hadOld && !f.rename(root, old))
+      throw new java.io.IOException(s"index swap: move-aside of $root failed")
+    if (!f.rename(tmp, root)) {
+      if (hadOld) f.rename(old, root)
+      f.delete(tmp, true)
       throw new java.io.IOException(s"index swap $tmp -> $root failed")
+    }
+    if (hadOld) f.delete(old, true)
   }
 
   /** term → partition bucket (internal — nothing needs to reproduce it

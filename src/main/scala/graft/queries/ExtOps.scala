@@ -12,6 +12,28 @@ import graft.operators.{Ann, Dedup, Frequency, IvfIndex, Multimodal, SketchRollu
   * it; inherently non-SQL outputs (simhash, stubbed decode) are
   * rows-only.
   */
+
+/** Per-process scratch root for gate-built index artifacts: unique per
+  * JVM (two concurrent processes on one box must not rebuild/delete
+  * each other's live index mid-query — delete/rename races turn into
+  * missing-file failures or silently wrong scores), removed on
+  * shutdown. A hard kill leaks one dir, same exposure as every
+  * createTempDirectory user here.
+  */
+private[queries] object GateScratch {
+  lazy val root: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_idx")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    dir.toString
+  }
+  def dir(name: String): String = s"$root/$name"
+}
+
 object ExtOps {
   import Tables._
 
@@ -239,12 +261,10 @@ object ExtOps {
         val query = emb.filter(col("vec_id") === 0)
           .select("v").collect().head.getSeq[Double](0)
         val corpus = emb.filter(col("vec_id") =!= 0)
-        // ONE fixed scratch location, not a fresh createTempDirectory
-        // per invocation: the index holds a materialized copy of the
-        // corpus, and build() swaps the directory atomically, so
-        // repeated gate/bench rounds overwrite instead of accumulating
-        // corpus-sized /tmp leftovers
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_gate"
+        // per-process scratch (see GateScratch): stable within the
+        // JVM so repeated rounds overwrite via the atomic swap, unique
+        // across processes so concurrent runs can't race each other
+        val dir = GateScratch.dir("ivf_gate")
         val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 8, seed = 5L)
         IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
@@ -273,9 +293,7 @@ object ExtOps {
           .withColumn("v", transform(col("embedding"), x => x.cast("double")))
         val queries = emb.filter(col("vec_id") < 5)
         val corpus = emb.filter(col("vec_id") >= 5)
-        // fixed scratch location: build() swaps atomically, repeated
-        // rounds overwrite instead of accumulating /tmp leftovers
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_knn_gate"
+        val dir = GateScratch.dir("ivf_knn_gate")
         val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 8, seed = 5L)
         IvfIndex.topKJoin(s, idx, queries, "v", "vec_id", "vec_id", 3, nprobe = 8)
           .orderBy("query_id", "rank")

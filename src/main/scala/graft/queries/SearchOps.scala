@@ -140,9 +140,9 @@ object SearchOps {
     GateQuery(
       "q_inverted_bm25",
       (s, d) => {
-        // fixed scratch location: build() swaps atomically, repeated
-        // rounds overwrite instead of accumulating /tmp leftovers
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_inv_idx_gate"
+        // per-process scratch (GateScratch): stable within the JVM,
+        // unique across processes — no cross-process rebuild races
+        val dir = GateScratch.dir("inv_idx_gate")
         val idx = InvertedIndex.build(documents(s, d), "doc_id", "text", dir)
         InvertedIndex.bm25(s, idx, QueryTerms)
           .select(col("id").as("doc_id"), round(col("bm25"), 4).as("bm25"))

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -10,10 +8,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
 /** One in-flight event for the sessionizer. */
 case class SessionEvent(user_id: Long, event_time: java.sql.Timestamp, value: Double)
 
-/** Open-session accumulator kept in the state store (one per user —
-  * state is #active-users sized, never event-count sized).
-  */
+/** One in-flight session interval aggregate. */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+/** Per-user state: the chronological list of sessions the watermark
+  * has not yet sealed. Bounded by horizon/gap + 1 per user (a session
+  * older than the horizon seals immediately), never event-count sized.
+  */
+case class PendingSessions(sessions: Seq[OpenSession])
 
 /** A closed session, emitted exactly once. */
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
@@ -25,14 +27,16 @@ case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
   * session closes and is emitted (append-mode, exactly once).
   *
   * This is the §2.9 custom-state surface: `flatMapGroupsWithState`
-  * with an EVENT-TIME timeout. Sessions that close inside a
-  * micro-batch (successor event arrives past the gap) emit
-  * immediately; the open tail lives in the state store and is flushed
-  * when the WATERMARK — not wall clock — passes `last event + gap`, so
-  * results are reprocessing/replay-deterministic where a
-  * processing-time timeout would not be. State per key is one fixed
-  * struct; expired keys are removed, so the store is bounded by
-  * concurrently-active users × horizon, independent of history length.
+  * with an EVENT-TIME timeout. A session is emitted ONLY once the
+  * WATERMARK — not wall clock — passes `last event + gap`: beyond that
+  * point no surviving event (all have ts ≥ watermark) can extend or
+  * bridge it, so emission is exactly-once, replay-deterministic, AND
+  * correct for in-horizon stragglers — a late event that lands more
+  * than a gap before a pending session forms its own earlier session
+  * instead of being glued on, and one that lands between two pending
+  * sessions merges them. State per key is the list of not-yet-sealed
+  * session aggregates — bounded by horizon/gap + 1, independent of
+  * history length; sealed keys are removed.
   */
 object StreamingSessions {
 
@@ -83,7 +87,7 @@ object StreamingSessions {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     val gapMs = gapSeconds * 1000L
     implicit val closedEnc = Encoders.product[ClosedSession]
-    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val stateEnc = Encoders.product[PendingSessions]
     implicit val keyEnc = Encoders.scalaLong
     events
       .withWatermark("event_time", horizon)
@@ -97,42 +101,31 @@ object StreamingSessions {
       new java.sql.Timestamp(s.lastMs), s.n, s.sum)
 
   private def update(gapMs: Long)(user: Long, events: Iterator[SessionEvent],
-      state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-    if (state.hasTimedOut) {
-      // watermark passed last+gap with no newer event: flush and drop
-      // the key's state entirely
-      val done = closed(user, state.get)
-      state.remove()
-      return Iterator.single(done)
+      state: GroupState[PendingSessions]): Iterator[ClosedSession] = {
+    val wm = state.getCurrentWatermarkMs()
+    val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+    val incoming = events.map { e =>
+      OpenSession(e.event_time.getTime, e.event_time.getTime, 1L, e.value)
     }
-    // micro-batches deliver a group's rows unordered; sessionization is
-    // order-sensitive, so sort the batch (bounded by the batch, not the
-    // stream)
-    val sorted = events.toIndexedSeq.sortBy(_.event_time.getTime)
-    val out = mutable.ArrayBuffer.empty[ClosedSession]
-    var open = state.getOption
-    sorted.foreach { e =>
-      val t = e.event_time.getTime
-      open = open match {
-        case Some(s) if t - s.lastMs > gapMs =>
-          out += closed(user, s)
-          Some(OpenSession(t, t, 1L, e.value))
-        case Some(s) =>
-          // an in-horizon straggler may precede the open session —
-          // widen both edges instead of assuming forward order
-          Some(OpenSession(math.min(s.startMs, t), math.max(s.lastMs, t),
-            s.n + 1L, s.sum + e.value))
-        case None => Some(OpenSession(t, t, 1L, e.value))
-      }
-    }
-    open.foreach { s =>
-      state.update(s)
-      // the timeout timestamp must sit beyond the current watermark
-      // (Spark rejects it otherwise); an already-overdue session then
-      // flushes on the next batch's timeout sweep
+    // merge intervals whose silence is within the gap — covers events
+    // extending a session, bridging two pending sessions, and
+    // stragglers that must form their OWN earlier session
+    val merged = (existing ++ incoming).sortBy(s => (s.startMs, s.lastMs))
+      .foldLeft(List.empty[OpenSession]) {
+        case (head :: tail, s) if s.startMs - head.lastMs <= gapMs =>
+          OpenSession(head.startMs, math.max(head.lastMs, s.lastMs),
+            head.n + s.n, head.sum + s.sum) :: tail
+        case (acc, s) => s :: acc
+      }.reverse
+    // closed-for-good = the watermark passed last+gap: every surviving
+    // event has ts ≥ watermark and so cannot attach
+    val (finished, pending) = merged.partition(_.lastMs + gapMs < wm)
+    if (pending.isEmpty) state.remove()
+    else {
+      state.update(PendingSessions(pending))
       state.setTimeoutTimestamp(
-        math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1L))
+        math.max(pending.map(_.lastMs + gapMs).min, wm + 1L))
     }
-    out.iterator
+    finished.iterator.map(closed(user, _))
   }
 }

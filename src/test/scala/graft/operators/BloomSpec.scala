@@ -28,11 +28,19 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
   test("the bloom predicate prunes the probe side before the join") {
     val probe = spark.range(0, 20000).toDF("k")
     val build = spark.range(0, 20000).filter(col("id") % 1000 === 0).toDF("bk")
-    val bf = Bloom.buildFilter(build, "bk", expectedItems = 32)
+    val bf = Bloom.buildFilter(build, "bk", expectedItems = 32).get
     val surviving = probe.filter(Bloom.mightContain(spark, bf, col("k"))).count()
     // 20 true matches; a properly sized filter lets at most a small
     // multiple through (8 bits/item ⇒ ~2% FP worst case ⇒ ≪ 20000)
     assert(surviving >= 20 && surviving < 2000,
       s"bloom should prune most of the probe side, passed $surviving of 20000")
+  }
+
+  test("empty build side and zero estimate degrade to a correct empty semi join") {
+    import spark.implicits._
+    val probe = spark.range(0, 100).toDF("k")
+    val none = spark.range(0, 100).filter(col("id") < 0).toDF("bk")
+    assert(Bloom.buildFilter(none, "bk", expectedItems = 0).isEmpty)
+    assert(Bloom.semiJoin(probe, none, "k", "bk", expectedItems = 0).count() == 0)
   }
 }

@@ -70,6 +70,42 @@ class StreamingSessionsSpec extends AnyFunSuite with SparkTestBase {
       (3L, 500L, 500L, 1L, 16.0)))
   }
 
+  test("in-horizon straggler forms its own earlier session instead of gluing on") {
+    val work = java.nio.file.Files.createTempDirectory("ssess2").toString
+    val drop = s"$work/drop"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(drop))
+    val t0 = 1660000000L
+
+    def line(u: Long, ts: Long, v: Double) =
+      s"""{"user_id":$u,"ts":$ts,"value":$v}"""
+    def run(): Unit =
+      StreamingSessions.sessionStream(spark, drop, s"$work/out", s"$work/ckpt",
+          gapSeconds = 60, horizon = "2000 seconds")
+        .awaitTermination(120000)
+
+    // batch 1: user 1 at t0+1000 only
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/b1.jsonl"),
+      line(1L, t0 + 1000, 1.0))
+    run()
+    // batch 2: a straggler at t0 — 1000s BEFORE the pending session,
+    // far beyond the 60s gap, but within the 2000s horizon. It must
+    // become its own session. A third event bridges nothing (far
+    // future) and advances the watermark past both.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/b2.jsonl"),
+      line(1L, t0, 2.0))
+    run()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$drop/b3.jsonl"),
+      line(9L, t0 + 5000, 0.0))
+    run()
+
+    val sess = spark.read.parquet(s"$work/out").collect()
+      .filter(_.getAs[Long]("user_id") == 1L)
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start").getTime / 1000 - t0,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(sess == Set((0L, 1L, 2.0), (1000L, 1L, 1.0)),
+      s"straggler must not merge across a >gap silence; got $sess")
+  }
+
   test("guard: non-positive gap is rejected") {
     import spark.implicits._
     val ds = Seq(SessionEvent(1L, new java.sql.Timestamp(0L), 1.0)).toDS()

@@ -41,18 +41,34 @@ def main():
     names = sys.argv[3:]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # tolerate partially generated sfDirs: a missing table only
+        # breaks the queries that reference it, not the whole run
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     if not names:
         names = sorted(oracle)
     failed = []
     for q in names:
-        spark = pd.read_parquet(f"{out_dir}/{q}")
+        # one broken query must record FAIL and keep going — aborting
+        # the loop hides every remaining result
+        try:
+            spark = pd.read_parquet(f"{out_dir}/{q}")
+        except Exception as e:
+            print(f"{q}: FAIL spark-read error: {e}")
+            failed.append(q)
+            continue
         if q not in oracle:
             print(f"{q}: rows-only, spark_rows={len(spark)}")
             continue
-        ora = con.sql(oracle[q]).df()
+        try:
+            ora = con.sql(oracle[q]).df()
+        except Exception as e:
+            print(f"{q}: FAIL oracle error: {e}")
+            failed.append(q)
+            continue
         s, o = norm(spark), norm(ora)
         rows = len(s) == len(o)
         schema = list(s.columns) == list(o.columns)
