@@ -637,5 +637,59 @@ object Rel {
              |LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
              |  ON l.l_orderkey = o.o_orderkey
              |ORDER BY rule""".stripMargin)),
+
+    // Winsorization: clip each group's values at its own exact
+    // interpolated [p05, p95] — outlier taming before statistics. The
+    // percentile relation is groups-sized (joined back, never
+    // collected); census pins clipped counts and the trimmed mean.
+    GateQuery(
+      "q_winsorize",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val bounds = li.groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, 0.05)").as("lo"),
+            expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        li.join(bounds, Seq("l_returnflag"))
+          .withColumn("clipped",
+            least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("l_extendedprice") < col("lo")).cast("long")).as("n_low"),
+            sum((col("l_extendedprice") > col("hi")).cast("long")).as("n_high"),
+            round(avg("clipped"), 2).as("winsor_mean"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |         quantile_cont(l_extendedprice, 0.05) AS lo,
+             |         quantile_cont(l_extendedprice, 0.95) AS hi
+             |  FROM lineitem GROUP BY l_returnflag
+             |)
+             |SELECT l.l_returnflag, count(*) AS n,
+             |       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |       round(avg(least(greatest(l_extendedprice, lo), hi)), 2) AS winsor_mean
+             |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+             |GROUP BY l.l_returnflag
+             |ORDER BY l.l_returnflag""".stripMargin)),
+
+    // Pairwise Pearson correlation matrix over numeric columns — one
+    // aggregation pass computes every pair (no per-pair scans).
+    GateQuery(
+      "q_corr",
+      (s, d) =>
+        lineitem(s, d)
+          .agg(
+            round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price"),
+            round(corr("l_quantity", "l_discount"), 4).as("qty_disc"),
+            round(corr("l_extendedprice", "l_discount"), 4).as("price_disc"),
+            round(corr("l_extendedprice", "l_tax"), 4).as("price_tax")),
+      Some("""SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+             |       round(corr(l_quantity, l_discount), 4) AS qty_disc,
+             |       round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+             |       round(corr(l_extendedprice, l_tax), 4) AS price_tax
+             |FROM lineitem""".stripMargin)),
   )
 }
