@@ -24,7 +24,14 @@ object Ann {
   def norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native single-pass codegen expression (dot + both norms in one
+    * loop over the arrays) — bit-identical to the HOF spelling
+    * `dot(a,b)/(norm(a)*norm(b))` but without the zip/transform
+    * intermediates; this is the inner loop of every brute-force /
+    * verify / rerank path.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.arrayCosine(a, b)
 
   /** Deterministic coarse centroids: the first C vectors by id (a
     * cheap stand-in when clustering quality doesn't matter; the IVF
