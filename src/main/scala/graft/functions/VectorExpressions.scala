@@ -92,8 +92,78 @@ case class ArrayCosineExpression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Asymmetric-distance (ADC) score for product quantization: with the
+  * query×codeword inner-product table flattened row-major (subspace i,
+  * codeword c at `i·codesPerSub + c`), the score of a code array is
+  * Σᵢ table[i·codesPerSub + codeᵢ]. As a native codegen loop this
+  * replaces the per-row Scala UDF (which boxed every code array into a
+  * Seq[Int]) in the hottest scoring path of the PQ/IVF-PQ stack; the
+  * table rides the plan as one literal (m·k doubles — kilobytes,
+  * query-sized, corpus-independent).
+  */
+case class AdcScoreExpression(code: Expression, table: Expression,
+    codesPerSub: Expression) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = code
+  override def second: Expression = table
+  override def third: Expression = codesPerSub
+
+  override def checkInputDataTypes(): TypeCheckResult = (code.dataType,
+      table.dataType, codesPerSub.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adc_score expects (ARRAY<INT>, ARRAY<DOUBLE>, INT), got $other")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_score"
+
+  override protected def nullSafeEval(codeV: Any, tableV: Any, kV: Any): Any = {
+    val c = codeV.asInstanceOf[ArrayData]
+    val t = tableV.asInstanceOf[ArrayData]
+    val k = kV.asInstanceOf[Int]
+    var s = 0.0
+    var i = 0
+    val m = c.numElements()
+    while (i < m) { s += t.getDouble(i * k + c.getInt(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t, k) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $m = $c.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $s += $t.getDouble($i * $k + $c.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(code = newFirst, table = newSecond, codesPerSub = newThird)
+}
+
 object VectorExpressions {
   /** DataFrame-API entry point — no session/registry needed. */
   def arrayCosine(a: Column, b: Column): Column =
     GraftColumn.of(ArrayCosineExpression(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** ADC score of a code column against a flattened (row-major)
+    * query×codeword table with `codesPerSub` codewords per subspace.
+    */
+  def adcScore(code: Column, table: Array[Double], codesPerSub: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftColumn.of(AdcScoreExpression(
+      GraftColumn.expr(code),
+      Literal.create(table.toSeq, ArrayType(DoubleType, containsNull = false)),
+      Literal(codesPerSub)))
+  }
 }

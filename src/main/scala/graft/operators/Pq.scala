@@ -99,15 +99,14 @@ object Pq {
       s
     }
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val adc = udf((code: Seq[Int]) => {
-      var s = 0.0
-      var i = 0
-      while (i < m) { s += table(i)(code(i)); i += 1 }
-      s
-    })
+    // native codegen ADC (graft.functions.AdcScoreExpression) — same
+    // left-to-right summation as the former UDF, no per-row boxing;
+    // the table flattens row-major: (subspace i, codeword c) at i·k+c
+    val adcCol = graft.functions.VectorExpressions.adcScore(
+      col("code"), table.flatten, codebook(0).length)
     encoded
       .withColumn("cos_approx",
-        round(adc(col("code")) / (lit(qNorm) * col("vnorm")), 4))
+        round(adcCol / (lit(qNorm) * col("vnorm")), 4))
       .orderBy(desc("cos_approx"), asc(idCol))
       .limit(k)
   }
