@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.Xxh3Expression
+import graft.functions.{AdcScoreExpression, ArrayCosineExpression, Xxh3Expression}
 
 /** Library packaging as a Spark extension: running ANY Spark app with
   *
@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("xxh3_64"),
       new ExpressionInfo(classOf[Xxh3Expression].getName, "xxh3_64"),
       graft.functions.Functions.xxh3Builder(_)))
+    ext.injectFunction((
+      FunctionIdentifier("array_cosine"),
+      new ExpressionInfo(classOf[ArrayCosineExpression].getName, "array_cosine"),
+      graft.functions.Functions.cosineBuilder(_)))
+    ext.injectFunction((
+      FunctionIdentifier("adc_score"),
+      new ExpressionInfo(classOf[AdcScoreExpression].getName, "adc_score"),
+      graft.functions.Functions.adcBuilder(_)))
   }
 }

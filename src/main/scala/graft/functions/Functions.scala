@@ -59,10 +59,27 @@ object Functions {
     Xxh3Expression(args.head, seed)
   }
 
+  /** array_cosine(a, b) — native single-pass cosine (VectorExpressions). */
+  def cosineBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "array_cosine(a, b)")
+    ArrayCosineExpression(args(0), args(1))
+  }
+
+  /** adc_score(code, table, codes_per_sub) — native PQ ADC lookup. */
+  def adcBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "adc_score(code, table, codes_per_sub)")
+    AdcScoreExpression(args(0), args(1),
+      org.apache.spark.sql.catalyst.expressions.Cast(args(2), IntegerType))
+  }
+
   def register(spark: SparkSession): Unit = {
-    // native expression via the function registry (not a UDF)
+    // native expressions via the function registry (not UDFs)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "xxh3_64", xxh3Builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_cosine", cosineBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_score", adcBuilder, "scala_udf")
 
     spark.udf.register("ksuid_timestamp",
       (id: String) => Ksuid.timestampSeconds(id).map(java.lang.Long.valueOf).orNull)

@@ -29,6 +29,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val plan = s.sql("SELECT xxh3_64(CAST(id AS STRING)) FROM range(10)")
         .queryExecution.executedPlan.toString
       assert(!plan.contains("UDF"), plan)
+      // the vector expressions are injected too, SQL-callable, UDF-free
+      val vec = s.sql(
+        """SELECT array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+          |       adc_score(array(0, 1), array(2.0D, 3.0D, 5.0D, 7.0D), 2) AS a""".stripMargin)
+        .collect().head
+      assert(vec.getDouble(0) == 1.0)
+      assert(vec.getDouble(1) == 2.0 + 7.0) // table[0*2+0] + table[1*2+1]
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
