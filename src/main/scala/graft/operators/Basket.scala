@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining — frequent item pairs and
+  * association rules (support / confidence / lift), the level-2
+  * A-priori pass. Recommender-adjacent pipelines use this as the
+  * cheap co-occurrence prior next to the trained model.
+  *
+  * Scale shape: the pair generation is a self-join keyed on the
+  * BASKET, so comparisons are Σ basket_size² — bounded by the largest
+  * basket, never corpus² — and the join is a plain hash-partitioned
+  * equi-join. Item supports are one hash agg; the rule assembly joins
+  * pair supports to the (items-sized) support relation twice, both
+  * joins on item keys. Nothing is collected; the basket count is the
+  * only scalar. A pathological basket (one key holding thousands of
+  * items) inflates its own partition quadratically — `maxBasketSize`
+  * drops such baskets explicitly (default 1000), which is also the
+  * statistically sane choice: a basket that large is a bot or a feed,
+  * not a signal.
+  */
+object Basket {
+
+  /** Distinct (basket, item) pairs with oversized baskets removed. */
+  private def items(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int): DataFrame = {
+    val it = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val ok = it.groupBy("b").agg(count(lit(1)).as("_sz"))
+      .where(col("_sz") <= maxBasketSize).select("b")
+    it.join(ok, Seq("b"), "left_semi")
+  }
+
+  /** Item pairs co-occurring in ≥ `minSupport` baskets:
+    * (`item_a` < `item_b`, `pair_sup`).
+    */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val it = items(df, basketCol, itemCol, maxBasketSize)
+    val a = it.select(col("b"), col("i").as("item_a"))
+    val c = it.select(col("b"), col("i").as("item_b"))
+    a.join(c, a("b") === c("b") && col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_sup"))
+      .where(col("pair_sup") >= minSupport)
+  }
+
+  /** Association rules for the frequent pairs: confidence in both
+    * directions and lift (support·N / (sup_a·sup_b)), rounded to 4.
+    */
+  def rules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
+    val it = items(df, basketCol, itemCol, maxBasketSize)
+    val nBaskets = it.select(countDistinct(col("b"))).head().getLong(0)
+    val sup = it.groupBy("i").agg(count(lit(1)).as("s"))
+    val pairs = frequentPairs(df, basketCol, itemCol, minSupport, maxBasketSize)
+    pairs
+      .join(sup.select(col("i").as("item_a"), col("s").as("_sa")), Seq("item_a"))
+      .join(sup.select(col("i").as("item_b"), col("s").as("_sb")), Seq("item_b"))
+      .select(
+        col("item_a"), col("item_b"), col("pair_sup"),
+        round(col("pair_sup") / col("_sa").cast("double"), 4).as("conf_a_b"),
+        round(col("pair_sup") / col("_sb").cast("double"), 4).as("conf_b_a"),
+        round(col("pair_sup") * nBaskets /
+          (col("_sa") * col("_sb")).cast("double"), 4).as("lift"))
+  }
+}

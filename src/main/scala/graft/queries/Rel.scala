@@ -691,5 +691,34 @@ object Rel {
              |       round(corr(l_extendedprice, l_discount), 4) AS price_disc,
              |       round(corr(l_extendedprice, l_tax), 4) AS price_tax
              |FROM lineitem""".stripMargin)),
+
+    // Market-basket association rules: item pairs co-bought in ≥ 3
+    // orders with confidence/lift. The pair join is keyed on the
+    // basket (Σ basket² comparisons, never corpus²).
+    GateQuery(
+      "q_assoc_rules",
+      (s, d) =>
+        graft.operators.Basket.rules(lineitem(s, d), "l_orderkey", "l_partkey",
+            minSupport = 3L)
+          .orderBy("item_a", "item_b"),
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+             |), n AS (SELECT count(DISTINCT b) AS nb FROM items),
+             |sup AS (SELECT i, count(*) AS s FROM items GROUP BY 1),
+             |p AS (
+             |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS pair_sup
+             |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+             |  GROUP BY 1, 2
+             |)
+             |SELECT item_a, item_b, pair_sup,
+             |       round(pair_sup / CAST(sa.s AS DOUBLE), 4) AS conf_a_b,
+             |       round(pair_sup / CAST(sb.s AS DOUBLE), 4) AS conf_b_a,
+             |       round(pair_sup * n.nb / CAST(sa.s * sb.s AS DOUBLE), 4) AS lift
+             |FROM p
+             |JOIN sup sa ON p.item_a = sa.i
+             |JOIN sup sb ON p.item_b = sb.i
+             |CROSS JOIN n
+             |WHERE pair_sup >= 3
+             |ORDER BY item_a, item_b""".stripMargin)),
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class BasketSpec extends AnyFunSuite with SparkTestBase {
+
+  // 4 baskets; (1,2) co-occur 3×, (1,3) 2×, (2,3) 1×; item 9 rides a
+  // duplicate row (distinct guard) and basket 99 is oversized
+  private def fx = {
+    import spark.implicits._
+    val normal = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 3L), (13L, 9L), (13L, 9L))
+    val oversized = (1L to 50L).map(i => (99L, i))
+    (normal ++ oversized).toDF("b", "i")
+  }
+
+  test("pair supports are exact, deduped, and respect the basket cap") {
+    val pairs = Basket.frequentPairs(fx, "b", "i", minSupport = 2,
+        maxBasketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // basket 99 (50 items > cap) contributes nothing; (2,3) support 2
+    // comes from baskets 10 and 12
+    assert(pairs == Map((1L, 2L) -> 3L, (1L, 3L) -> 3L, (2L, 3L) -> 2L))
+  }
+
+  test("rules compute confidence and lift from the capped relation") {
+    val out = Basket.rules(fx, "b", "i", minSupport = 3, maxBasketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // items: 1 in 4 baskets, 2 in 3, 3 in 3; N = 4 (basket 99 dropped)
+    assert(out.keySet == Set((1L, 2L), (1L, 3L)))
+    val (s12, cab, cba, lift) = out((1L, 2L))
+    assert(s12 == 3L && cab == 0.75 && cba == 1.0)
+    assert(lift == math.rint(10000.0 * 3 * 4 / (4 * 3)) / 10000)
+    intercept[IllegalArgumentException](Basket.frequentPairs(fx, "b", "i", 0))
+    intercept[IllegalArgumentException](Basket.frequentPairs(fx, "b", "i", 1, 1))
+  }
+}
