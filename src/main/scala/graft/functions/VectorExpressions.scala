@@ -127,7 +127,18 @@ case class AdcScoreExpression(code: Expression, table: Expression,
     var s = 0.0
     var i = 0
     val m = c.numElements()
-    while (i < m) { s += t.getDouble(i * k + c.getInt(i)); i += 1 }
+    val tn = t.numElements()
+    while (i < m) {
+      if (c.isNullAt(i)) return null
+      val code = c.getInt(i)
+      val idx = i * k + code
+      // a public SQL function must not read out of range (unchecked
+      // UnsafeArrayData access would return garbage): a code outside
+      // [0, k) or a table too small for m·k is invalid input → null
+      if (code < 0 || code >= k || idx >= tn) return null
+      s += t.getDouble(idx)
+      i += 1
+    }
     s
   }
 
@@ -136,13 +147,22 @@ case class AdcScoreExpression(code: Expression, table: Expression,
       val i = ctx.freshName("i")
       val m = ctx.freshName("m")
       val s = ctx.freshName("s")
+      val codeVar = ctx.freshName("cd")
+      val idx = ctx.freshName("idx")
       s"""
          |final int $m = $c.numElements();
+         |final int ${idx}_tn = $t.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
-         |  $s += $t.getDouble($i * $k + $c.getInt($i));
+         |  if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final int $codeVar = $c.getInt($i);
+         |  final int $idx = $i * $k + $codeVar;
+         |  if ($codeVar < 0 || $codeVar >= $k || $idx >= ${idx}_tn) {
+         |    ${ev.isNull} = true; break;
+         |  }
+         |  $s += $t.getDouble($idx);
          |}
-         |${ev.value} = $s;
+         |if (!${ev.isNull}) { ${ev.value} = $s; }
        """.stripMargin
     })
 

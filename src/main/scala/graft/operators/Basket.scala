@@ -25,10 +25,23 @@ object Basket {
   /** Distinct (basket, item) pairs with oversized baskets removed. */
   private def items(df: DataFrame, basketCol: String, itemCol: String,
       maxBasketSize: Int): DataFrame = {
-    val it = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val it = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      // a null item is not an item: it must neither pair nor count
+      // toward the basket-size cap
+      .where(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
     val ok = it.groupBy("b").agg(count(lit(1)).as("_sz"))
       .where(col("_sz") <= maxBasketSize).select("b")
     it.join(ok, Seq("b"), "left_semi")
+  }
+
+  private def pairsOf(it: DataFrame, minSupport: Long): DataFrame = {
+    val a = it.select(col("b"), col("i").as("item_a"))
+    val c = it.select(col("b"), col("i").as("item_b"))
+    a.join(c, a("b") === c("b") && col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("pair_sup"))
+      .where(col("pair_sup") >= minSupport)
   }
 
   /** Item pairs co-occurring in ≥ `minSupport` baskets:
@@ -38,13 +51,7 @@ object Basket {
       minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val it = items(df, basketCol, itemCol, maxBasketSize)
-    val a = it.select(col("b"), col("i").as("item_a"))
-    val c = it.select(col("b"), col("i").as("item_b"))
-    a.join(c, a("b") === c("b") && col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("pair_sup"))
-      .where(col("pair_sup") >= minSupport)
+    pairsOf(items(df, basketCol, itemCol, maxBasketSize), minSupport)
   }
 
   /** Association rules for the frequent pairs: confidence in both
@@ -52,10 +59,16 @@ object Basket {
     */
   def rules(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    // ONE deduped/capped relation feeds the basket count, the item
+    // supports, and the pair mining — recomputing it per consumer
+    // would run the distinct + cap pipeline three times
     val it = items(df, basketCol, itemCol, maxBasketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = it.select(countDistinct(col("b"))).head().getLong(0)
     val sup = it.groupBy("i").agg(count(lit(1)).as("s"))
-    val pairs = frequentPairs(df, basketCol, itemCol, minSupport, maxBasketSize)
+    val pairs = pairsOf(it, minSupport)
     pairs
       .join(sup.select(col("i").as("item_a"), col("s").as("_sa")), Seq("item_a"))
       .join(sup.select(col("i").as("item_b"), col("s").as("_sb")), Seq("item_b"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding vocabulary learning over a distributed corpus —
@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** Word-type frequency table: (`w` string, `freq` long). Exposed so
-    * callers can reuse/persist it across trainings.
+    * callers can reuse/persist it across trainings. Tokenization is
+    * the engine-wide convention (single-space split of trimmed text —
+    * every text gate and its oracle use the same); pre-normalize other
+    * whitespace upstream if the corpus carries it.
     */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(trim(col(textCol)), " ")).as("w"))
@@ -43,6 +46,19 @@ object Bpe {
         .as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum("freq").as("cnt"))
+
+  /** The greedy left-to-right pair fold: fuse each adjacent (a, b) in
+    * a token array — "aaa" under (a,a) becomes [aa, a], matching the
+    * sequential trainers. ONE definition shared by training and
+    * application so the two can never desynchronize.
+    */
+  private def mergeFold(a: String, b: String): Column =
+    aggregate(col("toks"),
+      array().cast("array<string>"),
+      (acc, t) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && t === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(t))))
 
   /** Learn `nMerges` BPE merge rules from the corpus. Returns the
     * merge sequence in order; stops early if no adjacent pair remains.
@@ -63,17 +79,8 @@ object Bpe {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        // greedy left-to-right in-place rewrite: fold the token array,
-        // fusing each adjacent (a, b) — "aaa" under (a,a) becomes
-        // [aa, a], matching the sequential trainers
-        val merged = aggregate(col("toks"),
-          array().cast("array<string>"),
-          (acc, t) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(a) && t === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(t))))
         val prev = vocab
-        vocab = vocab.withColumn("toks", merged).localCheckpoint(true)
+        vocab = vocab.withColumn("toks", mergeFold(a, b)).localCheckpoint(true)
         prev.unpersist()
       }
       round += 1
@@ -90,12 +97,7 @@ object Bpe {
     */
   def applyMerges(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
     merges.zipWithIndex.foldLeft(vocab) { case (df, ((a, b), i)) =>
-      val next = df.withColumn("toks", aggregate(col("toks"),
-        array().cast("array<string>"),
-        (acc, t) => when(
-          size(acc) > 0 && element_at(acc, -1) === lit(a) && t === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(t)))))
+      val next = df.withColumn("toks", mergeFold(a, b))
       if ((i + 1) % 64 == 0) next.localCheckpoint(true) else next
     }
 }

@@ -81,23 +81,29 @@ object Frequency {
       valueCol: String, k: Int, minSupport: Option[Long] = None): DataFrame = {
     require(k > 0, s"sketch capacity must be positive, got $k")
     require(groupCols.nonEmpty, "groupCols must be non-empty (use heavyHitters)")
+    // "item"/"cnt" are the OUTPUT columns and the internal names below
+    // join on them — a group column reusing one would make every later
+    // reference ambiguous
+    val reserved = Set("item", "cnt", "_hh_hits", "_hh_n")
+    require(groupCols.forall(c => !reserved.contains(c)),
+      s"group columns may not use reserved names ${reserved.mkString(", ")}")
     val gcols = groupCols.map(col)
     val vals = df.select((gcols :+ col(valueCol).cast("string").as("item"))
       .toIndexedSeq: _*).where(col("item").isNotNull)
 
     val mg = udaf(new MisraGries(k), Encoders.STRING)
     val sketched = vals.groupBy(gcols.toIndexedSeq: _*)
-      .agg(mg(col("item")).as("_hits"), count(lit(1)).as("_n"))
+      .agg(mg(col("item")).as("_hh_hits"), count(lit(1)).as("_hh_n"))
     val cands = sketched.select(
-      (gcols :+ explode(col("_hits.item")).as("item")).toIndexedSeq: _*)
+      (gcols :+ explode(col("_hh_hits.item")).as("item")).toIndexedSeq: _*)
 
     vals
       .join(cands, groupCols :+ "item", "left_semi")
       .groupBy((gcols :+ col("item")).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"))
-      .join(sketched.select((gcols :+ col("_n")).toIndexedSeq: _*), groupCols)
-      .where(col("cnt") * (k + 1L) > col("_n") &&
+      .join(sketched.select((gcols :+ col("_hh_n")).toIndexedSeq: _*), groupCols)
+      .where(col("cnt") * (k + 1L) > col("_hh_n") &&
         col("cnt") >= minSupport.getOrElse(0L))
-      .drop("_n")
+      .drop("_hh_n")
   }
 }

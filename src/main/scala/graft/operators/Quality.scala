@@ -28,7 +28,9 @@ object Quality {
   final case class InSet(column: String, allowed: Seq[String]) extends Rule
   /** Non-null values of `column` must lie in [lo, hi]. */
   final case class InRange(column: String, lo: Double, hi: Double) extends Rule
-  /** Non-null values of `column` must match `regex`. */
+  /** Non-null values of `column` must match `regex` in FULL (the
+    * pattern is wrapped `^(?:…)$` — `rlike`'s substring semantics
+    * would silently pass values merely containing a match). */
   final case class Matches(column: String, regex: String) extends Rule
   /** `columns` combinations must be unique; violations = excess rows
     * beyond the first of each duplicate group. */
@@ -60,14 +62,17 @@ object Quality {
       case r @ InRange(c, lo, hi) =>
         label(r) -> (col(c).isNotNull && (col(c) < lo || col(c) > hi))
       case r @ Matches(c, re) =>
-        label(r) -> (col(c).isNotNull && !col(c).rlike(re))
+        label(r) -> (col(c).isNotNull && !col(c).rlike(s"^(?:$re)$$"))
     }
     val rowFrame: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else {
         val aggs = count(lit(1)).as("_checked") +:
           rowLocal.zipWithIndex.map { case ((_, viol), i) =>
-            sum(when(viol, 1L).otherwise(0L)).as(s"_v$i")
+            // coalesce: sum over ZERO rows is null — an empty batch
+            // must pass trivially (0 violations), not yield a null
+            // verdict
+            coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(s"_v$i")
           }
         val one = df.agg(aggs.head, aggs.tail: _*)
         val rows = array(rowLocal.zipWithIndex.map { case ((name, _), i) =>

@@ -77,14 +77,19 @@ object StreamingSessions {
       .as[SessionEvent]
   }
 
-  /** Apply gap sessionization to a (possibly streaming) dataset of
-    * events. `horizon` is the watermark delay bounding how late an
-    * event may arrive; later ones are dropped by the watermark before
-    * reaching the state function.
+  /** Apply gap sessionization to a STREAMING dataset of events.
+    * `horizon` is the watermark delay bounding how late an event may
+    * arrive; later ones are dropped by the watermark before reaching
+    * the state function. Batch inputs are rejected — the sealing logic
+    * is driven by the watermark, which batch execution does not have;
+    * use the windowed batch sessionize (`q_sessionize`) there.
     */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
       horizon: String): Dataset[ClosedSession] = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    require(events.isStreaming,
+      "sessionize requires a streaming Dataset (batch has no watermark " +
+        "to seal sessions) — use a window-function sessionize for batch")
     val gapMs = gapSeconds * 1000L
     implicit val closedEnc = Encoders.product[ClosedSession]
     implicit val stateEnc = Encoders.product[PendingSessions]

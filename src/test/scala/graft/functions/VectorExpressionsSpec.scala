@@ -57,6 +57,22 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("*(1) Project [array_cosine"), plan)
   }
 
+  test("adc_score: valid lookup, and invalid codes/null elements yield null") {
+    import spark.implicits._
+    val table = Array(2.0, 3.0, 5.0, 7.0) // 2 subspaces x 2 codewords
+    val df = Seq(
+      (1L, Some(Seq(Some(0), Some(1)))),  // 2.0 + 7.0
+      (2L, Some(Seq(Some(0), Some(5)))),  // code out of range
+      (3L, Some(Seq(Some(0), None))),     // null element
+      (4L, Some(Seq(Some(-1), Some(0))))  // negative code
+    ).toDF("id", "code")
+    val out = df.select(col("id"),
+        graft.functions.VectorExpressions.adcScore(col("code"), table, 2).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> Some(9.0), 2L -> None, 3L -> None, 4L -> None))
+  }
+
   test("type check rejects non-double arrays") {
     import spark.implicits._
     val bad = Seq((Seq(1, 2), Seq(1, 2))).toDF("a", "b")

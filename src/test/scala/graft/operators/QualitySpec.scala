@@ -55,6 +55,25 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Quality.check(clean, Seq.empty))
   }
 
+  test("an empty batch passes trivially (0 violations, not null verdicts)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "grade")
+    val out = Quality.check(empty, Seq(
+      Quality.NotNull("id"), Quality.Matches("grade", "[A-Z]"),
+      Quality.Unique(Seq("id"))))
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L && r.getBoolean(3)))
+  }
+
+  test("Matches is full-match: a substring hit alone is a violation") {
+    import spark.implicits._
+    val df = Seq((1L, "ABC-1234"), (2L, "junk ABC-1234 junk")).toDF("id", "sku")
+    val out = Quality.check(df, Seq(Quality.Matches("sku", "[A-Z]{3}-[0-9]{4}")))
+      .head()
+    assert(out.getLong(1) == 1L, s"substring-only value must violate: $out")
+  }
+
   test("row-local rules share one aggregation pass (single scan in the plan)") {
     val plan = Quality.check(fixture, Seq(
       Quality.NotNull("id"), Quality.InSet("grade", Seq("A")),
