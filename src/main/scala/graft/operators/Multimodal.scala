@@ -56,6 +56,37 @@ object Multimodal {
     (entropy, frameMean, frames.size)
   }
 
+  final case class MediaResized(id: Long, n_bytes: Int, resized: Seq[Int],
+      resized_mean: Double)
+
+  /** STUB resize: nearest-neighbor downsample of the byte stream to
+    * `outLen` samples — the stand-in for image resize (replace with a
+    * real scaler; the batching, schema, and determinism contract stay).
+    * out(i) = bytes((i·n)/outLen), pure byte algebra ⇒ oracle-able.
+    */
+  def resizeStub(bytes: Array[Byte], outLen: Int): Array[Int] = {
+    val n = bytes.length
+    if (n == 0) Array.empty
+    else Array.tabulate(outLen)(i => bytes((i * n) / outLen) & 0xff)
+  }
+
+  /** Batched resize over the binary column (typed mapPartitions — a
+    * real scaler would init once per partition, like extractFeatures).
+    */
+  def resize(df: DataFrame, outLen: Int = 32): Dataset[MediaResized] = {
+    require(outLen > 0, s"outLen must be positive, got $outLen")
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("bytes"), col("media_meta.mime"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { row =>
+          val r = resizeStub(row.bytes, outLen)
+          val mean = if (r.isEmpty) 0.0 else r.sum.toDouble / r.length
+          MediaResized(row.id, row.bytes.length, r.toSeq, mean)
+        }
+      }
+  }
+
   /** Batched feature extraction over the binary column. */
   def extractFeatures(df: DataFrame): Dataset[MediaFeatures] = {
     import df.sparkSession.implicits._

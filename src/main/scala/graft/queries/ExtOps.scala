@@ -344,6 +344,43 @@ object ExtOps {
              |GROUP BY source
              |ORDER BY source""".stripMargin)),
 
+    // Stubbed resize (nearest-neighbor byte downsample to 32 samples)
+    // over binary batches — the image-resize analogue with the real
+    // batching/schema plumbing; out(i) = bytes((i·n)/32) is pure byte
+    // algebra, so DuckDB recomputes every resized sample from
+    // hex(encode(text)) and the census pins them all.
+    GateQuery(
+      "q_multimodal_resize",
+      (s, d) => {
+        val media = Multimodal.withBinaryColumn(documents(s, d), "text", "doc_id")
+        Multimodal.resize(media, outLen = 32).toDF()
+          .where(col("n_bytes") > 0) // empty payloads excluded on both sides
+          .agg(
+            count(lit(1)).as("n_media"),
+            round(avg("resized_mean"), 4).as("avg_resized_mean"),
+            sum(expr("aggregate(resized, 0L, (acc, x) -> acc + x)"))
+              .as("total_resized"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+             |         octet_length(encode(text)) AS n
+             |  FROM documents
+             |), idx AS (
+             |  SELECT doc_id, hx, n, unnest(range(32)) AS i FROM d WHERE n > 0
+             |), rb AS (
+             |  SELECT doc_id,
+             |         (strpos('0123456789ABCDEF', substring(hx, CAST(2 * ((i * n) // 32) + 1 AS INT), 1)) - 1) * 16 +
+             |         (strpos('0123456789ABCDEF', substring(hx, CAST(2 * ((i * n) // 32) + 2 AS INT), 1)) - 1) AS b
+             |  FROM idx
+             |), per AS (
+             |  SELECT doc_id, avg(CAST(b AS DOUBLE)) AS m, CAST(sum(b) AS BIGINT) AS s
+             |  FROM rb GROUP BY doc_id
+             |)
+             |SELECT count(*) AS n_media,
+             |       round(avg(m), 4) AS avg_resized_mean,
+             |       CAST(sum(s) AS BIGINT) AS total_resized
+             |FROM per""".stripMargin)),
+
     // Stubbed decode + feature extraction over binary batches. The
     // stub's pseudo-features (byte-histogram entropy, every-16th-byte
     // frame samples) are pure byte algebra, so DuckDB recomputes them
