@@ -185,5 +185,82 @@ object TemporalOps {
              |FROM iv
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
+
+    // Ordered funnel: view → click → purchase, each step strictly
+    // after the previous (min qualifying timestamp per step, computed
+    // with conditional aggregation — ONE shuffle on user_id, no
+    // self-joins). Census: users reaching each stage + median
+    // view→purchase latency for full conversions.
+    GateQuery(
+      "q_funnel",
+      (s, d) => {
+        val ev = events(s, d)
+        val perUser = ev.groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            collect_list(when(col("event_type") === "click",
+              struct(col("ts")))).as("_clicks"),
+            collect_list(when(col("event_type") === "purchase",
+              struct(col("ts")))).as("_purchases"))
+          .withColumn("t_click",
+            array_min(expr("transform(filter(_clicks, c -> c.ts > t_view), c -> c.ts)")))
+          .withColumn("t_purchase",
+            array_min(expr("transform(filter(_purchases, p -> p.ts > t_click), p -> p.ts)")))
+        perUser.agg(
+          count(col("t_view")).as("n_viewed"),
+          count(col("t_click")).as("n_clicked"),
+          count(col("t_purchase")).as("n_converted"),
+          round(expr(
+            "percentile(CASE WHEN t_purchase IS NOT NULL THEN (unix_micros(t_purchase) - unix_micros(t_view)) / 1e6 END, 0.5)"),
+            2).as("median_latency_sec"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY 1
+             |), c AS (
+             |  SELECT e.user_id, min(e.ts) AS t_click
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |  GROUP BY 1
+             |), p AS (
+             |  SELECT e.user_id, min(e.ts) AS t_purchase
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |  GROUP BY 1
+             |)
+             |SELECT (SELECT count(*) FROM v) AS n_viewed,
+             |       (SELECT count(*) FROM c) AS n_clicked,
+             |       (SELECT count(*) FROM p) AS n_converted,
+             |       round(quantile_cont((epoch_us(p.t_purchase) - epoch_us(v.t_view)) / 1e6, 0.5), 2)
+             |         AS median_latency_sec
+             |FROM p JOIN v ON p.user_id = v.user_id""".stripMargin)),
+
+    // Retention cohorts: users grouped by first-activity week, matrix
+    // of (cohort week, weeks-since) distinct-active counts — the
+    // warehouse retention triangle. Two aggs, both on user/cohort keys.
+    GateQuery(
+      "q_retention",
+      (s, d) => {
+        val ev = events(s, d)
+        val firstWeek = ev.groupBy("user_id")
+          .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+        ev.join(firstWeek, Seq("user_id"))
+          .withColumn("week_n",
+            datediff(date_trunc("week", col("ts")), col("cohort")) / 7)
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("week_n").cast("long").as("week_n"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort", "week_n")
+      },
+      Some("""WITH fw AS (
+             |  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+             |  FROM events GROUP BY 1
+             |)
+             |SELECT strftime(fw.cohort, '%Y-%m-%d') AS cohort,
+             |       CAST(date_diff('day', fw.cohort, date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_n,
+             |       count(DISTINCT e.user_id) AS n_active
+             |FROM events e JOIN fw ON e.user_id = fw.user_id
+             |GROUP BY 1, 2
+             |ORDER BY cohort, week_n""".stripMargin)),
   )
 }
