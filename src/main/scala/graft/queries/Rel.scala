@@ -720,5 +720,55 @@ object Rel {
              |CROSS JOIN n
              |WHERE pair_sup >= 3
              |ORDER BY item_a, item_b""".stripMargin)),
+
+    // CUBE: all grouping-set combinations with grouping ids — the
+    // sibling of q_rollup completing the GROUPING SETS surface.
+    GateQuery(
+      "q_cube",
+      (s, d) =>
+        lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum("l_extendedprice"), 2).as("sum_price"),
+            count(lit(1)).as("n"),
+            grouping_id().as("gid"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus"), asc("gid")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_extendedprice), 2) AS sum_price,
+             |       count(*) AS n,
+             |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid ASC""".stripMargin)),
+
+    // Equi-width histogram: 10 bins over the observed [min, max] —
+    // a stats pass + a binning pass (the bounds relation is one row,
+    // crossed in — never collected to the driver mid-plan).
+    GateQuery(
+      "q_histogram",
+      (s, d) => {
+        val li = lineitem(s, d)
+        val bounds = li.agg(
+          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+        li.crossJoin(bounds)
+          .withColumn("bin",
+            least(floor((col("l_extendedprice") - col("lo")) * 10.0 /
+              (col("hi") - col("lo"))), lit(9L)).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(avg("l_extendedprice"), 2).as("bin_mean"))
+          .orderBy("bin")
+      },
+      Some("""WITH b AS (
+             |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+             |  FROM lineitem
+             |)
+             |SELECT CAST(least(floor((l_extendedprice - lo) * 10.0 / (hi - lo)), 9) AS BIGINT) AS bin,
+             |       count(*) AS n,
+             |       round(avg(l_extendedprice), 2) AS bin_mean
+             |FROM lineitem, b
+             |GROUP BY bin
+             |ORDER BY bin""".stripMargin)),
   )
 }
