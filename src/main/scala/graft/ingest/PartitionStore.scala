@@ -179,6 +179,32 @@ object PartitionStore {
     spark.read.schema(Schema.rewardedDecision)
       .parquet(keys.map(k => s"$baseDir/$k"): _*)
 
+  /** Point lookup of ONE decision's rewarded-decision row(s): the
+    * filename-encoded [minTs, maxTs] ranges ARE a skip index, so only
+    * the files whose range covers the id's KSUID timestamp are opened
+    * (typically one once groom has removed overlaps), and the pushed
+    * `decision_id = …` predicate then prunes row groups WITHIN the
+    * file because chunks are written sorted by decision_id. At any
+    * store size the cost is one listing + one file's relevant row
+    * group — the serving-path lookup ("what did decision X see and
+    * earn") without scanning the store.
+    */
+  def lookupDecision(spark: SparkSession, baseDir: String, model: String,
+      decisionId: String): DataFrame = {
+    val ts = PartitionFilename.timestampOf(decisionId) // rejects invalid ids
+    val keys = listKeys(spark, baseDir, model).filter { k =>
+      PartitionFilename.parse(k.substring(k.lastIndexOf('/') + 1))
+        .exists(p => p.minTs <= ts && ts <= p.maxTs)
+    }
+    if (keys.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schema.rewardedDecision)
+    else
+      read(spark, baseDir, keys)
+        .filter(col(Schema.DecisionId) === decisionId)
+  }
+
   def delete(spark: SparkSession, baseDir: String, keys: Seq[String]): Unit = {
     val fs = new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     keys.foreach(k => fs.delete(new Path(baseDir, k), false))

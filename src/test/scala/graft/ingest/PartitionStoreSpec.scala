@@ -78,4 +78,35 @@ class PartitionStoreSpec extends AnyFunSuite with SparkTestBase {
     val parsed = PartitionFilename.parse(keys.head.split('/').last).get
     assert(parsed.rowCount == 50)
   }
+
+  test("point lookup opens only the covering file(s), finds the row, misses cleanly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pstore3").toString
+    val rows = syntheticRows(2000, 90L * 24 * 3600)
+    PartitionStore.write(rows.toDF(), dir, "m", maxRowsPerFile = 100)
+    val nFiles = PartitionStore.listKeys(spark, dir, "m").size
+    assert(nFiles > 5, s"fixture must split into many files, got $nFiles")
+
+    val target = rows(777)
+    val hit = PartitionStore.lookupDecision(spark, dir, "m", target.decision_id)
+    // file-level skip: the plan's input files are the covering subset,
+    // not the store
+    val opened = hit.inputFiles.length
+    assert(opened >= 1 && opened < nFiles / 2,
+      s"lookup opened $opened of $nFiles files")
+    val got = hit.collect()
+    assert(got.map(_.getAs[String]("decision_id")).toSeq == Seq(target.decision_id))
+    assert(got.head.getAs[String]("item") == target.item.get)
+
+    // a valid ksuid that was never written: empty result (whether or
+    // not some file's time range covers its second)
+    val absent = graft.core.Ksuid.deterministic(base + 1, 999999L)
+    assert(PartitionStore.lookupDecision(spark, dir, "m", absent).count() == 0)
+    // out-of-range timestamp: no candidate files at all
+    val far = graft.core.Ksuid.deterministic(base + 10L * 365 * 24 * 3600, 1L)
+    val miss = PartitionStore.lookupDecision(spark, dir, "m", far)
+    assert(miss.count() == 0)
+    intercept[IllegalArgumentException](
+      PartitionStore.lookupDecision(spark, dir, "m", "not-a-ksuid"))
+  }
 }
