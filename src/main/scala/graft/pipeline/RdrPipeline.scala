@@ -170,8 +170,16 @@ object RdrPipeline {
       val stats = back.agg(
         count(lit(1)).as("n_rows"),
         round(sum(Schema.Reward), 2).as("total_reward")).collect().head
-      Seq((stats.getLong(0), stats.getDouble(1), keys.length.toLong, iters.toLong))
-        .toDF("n_rows", "total_reward", "n_files", "groom_iterations")
+      // serving-path probe: a point lookup of the store's min id must
+      // open only its covering file(s) and return exactly one row —
+      // exercises lookupDecision inside the gate chain
+      val probeId = back.agg(min(Schema.DecisionId)).collect().head.getString(0)
+      val probe = PartitionStore.lookupDecision(spark, s"$work/store", "events", probeId)
+      val lookupOk = probe.count() == 1L &&
+        probe.inputFiles.length < math.max(2, keys.length)
+      Seq((stats.getLong(0), stats.getDouble(1), keys.length.toLong,
+        iters.toLong, lookupOk))
+        .toDF("n_rows", "total_reward", "n_files", "groom_iterations", "lookup_ok")
     } finally deleteRecursively(work)
   }
 }

@@ -6,11 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Ann, Dedup, Frequency, IvfIndex, Multimodal, SketchRollup}
 
 /** Gate queries for the scale extensions: MinHash-LSH / SimHash dedup,
-  * IVF ANN, multimodal binary plumbing. Where the result is
-  * SQL-predictable (LSH + exact verify ⇒ same pairs as all-pairs
-  * Jaccard; IVF at nprobe=C ⇒ exact top-k) the DuckDB oracle checks
-  * it; inherently non-SQL outputs (simhash, stubbed decode) are
-  * rows-only.
+  * IVF ANN, sketches, heavy hitters, multimodal binary plumbing —
+  * every one DuckDB-oracled (LSH + exact verify ⇒ all-pairs Jaccard;
+  * IVF at nprobe=C ⇒ exact top-k; simhash/byte stubs reproduced in
+  * SQL bit-for-bit).
   */
 
 /** Per-process scratch root for gate-built index artifacts: unique per
