@@ -144,16 +144,25 @@ object Dedup {
       threshold: Double, seed: Long = 1234L,
       groupCols: Seq[String] = Nil): DataFrame = {
     val signed = withSignature(df, textCol, seed).persist()
-    try {
+    try verifiedPairsSigned(signed, idCol, threshold, groupCols)
+    finally signed.unpersist(blocking = false)
+  }
+
+  /** verifiedPairs over an ALREADY-signed relation (idCol, wset, sig)
+    * — the production shape: signatures are materialized once at
+    * ingest (a table) and every near-dup consumer reads them instead
+    * of re-shingling the corpus.
+    */
+  def verifiedPairsSigned(signed: DataFrame, idCol: String, threshold: Double,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val out = exactVerify(signed, candidatePairs(signed, idCol, groupCols),
       idCol, threshold, carryCols = groupCols)
-    // materialize eagerly so the corpus-sized signature cache can be
+    // materialize eagerly so any upstream signature cache can be
     // released; the (bounded) pair set is what stays cached — callers
     // may unpersist it when done
     out.persist()
     out.count()
     out
-    } finally signed.unpersist(blocking = false)
   }
 
   // ---- duplicate clusters (connected components) -------------------------
@@ -254,7 +263,20 @@ object Dedup {
       textCol: String, threshold: Double, seed: Long = 1234L): DataFrame = {
     val sd = withSignature(delta, textCol, seed).persist()
     val sc = withSignature(corpus, textCol, seed).persist()
-    try {
+    try deltaPairsSigned(sd, sc, idCol, threshold)
+    finally {
+      sd.unpersist(blocking = false)
+      sc.unpersist(blocking = false)
+    }
+  }
+
+  /** deltaPairs over ALREADY-signed relations — pairs with
+    * `verifiedPairsSigned`: a materialized signature table serves both
+    * the symmetric and the incremental dedup without re-shingling.
+    */
+  def deltaPairsSigned(sd: DataFrame, sc: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    {
       val a = sd.select(col(idCol).as("id_delta"), explode(bandKeys).as("bk"))
         .select(col("id_delta"), col("bk.band"), col("bk.bucket"))
       val b = sc.select(col(idCol).as("id_corpus"), explode(bandKeys).as("bk"))
@@ -272,9 +294,6 @@ object Dedup {
       out.persist()
       out.count()
       out
-    } finally {
-      sd.unpersist(blocking = false)
-      sc.unpersist(blocking = false)
     }
   }
 

@@ -116,10 +116,13 @@ object CurationOps {
     GateQuery(
       "q_dedup_delta",
       (s, d) => {
-        val docs = documents(s, d).select("doc_id", "text")
-        val delta = docs.filter(col("doc_id") % 10 === 0)
-        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-        graft.operators.Dedup.deltaPairs(delta, corpus, "doc_id", "text", 0.9)
+        // the cached signature TABLE serves the incremental path too —
+        // signing is per-row deterministic, so splitting the signed
+        // relation equals signing the splits
+        val signed = ExtOps.cachedSigned(s, d)
+        val delta = signed.filter(col("doc_id") % 10 === 0)
+        val corpus = signed.filter(col("doc_id") % 10 =!= 0)
+        graft.operators.Dedup.deltaPairsSigned(delta, corpus, "doc_id", 0.9)
           .agg(
             count(lit(1)).as("n_pairs"),
             round(avg("jac"), 4).as("avg_jac"),

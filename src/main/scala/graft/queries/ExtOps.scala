@@ -46,13 +46,21 @@ object ExtOps {
   // which would silently turn a cached plan back into a recompute.
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def cachedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val dir = pairsCache.computeIfAbsent(d, { _ =>
+  private def cachedDeriv(s: SparkSession, d: String): String =
+    pairsCache.computeIfAbsent(d, { _ =>
       val out = java.nio.file.Files.createTempDirectory("graft_pairs").toString
       val docs = documents(s, d).select("doc_id", "text")
-      val pairs = Dedup.verifiedPairs(docs, "doc_id", "text", 0.9)
-      pairs.write.mode("overwrite").parquet(s"$out/pairs")
-      pairs.unpersist(blocking = false)
+      // sign ONCE, materialize the signature table AND the verified
+      // pair graph — the two relations a production lake would keep
+      // (signatures at ingest; pairs as the dedup product). The delta
+      // gate reads the signatures instead of re-shingling the corpus.
+      val signed = Dedup.withSignature(docs, "text").persist()
+      try {
+        signed.write.mode("overwrite").parquet(s"$out/signed")
+        val pairs = Dedup.verifiedPairsSigned(signed, "doc_id", 0.9)
+        pairs.write.mode("overwrite").parquet(s"$out/pairs")
+        pairs.unpersist(blocking = false)
+      } finally signed.unpersist(blocking = false)
       sys.addShutdownHook {
         import scala.jdk.CollectionConverters._
         val root = java.nio.file.Paths.get(out)
@@ -60,10 +68,14 @@ object ExtOps {
           java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
       }
-      s"$out/pairs"
+      out
     })
-    s.read.parquet(dir)
-  }
+
+  private def cachedVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${cachedDeriv(s, d)}/pairs")
+
+  private[queries] def cachedSigned(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${cachedDeriv(s, d)}/signed")
 
   val queries: Seq[GateQuery] = Seq(
 
