@@ -184,7 +184,11 @@ object Groom {
     // filenames are uuid-unique, so the last path segment keys the order
     val orderOf = keys.zipWithIndex.map { case (k, i) => k.split('/').last -> i }.toMap
     val pathOrder = udf((path: String) =>
-      orderOf.getOrElse(path.split('/').last, 0))
+      orderOf.getOrElse(path.split('/').last,
+        // an unknown file must FAIL, not silently take precedence 0 in
+        // duplicate-reward resolution (parsed() throws likewise)
+        throw new IllegalStateException(
+          s"file $path not in the group's key list")))
     val df = PartitionStore.read(spark, baseDir, keys)
       .withColumn(Merge.SrcOrder, pathOrder(input_file_name()))
       .withColumn(Schema.Model, lit(model))
@@ -231,7 +235,13 @@ object Groom {
         })
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+      } finally {
+        pool.shutdown()
+        // a fail-fast Await may leave sibling compactions mid-flight;
+        // returning while they still write/delete store files would
+        // race the caller's next listKeys/groom pass
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      }
     }
     iteration
   }

@@ -27,8 +27,10 @@ import scala.jdk.CollectionConverters._
   *     disperses overlap repairs through the timeline so grooming
   *     converges in ~O(log N) passes;
   *  2. shuffle by prefix, sort rows by decision_id within partitions,
-  *     write one parquet file per prefix chunk (maxRecordsPerFile as
-  *     a backstop);
+  *     write one parquet file per prefix chunk (deliberately NO
+  *     maxRecordsPerFile backstop — splitting a same-second overflow
+  *     would create identical-range files groom re-merges forever;
+  *     see the NOTE in write());
   *  3. rename each written file to the name-encoded index using the
   *     parquet FOOTER statistics (min/max decision_id, row count) —
   *     metadata-only reads, no data scan.
@@ -68,6 +70,7 @@ object PartitionStore {
     // (groom pair-merges cap at a few files × maxRowsPerFile), where
     // a per-call disk round-trip costs more than it saves.
     val stageDir = s"$baseDir/_stage_${java.util.UUID.randomUUID()}"
+    val tmpDir = s"$baseDir/_tmp_${java.util.UUID.randomUUID()}"
     val withTs = df.drop(Schema.Model)
       .withColumn("_ts", tsOf(col(Schema.DecisionId)))
     val staged =
@@ -75,6 +78,11 @@ object PartitionStore {
         withTs.write.option("compression", "lz4").parquet(stageDir)
         spark.read.parquet(stageDir)
       } else withTs.persist()
+    // cleanup in finally: a failed write must not leak the staged
+    // batch copy / partial tmp output under baseDir (they live outside
+    // rewarded_decisions/, so nothing would ever reclaim them) nor the
+    // persisted partitions in the stageToDisk=false path
+    try {
 
     // Prefix-length choice: the coarsest resolution at which every
     // prefix group holds ≤ maxRowsPerFile rows. Per-second counts —
@@ -95,7 +103,6 @@ object PartitionStore {
       .find(i => levelMax.getOrElse(i, 0L) <= maxRowsPerFile)
       .getOrElse(MaxPrefix)
 
-    val tmpDir = s"$baseDir/_tmp_${java.util.UUID.randomUUID()}"
     // NOTE: deliberately no maxRecordsPerFile backstop. If >maxRows
     // rows share one SECOND (prefix length 15 still over the cap),
     // splitting them into several files would create same-second
@@ -112,11 +119,9 @@ object PartitionStore {
       .partitionBy("_chunk")
       .option("compression", "zstd")
       .parquet(tmpDir)
-    if (stageToDisk) fs.delete(new Path(stageDir), true)
-    else staged.unpersist(blocking = false)
 
     val written = listFiles(fs, new Path(tmpDir)).filter(_.getName.endsWith(".parquet"))
-    val keys = written.map { file =>
+    written.map { file =>
       val (minId, maxId, rows) = footerStats(conf, file)
       val key = PartitionFilename.key(model, minId, maxId, rows)
       val dest = new Path(baseDir, key)
@@ -125,8 +130,11 @@ object PartitionStore {
         throw new java.io.IOException(s"rename $file -> $dest failed")
       key
     }
-    fs.delete(new Path(tmpDir), true)
-    keys
+    } finally {
+      if (stageToDisk) fs.delete(new Path(stageDir), true)
+      else staged.unpersist(blocking = false)
+      fs.delete(new Path(tmpDir), true)
+    }
   }
 
   /** min/max decision_id + row count from the parquet footer only. */

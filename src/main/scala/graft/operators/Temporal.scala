@@ -49,8 +49,10 @@ object Temporal {
     *    deterministically (max xxhash64 of the right row) — stable
     *    under task retry and any input partitioning.
     *  - Join keys must carry the same names on both sides; right rows
-    *    with a null timestamp never match; left rows with a null
-    *    timestamp pass through unmatched.
+    *    with a null timestamp OR null key never match; left rows with
+    *    a null timestamp or null key pass through unmatched — the same
+    *    null-key semantics as the equi-join in `rangeJoin` (a window
+    *    partition would otherwise silently group null keys together).
     *
     * Plan shape: one Exchange on `on`, one sort per partition, one
     * running window — the same cost as a groupBy over the union of
@@ -78,7 +80,8 @@ object Temporal {
     // already contains it (inclusive ≥); left-first => it doesn't (strict).
     val (leftOrd, rightOrd) = if (strict) (0, 1) else (1, 0)
 
-    val lSide = left.where(col(leftTs).isNotNull).select(
+    val keyNull = on.map(col(_).isNull).reduce(_ || _)
+    val lSide = left.where(col(leftTs).isNotNull && !keyNull).select(
       (on.map(col) ++ Seq(
         orderKey(left, leftTs).as("_at_ts"),
         lit(leftOrd).as("_at_side"),
@@ -86,7 +89,7 @@ object Temporal {
         lit(true).as("_at_isleft"),
         lPay.as("_at_l"),
         lit(null).cast(rType).as("_at_r"))).toIndexedSeq: _*)
-    val rSide = right.where(col(rightTs).isNotNull).select(
+    val rSide = right.where(col(rightTs).isNotNull && !keyNull).select(
       (on.map(col) ++ Seq(
         orderKey(right, rightTs).as("_at_ts"),
         lit(rightOrd).as("_at_side"),
@@ -123,9 +126,10 @@ object Temporal {
         right.columns.map(c => col("_at_m").getField(c).as(rightPrefix + c)))
         .toIndexedSeq: _*)
 
-    // Null-ts left rows bypass the window (a desc sort would otherwise
-    // place them AFTER every right row and mis-match them).
-    val nullPass = left.where(col(leftTs).isNull).select(
+    // Null-ts and null-key left rows bypass the window (a desc sort
+    // would otherwise place null ts AFTER every right row and
+    // mis-match them; null keys must not form a joinable group).
+    val nullPass = left.where(col(leftTs).isNull || keyNull).select(
       (left.columns.map(col) ++
         right.columns.map(c =>
           lit(null).cast(right.schema(c).dataType).as(rightPrefix + c)))

@@ -178,6 +178,20 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
       Temporal.rangeJoin(trades, quotes, Seq("sym"), "ts", "ts", 10L, 5L))
   }
 
+  test("null join keys never match (consistent with rangeJoin's equi-join)") {
+    import spark.implicits._
+    val l = Seq((Option("A"), 100L, "t1"), (Option.empty[String], 100L, "t2"))
+      .toDF("sym", "ts", "trade")
+    val r = Seq((Option("A"), 90L, 1.0), (Option.empty[String], 90L, 9.9))
+      .toDF("sym", "ts", "px")
+    val out = Temporal.asofJoin(l, r, Seq("sym"), "ts", "ts")
+      .collect().map(row => row.getString(row.fieldIndex("trade")) ->
+        (if (row.isNullAt(row.fieldIndex("r_px"))) None
+         else Some(row.getDouble(row.fieldIndex("r_px"))))).toMap
+    assert(out == Map("t1" -> Some(1.0), "t2" -> None),
+      s"null-keyed rows must pass through unmatched, got $out")
+  }
+
   test("resample densifies each key's own span and forward-fills gaps") {
     import spark.implicits._
     // key a observes buckets 0,1,4 (gaps 2,3); key b observes only 7 —
