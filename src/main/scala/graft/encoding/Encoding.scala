@@ -149,8 +149,11 @@ object Encoding {
     * 1 + u·2⁻¹⁷ — keeps values ~unchanged while making rows with the
     * same noise u distinguishable (feature_encoder.py:158-168).
     */
+  private val SprinkleSmallNoise = math.pow(2, -142)
+  private val SprinkleLargeNoise = math.pow(2, -17)
+
   def sprinkle(x: Double, noise: Double): Double =
-    (x + noise * math.pow(2, -142)) * (1 + noise * math.pow(2, -17))
+    (x + noise * SprinkleSmallNoise) * (1 + noise * SprinkleLargeNoise)
 
   /** P(Poisson(1) > 0) = 1 − 1/e ≈ 0.632 — when exploring, the zero
     * mass of the bootstrap is realized by sampling records at THIS

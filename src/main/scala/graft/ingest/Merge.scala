@@ -102,6 +102,22 @@ object Merge {
       col("_rw._1").as(Rewards), col("_rw._2").as(Reward), col(Model))
   }
 
+  /** Write an already-merged frame into the store, one partition set
+    * per model present — the tail every ingest entry point (batch job,
+    * streaming micro-batch) shares, so failure handling and the
+    * model-scoping rule live in exactly one place. Returns
+    * model → written keys.
+    */
+  def writePerModel(merged: org.apache.spark.sql.DataFrame,
+      storeDir: String): Map[String, Seq[String]] = {
+    val models = merged.select(col(Model)).distinct()
+      .collect().map(_.getString(0))
+    models.map { m =>
+      m -> graft.ingest.PartitionStore.write(
+        merged.filter(col(Model) === m), storeDir, m)
+    }.toMap
+  }
+
   /** Convenience: parse firehose files and merge in one go —
     * the reference's ingest path (ingest_firehose.py:18-31).
     */

@@ -46,12 +46,7 @@ object IngestJob {
     if (census.nonEmpty) println(s"invalid records: $census")
 
     val merged = Merge.merge(parsed.flatMap(_.row).toDF()).persist()
-    val models = merged.select(graft.schema.Schema.Model).distinct()
-      .collect().map(_.getString(0))
-    models.foreach { model =>
-      val keys = PartitionStore.write(
-        merged.filter(org.apache.spark.sql.functions.col(graft.schema.Schema.Model) === model),
-        storeDir, model)
+    Merge.writePerModel(merged, storeDir).foreach { case (model, keys) =>
       println(s"model $model: wrote ${keys.length} partition(s)")
     }
     spark.stop()

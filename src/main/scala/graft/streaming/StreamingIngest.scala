@@ -51,15 +51,11 @@ object StreamingIngest {
     val rows = batch.as[String]
       .map(line => FirehoseRecords.parseLine(line, now))
       .flatMap(_.row)
-    if (rows.isEmpty) return
+    // no rows.isEmpty pre-check: that is a FULL extra parse of the
+    // batch; an empty batch already degrades to a no-op below (the
+    // distinct-models collect returns nothing)
     val merged = Merge.merge(rows.toDF()).persist()
-    val models = merged.select(graft.schema.Schema.Model).distinct()
-      .collect().map(_.getString(0))
-    models.foreach { model =>
-      PartitionStore.write(
-        merged.filter(org.apache.spark.sql.functions.col(graft.schema.Schema.Model) === model),
-        storeDir, model)
-    }
-    merged.unpersist()
+    try Merge.writePerModel(merged, storeDir)
+    finally merged.unpersist()
   }
 }

@@ -119,10 +119,23 @@ object ModelStore {
   // ---- final model publish (S9/S10 layout) -------------------------------
 
   def saveDecisionModel(dm: DecisionModel, dir: String): Unit = {
-    dm.model.write.overwrite().save(s"$dir/model")
-    writeString(dir, "metadata.json",
+    // same stage-then-swap as saveCheckpoint: writing model and
+    // metadata in place lets a crash between the two pair a NEW
+    // booster with stale metadata — loads would then encode with the
+    // wrong string tables and de-normalize with the wrong mean/std,
+    // silently. Every crash window of the swap leaves the old artifact
+    // or none.
+    val root = new HPath(dir)
+    val f = fs(dir)
+    val tmp = new HPath(root.getParent, s".${root.getName}.tmp-${java.util.UUID.randomUUID()}")
+    dm.model.write.overwrite().save(s"$tmp/model")
+    writeString(tmp.toString, "metadata.json",
       metadataJson(dm.featureNames, dm.stringTables, dm.modelSeed,
         Map("reward_mean" -> dm.rewardMean, "reward_std" -> dm.rewardStd)))
+    if (f.exists(root)) f.delete(root, true)
+    f.mkdirs(root.getParent)
+    if (!f.rename(tmp, root))
+      throw new java.io.IOException(s"model swap $tmp -> $root failed")
   }
 
   // ---- publish layout (unpack_models.py:62-97) ---------------------------
@@ -222,22 +235,34 @@ object ModelStore {
     val latest = new HPath(modelsRoot, latestKey(modelName))
     if (!f.exists(latest)) return false
     val destFs = fs(destDir)
-    if (destFs.exists(new HPath(destDir))) destFs.delete(new HPath(destDir), true)
+    // extract into a side dir and swap AFTER the whole archive reads
+    // cleanly — deleting the working model first would leave the
+    // consumer with nothing if the artifact turns out truncated or
+    // corrupt (the one failure a model-refresh path must survive)
+    val dest = new HPath(destDir)
+    val tmp = new HPath(dest.getParent,
+      s".${dest.getName}.tmp-${java.util.UUID.randomUUID()}")
     val in = new java.util.zip.GZIPInputStream(f.open(latest))
     try {
       Tar.read(in, (name, _, data) => {
         // tar entry names come from the (possibly hostile) archive:
-        // reject anything that could escape destDir (zip-slip)
+        // reject anything that could escape the destination (zip-slip)
         require(!name.startsWith("/") && !name.split('/').contains(".."),
           s"unsafe tar entry name: $name")
-        val p = new HPath(destDir, name)
+        val p = new HPath(tmp, name)
         destFs.mkdirs(p.getParent)
         val out = destFs.create(p, true)
         try org.apache.hadoop.io.IOUtils.copyBytes(data, out, 64 * 1024, false)
         finally out.close()
       })
-      true
+    } catch {
+      case e: Throwable => destFs.delete(tmp, true); throw e
     } finally in.close()
+    if (destFs.exists(dest)) destFs.delete(dest, true)
+    destFs.mkdirs(dest.getParent)
+    if (!destFs.rename(tmp, dest))
+      throw new java.io.IOException(s"unpack swap $tmp -> $dest failed")
+    true
   }
 
   def loadDecisionModel(spark: SparkSession, dir: String): Option[DecisionModel] = {

@@ -136,12 +136,13 @@ object Trainer {
       if (s == 0.0) 1.0 else s // all-identical-rewards guard
     }
 
-    // context dropout (5% of rows lose context — regularization)
-    val dropped = df.withColumn(Schema.Context,
-      when(hashUniform(col(Schema.DecisionId), modelSeed + 11) < config.sampleContext,
-        col(Schema.Context)))
-
-    val weighted = inversePropensityWeights(dropped, pm, config)
+    // propensity weights come from the TRUE context — the reference
+    // computes normalized_inverse_propensity_weights(df) BEFORE the
+    // context dropout (decision_trainer.py:107 vs 119): a dropped
+    // context would push strongly-identified decisions off the
+    // memorization surface and inflate their 1/p weights by orders of
+    // magnitude. Dropout applies below, to the ENCODING only.
+    val weighted = inversePropensityWeights(df, pm, config)
       .withColumn(WeightCol,
         col("_ipw") * (if (config.explore)
           Encoding.nonZeroPoisson(hashUniform(col(Schema.DecisionId), modelSeed + 13))
@@ -152,16 +153,31 @@ object Trainer {
         else col(Schema.Reward))
       .persist()
 
+    // context dropout (5% of rows lose context — regularization of the
+    // feature encoding, reference decision_trainer.py:119). The
+    // weighted frame's nums/strs were flattened from the TRUE context
+    // for the propensity transform, so re-flatten from the dropped
+    // context (+ the timestamp feature, as in the propensity path) —
+    // nulling the Context column alone would leave the encoding
+    // untouched.
+    val dropped = Encoding.withFlatFeatures(
+        weighted.withColumn(Schema.Context,
+          when(hashUniform(col(Schema.DecisionId), modelSeed + 11) < config.sampleContext,
+            col(Schema.Context)))
+          .drop("nums", "strs"))
+      .withColumn("nums", map_concat(col("nums"),
+        map(lit(TimestampFeature), Encoding.ksuidTimestamp(col(Schema.DecisionId)))))
+
     val featureNames = pm.selectedFeatures
     val priorMean = if (config.normalizeRewards) 0.0 else rewardMean
-    val tables = Encoding.buildStringTables(weighted, featureNames, modelSeed,
+    val tables = Encoding.buildStringTables(dropped, featureNames, modelSeed,
       priorMean = priorMean, priorCount = config.rewardPriorCount,
       pruneMinCount = config.pruneMinStringCount,
       maxStringsPerFeature = config.maxStringsPerFeature)
 
     // per-row population-id noise sprinkled over every feature
     val encoded = Encoding.withFeatureVector(
-        weighted, featureNames, tables, modelSeed,
+        dropped, featureNames, tables, modelSeed,
         Some(hashUniform(col(Schema.DecisionId), modelSeed + 17)))
       .select(col("features"), col(TargetCol).cast("double").as("label"), col(WeightCol))
 

@@ -34,7 +34,7 @@ class BanditLiftSpec extends AnyFunSuite with SparkTestBase {
   test("full-chain trained scorer beats the uniform-random policy on planted rewards") {
     val rnd = new scala.util.Random(12345)
     val base = 1660000000L
-    val n = 1500
+    val n = 2500
 
     // uniform logging policy: every (context, item) pair gets coverage
     val lines = (0 until n).flatMap { i =>
@@ -62,7 +62,7 @@ class BanditLiftSpec extends AnyFunSuite with SparkTestBase {
     val merged = Merge.ingest(spark, Seq(fh))
     PartitionStore.write(merged, s"$work/store", "bandit")
     val cfg = TrainConfig(
-      maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 40,
+      maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 60,
       propensityTrees = 10, treeDepth = 4, explore = true, seed = 9L)
     val sample = graft.encoding.Encoding.NonZeroPoissonProbability
     val loaded = Loader.load(spark, s"$work/store", "bandit",
