@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one-time JVM warmup (codegen compiler, parquet reader, shuffle
+    // machinery) so the alphabetically-first query doesn't absorb
+    // ~3-4 s of classloading that belongs to no query
+    spark.range(0, 100000).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     // deterministic name order: run-to-run timings stay comparable
