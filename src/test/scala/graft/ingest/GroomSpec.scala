@@ -117,6 +117,42 @@ class GroomSpec extends AnyFunSuite with SparkTestBase {
     assert(all.filter(col(Schema.Item).isNull).count() == 0)
   }
 
+  test("re-ingesting the same batch converges to the single-ingest state (idempotence)") {
+    import spark.implicits._
+    val base = 1660000000L
+    def batch = (0 until 150).map { i =>
+      val ts = base + (i * 13) % 400
+      RewardedDecisionRow(Ksuid.deterministic(ts, i.toLong),
+        Some(s"""{"v":$i}"""), Some("{}"), Some(3.0), None,
+        Some(s"""{"${Ksuid.deterministic(ts + 500, i.toLong)}":2.0}"""),
+        Some(2.0), "m")
+    }
+
+    def buildStore(times: Int): Map[String, (String, String, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"idem$times").toString
+      (1 to times).foreach { _ =>
+        PartitionStore.write(Merge.merge(batch.toDF()), dir, "m", maxRowsPerFile = 64)
+      }
+      Groom.groom(spark, dir, "m", maxRowsPerFile = 64)
+      val keys = PartitionStore.listKeys(spark, dir, "m")
+      Groom.assertNoOverlappingKeys(keys)
+      PartitionStore.read(spark, dir, keys)
+        .collect().map { r =>
+          r.getAs[String](Schema.DecisionId) ->
+            ((r.getAs[String](Schema.Item), r.getAs[String](Schema.Rewards),
+              r.getAs[Double](Schema.Reward)))
+        }.toMap
+    }
+
+    val once = buildStore(1)
+    val thrice = buildStore(3)
+    // the rewards map unions by reward-id, so a re-delivered batch
+    // adds nothing: same decisions, same items, same reward payloads
+    assert(once.size == 150)
+    assert(thrice == once,
+      "re-ingesting an identical batch must groom to the identical store")
+  }
+
   test("disjoint groups of one iteration compact concurrently (latch-proven)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("groom_conc").toString
