@@ -146,6 +146,47 @@ object ExtOps {
              |       CAST(max(sz) AS BIGINT) AS max_cluster
              |FROM sizes""".stripMargin)),
 
+    // Duplicate REMOVAL: keep each near-dup cluster's canonical
+    // (min-id) member plus every unclustered doc. The census pins the
+    // exact surviving set via an id checksum — one wrongly dropped or
+    // kept doc shifts it.
+    GateQuery(
+      "q_dedup_remove",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        Dedup.keepCanonical(docs, "doc_id", cachedVerifiedPairs(s, d))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).cast("long").as("kept_id_sum"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) a
+             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) b
+             |    ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             |          / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.9
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION
+             |  SELECT id_b AS src, id_a AS dst FROM pairs
+             |), lab AS (
+             |  WITH RECURSIVE walk(id, lbl) AS (
+             |    SELECT src, src FROM edges
+             |    UNION
+             |    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+             |    WHERE w.lbl < e.dst
+             |  )
+             |  SELECT id, min(lbl) AS cluster FROM walk GROUP BY id
+             |), dropped AS (
+             |  SELECT id FROM lab WHERE cluster < id
+             |)
+             |SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM dropped) AS n_kept,
+             |       CAST((SELECT sum(doc_id) FROM documents)
+             |            - (SELECT coalesce(sum(id), 0) FROM dropped) AS BIGINT) AS kept_id_sum""".stripMargin)),
+
     // SimHash near-dups (hamming ≤ 3). The gate uses the md5-nibble
     // word hash (both engines expose md5) so DuckDB reproduces the
     // 64-bit fingerprints bit-for-bit and checks the full hamming
