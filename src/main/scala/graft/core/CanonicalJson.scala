@@ -21,6 +21,12 @@ object CanonicalJson {
   def tryParse(s: String): Option[JsonNode] =
     try Option(mapper.readTree(s)) catch { case _: Exception => None }
 
+  /** Parse raw UTF-8 bytes without materializing a String — the hot
+    * path for native expressions reading UTF8String columns.
+    */
+  def tryParseBytes(b: Array[Byte]): Option[JsonNode] =
+    try Option(mapper.readTree(b)) catch { case _: Exception => None }
+
   /** Compact, sorted-keys serialization of a JSON string (re-encode). */
   def canonicalize(json: String): String = dumps(parse(json))
 

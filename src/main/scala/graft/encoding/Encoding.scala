@@ -43,20 +43,24 @@ object Encoding {
     (nums.result(), strs.result())
   }
 
-  private val flattenUdf = udf((item: String, context: String) => flattenPair(item, context))
-
   val ksuidTimestamp: Column => Column = {
     val u = udf((id: String) =>
       Ksuid.timestampSeconds(id).map(_.toDouble).getOrElse(Double.NaN))
     c => u(c)
   }
 
-  /** Adds `nums` / `strs` map columns from item+context JSON columns. */
+  /** Adds `nums` / `strs` map columns from item+context JSON columns —
+    * a native codegen expression (graft.functions.FlattenJsonExpression),
+    * not a UDF: this projection runs on every row of both training
+    * phases, so it must not break the WholeStageCodegen span or pay
+    * per-row encoder conversions.
+    */
   def withFlatFeatures(df: DataFrame, itemCol: String = Schema.Item,
       contextCol: String = Schema.Context): DataFrame =
-    df.withColumn("_flat", flattenUdf(col(itemCol), col(contextCol)))
-      .withColumn("nums", col("_flat._1"))
-      .withColumn("strs", col("_flat._2"))
+    df.withColumn("_flat",
+        graft.functions.FlattenJsonExpression.flatten(col(itemCol), col(contextCol)))
+      .withColumn("nums", col("_flat.nums"))
+      .withColumn("strs", col("_flat.strs"))
       .drop("_flat")
 
   // ---- propensity row expansion (UDTF analogue) --------------------------
