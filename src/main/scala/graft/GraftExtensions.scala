@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AdcScoreExpression, ArrayCosineExpression, Xxh3Expression}
+import graft.functions.{AdcScoreExpression, ArrayCosineExpression, FlattenJsonExpression, KsuidBasicIsoExpression, KsuidTimestampExpression, Xxh3Expression}
 
 /** Library packaging as a Spark extension: running ANY Spark app with
   *
@@ -34,5 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("adc_score"),
       new ExpressionInfo(classOf[AdcScoreExpression].getName, "adc_score"),
       graft.functions.Functions.adcBuilder(_)))
+    ext.injectFunction((
+      FunctionIdentifier("ksuid_timestamp"),
+      new ExpressionInfo(classOf[KsuidTimestampExpression].getName, "ksuid_timestamp"),
+      graft.functions.Functions.ksuidTimestampBuilder(_)))
+    ext.injectFunction((
+      FunctionIdentifier("ksuid_basic_iso"),
+      new ExpressionInfo(classOf[KsuidBasicIsoExpression].getName, "ksuid_basic_iso"),
+      graft.functions.Functions.ksuidBasicIsoBuilder(_)))
+    ext.injectFunction((
+      FunctionIdentifier("flatten_features"),
+      new ExpressionInfo(classOf[FlattenJsonExpression].getName, "flatten_features"),
+      graft.functions.Functions.flattenFeaturesBuilder(_)))
   }
 }

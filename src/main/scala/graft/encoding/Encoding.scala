@@ -4,7 +4,7 @@ import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.core.{FlatValue, JsonFlattener, Ksuid, StringTable}
+import graft.core.{FlatValue, JsonFlattener, StringTable}
 import graft.schema.Schema
 
 /** Feature encoding pipeline (reference: src/trainer/code/
@@ -43,11 +43,14 @@ object Encoding {
     (nums.result(), strs.result())
   }
 
-  val ksuidTimestamp: Column => Column = {
-    val u = udf((id: String) =>
-      Ksuid.timestampSeconds(id).map(_.toDouble).getOrElse(Double.NaN))
-    c => u(c)
-  }
+  /** KSUID → epoch-seconds double, NaN for undecodable ids (NaN, not
+    * null: the value lands in a non-null-valued feature map and the
+    * vector encoder treats NaN as missing). Native codegen decode.
+    */
+  val ksuidTimestamp: Column => Column = c =>
+    coalesce(
+      graft.functions.KsuidExpressions.ksuidTimestamp(c).cast("double"),
+      lit(Double.NaN))
 
   /** Adds `nums` / `strs` map columns from item+context JSON columns —
     * a native codegen expression (graft.functions.FlattenJsonExpression),

@@ -72,6 +72,24 @@ object Functions {
       org.apache.spark.sql.catalyst.expressions.Cast(args(2), IntegerType))
   }
 
+  /** ksuid_timestamp(id) — native limb-arithmetic KSUID decode. */
+  def ksuidTimestampBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "ksuid_timestamp(id)")
+    KsuidTimestampExpression(args.head)
+  }
+
+  /** ksuid_basic_iso(id) — partition-store timestamp rendering. */
+  def ksuidBasicIsoBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "ksuid_basic_iso(id)")
+    KsuidBasicIsoExpression(args.head)
+  }
+
+  /** flatten_features(item, context) — native feature-flatten struct. */
+  def flattenFeaturesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "flatten_features(item, context)")
+    FlattenJsonExpression(args(0), args(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     // native expressions via the function registry (not UDFs)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -80,9 +98,13 @@ object Functions {
       "array_cosine", cosineBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "adc_score", adcBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ksuid_timestamp", ksuidTimestampBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ksuid_basic_iso", ksuidBasicIsoBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "flatten_features", flattenFeaturesBuilder, "scala_udf")
 
-    spark.udf.register("ksuid_timestamp",
-      (id: String) => Ksuid.timestampSeconds(id).map(java.lang.Long.valueOf).orNull)
     spark.udf.register("is_valid_ksuid",
       (id: String, nowEpochSeconds: Long) => Ksuid.isValid(id, nowEpochSeconds))
     spark.udf.register("to_sorted_json",

@@ -39,6 +39,9 @@ object PartitionStore {
 
   val MaxRowsPerFile = 10000
 
+  /** Driver-side pool for the footer-stats + rename tail of write(). */
+  val RenamePoolSize = 32
+
   /** Prefix lengths: YYYYmm (6) … YYYYmmddTHHMMSS (15) of the basic-ISO
     * timestamp rendering of the KSUID's time.
     */
@@ -52,7 +55,6 @@ object PartitionStore {
       maxRowsPerFile: Int = MaxRowsPerFile,
       stageToDisk: Boolean = true): Seq[String] = {
     val spark = df.sparkSession
-    val tsOf = udf((id: String) => PartitionFilename.timestampOf(id))
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(baseDir).getFileSystem(conf)
 
@@ -71,8 +73,11 @@ object PartitionStore {
     // a per-call disk round-trip costs more than it saves.
     val stageDir = s"$baseDir/_stage_${java.util.UUID.randomUUID()}"
     val tmpDir = s"$baseDir/_tmp_${java.util.UUID.randomUUID()}"
+    // native codegen KSUID decode (limb arithmetic, no BigInteger/UDF);
+    // throws on an invalid id exactly like PartitionFilename.timestampOf
     val withTs = df.drop(Schema.Model)
-      .withColumn("_ts", tsOf(col(Schema.DecisionId)))
+      .withColumn("_ts",
+        graft.functions.KsuidExpressions.ksuidBasicIso(col(Schema.DecisionId)))
     val staged =
       if (stageToDisk) {
         withTs.write.option("compression", "lz4").parquet(stageDir)
@@ -121,15 +126,31 @@ object PartitionStore {
       .parquet(tmpDir)
 
     val written = listFiles(fs, new Path(tmpDir)).filter(_.getName.endsWith(".parquet"))
-    written.map { file =>
-      val (minId, maxId, rows) = footerStats(conf, file)
-      val key = PartitionFilename.key(model, minId, maxId, rows)
-      val dest = new Path(baseDir, key)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(file, dest))
-        throw new java.io.IOException(s"rename $file -> $dest failed")
-      key
-    }
+    // Footer reads and renames are independent metadata operations; a
+    // pooled pass keeps the driver tail O(files / pool) instead of
+    // O(files) — at backfill scale one batch can emit ~10⁵ chunks, and
+    // against object stores each footer read + rename is a round trip.
+    // Hadoop FileSystem instances are thread-safe for these calls.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(written.size, RenamePoolSize)))
+    try {
+      written.map { file =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            val (minId, maxId, rows) = footerStats(conf, file)
+            val key = PartitionFilename.key(model, minId, maxId, rows)
+            val dest = new Path(baseDir, key)
+            fs.mkdirs(dest.getParent)
+            if (!fs.rename(file, dest))
+              throw new java.io.IOException(s"rename $file -> $dest failed")
+            key
+          }
+        })
+      }.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdownNow()
     } finally {
       if (stageToDisk) fs.delete(new Path(stageDir), true)
       else staged.unpersist(blocking = false)

@@ -79,6 +79,37 @@ class PartitionStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(parsed.rowCount == 50)
   }
 
+  test("backfill-scale write: >1k chunk files are footer-named and renamed in parallel") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pstore_bulk").toString
+    // 1200 rows, one per distinct second, at maxRowsPerFile=1 → the
+    // prefix search lands on full-second resolution and the write
+    // emits 1200 one-row chunks: the footer-stats + rename tail (now
+    // pooled) has to process every one of them
+    val n = 1200
+    val rows = (0 until n).map { i =>
+      RewardedDecisionRow(
+        decision_id = Ksuid.deterministic(base + i, i.toLong),
+        item = Some(s"""{"v":$i}"""), context = None,
+        count = None, sample = None, rewards = None, reward = Some(0.0),
+        model = "m")
+    }
+    val t0 = System.nanoTime()
+    val keys = PartitionStore.write(rows.toDF(), dir, "m", maxRowsPerFile = 1)
+    val tailSecs = (System.nanoTime() - t0) / 1e9
+    assert(keys.length == n, s"expected $n chunk files, got ${keys.length}")
+    keys.foreach(k => assert(PartitionFilename.isValidKey(k), k))
+    assert(keys.distinct.length == n)
+    // listing agrees and the store round-trips every row
+    val listed = PartitionStore.listKeys(spark, dir, "m")
+    assert(listed.toSet == keys.toSet)
+    assert(PartitionStore.read(spark, dir, listed).count() == n)
+    // generous wall-clock guard: the serial tail at ~3 footer+rename
+    // round trips per file would blow far past this on a slow day;
+    // the real assertion is "does not scale O(files) on the driver"
+    assert(tailSecs < 120, s"bulk write took ${tailSecs}s")
+  }
+
   test("point lookup opens only the covering file(s), finds the row, misses cleanly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pstore3").toString
