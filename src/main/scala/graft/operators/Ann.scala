@@ -60,29 +60,14 @@ object Ann {
     model.clusterCenters.map(_.toArray.toSeq)
   }
 
-  /** Adds a `cell` column: index of the nearest centroid. Centroid
-    * norms are precomputed once outside the UDF — recomputing them
-    * per row doubles the FLOPs of the corpus-wide assignment pass.
+  /** Adds a `cell` column: index of the nearest centroid — a native
+    * codegen expression (NearestCellExpression) carrying the centroids
+    * as plan data, so the corpus-wide assignment pass stays inside
+    * WholeStageCodegen with no per-row Seq boxing.
     */
-  def withCell(df: DataFrame, vecCol: String, cents: Array[Seq[Double]]): DataFrame = {
-    val centArr = cents.map(_.toArray)
-    val centNorms = centArr.map(c => math.sqrt(c.map(x => x * x).sum + 1e-12))
-    val assign = udf((v: Seq[Double]) => {
-      var best = 0; var bestScore = Double.NegativeInfinity
-      var c = 0
-      while (c < centArr.length) {
-        val cent = centArr(c)
-        var s = 0.0
-        var i = 0
-        while (i < cent.length) { s += v(i) * cent(i); i += 1 }
-        val score = s / centNorms(c)
-        if (score > bestScore) { bestScore = score; best = c }
-        c += 1
-      }
-      best
-    })
-    df.withColumn("cell", assign(col(vecCol)))
-  }
+  def withCell(df: DataFrame, vecCol: String, cents: Array[Seq[Double]]): DataFrame =
+    df.withColumn("cell",
+      graft.functions.CentroidExpressions.nearestCell(col(vecCol), cents))
 
   /** The `nprobe` cell indices whose centroids are cosine-nearest to
     * the query (driver-side: C centroids, not corpus-sized).
@@ -113,9 +98,9 @@ object Ann {
       idCol: String, qIdCol: String, k: Int,
       cents: Array[Seq[Double]], nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probeUdf = udf((v: Seq[Double]) => nearestCells(v, cents, nprobe))
     val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("_qv"))
-      .withColumn("cell", explode(probeUdf(col("_qv"))))
+      .withColumn("cell", explode(
+        graft.functions.CentroidExpressions.nearestCells(col("_qv"), cents, nprobe)))
     val joined = q.join(withCell(corpus, vecCol, cents), Seq("cell"))
       .withColumn("cos", round(cosine(col("_qv"), col(vecCol)), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc(idCol))

@@ -402,14 +402,12 @@ object Dedup {
   }
 
   def withSimHash(df: DataFrame, textCol: String,
-      wordHash: String => Long = xxh3WordHash): DataFrame = {
-    // null-text guard: a null word list reaches the UDF as null (Seq
-    // is a reference type) and would NPE
-    val simHashUdf = udf((ws: Seq[String]) => simHash(ws, wordHash))
+      wordHash: String => Long = xxh3WordHash): DataFrame =
+    // null-text guard kept: the expression is null-safe, but a null
+    // text must contribute no signature row at all
     df.filter(col(textCol).isNotNull)
-      .withColumn("simhash",
-        simHashUdf(array_distinct(split(trim(col(textCol)), " "))))
-  }
+      .withColumn("simhash", graft.functions.CentroidExpressions.simHash(
+        array_distinct(split(trim(col(textCol)), " ")), wordHash))
 
   // ---- embedding-cosine near-dup ----------------------------------------
 
@@ -434,19 +432,8 @@ object Dedup {
     // sweeps where partial recall is acceptable
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(64, dim)(rnd.nextGaussian())
-    val signUdf = udf((v: Seq[Double]) => {
-      var sig = 0L
-      var p = 0
-      while (p < 64) {
-        var s = 0.0
-        var i = 0
-        while (i < dim && i < v.length) { s += v(i) * planes(p)(i); i += 1 }
-        if (s > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    })
-    val signed = df.withColumn("_sig", signUdf(col(vecCol))).persist()
+    val signed = df.withColumn("_sig",
+      graft.functions.CentroidExpressions.signLsh(col(vecCol), planes)).persist()
     try {
     val mask = (1L << bitsPerBand) - 1
     val chunks = array((0 until bands).map(c =>

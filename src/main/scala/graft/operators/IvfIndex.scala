@@ -157,12 +157,13 @@ object IvfIndex {
       vecCol: String, idCol: String, qIdCol: String, k: Int,
       nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probeUdf = udf((v: Seq[Double]) => Ann.nearestCells(v, index.centroids, nprobe))
     // consumed twice (probed-cell union, then the join) — the probe
-    // projection is a scan + centroid UDF, cheap to recompute; callers
-    // with an expensive upstream should persist `queries` themselves
+    // projection is a scan + native centroid expression, cheap to
+    // recompute; callers with an expensive upstream should persist
+    // `queries` themselves
     val q = queries.select(col(qIdCol).as("query_id"), col(vecCol).as("_qv"))
-      .withColumn("cell", explode(probeUdf(col("_qv"))))
+      .withColumn("cell", explode(graft.functions.CentroidExpressions
+        .nearestCells(col("_qv"), index.centroids, nprobe)))
     val probed = q.select("cell").distinct().collect().map(_.getInt(0))
     val corpus = spark.read.parquet(s"${index.dir}/cells")
       .filter(col("cell").isin(probed.toIndexedSeq: _*))

@@ -55,33 +55,10 @@ object Pq {
   /** Adds `code` (array<tinyint>-like int array, m entries) and
     * `vnorm` (the exact L2 norm, for cosine reconstruction).
     */
-  def encode(df: DataFrame, vecCol: String, codebook: Codebook): DataFrame = {
-    val m = codebook.length
-    val sub = codebook(0)(0).length
-    val enc = udf((v: Seq[Double]) => {
-      val out = new Array[Int](m)
-      var i = 0
-      while (i < m) {
-        val cb = codebook(i)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb.length) {
-          var d = 0.0
-          var j = 0
-          while (j < sub) {
-            val diff = v(i * sub + j) - cb(c)(j); d += diff * diff; j += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        out(i) = best
-        i += 1
-      }
-      out
-    })
-    df.withColumn("code", enc(col(vecCol)))
+  def encode(df: DataFrame, vecCol: String, codebook: Codebook): DataFrame =
+    df.withColumn("code",
+        graft.functions.CentroidExpressions.pqEncode(col(vecCol), codebook))
       .withColumn("vnorm", Ann.norm(col(vecCol)))
-  }
 
   /** Approximate cosine top-k of `query` over an ENCODED corpus via
     * ADC — reads only (id, code, vnorm); never touches the vectors.
