@@ -63,20 +63,27 @@ object Basket {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
     // ONE deduped/capped relation feeds the basket count, the item
     // supports, and the pair mining — recomputing it per consumer
-    // would run the distinct + cap pipeline three times
+    // would run the distinct + cap pipeline three times. The cache is
+    // released in the finally below, so the result is materialized
+    // eagerly first (it is support-pruned: small by construction).
     val it = items(df, basketCol, itemCol, maxBasketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBaskets = it.select(countDistinct(col("b"))).head().getLong(0)
-    val sup = it.groupBy("i").agg(count(lit(1)).as("s"))
-    val pairs = pairsOf(it, minSupport)
-    pairs
-      .join(sup.select(col("i").as("item_a"), col("s").as("_sa")), Seq("item_a"))
-      .join(sup.select(col("i").as("item_b"), col("s").as("_sb")), Seq("item_b"))
-      .select(
-        col("item_a"), col("item_b"), col("pair_sup"),
-        round(col("pair_sup") / col("_sa").cast("double"), 4).as("conf_a_b"),
-        round(col("pair_sup") / col("_sb").cast("double"), 4).as("conf_b_a"),
-        round(col("pair_sup") * nBaskets /
-          (col("_sa") * col("_sb")).cast("double"), 4).as("lift"))
+    try {
+      val nBaskets = it.select(countDistinct(col("b"))).head().getLong(0)
+      val sup = it.groupBy("i").agg(count(lit(1)).as("s"))
+      val pairs = pairsOf(it, minSupport)
+      val out = pairs
+        .join(sup.select(col("i").as("item_a"), col("s").as("_sa")), Seq("item_a"))
+        .join(sup.select(col("i").as("item_b"), col("s").as("_sb")), Seq("item_b"))
+        .select(
+          col("item_a"), col("item_b"), col("pair_sup"),
+          round(col("pair_sup") / col("_sa").cast("double"), 4).as("conf_a_b"),
+          round(col("pair_sup") / col("_sb").cast("double"), 4).as("conf_b_a"),
+          round(col("pair_sup") * nBaskets /
+            (col("_sa") * col("_sb")).cast("double"), 4).as("lift"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // consume `it` fully before releasing it
+      out
+    } finally { it.unpersist(blocking = false); () }
   }
 }

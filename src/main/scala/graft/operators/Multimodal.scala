@@ -66,8 +66,11 @@ object Multimodal {
     */
   def resizeStub(bytes: Array[Byte], outLen: Int): Array[Int] = {
     val n = bytes.length
+    // long arithmetic: (outLen-1)·n overflows Int for ~70 MB payloads
+    // at the default outLen, flipping the index negative — and the
+    // oracle's DuckDB arithmetic is 64-bit
     if (n == 0) Array.empty
-    else Array.tabulate(outLen)(i => bytes((i * n) / outLen) & 0xff)
+    else Array.tabulate(outLen)(i => bytes(((i.toLong * n) / outLen).toInt) & 0xff)
   }
 
   /** Batched resize over the binary column (typed mapPartitions — a

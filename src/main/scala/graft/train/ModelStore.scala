@@ -27,6 +27,27 @@ object ModelStore {
     new HPath(dir).getFileSystem(conf)
   }
 
+  /** Swap a fully-written `tmp` directory into place at `root` with
+    * move-aside semantics (the same pattern as the index builds in
+    * InvertedIndex/IvfIndex): never delete-then-rename — every crash
+    * window leaves either the old or the new artifact live at `root`,
+    * and a failed swap restores the old instead of destroying it.
+    */
+  private def swapIn(f: org.apache.hadoop.fs.FileSystem, tmp: HPath, root: HPath): Unit = {
+    f.mkdirs(root.getParent)
+    val old = new HPath(root.getParent,
+      s".${root.getName}.old-${java.util.UUID.randomUUID()}")
+    val hadOld = f.exists(root)
+    if (hadOld && !f.rename(root, old))
+      throw new java.io.IOException(s"swap: move-aside of $root failed")
+    if (!f.rename(tmp, root)) {
+      if (hadOld) f.rename(old, root)
+      f.delete(tmp, true)
+      throw new java.io.IOException(s"swap $tmp -> $root failed")
+    }
+    if (hadOld) { f.delete(old, true); () }
+  }
+
   private def writeString(dir: String, name: String, content: String): Unit = {
     val f = fs(dir)
     f.mkdirs(new HPath(dir))
@@ -84,10 +105,7 @@ object ModelStore {
     writeString(tmp.toString, "metadata.json",
       metadataJson(pm.featureNames, pm.stringTables, pm.modelSeed,
         Map("mean_item_count" -> pm.meanItemCount)))
-    if (f.exists(root)) f.delete(root, true)
-    f.mkdirs(root.getParent)
-    if (!f.rename(tmp, root))
-      throw new java.io.IOException(s"checkpoint swap $tmp -> $root failed")
+    swapIn(f, tmp, root)
   }
 
   /** Reuse the phase-1 model when version matches and it is younger
@@ -119,7 +137,7 @@ object ModelStore {
   // ---- final model publish (S9/S10 layout) -------------------------------
 
   def saveDecisionModel(dm: DecisionModel, dir: String): Unit = {
-    // same stage-then-swap as saveCheckpoint: writing model and
+    // same stage-then-swap as saveCheckpoint (move-aside via swapIn): writing model and
     // metadata in place lets a crash between the two pair a NEW
     // booster with stale metadata — loads would then encode with the
     // wrong string tables and de-normalize with the wrong mean/std,
@@ -132,10 +150,7 @@ object ModelStore {
     writeString(tmp.toString, "metadata.json",
       metadataJson(dm.featureNames, dm.stringTables, dm.modelSeed,
         Map("reward_mean" -> dm.rewardMean, "reward_std" -> dm.rewardStd)))
-    if (f.exists(root)) f.delete(root, true)
-    f.mkdirs(root.getParent)
-    if (!f.rename(tmp, root))
-      throw new java.io.IOException(s"model swap $tmp -> $root failed")
+    swapIn(f, tmp, root)
   }
 
   // ---- publish layout (unpack_models.py:62-97) ---------------------------
@@ -258,10 +273,7 @@ object ModelStore {
     } catch {
       case e: Throwable => destFs.delete(tmp, true); throw e
     } finally in.close()
-    if (destFs.exists(dest)) destFs.delete(dest, true)
-    destFs.mkdirs(dest.getParent)
-    if (!destFs.rename(tmp, dest))
-      throw new java.io.IOException(s"unpack swap $tmp -> $dest failed")
+    swapIn(destFs, tmp, dest)
     true
   }
 
