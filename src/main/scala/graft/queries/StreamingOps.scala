@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingSessions
+
+/** Streaming↔batch parity gates: the streaming operators run over the
+  * SAME gate fixtures as their batch counterparts and must hash-match
+  * the batch oracle — proving the incremental implementations compute
+  * the batch semantics, not an approximation of them.
+  */
+object StreamingOps {
+
+  /** The q_sessionize oracle, verbatim — the entire point of the gate
+    * is that the streaming path answers the identical question.
+    */
+  private val SessionizeOracle =
+    """SELECT user_id, count(*) AS n_sessions,
+      |       max(n_events) AS max_session_events,
+      |       round(avg(n_events), 4) AS avg_session_events
+      |FROM (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM (
+      |    SELECT user_id,
+      |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                    OR CAST(floor(epoch(ts)) AS BIGINT)
+      |                       - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+      |                  THEN 1 ELSE 0 END AS new_session
+      |      FROM events))
+      |  GROUP BY user_id, session_id)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  def queries: Seq[GateQuery] = Seq(
+
+    // ST parity: gap sessionization via flatMapGroupsWithState with
+    // event-time timeouts (StreamingSessions) over the events fixture,
+    // replayed through a drop folder, must hash-match the BATCH
+    // q_sessionize oracle. Times are floored to whole seconds before
+    // streaming so the gap predicate (silence > 1800 s) evaluates on
+    // exactly the arithmetic the batch window program uses.
+    GateQuery(
+      "q_sessionize_stream",
+      (s, d) => {
+        val gap = 1800L
+        val work = java.nio.file.Files.createTempDirectory("sess_stream").toString
+        val ev = Tables.events(s, d).select(
+          col("user_id"),
+          col("ts").cast("long").as("ts"), // floor to epoch seconds
+          coalesce(col("value"), lit(0.0)).as("value"))
+        val maxTs = ev.agg(max("ts")).head().getLong(0)
+        // the sentinel (a user that never reaches the output) pushes
+        // the GLOBAL watermark past every real session's last+gap, so
+        // the AvailableNow trailing timeout sweep seals them all —
+        // without it the chronologically-last session per user would
+        // stay pending forever and parity would fail
+        val sentinel = s.range(1).select(
+          lit(-1L).as("user_id"), lit(maxTs + 10 * gap).as("ts"),
+          lit(0.0).as("value"))
+        ev.unionByName(sentinel).write.mode("overwrite").json(s"$work/drop")
+        StreamingSessions.sessionStream(s, s"$work/drop", s"$work/out",
+          s"$work/ckpt", gapSeconds = gap).awaitTermination()
+        s.read.parquet(s"$work/out")
+          .filter(col("user_id") >= 0)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            max("n_events").as("max_session_events"),
+            round(avg("n_events"), 4).as("avg_session_events"))
+          .orderBy("user_id")
+      },
+      Some(SessionizeOracle)))
+}
