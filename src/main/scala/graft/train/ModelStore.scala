@@ -55,13 +55,23 @@ object ModelStore {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readString(dir: String, name: String): Option[String] = {
+  private def readString(dir: String, name: String): Option[String] =
+    readBytes(dir, name).map(new String(_, "UTF-8"))
+
+  private def writeBytes(dir: String, name: String, content: Array[Byte]): Unit = {
+    val f = fs(dir)
+    f.mkdirs(new HPath(dir))
+    val out = f.create(new HPath(dir, name), true)
+    try out.write(content) finally out.close()
+  }
+
+  private def readBytes(dir: String, name: String): Option[Array[Byte]] = {
     val f = fs(dir)
     val p = new HPath(dir, name)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      try Some(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in))
       finally in.close()
     }
   }
@@ -150,6 +160,10 @@ object ModelStore {
     writeString(tmp.toString, "metadata.json",
       metadataJson(dm.featureNames, dm.stringTables, dm.modelSeed,
         Map("reward_mean" -> dm.rewardMean, "reward_std" -> dm.rewardStd)))
+    // native `.xgb` booster (XGBoost4J probe hit at train time): part
+    // of the artifact dir, so publish/unpack tar it automatically
+    dm.nativeBooster.foreach(b =>
+      writeBytes(tmp.toString, Boosters.NativeBoosterFile, b))
     swapIn(f, tmp, root)
   }
 
@@ -292,7 +306,8 @@ object ModelStore {
       Some(DecisionModel(
         GBTRegressionModel.load(s"$dir/model"), names, tables,
         meta.get("model_seed").longValue(),
-        meta.get("reward_mean").doubleValue(), meta.get("reward_std").doubleValue()))
+        meta.get("reward_mean").doubleValue(), meta.get("reward_std").doubleValue(),
+        readBytes(dir, Boosters.NativeBoosterFile)))
     } catch { case _: Exception => None }
   }
 }

@@ -61,7 +61,12 @@ object Trainer {
       stringTables: Map[String, Seq[Long]],
       modelSeed: Long,
       rewardMean: Double,
-      rewardStd: Double)
+      rewardStd: Double,
+      /** Serialized native `.xgb` booster for reference-consumer
+        * parity — present only when XGBoost4J was on the classpath at
+        * train time (Boosters probe; model_utils.py:33-106).
+        */
+      nativeBooster: Option[Array[Byte]] = None)
 
   /** Deterministic uniform [0,1) from a content hash of `c` — the
     * retry-stable replacement for rand(seed): a rand() column re-rolls
@@ -187,13 +192,20 @@ object Trainer {
       .setWeightCol(WeightCol)
       .setSeed(modelSeed)
     val model = gbt.fit(encoded) // no early stop in phase 2 (reference)
+    // XGBoost4J probe: when the jars are on the classpath, also emit a
+    // genuine native booster (same encoded frame, mapped params) so
+    // reference consumers keep loading `.xgb` artifacts unchanged; on
+    // the zero-egress classpath this is a no-op returning None
+    val nativeBooster = Boosters.trainNativeBooster(
+      encoded, Boosters.decisionParams(config, modelSeed))
     weighted.unpersist()
     // the stored (mean, std) are the Scorer's DE-normalization params:
     // identity when the target was trained raw, else predictions in
     // reward units would be scaled a second time
     val (outMean, outStd) =
       if (config.normalizeRewards) (rewardMean, rewardStd) else (0.0, 1.0)
-    DecisionModel(model, featureNames, tables, modelSeed, outMean, outStd)
+    DecisionModel(model, featureNames, tables, modelSeed, outMean, outStd,
+      nativeBooster)
   }
 
   /** 70/30 split with early-stop validation (reference model_utils
