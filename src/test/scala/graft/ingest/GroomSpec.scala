@@ -69,6 +69,34 @@ class GroomSpec extends AnyFunSuite with SparkTestBase {
     assert(capped == Seq(Seq(a, b)))
   }
 
+  test("listing-scale grouping: 100k keys group in sub-second time with intact invariants") {
+    // a 100× store: one 5k-row chunk per minute for ~69 days — the
+    // grouping (reference groom.py:87-156) runs driver-side over the
+    // full listing, so it must stay near-linear in the listing length
+    val base = 1650000000L
+    val keys = (0 until 100000).map { i =>
+      val ts = graft.schema.PartitionFilename.timestampOf(
+        Ksuid.deterministic(base + i * 60L, i.toLong))
+      val (yyyy, mm, dd) = (ts.substring(0, 4), ts.substring(4, 6), ts.substring(6, 8))
+      s"rewarded_decisions/m/parquet/$yyyy/$mm/$dd/$ts-$ts-5000-" +
+        f"00000000-0000-0000-0000-${i}%012d.parquet"
+    }
+    Groom.groupPartitionsToGroom(keys.take(1000)) // JIT warmup
+    val t0 = System.nanoTime()
+    val groups = Groom.groupPartitionsToGroom(keys)
+    val overlaps = Groom.findOverlaps(keys)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 1000, s"grouping 100k keys took ${ms}ms")
+    assert(overlaps.isEmpty)
+    // invariants hold at scale: no singleton work items, per-group row
+    // cap respected, and the key-byte cap bounds one pass's payload
+    assert(groups.nonEmpty)
+    assert(groups.forall(_.length >= 2))
+    assert(groups.forall(g => g.map(Groom.rowCount).sum <= PartitionStore.MaxRowsPerFile))
+    val totalKeyBytes = groups.flatten.map(_.getBytes("UTF-8").length.toLong).sum
+    assert(totalKeyBytes <= Groom.MaxKeyBytes)
+  }
+
   test("end-to-end: repeated ingests groom to a quiescent, overlap-free store") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("groom").toString
