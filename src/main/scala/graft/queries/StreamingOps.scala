@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StreamingSessions
+import graft.streaming.{StreamingAggregates, StreamingDedup, StreamingSessions}
 
 /** Streaming↔batch parity gates: the streaming operators run over the
   * SAME gate fixtures as their batch counterparts and must hash-match
@@ -73,5 +73,70 @@ object StreamingOps {
             round(avg("n_events"), 4).as("avg_session_events"))
           .orderBy("user_id")
       },
-      Some(SessionizeOracle)))
+      Some(SessionizeOracle)),
+
+    // ST parity: watermarked tumbling-window aggregation
+    // (StreamingAggregates) over the events fixture must hash-match
+    // the equivalent batch per-hour census. A far-future sentinel
+    // event (filtered from the output) advances the watermark past
+    // every real window so append mode emits them all.
+    GateQuery(
+      "q_agg_window_stream",
+      (s, d) => {
+        val work = java.nio.file.Files.createTempDirectory("aggw_stream").toString
+        val ev = Tables.events(s, d).select(
+          col("ts").cast("long").as("ts"),
+          col("event_type"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        val maxTs = ev.agg(max("ts")).head().getLong(0)
+        val sentinel = s.range(1).select(
+          lit(maxTs + 4 * 3600L).as("ts"), lit("__sentinel__").as("event_type"),
+          lit(0.0).as("value"))
+        ev.unionByName(sentinel).write.mode("overwrite").json(s"$work/drop")
+        StreamingAggregates.windowedCounts(s, s"$work/drop", s"$work/out",
+          s"$work/ckpt", windowLength = "1 hour", lateness = "30 minutes")
+          .awaitTermination()
+        s.read.parquet(s"$work/out")
+          .filter(col("event_type") =!= "__sentinel__")
+          .select(
+            date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
+            col("event_type"), col("n"),
+            round(col("sum_value"), 2).as("sum_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+             |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY hour, event_type""".stripMargin)),
+
+    // ST parity: streaming exact dedup (dropDuplicatesWithinWatermark,
+    // state keyed by content fingerprint) over the documents fixture
+    // must emit exactly one row per distinct fingerprint — the batch
+    // distinct census. WHICH duplicate survives is arrival-order
+    // dependent, so the gate compares the census, not the ids.
+    GateQuery(
+      "q_dedup_stream",
+      (s, d) => {
+        val work = java.nio.file.Files.createTempDirectory("dedup_stream").toString
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            lit(1700000000L).as("ts"), // one instant: all within horizon
+            col("text"))
+          .filter(col("text").isNotNull)
+          .write.mode("overwrite").json(s"$work/drop")
+        StreamingDedup.dedupStream(s, s"$work/drop", s"$work/out",
+          s"$work/ckpt", horizon = "1 hour").awaitTermination()
+        s.read.parquet(s"$work/out")
+          .agg(
+            count(lit(1)).as("n_emitted"),
+            countDistinct(col("fp")).as("n_unique"),
+            min("fp").as("min_fp"), max("fp").as("max_fp"))
+      },
+      Some("""SELECT count(DISTINCT md5(lower(trim(text)))) AS n_emitted,
+             |       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+             |       min(md5(lower(trim(text)))) AS min_fp,
+             |       max(md5(lower(trim(text)))) AS max_fp
+             |FROM documents
+             |WHERE text IS NOT NULL""".stripMargin)))
 }
