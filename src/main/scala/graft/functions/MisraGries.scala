@@ -47,13 +47,19 @@ class MisraGries(k: Int)
       case None =>
         // classic MG step: a non-resident item with all k slots taken
         // decrements every counter (the new item's single occurrence
-        // cancels against one of each resident's)
-        val dead = mutable.ArrayBuffer.empty[String]
-        b.keysIterator.foreach { key =>
+        // cancels against one of each resident's). Keys are snapshot
+        // first: updating a mutable.HashMap while iterating it —
+        // even value-only updates — silently truncates the iterator
+        // in Scala 2.13, which left counters undecremented and broke
+        // the O(k) state bound.
+        val keys = b.keysIterator.toArray
+        var i = 0
+        while (i < keys.length) {
+          val key = keys(i)
           val c = b(key) - 1L
-          if (c <= 0L) dead += key else b.update(key, c)
+          if (c <= 0L) b.remove(key) else b.update(key, c)
+          i += 1
         }
-        dead.foreach(b.remove)
     }
     b
   }
@@ -70,12 +76,17 @@ class MisraGries(k: Int)
       val counts = into.values.toArray
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - (k + 1))
-      val dead = mutable.ArrayBuffer.empty[String]
-      into.keysIterator.foreach { key =>
+      // snapshot keys before mutating (same 2.13 iterator pitfall as
+      // in reduce): the un-snapshotted loop visited only a prefix of
+      // the map, leaving the merged sketch above k counters
+      val keys = into.keysIterator.toArray
+      var i = 0
+      while (i < keys.length) {
+        val key = keys(i)
         val c2 = into(key) - cut
-        if (c2 <= 0L) dead += key else into.update(key, c2)
+        if (c2 <= 0L) into.remove(key) else into.update(key, c2)
+        i += 1
       }
-      dead.foreach(into.remove)
     }
     into
   }
