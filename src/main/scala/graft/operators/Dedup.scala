@@ -468,6 +468,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  // ---- semantic dedup (SemDeDup) ----------------------------------------
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): within each cluster of the
+    * embedding space, documents whose pairwise cosine exceeds
+    * `threshold` are semantic duplicates; of each duplicate pair the
+    * member MORE similar to its cluster centroid is dropped (the
+    * paper's keep-low-centroid-similarity policy — redundant points
+    * near the cluster core go, outliers that carry information stay),
+    * ties broken toward keeping the smaller id. A document survives
+    * iff it loses no pair.
+    *
+    * `clusterCol` is a caller-provided partition of the corpus (the
+    * paper uses k-means — compose with `Ann.kmeansCentroids` +
+    * `Ann.withCell`; any bounded-size clustering works). Scale shape:
+    * centroids are one tiny k-row relation (broadcast back); the
+    * pairwise comparison is scoped per cluster by an equi-join on the
+    * cluster key, so the cost is Σ|cluster|² — the SemDeDup design
+    * point (choose k so clusters stay bounded) — and the O(n²)
+    * all-pairs never materializes. No driver-side corpus state: the
+    * per-cluster centroids stay a (broadcast-sized) DataFrame.
+    *
+    * Centroid similarity is rounded to `csimDecimals` before
+    * comparison so the keep decision never hinges on sub-rounding
+    * float noise in the centroid average.
+    *
+    * Returns the SURVIVING rows of `df`, all columns intact.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double,
+      csimDecimals: Int = 4): DataFrame = {
+    // per-cluster centroid: (cluster, pos) mean, re-assembled into an
+    // ordered array — k rows, corpus-independent
+    val cents = df
+      .select(col(clusterCol).as("_cl"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .groupBy("_cl", "_p").agg(avg("_x").as("_mx"))
+      .groupBy("_cl")
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_mx")))),
+        s => s.getField("_mx")).as("_cent"))
+    val scored = df
+      .select(col(idCol).as("_id"), col(clusterCol).as("_cl"), col(vecCol).as("_v"))
+      .join(broadcast(cents), Seq("_cl"))
+      .withColumn("_csim", round(Ann.cosine(col("_v"), col("_cent")), csimDecimals))
+      .select("_cl", "_id", "_v", "_csim")
+      .persist()
+    try {
+      val right = scored.select(col("_cl"), col("_id").as("_id_b"),
+        col("_v").as("_v_b"), col("_csim").as("_csim_b"))
+      val losers = scored
+        .select(col("_cl"), col("_id").as("_id_a"),
+          col("_v").as("_v_a"), col("_csim").as("_csim_a"))
+        .join(right, Seq("_cl"))
+        .filter(col("_id_a") < col("_id_b"))
+        .filter(Ann.cosine(col("_v_a"), col("_v_b")) >= threshold)
+        .select(
+          when(col("_csim_a") > col("_csim_b"), col("_id_a"))
+            .when(col("_csim_b") > col("_csim_a"), col("_id_b"))
+            .otherwise(col("_id_b")) // csim tie: keep the smaller id
+            .as(idCol))
+        .distinct()
+      val kept = df.join(losers, Seq(idCol), "left_anti")
+      kept.persist()
+      kept.count() // consume `scored` fully before releasing it
+      kept
+    } finally { scored.unpersist(blocking = false); () }
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3
     * guaranteed complete via 4-chunk bucketing; pigeonhole).
     */

@@ -165,6 +165,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("semDedup keeps the low-centroid-similarity member of each duplicate pair") {
+    import spark.implicits._
+    // cluster 0: a duplicate pair (cos = 0.96) plus an orthogonal
+    // outlier that pulls the centroid; cluster 1: no duplicates
+    val rows = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, 0, Seq(0.96, 0.28, 0.0, 0.0)), // unit vector, cos(1,2) = 0.96
+      (3L, 0, Seq(0.0, 1.0, 0.0, 0.0)), // outlier, no partner
+      (4L, 1, Seq(0.0, 0.0, 1.0, 0.0)),
+      (5L, 1, Seq(0.0, 0.0, 0.0, 1.0)))
+    val df = rows.toDF("vec_id", "cl", "v")
+    val kept = Dedup.semDedup(df, "vec_id", "v", "cl", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    // centroid of cluster 0 ≈ (0.653, 0.427, 0, 0): csim(id2) ≈ 0.957
+    // vs csim(id1) ≈ 0.837 — id 2 sits nearer the cluster core, so the
+    // keep-low-centroid-similarity policy drops id 2
+    assert(kept == Set(1L, 3L, 4L, 5L))
+
+    // exact duplicates (×2 scaling): centroid similarity ties
+    // bit-exactly, the tie-break keeps the smaller id
+    val tied = Seq(
+      (10L, 0, Seq(0.3, 0.4, 0.5, 0.1)),
+      (11L, 0, Seq(0.6, 0.8, 1.0, 0.2)),
+      (12L, 0, Seq(-1.0, 0.2, 0.1, 0.9))).toDF("vec_id", "cl", "v")
+    val keptTied = Dedup.semDedup(tied, "vec_id", "v", "cl", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptTied == Set(10L, 12L))
+
+    // duplicates in DIFFERENT clusters are never compared
+    val crossCluster = Seq(
+      (20L, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (21L, 1, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "cl", "v")
+    assert(Dedup.semDedup(crossCluster, "vec_id", "v", "cl", 0.95).count() == 2)
+  }
+
   test("decode stub is deterministic and entropy-sane") {
     val bytes = "hello world hello world".getBytes("UTF-8")
     val (e1, f1, n1) = Multimodal.decodeStub(bytes)
