@@ -415,6 +415,40 @@ object ExtOps {
              |ORDER BY cos DESC, vec_id ASC
              |LIMIT 10""".stripMargin)),
 
+    // Incremental index maintenance: build the IVF index on half the
+    // corpus, APPEND the other half (frozen quantizer — the daily
+    // embedding-delta production path), then query exhaustively
+    // (nprobe = C ⇒ exact). The result must equal brute force over
+    // the WHOLE corpus — one appended row lost, misassigned, or
+    // double-written and the top-10 census breaks.
+    GateQuery(
+      "q_ann_ivf_append",
+      (s, d) => {
+        val emb = embeddings(s, d)
+          .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        val query = emb.filter(col("vec_id") === 0)
+          .select("v").collect().head.getSeq[Double](0)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val dir = GateScratch.dir("ivf_append_gate")
+        val idx = IvfIndex.build(corpus.filter(col("vec_id") % 2 === 1),
+          "v", "vec_id", dir, numCells = 8, seed = 5L)
+        IvfIndex.append(idx, corpus.filter(col("vec_id") % 2 === 0), "v", "vec_id")
+        IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
+          .select("vec_id", "label", "cos")
+      },
+      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |           FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |       round(
+             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
+             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+             |FROM embeddings, q
+             |WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC
+             |LIMIT 10""".stripMargin)),
+
     // k-NN JOIN: 5 query vectors × rest-of-corpus, top-3 each, through
     // the MATERIALIZED IVF index (partition-pruned cell table — the
     // batch production shape) at nprobe = C (exhaustive ⇒ exact, so

@@ -200,6 +200,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.semDedup(crossCluster, "vec_id", "v", "cl", 0.95).count() == 2)
   }
 
+  test("semDedup broadcasts only the centroid relation, never the corpus") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      import spark.implicits._
+      val df = (1L to 500L)
+        .map(i => (i, (i % 7).toInt, Seq.tabulate(8)(d => ((i * 31 + d * 7) % 13).toDouble + 0.1)))
+        .toDF("vec_id", "cl", "v")
+      val plan = Dedup.semDedup(df, "vec_id", "v", "cl", 0.999)
+        .queryExecution.executedPlan.toString
+      // with the auto-broadcast threshold disabled, both corpus-sized
+      // joins must be sort-merge: the cluster-keyed pair self-join and
+      // the surviving-set anti-join (a BroadcastExchange on either
+      // would mean the corpus was broadcast; the only broadcast in the
+      // plan is the explicit k-row centroid relation)
+      assert("""SortMergeJoin \[_cl#\d+\], \[_cl#\d+\], Inner""".r
+        .findFirstIn(plan).isDefined, plan)
+      assert(""", LeftAnti""".r.findFirstIn(plan).isDefined, plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("decode stub is deterministic and entropy-sane") {
     val bytes = "hello world hello world".getBytes("UTF-8")
     val (e1, f1, n1) = Multimodal.decodeStub(bytes)
