@@ -100,4 +100,15 @@ object Bpe {
       val next = df.withColumn("toks", mergeFold(a, b))
       if ((i + 1) % 64 == 0) next.localCheckpoint(true) else next
     }
+
+  /** Production tokenizer application: ONE native-expression pass that
+    * repeatedly fuses the lowest-RANK pair present per row — provably
+    * the same output as `applyMerges` (BpeSpec proves it on learned
+    * merges) but independent of the merge-list length in plan shape:
+    * a 10⁵-rule tokenizer is one projection over the corpus, not 10⁵
+    * column rewrites. The rank table rides the plan (vocab-bounded).
+    */
+  def encode(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    vocab.withColumn("toks",
+      graft.functions.BpeEncodeExpression.encode(col("toks"), merges))
 }

@@ -220,5 +220,40 @@ object TextOps {
              |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
              |FROM p GROUP BY a, b
              |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin)),
+
+    // BPE APPLICATION (the rank-greedy single-pass encoder, native
+    // expression): token census over the word-type table after a
+    // fixed 3-rule tokenizer including a CHAINED rule ((m, er) fuses
+    // a rank-0 product). The oracle is exact because the rules'
+    // character sets are disjoint and none self-overlaps: every char
+    // occurrence of a rule's concatenation fuses, so post-encode
+    // token counts are plain substring arithmetic.
+    GateQuery(
+      "q_bpe_encode",
+      (s, d) => {
+        val vocab = Bpe.wordTable(documents(s, d), "text")
+          .select(col("w"), split(col("w"), "").as("toks"), col("freq"))
+        Bpe.encode(vocab, Seq(("e", "r"), ("a", "s"), ("m", "er")))
+          .agg(
+            sum(size(col("toks")) * col("freq")).cast("long").as("total_tokens"),
+            sum(size(col("toks"))).cast("long").as("type_tokens"),
+            count(lit(1)).as("n_types"))
+      },
+      Some("""WITH w AS (
+             |  SELECT w, count(*) AS freq FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+             |  WHERE length(w) >= 1 GROUP BY w
+             |), t AS (
+             |  SELECT freq,
+             |         length(w)
+             |         - (length(w) - length(replace(w, 'er', ''))) // 2
+             |         - (length(w) - length(replace(w, 'as', ''))) // 2
+             |         - (length(w) - length(replace(w, 'mer', ''))) // 3 AS n_toks
+             |  FROM w
+             |)
+             |SELECT CAST(sum(n_toks * freq) AS BIGINT) AS total_tokens,
+             |       CAST(sum(n_toks) AS BIGINT) AS type_tokens,
+             |       count(*) AS n_types
+             |FROM t""".stripMargin)),
   )
 }

@@ -56,4 +56,49 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(Bpe.learnMerges(single, "text", 5) == Seq.empty)
     intercept[IllegalArgumentException](Bpe.learnMerges(single, "text", 0))
   }
+
+  test("rank-greedy encode equals merge-list replay on learned merges") {
+    import spark.implicits._
+    // random-ish corpus with real repeated structure so the learned
+    // merges chain (multi-character tokens merging with each other)
+    val rnd = new scala.util.Random(17)
+    val words = Seq("lower", "lowest", "newest", "newer", "widest",
+      "low", "wide", "new", "wilder", "older")
+    val docs = (1 to 120)
+      .map(_ => (1 to 8).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+      .map(Tuple1(_)).toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 12)
+    assert(merges.size == 12)
+
+    val vocab = Bpe.wordTable(docs, "text")
+      .select(col("w"), split(col("w"), "").as("toks"), col("freq"))
+    val replay = Bpe.applyMerges(vocab, merges)
+      .select("w", "toks")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val ranked = Bpe.encode(vocab, merges)
+      .select("w", "toks")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(ranked == replay)
+    // and the encode is not a no-op: some word actually fused
+    assert(ranked.values.exists(t => t.exists(_.length > 1)))
+  }
+
+  test("encode handles empty arrays, unknown tokens, and greedy runs") {
+    import spark.implicits._
+    val merges = Seq(("a", "a"), ("aa", "b"))
+    val df = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("z")),
+      (3L, Seq("a", "a", "a")), // -> [aa, a] (left-to-right fold)
+      (4L, Seq("a", "a", "b")), // -> [aa, b] -> [aab] (chained ranks)
+      (5L, Seq("q", "r", "s"))) // no applicable merge
+      .toDF("id", "toks")
+    val out = Bpe.encode(df, merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(out(1L) == Nil)
+    assert(out(2L) == List("z"))
+    assert(out(3L) == List("aa", "a"))
+    assert(out(4L) == List("aab"))
+    assert(out(5L) == List("q", "r", "s"))
+  }
 }
