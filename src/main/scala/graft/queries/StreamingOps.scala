@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingAggregates, StreamingDedup, StreamingSessions}
+import graft.streaming.{StreamingAggregates, StreamingDedup, StreamingJoin, StreamingSessions}
 
 /** Streaming↔batch parity gates: the streaming operators run over the
   * SAME gate fixtures as their batch counterparts and must hash-match
@@ -138,5 +138,61 @@ object StreamingOps {
              |       min(md5(lower(trim(text)))) AS min_fp,
              |       max(md5(lower(trim(text)))) AS max_fp
              |FROM documents
-             |WHERE text IS NOT NULL""".stripMargin)))
+             |WHERE text IS NOT NULL""".stripMargin)),
+
+    // ST parity: watermarked stream-stream decision↔reward join
+    // (StreamingJoin) must equal the batch join census. Decisions and
+    // rewards both derive deterministically from the events fixture;
+    // the reward is delayed by (event_id % 4) hours, so the 2-hour
+    // join cap admits delays {0h, 1h, 2h} and excludes 3h — the
+    // event-time range condition is exercised in both directions.
+    // Inner stream-stream joins emit on match (no watermark wait), so
+    // no sentinel is needed; events are written time-ordered so state
+    // never expires before the matching side arrives.
+    GateQuery(
+      "q_reward_join_stream",
+      (s, d) => {
+        val work = java.nio.file.Files.createTempDirectory("rjoin_stream").toString
+        val ev = Tables.events(s, d).select(
+          col("event_id"),
+          col("ts").cast("long").as("ts"), // floor to epoch seconds
+          col("value"))
+        ev.select(
+            col("event_id").cast("string").as("decision_id"),
+            col("ts"),
+            concat(lit("i"), (col("event_id") % 20).cast("string")).as("item"))
+          .orderBy("ts")
+          .write.mode("overwrite").json(s"$work/decisions")
+        ev.filter(col("value").isNotNull)
+          .select(
+            col("event_id").cast("string").as("decision_id"),
+            (col("ts") + (col("event_id") % 4) * 3600L).as("ts"),
+            col("value").as("reward"))
+          .orderBy("ts")
+          .write.mode("overwrite").json(s"$work/rewards")
+        StreamingJoin.rewardJoinStream(s, s"$work/decisions", s"$work/rewards",
+          s"$work/out", s"$work/ckpt",
+          lateness = "1 hour", maxRewardDelay = "2 hours").awaitTermination()
+        s.read.parquet(s"$work/out")
+          .agg(
+            count(lit(1)).as("n_joined"),
+            round(sum("reward"), 2).as("sum_reward"),
+            sum("delay_sec").cast("long").as("sum_delay"),
+            countDistinct(col("decision_id")).as("n_matched"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(event_id AS VARCHAR) AS decision_id,
+             |         CAST(floor(epoch(ts)) AS BIGINT) AS dts
+             |  FROM events
+             |), r AS (
+             |  SELECT CAST(event_id AS VARCHAR) AS decision_id,
+             |         CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 4) * 3600 AS rts,
+             |         value AS reward
+             |  FROM events WHERE value IS NOT NULL
+             |)
+             |SELECT count(*) AS n_joined, round(sum(reward), 2) AS sum_reward,
+             |       CAST(sum(rts - dts) AS BIGINT) AS sum_delay,
+             |       count(DISTINCT decision_id) AS n_matched
+             |FROM d JOIN r USING (decision_id)
+             |WHERE rts >= dts AND rts <= dts + 7200""".stripMargin)))
 }
