@@ -168,6 +168,34 @@ object Curation {
         array_join(slice(words, 1, maxTokens), " "))
   }
 
+  /** Sliding-window document chunking — the pre-embedding step that
+    * turns long documents into overlapping fixed-size windows (chunk
+    * i covers chars [i·stride, i·stride + size), stride = size −
+    * overlap; the final partial window is kept). Output adds
+    * `chunk_idx`, `chunk_start` (0-based char offset) and `chunk`
+    * next to the input columns, one row per window.
+    *
+    * Scale shape: a pure codegen column program — sequence + explode
+    * bounded by ⌈len/stride⌉ per document, no shuffle, no UDF; the
+    * downstream embed/dedup stages see a narrow exploded relation.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, size: Int,
+      overlap: Int): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap (size $size)")
+    val stride = size - overlap
+    val nChunks = greatest(
+      ceil(length(col(textCol)).cast("double") / stride).cast("int"), lit(1))
+    df.filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
+      .withColumn("_ci", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk_start", col("_ci") * stride)
+      .select(df.columns.map(col) :+
+        col("_ci").as("chunk_idx") :+
+        col("chunk_start") :+
+        col(textCol).substr(col("chunk_start") + 1, lit(size)).as("chunk"): _*)
+  }
+
   /** Built-in redaction patterns (Java-regex and RE2 compatible — no
     * lookaround, so Spark and DuckDB agree on every match).
     */

@@ -417,6 +417,36 @@ object CurationOps {
              |       count(*) AS n_docs
              |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Sliding-window chunking (size 128, overlap 32 ⇒ stride 96): the
+    // pre-embedding transform. The census pins chunk counts, the
+    // exact summed chunk lengths (sensitive to the final partial
+    // window and to off-by-one starts) and the max window index.
+    GateQuery(
+      "q_chunk",
+      (s, d) =>
+        Curation.chunkDocuments(documents(s, d), "text", size = 128, overlap = 32)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(length(col("chunk"))).cast("long").as("sum_chunk_chars"),
+            max(col("chunk_idx")).cast("long").as("max_chunk_idx"))
+          .orderBy("source"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, text, length(text) AS len
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND length(text) >= 1
+             |), c AS (
+             |  SELECT doc_id, source, text,
+             |         unnest(range(greatest(CAST(ceil(CAST(len AS DOUBLE) / 96) AS BIGINT), 1))) AS ci
+             |  FROM d
+             |)
+             |SELECT source, count(*) AS n_chunks,
+             |       count(DISTINCT doc_id) AS n_docs,
+             |       CAST(sum(length(substring(text, CAST(ci AS INT) * 96 + 1, 128))) AS BIGINT) AS sum_chunk_chars,
+             |       CAST(max(ci) AS BIGINT) AS max_chunk_idx
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
     // Corpus-trained unigram-LM quality score: token frequencies are
     // learned from the corpus itself in one groupBy, docs score as the
     // mean token log-probability, censused per language. Two keyed

@@ -182,6 +182,46 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(counts == Map(0L -> 1, 1L -> 0, 2L -> 0))
   }
 
+  test("chunkDocuments: windows tile with exact overlap and reassemble losslessly") {
+    import spark.implicits._
+    val texts = Seq(
+      "a" * 5, // shorter than one window
+      (0 until 300).map(i => ('a' + i % 26).toChar).mkString, // several windows + partial tail
+      "x" * 96, // exactly one stride
+      "y" * 128) // exactly one window
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val size = 128
+    val overlap = 32
+    val stride = size - overlap
+    val chunks = Curation.chunkDocuments(df, "text", size, overlap)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk")
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(r => (r.getInt(2), r.getString(3))).toList)
+      .toMap
+
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val cs = chunks(i.toLong)
+      // starts tile at stride intervals from 0
+      assert(cs.map(_._1) == cs.indices.map(_ * stride).toList)
+      // every chunk is the exact substring of the original
+      cs.foreach { case (start, c) =>
+        assert(c == t.slice(start, start + size))
+      }
+      // reassembly: first chunk + each later chunk minus its overlap
+      val rebuilt = cs.head._2 + cs.tail.map(_._2.drop(overlap)).mkString
+      assert(rebuilt == t, s"doc $i reassembly")
+      // chunk count: ceil(len / stride), minimum 1
+      assert(cs.size == math.max(1, math.ceil(t.length.toDouble / stride).toInt))
+    }
+
+    // null and empty texts contribute no rows; bad params rejected
+    val edge = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    assert(Curation.chunkDocuments(edge, "text", size, overlap).count() == 0)
+    intercept[IllegalArgumentException](Curation.chunkDocuments(df, "text", 0, 0))
+    intercept[IllegalArgumentException](Curation.chunkDocuments(df, "text", 64, 64))
+  }
+
   test("weightedSample: exact A-ES selection, layout-independent, weight-sensitive") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
