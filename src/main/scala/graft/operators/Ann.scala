@@ -33,6 +33,27 @@ object Ann {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.arrayCosine(a, b)
 
+  /** Weighted element-wise mean pooling of vectors per group — the
+    * chunk→document aggregation of an embedding pipeline (pool chunk
+    * embeddings, weighted e.g. by chunk length, back to one vector
+    * per document; compose with `Curation.chunkDocuments` upstream
+    * and any ANN/dedup operator downstream). Null vectors contribute
+    * nothing; a group with only null vectors yields no row.
+    *
+    * Scale shape: posexplode → ONE hash aggregation keyed
+    * (group, position) → per-group array rebuild; never collects, and
+    * the shuffled relation is (groups × dim) rows of scalars.
+    */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String,
+      weight: Column = lit(1.0)): DataFrame =
+    df.select(col(groupCol), weight.cast("double").as("_w"),
+        posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .groupBy(groupCol, "_p")
+      .agg((sum(col("_x") * col("_w")) / sum(col("_w"))).as("_mx"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_mx")))),
+        s => s.getField("_mx")).as("pooled"))
+
   /** Deterministic coarse centroids: the first C vectors by id (a
     * cheap stand-in when clustering quality doesn't matter; the IVF
     * mechanics are identical).

@@ -131,5 +131,31 @@ object VectorOps {
              |  GROUP BY label, pos)
              |GROUP BY label
              |ORDER BY label""".stripMargin)),
+
+    // Weighted mean pooling (the chunk→document embedding aggregation;
+    // Ann.meanPool): one vector per label, weighted by a deterministic
+    // per-row weight — the census pins the pooled vector's norm, which
+    // is sensitive to any mis-weighted, dropped, or misaligned element.
+    GateQuery(
+      "q_embed_pool",
+      (s, d) =>
+        graft.operators.Ann.meanPool(withVec(embeddings(s, d)), "label", "v",
+            weight = (col("vec_id") % 3 + 1).cast("double"))
+          .select(col("label"),
+            round(sqrt(aggregate(transform(col("pooled"), x => x * x),
+              lit(0.0), (a, x) => a + x)), 4).as("pooled_norm"),
+            size(col("pooled")).cast("long").as("n_dims"))
+          .orderBy("label"),
+      Some("""SELECT label, round(sqrt(sum(mx * mx)), 4) AS pooled_norm,
+             |       CAST(count(*) AS BIGINT) AS n_dims
+             |FROM (
+             |  SELECT label, pos, sum(x * w) / sum(w) AS mx
+             |  FROM (SELECT label, CAST(vec_id % 3 + 1 AS DOUBLE) AS w,
+             |               CAST(unnest(embedding) AS DOUBLE) AS x,
+             |               generate_subscripts(embedding, 1) AS pos
+             |        FROM embeddings)
+             |  GROUP BY label, pos)
+             |GROUP BY label
+             |ORDER BY label""".stripMargin)),
   )
 }

@@ -19,6 +19,25 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     (rows.toDF("vec_id", "v"), centers)
   }
 
+  test("meanPool: weighted element-wise mean per group; null vectors contribute nothing") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", 1.0, Seq(1.0, 0.0)),
+      ("d1", 3.0, Seq(0.0, 2.0)), // weighted: (1*1+0*3)/4, (0*1+2*3)/4 = (0.25, 1.5)
+      ("d2", 2.0, Seq(4.0, 6.0)),
+      ("d2", 2.0, null: Seq[Double])) // null vector ignored entirely
+      .toDF("doc", "w", "v")
+    val pooled = Ann.meanPool(df, "doc", "v", weight = col("w"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(pooled("d1") == List(0.25, 1.5))
+    assert(pooled("d2") == List(4.0, 6.0))
+
+    // unweighted default = plain element-wise mean
+    val plain = Ann.meanPool(df.filter(col("doc") === "d1"), "doc", "v")
+      .collect().head.getSeq[Double](1).toList
+    assert(plain == List(0.5, 1.0))
+  }
+
   test("kmeans centroids recover the cluster structure; low-nprobe search finds in-cell neighbors") {
     val dim = 16
     val (df, _) = clustered(nClusters = 4, perCluster = 50, dim = dim)
