@@ -108,7 +108,13 @@ object Bpe {
     * a 10⁵-rule tokenizer is one projection over the corpus, not 10⁵
     * column rewrites. The rank table rides the plan (vocab-bounded).
     */
-  def encode(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+  def encode(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // learned lists never repeat a rule (a fully-fused pair's count is
+    // zero forever); a caller-supplied duplicate would re-rank the
+    // pair and silently diverge from the replay semantics
+    require(merges.distinct.size == merges.size,
+      "merge list must not repeat a rule")
     vocab.withColumn("toks",
       graft.functions.BpeEncodeExpression.encode(col("toks"), merges))
+  }
 }

@@ -100,5 +100,9 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == List("aa", "a"))
     assert(out(4L) == List("aab"))
     assert(out(5L) == List("q", "r", "s"))
+
+    // duplicated rules would re-rank a pair and diverge from replay
+    intercept[IllegalArgumentException](
+      Bpe.encode(df, Seq(("a", "a"), ("a", "a"))))
   }
 }

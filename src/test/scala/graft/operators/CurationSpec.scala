@@ -220,6 +220,11 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(Curation.chunkDocuments(edge, "text", size, overlap).count() == 0)
     intercept[IllegalArgumentException](Curation.chunkDocuments(df, "text", 0, 0))
     intercept[IllegalArgumentException](Curation.chunkDocuments(df, "text", 64, 64))
+
+    // chunking is a narrow map — no shuffle in the executed plan
+    val plan = Curation.chunkDocuments(df, "text", size, overlap)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("weightedSample: exact A-ES selection, layout-independent, weight-sensitive") {
