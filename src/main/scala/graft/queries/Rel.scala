@@ -770,5 +770,50 @@ object Rel {
              |FROM lineitem, b
              |GROUP BY bin
              |ORDER BY bin""".stripMargin)),
+
+    // Distribution-drift monitor (Drift.psiBins): per-bin population
+    // shares + PSI terms between two halves of lineitem (even vs odd
+    // order keys — near-identical distributions, so the gate checks
+    // the MACHINERY: binning over reference bounds, the all-bins
+    // spine, share smoothing, and the log-term arithmetic, which a
+    // swapped side or off-by-one bin edge would all break).
+    GateQuery(
+      "q_drift_psi",
+      (s, d) => {
+        val li = lineitem(s, d)
+        graft.operators.Drift.psiBins(
+          li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1),
+          "l_extendedprice", buckets = 10)
+      },
+      Some("""WITH ref AS (
+             |  SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 2 = 0
+             |), cur AS (
+             |  SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 2 = 1
+             |), b AS (
+             |  SELECT min(x) AS lo, max(x) AS hi FROM ref
+             |), r AS (
+             |  SELECT greatest(least(CAST(floor((x - lo) * 10 / (hi - lo)) AS BIGINT), 9), 0) AS bin,
+             |         count(*) AS n_ref
+             |  FROM ref, b GROUP BY 1
+             |), c AS (
+             |  SELECT greatest(least(CAST(floor((x - lo) * 10 / (hi - lo)) AS BIGINT), 9), 0) AS bin,
+             |         count(*) AS n_cur
+             |  FROM cur, b GROUP BY 1
+             |), t AS (
+             |  SELECT (SELECT sum(n_ref) FROM r) AS tr,
+             |         (SELECT sum(n_cur) FROM c) AS tc
+             |), s AS (SELECT unnest(range(10)) AS bin)
+             |SELECT s.bin AS bin,
+             |       coalesce(r.n_ref, 0) AS n_ref,
+             |       coalesce(c.n_cur, 0) AS n_cur,
+             |       round(greatest(coalesce(r.n_ref, 0) / tr, 0.000001), 6) AS share_ref,
+             |       round(greatest(coalesce(c.n_cur, 0) / tc, 0.000001), 6) AS share_cur,
+             |       round((greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
+             |              - greatest(coalesce(r.n_ref, 0) / tr, 0.000001))
+             |             * ln(greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
+             |                  / greatest(coalesce(r.n_ref, 0) / tr, 0.000001)), 6) AS psi_term
+             |FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin, t
+             |ORDER BY bin""".stripMargin)),
   )
 }
