@@ -56,6 +56,11 @@ object Basket {
 
   /** Association rules for the frequent pairs: confidence in both
     * directions and lift (support·N / (sup_a·sup_b)), rounded to 4.
+    *
+    * The result is persisted (it must be materialized before the
+    * internal capped-item relation is released); the CALLER owns that
+    * cache — call `.unpersist()` when done with it in long-lived
+    * sessions.
     */
   def rules(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, maxBasketSize: Int = 1000): DataFrame = {

@@ -470,14 +470,49 @@ object Dedup {
 
   // ---- semantic dedup (SemDeDup) ----------------------------------------
 
+  /** Which member of a semantic-duplicate pair survives. */
+  sealed trait SemKeep extends Serializable
+  object SemKeep {
+    /** Paper default: drop the member MORE similar to its cluster
+      * centroid (redundant core points go, informative outliers stay).
+      */
+    case object Low extends SemKeep
+    /** Drop the member LESS similar to the centroid (keeps the
+      * prototypical core — useful when curating for canonical examples).
+      */
+    case object High extends SemKeep
+    /** Deterministic stand-in for the paper's keep-random baseline:
+      * drop the member with the larger 64-bit id hash. Reproducible
+      * across retries/layouts, uniform over the pair.
+      */
+    case object Random extends SemKeep
+  }
+
+  /** What to do with clusters larger than `maxClusterSize`. */
+  sealed trait OversizedClusters extends Serializable
+  object OversizedClusters {
+    /** Fail loudly naming the offending cluster — oversized clusters
+      * mean the clustering's k was mis-chosen and the Σ|cluster|² pair
+      * contract is void; the fix belongs upstream.
+      */
+    case object Reject extends OversizedClusters
+    /** Sub-split oversized clusters into ⌈size/maxClusterSize⌉ salt
+      * buckets by id hash, bounding every pair task at the cost of
+      * recall: pairs across salt buckets of the SAME oversized cluster
+      * are not compared (within such a cluster recall ≈ 1/buckets).
+      * A safety valve for degenerate embedding pockets, not the
+      * quality path — prefer re-clustering.
+      */
+    case object SaltSplit extends OversizedClusters
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): within each cluster of the
     * embedding space, documents whose pairwise cosine exceeds
     * `threshold` are semantic duplicates; of each duplicate pair the
-    * member MORE similar to its cluster centroid is dropped (the
-    * paper's keep-low-centroid-similarity policy — redundant points
-    * near the cluster core go, outliers that carry information stay),
+    * member chosen by `keep` is dropped (default `SemKeep.Low`, the
+    * paper's keep-low-centroid-similarity policy), centroid-similarity
     * ties broken toward keeping the smaller id. A document survives
     * iff it loses no pair.
     *
@@ -487,53 +522,107 @@ object Dedup {
     * centroids are one tiny k-row relation (broadcast back); the
     * pairwise comparison is scoped per cluster by an equi-join on the
     * cluster key, so the cost is Σ|cluster|² — the SemDeDup design
-    * point (choose k so clusters stay bounded) — and the O(n²)
-    * all-pairs never materializes. No driver-side corpus state: the
-    * per-cluster centroids stay a (broadcast-sized) DataFrame.
+    * point — and the O(n²) all-pairs never materializes. No
+    * driver-side corpus state: the per-cluster centroids stay a
+    * (broadcast-sized) DataFrame.
+    *
+    * The Σ|cluster|² contract is ENFORCED, not assumed: any cluster
+    * with more than `maxClusterSize` rows would make a single pair
+    * task quadratic (one degenerate embedding pocket at corpus scale
+    * is enough), so such clusters either fail loudly
+    * (`OversizedClusters.Reject`, default) or are salt-split into
+    * bounded sub-buckets (`OversizedClusters.SaltSplit`, trading
+    * recall inside the oversized cluster for boundedness).
     *
     * Centroid similarity is rounded to `csimDecimals` before
     * comparison so the keep decision never hinges on sub-rounding
     * float noise in the centroid average.
     *
-    * Returns the SURVIVING rows of `df`, all columns intact.
+    * Returns the SURVIVING rows of `df`, all columns intact. The
+    * result is persisted (it must be materialized before the internal
+    * scored relation is released); the CALLER owns that cache — call
+    * `.unpersist()` when done with it in long-lived sessions.
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, threshold: Double,
-      csimDecimals: Int = 4): DataFrame = {
+      csimDecimals: Int = 4,
+      keep: SemKeep = SemKeep.Low,
+      maxClusterSize: Int = 100000,
+      oversized: OversizedClusters = OversizedClusters.Reject): DataFrame = {
+    require(maxClusterSize >= 2, s"maxClusterSize must be >= 2, got $maxClusterSize")
     // per-cluster centroid: (cluster, pos) mean, re-assembled into an
-    // ordered array — k rows, corpus-independent
+    // ordered array — k rows, corpus-independent. The per-position
+    // row count doubles as the cluster size (one posexplode row per
+    // vector element), so the size guard costs no extra scan.
     val cents = df
       .select(col(clusterCol).as("_cl"), posexplode(col(vecCol)).as(Seq("_p", "_x")))
-      .groupBy("_cl", "_p").agg(avg("_x").as("_mx"))
+      .groupBy("_cl", "_p").agg(avg("_x").as("_mx"), count(lit(1)).as("_n"))
       .groupBy("_cl")
       .agg(transform(array_sort(collect_list(struct(col("_p"), col("_mx")))),
-        s => s.getField("_mx")).as("_cent"))
-    val scored = df
-      .select(col(idCol).as("_id"), col(clusterCol).as("_cl"), col(vecCol).as("_v"))
-      .join(broadcast(cents), Seq("_cl"))
-      .withColumn("_csim", round(Ann.cosine(col("_v"), col("_cent")), csimDecimals))
-      .select("_cl", "_id", "_v", "_csim")
+        s => s.getField("_mx")).as("_cent"),
+        max("_n").as("_sz"))
       .persist()
     try {
-      val right = scored.select(col("_cl"), col("_id").as("_id_b"),
-        col("_v").as("_v_b"), col("_csim").as("_csim_b"))
-      val losers = scored
-        .select(col("_cl"), col("_id").as("_id_a"),
-          col("_v").as("_v_a"), col("_csim").as("_csim_a"))
-        .join(right, Seq("_cl"))
-        .filter(col("_id_a") < col("_id_b"))
-        .filter(Ann.cosine(col("_v_a"), col("_v_b")) >= threshold)
-        .select(
-          when(col("_csim_a") > col("_csim_b"), col("_id_a"))
-            .when(col("_csim_b") > col("_csim_a"), col("_id_b"))
-            .otherwise(col("_id_b")) // csim tie: keep the smaller id
-            .as(idCol))
-        .distinct()
-      val kept = df.join(losers, Seq(idCol), "left_anti")
-      kept.persist()
-      kept.count() // consume `scored` fully before releasing it
-      kept
-    } finally { scored.unpersist(blocking = false); () }
+      if (oversized == OversizedClusters.Reject) {
+        val bad = cents.filter(col("_sz") > maxClusterSize)
+          .select("_cl", "_sz").orderBy(col("_sz").desc).take(1)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"semDedup: cluster ${bad(0).get(0)} has ${bad(0).getLong(1)} rows " +
+            s"(maxClusterSize=$maxClusterSize); pair fan-in is quadratic in " +
+            "cluster size, so an oversized cluster voids the Sigma-cluster^2 " +
+            "scale contract. Re-cluster with a larger k, raise maxClusterSize, " +
+            "or pass oversized=OversizedClusters.SaltSplit to trade recall " +
+            "for boundedness.")
+      }
+      val scored0 = df
+        .select(col(idCol).as("_id"), col(clusterCol).as("_cl"), col(vecCol).as("_v"))
+        .join(broadcast(cents), Seq("_cl"))
+        .withColumn("_csim", round(Ann.cosine(col("_v"), col("_cent")), csimDecimals))
+      // salt sub-split: ⌈size/max⌉ buckets per cluster (1 for every
+      // bounded cluster — salt 0, semantics unchanged), id-hash keyed
+      // so even a cluster of bit-identical vectors splits
+      val (scored, pairKey) = oversized match {
+        case OversizedClusters.SaltSplit =>
+          (scored0
+            .withColumn("_salt", pmod(xxhash64(col("_id")),
+              greatest(lit(1L), ceil(col("_sz") / lit(maxClusterSize.toDouble)).cast("long"))))
+            .select("_cl", "_salt", "_id", "_v", "_csim").persist(),
+            Seq("_cl", "_salt"))
+        case OversizedClusters.Reject =>
+          (scored0.select("_cl", "_id", "_v", "_csim").persist(), Seq("_cl"))
+      }
+      try {
+        val right = scored.select(
+          (pairKey.map(col) :+ col("_id").as("_id_b") :+
+            col("_v").as("_v_b") :+ col("_csim").as("_csim_b")): _*)
+        val loser = keep match {
+          case SemKeep.Low =>
+            when(col("_csim_a") > col("_csim_b"), col("_id_a"))
+              .when(col("_csim_b") > col("_csim_a"), col("_id_b"))
+              .otherwise(col("_id_b")) // csim tie: keep the smaller id
+          case SemKeep.High =>
+            when(col("_csim_a") < col("_csim_b"), col("_id_a"))
+              .when(col("_csim_b") < col("_csim_a"), col("_id_b"))
+              .otherwise(col("_id_b"))
+          case SemKeep.Random =>
+            when(xxhash64(col("_id_a")) > xxhash64(col("_id_b")), col("_id_a"))
+              .otherwise(col("_id_b"))
+        }
+        val losers = scored
+          .select(
+            (pairKey.map(col) :+ col("_id").as("_id_a") :+
+              col("_v").as("_v_a") :+ col("_csim").as("_csim_a")): _*)
+          .join(right, pairKey)
+          .filter(col("_id_a") < col("_id_b"))
+          .filter(Ann.cosine(col("_v_a"), col("_v_b")) >= threshold)
+          .select(loser.as(idCol))
+          .distinct()
+        val kept = df.join(losers, Seq(idCol), "left_anti")
+        kept.persist()
+        kept.count() // consume `scored` fully before releasing it
+        kept
+      } finally { scored.unpersist(blocking = false); () }
+    } finally { cents.unpersist(blocking = false); () }
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3

@@ -356,6 +356,84 @@ object ExtOps {
              |GROUP BY label
              |ORDER BY label""".stripMargin)),
 
+    // SemDeDup with the keep-HIGH-centroid-similarity policy (keep the
+    // prototypical core member, drop the outlier of each duplicate
+    // pair) — same planted corpus as q_dedup_semantic, so the two
+    // gates together pin that the policy parameter actually flips the
+    // per-pair decision (the perturbed duplicates flip; the ×2-scaled
+    // ties don't).
+    GateQuery(
+      "q_dedup_semantic_keephigh",
+      (s, d) => {
+        val base = embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        val scaled = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+            transform(col("v"), x => x * lit(2.0)).as("v"))
+        val perturbed = base.filter(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("label"),
+            concat(array(element_at(col("v"), 1) + lit(0.2)),
+              slice(col("v"), 2, 63)).as("v"))
+        val corpus = base.unionByName(scaled).unionByName(perturbed)
+        Dedup.semDedup(corpus, "vec_id", "v", "label", threshold = 0.95,
+          keep = Dedup.SemKeep.High)
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("vec_id")).cast("long").as("kept_id_sum"))
+          .orderBy("label")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |), corpus AS (
+             |  SELECT vec_id, label, v FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 100000 AS vec_id, label,
+             |         list_transform(v, x -> x * 2.0) AS v
+             |  FROM base WHERE vec_id % 10 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 200000 AS vec_id, label,
+             |         list_concat([v[1] + 0.2], v[2:64]) AS v
+             |  FROM base WHERE vec_id % 10 = 5
+             |), cent AS (
+             |  SELECT label, p, avg(x) AS mx FROM (
+             |    SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS p
+             |    FROM corpus)
+             |  GROUP BY label, p
+             |), cl AS (
+             |  SELECT label, list(mx ORDER BY p) AS c FROM cent GROUP BY label
+             |), scored AS (
+             |  SELECT vec_id, s.label, s.v,
+             |         round(
+             |           list_sum(list_transform(list_zip(s.v, cl.c),
+             |                                   p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |           / (sqrt(list_sum(list_transform(s.v, x -> x * x)))
+             |              * sqrt(list_sum(list_transform(cl.c, x -> x * x)))), 4) AS csim
+             |  FROM corpus s JOIN cl USING (label)
+             |), pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |         a.csim AS csim_a, b.csim AS csim_b
+             |  FROM scored a JOIN scored b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE list_sum(list_transform(list_zip(a.v, b.v),
+             |                                p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.95
+             |), dropped AS (
+             |  SELECT DISTINCT CASE WHEN csim_a < csim_b THEN id_a
+             |                       WHEN csim_b < csim_a THEN id_b
+             |                       ELSE id_b END AS id
+             |  FROM pairs
+             |)
+             |SELECT label, count(*) AS n_kept,
+             |       CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+             |FROM corpus
+             |WHERE vec_id NOT IN (SELECT id FROM dropped)
+             |GROUP BY label
+             |ORDER BY label""".stripMargin)),
+
     // IVF ANN with nprobe = C (exhaustive ⇒ must equal brute force).
     GateQuery(
       "q_ann_ivf",

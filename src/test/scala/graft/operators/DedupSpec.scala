@@ -200,6 +200,77 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.semDedup(crossCluster, "vec_id", "v", "cl", 0.95).count() == 2)
   }
 
+  test("semDedup keep policies flip the per-pair decision") {
+    import spark.implicits._
+    // cluster 0: duplicate pair (1, 2) with csim(2) > csim(1) (see the
+    // keep-low test above), plus outlier 3
+    val rows = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, 0, Seq(0.96, 0.28, 0.0, 0.0)),
+      (3L, 0, Seq(0.0, 1.0, 0.0, 0.0)))
+    val df = rows.toDF("vec_id", "cl", "v")
+    // keep-high drops the LOW-csim member: id 1 goes, id 2 stays
+    val keptHigh = Dedup.semDedup(df, "vec_id", "v", "cl", 0.95,
+      keep = Dedup.SemKeep.High).select("vec_id").as[Long].collect().toSet
+    assert(keptHigh == Set(2L, 3L))
+    // keep-random drops the larger-xxhash64 member, deterministically
+    val hashes = df.select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val expectedDrop = if (hashes(1L) > hashes(2L)) 1L else 2L
+    val keptRnd = Dedup.semDedup(df, "vec_id", "v", "cl", 0.95,
+      keep = Dedup.SemKeep.Random).select("vec_id").as[Long].collect().toSet
+    assert(keptRnd == Set(1L, 2L, 3L) - expectedDrop)
+    // and it is stable across runs
+    val keptRnd2 = Dedup.semDedup(df, "vec_id", "v", "cl", 0.95,
+      keep = Dedup.SemKeep.Random).select("vec_id").as[Long].collect().toSet
+    assert(keptRnd2 == keptRnd)
+  }
+
+  test("semDedup rejects an oversized cluster loudly (default policy)") {
+    import spark.implicits._
+    // one planted giant cluster: 40 rows against a cap of 10 — the
+    // degenerate pocket (bit-identical vectors) a mis-chosen k produces
+    val giant = (1L to 40L).map(i => (i, 0, Seq(0.6, 0.8, 0.0)))
+    // pairwise cos = cos(0.5·Δi) ≤ cos(0.5) ≈ 0.878 < 0.95 — no dups
+    val ok = (100L to 104L).map(i => (i, 1,
+      Seq(math.cos(0.5 * (i - 100)), math.sin(0.5 * (i - 100)), 0.0)))
+    val df = (giant ++ ok).toDF("vec_id", "cl", "v")
+    val ex = intercept[IllegalStateException] {
+      Dedup.semDedup(df, "vec_id", "v", "cl", 0.95, maxClusterSize = 10)
+    }
+    assert(ex.getMessage.contains("40 rows"), ex.getMessage)
+    assert(ex.getMessage.contains("maxClusterSize=10"), ex.getMessage)
+    // bounded clusters under the same cap pass untouched
+    assert(Dedup.semDedup(df.filter(col("cl") === 1), "vec_id", "v", "cl", 0.95,
+      maxClusterSize = 10).count() == 5)
+  }
+
+  test("semDedup salt-split bounds pair fan-in inside a giant cluster") {
+    import spark.implicits._
+    // 40 bit-identical vectors, cap 10 → 4 id-hash salt buckets. All
+    // pairs tie on csim, so each salt bucket keeps exactly its smallest
+    // id: >1 survivor proves pairs were scoped per sub-bucket (the
+    // unsplit join would leave exactly one), and the survivor set must
+    // equal the per-bucket minima computed independently here.
+    val df = (1L to 40L).map(i => (i, 0, Seq(0.6, 0.8, 0.0))).toDF("vec_id", "cl", "v")
+    val kept = Dedup.semDedup(df, "vec_id", "v", "cl", 0.95,
+      maxClusterSize = 10, oversized = Dedup.OversizedClusters.SaltSplit)
+      .select("vec_id").as[Long].collect().toSet
+    val expected = df
+      .select(col("vec_id"), pmod(xxhash64(col("vec_id")), lit(4L)).as("salt"))
+      .groupBy("salt").agg(min("vec_id").as("vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == expected, s"kept=$kept expected=$expected")
+    assert(kept.size > 1)
+    // a bounded cluster under SaltSplit is untouched (single salt
+    // bucket ⇒ semantics identical to the unsplit path)
+    val small = (1L to 5L).map(i => (i, 0, Seq(0.6, 0.8, 0.0))).toDF("vec_id", "cl", "v")
+    val keptSmall = Dedup.semDedup(small, "vec_id", "v", "cl", 0.95,
+      maxClusterSize = 10, oversized = Dedup.OversizedClusters.SaltSplit)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptSmall == Set(1L))
+  }
+
   test("semDedup broadcasts only the centroid relation, never the corpus") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try {
