@@ -61,8 +61,22 @@ object Merge {
     */
   val SrcOrder = "_src_order"
 
-  private val mergeRewardsUdf =
-    udf((maps: Seq[org.apache.spark.sql.Row]) => mergeRewardMaps(maps.map(_.getString(2))))
+  /** `mergeRewardMaps` as a mergeable aggregate (see
+    * [[graft.functions.RewardMergeAgg]]): folds reward rows
+    * incrementally with one buffer entry per DISTINCT reward key
+    * instead of collect_list-ing every row's map per group, so a hot
+    * decision_id with ~10⁶ rewards no longer builds one unbounded
+    * aggregation buffer and map-side partial aggregation genuinely
+    * shrinks the shuffle. Bit-identical to the old sorted fold
+    * (RewardMergeAggSpec proves it property-wise).
+    */
+  private def mergeRewardsAgg(srcOrder: Column, seq: Column, rewards: Column): Column =
+    org.apache.spark.sql.graftshim.GraftColumn.of(
+      graft.functions.RewardMergeAgg(
+        org.apache.spark.sql.graftshim.GraftColumn.expr(srcOrder),
+        org.apache.spark.sql.graftshim.GraftColumn.expr(seq),
+        org.apache.spark.sql.graftshim.GraftColumn.expr(rewards)
+      ).toAggregateExpression())
 
   /** Earliest row's non-null value under (SrcOrder, _seq): min over a
     * struct orders lexicographically, and `when` nulls out rows where
@@ -94,12 +108,10 @@ object Merge {
         firstNonNullByOrder(Context),
         firstNonNullByOrder(Count),
         firstNonNullByOrder(Sample),
-        mergeRewardsUdf(sort_array(collect_list(
-          when(col(Rewards).isNotNull,
-            struct(col(SrcOrder), col("_seq"), col(Rewards)))))).as("_rw"))
+        mergeRewardsAgg(col(SrcOrder), col("_seq"), col(Rewards)).as("_rw"))
     grouped.select(
       col(DecisionId), col(Item), col(Context), col(Count), col(Sample),
-      col("_rw._1").as(Rewards), col("_rw._2").as(Reward), col(Model))
+      col("_rw.rewards").as(Rewards), col("_rw.reward").as(Reward), col(Model))
   }
 
   /** Write an already-merged frame into the store, one partition set

@@ -1,0 +1,133 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graftshim.GraftColumn
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ingest.Merge
+
+/** The mergeable rewards-map aggregate must be BIT-identical to the
+  * fold it replaced: sort_array(collect_list(struct(src, seq, maps)))
+  * → Merge.mergeRewardMaps, whose reward sum is float-summation-order
+  * sensitive (keys sum in first-insertion order of the ascending
+  * fold). The reference fold here IS that old implementation, run
+  * locally.
+  */
+class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
+
+  /** The pre-aggregate implementation, verbatim semantics: ascending
+    * (src, seq, UTF8-byte-wise map) sort, then the sequential fold.
+    */
+  private def oldFold(rows: Seq[(Long, Long, String)]): (String, Double) = {
+    val sorted = rows
+      .filter(_._3 != null)
+      .sortWith { case ((as, aq, am), (bs, bq, bm)) =>
+        RewardMergeAgg.compare(as, aq, am.getBytes("UTF-8"),
+          bs, bq, bm.getBytes("UTF-8")) < 0
+      }
+    Merge.mergeRewardMaps(sorted.map(_._3))
+  }
+
+  private def aggColumn = GraftColumn.of(RewardMergeAgg(
+    GraftColumn.expr(col("src").cast("long")),
+    GraftColumn.expr(col("seq")),
+    GraftColumn.expr(col("rewards"))).toAggregateExpression()).as("_rw")
+
+  test("bit-identical to the sorted collect_list fold on adversarial inputs") {
+    import spark.implicits._
+    val rnd = new Random(20260813L)
+    val keys = Seq("a", "b", "k1", "k2", "zz", "é", "0")
+    def randomValue(): String = rnd.nextInt(6) match {
+      case 0 => rnd.nextInt(1000).toString                 // integral stays integral
+      case 1 => (rnd.nextDouble() * 100 - 50).toString      // float
+      case 2 => "\"s" + rnd.nextInt(10) + "\""              // string → sums as 0.0
+      case 3 => "true"                                       // boolean → 0.0
+      case 4 => "[1,2]"                                      // container → 0.0
+      case 5 => "-" + rnd.nextInt(100)
+    }
+    def randomMap(): String = rnd.nextInt(10) match {
+      case 0 => "{}"
+      case 1 => "not json"
+      case 2 => null
+      case _ =>
+        val n = 1 + rnd.nextInt(3)
+        // duplicate keys across maps are the point; inside one map
+        // jackson keeps the last duplicate, so generate distinct keys
+        val ks = rnd.shuffle(keys).take(n)
+        ks.map(k => s""""$k":${randomValue()}""").mkString("{", ",", "}")
+    }
+    // 40 trials ride one DataFrame as 40 groups; small src/seq pools
+    // force full-tuple ties that only the map-byte comparison breaks
+    val trials = (0 until 40).map { g =>
+      g -> (0 until (1 + rnd.nextInt(12))).map { _ =>
+        (rnd.nextInt(2).toLong, (1 + rnd.nextInt(3)).toLong, randomMap())
+      }
+    }
+    val df = trials.flatMap { case (g, rows) =>
+      rows.map { case (s, q, m) => (g, s, q, m) }
+    }.toDF("g", "src", "seq", "rewards")
+      .repartition(7) // partial buffers must serialize + merge across tasks
+    val actual = df.groupBy("g").agg(aggColumn)
+      .select(col("g"), col("_rw.rewards"), col("_rw.reward"))
+      .as[(Int, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    trials.foreach { case (g, rows) =>
+      val expected = oldFold(rows)
+      assert(actual(g) == expected, s"trial $g: ${actual(g)} != $expected rows=$rows")
+    }
+  }
+
+  test("aggregation buffer is bounded by distinct keys, not row count") {
+    val agg = RewardMergeAgg(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, LongType, nullable = false),
+      BoundReference(2, StringType, nullable = true))
+    val buffer = agg.createAggregationBuffer()
+    var i = 0
+    while (i < 100000) {
+      val row = new GenericInternalRow(Array[Any](
+        (i % 2).toLong, (i % 97).toLong,
+        UTF8String.fromString(s"""{"k${i % 10}":${i % 1000}}""")))
+      agg.update(buffer, row)
+      i += 1
+    }
+    assert(buffer.size == 10, s"10 distinct keys must mean 10 entries, got ${buffer.size}")
+    val ser = agg.serialize(buffer)
+    assert(ser.length < 4096, s"1e5 rows over 10 keys serialized to ${ser.length} bytes")
+    // and the result still matches the old fold over all 1e5 rows
+    val rows = (0 until 100000).map(i =>
+      ((i % 2).toLong, (i % 97).toLong, s"""{"k${i % 10}":${i % 1000}}"""))
+    val expected = oldFold(rows)
+    val out = agg.eval(buffer).asInstanceOf[InternalRow]
+    assert((out.getUTF8String(0).toString, out.getDouble(1)) == expected)
+  }
+
+  test("hot decision_id with 1e5 rewards merges through the full path") {
+    import spark.implicits._
+    import graft.schema.Schema
+    val decisionId = "2PjCcQ3KUDvRzJzbS5V4wNX8XyZ"
+    val rewards = (1 to 100000).map { i =>
+      (decisionId, None: Option[String], None: Option[String], None: Option[Double],
+        None: Option[String], Some(s"""{"r$i":1}"""), "m")
+    }
+    val decision = Seq((decisionId, Some("\"item\""), Some("{}"), Some(1.0),
+      None: Option[String], None: Option[String], "m"))
+    val df = (decision ++ rewards)
+      .toDF(Schema.DecisionId, Schema.Item, Schema.Context, Schema.Count,
+        Schema.Sample, Schema.Rewards, Schema.Model)
+      .repartition(32)
+    val merged = Merge.merge(df).collect()
+    assert(merged.length == 1)
+    val row = merged(0)
+    assert(row.getAs[Double](Schema.Reward) == 100000.0)
+    // every distinct message-id key survives the union
+    val node = graft.core.CanonicalJson.parse(row.getAs[String](Schema.Rewards))
+    assert(node.size() == 100000)
+  }
+}
