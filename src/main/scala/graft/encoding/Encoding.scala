@@ -185,9 +185,11 @@ object Encoding {
     k.toDouble
   }
 
-  private val poissonUdf = udf((u: Double) => nonZeroPoissonWeight(u))
-
-  def nonZeroPoisson(u: Column): Column = poissonUdf(u)
+  /** Native codegen spelling of [[nonZeroPoissonWeight]] — see
+    * graft.functions.NonZeroPoissonExpression.
+    */
+  def nonZeroPoisson(u: Column): Column =
+    graft.functions.EncodeExpressions.nonZeroPoisson(u)
 
   // ---- vector encoding ---------------------------------------------------
 
@@ -227,14 +229,16 @@ object Encoding {
   }
 
   /** Adds a `features` vector column (and keeps w/y). `noiseCol` null →
-    * no sprinkle (noise 0).
+    * no sprinkle (noise 0). Native codegen expression (bit-identical
+    * to [[makeVectorEncoder]], which remains the serving-path/spec
+    * reference): the string tables ride the plan, the maps are read as
+    * raw MapData, and the encode stage stays inside WholeStageCodegen.
     */
   def withFeatureVector(df: DataFrame, featureNames: Seq[String],
       tables: Map[String, Seq[Long]], modelSeed: Long,
-      noiseCol: Option[Column] = None): DataFrame = {
-    val enc = makeVectorEncoder(featureNames, tables, modelSeed)
-    val encUdf = udf(enc)
+      noiseCol: Option[Column] = None): DataFrame =
     df.withColumn("features",
-      encUdf(col("nums"), col("strs"), noiseCol.getOrElse(lit(0.0))))
-  }
+      graft.functions.EncodeExpressions.featureVector(
+        col("nums"), col("strs"), noiseCol.getOrElse(lit(0.0)),
+        featureNames, tables, modelSeed))
 }

@@ -118,9 +118,9 @@ object Trainer {
       .withColumn("nums", map_concat(col("nums"),
         map(lit(TimestampFeature), Encoding.ksuidTimestamp(col(Schema.DecisionId)))))
     val encoded = Encoding.withFeatureVector(flat, pm.featureNames, pm.stringTables, pm.modelSeed)
-    val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
     pm.model.transform(encoded)
-      .withColumn("_p", p1(col("probability")))
+      .withColumn("_p",
+        graft.functions.EncodeExpressions.vectorElement(col("probability"), 1))
       .withColumn("_ipw",
         (lit(1.0) / greatest(col("_p"), lit(config.clipMinPropensity))) / lit(pm.meanItemCount))
       .drop("features", "rawPrediction", "probability", "prediction", "_p")
