@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * typed mapPartitions batches (the JVM analogue of a Pandas UDF over
   * mapInPandas — per-partition batching, columnar in, columnar out).
   *
-  * The actual media decode is STUBBED (no image/audio libraries in
-  * this container): `decodeStub` derives deterministic pseudo-features
-  * (byte histogram entropy, stride "frame samples") from the raw
-  * bytes, so every piece of Spark-side plumbing — schema, metadata,
-  * batch shape, partitioning — is real and testable, and a real codec
-  * drops in by replacing ONE function.
+  * IMAGE payloads (PNG/JPEG/GIF/BMP by magic-number sniff) get a REAL
+  * decode via `javax.imageio` — no extra dependency, it ships with
+  * every JVM — and an exact-partition area-average resize over the
+  * Rec.601 luminance plane. Non-image payloads (and image-lookalike
+  * bytes ImageIO rejects) fall back to the deterministic byte-algebra
+  * stubs, so text-derived test corpora keep their oracle hashes and
+  * audio/video remain stub-decoded (those codecs are genuinely not in
+  * the JVM; the drop-in point is `decodeStub`).
   */
 object Multimodal {
 
@@ -59,6 +61,81 @@ object Multimodal {
   final case class MediaResized(id: Long, n_bytes: Int, resized: Seq[Int],
       resized_mean: Double)
 
+  // ---- real image codec (javax.imageio) ---------------------------------
+
+  /** Decoded image as a Rec.601 luminance plane (0–255 per pixel). */
+  final case class DecodedImage(width: Int, height: Int, luminance: Array[Int])
+
+  /** Magic-number sniff for the formats the JVM's ImageIO decodes.
+    * Cheap rejection first: ImageIO.read on arbitrary bytes costs
+    * reader discovery per call, and most payloads are not images.
+    */
+  def sniffImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (
+      ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') ||
+      ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) ||
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
+      (bytes(0) == 'B' && bytes(1) == 'M'))
+
+  /** Real image decode: PNG/JPEG/GIF/BMP bytes → luminance plane.
+    * None for non-image payloads, truncated/corrupt image bytes, or
+    * anything ImageIO cannot parse — callers fall back to the byte
+    * stubs, never fail the job (a poisoned media batch must not kill
+    * a 100 TB pass; count the Nones downstream if signal is needed).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    if (!sniffImage(bytes)) return None
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val lum = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma — deterministic across JVMs
+            lum(y * w + x) =
+              (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(w, h, lum)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Exact-partition area-average resize: every source pixel belongs
+    * to exactly one output cell (floor(y·outH/H), floor(x·outW/W)),
+    * cell value = round(mean luminance) — pure integer/long
+    * arithmetic, deterministic, single pass. Upscaling past the
+    * source resolution leaves the uncovered cells 0 (use a real
+    * interpolating scaler if upscale matters; curation thumbnails
+    * only ever downscale).
+    */
+  def resizeArea(img: DecodedImage, outW: Int, outH: Int): Array[Int] = {
+    require(outW > 0 && outH > 0, s"resize dims must be positive, got ${outW}x$outH")
+    val sums = new Array[Long](outW * outH)
+    val counts = new Array[Long](outW * outH)
+    var y = 0
+    while (y < img.height) {
+      val ty = (y.toLong * outH / img.height).toInt
+      var x = 0
+      while (x < img.width) {
+        val tx = (x.toLong * outW / img.width).toInt
+        val t = ty * outW + tx
+        sums(t) += img.luminance(y * img.width + x)
+        counts(t) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(outW * outH)(i =>
+      if (counts(i) == 0) 0 else math.round(sums(i).toDouble / counts(i)).toInt)
+  }
+
   /** STUB resize: nearest-neighbor downsample of the byte stream to
     * `outLen` samples — the stand-in for image resize (replace with a
     * real scaler; the batching, schema, and determinism contract stay).
@@ -73,8 +150,12 @@ object Multimodal {
     else Array.tabulate(outLen)(i => bytes(((i.toLong * n) / outLen).toInt) & 0xff)
   }
 
-  /** Batched resize over the binary column (typed mapPartitions — a
-    * real scaler would init once per partition, like extractFeatures).
+  /** Batched resize over the binary column (typed mapPartitions — the
+    * codec state initializes once per partition). Image payloads
+    * (PNG/JPEG/GIF/BMP) get the REAL decode + outLen×outLen
+    * area-average luminance thumbnail (outLen² samples); everything
+    * else keeps the outLen-sample byte-stream stub, so non-image
+    * corpora hash identically to the pre-codec implementation.
     */
   def resize(df: DataFrame, outLen: Int = 32): Dataset[MediaResized] = {
     require(outLen > 0, s"outLen must be positive, got $outLen")
@@ -83,7 +164,10 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         it.map { row =>
-          val r = resizeStub(row.bytes, outLen)
+          val r = decodeImage(row.bytes) match {
+            case Some(img) => resizeArea(img, outLen, outLen)
+            case None => resizeStub(row.bytes, outLen)
+          }
           val mean = if (r.isEmpty) 0.0 else r.sum.toDouble / r.length
           MediaResized(row.id, row.bytes.length, r.toSeq, mean)
         }

@@ -31,4 +31,65 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L).resized.isEmpty && out(2L).resized_mean == 0.0)
     intercept[IllegalArgumentException](Multimodal.resize(media, 0))
   }
+
+  /** PNG fixture built in-memory with the same javax.imageio the
+    * decoder uses — a real compressed image payload, not a byte blob.
+    */
+  private def pngBytes(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("decodeImage: real PNG decodes to the Rec.601 luminance plane") {
+    // left half pure red, right half pure white
+    val bytes = pngBytes(8, 4)((x, _) => if (x < 4) 0xff0000 else 0xffffff)
+    val img = Multimodal.decodeImage(bytes).get
+    assert(img.width == 8 && img.height == 4)
+    val lum = img.luminance
+    // red: 299*255/1000 = 76 (integer division); white: 255
+    assert((0 until 4).forall(y => (0 until 4).forall(x => lum(y * 8 + x) == 76)), lum.toSeq)
+    assert((0 until 4).forall(y => (4 until 8).forall(x => lum(y * 8 + x) == 255)), lum.toSeq)
+    // non-image bytes and corrupt sniffed payloads both decline
+    assert(Multimodal.decodeImage("just text".getBytes).isEmpty)
+    val corrupt = bytes.take(12) // valid PNG magic, truncated body
+    assert(Multimodal.sniffImage(corrupt) && Multimodal.decodeImage(corrupt).isEmpty)
+  }
+
+  test("resizeArea: exact-partition box filter, hand-computed cells") {
+    // 4x2 gradient: luminance = x*10 + y*100 (construct directly)
+    val img = Multimodal.DecodedImage(4, 2,
+      Array.tabulate(8)(i => (i % 4) * 10 + (i / 4) * 100))
+    // to 2x1: each cell averages a 2x2 block
+    //   cell 0: {0,10,100,110} -> 55 ; cell 1: {20,30,120,130} -> 75
+    assert(Multimodal.resizeArea(img, 2, 1).toSeq == Seq(55, 75))
+    // identity at source resolution
+    assert(Multimodal.resizeArea(img, 4, 2).toSeq == img.luminance.toSeq)
+    // upscale: uncovered cells are 0 by contract (source pixel maps to
+    // the floor cell; 1x1 -> 2x2 covers only cell (0,0))
+    val one = Multimodal.DecodedImage(1, 1, Array(200))
+    assert(Multimodal.resizeArea(one, 2, 2).toSeq == Seq(200, 0, 0, 0))
+  }
+
+  test("resize Dataset path routes image payloads through the real codec") {
+    import spark.implicits._
+    val png = pngBytes(16, 16)((x, y) => if ((x / 8 + y / 8) % 2 == 0) 0x000000 else 0xffffff)
+    val rows = Seq(
+      (10L, png),
+      (11L, "plain text payload".getBytes("UTF-8")))
+    val media = rows.toDF("id", "bytes")
+      .withColumn("media_meta", struct(
+        octet_length(col("bytes")).as("n_bytes"),
+        lit("application/octet-stream").as("mime"),
+        lit(1).as("channels")))
+    val out = Multimodal.resize(media, outLen = 2).collect().map(r => r.id -> r).toMap
+    // checkerboard 16x16 -> 2x2 luminance thumbnail: 0,255,255,0
+    assert(out(10L).resized == Seq(0, 255, 255, 0), out(10L).resized)
+    assert(out(10L).n_bytes == png.length)
+    // non-image payload keeps the outLen-sample byte stub exactly
+    val expectStub = Multimodal.resizeStub("plain text payload".getBytes("UTF-8"), 2).toSeq
+    assert(out(11L).resized == expectStub)
+  }
 }
