@@ -11,6 +11,36 @@ import graft.streaming.{StreamingAggregates, StreamingDedup, StreamingJoin, Stre
   */
 object StreamingOps {
 
+  /** Run a gate's replay under a small shuffle-partition count. Every
+    * stateful micro-batch commits one state store PER shuffle
+    * partition, so a 32-partition session pays 32 store commits per
+    * batch for fixtures with a few hundred distinct keys — pure
+    * harness overhead that scaled the r4 bench's streaming line items
+    * without touching engine cost. 8 partitions keeps the replay
+    * parallel enough for the fixture sizes; the operators themselves
+    * take whatever the surrounding session configures (a production
+    * stream would size this to its key cardinality).
+    */
+  private def withReplayConf[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, old)
+  }
+
+  /** Replay scratch space: RAM-backed when the host offers it. The
+    * drop folder, checkpoint, state store, and sink are all
+    * gate-lifetime-scoped throwaways, and their fsync/CRC traffic on
+    * a real disk is harness cost the bench should not bill to the
+    * operators.
+    */
+  private def replayDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   /** The q_sessionize oracle, verbatim — the entire point of the gate
     * is that the streaming path answers the identical question.
     */
@@ -47,11 +77,12 @@ object StreamingOps {
       "q_sessionize_stream",
       (s, d) => {
         val gap = 1800L
-        val work = java.nio.file.Files.createTempDirectory("sess_stream").toString
+        val work = replayDir("sess_stream")
         val ev = Tables.events(s, d).select(
           col("user_id"),
           col("ts").cast("long").as("ts"), // floor to epoch seconds
           coalesce(col("value"), lit(0.0)).as("value"))
+          .persist() // one scan feeds both the sentinel bound and the drop write
         val maxTs = ev.agg(max("ts")).head().getLong(0)
         // the sentinel (a user that never reaches the output) pushes
         // the GLOBAL watermark past every real session's last+gap, so
@@ -61,9 +92,15 @@ object StreamingOps {
         val sentinel = s.range(1).select(
           lit(-1L).as("user_id"), lit(maxTs + 10 * gap).as("ts"),
           lit(0.0).as("value"))
-        ev.unionByName(sentinel).write.mode("overwrite").json(s"$work/drop")
-        StreamingSessions.sessionStream(s, s"$work/drop", s"$work/out",
-          s"$work/ckpt", gapSeconds = gap).awaitTermination()
+        withReplayConf(s) {
+          // few coalesced fixture files: the file source lists/plans
+          // per file, and dozens of near-empty shuffle outputs are
+          // harness cost, not engine cost
+          ev.unionByName(sentinel).coalesce(2).write.mode("overwrite").json(s"$work/drop")
+          StreamingSessions.sessionStream(s, s"$work/drop", s"$work/out",
+            s"$work/ckpt", gapSeconds = gap).awaitTermination()
+        }
+        ev.unpersist(blocking = false)
         s.read.parquet(s"$work/out")
           .filter(col("user_id") >= 0)
           .groupBy("user_id")
@@ -83,19 +120,23 @@ object StreamingOps {
     GateQuery(
       "q_agg_window_stream",
       (s, d) => {
-        val work = java.nio.file.Files.createTempDirectory("aggw_stream").toString
+        val work = replayDir("aggw_stream")
         val ev = Tables.events(s, d).select(
           col("ts").cast("long").as("ts"),
           col("event_type"),
           coalesce(col("value"), lit(0.0)).as("value"))
+          .persist()
         val maxTs = ev.agg(max("ts")).head().getLong(0)
         val sentinel = s.range(1).select(
           lit(maxTs + 4 * 3600L).as("ts"), lit("__sentinel__").as("event_type"),
           lit(0.0).as("value"))
-        ev.unionByName(sentinel).write.mode("overwrite").json(s"$work/drop")
-        StreamingAggregates.windowedCounts(s, s"$work/drop", s"$work/out",
-          s"$work/ckpt", windowLength = "1 hour", lateness = "30 minutes")
-          .awaitTermination()
+        withReplayConf(s) {
+          ev.unionByName(sentinel).coalesce(2).write.mode("overwrite").json(s"$work/drop")
+          StreamingAggregates.windowedCounts(s, s"$work/drop", s"$work/out",
+            s"$work/ckpt", windowLength = "1 hour", lateness = "30 minutes")
+            .awaitTermination()
+        }
+        ev.unpersist(blocking = false)
         s.read.parquet(s"$work/out")
           .filter(col("event_type") =!= "__sentinel__")
           .select(
@@ -118,15 +159,17 @@ object StreamingOps {
     GateQuery(
       "q_dedup_stream",
       (s, d) => {
-        val work = java.nio.file.Files.createTempDirectory("dedup_stream").toString
+        val work = replayDir("dedup_stream")
         Tables.documents(s, d).select(
             col("doc_id"),
             lit(1700000000L).as("ts"), // one instant: all within horizon
             col("text"))
           .filter(col("text").isNotNull)
-          .write.mode("overwrite").json(s"$work/drop")
-        StreamingDedup.dedupStream(s, s"$work/drop", s"$work/out",
-          s"$work/ckpt", horizon = "1 hour").awaitTermination()
+          .coalesce(2).write.mode("overwrite").json(s"$work/drop")
+        withReplayConf(s) {
+          StreamingDedup.dedupStream(s, s"$work/drop", s"$work/out",
+            s"$work/ckpt", horizon = "1 hour").awaitTermination()
+        }
         s.read.parquet(s"$work/out")
           .agg(
             count(lit(1)).as("n_emitted"),
@@ -152,27 +195,34 @@ object StreamingOps {
     GateQuery(
       "q_reward_join_stream",
       (s, d) => {
-        val work = java.nio.file.Files.createTempDirectory("rjoin_stream").toString
+        val work = replayDir("rjoin_stream")
         val ev = Tables.events(s, d).select(
           col("event_id"),
           col("ts").cast("long").as("ts"), // floor to epoch seconds
           col("value"))
-        ev.select(
-            col("event_id").cast("string").as("decision_id"),
-            col("ts"),
-            concat(lit("i"), (col("event_id") % 20).cast("string")).as("item"))
-          .orderBy("ts")
-          .write.mode("overwrite").json(s"$work/decisions")
-        ev.filter(col("value").isNotNull)
-          .select(
-            col("event_id").cast("string").as("decision_id"),
-            (col("ts") + (col("event_id") % 4) * 3600L).as("ts"),
-            col("value").as("reward"))
-          .orderBy("ts")
-          .write.mode("overwrite").json(s"$work/rewards")
-        StreamingJoin.rewardJoinStream(s, s"$work/decisions", s"$work/rewards",
-          s"$work/out", s"$work/ckpt",
-          lateness = "1 hour", maxRewardDelay = "2 hours").awaitTermination()
+          .persist() // both fixture sides derive from one scan
+        withReplayConf(s) {
+          // coalesce(1) AFTER the sort: one globally time-ordered file
+          // per side — the time-ordered-arrival contract with minimal
+          // file-source listing
+          ev.select(
+              col("event_id").cast("string").as("decision_id"),
+              col("ts"),
+              concat(lit("i"), (col("event_id") % 20).cast("string")).as("item"))
+            .orderBy("ts").coalesce(1)
+            .write.mode("overwrite").json(s"$work/decisions")
+          ev.filter(col("value").isNotNull)
+            .select(
+              col("event_id").cast("string").as("decision_id"),
+              (col("ts") + (col("event_id") % 4) * 3600L).as("ts"),
+              col("value").as("reward"))
+            .orderBy("ts").coalesce(1)
+            .write.mode("overwrite").json(s"$work/rewards")
+          StreamingJoin.rewardJoinStream(s, s"$work/decisions", s"$work/rewards",
+            s"$work/out", s"$work/ckpt",
+            lateness = "1 hour", maxRewardDelay = "2 hours").awaitTermination()
+        }
+        ev.unpersist(blocking = false)
         s.read.parquet(s"$work/out")
           .agg(
             count(lit(1)).as("n_joined"),
