@@ -84,6 +84,42 @@ object KsuidBasicIsoExpression {
   }
 }
 
+/** ksuid_deterministic(epochSeconds, seed) → canonical 27-char KSUID
+  * with a seed-derived payload — the synthetic-id generator
+  * (Ksuid.deterministic) as a native expression, so fixture/pipeline
+  * id derivation stays inside WholeStageCodegen.
+  */
+case class KsuidDeterministicExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ksuid_deterministic expects (BIGINT, BIGINT), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ksuid_deterministic"
+
+  override protected def nullSafeEval(ts: Any, seed: Any): Any =
+    KsuidDeterministicExpression.render(ts.asInstanceOf[Long], seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"graft.functions.KsuidDeterministicExpression.render($t, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object KsuidDeterministicExpression {
+  /** Shared by interpreted eval and generated code. */
+  def render(ts: Long, seed: Long): UTF8String =
+    UTF8String.fromString(Ksuid.deterministic(ts, seed))
+}
+
 object KsuidExpressions {
   /** Epoch seconds (BIGINT, null on invalid id). */
   def ksuidTimestamp(id: Column): Column =
@@ -92,4 +128,9 @@ object KsuidExpressions {
   /** Basic-ISO UTC timestamp string (throws on invalid id). */
   def ksuidBasicIso(id: Column): Column =
     GraftColumn.of(KsuidBasicIsoExpression(GraftColumn.expr(id)))
+
+  /** Deterministic KSUID from (epoch seconds, seed). */
+  def ksuidDeterministic(ts: Column, seed: Column): Column =
+    GraftColumn.of(KsuidDeterministicExpression(
+      GraftColumn.expr(ts.cast("long")), GraftColumn.expr(seed.cast("long"))))
 }

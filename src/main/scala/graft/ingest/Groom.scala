@@ -181,16 +181,21 @@ object Groom {
 
   private def compactGroupImpl(spark: SparkSession, baseDir: String, model: String,
       keys: Seq[String], maxRowsPerFile: Int): Seq[String] = {
-    // filenames are uuid-unique, so the last path segment keys the order
-    val orderOf = keys.zipWithIndex.map { case (k, i) => k.split('/').last -> i }.toMap
-    val pathOrder = udf((path: String) =>
-      orderOf.getOrElse(path.split('/').last,
-        // an unknown file must FAIL, not silently take precedence 0 in
-        // duplicate-reward resolution (parsed() throws likewise)
-        throw new IllegalStateException(
-          s"file $path not in the group's key list")))
+    // filenames are uuid-unique, so the last path segment keys the
+    // order. Column program, not a UDF: a map literal over the group's
+    // (bounded, byte-capped) key list rides the plan, and an unknown
+    // file must FAIL loudly via raise_error, not silently take
+    // precedence 0 in duplicate-reward resolution (parsed() throws
+    // likewise).
+    val orderMap = map(keys.zipWithIndex.flatMap { case (k, i) =>
+      Seq(lit(k.split('/').last), lit(i))
+    }: _*)
+    val pathOrder = coalesce(
+      element_at(orderMap, substring_index(input_file_name(), "/", -1)),
+      raise_error(concat(lit("file "), input_file_name(),
+        lit(" not in the group's key list"))).cast("int"))
     val df = PartitionStore.read(spark, baseDir, keys)
-      .withColumn(Merge.SrcOrder, pathOrder(input_file_name()))
+      .withColumn(Merge.SrcOrder, pathOrder)
       .withColumn(Schema.Model, lit(model))
     // groom batches are bounded (≤ a group's files × maxRowsPerFile):
     // persist instead of disk-staging the merge

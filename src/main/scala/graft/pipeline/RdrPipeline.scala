@@ -22,7 +22,8 @@ import graft.schema.Schema
   */
 object RdrPipeline {
 
-  private val ksuidUdf = udf((ts: Long, seed: Long) => Ksuid.deterministic(ts, seed))
+  private def ksuidCol(ts: org.apache.spark.sql.Column, seed: org.apache.spark.sql.Column) =
+    graft.functions.KsuidExpressions.ksuidDeterministic(ts, seed)
 
   // the three gate queries all consume the same derived stream —
   // generate it once per (JVM, sfDir); cleaned up at JVM exit
@@ -59,12 +60,12 @@ object RdrPipeline {
     val ev = Tables.events(spark, sfDir)
       .withColumn("_sec", col("ts").cast("long"))
     val decisions = ev.select(concat(
-      lit("""{"message_id":""""), ksuidUdf(col("_sec"), col("event_id")),
+      lit("""{"message_id":""""), ksuidCol(col("_sec"), col("event_id")),
       lit("""","model":"events","count":2,"item":"""), col("props"),
       lit(""","context":{"t":""""), col("event_type"), lit(""""}}""")).as("value"))
     val rewards = ev.filter(col("event_type") === "purchase").select(concat(
-      lit("""{"message_id":""""), ksuidUdf(col("_sec"), col("event_id") + 1000000000L),
-      lit("""","model":"events","decision_id":""""), ksuidUdf(col("_sec"), col("event_id")),
+      lit("""{"message_id":""""), ksuidCol(col("_sec"), col("event_id") + 1000000000L),
+      lit("""","model":"events","decision_id":""""), ksuidCol(col("_sec"), col("event_id")),
       lit("""","reward":"""), round(col("value"), 2), lit("}")).as("value"))
     // events.parquet is a single small file → one input partition; gzip
     // is unsplittable, so without an explicit fan-out the whole

@@ -14,18 +14,22 @@ object Scorer {
 
   /** Adds `score` (reward units) to a DataFrame with item/context JSON
     * string columns. Encoding runs distributed; the model broadcasts.
+    *
+    * The flatten and vector-encode stages are the native codegen
+    * expressions from the training path (no per-row Scala UDF of our
+    * own); only MLlib's `transform` prediction call remains opaque.
+    * Intermediate columns (`nums`/`strs`/`features`/`prediction`) are
+    * claimed during scoring and dropped from the result.
     */
   def score(df: DataFrame, dm: DecisionModel,
       itemCol: String = "item", contextCol: String = "context"): DataFrame = {
-    val enc = Encoding.makeVectorEncoder(dm.featureNames, dm.stringTables, dm.modelSeed)
-    val model = dm.model
-    val mean = dm.rewardMean
-    val std = dm.rewardStd
-    val scoreUdf = F.udf((item: String, context: String) => {
-      val (nums, strs) = Encoding.flattenPair(item, context)
-      model.predict(enc(nums, strs, 0.0)) * std + mean
-    })
-    df.withColumn("score", scoreUdf(F.col(itemCol), F.col(contextCol)))
+    val flat = Encoding.withFlatFeatures(df, itemCol, contextCol)
+    val encoded = Encoding.withFeatureVector(
+      flat, dm.featureNames, dm.stringTables, dm.modelSeed)
+    dm.model.transform(encoded)
+      .withColumn("score",
+        F.col("prediction") * F.lit(dm.rewardStd) + F.lit(dm.rewardMean))
+      .drop("nums", "strs", "features", "prediction")
   }
 
   /** Rank candidate items for one context: highest expected reward

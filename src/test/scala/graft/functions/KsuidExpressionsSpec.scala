@@ -85,6 +85,23 @@ class KsuidExpressionsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("ksuidDeterministic matches Ksuid.deterministic through the column path") {
+    import spark.implicits._
+    val rows = Seq((1700000000L, 7L), (1700000001L, 7L), (1700000000L, 8L),
+      (1500000000L, 0L)) // 0 is invalid: epochs below the KSUID epoch throw in encode
+    val out = rows.toDF("ts", "seed").repartition(2)
+      .select(col("ts"), col("seed"),
+        KsuidExpressions.ksuidDeterministic(col("ts"), col("seed")).as("id"))
+      .as[(Long, Long, String)].collect()
+    out.foreach { case (ts, seed, id) =>
+      assert(id == graft.core.Ksuid.deterministic(ts, seed), s"($ts,$seed)")
+    }
+    // deterministic ids round-trip their timestamp
+    out.foreach { case (ts, _, id) =>
+      assert(graft.core.Ksuid.timestampSecondsFast(id.getBytes) == ts)
+    }
+  }
+
   test("SQL surface: ksuid_timestamp / ksuid_basic_iso / flatten_features registered") {
     Functions.register(spark)
     val (ts, id) = randomId()
