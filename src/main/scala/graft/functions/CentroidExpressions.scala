@@ -32,8 +32,8 @@ abstract class VectorModelExpression extends UnaryExpression {
   /** Per-row evaluation on raw ArrayData — called from generated code. */
   def apply(v: ArrayData): Any
 
-  // apply() may signal invalid input (e.g. a vector shorter than the
-  // model dimension) as null regardless of child nullability
+  // subclasses whose apply() can decline a row keep the null channel
+  // open (dimension MISMATCHES throw — see nearest_cell/pq_encode)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any =
@@ -75,7 +75,12 @@ case class NearestCellExpression(child: Expression,
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
-      if (cent.length > vn) return null // UDF raised; null is the SQL spelling
+      if (cent.length > vn)
+        // THROW like the UDF this replaced: a dimension-mismatched
+        // vector silently assigned a null cell would vanish from IVF
+        // index builds/appends and corrupt recall with no signal
+        throw new IllegalArgumentException(
+          s"nearest_cell: vector has $vn dims, centroid needs ${cent.length}")
       var s = 0.0
       var i = 0
       while (i < cent.length) { s += v.getDouble(i) * cent(i); i += 1 }
@@ -155,7 +160,12 @@ case class PqEncodeExpression(child: Expression,
 
   override def apply(v: ArrayData): Any = {
     val m = codebook.length
-    if (v.numElements() < m.toLong * sub) return null // UDF raised; SQL: null
+    if (v.numElements() < m.toLong * sub)
+      // THROW like Pq.encode's UDF: a short vector means the codebook
+      // and corpus disagree — silently dropping the row corrupts the
+      // index without signal
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} dims, codebook needs ${m.toLong * sub}")
     val out = new Array[Int](m)
     var i = 0
     while (i < m) {
@@ -215,10 +225,12 @@ case class SignLshExpression(child: Expression, planes: Array[Array[Double]])
 
 /** SimHash over a word array: majority vote across the 64 bits of
   * each word's hash — replaces the UDF in `Dedup.withSimHash`. The
-  * word-hash closure rides the plan (it is model config, like the
-  * centroid arrays); elements are hashed straight off the ArrayData.
+  * word hash is a NAMED enum member ([[graft.core.WordHash]]), not a
+  * closure: expression data must have value equality for plan
+  * canonicalization, and must never smuggle non-serializable capture.
+  * Elements are hashed straight off the ArrayData.
   */
-case class SimHashExpression(child: Expression, wordHash: String => Long)
+case class SimHashExpression(child: Expression, wordHash: graft.core.WordHash)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -289,6 +301,6 @@ object CentroidExpressions {
     GraftColumn.of(SignLshExpression(GraftColumn.expr(vec), planes))
 
   /** SimHash of a word-array column under `wordHash`. */
-  def simHash(words: Column, wordHash: String => Long): Column =
+  def simHash(words: Column, wordHash: graft.core.WordHash): Column =
     GraftColumn.of(SimHashExpression(GraftColumn.expr(words), wordHash))
 }

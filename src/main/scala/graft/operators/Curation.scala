@@ -175,6 +175,12 @@ object Curation {
     * `chunk_idx`, `chunk_start` (0-based char offset) and `chunk`
     * next to the input columns, one row per window.
     *
+    * Window generation STOPS at the first window that reaches the
+    * document end (last index = ⌈(len − size)/stride⌉): a further
+    * trailing window would be fully contained in its predecessor
+    * (any stride < len ≤ size document would otherwise emit its tail
+    * twice into the embedding/dedup pipeline).
+    *
     * Scale shape: a pure codegen column program — sequence + explode
     * bounded by ⌈len/stride⌉ per document, no shuffle, no UDF; the
     * downstream embed/dedup stages see a narrow exploded relation.
@@ -186,7 +192,8 @@ object Curation {
       s"overlap must be in [0, size), got $overlap (size $size)")
     val stride = size - overlap
     val nChunks = greatest(
-      ceil(length(col(textCol)).cast("double") / stride).cast("int"), lit(1))
+      (ceil((length(col(textCol)) - size).cast("double") / stride) + 1).cast("int"),
+      lit(1))
     df.filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .withColumn("_ci", explode(sequence(lit(0), nChunks - 1)))
       .withColumn("chunk_start", col("_ci") * stride)

@@ -318,37 +318,17 @@ object Dedup {
     * gives candidates for hamming ≤ 3 verification (any pair within
     * distance 3 shares at least one of 4 intact chunks).
     */
-  /** Default word hash: XXH3-64 (fast, high quality). */
-  val xxh3WordHash: String => Long = w => graft.core.XxHash3.hash(w, 0L)
-
-  /** MD5-nibble word hash: nibble j is hex char j of md5(word), and
-    * bit i of the result is bit (i % 4) of nibble (i / 4) — an
-    * arrangement chosen because BOTH Spark and DuckDB expose md5, so
-    * a SQL oracle can reproduce the simhash bit-for-bit (the XXH3
-    * default is not SQL-expressible). Same statistical quality for
-    * simhash purposes; ~3× slower per word.
+  /** Default word hash: XXH3-64 (fast, high quality). Named enum
+    * members, not closures — see [[graft.core.WordHash]].
     */
-  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
+  val xxh3WordHash: graft.core.WordHash = graft.core.WordHash.Xxh3
 
-  val md5WordHash: String => Long = { w =>
-    val md = md5Digest.get()
-    md.reset()
-    val d = md.digest(w.getBytes("UTF-8"))
-    var h = 0L
-    var j = 0
-    while (j < 16) {
-      val b = d(j / 2) & 0xff
-      val nib = if (j % 2 == 0) b >>> 4 else b & 0xf
-      h |= nib.toLong << (4 * j)
-      j += 1
-    }
-    h
-  }
+  /** MD5-nibble word hash — SQL-oracle-reproducible
+    * ([[graft.core.WordHash.Md5]]).
+    */
+  val md5WordHash: graft.core.WordHash = graft.core.WordHash.Md5
 
-  def simHash(words: Seq[String], wordHash: String => Long = xxh3WordHash): Long = {
+  def simHash(words: Seq[String], wordHash: graft.core.WordHash = xxh3WordHash): Long = {
     val v = new Array[Int](64)
     words.foreach { w =>
       val h = wordHash(w)
@@ -402,7 +382,7 @@ object Dedup {
   }
 
   def withSimHash(df: DataFrame, textCol: String,
-      wordHash: String => Long = xxh3WordHash): DataFrame =
+      wordHash: graft.core.WordHash = xxh3WordHash): DataFrame =
     // null-text guard kept: the expression is null-safe, but a null
     // text must contribute no signature row at all
     df.filter(col(textCol).isNotNull)
@@ -630,12 +610,12 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
-      wordHash: String => Long = xxh3WordHash): DataFrame = {
+      wordHash: graft.core.WordHash = xxh3WordHash): DataFrame = {
     require(maxHamming <= 3, "4-chunk bucketing only guarantees hamming <= 3")
     // the md5 hash is SQL-expressible, so its fingerprint computes as a
     // UDF-free codegen'd aggregate (and matches the DuckDB oracle)
     val hashed =
-      if (wordHash eq md5WordHash) md5SimHashById(df, idCol, textCol)
+      if (wordHash == graft.core.WordHash.Md5) md5SimHashById(df, idCol, textCol)
       else withSimHash(df, textCol, wordHash).select(col(idCol), col("simhash"))
     val chunks = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),

@@ -438,7 +438,7 @@ object CurationOps {
              |  WHERE text IS NOT NULL AND length(text) >= 1
              |), c AS (
              |  SELECT doc_id, source, text,
-             |         unnest(range(greatest(CAST(ceil(CAST(len AS DOUBLE) / 96) AS BIGINT), 1))) AS ci
+             |         unnest(range(greatest(CAST(ceil(CAST(len - 128 AS DOUBLE) / 96) AS BIGINT) + 1, 1))) AS ci
              |  FROM d
              |)
              |SELECT source, count(*) AS n_chunks,

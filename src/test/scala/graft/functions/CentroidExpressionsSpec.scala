@@ -64,7 +64,7 @@ class CentroidExpressionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("pqEncode expression equals the UDF body; short vector yields null") {
+  test("pqEncode expression equals the UDF body; short vector throws") {
     import spark.implicits._
     val m = 4
     val k = 3
@@ -93,9 +93,25 @@ class CentroidExpressionsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     vecs.foreach { case (id, v) => assert(out(id) == refEncode(v), s"id=$id") }
 
+    // a dimension-mismatched vector FAILS the job (like the UDF it
+    // replaced) — a silent null would drop the row from index builds
+    // and corrupt recall with no signal
     val short = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
-    val r = short.select(CentroidExpressions.pqEncode(col("v"), codebook)).collect()(0)
-    assert(r.isNullAt(0))
+    val e = intercept[Exception] {
+      short.select(CentroidExpressions.pqEncode(col("v"), codebook)).collect()
+    }
+    assert(e.getMessage.contains("pq_encode") ||
+      Option(e.getCause).exists(_.getMessage.contains("pq_encode")), e.toString)
+  }
+
+  test("nearestCell: dimension-mismatched vector throws, not null-drops") {
+    import spark.implicits._
+    val short = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      short.select(CentroidExpressions.nearestCell(col("v"), cents)).collect()
+    }
+    assert(e.getMessage.contains("nearest_cell") ||
+      Option(e.getCause).exists(_.getMessage.contains("nearest_cell")), e.toString)
   }
 
   test("signLsh expression equals the UDF body, incl. short vectors") {

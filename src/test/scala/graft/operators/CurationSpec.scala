@@ -211,8 +211,18 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       // reassembly: first chunk + each later chunk minus its overlap
       val rebuilt = cs.head._2 + cs.tail.map(_._2.drop(overlap)).mkString
       assert(rebuilt == t, s"doc $i reassembly")
-      // chunk count: ceil(len / stride), minimum 1
-      assert(cs.size == math.max(1, math.ceil(t.length.toDouble / stride).toInt))
+      // chunk count: generation stops at the first window reaching the
+      // end — ceil((len − size)/stride) + 1, minimum 1
+      assert(cs.size ==
+        math.max(1, math.ceil((t.length - size).toDouble / stride).toInt + 1))
+      // no window is contained in its predecessor: each one must
+      // extend coverage past the previous end (the old trailing-window
+      // bug emitted a fully-contained duplicate tail)
+      cs.sliding(2).foreach {
+        case List((s0, c0), (s1, c1)) =>
+          assert(s1 + c1.length > s0 + c0.length, s"doc $i window containment")
+        case _ =>
+      }
     }
 
     // null and empty texts contribute no rows; bad params rejected
