@@ -108,6 +108,34 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
     assert((out.getUTF8String(0).toString, out.getDouble(1)) == expected)
   }
 
+  test("identical results under sort-based aggregation fallback (spill path)") {
+    import spark.implicits._
+    // ObjectHashAggregate falls back to sort-based aggregation past
+    // this many distinct keys in the hash map — the 100 TB spill path.
+    // The fallback exercises serialize/deserialize + merge of partial
+    // buffers in a way the in-memory path does not.
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val old = spark.conf.get(key, "128")
+    try {
+      val rows = (0 until 500).map { i =>
+        (i % 50, (i % 2).toLong, (i % 7).toLong, s"""{"k${i % 5}":${i % 100}}""")
+      }
+      val df = rows.toDF("g", "src", "seq", "rewards").repartition(5)
+      def run(): Map[Int, (String, Double)] =
+        df.groupBy("g").agg(aggColumn)
+          .select(col("g"), col("_rw.rewards"), col("_rw.reward"))
+          .as[(Int, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val normal = run()
+      spark.conf.set(key, "2") // force fallback after 2 hash-map keys
+      val spilled = run()
+      assert(spilled == normal)
+      // and both match the reference fold
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        assert(normal(g) == oldFold(rs.map(t => (t._2, t._3, t._4))), s"group $g")
+      }
+    } finally spark.conf.set(key, old)
+  }
+
   test("hot decision_id with 1e5 rewards merges through the full path") {
     import spark.implicits._
     import graft.schema.Schema
