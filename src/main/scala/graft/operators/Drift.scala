@@ -66,4 +66,69 @@ object Drift {
           .as("psi_term"))
       .orderBy("bin")
   }
+
+  /** Binned two-sample Kolmogorov–Smirnov comparison: the ECDFs of
+    * both sides evaluated at `buckets` equal-width bin edges over the
+    * JOINT [min, max] (joint, not reference-only: drift outside the
+    * reference range must move the statistic, not clamp away). One
+    * row per bin with cumulative counts/shares and the |ΔECDF| term;
+    * `max(ks_term)` is the binned KS statistic D̂ — a lower bound on
+    * the exact D with error at most the largest single-bin probability
+    * mass (the standard sketched KS; raise `buckets` to tighten).
+    *
+    * Scale shape: identical to [[psiBins]] — two scans, bucket-sized
+    * joins, 1-row bounds crossed in-plan — plus one window cumsum
+    * over the `buckets`-row spine (NOT the corpus; the single
+    * partition it runs in holds `buckets` rows). Cumulative sums run
+    * on exact integer counts; the only float ops are the final two
+    * divisions and a subtraction, so independent engines agree
+    * bit-for-bit.
+    */
+  def ksBins(ref: DataFrame, cur: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val bounds = ref
+      .agg(min(col(valueCol).cast("double")).as("_rlo"),
+        max(col(valueCol).cast("double")).as("_rhi"))
+      .crossJoin(cur.agg(min(col(valueCol).cast("double")).as("_clo"),
+        max(col(valueCol).cast("double")).as("_chi")))
+      .select(least(col("_rlo"), col("_clo")).as("_lo"),
+        greatest(col("_rhi"), col("_chi")).as("_hi"))
+    def binned(df: DataFrame, n: String) =
+      df.select(col(valueCol).cast("double").as("_x"))
+        .filter(col("_x").isNotNull)
+        .crossJoin(bounds)
+        .withColumn("bin",
+          greatest(
+            least(floor((col("_x") - col("_lo")) * buckets / (col("_hi") - col("_lo"))),
+              lit(buckets - 1L)),
+            lit(0L)).cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    val totals = r.agg(sum("n_ref").as("_tr"))
+      .crossJoin(c.agg(sum("n_cur").as("_tc")))
+    val spine = ref.sparkSession.range(buckets).select(col("id").as("bin"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine
+      .join(r, Seq("bin"), "left")
+      .join(c, Seq("bin"), "left")
+      .crossJoin(totals)
+      .select(
+        col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        sum(coalesce(col("n_ref"), lit(0L))).over(w).as("_cr"),
+        sum(coalesce(col("n_cur"), lit(0L))).over(w).as("_cc"),
+        col("_tr"), col("_tc"))
+      .select(
+        col("bin"), col("n_ref"), col("n_cur"),
+        round(col("_cr") / col("_tr"), 6).as("cum_share_ref"),
+        round(col("_cc") / col("_tc"), 6).as("cum_share_cur"),
+        round(abs(col("_cr") / col("_tr") - col("_cc") / col("_tc")), 6)
+          .as("ks_term"))
+      .orderBy("bin")
+  }
 }

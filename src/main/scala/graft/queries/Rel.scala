@@ -815,5 +815,55 @@ object Rel {
              |                  / greatest(coalesce(r.n_ref, 0) / tr, 0.000001)), 6) AS psi_term
              |FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin, t
              |ORDER BY bin""".stripMargin)),
+
+    // Binned two-sample Kolmogorov–Smirnov drift (Drift.ksBins): cur
+    // is the odd-key half SCALED ×1.1 — a genuine planted location
+    // shift, so the ECDF gap is materially nonzero and the joint
+    // [min, max] grid (cur's max exceeds ref's) is load-bearing; a
+    // reference-only grid, swapped cumsums, or an off-by-one edge all
+    // change the hash.
+    GateQuery(
+      "q_drift_ks",
+      (s, d) => {
+        val li = lineitem(s, d)
+        graft.operators.Drift.ksBins(
+          li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1)
+            .withColumn("l_extendedprice", col("l_extendedprice") * 1.1),
+          "l_extendedprice", buckets = 10)
+      },
+      Some("""WITH ref AS (
+             |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem WHERE l_orderkey % 2 = 0
+             |), cur AS (
+             |  SELECT CAST(l_extendedprice AS DOUBLE) * 1.1 AS x FROM lineitem WHERE l_orderkey % 2 = 1
+             |), b AS (
+             |  SELECT least((SELECT min(x) FROM ref), (SELECT min(x) FROM cur)) AS lo,
+             |         greatest((SELECT max(x) FROM ref), (SELECT max(x) FROM cur)) AS hi
+             |), r AS (
+             |  SELECT greatest(least(CAST(floor((x - lo) * 10 / (hi - lo)) AS BIGINT), 9), 0) AS bin,
+             |         count(*) AS n_ref
+             |  FROM ref, b GROUP BY 1
+             |), c AS (
+             |  SELECT greatest(least(CAST(floor((x - lo) * 10 / (hi - lo)) AS BIGINT), 9), 0) AS bin,
+             |         count(*) AS n_cur
+             |  FROM cur, b GROUP BY 1
+             |), t AS (
+             |  SELECT (SELECT sum(n_ref) FROM r) AS tr,
+             |         (SELECT sum(n_cur) FROM c) AS tc
+             |), s AS (SELECT unnest(range(10)) AS bin),
+             |j AS (
+             |  SELECT s.bin AS bin,
+             |         coalesce(r.n_ref, 0) AS n_ref,
+             |         coalesce(c.n_cur, 0) AS n_cur,
+             |         sum(coalesce(r.n_ref, 0)) OVER (ORDER BY s.bin) AS cr,
+             |         sum(coalesce(c.n_cur, 0)) OVER (ORDER BY s.bin) AS cc
+             |  FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin
+             |)
+             |SELECT bin, n_ref, n_cur,
+             |       round(CAST(cr AS DOUBLE) / tr, 6) AS cum_share_ref,
+             |       round(CAST(cc AS DOUBLE) / tc, 6) AS cum_share_cur,
+             |       round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc), 6) AS ks_term
+             |FROM j, t
+             |ORDER BY bin""".stripMargin)),
   )
 }

@@ -41,4 +41,45 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Drift.psiBins(ref, ref, "x", 1))
     intercept[IllegalArgumentException](Drift.psiBins(ref, ref, "x", 10, eps = 0.0))
   }
+
+  test("ksBins: identical halves give D=0; a location shift gives the known D") {
+    val ref = vals((1 to 1000).map(_.toDouble))
+    val same = Drift.ksBins(ref, vals((1 to 1000).map(_.toDouble)), "x", 10)
+      .agg(max("ks_term")).head().getDouble(0)
+    assert(same == 0.0, s"identical halves scored $same")
+
+    // cur = ref + half the range: with 20 bins over the joint [1, 1500]
+    // the ECDF gap at the crossing is ~0.5·(1000/1499)·... — just
+    // assert the statistic is large and equals a hand-computed ECDF
+    // scan at the bin edges
+    val cur = vals((1 to 1000).map(i => i + 500.0))
+    val rows = Drift.ksBins(ref, cur, "x", 20).collect()
+    assert(rows.length == 20)
+    val d = rows.map(_.getDouble(5)).max
+    // independent computation: ECDFs at the 20 bin upper edges
+    val lo = 1.0; val hi = 1500.0
+    val expected = (0 until 20).map { b =>
+      val edge = lo + (hi - lo) * (b + 1) / 20.0
+      val fr = (1 to 1000).count(_ <= edge) / 1000.0
+      val fc = (1 to 1000).count(i => i + 500.0 <= edge + 1e-9) / 1000.0
+      math.abs(fr - fc)
+    }.max
+    assert(math.abs(d - expected) < 0.06, s"D=$d expected≈$expected")
+    assert(d > 0.3, s"major shift scored only $d")
+    // final bin closes both ECDFs at 1
+    val last = rows.last
+    assert(last.getDouble(3) == 1.0 && last.getDouble(4) == 1.0)
+    // cumulative shares are monotone
+    assert(rows.map(_.getDouble(3)).sliding(2).forall(w => w(1) >= w(0)))
+  }
+
+  test("ksBins: joint bounds capture drift outside the reference range") {
+    val ref = vals((1 to 100).map(_.toDouble))
+    val cur = vals((201 to 300).map(_.toDouble)) // entirely past ref's max
+    val rows = Drift.ksBins(ref, cur, "x", 10).collect()
+    // with joint [1, 300]: all ref mass sits in the low bins, all cur
+    // mass in the high bins — D must reach 1.0 at the crossover
+    assert(rows.map(_.getDouble(5)).max == 1.0)
+    intercept[IllegalArgumentException](Drift.ksBins(ref, ref, "x", 1))
+  }
 }
