@@ -297,10 +297,23 @@ object Dedup {
     }
   }
 
-  /** The removal step: keep each cluster's canonical (minimum-id)
-    * representative plus every unclustered document. One anti-join of
-    * the corpus against the non-canonical label rows — both sides
-    * hash-partitioned on id, output ≈ corpus minus duplicates.
+  /** The removal step over a PRE-COMPUTED cluster assignment
+    * (id, cluster) — the lake-production shape: the label table is
+    * materialized once (it IS the dedup product) and removal,
+    * reporting, and audits all consume it instead of re-running the
+    * propagation. One anti-join of the corpus against the
+    * non-canonical label rows — both sides hash-partitioned on id.
+    */
+  def keepCanonicalLabeled(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Removal straight from the pair graph: label-propagates first,
+    * then keeps each cluster's canonical (minimum-id) representative
+    * plus every unclustered document.
     */
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b"): DataFrame = {

