@@ -136,6 +136,23 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("merge plan runs partial then final aggregation (map-side combine)") {
+    import spark.implicits._
+    val df = Seq((1, 0L, 1L, """{"a":1}"""), (1, 0L, 2L, """{"b":2}"""))
+      .toDF("g", "src", "seq", "rewards").repartition(2)
+    val q = df.groupBy("g").agg(aggColumn)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate; the
+    // function must appear in BOTH a partial and a final node so
+    // duplicate keys collapse before the exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    val occurrences = "merge_reward_maps".r.findAllIn(plan).size
+    assert(occurrences >= 2, s"expected partial+final, plan:\n$plan")
+    assert(plan.contains("partial_merge_reward_maps") || plan.contains("partial merge_reward_maps") ||
+      plan.toLowerCase.contains("partial"), plan)
+  }
+
   test("hot decision_id with 1e5 rewards merges through the full path") {
     import spark.implicits._
     import graft.schema.Schema
