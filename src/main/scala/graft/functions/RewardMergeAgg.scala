@@ -20,11 +20,15 @@ import graft.schema.Schema.{EmptyRewardsJson, NoRewardsValue}
   * SUMMATION POSITION is fixed by the minimal tuple (plus the field's
   * document-order index inside that map), because the previous
   * implementation summed doubles in first-insertion order and the
-  * reward hash is sensitive to float summation order.
+  * reward hash is sensitive to float summation order. srcOrder/seq
+  * are boxed: a NULL sorts FIRST, exactly as the struct field did
+  * under ascending `sort_array`.
   */
 private[graft] final class RewardKeyState(
-    var firstSrc: Long, var firstSeq: Long, var firstMap: Array[Byte], var firstPos: Int,
-    var winSrc: Long, var winSeq: Long, var winMap: Array[Byte], var valueJson: String)
+    var firstSrc: java.lang.Long, var firstSeq: java.lang.Long,
+    var firstMap: Array[Byte], var firstPos: Int,
+    var winSrc: java.lang.Long, var winSeq: java.lang.Long,
+    var winMap: Array[Byte], var valueJson: String)
 
 /** J1/G1 rewards-map union as a mergeable `TypedImperativeAggregate`
   * (reference: src/ingest/partition.py:270-338 merges per-decision
@@ -81,13 +85,16 @@ case class RewardMergeAgg(srcOrder: Expression, seq: Expression, rewards: Expres
     val mapBytes = r.asInstanceOf[UTF8String].getBytes
     // cheap skip for the dominant no-rewards spelling
     if (mapBytes.length == 2 && mapBytes(0) == '{' && mapBytes(1) == '}') return buffer
-    val src = srcOrder.eval(input) match {
-      case null => return buffer // null struct fields never sorted first anyway
-      case n: java.lang.Number => n.longValue()
+    // null src/seq participate with nulls-FIRST ordering (they sorted
+    // to the front of the old ascending fold — dropping them would
+    // silently lose their keys)
+    val src: java.lang.Long = srcOrder.eval(input) match {
+      case null => null
+      case n: java.lang.Number => java.lang.Long.valueOf(n.longValue())
     }
-    val sq = seq.eval(input) match {
-      case null => 0L
-      case n: java.lang.Number => n.longValue()
+    val sq: java.lang.Long = seq.eval(input) match {
+      case null => null
+      case n: java.lang.Number => java.lang.Long.valueOf(n.longValue())
     }
     CanonicalJson.tryParseBytes(mapBytes).foreach { node =>
       var pos = 0
@@ -162,9 +169,9 @@ case class RewardMergeAgg(srcOrder: Expression, seq: Expression, rewards: Expres
     out.writeInt(buffer.size)
     buffer.foreach { case (key, st) =>
       writeBytes(out, key.getBytes("UTF-8"))
-      out.writeLong(st.firstSrc); out.writeLong(st.firstSeq)
+      writeOptLong(out, st.firstSrc); writeOptLong(out, st.firstSeq)
       writeBytes(out, st.firstMap); out.writeInt(st.firstPos)
-      out.writeLong(st.winSrc); out.writeLong(st.winSeq)
+      writeOptLong(out, st.winSrc); writeOptLong(out, st.winSeq)
       writeBytes(out, st.winMap)
       writeBytes(out, st.valueJson.getBytes("UTF-8"))
     }
@@ -179,9 +186,9 @@ case class RewardMergeAgg(srcOrder: Expression, seq: Expression, rewards: Expres
     var i = 0
     while (i < n) {
       val key = new String(readBytes(in), "UTF-8")
-      val firstSrc = in.readLong(); val firstSeq = in.readLong()
+      val firstSrc = readOptLong(in); val firstSeq = readOptLong(in)
       val firstMap = readBytes(in); val firstPos = in.readInt()
-      val winSrc = in.readLong(); val winSeq = in.readLong()
+      val winSrc = readOptLong(in); val winSeq = readOptLong(in)
       val winMap = readBytes(in)
       val valueJson = new String(readBytes(in), "UTF-8")
       buffer.update(key, new RewardKeyState(
@@ -190,6 +197,13 @@ case class RewardMergeAgg(srcOrder: Expression, seq: Expression, rewards: Expres
     }
     buffer
   }
+
+  private def writeOptLong(out: DataOutputStream, v: java.lang.Long): Unit =
+    if (v == null) out.writeBoolean(false)
+    else { out.writeBoolean(true); out.writeLong(v.longValue()) }
+
+  private def readOptLong(in: DataInputStream): java.lang.Long =
+    if (in.readBoolean()) java.lang.Long.valueOf(in.readLong()) else null
 
   private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
     out.writeInt(b.length); out.write(b)
@@ -208,15 +222,16 @@ case class RewardMergeAgg(srcOrder: Expression, seq: Expression, rewards: Expres
 
 object RewardMergeAgg {
 
-  /** (src, seq, mapBytes) tuple order; byte comparison is unsigned
-    * lexicographic — exactly UTF8String.compareTo, which is what
-    * `sort_array` used on the struct's string field.
+  /** (src, seq, mapBytes) tuple order; null longs sort FIRST (as the
+    * ascending struct sort ordered null fields) and byte comparison
+    * is unsigned lexicographic — exactly UTF8String.compareTo, which
+    * is what `sort_array` used on the struct's string field.
     */
-  private[graft] def compare(aSrc: Long, aSeq: Long, aMap: Array[Byte],
-      bSrc: Long, bSeq: Long, bMap: Array[Byte]): Int = {
-    var c = java.lang.Long.compare(aSrc, bSrc)
+  private[graft] def compare(aSrc: java.lang.Long, aSeq: java.lang.Long, aMap: Array[Byte],
+      bSrc: java.lang.Long, bSeq: java.lang.Long, bMap: Array[Byte]): Int = {
+    var c = compareNullsFirst(aSrc, bSrc)
     if (c != 0) return c
-    c = java.lang.Long.compare(aSeq, bSeq)
+    c = compareNullsFirst(aSeq, bSeq)
     if (c != 0) return c
     if (aMap eq bMap) return 0
     val n = math.min(aMap.length, bMap.length)
@@ -228,4 +243,10 @@ object RewardMergeAgg {
     }
     Integer.compare(aMap.length, bMap.length)
   }
+
+  private def compareNullsFirst(a: java.lang.Long, b: java.lang.Long): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else java.lang.Long.compare(a.longValue(), b.longValue())
 }

@@ -490,11 +490,15 @@ object Dedup {
       */
     case object Reject extends OversizedClusters
     /** Sub-split oversized clusters into ⌈size/maxClusterSize⌉ salt
-      * buckets by id hash, bounding every pair task at the cost of
-      * recall: pairs across salt buckets of the SAME oversized cluster
-      * are not compared (within such a cluster recall ≈ 1/buckets).
-      * A safety valve for degenerate embedding pockets, not the
-      * quality path — prefer re-clustering.
+      * buckets by id hash. Bucket sizes are multinomial, so the
+      * per-task bound holds in EXPECTATION (E[bucket] = maxClusterSize
+      * with tight concentration at curation scales), not as a hard
+      * cap — an adversarial id set can still load one bucket past the
+      * limit. The trade is recall: pairs across salt buckets of the
+      * SAME oversized cluster are not compared (within such a cluster
+      * recall ≈ 1/buckets). A safety valve for degenerate embedding
+      * pockets, not the quality path — prefer re-clustering (and the
+      * default `Reject` is the strict contract).
       */
     case object SaltSplit extends OversizedClusters
   }
@@ -523,9 +527,11 @@ object Dedup {
     * with more than `maxClusterSize` rows would make a single pair
     * task quadratic (one degenerate embedding pocket at corpus scale
     * is enough), so such clusters either fail loudly
-    * (`OversizedClusters.Reject`, default) or are salt-split into
-    * bounded sub-buckets (`OversizedClusters.SaltSplit`, trading
-    * recall inside the oversized cluster for boundedness).
+    * (`OversizedClusters.Reject`, default — the hard guarantee) or
+    * are salt-split into sub-buckets whose size is bounded in
+    * expectation (`OversizedClusters.SaltSplit`, trading recall
+    * inside the oversized cluster for boundedness; see its doc for
+    * the multinomial caveat).
     *
     * Centroid similarity is rounded to `csimDecimals` before
     * comparison so the keep decision never hinges on sub-rounding

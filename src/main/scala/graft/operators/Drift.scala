@@ -32,16 +32,25 @@ object Drift {
       buckets: Int, eps: Double = 1e-6): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     require(eps > 0.0, s"eps must be positive, got $eps")
-    val bounds = ref.agg(min(valueCol).as("_lo"), max(valueCol).as("_hi"))
+    // NaN is dropped like null: one NaN in min/max poisons the bounds
+    // (NaN orders above every double), every row's bin becomes NaN,
+    // and the monitor would report "no drift" on exactly the batch
+    // that is most anomalous. Degenerate hi == lo (all values
+    // identical) pins everything to bin 0 instead of dividing by zero.
+    val bounds = ref
+      .select(col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+      .agg(min("_v").as("_lo"), max("_v").as("_hi"))
     def binned(df: DataFrame, n: String) =
       df.select(col(valueCol).cast("double").as("_x"))
-        .filter(col("_x").isNotNull)
+        .filter(col("_x").isNotNull && !isnan(col("_x")))
         .crossJoin(bounds)
         .withColumn("bin",
-          greatest(
-            least(floor((col("_x") - col("_lo")) * buckets / (col("_hi") - col("_lo"))),
-              lit(buckets - 1L)),
-            lit(0L)).cast("long"))
+          when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+            greatest(
+              least(floor((col("_x") - col("_lo")) * buckets / (col("_hi") - col("_lo"))),
+                lit(buckets - 1L)),
+              lit(0L))).cast("long"))
         .groupBy("bin").agg(count(lit(1)).as(n))
     val r = binned(ref, "n_ref")
     val c = binned(cur, "n_cur")
@@ -87,22 +96,25 @@ object Drift {
   def ksBins(ref: DataFrame, cur: DataFrame, valueCol: String,
       buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val bounds = ref
-      .agg(min(col(valueCol).cast("double")).as("_rlo"),
-        max(col(valueCol).cast("double")).as("_rhi"))
-      .crossJoin(cur.agg(min(col(valueCol).cast("double")).as("_clo"),
-        max(col(valueCol).cast("double")).as("_chi")))
+    // same NaN / degenerate-bounds guards as psiBins: NaN rows are
+    // dropped (never allowed to poison the joint min/max), and
+    // hi == lo pins everything to bin 0
+    def side(df: DataFrame) =
+      df.select(col(valueCol).cast("double").as("_v"))
+        .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val bounds = side(ref).agg(min("_v").as("_rlo"), max("_v").as("_rhi"))
+      .crossJoin(side(cur).agg(min("_v").as("_clo"), max("_v").as("_chi")))
       .select(least(col("_rlo"), col("_clo")).as("_lo"),
         greatest(col("_rhi"), col("_chi")).as("_hi"))
     def binned(df: DataFrame, n: String) =
-      df.select(col(valueCol).cast("double").as("_x"))
-        .filter(col("_x").isNotNull)
+      side(df).withColumnRenamed("_v", "_x")
         .crossJoin(bounds)
         .withColumn("bin",
-          greatest(
-            least(floor((col("_x") - col("_lo")) * buckets / (col("_hi") - col("_lo"))),
-              lit(buckets - 1L)),
-            lit(0L)).cast("long"))
+          when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+            greatest(
+              least(floor((col("_x") - col("_lo")) * buckets / (col("_hi") - col("_lo"))),
+                lit(buckets - 1L)),
+              lit(0L))).cast("long"))
         .groupBy("bin").agg(count(lit(1)).as(n))
     val r = binned(ref, "n_ref")
     val c = binned(cur, "n_cur")

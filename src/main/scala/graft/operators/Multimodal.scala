@@ -77,15 +77,43 @@ object Multimodal {
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
       (bytes(0) == 'B' && bytes(1) == 'M'))
 
+  /** Decode ceiling: a ~100-byte payload can DECLARE an arbitrarily
+    * large canvas (decompression bomb), and the resulting allocation
+    * failure would be an Error no catch-Exception guard sees. 2^25
+    * pixels (= 32 MP, a 128 MB luminance plane) comfortably covers
+    * real curation inputs while keeping the worst-case allocation
+    * bounded per task.
+    */
+  val MaxDecodePixels: Long = 1L << 25
+
   /** Real image decode: PNG/JPEG/GIF/BMP bytes → luminance plane.
-    * None for non-image payloads, truncated/corrupt image bytes, or
-    * anything ImageIO cannot parse — callers fall back to the byte
-    * stubs, never fail the job (a poisoned media batch must not kill
-    * a 100 TB pass; count the Nones downstream if signal is needed).
+    * None for non-image payloads, truncated/corrupt image bytes,
+    * anything ImageIO cannot parse, or images whose DECLARED
+    * dimensions exceed [[MaxDecodePixels]] (checked from the header
+    * via ImageReader BEFORE any pixel allocation — a decompression
+    * bomb must be declined, not OOM the executor) — callers fall back
+    * to the byte stubs, never fail the job (a poisoned media batch
+    * must not kill a 100 TB pass; count the Nones downstream if
+    * signal is needed).
     */
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
     if (!sniffImage(bytes)) return None
     try {
+      // header-only dimension check: readers report width/height
+      // without decoding pixel data
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val dw = reader.getWidth(0).toLong
+          val dh = reader.getHeight(0).toLong
+          if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) return None
+        } finally reader.dispose()
+      } finally iis.close()
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
         val w = img.getWidth
         val h = img.getHeight

@@ -18,18 +18,29 @@ object Scorer {
     * The flatten and vector-encode stages are the native codegen
     * expressions from the training path (no per-row Scala UDF of our
     * own); only MLlib's `transform` prediction call remains opaque.
-    * Intermediate columns (`nums`/`strs`/`features`/`prediction`) are
-    * claimed during scoring and dropped from the result.
+    * Internals live in `__score_`-prefixed columns and the model copy
+    * reads/writes those, so caller columns named `features`,
+    * `prediction`, `nums`, etc. pass through untouched (only a
+    * pre-existing `score` column is replaced).
     */
   def score(df: DataFrame, dm: DecisionModel,
       itemCol: String = "item", contextCol: String = "context"): DataFrame = {
-    val flat = Encoding.withFlatFeatures(df, itemCol, contextCol)
-    val encoded = Encoding.withFeatureVector(
-      flat, dm.featureNames, dm.stringTables, dm.modelSeed)
-    dm.model.transform(encoded)
+    val flat = F.col("__score_flat")
+    val encoded = df
+      .withColumn("__score_flat",
+        graft.functions.FlattenJsonExpression.flatten(F.col(itemCol), F.col(contextCol)))
+      .withColumn("__score_features",
+        graft.functions.EncodeExpressions.featureVector(
+          flat.getField("nums"), flat.getField("strs"), F.lit(0.0),
+          dm.featureNames, dm.stringTables, dm.modelSeed))
+      .drop("__score_flat")
+    val model = dm.model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setFeaturesCol("__score_features")
+      .setPredictionCol("__score_prediction")
+    model.transform(encoded)
       .withColumn("score",
-        F.col("prediction") * F.lit(dm.rewardStd) + F.lit(dm.rewardMean))
-      .drop("nums", "strs", "features", "prediction")
+        F.col("__score_prediction") * F.lit(dm.rewardStd) + F.lit(dm.rewardMean))
+      .drop("__score_features", "__score_prediction")
   }
 
   /** Rank candidate items for one context: highest expected reward

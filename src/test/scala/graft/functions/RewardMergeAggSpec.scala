@@ -25,12 +25,16 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
   /** The pre-aggregate implementation, verbatim semantics: ascending
     * (src, seq, UTF8-byte-wise map) sort, then the sequential fold.
     */
-  private def oldFold(rows: Seq[(Long, Long, String)]): (String, Double) = {
+  private def oldFold(rows: Seq[(Long, Long, String)]): (String, Double) =
+    oldFoldOpt(rows.map { case (s, q, m) => (Some(s): Option[Long], q, m) })
+
+  private def oldFoldOpt(rows: Seq[(Option[Long], Long, String)]): (String, Double) = {
     val sorted = rows
       .filter(_._3 != null)
       .sortWith { case ((as, aq, am), (bs, bq, bm)) =>
-        RewardMergeAgg.compare(as, aq, am.getBytes("UTF-8"),
-          bs, bq, bm.getBytes("UTF-8")) < 0
+        RewardMergeAgg.compare(
+          as.map(java.lang.Long.valueOf).orNull, aq, am.getBytes("UTF-8"),
+          bs.map(java.lang.Long.valueOf).orNull, bq, bm.getBytes("UTF-8")) < 0
       }
     Merge.mergeRewardMaps(sorted.map(_._3))
   }
@@ -64,10 +68,12 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
         ks.map(k => s""""$k":${randomValue()}""").mkString("{", ",", "}")
     }
     // 40 trials ride one DataFrame as 40 groups; small src/seq pools
-    // force full-tuple ties that only the map-byte comparison breaks
+    // force full-tuple ties that only the map-byte comparison breaks,
+    // and ~1/6 of srcs are NULL (they must participate, sorting first)
     val trials = (0 until 40).map { g =>
       g -> (0 until (1 + rnd.nextInt(12))).map { _ =>
-        (rnd.nextInt(2).toLong, (1 + rnd.nextInt(3)).toLong, randomMap())
+        (if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(2).toLong),
+          (1 + rnd.nextInt(3)).toLong, randomMap())
       }
     }
     val df = trials.flatMap { case (g, rows) =>
@@ -78,9 +84,29 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
       .select(col("g"), col("_rw.rewards"), col("_rw.reward"))
       .as[(Int, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     trials.foreach { case (g, rows) =>
-      val expected = oldFold(rows)
+      val expected = oldFoldOpt(rows)
       assert(actual(g) == expected, s"trial $g: ${actual(g)} != $expected rows=$rows")
     }
+  }
+
+  test("null src rows participate and sort first — parity with the literal sort_array fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val df = Seq(
+      (Some(1L), 5L, """{"k":1}"""),
+      (None: Option[Long], 9L, """{"k":2,"z":7}"""), // null src: earliest precedence
+      (Some(0L), 3L, """{"k":3}"""))
+      .toDF("src", "seq", "rewards")
+    // the replaced implementation, verbatim, run via actual sort_array
+    val oldUdf = udf((maps: Seq[Row]) => Merge.mergeRewardMaps(maps.map(_.getString(2))))
+    val old = df.agg(oldUdf(sort_array(collect_list(
+        when(col("rewards").isNotNull, struct(col("src"), col("seq"), col("rewards")))))).as("o"))
+      .select(col("o._1"), col("o._2")).as[(String, Double)].head()
+    val neu = df.agg(aggColumn)
+      .select(col("_rw.rewards"), col("_rw.reward")).as[(String, Double)].head()
+    assert(neu == old)
+    // z survives only if the null-src map was not dropped
+    assert(neu._1.contains("\"z\":7"), neu._1)
   }
 
   test("aggregation buffer is bounded by distinct keys, not row count") {

@@ -73,6 +73,23 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getDouble(3)).sliding(2).forall(w => w(1) >= w(0)))
   }
 
+  test("NaN rows never poison the bounds; identical-constant sides are degenerate-safe") {
+    // one NaN in cur previously made max() return NaN, every bin NaN,
+    // and the monitor report D=0 on the most anomalous batch
+    val ref = vals((1 to 100).map(_.toDouble))
+    val cur = vals(Seq(Double.NaN) ++ (201 to 300).map(_.toDouble))
+    val d = Drift.ksBins(ref, cur, "x", 10).agg(max("ks_term")).head().getDouble(0)
+    assert(d == 1.0, s"NaN poisoned the KS bounds: D=$d")
+    val psi = Drift.psiBins(ref, cur, "x", 10)
+      .agg(sum("psi_term")).head().getDouble(0)
+    assert(psi > 0.25 && !psi.isNaN, s"NaN poisoned the PSI bins: $psi")
+    // all values identical on both sides: one bin, zero drift, no NaN
+    val const = vals(Seq.fill(10)(5.0))
+    val kRows = Drift.ksBins(const, vals(Seq.fill(7)(5.0)), "x", 10).collect()
+    assert(kRows.map(_.getDouble(5)).max == 0.0)
+    assert(kRows.map(r => r.getLong(1) + r.getLong(2)).sum == 17L) // nothing lost
+  }
+
   test("ksBins: joint bounds capture drift outside the reference range") {
     val ref = vals((1 to 100).map(_.toDouble))
     val cur = vals((201 to 300).map(_.toDouble)) // entirely past ref's max

@@ -58,6 +58,28 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.sniffImage(corrupt) && Multimodal.decodeImage(corrupt).isEmpty)
   }
 
+  test("decodeImage declines a decompression bomb by header dimensions") {
+    // take a real 8x8 PNG and patch its IHDR to DECLARE 50000x50000
+    // (2.5 G pixels) with a recomputed CRC, so readers accept the
+    // header — the dimension cap must decline before any pixel
+    // allocation happens
+    val png = pngBytes(8, 8)((_, _) => 0xffffff)
+    val bomb = png.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 50000) // IHDR width
+    putInt(20, 50000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type "IHDR" + 13 data bytes
+    putInt(29, crc.getValue.toInt)
+    assert(Multimodal.sniffImage(bomb))
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+    // the unpatched image still decodes
+    assert(Multimodal.decodeImage(png).nonEmpty)
+  }
+
   test("resizeArea: exact-partition box filter, hand-computed cells") {
     // 4x2 gradient: luminance = x*10 + y*100 (construct directly)
     val img = Multimodal.DecodedImage(4, 2,
