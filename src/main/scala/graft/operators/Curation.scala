@@ -156,6 +156,38 @@ object Curation {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Cross-document repeated-passage census — exact substring
+    * duplication at token n-gram granularity (the signal behind
+    * suffix-array training-data dedup, Lee et al. 2022,
+    * arXiv:2107.06499, re-expressed relationally): every token
+    * n-gram that occurs in at least `minDocs` DISTINCT documents,
+    * with its document frequency and total occurrence count
+    * (within-document repeats included). Returns
+    * (ngram, n_docs, n_occurrences), most-shared first.
+    *
+    * Scale shape: per-row n-gram explode (bounded by document
+    * length), then ONE hash aggregation keyed on the n-gram with
+    * map-side partial aggregation — corpus-linear, no driver-side
+    * vocabulary, no join. Downstream removal composes as a semi-join
+    * of documents against the flagged grams.
+    */
+  def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val words = split(trim(col(textCol)), " ")
+    val grams = transform(sequence(lit(0), size(words) - n),
+      i => array_join(slice(words, i + 1, lit(n)), " "))
+    df.filter(col(textCol).isNotNull && size(words) >= n)
+      .select(col(idCol).as("_id"), explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(
+        countDistinct(col("_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("ngram"))
+  }
+
   /** Context-length capping: truncate `textCol` to its first
     * `maxTokens` whitespace tokens, adding `<textCol>_trunc` and
     * `n_tokens_kept`. A pure column program (split/slice/join — no

@@ -171,6 +171,43 @@ object CurationOps {
               |       min(doc_id) AS first_flagged
               |FROM hits WHERE n_hits >= 2""".stripMargin)),
 
+    // Cross-document repeated-passage census: token 8-grams shared by
+    // ≥ 2 distinct documents (exact substring duplication, the
+    // suffix-array-dedup signal re-expressed as one hash aggregation).
+    // The near-dup-heavy documents fixture guarantees a rich repeated
+    // set; doc-frequency vs occurrence-count split pins that
+    // within-document repeats count toward occurrences but not docs.
+    GateQuery(
+      "q_repeated_ngrams",
+      (s, d) =>
+        Curation.repeatedPassages(documents(s, d), "doc_id", "text",
+          n = 8, minDocs = 2)
+          .agg(
+            count(lit(1)).as("n_repeated"),
+            sum("n_docs").cast("long").as("sum_docs"),
+            sum("n_occurrences").cast("long").as("sum_occurrences"),
+            max("n_docs").cast("long").as("max_docs"),
+            min("ngram").as("first_ngram")),
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS words
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND len(string_split(trim(text), ' ')) >= 8
+             |), g AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(len(words) - 7),
+             |                i -> array_to_string(words[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))) AS ngram
+             |  FROM w
+             |), c AS (
+             |  SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+             |  FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+             |)
+             |SELECT count(*) AS n_repeated,
+             |       CAST(sum(n_docs) AS BIGINT) AS sum_docs,
+             |       CAST(sum(n_occurrences) AS BIGINT) AS sum_occurrences,
+             |       CAST(max(n_docs) AS BIGINT) AS max_docs,
+             |       min(ngram) AS first_ngram
+             |FROM c""".stripMargin)),
+
     // Gopher/C4-style repetition signals: duplicate-word fraction and
     // top-bigram fraction per document, censused per source. Pure
     // column programs (the per-doc O(n²) distinct-count is bounded by

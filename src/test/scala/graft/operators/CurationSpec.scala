@@ -237,6 +237,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("repeatedPassages: cross-doc n-grams flagged; within-doc repeats count occurrences only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "a lazy dog saw the quick brown fox run"), // shares "the quick brown fox" with 1
+      (3L, "the quick brown fox the quick brown fox"), // shares it AND repeats it internally
+      (4L, "completely different words here entirely"),
+      (5L, "too short")).toDF("doc_id", "text")
+    val out = Curation.repeatedPassages(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "the quick brown fox": docs 1, 2, 3 (doc 3 twice) → df 3, occ 5?
+    //   doc1: 1 occurrence; doc2: 1; doc3 grams of 8 words: positions
+    //   0 and 4 give the phrase → 2 occurrences; total 4
+    assert(out("the quick brown fox") == ((3L, 4L)), out)
+    // "quick brown fox the" appears only inside doc 3 (df 1) → NOT flagged
+    assert(!out.contains("quick brown fox the"), out)
+    // nothing else shared
+    assert(out.size == 1, out)
+    intercept[IllegalArgumentException](
+      Curation.repeatedPassages(docs, "doc_id", "text", n = 0))
+    intercept[IllegalArgumentException](
+      Curation.repeatedPassages(docs, "doc_id", "text", n = 4, minDocs = 1))
+  }
+
   test("weightedSample: exact A-ES selection, layout-independent, weight-sensitive") {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
