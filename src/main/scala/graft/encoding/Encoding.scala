@@ -59,11 +59,12 @@ object Encoding {
     * per-row encoder conversions.
     */
   def withFlatFeatures(df: DataFrame, itemCol: String = Schema.Item,
-      contextCol: String = Schema.Context): DataFrame =
+      contextCol: String = Schema.Context,
+      numsCol: String = "nums", strsCol: String = "strs"): DataFrame =
     df.withColumn("_flat",
         graft.functions.FlattenJsonExpression.flatten(col(itemCol), col(contextCol)))
-      .withColumn("nums", col("_flat.nums"))
-      .withColumn("strs", col("_flat.strs"))
+      .withColumn(numsCol, col("_flat.nums"))
+      .withColumn(strsCol, col("_flat.strs"))
       .drop("_flat")
 
   // ---- propensity row expansion (UDTF analogue) --------------------------
@@ -236,9 +237,11 @@ object Encoding {
     */
   def withFeatureVector(df: DataFrame, featureNames: Seq[String],
       tables: Map[String, Seq[Long]], modelSeed: Long,
-      noiseCol: Option[Column] = None): DataFrame =
-    df.withColumn("features",
+      noiseCol: Option[Column] = None,
+      numsCol: String = "nums", strsCol: String = "strs",
+      outputCol: String = "features"): DataFrame =
+    df.withColumn(outputCol,
       graft.functions.EncodeExpressions.featureVector(
-        col("nums"), col("strs"), noiseCol.getOrElse(lit(0.0)),
+        col(numsCol), col(strsCol), noiseCol.getOrElse(lit(0.0)),
         featureNames, tables, modelSeed))
 }

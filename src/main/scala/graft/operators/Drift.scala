@@ -35,8 +35,13 @@ object Drift {
     // NaN is dropped like null: one NaN in min/max poisons the bounds
     // (NaN orders above every double), every row's bin becomes NaN,
     // and the monitor would report "no drift" on exactly the batch
-    // that is most anomalous. Degenerate hi == lo (all values
-    // identical) pins everything to bin 0 instead of dividing by zero.
+    // that is most anomalous. NaN MASS is not silently invisible
+    // though — monitor it with [[nanShare]], which these value-bin
+    // monitors deliberately exclude. A constant reference (hi == lo)
+    // degenerates to point-comparison semantics: current values above
+    // the constant clamp to the top bin, below (or equal) to bin 0 —
+    // a total shift away from a frozen reference must surface, not
+    // vanish into a shared bin.
     val bounds = ref
       .select(col(valueCol).cast("double").as("_v"))
       .filter(col("_v").isNotNull && !isnan(col("_v")))
@@ -46,7 +51,9 @@ object Drift {
         .filter(col("_x").isNotNull && !isnan(col("_x")))
         .crossJoin(bounds)
         .withColumn("bin",
-          when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+          when(col("_hi") === col("_lo"),
+            when(col("_x") > col("_hi"), lit(buckets - 1L)).otherwise(lit(0L)))
+          .otherwise(
             greatest(
               least(floor((col("_x") - col("_lo")) * buckets / (col("_hi") - col("_lo"))),
                 lit(buckets - 1L)),
@@ -96,9 +103,10 @@ object Drift {
   def ksBins(ref: DataFrame, cur: DataFrame, valueCol: String,
       buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    // same NaN / degenerate-bounds guards as psiBins: NaN rows are
-    // dropped (never allowed to poison the joint min/max), and
-    // hi == lo pins everything to bin 0
+    // same NaN guard as psiBins (track NaN mass with [[nanShare]]);
+    // joint hi == lo means every value on BOTH sides is that one
+    // constant, so bin 0 for all is exact (unlike psiBins, whose
+    // reference-only bounds need the point-comparison branch)
     def side(df: DataFrame) =
       df.select(col(valueCol).cast("double").as("_v"))
         .filter(col("_v").isNotNull && !isnan(col("_v")))
@@ -142,5 +150,29 @@ object Drift {
         round(abs(col("_cr") / col("_tr") - col("_cc") / col("_tc")), 6)
           .as("ks_term"))
       .orderBy("bin")
+  }
+
+  /** Missing-mass census: row counts and null/NaN fractions per side,
+    * one row. The value-bin monitors ([[psiBins]], [[ksBins]])
+    * exclude non-finite rows by design (one NaN would poison their
+    * bounds), so a NaN SURGE — a common real drift mode when an
+    * upstream feature computation breaks — is surfaced here: alert on
+    * `abs(nan_share_cur − nan_share_ref)` alongside the value-bin
+    * statistics. Two scans, two 1-row aggregates, one cross join.
+    */
+  def nanShare(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    def census(df: DataFrame, suffix: String) =
+      df.select(col(valueCol).cast("double").as("_v"))
+        .agg(
+          count(lit(1)).as(s"n_$suffix"),
+          sum(when(col("_v").isNull || isnan(col("_v")), 1L).otherwise(0L))
+            .as(s"n_bad_$suffix"))
+    census(ref, "ref").crossJoin(census(cur, "cur"))
+      .select(
+        col("n_ref"), col("n_bad_ref"), col("n_cur"), col("n_bad_cur"),
+        round(col("n_bad_ref") / greatest(col("n_ref"), lit(1L)), 6).as("nan_share_ref"),
+        round(col("n_bad_cur") / greatest(col("n_cur"), lit(1L)), 6).as("nan_share_cur"),
+        round(abs(col("n_bad_cur") / greatest(col("n_cur"), lit(1L))
+          - col("n_bad_ref") / greatest(col("n_ref"), lit(1L))), 6).as("nan_share_delta"))
   }
 }

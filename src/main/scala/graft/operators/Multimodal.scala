@@ -99,22 +99,27 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
     if (!sniffImage(bytes)) return None
     try {
-      // header-only dimension check: readers report width/height
-      // without decoding pixel data
+      // ONE reader does both the header-only dimension check (no
+      // pixel allocation yet) and, when the check passes, the actual
+      // decode — reader discovery and header parse are paid once per
+      // row, not twice
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      try {
+      val decoded: Option[java.awt.image.BufferedImage] = try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return None
-        val reader = readers.next()
-        try {
-          reader.setInput(iis, true, true)
-          val dw = reader.getWidth(0).toLong
-          val dh = reader.getHeight(0).toLong
-          if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) return None
-        } finally reader.dispose()
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val dw = reader.getWidth(0).toLong
+            val dh = reader.getHeight(0).toLong
+            if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
       } finally iis.close()
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+      decoded.map { img =>
         val w = img.getWidth
         val h = img.getHeight
         val lum = new Array[Int](w * h)

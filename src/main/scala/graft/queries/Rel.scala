@@ -865,5 +865,43 @@ object Rel {
              |       round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc), 6) AS ks_term
              |FROM j, t
              |ORDER BY bin""".stripMargin)),
+
+    // Missing-mass drift census (Drift.nanShare): events.value with a
+    // planted NaN surge on the current side (event_id % 7 → NaN on top
+    // of the fixture's organic nulls). The value-bin monitors exclude
+    // non-finite rows by design; this gate pins the census that makes
+    // the excluded mass visible.
+    GateQuery(
+      "q_drift_nan",
+      (s, d) => {
+        val ev = events(s, d)
+        graft.operators.Drift.nanShare(
+          ev.filter(col("event_id") % 2 === 0).select(col("value")),
+          ev.filter(col("event_id") % 2 === 1)
+            .select(when(col("event_id") % 7 === 0, lit(Double.NaN))
+              .otherwise(col("value")).as("value")),
+          "value")
+      },
+      Some("""WITH ref AS (
+             |  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_id % 2 = 0
+             |), cur AS (
+             |  SELECT CASE WHEN event_id % 7 = 0 THEN CAST('NaN' AS DOUBLE)
+             |              ELSE CAST(value AS DOUBLE) END AS v
+             |  FROM events WHERE event_id % 2 = 1
+             |), r AS (
+             |  SELECT count(*) AS n_ref,
+             |         CAST(sum(CASE WHEN v IS NULL OR isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_ref
+             |  FROM ref
+             |), c AS (
+             |  SELECT count(*) AS n_cur,
+             |         CAST(sum(CASE WHEN v IS NULL OR isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cur
+             |  FROM cur
+             |)
+             |SELECT n_ref, n_bad_ref, n_cur, n_bad_cur,
+             |       round(CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1), 6) AS nan_share_ref,
+             |       round(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1), 6) AS nan_share_cur,
+             |       round(abs(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1)
+             |                 - CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1)), 6) AS nan_share_delta
+             |FROM r, c""".stripMargin)),
   )
 }

@@ -15,25 +15,26 @@ object Scorer {
   /** Adds `score` (reward units) to a DataFrame with item/context JSON
     * string columns. Encoding runs distributed; the model broadcasts.
     *
-    * The flatten and vector-encode stages are the native codegen
-    * expressions from the training path (no per-row Scala UDF of our
-    * own); only MLlib's `transform` prediction call remains opaque.
-    * Internals live in `__score_`-prefixed columns and the model copy
-    * reads/writes those, so caller columns named `features`,
-    * `prediction`, `nums`, etc. pass through untouched (only a
-    * pre-existing `score` column is replaced).
+    * The flatten and vector-encode stages are the SAME
+    * `Encoding.withFlatFeatures`/`withFeatureVector` calls the
+    * training path makes (output columns redirected) — one encode
+    * recipe, no training/serving skew; only MLlib's `transform`
+    * prediction call remains opaque. Internals live in
+    * `__score_`-prefixed columns (a RESERVED prefix: caller columns
+    * named `__score_*` are clobbered), so ordinary caller columns —
+    * including `features`, `prediction`, `nums`, `strs` — pass
+    * through untouched; only a pre-existing `score` column is
+    * replaced.
     */
   def score(df: DataFrame, dm: DecisionModel,
       itemCol: String = "item", contextCol: String = "context"): DataFrame = {
-    val flat = F.col("__score_flat")
-    val encoded = df
-      .withColumn("__score_flat",
-        graft.functions.FlattenJsonExpression.flatten(F.col(itemCol), F.col(contextCol)))
-      .withColumn("__score_features",
-        graft.functions.EncodeExpressions.featureVector(
-          flat.getField("nums"), flat.getField("strs"), F.lit(0.0),
-          dm.featureNames, dm.stringTables, dm.modelSeed))
-      .drop("__score_flat")
+    val flat = Encoding.withFlatFeatures(df, itemCol, contextCol,
+      numsCol = "__score_nums", strsCol = "__score_strs")
+    val encoded = Encoding.withFeatureVector(
+        flat, dm.featureNames, dm.stringTables, dm.modelSeed,
+        numsCol = "__score_nums", strsCol = "__score_strs",
+        outputCol = "__score_features")
+      .drop("__score_nums", "__score_strs")
     val model = dm.model.copy(org.apache.spark.ml.param.ParamMap.empty)
       .setFeaturesCol("__score_features")
       .setPredictionCol("__score_prediction")

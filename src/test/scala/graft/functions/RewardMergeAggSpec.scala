@@ -26,15 +26,17 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
     * (src, seq, UTF8-byte-wise map) sort, then the sequential fold.
     */
   private def oldFold(rows: Seq[(Long, Long, String)]): (String, Double) =
-    oldFoldOpt(rows.map { case (s, q, m) => (Some(s): Option[Long], q, m) })
+    oldFoldOpt(rows.map { case (s, q, m) => (Some(s): Option[Long], Some(q): Option[Long], m) })
 
-  private def oldFoldOpt(rows: Seq[(Option[Long], Long, String)]): (String, Double) = {
+  private def oldFoldOpt(rows: Seq[(Option[Long], Option[Long], String)]): (String, Double) = {
     val sorted = rows
       .filter(_._3 != null)
       .sortWith { case ((as, aq, am), (bs, bq, bm)) =>
         RewardMergeAgg.compare(
-          as.map(java.lang.Long.valueOf).orNull, aq, am.getBytes("UTF-8"),
-          bs.map(java.lang.Long.valueOf).orNull, bq, bm.getBytes("UTF-8")) < 0
+          as.map(java.lang.Long.valueOf).orNull,
+          aq.map(java.lang.Long.valueOf).orNull, am.getBytes("UTF-8"),
+          bs.map(java.lang.Long.valueOf).orNull,
+          bq.map(java.lang.Long.valueOf).orNull, bm.getBytes("UTF-8")) < 0
       }
     Merge.mergeRewardMaps(sorted.map(_._3))
   }
@@ -69,11 +71,14 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
     }
     // 40 trials ride one DataFrame as 40 groups; small src/seq pools
     // force full-tuple ties that only the map-byte comparison breaks,
-    // and ~1/6 of srcs are NULL (they must participate, sorting first)
+    // and ~1/6 of srcs AND seqs are NULL (both must participate,
+    // sorting first — seq draws include a NEGATIVE value so a
+    // null-coerced-to-0 regression would order after it and fail)
     val trials = (0 until 40).map { g =>
       g -> (0 until (1 + rnd.nextInt(12))).map { _ =>
         (if (rnd.nextInt(6) == 0) None else Some(rnd.nextInt(2).toLong),
-          (1 + rnd.nextInt(3)).toLong, randomMap())
+          if (rnd.nextInt(6) == 0) None else Some((rnd.nextInt(4) - 1).toLong),
+          randomMap())
       }
     }
     val df = trials.flatMap { case (g, rows) =>
@@ -93,9 +98,10 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     import org.apache.spark.sql.Row
     val df = Seq(
-      (Some(1L), 5L, """{"k":1}"""),
-      (None: Option[Long], 9L, """{"k":2,"z":7}"""), // null src: earliest precedence
-      (Some(0L), 3L, """{"k":3}"""))
+      (Some(1L), Some(5L), """{"k":1}"""),
+      (None: Option[Long], Some(9L), """{"k":2,"z":7}"""), // null src: earliest precedence
+      (Some(0L), None: Option[Long], """{"k":3,"y":4}"""), // null seq sorts before -1
+      (Some(0L), Some(-1L), """{"k":5}"""))
       .toDF("src", "seq", "rewards")
     // the replaced implementation, verbatim, run via actual sort_array
     val oldUdf = udf((maps: Seq[Row]) => Merge.mergeRewardMaps(maps.map(_.getString(2))))

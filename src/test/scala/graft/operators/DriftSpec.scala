@@ -90,6 +90,36 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(kRows.map(r => r.getLong(1) + r.getLong(2)).sum == 17L) // nothing lost
   }
 
+  test("psiBins: a frozen (constant) reference still alerts on shifted current values") {
+    // ref constant 5.0 (lo == hi) with cur at 100.0: the degenerate
+    // branch must route the shifted mass to the top bin, not share
+    // bin 0 with the reference and report PSI = 0
+    val ref = vals(Seq.fill(50)(5.0))
+    val shifted = Drift.psiBins(ref, vals(Seq.fill(50)(100.0)), "x", 10)
+    val psi = shifted.agg(sum("psi_term")).head().getDouble(0)
+    assert(psi > 0.25, s"constant-reference shift scored only $psi")
+    // equal-constant current stays at ~0
+    val same = Drift.psiBins(ref, vals(Seq.fill(30)(5.0)), "x", 10)
+      .agg(sum("psi_term")).head().getDouble(0)
+    assert(math.abs(same) < 1e-9, s"identical constants scored $same")
+  }
+
+  test("nanShare surfaces a NaN surge the value-bin monitors exclude") {
+    val ref = vals((1 to 100).map(_.toDouble))
+    // 99 NaN + 1 matching value: value-bin monitors see no drift, the
+    // missing-mass census must
+    val cur = vals(Seq(50.0) ++ Seq.fill(99)(Double.NaN))
+    val row = Drift.nanShare(ref, cur, "x").collect().head
+    assert(row.getAs[Long]("n_cur") == 100L && row.getAs[Long]("n_bad_cur") == 99L)
+    assert(row.getAs[Double]("nan_share_cur") == 0.99)
+    assert(row.getAs[Double]("nan_share_delta") == 0.99)
+    // nulls count as missing too
+    import spark.implicits._
+    val withNulls = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    assert(Drift.nanShare(ref, withNulls, "x").collect().head
+      .getAs[Long]("n_bad_cur") == 1L)
+  }
+
   test("ksBins: joint bounds capture drift outside the reference range") {
     val ref = vals((1 to 100).map(_.toDouble))
     val cur = vals((201 to 300).map(_.toDouble)) // entirely past ref's max
