@@ -323,6 +323,36 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-ranked removal: keep each duplicate cluster's
+    * highest-`scoreCol` member (score tie → smaller id, fully
+    * deterministic) plus every unclustered document — what curation
+    * actually wants when a quality score exists: the min-id canonical
+    * is arbitrary, while this keeps the best-written duplicate.
+    *
+    * Shape: clusters ⋈ corpus on id (both hash-partitioned on the
+    * key), ONE per-cluster max-struct aggregation (cluster count
+    * rows; (−score, id) packed so a single min picks the winner), and
+    * a semi-join back — no window over the corpus, no driver state.
+    */
+  def keepBestLabeled(df: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol).as("id"),
+      col(scoreCol).cast("double").as("_score"))
+      .join(clusters, Seq("id")) // clustered rows only
+    // winner per cluster = max (score, -id): struct min over
+    // (-score, id) gives (highest score, then smallest id)
+    val winners = scored
+      .groupBy("cluster")
+      .agg(min(struct((-col("_score")).as("s"), col("id").as("i")))
+        .getField("i").as("id"))
+    // drop set = clustered ids minus the winners; one anti-join keeps
+    // winners AND every unclustered document in a single pass
+    val losers = clusters.select(col("id"))
+      .join(winners.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over the word multiset: bit i of the fingerprint

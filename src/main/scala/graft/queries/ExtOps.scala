@@ -194,6 +194,56 @@ object ExtOps {
              |       CAST((SELECT sum(doc_id) FROM documents)
              |            - (SELECT coalesce(sum(id), 0) FROM dropped) AS BIGINT) AS kept_id_sum""".stripMargin)),
 
+    // QUALITY-ranked removal: each near-dup cluster keeps its LONGEST
+    // member (score = text length; tie → min doc_id) instead of the
+    // arbitrary min-id canonical. The id checksum pins the exact
+    // surviving set — a wrong winner in any cluster shifts it, so the
+    // gate distinguishes this policy from q_dedup_remove's.
+    GateQuery(
+      "q_dedup_keep_best",
+      (s, d) => {
+        val docs = documents(s, d).select(
+          col("doc_id"), col("text"), length(col("text")).as("quality"))
+        Dedup.keepBestLabeled(docs, "doc_id", "quality", cachedClusters(s, d))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).cast("long").as("kept_id_sum"))
+      },
+      Some("""WITH pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) a
+             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) b
+             |    ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             |          / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.9
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION
+             |  SELECT id_b AS src, id_a AS dst FROM pairs
+             |), lab AS (
+             |  WITH RECURSIVE walk(id, lbl) AS (
+             |    SELECT src, src FROM edges
+             |    UNION
+             |    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+             |    WHERE w.lbl < e.dst
+             |  )
+             |  SELECT id, min(lbl) AS cluster FROM walk GROUP BY id
+             |), win AS (
+             |  SELECT cluster, id FROM (
+             |    SELECT l.cluster, l.id,
+             |           row_number() OVER (PARTITION BY l.cluster
+             |                              ORDER BY length(d.text) DESC, l.id ASC) AS rn
+             |    FROM lab l JOIN documents d ON d.doc_id = l.id)
+             |  WHERE rn = 1
+             |), dropped AS (
+             |  SELECT id FROM lab WHERE id NOT IN (SELECT id FROM win)
+             |)
+             |SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM dropped) AS n_kept,
+             |       CAST((SELECT sum(doc_id) FROM documents)
+             |            - (SELECT coalesce(sum(id), 0) FROM dropped) AS BIGINT) AS kept_id_sum""".stripMargin)),
+
     // SimHash near-dups (hamming ≤ 3). The gate uses the md5-nibble
     // word hash (both engines expose md5) so DuckDB reproduces the
     // 64-bit fingerprints bit-for-bit and checks the full hamming

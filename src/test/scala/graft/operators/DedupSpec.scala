@@ -271,6 +271,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(keptSmall == Set(1L))
   }
 
+  test("keepBestLabeled keeps the highest-quality cluster member, min-id on ties") {
+    import spark.implicits._
+    // clusters: {1,2,3} and {10,11}; 4 and 5 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0), // 2 and 3 tie at 9.0 → keep 2
+      (10L, 1.0), (11L, 7.0),          // keep 11 (higher quality than canonical 10)
+      (4L, 0.0), (5L, 100.0))          // unclustered: always kept
+      .toDF("doc_id", "q")
+    val kept = Dedup.keepBestLabeled(docs, "doc_id", "q", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 11L, 4L, 5L), kept)
+    // min-id canonical gives a DIFFERENT set — the policy is real
+    val canonical = Dedup.keepCanonicalLabeled(docs, "doc_id", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(canonical == Set(1L, 10L, 4L, 5L), canonical)
+  }
+
   test("semDedup broadcasts only the centroid relation, never the corpus") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try {
