@@ -57,7 +57,10 @@ object StringTable {
     */
   def hash(s: String, nBits: Int, seed: Long): Long = {
     require(nBits > 0 && nBits < 64)
-    XxHash3.hash(s, seed) & ((1L << (nBits + 1)) - 1)
+    // nBits = 63 needs all 64 bits: (1L << 64) is a mod-64 shift in
+    // Java (== 1L), whose mask would zero every hash
+    val mask = if (nBits >= 63) -1L else (1L << (nBits + 1)) - 1
+    XxHash3.hash(s, seed) & mask
   }
 
   /** Find the smallest bit width whose masked hashes are collision-free

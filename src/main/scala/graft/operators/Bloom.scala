@@ -68,14 +68,25 @@ object Bloom {
     */
   def semiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, expectedItems: Long): DataFrame = {
+    // xxhash64 is TYPE-sensitive where the exact join's equality
+    // coerces: hashing int 5 on the probe and long 5 on the build
+    // would silently prune true matches. Loud beats wrong — callers
+    // cast one side.
+    val pt = probe.schema(probeKey).dataType
+    val bt = build.schema(buildKey).dataType
+    require(pt == bt,
+      s"semiJoin keys must share a type (xxhash64 is type-sensitive): " +
+        s"$probeKey is ${pt.sql}, $buildKey is ${bt.sql}")
     val spark = probe.sparkSession
-    val bf = buildFilter(build.select(col(buildKey)).distinct(), buildKey, expectedItems)
+    // no distinct() on either path: the bloom aggregate and the
+    // left_semi join both ignore duplicates, and each distinct was a
+    // full extra exchange over the build side
+    val bf = buildFilter(build.select(col(buildKey)), buildKey, expectedItems)
     val prefiltered = bf match {
       case Some(bytes) => probe.filter(mightContain(spark, bytes, col(probeKey)))
       case None        => probe // empty build side: the exact join yields empty
     }
     prefiltered
-      .join(build.select(col(buildKey).as(probeKey)).distinct(),
-        Seq(probeKey), "left_semi")
+      .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
   }
 }

@@ -97,11 +97,23 @@ object Frequency {
     val cands = sketched.select(
       (gcols :+ explode(col("_hh_hits.item")).as("item")).toIndexedSeq: _*)
 
-    vals
-      .join(cands, groupCols :+ "item", "left_semi")
+    // NULL-SAFE group-key joins: groupBy forms a real group for null
+    // keys (and the exact groupBy this operator replaces reports it),
+    // so the candidate semi-join and the totals join must match null
+    // keys instead of silently dropping the whole group
+    def nullSafeOn(leftAlias: String, rightAlias: String, cols: Seq[String]) =
+      cols.map(c => col(s"$leftAlias.$c") <=> col(s"$rightAlias.$c")).reduce(_ && _)
+    val exact = vals.as("_hh_v")
+      .join(cands.as("_hh_c"),
+        nullSafeOn("_hh_v", "_hh_c", groupCols :+ "item"), "left_semi")
       .groupBy((gcols :+ col("item")).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"))
-      .join(sketched.select((gcols :+ col("_hh_n")).toIndexedSeq: _*), groupCols)
+    exact.as("_hh_e")
+      .join(sketched.select((gcols :+ col("_hh_n")).toIndexedSeq: _*).as("_hh_s"),
+        nullSafeOn("_hh_e", "_hh_s", groupCols))
+      .select((groupCols.map(c => col(s"_hh_e.$c").as(c)) ++
+        Seq(col("_hh_e.item").as("item"), col("_hh_e.cnt").as("cnt"),
+          col("_hh_s._hh_n").as("_hh_n"))).toIndexedSeq: _*)
       .where(col("cnt") * (k + 1L) > col("_hh_n") &&
         col("cnt") >= minSupport.getOrElse(0L))
       .drop("_hh_n")

@@ -50,10 +50,16 @@ object Layout {
     */
   def zOrder(df: DataFrame, colA: String, colB: String, numFiles: Int,
       ranges: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    require(!df.columns.contains("_z"),
+      "zOrder reserves the _z column name; rename the input column")
     val (aMin, aMax, bMin, bMax) = ranges.getOrElse {
       val r = df.agg(
         min(col(colA).cast("double")), max(col(colA).cast("double")),
         min(col(colB).cast("double")), max(col(colB).cast("double"))).collect().head
+      // empty input (or an all-null z column): no range to quantize
+      // over — return the frame unchanged rather than NPE on the null
+      // aggregate bounds
+      if (r.isNullAt(0) || r.isNullAt(2)) return df
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     }
     df.withColumn("_z", zValue(col(colA), aMin, aMax, col(colB), bMin, bMax))

@@ -40,11 +40,15 @@ object Quality {
   final case class ForeignKey(columns: Seq[String], ref: DataFrame,
       refColumns: Seq[String]) extends Rule
 
+  // labels carry the rule's PARAMETERS: two rules on the same column
+  // (e.g. InSet("grade", A) and InSet("grade", A,B)) must produce
+  // distinguishable verdict rows — a consumer keying on the label
+  // would otherwise silently lose one
   private def label(r: Rule): String = r match {
     case NotNull(c)       => s"not_null($c)"
-    case InSet(c, _)      => s"in_set($c)"
+    case InSet(c, allowed) => s"in_set($c:{${allowed.mkString(",")}})"
     case InRange(c, l, h) => s"in_range($c,$l,$h)"
-    case Matches(c, _)    => s"matches($c)"
+    case Matches(c, regex) => s"matches($c:$regex)"
     case Unique(cs)       => s"unique(${cs.mkString("+")})"
     case ForeignKey(cs, _, rs) => s"fk(${cs.mkString("+")}->${rs.mkString("+")})"
   }

@@ -80,7 +80,17 @@ object Temporal {
     // already contains it (inclusive ≥); left-first => it doesn't (strict).
     val (leftOrd, rightOrd) = if (strict) (0, 1) else (1, 0)
 
-    val keyNull = on.map(col(_).isNull).reduce(_ || _)
+    // keyless (global) as-of: no key can be null
+    val keyNull =
+      if (on.isEmpty) lit(false) else on.map(col(_).isNull).reduce(_ || _)
+    // a right column that prefixes into an existing left name would
+    // emit two identically-named output columns — unusable downstream
+    // (pandas merge_asof raises on suffix overlap likewise)
+    val collisions = right.columns.map(rightPrefix + _).toSet
+      .intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asofJoin: prefixed right columns collide with left columns: " +
+        s"${collisions.mkString(", ")} (choose a different rightPrefix)")
     val lSide = left.where(col(leftTs).isNotNull && !keyNull).select(
       (on.map(col) ++ Seq(
         orderKey(left, leftTs).as("_at_ts"),
@@ -219,7 +229,19 @@ object Temporal {
     val w = Window.partitionBy(on.map(col).toIndexedSeq: _*)
       .orderBy(col("_rs_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = grid.join(bucketed, on :+ "_rs_b", "left")
+    // NULL-SAFE key equality: groupBy put null-key rows in a real
+    // group, so the grid⋈observed join must match them too — plain
+    // equi-join would return every null-key bucket as an is_gap row
+    // and silently discard that group's observed aggregates
+    val g = grid.as("_rs_g")
+    val b = bucketed.as("_rs_o")
+    val joinCond = (on :+ "_rs_b")
+      .map(c => col(s"_rs_g.$c") <=> col(s"_rs_o.$c")).reduce(_ && _)
+    val filled = g.join(b, joinCond, "left")
+      .select((
+        (on :+ "_rs_b").map(c => col(s"_rs_g.$c").as(c)) ++
+        aggs.map { case (n, _) => col(s"_rs_o.$n").as(n) } :+
+        col("_rs_o._rs_obs").as("_rs_obs")).toIndexedSeq: _*)
       .withColumn("is_gap", col("_rs_obs").isNull)
     aggs.foldLeft(filled) { case (acc, (n, _)) =>
         acc.withColumn(n, last(col(n), ignoreNulls = true).over(w))

@@ -611,13 +611,13 @@ object Rel {
              |       sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 25) THEN 1 ELSE 0 END) = 0
              |FROM lineitem
              |UNION ALL
-             |SELECT 'in_set(l_returnflag)',
+             |SELECT 'in_set(l_returnflag:{A,N})',
              |       CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END) AS BIGINT),
              |       count(*),
              |       sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END) = 0
              |FROM lineitem
              |UNION ALL
-             |SELECT 'matches(l_linestatus)',
+             |SELECT 'matches(l_linestatus:^[FO]$)',
              |       CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[FO]$') THEN 1 ELSE 0 END) AS BIGINT),
              |       count(*),
              |       sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[FO]$') THEN 1 ELSE 0 END) = 0

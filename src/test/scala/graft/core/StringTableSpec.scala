@@ -58,4 +58,12 @@ class StringTableSpec extends AnyFunSuite {
     assert(StringTable.maskFor(Seq(0L)) == 0L)
     assert(StringTable.maskFor(Nil) == 0L)
   }
+
+  test("hash at nBits=63 keeps all 64 bits (no mod-64 shift wraparound)") {
+    // (1L << 64) == 1L in Java, whose mask zeroed every hash: the last
+    // legal width must behave as a genuine 64-bit mask
+    val h = StringTable.hash("abc", 63, 7L)
+    assert(h == XxHash3.hash("abc", 7L), f"$h%x")
+    assert(StringTable.hash("xyz", 63, 7L) != StringTable.hash("abc", 63, 7L))
+  }
 }

@@ -43,4 +43,18 @@ class BloomSpec extends AnyFunSuite with SparkTestBase {
     assert(Bloom.buildFilter(none, "bk", expectedItems = 0).isEmpty)
     assert(Bloom.semiJoin(probe, none, "k", "bk", expectedItems = 0).count() == 0)
   }
+
+  test("mismatched key types are rejected loudly (xxhash64 is type-sensitive)") {
+    import spark.implicits._
+    val probe = Seq(5, 6).toDF("k")            // int
+    val build = Seq(5L, 7L).toDF("bk")         // long
+    val e = intercept[IllegalArgumentException] {
+      Bloom.semiJoin(probe, build, "k", "bk", 10L)
+    }
+    assert(e.getMessage.contains("type"), e.getMessage)
+    // matching types after an explicit cast agree with the exact join
+    val fixed = Bloom.semiJoin(probe.select(col("k").cast("long").as("k")),
+      build, "k", "bk", 10L).select("k").as[Long].collect().toSet
+    assert(fixed == Set(5L))
+  }
 }

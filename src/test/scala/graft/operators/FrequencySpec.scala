@@ -96,4 +96,17 @@ class FrequencySpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> 2L)) // n=3 non-null, k=2: b needs 1·3 > 3 — fails
     assert(Frequency.heavyHitters(Seq.empty[String].toDF("v"), "v", 4).count() == 0)
   }
+
+  test("per-group heavy hitters reports null-key groups (null-safe joins)") {
+    import spark.implicits._
+    val df = (Seq.fill(5)((Option.empty[String], "x")) ++
+      Seq.fill(3)((Option.empty[String], "y")) ++
+      Seq.fill(4)((Some("g"), "z")))
+      .toDF("grp", "tok")
+    val out = Frequency.heavyHittersByGroup(df, Seq("grp"), "tok", k = 4)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).toSet
+    // the null group's hitters must be present, exactly counted
+    assert(out.contains((None, "x", 5L)) && out.contains((None, "y", 3L)), out)
+    assert(out.contains((Some("g"), "z", 4L)), out)
+  }
 }

@@ -65,4 +65,12 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     // and the z-ordered relation is the same multiset of rows
     assert(zed.count() == 10000)
   }
+
+  test("zOrder: empty input returns empty; a user _z column is rejected") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("a", "b")
+    assert(Layout.zOrder(empty, "a", "b", 4).count() == 0)
+    val withZ = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "_z")
+    intercept[IllegalArgumentException](Layout.zOrder(withZ, "a", "b", 4))
+  }
 }

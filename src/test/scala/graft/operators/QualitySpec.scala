@@ -36,9 +36,9 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
 
     assert(out("not_null(id)") == ((1L, 5L, false)))
-    assert(out("in_set(grade)") == ((1L, 5L, false)))   // only "Z"; null-free col
+    assert(out("in_set(grade:{A,B})") == ((1L, 5L, false)))   // only "Z"; null-free col
     assert(out("in_range(score,0.0,10.0)") == ((2L, 5L, false)))
-    assert(out("matches(code)") == ((1L, 5L, false)))   // "bad word" has a space
+    assert(out("matches(code:^[a-z0-9]+$)") == ((1L, 5L, false)))   // "bad word" has a space
     assert(out("unique(id)") == ((2L, 5L, false)))      // id=1 x3 → 2 excess
     assert(out("fk(fk->ref_id)") == ((1L, 4L, false)))  // null fk skipped, 12 orphan
   }

@@ -234,4 +234,34 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Temporal.resample(df, Seq("k"), "ts", 10L, Seq.empty))
   }
+
+  test("resample keeps null-key groups (null-safe grid join)") {
+    import spark.implicits._
+    val df = Seq((Option.empty[String], 5L, 1.0), (None: Option[String], 25L, 3.0),
+      (Some("k"), 5L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = Temporal.resample(df, Seq("k"), "ts", 10L, Seq("sv" -> sum(col("v"))))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getBoolean(2), r.getDouble(3)))
+    // the null-key group must have its OBSERVED buckets marked
+    // observed with real aggregates, not all-gap nulls
+    val nullGroup = out.filter(_._1.isEmpty).sortBy(_._2)
+    assert(nullGroup.map(x => (x._2, x._3, x._4)).toSeq ==
+      Seq((0L, false, 1.0), (10L, true, 1.0), (20L, false, 3.0)), nullGroup.toSeq)
+    assert(out.filter(_._1.contains("k")).map(_._4).toSeq == Seq(9.0))
+  }
+
+  test("keyless (global) as-of join works; prefix collisions are rejected loudly") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 30L)).toDF("lid", "ts")
+    val right = Seq((100L, 5L), (200L, 25L)).toDF("rid", "ts")
+    val out = Temporal.asofJoin(left, right, Seq.empty, "ts", "ts")
+      .select("lid", "r_rid").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out == Map(1L -> 100L, 2L -> 200L), out)
+    // a right column that prefixes into an existing left name
+    val clash = left.withColumnRenamed("lid", "r_rid")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(clash, right, Seq.empty, "ts", "ts")
+    }
+    assert(e.getMessage.contains("r_rid"), e.getMessage)
+  }
 }
