@@ -38,7 +38,10 @@ object Ann {
     * embeddings, weighted e.g. by chunk length, back to one vector
     * per document; compose with `Curation.chunkDocuments` upstream
     * and any ANN/dedup operator downstream). Null vectors contribute
-    * nothing; a group with only null vectors yields no row.
+    * nothing; a group with only null vectors yields no row; a null
+    * ELEMENT inside a vector is excluded from that position's mean
+    * entirely (numerator AND denominator — counting its weight in the
+    * denominator alone would silently bias the position toward 0).
     *
     * Scale shape: posexplode → ONE hash aggregation keyed
     * (group, position) → per-group array rebuild; never collects, and
@@ -48,6 +51,7 @@ object Ann {
       weight: Column = lit(1.0)): DataFrame =
     df.select(col(groupCol), weight.cast("double").as("_w"),
         posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .filter(col("_x").isNotNull)
       .groupBy(groupCol, "_p")
       .agg((sum(col("_x") * col("_w")) / sum(col("_w"))).as("_mx"))
       .groupBy(groupCol)

@@ -26,43 +26,15 @@ object InvertedIndex {
 
   final case class Index(dir: String, numBuckets: Int, nDocs: Long, avgdl: Double)
 
-  private def fs(dir: String) = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    new HPath(dir).getFileSystem(conf)
-  }
-
-  private def writeSidecar(dir: String, name: String, content: String): Unit = {
-    val out = fs(dir).create(new HPath(dir, name), true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Same atomic side-dir build-and-swap as IvfIndex: a failed rebuild
-    * must never pair new postings with an old meta sidecar (stale
-    * N/avgdl silently skew every BM25 score).
-    */
-  private def buildAtomically(dir: String)(writeTo: String => Unit): Unit = {
-    val root = new HPath(dir)
-    val f = fs(dir)
-    val uuid = java.util.UUID.randomUUID()
-    val tmp = new HPath(root.getParent, s".${root.getName}.tmp-$uuid")
-    try writeTo(tmp.toString)
-    catch { case e: Throwable => f.delete(tmp, true); throw e }
-    f.mkdirs(root.getParent)
-    // never delete-then-rename: move the previous build aside, swap
-    // the new one in, THEN drop the old — every crash window leaves
-    // either the old or the new build live at `dir`, and a failed
-    // swap restores the old instead of destroying it
-    val old = new HPath(root.getParent, s".${root.getName}.old-$uuid")
-    val hadOld = f.exists(root)
-    if (hadOld && !f.rename(root, old))
-      throw new java.io.IOException(s"index swap: move-aside of $root failed")
-    if (!f.rename(tmp, root)) {
-      if (hadOld) f.rename(old, root)
-      f.delete(tmp, true)
-      throw new java.io.IOException(s"index swap $tmp -> $root failed")
-    }
-    if (hadOld) f.delete(old, true)
-  }
+  // shared with IvfIndex via SidecarIndex — one copy of the atomic
+  // build-and-swap protocol: a failed rebuild must never pair new
+  // postings with an old meta sidecar (stale N/avgdl silently skew
+  // every BM25 score)
+  private def fs(dir: String) = SidecarIndex.fs(dir)
+  private def writeSidecar(dir: String, name: String, content: String): Unit =
+    SidecarIndex.writeSidecar(dir, name, content)
+  private def buildAtomically(dir: String)(writeTo: String => Unit): Unit =
+    SidecarIndex.buildAtomically(dir)(writeTo)
 
   /** term → partition bucket (internal — nothing needs to reproduce it
     * outside the JVM, so plain xxhash64 is fine).
@@ -76,23 +48,30 @@ object InvertedIndex {
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
       numBuckets: Int = 64): Index = {
-    val words = docs.select(col(idCol).as("id"), split(trim(col(textCol)), " ").as("_ws"))
-    val lens = words.select(col("id"), size(col("_ws")).as("dl"))
-    val tf = words.select(col("id"), explode(col("_ws")).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val Array(n, avgdl) = lens.agg(count(lit(1)).cast("double"), avg("dl"))
-      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
-    buildAtomically(dir) { tmp =>
-      tf.join(dfByTerm, "term")
-        .join(lens, "id")
-        .withColumn("bucket", bucketOf(col("term"), numBuckets))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$tmp/postings")
-      writeSidecar(tmp, "meta.json",
-        s"""{"numBuckets":$numBuckets,"nDocs":${n.toLong},"avgdl":$avgdl}""")
-    }
-    Index(dir, numBuckets, n.toLong, avgdl)
+    // tokenize ONCE: the stats collect and both write-DAG branches
+    // (tf and df-by-term) consume `words`, and re-running the
+    // split+explode per consumer would triple the dominant build cost
+    val words = docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), " ").as("_ws"))
+      .persist()
+    try {
+      val lens = words.select(col("id"), size(col("_ws")).as("dl"))
+      val tf = words.select(col("id"), explode(col("_ws")).as("term"))
+        .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val Array(n, avgdl) = lens.agg(count(lit(1)).cast("double"), avg("dl"))
+        .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+      buildAtomically(dir) { tmp =>
+        tf.join(dfByTerm, "term")
+          .join(lens, "id")
+          .withColumn("bucket", bucketOf(col("term"), numBuckets))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$tmp/postings")
+        writeSidecar(tmp, "meta.json",
+          s"""{"numBuckets":$numBuckets,"nDocs":${n.toLong},"avgdl":$avgdl}""")
+      }
+      Index(dir, numBuckets, n.toLong, avgdl)
+    } finally { words.unpersist(blocking = false); () }
   }
 
   def load(spark: SparkSession, dir: String): Index = {

@@ -20,48 +20,16 @@ object IvfIndex {
 
   final case class Index(dir: String, centroids: Array[Seq[Double]])
 
-  private def fs(dir: String) = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    new HPath(dir).getFileSystem(conf)
-  }
-
-  /** Write `content` as a small sidecar file under dir. */
-  private def writeSidecar(dir: String, name: String, content: String): Unit = {
-    val out = fs(dir).create(new HPath(dir, name), true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** Build the whole index (cells + sidecars) in a side directory,
-    * then swap it in. Writing pieces in place would let a failed
-    * rebuild pair NEW cell assignments with the OLD centroids sidecar
-    * — load() would accept the mismatch and probes would prune the
-    * wrong partitions, silently returning wrong neighbors. The swap's
-    * crash windows leave the old index or none (load on none fails
-    * loudly).
-    */
-  private def buildAtomically(dir: String)(writeTo: String => Unit): Unit = {
-    val root = new HPath(dir)
-    val f = fs(dir)
-    val uuid = java.util.UUID.randomUUID()
-    val tmp = new HPath(root.getParent, s".${root.getName}.tmp-$uuid")
-    try writeTo(tmp.toString)
-    catch { case e: Throwable => f.delete(tmp, true); throw e }
-    f.mkdirs(root.getParent)
-    // never delete-then-rename: move the previous build aside, swap
-    // the new one in, THEN drop the old — every crash window leaves
-    // either the old or the new build live at `dir`, and a failed
-    // swap restores the old instead of destroying it
-    val old = new HPath(root.getParent, s".${root.getName}.old-$uuid")
-    val hadOld = f.exists(root)
-    if (hadOld && !f.rename(root, old))
-      throw new java.io.IOException(s"index swap: move-aside of $root failed")
-    if (!f.rename(tmp, root)) {
-      if (hadOld) f.rename(old, root)
-      f.delete(tmp, true)
-      throw new java.io.IOException(s"index swap $tmp -> $root failed")
-    }
-    if (hadOld) f.delete(old, true)
-  }
+  // the swap protocol and sidecar I/O live in SidecarIndex — one
+  // crash-safety-critical implementation shared with InvertedIndex
+  // (a failed rebuild must never pair NEW cell assignments with an
+  // OLD centroids sidecar: probes would prune the wrong partitions
+  // and silently return wrong neighbors)
+  private def fs(dir: String) = SidecarIndex.fs(dir)
+  private def writeSidecar(dir: String, name: String, content: String): Unit =
+    SidecarIndex.writeSidecar(dir, name, content)
+  private def buildAtomically(dir: String)(writeTo: String => Unit): Unit =
+    SidecarIndex.buildAtomically(dir)(writeTo)
 
   private def centroidsJson(cents: Array[Seq[Double]]): String =
     cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
@@ -96,13 +64,35 @@ object IvfIndex {
     * never corrupts existing files, and re-running the batch after
     * dedup (see Dedup.deltaPairs) restores consistency.
     */
-  def append(index: Index, df: DataFrame, vecCol: String, idCol: String): Index = {
+  def append(index: Index, df: DataFrame, vecCol: String): Index = {
     // a PQ cells table carries code/vnorm columns a raw batch lacks —
     // appending un-encoded rows would silently corrupt ADC scoring
     require(!fs(index.dir).exists(new HPath(index.dir, "codebook.json")),
       s"${index.dir} is an IVF-PQ index; append supports plain IVF only — " +
         "rebuild with buildPq (or PQ-encode the batch) instead")
-    Ann.withCell(df, vecCol, index.centroids)
+    val dim = index.centroids.headOption.map(_.length).getOrElse(0)
+    // in-plan dimension guard: nearest_cell throws on SHORTER vectors,
+    // but a LONGER one (e.g. an upgraded embedding model) would be
+    // truncated-scored into a cell and then never match any query
+    // (cosine declines length mismatches) — permanent silent recall
+    // loss, so it must fail the append instead
+    val checked = df.withColumn(vecCol,
+      coalesce(
+        when(size(col(vecCol)) === dim, col(vecCol)),
+        raise_error(concat(
+          lit(s"ivf append: vector dimension must be $dim, got "),
+          size(col(vecCol)).cast("string"))).cast("array<double>")))
+    val projected = Ann.withCell(checked, vecCol, index.centroids)
+    // schema-drift guard: mode("append") would happily write
+    // mixed-schema footers whose corruption surfaces only at some
+    // later probe ("Parquet column cannot be converted"), far from
+    // the append that caused it
+    val existing = df.sparkSession.read.parquet(s"${index.dir}/cells").schema
+    val exMap = existing.fields.map(f => f.name -> f.dataType).toMap
+    val newMap = projected.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(exMap == newMap,
+      s"ivf append: batch schema $newMap does not match the index cells table $exMap")
+    projected
       .write.mode("append").partitionBy("cell").parquet(s"${index.dir}/cells")
     index
   }
@@ -184,9 +174,15 @@ object IvfIndex {
     * never deserialized unless a re-rank asks for it.
     */
   def buildPq(df: DataFrame, vecCol: String, idCol: String, dir: String,
-      numCells: Int, dim: Int, m: Int, k: Int, seed: Long = 7L): (Index, Pq.Codebook) = {
-    val cents = Ann.kmeansCentroids(df, vecCol, numCells, seed)
-    val cb = Pq.train(df, vecCol, dim, m, k, seed)
+      numCells: Int, dim: Int, m: Int, k: Int, seed: Long = 7L,
+      trainSampleFraction: Double = 1.0): (Index, Pq.Codebook) = {
+    // quantizer TRAINING is the sampled part of the scale story: the
+    // coarse k-means and all m sub-quantizer fits are iterative
+    // full-input scans, and a 1-5% sample trains equivalent-quality
+    // codebooks at corpus scale. The ENCODE pass below always runs
+    // over the full corpus.
+    val cents = Ann.kmeansCentroids(df, vecCol, numCells, seed, trainSampleFraction)
+    val cb = Pq.train(df, vecCol, dim, m, k, seed, trainSampleFraction)
     buildAtomically(dir) { tmp =>
       Pq.encode(Ann.withCell(df, vecCol, cents), vecCol, cb)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")

@@ -567,7 +567,7 @@ object ExtOps {
         val dir = GateScratch.dir("ivf_append_gate")
         val idx = IvfIndex.build(corpus.filter(col("vec_id") % 2 === 1),
           "v", "vec_id", dir, numCells = 8, seed = 5L)
-        IvfIndex.append(idx, corpus.filter(col("vec_id") % 2 === 0), "v", "vec_id")
+        IvfIndex.append(idx, corpus.filter(col("vec_id") % 2 === 0), "v")
         IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
       },

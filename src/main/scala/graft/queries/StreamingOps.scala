@@ -176,10 +176,10 @@ object StreamingOps {
             countDistinct(col("fp")).as("n_unique"),
             min("fp").as("min_fp"), max("fp").as("max_fp"))
       },
-      Some("""SELECT count(DISTINCT md5(lower(trim(text)))) AS n_emitted,
-             |       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
-             |       min(md5(lower(trim(text)))) AS min_fp,
-             |       max(md5(lower(trim(text)))) AS max_fp
+      Some("""SELECT count(DISTINCT substring(md5(lower(trim(text))), 1, 16)) AS n_emitted,
+             |       count(DISTINCT substring(md5(lower(trim(text))), 1, 16)) AS n_unique,
+             |       min(substring(md5(lower(trim(text))), 1, 16)) AS min_fp,
+             |       max(substring(md5(lower(trim(text))), 1, 16)) AS max_fp
              |FROM documents
              |WHERE text IS NOT NULL""".stripMargin)),
 

@@ -43,7 +43,12 @@ object StreamingDedup {
     */
   def dedup(docs: DataFrame, horizon: String): DataFrame =
     docs
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      // EXACTLY the batch q_fingerprint key (substring(md5, 1, 16)) —
+      // the documented handoff ("duplicates farther apart than the
+      // horizon are left for the batch pipeline") joins streaming
+      // output against batch fingerprints, so the keys must be
+      // byte-identical, not merely both md5-derived
+      .withColumn("fp", substring(md5(lower(trim(col("text")))), 1, 16))
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("fp")
 

@@ -121,4 +121,17 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(near.forall { case (_, n) => n < 30 },
       s"cluster-0 queries must probe only their own cell: ${near.toSeq}")
   }
+
+  test("meanPool excludes null ELEMENTS from both numerator and denominator") {
+    import spark.implicits._
+    // two equal-weight vectors; position 0 has a null in the second —
+    // the pooled value must be the mean of the PRESENT values (1.0),
+    // not numerator-only skipping (0.5)
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 10.0)),
+      (1L, Seq[java.lang.Double](null, 30.0))).toDF("g", "v")
+    val pooled = Ann.meanPool(df, "g", "v").select("pooled")
+      .collect().head.getSeq[Double](0)
+    assert(pooled == Seq(1.0, 20.0), pooled)
+  }
 }

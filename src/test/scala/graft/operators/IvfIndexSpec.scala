@@ -139,7 +139,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
         (if (d == 2) 10.0 else 0.0) + rnd.nextGaussian() * 0.1))
     } :+ ((600L, "new0", Seq.tabulate(8)(d => if (d == 0) 10.0 else 0.0))))
       .toDF("vec_id", "label", "v")
-    IvfIndex.append(idx, batch, "v", "vec_id")
+    IvfIndex.append(idx, batch, "v")
 
     val query = Seq.tabulate(8)(d => if (d == 2) 1.0 else 0.0)
     val viaIndex = IvfIndex.topK(spark, idx, "v", "vec_id", query, 10, nprobe = 4)
@@ -194,5 +194,26 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     val (idx2, cb2) = IvfIndex.loadPq(spark, dir)
     assert(idx2.centroids.toSeq == idx.centroids.toSeq)
     assert(cb2.map(_.map(_.toSeq).toSeq).toSeq == cb.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("append rejects dimension drift and schema drift loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_guard").toString + "/idx"
+    val corpus = (1L to 20L).map(i => (i, Seq.fill(4)(i.toDouble))).toDF("vec_id", "v")
+    val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 2)
+    // a longer vector would be truncated-scored into a cell and never
+    // match any query afterwards — the append must fail instead
+    val wide = Seq((100L, Seq(1.0, 2.0, 3.0, 4.0, 5.0))).toDF("vec_id", "v")
+    val e = intercept[Exception](IvfIndex.append(idx, wide, "v"))
+    assert(e.getMessage.contains("dimension") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension")), e.toString)
+    // a drifted column type must not write mixed-schema footers
+    val drifted = Seq((101, Seq(1.0, 2.0, 3.0, 4.0))).toDF("vec_id", "v") // int id
+    val e2 = intercept[IllegalArgumentException](IvfIndex.append(idx, drifted, "v"))
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
+    // a well-formed batch still appends
+    val ok = Seq((102L, Seq(9.0, 9.0, 9.0, 9.0))).toDF("vec_id", "v")
+    IvfIndex.append(idx, ok, "v")
+    assert(spark.read.parquet(s"$dir/cells").count() == 21)
   }
 }
