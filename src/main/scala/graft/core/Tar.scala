@@ -71,11 +71,22 @@ object Tar {
     */
   def read(in: InputStream, f: (String, Long, InputStream) => Unit): Unit = {
     val h = new Array[Byte](Block)
+    // clean EOF (offset 0) returns false; EOF INSIDE a block throws —
+    // and the loop below additionally requires the zero-block
+    // terminator before accepting EOF. Without both checks a stream
+    // truncated at a block boundary (e.g. a crashed writer whose gzip
+    // trailer still closed cleanly) reads as a complete archive, and
+    // the unpack-then-swap callers install a model missing its tail
+    // files with no error.
     def readFully(buf: Array[Byte], len: Int): Boolean = {
       var off = 0
       while (off < len) {
         val n = in.read(buf, off, len - off)
-        if (n < 0) return false
+        if (n < 0) {
+          if (off == 0) return false
+          throw new java.io.EOFException(
+            s"truncated tar: EOF inside a $len-byte block after $off bytes")
+        }
         off += n
       }
       true
@@ -104,9 +115,16 @@ object Tar {
         f(name, size, bounded)
         val drain = new Array[Byte](8192)
         while (left > 0 && bounded.read(drain) >= 0) {}
+        if (left > 0)
+          throw new java.io.EOFException(
+            s"truncated tar: entry $name ended $left bytes short of its header size")
         val pad = ((Block - size % Block) % Block).toInt
-        if (pad > 0) readFully(new Array[Byte](pad), pad)
+        if (pad > 0 && !readFully(new Array[Byte](pad), pad))
+          throw new java.io.EOFException(s"truncated tar: EOF inside $name's padding")
       }
     }
+    if (!done)
+      throw new java.io.EOFException(
+        "truncated tar: stream ended without the end-of-archive terminator")
   }
 }

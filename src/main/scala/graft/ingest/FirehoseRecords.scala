@@ -101,9 +101,13 @@ object FirehoseRecords {
     }
   }
 
+  // "missing" vs "invalid" are DIFFERENT census buckets (the
+  // reference counts per exception type): a present-but-non-textual
+  // field must not masquerade as an absent one in ingest diagnostics
   private def requiredText(node: JsonNode, field: String): String = {
     val v = node.get(field)
-    if (v == null || !v.isTextual) throw new IllegalArgumentException(s"missing $field")
+    if (v == null || v.isNull) throw new IllegalArgumentException(s"missing $field")
+    if (!v.isTextual) throw new IllegalArgumentException(s"invalid $field")
     v.textValue()
   }
 

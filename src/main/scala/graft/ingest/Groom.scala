@@ -56,6 +56,12 @@ object Groom {
         .getOrElse(throw new IllegalArgumentException(s"invalid partition key $k")))
   }
 
+  /** Parse-or-None through the same memo cache (for callers that must
+    * SKIP foreign files in the listing rather than fail on them).
+    */
+  def parsedOption(key: String): Option[PartitionFilename.Parsed] =
+    try Some(parsed(key)) catch { case _: IllegalArgumentException => None }
+
   def rowCount(key: String): Long = parsed(key).rowCount
   def minTs(key: String): String = parsed(key).minTs
   def maxTs(key: String): String = parsed(key).maxTs
@@ -225,9 +231,19 @@ object Groom {
       }
       // progress guard: identical chunk structure (ranges+counts) after
       // a full pass means further passes cannot converge — stop instead
-      // of burning the remaining iterations rewriting the same rows
+      // of burning the remaining iterations rewriting the same rows.
+      // This exit still ASSERTS overlap-freedom: returning normally
+      // with overlapping keys would let a caller trust a listing that
+      // still splits decisions across files.
       val shape = keys.map(_.split('/').last.split('-').take(3).mkString("-")).sorted
-      if (previousKeys != null && shape == previousKeys) return iteration
+      if (previousKeys != null && shape == previousKeys) {
+        assertNoOverlappingKeys(keys)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"groom: chunk shape stable after $iteration iteration(s) without " +
+            "reaching the empty-group state (e.g. an unsplittable same-second " +
+            "overflow) — listing is overlap-free, stopping early")
+        return iteration
+      }
       previousKeys = shape
       iteration += 1
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -244,10 +260,20 @@ object Groom {
         pool.shutdown()
         // a fail-fast Await may leave sibling compactions mid-flight;
         // returning while they still write/delete store files would
-        // race the caller's next listKeys/groom pass
-        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+        // race the caller's next listKeys/groom pass — and if even the
+        // drain WINDOW expires, the caller must not proceed as if the
+        // store were quiet
+        if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)) {
+          pool.shutdownNow()
+          throw new IllegalStateException(
+            "groom: sibling compactions still running after the 1h drain " +
+              "window — store may be mid-mutation; do not trust the listing")
+        }
       }
     }
+    // iteration cap reached: the listing may still contain groomable
+    // groups, but it must at least be overlap-free to hand back
+    assertNoOverlappingKeys(PartitionStore.listKeys(spark, baseDir, model))
     iteration
   }
 }

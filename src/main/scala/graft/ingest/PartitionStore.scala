@@ -221,9 +221,11 @@ object PartitionStore {
   def lookupDecision(spark: SparkSession, baseDir: String, model: String,
       decisionId: String): DataFrame = {
     val ts = PartitionFilename.timestampOf(decisionId) // rejects invalid ids
+    // Groom's memoized parse cache (one entry per listed key, shared
+    // with Loader/Groom): a point lookup over a 100k-file store must
+    // not pay 100k fresh regex parses per call
     val keys = listKeys(spark, baseDir, model).filter { k =>
-      PartitionFilename.parse(k.substring(k.lastIndexOf('/') + 1))
-        .exists(p => p.minTs <= ts && ts <= p.maxTs)
+      Groom.parsedOption(k).exists(p => p.minTs <= ts && ts <= p.maxTs)
     }
     if (keys.isEmpty)
       spark.createDataFrame(

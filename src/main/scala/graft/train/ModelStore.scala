@@ -124,6 +124,11 @@ object ModelStore {
   def loadCheckpoint(spark: SparkSession, dir: String,
       maxAgeSeconds: Long = 24 * 3600,
       now: java.time.Instant = java.time.Instant.now()): Option[PropensityModel] = {
+    // make the parameter REAL: filesystem resolution and the MLlib
+    // model load below go through the active session, so bind the
+    // caller's session first — a caller passing a dedicated session
+    // must not silently get a different one
+    SparkSession.setActiveSession(spark)
     val metaText = readString(dir, "metadata.json").getOrElse(return None)
     try {
       val meta = CanonicalJson.parse(metaText)
@@ -223,15 +228,27 @@ object ModelStore {
     val arcKey = archiveKey(modelName, now)
     val arcPath = new HPath(modelsRoot, arcKey)
     outFs.mkdirs(arcPath.getParent)
-    val gz = new java.util.zip.GZIPOutputStream(outFs.create(arcPath, true))
+    // stream into a tmp key and rename in only after a COMPLETE
+    // archive: a failure mid-walk would otherwise leave a valid gzip
+    // of a truncated tar at the published key (the finally-close
+    // writes a clean gzip trailer no matter what), which consumers
+    // would unpack as a silently partial model
+    val arcTmp = new HPath(arcPath.getParent, s".${arcPath.getName}.tmp")
     try {
-      walk(f, new HPath(modelDir)).foreach { case (rel, p, size) =>
-        val in = f.open(p)
-        try Tar.writeEntry(gz, rel, size, now.getEpochSecond, in)
-        finally in.close()
-      }
-      Tar.finish(gz)
-    } finally gz.close()
+      val gz = new java.util.zip.GZIPOutputStream(outFs.create(arcTmp, true))
+      try {
+        walk(f, new HPath(modelDir)).foreach { case (rel, p, size) =>
+          val in = f.open(p)
+          try Tar.writeEntry(gz, rel, size, now.getEpochSecond, in)
+          finally in.close()
+        }
+        Tar.finish(gz)
+      } finally gz.close()
+      if (!outFs.rename(arcTmp, arcPath))
+        throw new java.io.IOException(s"archive publish rename $arcTmp -> $arcPath failed")
+    } catch {
+      case e: Throwable => outFs.delete(arcTmp, false); throw e
+    }
     // copy archive → latest via tmp + OVERWRITE rename: `latest` is the
     // key consumers poll, so it must never be absent or partial. A
     // truncate-then-stream overwrite exposes a partial artifact during

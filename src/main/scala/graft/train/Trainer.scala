@@ -81,7 +81,10 @@ object Trainer {
 
   /** Phase 1. `df` = rewarded decisions (item/context/sample/count). */
   def trainPropensity(df: DataFrame, config: TrainConfig = TrainConfig()): PropensityModel = {
-    val meanItemCount = df.agg(avg(Schema.Count)).collect().head.getDouble(0)
+    val countRow = df.agg(avg(Schema.Count)).collect().head
+    require(!countRow.isNullAt(0),
+      "trainPropensity: no training data (empty input or all-null counts)")
+    val meanItemCount = countRow.getDouble(0)
     val modelSeed = config.seed
 
     val expanded = Encoding.expandForPropensity(df)
@@ -135,6 +138,8 @@ object Trainer {
       df = df.withColumn(Schema.Reward, when(col(Schema.Reward) > 0, 1.0).otherwise(0.0))
 
     val stats = df.agg(avg(Schema.Reward), stddev_samp(Schema.Reward)).collect().head
+    require(!stats.isNullAt(0),
+      "trainDecision: no training data (empty input or all-null rewards)")
     val rewardMean = stats.getDouble(0)
     val rewardStd = {
       val s = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
@@ -165,13 +170,17 @@ object Trainer {
     // context (+ the timestamp feature, as in the propensity path) —
     // nulling the Context column alone would leave the encoding
     // untouched.
+    // NO timestamp feature here: phase-2 featureNames =
+    // pm.selectedFeatures, which excludes TimestampFeature by
+    // definition, so injecting `t` into nums would be a per-row KSUID
+    // decode + map rebuild that nothing ever reads (phase 1 and the
+    // propensity TRANSFORM above do need it — their feature set
+    // includes `t`)
     val dropped = Encoding.withFlatFeatures(
         weighted.withColumn(Schema.Context,
           when(hashUniform(col(Schema.DecisionId), modelSeed + 11) < config.sampleContext,
             col(Schema.Context)))
           .drop("nums", "strs"))
-      .withColumn("nums", map_concat(col("nums"),
-        map(lit(TimestampFeature), Encoding.ksuidTimestamp(col(Schema.DecisionId)))))
 
     val featureNames = pm.selectedFeatures
     val priorMean = if (config.normalizeRewards) 0.0 else rewardMean
