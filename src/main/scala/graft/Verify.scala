@@ -40,7 +40,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // gate-artifact oracles (q_rdr_store/q_rdr_train) read the parquet
+    // the gates wrote: point their SQL at THIS run's artifact dir
+    val gates = graft.pipeline.GateArtifacts
     val json = SparkEntry.oracleSql
+      .map { case (k, v) => k -> v.replace(gates.Placeholder, gates.dir(sfDir)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

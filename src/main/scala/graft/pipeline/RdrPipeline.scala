@@ -20,6 +20,40 @@ import graft.schema.Schema
   * Hence: merged rows == #events; rewarded rows == #purchases;
   * Σ reward == Σ round(value, 2) over purchases.
   */
+/** Stable on-disk location for gate artifacts that the driver's DuckDB
+  * oracle re-reads AFTER the Verify JVM exits: the partition store the
+  * store gate writes and the training-data dumps the train gate writes.
+  * Keyed by scale-factor directory so a bench run at sf0.1 can never
+  * clobber the sf0.01 artifacts the oracle is about to read. Verify
+  * substitutes [[Placeholder]] in oracle SQL with [[dir]] at dump time,
+  * so the SQL the driver executes points at this run's files.
+  */
+object GateArtifacts {
+  val Placeholder = "__GRAFT_GATES__"
+
+  def dir(sfDir: String): String = {
+    val tag = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
+      .replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_gates$tag"
+  }
+
+  /** Delete-then-return a named artifact slot: each gate owns one slot
+    * and rewrites it from scratch per invocation, so a repeated run
+    * (bench repeats, local iteration) never censuses stale files.
+    */
+  def freshSlot(sfDir: String, name: String): String = {
+    val slot = s"${dir(sfDir)}/$name"
+    val root = java.nio.file.Paths.get(slot)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(root.getParent)
+    slot
+  }
+}
+
 object RdrPipeline {
 
   private def ksuidCol(ts: org.apache.spark.sql.Column, seed: org.apache.spark.sql.Column) =
@@ -102,85 +136,116 @@ object RdrPipeline {
 
   /** The FULL reference chain in one query: ingest → merge → partition
     * store → listing-driven load (S4/O3/P3/P4) → two-phase train →
-    * score a probe item. Rows-only gate (training output is not
-    * SQL-expressible). Small tree/depth config keeps the gate fast;
-    * the operators are the real ones.
+    * score a probe item. The gate output is the DATA-SIDE pre-fit
+    * census: the loaded phase-1/phase-2 training frames and the
+    * selected feature lists are dumped to [[GateArtifacts]], the census
+    * is computed by reading those dumps back, and the driver's DuckDB
+    * oracle recomputes the identical census from the same files (plus
+    * the genuine cross-link n_rows_p1 == count(events), which holds
+    * because phase 1's scarce-data override disables sampling below
+    * maxRows and the derived stream has no orphans). Model internals
+    * (trees, checkpoint round-trip, probe score) stay in-gate as loud
+    * requires — they are not SQL-expressible, but a failure still
+    * fails the gate. Small tree/depth config keeps the gate fast; the
+    * operators are the real ones.
     */
   def trainSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.train.{Loader, Trainer}
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("rdr_train").toString
-    try {
-      val ingested = cachedMerged(spark, sfDir)
-      PartitionStore.write(ingested, s"$work/store", "events")
-      val cfg = Trainer.TrainConfig(
-        maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
-        propensityTrees = 5, treeDepth = 4, seed = 42L)
-      // explore-mode bootstrap: the 1−1/e sample at load realizes the
-      // Poisson zero mass (phase 1 sets minRows=maxRows so scarce data
-      // overrides the sample; phase 2 samples unconditionally)
-      val sample = if (cfg.explore) graft.encoding.Encoding.NonZeroPoissonProbability else 1.0
-      val maxRows = 8000000L
-      val phase1 = Loader.load(spark, s"$work/store", "events",
-        maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
-        .withColumn(Schema.Model, lit("events")).persist()
-      val trained = Trainer.trainPropensity(phase1, cfg)
-      phase1.unpersist()
-      // exercise the checkpoint surface inside the gate chain, exactly
-      // as the reference trainer's first branch does (checkpoint.py:
-      // 26-110): save phase 1, reload it, and train phase 2 from the
-      // RELOADED model — a silent feature/table drift through the
-      // save/load round-trip fails the gate loudly here
-      graft.train.ModelStore.saveCheckpoint(trained, s"$work/ckpt")
-      val pm = graft.train.ModelStore.loadCheckpoint(spark, s"$work/ckpt")
-        .getOrElse(sys.error("q_rdr_train: checkpoint failed to reload"))
-      require(pm.featureNames == trained.featureNames &&
-        pm.stringTables == trained.stringTables &&
-        pm.modelSeed == trained.modelSeed,
-        "q_rdr_train: reloaded checkpoint differs from the trained phase-1 model")
-      val phase2 = Loader.load(spark, s"$work/store", "events",
-        maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
-        .withColumn(Schema.Model, lit("events")).persist()
-      val dm = Trainer.trainDecision(phase2, pm, cfg)
-      phase2.unpersist()
-      // exercise the scoring surface too: expected reward of a probe item
-      val probeScore = graft.train.Scorer
-        .rank(spark, dm, Seq("""{"k":50}"""), """{"t":"click"}""").head._2
-      Seq((pm.featureNames.length.toLong, dm.featureNames.length.toLong,
-        pm.model.getNumTrees.toLong, dm.model.getNumTrees.toLong,
-        math.rint(pm.meanItemCount * 100) / 100, math.rint(dm.rewardMean * 10000) / 10000,
-        math.rint(probeScore * 100) / 100))
-        .toDF("n_features_p1", "n_features_p2", "n_trees_p1", "n_trees_p2",
-          "mean_item_count", "reward_mean", "probe_score")
-    } finally deleteRecursively(work)
+    val slot = GateArtifacts.freshSlot(sfDir, "train")
+    val ingested = cachedMerged(spark, sfDir)
+    PartitionStore.write(ingested, s"$slot/store", "events")
+    val cfg = Trainer.TrainConfig(
+      maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
+      propensityTrees = 5, treeDepth = 4, seed = 42L)
+    // explore-mode bootstrap: the 1−1/e sample at load realizes the
+    // Poisson zero mass (phase 1 sets minRows=maxRows so scarce data
+    // overrides the sample; phase 2 samples unconditionally)
+    val sample = if (cfg.explore) graft.encoding.Encoding.NonZeroPoissonProbability else 1.0
+    val maxRows = 8000000L
+    val phase1 = Loader.load(spark, s"$slot/store", "events",
+      maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
+      .withColumn(Schema.Model, lit("events")).persist()
+    phase1.select(Schema.DecisionId, Schema.Reward, Schema.Count)
+      .write.mode("overwrite").parquet(s"$slot/phase1")
+    val trained = Trainer.trainPropensity(phase1, cfg)
+    phase1.unpersist()
+    // exercise the checkpoint surface inside the gate chain, exactly
+    // as the reference trainer's first branch does (checkpoint.py:
+    // 26-110): save phase 1, reload it, and train phase 2 from the
+    // RELOADED model — a silent feature/table drift through the
+    // save/load round-trip fails the gate loudly here
+    graft.train.ModelStore.saveCheckpoint(trained, s"$slot/ckpt")
+    val pm = graft.train.ModelStore.loadCheckpoint(spark, s"$slot/ckpt")
+      .getOrElse(sys.error("q_rdr_train: checkpoint failed to reload"))
+    require(pm.featureNames == trained.featureNames &&
+      pm.stringTables == trained.stringTables &&
+      pm.modelSeed == trained.modelSeed,
+      "q_rdr_train: reloaded checkpoint differs from the trained phase-1 model")
+    val phase2 = Loader.load(spark, s"$slot/store", "events",
+      maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
+      .withColumn(Schema.Model, lit("events")).persist()
+    phase2.select(Schema.DecisionId, Schema.Reward, Schema.Count)
+      .write.mode("overwrite").parquet(s"$slot/phase2")
+    val dm = Trainer.trainDecision(phase2, pm, cfg)
+    phase2.unpersist()
+    pm.featureNames.toDF("feature").coalesce(1)
+      .write.mode("overwrite").parquet(s"$slot/features_p1")
+    dm.featureNames.toDF("feature").coalesce(1)
+      .write.mode("overwrite").parquet(s"$slot/features_p2")
+    // model-internal invariants: loud in-gate failures, not census rows
+    require(pm.model.getNumTrees > 0 && dm.model.getNumTrees > 0,
+      "q_rdr_train: a phase trained zero trees")
+    val probeScore = graft.train.Scorer
+      .rank(spark, dm, Seq("""{"k":50}"""), """{"t":"click"}""").head._2
+    require(!probeScore.isNaN && !probeScore.isInfinite,
+      s"q_rdr_train: non-finite probe score $probeScore")
+    // census from the READ-BACK dumps — byte-identical input to what
+    // the DuckDB oracle reads
+    val p1 = spark.read.parquet(s"$slot/phase1")
+    val p2 = spark.read.parquet(s"$slot/phase2")
+    val r1 = p1.agg(count(lit(1)), round(sum(Schema.Count), 2)).collect().head
+    val r2 = p2.agg(count(lit(1)), round(avg(Schema.Reward), 4),
+      round(coalesce(stddev_samp(Schema.Reward), lit(0.0)), 4)).collect().head
+    val nEvents = Tables.events(spark, sfDir).count()
+    val nf1 = spark.read.parquet(s"$slot/features_p1").count()
+    val nf2 = spark.read.parquet(s"$slot/features_p2").count()
+    Seq((r1.getLong(0), r2.getLong(0), nEvents, nf1, nf2,
+      r1.getDouble(1), r2.getDouble(1), r2.getDouble(2)))
+      .toDF("n_rows_p1", "n_rows_p2", "n_events", "n_features_p1",
+        "n_features_p2", "total_count_p1", "reward_mean", "reward_std")
   }
 
-  /** Full dataflow incl. partition store + groom; returns store stats
-    * (rows-only gate — the store layout is not SQL-expressible).
+  /** Full dataflow incl. partition store + groom; the store is written
+    * to [[GateArtifacts]] and the census (row count, reward total, file
+    * count, id range) is computed by reading the written files back, so
+    * the driver's DuckDB oracle can recompute the identical census
+    * straight from the store parquet — layout AND content verified.
     */
   def storeSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val work = java.nio.file.Files.createTempDirectory("rdr_store").toString
-    try {
-      val merged = cachedMerged(spark, sfDir)
-      PartitionStore.write(merged, s"$work/store", "events")
-      val iters = Groom.groom(spark, s"$work/store", "events")
-      val keys = PartitionStore.listKeys(spark, s"$work/store", "events")
-      Groom.assertNoOverlappingKeys(keys)
-      val back = PartitionStore.read(spark, s"$work/store", keys)
-      val stats = back.agg(
-        count(lit(1)).as("n_rows"),
-        round(sum(Schema.Reward), 2).as("total_reward")).collect().head
-      // serving-path probe: a point lookup of the store's min id must
-      // open only its covering file(s) and return exactly one row —
-      // exercises lookupDecision inside the gate chain
-      val probeId = back.agg(min(Schema.DecisionId)).collect().head.getString(0)
-      val probe = PartitionStore.lookupDecision(spark, s"$work/store", "events", probeId)
-      val lookupOk = probe.count() == 1L &&
-        probe.inputFiles.length < math.max(2, keys.length)
-      Seq((stats.getLong(0), stats.getDouble(1), keys.length.toLong,
-        iters.toLong, lookupOk))
-        .toDF("n_rows", "total_reward", "n_files", "groom_iterations", "lookup_ok")
-    } finally deleteRecursively(work)
+    val slot = GateArtifacts.freshSlot(sfDir, "store")
+    val merged = cachedMerged(spark, sfDir)
+    PartitionStore.write(merged, slot, "events")
+    Groom.groom(spark, slot, "events")
+    val keys = PartitionStore.listKeys(spark, slot, "events")
+    Groom.assertNoOverlappingKeys(keys)
+    val back = PartitionStore.read(spark, slot, keys)
+    val stats = back.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(Schema.Reward), 2).as("total_reward"),
+      min(Schema.DecisionId).as("min_id"),
+      max(Schema.DecisionId).as("max_id")).collect().head
+    // serving-path probe: a point lookup of the store's min id must
+    // open only its covering file(s) and return exactly one row —
+    // exercises lookupDecision inside the gate chain (in-gate
+    // invariant; file-open behavior is not SQL-expressible)
+    val probe = PartitionStore.lookupDecision(spark, slot, "events", stats.getString(2))
+    require(probe.count() == 1L &&
+      probe.inputFiles.length < math.max(2, keys.length),
+      "q_rdr_store: point lookup did not prune to the covering file")
+    Seq((stats.getLong(0), stats.getDouble(1), keys.length.toLong,
+      stats.getString(2), stats.getString(3)))
+      .toDF("n_rows", "total_reward", "n_files", "min_id", "max_id")
   }
 }

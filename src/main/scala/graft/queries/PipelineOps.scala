@@ -21,14 +21,31 @@ object PipelineOps {
              |                      THEN round(value, 2) ELSE 0 END), 2) AS total_reward
              |FROM events""".stripMargin)),
 
+    // __GRAFT_GATES__ is substituted by Verify at oracle-dump time with
+    // the stable per-sfDir artifact dir the gate wrote (GateArtifacts):
+    // DuckDB recomputes the census straight from the parquet files the
+    // store gate produced, so the write path is verified end to end.
     GateQuery(
       "q_rdr_store",
       (s, d) => RdrPipeline.storeSummary(s, d),
-      None),
+      Some("""SELECT count(*) AS n_rows,
+             |       round(sum(reward), 2) AS total_reward,
+             |       count(DISTINCT filename) AS n_files,
+             |       min(decision_id) AS min_id,
+             |       max(decision_id) AS max_id
+             |FROM read_parquet('__GRAFT_GATES__/store/rewarded_decisions/events/parquet/**/*.parquet', filename = true)""".stripMargin)),
 
     GateQuery(
       "q_rdr_train",
       (s, d) => RdrPipeline.trainSummary(s, d),
-      None),
+      Some("""SELECT
+             |  (SELECT count(*) FROM read_parquet('__GRAFT_GATES__/train/phase1/*.parquet')) AS n_rows_p1,
+             |  (SELECT count(*) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS n_rows_p2,
+             |  (SELECT count(*) FROM events) AS n_events,
+             |  (SELECT count(*) FROM read_parquet('__GRAFT_GATES__/train/features_p1/*.parquet')) AS n_features_p1,
+             |  (SELECT count(*) FROM read_parquet('__GRAFT_GATES__/train/features_p2/*.parquet')) AS n_features_p2,
+             |  (SELECT round(sum("count"), 2) FROM read_parquet('__GRAFT_GATES__/train/phase1/*.parquet')) AS total_count_p1,
+             |  (SELECT round(avg(reward), 4) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_mean,
+             |  (SELECT round(coalesce(stddev_samp(reward), 0), 4) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_std""".stripMargin)),
   )
 }
