@@ -69,6 +69,24 @@ case class RewardMergeAgg(srcOrder: Expression, seq: Expression, rewards: Expres
 
   override def nullable: Boolean = false
 
+  /** update() folds srcOrder/seq via `Number.longValue`; a Decimal (or
+    * any other non-integral) column would otherwise surface as a
+    * runtime MatchError mid-aggregation — reject it at analysis time.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    def integral(e: Expression, name: String): Seq[String] = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | NullType => Nil
+      case t => Seq(s"$name must be an integral type, got ${t.catalogString}")
+    }
+    val errs = integral(srcOrder, "src_order") ++ integral(seq, "seq") ++
+      (rewards.dataType match {
+        case StringType | NullType => Nil
+        case t => Seq(s"rewards must be STRING, got ${t.catalogString}")
+      })
+    if (errs.isEmpty) TypeCheckSuccess else TypeCheckFailure(errs.mkString("; "))
+  }
+
   override def dataType: DataType = StructType(Seq(
     StructField("rewards", StringType, nullable = false),
     StructField("reward", DoubleType, nullable = false)))

@@ -340,10 +340,14 @@ object Dedup {
       col(scoreCol).cast("double").as("_score"))
       .join(clusters, Seq("id")) // clustered rows only
     // winner per cluster = max (score, -id): struct min over
-    // (-score, id) gives (highest score, then smallest id)
+    // (-score, id) gives (highest score, then smallest id). A null
+    // score would sort BEFORE every real value in the struct compare
+    // (inverting "keep the best"), so it maps to +Inf: a null-score
+    // member wins only when the whole cluster is unscored.
     val winners = scored
       .groupBy("cluster")
-      .agg(min(struct((-col("_score")).as("s"), col("id").as("i")))
+      .agg(min(struct(coalesce(-col("_score"), lit(Double.PositiveInfinity)).as("s"),
+          col("id").as("i")))
         .getField("i").as("id"))
     // drop set = clustered ids minus the winners; one anti-join keeps
     // winners AND every unclustered document in a single pass

@@ -77,14 +77,16 @@ object Multimodal {
       (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') ||
       (bytes(0) == 'B' && bytes(1) == 'M'))
 
-  /** Decode ceiling: a ~100-byte payload can DECLARE an arbitrarily
-    * large canvas (decompression bomb), and the resulting allocation
-    * failure would be an Error no catch-Exception guard sees. 2^25
-    * pixels (= 32 MP, a 128 MB luminance plane) comfortably covers
-    * real curation inputs while keeping the worst-case allocation
-    * bounded per task.
+  /** Default decode ceiling: a ~100-byte payload can DECLARE an
+    * arbitrarily large canvas (decompression bomb), and the resulting
+    * allocation failure would be an Error no catch-Exception guard
+    * sees. 2^22 pixels (≈ 4 MP, a ~16 MB ARGB + 16 MB luminance
+    * allocation per decode) is ample for curation thumbnails while
+    * keeping the worst case bounded even at 8–16 concurrent decode
+    * tasks per executor; callers with bigger inputs (and the executor
+    * memory to match) pass their own cap to [[decodeImage]].
     */
-  val MaxDecodePixels: Long = 1L << 25
+  val MaxDecodePixels: Long = 1L << 22
 
   /** Real image decode: PNG/JPEG/GIF/BMP bytes → luminance plane.
     * None for non-image payloads, truncated/corrupt image bytes,
@@ -96,7 +98,8 @@ object Multimodal {
     * must not kill a 100 TB pass; count the Nones downstream if
     * signal is needed).
     */
-  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+  def decodeImage(bytes: Array[Byte],
+      maxPixels: Long = MaxDecodePixels): Option[DecodedImage] = {
     if (!sniffImage(bytes)) return None
     try {
       // ONE reader does both the header-only dimension check (no
@@ -114,7 +117,7 @@ object Multimodal {
             reader.setInput(iis, true, true)
             val dw = reader.getWidth(0).toLong
             val dh = reader.getHeight(0).toLong
-            if (dw <= 0 || dh <= 0 || dw * dh > MaxDecodePixels) None
+            if (dw <= 0 || dh <= 0 || dw * dh > maxPixels) None
             else Option(reader.read(0))
           } finally reader.dispose()
         }

@@ -207,4 +207,20 @@ class RewardMergeAggSpec extends AnyFunSuite with SparkTestBase {
     val node = graft.core.CanonicalJson.parse(row.getAs[String](Schema.Rewards))
     assert(node.size() == 100000)
   }
+
+  test("non-integral src/seq types are rejected at analysis time") {
+    import spark.implicits._
+    // update() folds src/seq via Number.longValue; a Decimal column
+    // used to surface as a mid-aggregation MatchError — it must be an
+    // analysis-time failure instead
+    val df = Seq((BigDecimal(1), 1L, """{"k":1}""")).toDF("src", "seq", "rewards")
+    val bad = GraftColumn.of(RewardMergeAgg(
+      GraftColumn.expr(col("src")), // DecimalType
+      GraftColumn.expr(col("seq")),
+      GraftColumn.expr(col("rewards"))).toAggregateExpression()).as("_rw")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy().agg(bad).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral"), e.getMessage)
+  }
 }

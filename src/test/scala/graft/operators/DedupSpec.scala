@@ -290,6 +290,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(canonical == Set(1L, 10L, 4L, 5L), canonical)
   }
 
+  test("keepBestLabeled: a null-score member cannot beat a scored one") {
+    import spark.implicits._
+    // null sorts before every value in a struct compare, so without the
+    // +Inf mapping the null-score member would win the per-cluster min
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val docs = Seq(
+      (1L, Some(5.0)), (2L, None), (3L, Some(4.0)), // scored 1 beats null 2
+      (10L, None), (11L, None),                     // all-null → min id 10
+      (4L, Some(0.0)))                              // unclustered: kept
+      .toDF("doc_id", "q")
+    val kept = Dedup.keepBestLabeled(docs, "doc_id", "q", clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 4L), kept)
+  }
+
   test("semDedup broadcasts only the centroid relation, never the corpus") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try {

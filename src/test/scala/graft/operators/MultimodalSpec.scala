@@ -80,6 +80,12 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeImage(png).nonEmpty)
   }
 
+  test("decodeImage honors a caller-supplied pixel cap") {
+    val png = pngBytes(8, 8)((_, _) => 0xffffff) // 64 px
+    assert(Multimodal.decodeImage(png, maxPixels = 16L).isEmpty)
+    assert(Multimodal.decodeImage(png, maxPixels = 64L).nonEmpty)
+  }
+
   test("resizeArea: exact-partition box filter, hand-computed cells") {
     // 4x2 gradient: luminance = x*10 + y*100 (construct directly)
     val img = Multimodal.DecodedImage(4, 2,
