@@ -34,6 +34,9 @@ object Bench {
     // round-over-round comparisons know what each number is.
     val repeatThreshold = sys.env.getOrElse("SPARK_GRAFT_REPEAT_SEC", "1.0").toDouble
     val maxRepeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    // sub-second queries whose round-over-round history showed phantom
+    // swings under suite load: always report a median, never one sample
+    val forceRepeat = Set("q_knn_cosine", "q_heavy_hitters", "q_distinct_agg", "q_outliers")
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // a failure must be LOUD and visible in the JSON (-1 marker):
@@ -62,7 +65,7 @@ object Bench {
       // a failed first pass reports -1 immediately (repeating a crash
       // just burns the suite); repeat-pass failures are dropped from
       // the median rather than poisoning it
-      if (first < 0 || first < repeatThreshold) (name, first, 1)
+      if (first < 0 || (first < repeatThreshold && !forceRepeat(name))) (name, first, 1)
       else {
         val rest = (2 to maxRepeats).map(_ => once(name, fn)).filter(_ >= 0)
         val all = (first +: rest).sorted
