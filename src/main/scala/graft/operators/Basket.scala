@@ -86,9 +86,8 @@ object Basket {
           round(col("pair_sup") / col("_sb").cast("double"), 4).as("conf_b_a"),
           round(col("pair_sup") * nBaskets /
             (col("_sa") * col("_sb")).cast("double"), 4).as("lift"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count() // consume `it` fully before releasing it
-      out
+      // consume `it` fully before releasing it
+      Caching.handOff(out)
     } finally { it.unpersist(blocking = false); () }
   }
 }

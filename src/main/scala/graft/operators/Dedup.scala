@@ -158,11 +158,9 @@ object Dedup {
     val out = exactVerify(signed, candidatePairs(signed, idCol, groupCols),
       idCol, threshold, carryCols = groupCols)
     // materialize eagerly so any upstream signature cache can be
-    // released; the (bounded) pair set is what stays cached — callers
-    // may unpersist it when done
-    out.persist()
-    out.count()
-    out
+    // released; the (bounded) pair set is what stays cached — the
+    // caller owns it (Caching.handOff contract)
+    Caching.handOff(out)
   }
 
   // ---- duplicate clusters (connected components) -------------------------
@@ -273,6 +271,8 @@ object Dedup {
   /** deltaPairs over ALREADY-signed relations — pairs with
     * `verifiedPairsSigned`: a materialized signature table serves both
     * the symmetric and the incremental dedup without re-shingling.
+    * Returns a persisted frame; the CALLER owns that cache
+    * (Caching.handOff contract) — `.unpersist()` when done.
     */
   def deltaPairsSigned(sd: DataFrame, sc: DataFrame, idCol: String,
       threshold: Double): DataFrame = {
@@ -291,9 +291,7 @@ object Dedup {
             Seq("id_corpus")),
         threshold)
         .select("id_delta", "id_corpus", "jac")
-      out.persist()
-      out.count()
-      out
+      Caching.handOff(out)
     }
   }
 
@@ -474,9 +472,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val out = exactCosineVerify(signed, cands, idCol, vecCol, threshold)
-    out.persist()
-    out.count()
-    out
+    Caching.handOff(out)
     } finally signed.unpersist(blocking = false)
   }
 
@@ -651,9 +647,8 @@ object Dedup {
           .select(loser.as(idCol))
           .distinct()
         val kept = df.join(losers, Seq(idCol), "left_anti")
-        kept.persist()
-        kept.count() // consume `scored` fully before releasing it
-        kept
+        // consume `scored` fully before releasing it
+        Caching.handOff(kept)
       } finally { scored.unpersist(blocking = false); () }
     } finally { cents.unpersist(blocking = false); () }
   }

@@ -105,9 +105,7 @@ object Search {
         .crossJoin(broadcast(qNorm))
         .withColumn("sim", col("_dot") / (col("_norm") * col("_qnorm")))
         .select(col(idCol), col("sim"))
-      out.persist()
-      out.count()
-      out
+      Caching.handOff(out)
     } finally weighted.unpersist(blocking = false)
   }
 

@@ -40,4 +40,13 @@ class BasketSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Basket.frequentPairs(fx, "b", "i", 0))
     intercept[IllegalArgumentException](Basket.frequentPairs(fx, "b", "i", 1, 1))
   }
+
+  test("rules drain-and-release leaves zero cached blocks (handOff contract)") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val out = Basket.rules(fx, "b", "i", minSupport = 3, maxBasketSize = 20)
+    out.collect()
+    out.unpersist(blocking = true)
+    val leftover = spark.sparkContext.getPersistentRDDs
+    assert(leftover.isEmpty, leftover.values.map(_.toString).toSeq)
+  }
 }

@@ -290,6 +290,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(canonical == Set(1L, 10L, 4L, 5L), canonical)
   }
 
+  test("drain-and-release cycle leaves zero cached blocks (handOff contract)") {
+    import spark.implicits._
+    // clean slate: earlier tests in this suite may have left caller-
+    // owned caches behind (they exercise results, not release)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f h"),
+      (3L, "x y z w q r s")).toDF("doc_id", "text")
+    val pairs = Dedup.verifiedPairs(docs, "doc_id", "text", 0.5)
+    pairs.collect()
+    pairs.unpersist(blocking = true)
+    val delta = Dedup.deltaPairs(docs, docs, "doc_id", "text", 0.5)
+    delta.collect()
+    delta.unpersist(blocking = true)
+    val vecs = Seq((1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(1.0, 0.001)),
+      (3L, 1, Seq(0.0, 1.0))).toDF("vec_id", "cl", "v")
+    val kept = Dedup.semDedup(vecs, "vec_id", "v", "cl", 0.99)
+    kept.collect()
+    kept.unpersist(blocking = true)
+    val leftover = spark.sparkContext.getPersistentRDDs
+    assert(leftover.isEmpty, leftover.values.map(_.toString).toSeq)
+  }
+
   test("keepBestLabeled: a null-score member cannot beat a scored one") {
     import spark.implicits._
     // null sorts before every value in a struct compare, so without the
