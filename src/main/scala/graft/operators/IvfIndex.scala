@@ -36,7 +36,9 @@ object IvfIndex {
 
   /** Assign cells (seeded cosine k-means quantizer by default) and
     * write the partitioned table + sidecar. One full pass over the
-    * corpus; the only driver-side state is C centroid vectors.
+    * corpus (plus one cell/assignment-quality census pass over the
+    * written columnar table — ≤ C·[[HistBins]] rows to the driver);
+    * the only driver-side state is C centroid vectors + the census.
     */
   def build(df: DataFrame, vecCol: String, idCol: String, dir: String,
       numCells: Int, seed: Long = 7L, kmeansQuantizer: Boolean = true): Index = {
@@ -47,6 +49,12 @@ object IvfIndex {
       Ann.withCell(df, vecCol, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
       writeSidecar(tmp, "centroids.json", centroidsJson(cents))
+      // drift baseline: census the WRITTEN table (columnar re-read of
+      // vec+cell only) rather than re-running the assignment pass
+      val base = assignmentCensus(
+        df.sparkSession.read.parquet(s"$tmp/cells"), vecCol, cents)
+      writeSidecar(tmp, StatsSidecar,
+        statsJson(AppendStats(base, emptySide)))
     }
     Index(dir, cents)
   }
@@ -92,10 +100,162 @@ object IvfIndex {
     val newMap = projected.schema.fields.map(f => f.name -> f.dataType).toMap
     require(exMap == newMap,
       s"ivf append: batch schema $newMap does not match the index cells table $exMap")
-    projected
-      .write.mode("append").partitionBy("cell").parquet(s"${index.dir}/cells")
+    // the batch feeds the parquet append AND the drift census below —
+    // persist so the assignment expression runs once per row
+    val proj = projected.persist()
+    try {
+      proj.write.mode("append").partitionBy("cell").parquet(s"${index.dir}/cells")
+      // Drift accounting (see driftReport): merge the batch's census
+      // into the appended side of the stats sidecar. Best-effort
+      // monitoring, not correctness: a crash between the parquet
+      // append and this write undercounts the appended side (drift is
+      // then under-reported until the next append), and a pre-stats
+      // index (no sidecar) is simply not tracked.
+      loadStats(index.dir).foreach { st =>
+        val batch = assignmentCensus(proj, vecCol, index.centroids)
+        writeSidecar(index.dir, StatsSidecar,
+          statsJson(st.copy(appended = mergeSides(st.appended, batch))))
+      }
+    } finally proj.unpersist(blocking = false)
     index
   }
+
+  // ---- append drift tracking --------------------------------------------
+
+  /** Assignment-quality resolution: cos(vector, assigned centroid) in
+    * [−1, 1], binned into this many equal-width bins.
+    */
+  val HistBins = 20
+
+  private val StatsSidecar = "append_stats.json"
+
+  /** One side of the drift ledger: row count, per-cell counts, and the
+    * assignment-cosine histogram.
+    */
+  final case class DriftSide(n: Long, cells: Map[Int, Long], hist: Seq[Long])
+
+  /** The stats sidecar: the build-time baseline vs everything appended
+    * against the frozen centroids since.
+    */
+  final case class AppendStats(base: DriftSide, appended: DriftSide)
+
+  /** Drift verdict for a grown index — computed from the sidecar
+    * ledger alone, no corpus scan and no ground-truth k-NN pass.
+    */
+  final case class DriftReport(
+      appendedFraction: Double,
+      assignPsi: Double,
+      cellSkewBase: Double,
+      cellSkewNow: Double,
+      needsRecluster: Boolean)
+
+  private def emptySide = DriftSide(0L, Map.empty, Seq.fill(HistBins)(0L))
+
+  /** ≤ C·HistBins rows to the driver: (cell, assignment-cosine bin)
+    * counts in ONE map-side-combined aggregation.
+    */
+  private def assignmentCensus(assigned: DataFrame, vecCol: String,
+      cents: Array[Seq[Double]]): DriftSide = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "_cent")
+    val rows = assigned.select(col("cell"), col(vecCol))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("_bin", least(lit(HistBins - 1), greatest(lit(0),
+        floor((Ann.cosine(col(vecCol), col("_cent")) + 1.0) / 2.0 * HistBins)
+          .cast("int"))))
+      .groupBy("cell", "_bin").agg(count(lit(1)).as("n"))
+      .collect()
+    val cells = rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+      c -> rs.map(_.getLong(2)).sum }
+    val hist = Array.fill(HistBins)(0L)
+    rows.foreach(r => hist(r.getInt(1)) += r.getLong(2))
+    DriftSide(hist.sum, cells, hist.toIndexedSeq)
+  }
+
+  private def mergeSides(a: DriftSide, b: DriftSide): DriftSide = DriftSide(
+    a.n + b.n,
+    (a.cells.keySet ++ b.cells.keySet).map(c =>
+      c -> (a.cells.getOrElse(c, 0L) + b.cells.getOrElse(c, 0L))).toMap,
+    a.hist.zip(b.hist).map { case (x, y) => x + y })
+
+  private def sideJson(s: DriftSide): String = {
+    val cells = s.cells.toSeq.sorted
+      .map { case (c, n) => s"[$c,$n]" }.mkString("[", ",", "]")
+    s"""{"n":${s.n},"cells":$cells,"hist":${s.hist.mkString("[", ",", "]")}}"""
+  }
+
+  private def statsJson(st: AppendStats): String =
+    s"""{"base":${sideJson(st.base)},"appended":${sideJson(st.appended)}}"""
+
+  /** The drift ledger, if this index carries one (indexes built before
+    * stats tracking do not).
+    */
+  def loadStats(dir: String): Option[AppendStats] = {
+    if (!fs(dir).exists(new HPath(dir, StatsSidecar))) return None
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(SidecarIndex.readSidecar(dir, StatsSidecar))
+    def side(n: com.fasterxml.jackson.databind.JsonNode): DriftSide = DriftSide(
+      n.get("n").longValue(),
+      (0 until n.get("cells").size()).map { i =>
+        val p = n.get("cells").get(i)
+        p.get(0).intValue() -> p.get(1).longValue()
+      }.toMap,
+      (0 until n.get("hist").size()).map(n.get("hist").get(_).longValue()))
+    Some(AppendStats(side(node.get("base")), side(node.get("appended"))))
+  }
+
+  /** PSI of the appended assignment-cosine histogram against the
+    * build-time baseline (ε-floored, same convention as Drift.psiBins).
+    */
+  private def psiOf(expected: Seq[Long], actual: Seq[Long]): Double = {
+    val eps = 1e-6
+    val eTot = math.max(expected.sum, 1L).toDouble
+    val aTot = math.max(actual.sum, 1L).toDouble
+    expected.zip(actual).map { case (e, a) =>
+      val p = math.max(e / eTot, eps)
+      val q = math.max(a / aTot, eps)
+      (q - p) * math.log(q / p)
+    }.sum
+  }
+
+  /** `needsRecluster` signal for a grown index, from the sidecar ledger
+    * alone. Appends assign new vectors to FROZEN centroids, so as the
+    * corpus drifts recall decays with no failing operation anywhere —
+    * this surfaces the three observable symptoms without a ground-truth
+    * scan:
+    *
+    *   - appended fraction: past ~half the corpus the quantizer was
+    *     trained on a minority of the data;
+    *   - assignment-quality PSI: drifted vectors sit FARTHER from
+    *     every frozen centroid, shifting the cos(vec, centroid)
+    *     histogram left vs the build-time baseline;
+    *   - cell-size skew: drifted mass funnels into whichever few cells
+    *     are least-wrong, so max/mean cell size grows — probe cost and
+    *     recall both degrade.
+    *
+    * None for an index without a stats sidecar.
+    */
+  def driftReport(index: Index,
+      maxAppendedFraction: Double = 0.5,
+      maxPsi: Double = 0.25,
+      maxSkewGrowth: Double = 4.0): Option[DriftReport] =
+    loadStats(index.dir).map { st =>
+      val total = st.base.n + st.appended.n
+      val frac = if (total == 0L) 0.0 else st.appended.n.toDouble / total
+      val psi = if (st.appended.n == 0L) 0.0 else psiOf(st.base.hist, st.appended.hist)
+      def skew(cells: Map[Int, Long]): Double = {
+        val vs = cells.values
+        if (vs.isEmpty) 1.0
+        else vs.max.toDouble * vs.size / math.max(vs.sum, 1L).toDouble
+      }
+      val skewBase = skew(st.base.cells)
+      val skewNow = skew(mergeSides(st.base, st.appended).cells)
+      DriftReport(frac, psi, skewBase, skewNow,
+        needsRecluster = frac > maxAppendedFraction || psi > maxPsi ||
+          skewNow > maxSkewGrowth * math.max(skewBase, 1.0))
+    }
 
   /** Reopen a previously built index (centroids only — the cell table
     * stays on disk until probed).

@@ -216,4 +216,58 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     IvfIndex.append(idx, ok, "v")
     assert(spark.read.parquet(s"$dir/cells").count() == 21)
   }
+
+  test("drift ledger flags drifted appends without a ground-truth scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drift").toString + "/idx"
+    val idx = IvfIndex.build(corpus(), "v", "vec_id", dir, numCells = 4, seed = 5L)
+    // fresh index: empty appended side, nothing to recluster
+    val fresh = IvfIndex.driftReport(idx).get
+    assert(!fresh.needsRecluster && fresh.appendedFraction == 0.0 &&
+      fresh.assignPsi == 0.0)
+
+    // ALIGNED append (same 4-axis distribution): small fraction, tiny
+    // PSI, no skew growth — no recluster signal
+    val rnd = new scala.util.Random(99)
+    val aligned = (200 until 220).map { i =>
+      val axis = i % 4
+      (i.toLong, s"c$axis", Seq.tabulate(8)(d =>
+        (if (d == axis * 2) 10.0 else 0.0) + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "label", "v")
+    IvfIndex.append(idx, aligned, "v")
+    val aligned20 = IvfIndex.driftReport(idx).get
+    assert(!aligned20.needsRecluster, aligned20.toString)
+    assert(math.abs(aligned20.appendedFraction - 20.0 / 120) < 1e-9)
+    assert(aligned20.assignPsi < 0.1, aligned20.toString)
+
+    // DRIFTED append: a new embedding pocket orthogonal to every
+    // frozen centroid — cos(vec, centroid) ≈ 0 for all of them, so
+    // the assignment histogram shifts hard left vs the baseline
+    val drifted = (300 until 340).map { i =>
+      (i.toLong, "new", Seq.tabulate(8)(d =>
+        (if (d == 1) 10.0 else 0.0) + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "label", "v")
+    IvfIndex.append(idx, drifted, "v")
+    val report = IvfIndex.driftReport(idx).get
+    assert(report.needsRecluster, report.toString)
+    assert(report.assignPsi > 0.25, report.toString)
+
+    // appended-FRACTION alone also triggers: a rebuilt index that then
+    // doubles via aligned appends outgrows its quantizer's train set
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_frac").toString + "/idx"
+    val idx2 = IvfIndex.build(corpus(), "v", "vec_id", dir2, numCells = 4, seed = 5L)
+    val bulk = (400 until 550).map { i =>
+      val axis = i % 4
+      (i.toLong, s"c$axis", Seq.tabulate(8)(d =>
+        (if (d == axis * 2) 10.0 else 0.0) + rnd.nextGaussian() * 0.1))
+    }.toDF("vec_id", "label", "v")
+    IvfIndex.append(idx2, bulk, "v")
+    val grown = IvfIndex.driftReport(idx2).get
+    assert(grown.needsRecluster && grown.appendedFraction > 0.5, grown.toString)
+
+    // a pre-stats index (no sidecar) is simply untracked
+    SidecarIndex.fs(dir).delete(
+      new org.apache.hadoop.fs.Path(dir, "append_stats.json"), false)
+    assert(IvfIndex.driftReport(idx).isEmpty)
+  }
 }
