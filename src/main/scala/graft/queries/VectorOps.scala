@@ -157,5 +157,97 @@ object VectorOps {
              |  GROUP BY label, pos)
              |GROUP BY label
              |ORDER BY label""".stripMargin)),
+
+    // End-to-end RAG-prep funnel: chunk → (deterministic chunk→vector
+    // assignment, the model-inference stand-in) → chunk-length-weighted
+    // mean-pool per doc → IVF index build → exact k-NN join through the
+    // index (nprobe = C). Every stage is oracled alone elsewhere
+    // (q_chunk, q_embed_pool, q_ann_ivf*, q_knn_join); THIS gate pins
+    // the handoffs — chunk ids → pooled vectors → index rows → join
+    // results — where integration bugs live. The census row is fully
+    // DuckDB-recomputable: n_index comes from reading the WRITTEN index
+    // cells table back while the oracle recomputes the pooled count, so
+    // a row lost anywhere in the chain breaks the match.
+    GateQuery(
+      "q_rag_funnel",
+      (s, d) => {
+        val docs = documents(s, d)
+        val emb = withVec(embeddings(s, d))
+        val nEmb = emb.count()
+        val chunks = graft.operators.Curation
+          .chunkDocuments(docs.select("doc_id", "text"), "text", size = 200, overlap = 50)
+        val withVecs = chunks
+          .withColumn("vec_id", (col("doc_id") * 7 + col("chunk_idx")) % nEmb)
+          .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+        val pooled = graft.operators.Ann
+          .meanPool(withVecs, "doc_id", "v", weight = length(col("chunk")).cast("double"))
+          .select(col("doc_id"), col("pooled").as("v"))
+          .persist() // feeds index build, queries, and the census
+        val dir = java.nio.file.Files.createTempDirectory("rag_funnel").toString + "/idx"
+        graft.operators.IvfIndex.build(pooled, "v", "doc_id", dir, numCells = 4, seed = 11L)
+        val idx = graft.operators.IvfIndex.load(s, dir)
+        val nIndex = s.read.parquet(s"$dir/cells").count()
+        val knn = graft.operators.IvfIndex.topKJoin(
+          s, idx, pooled.filter(col("doc_id") < 5), "v", "doc_id", "doc_id",
+          k = 3, nprobe = 4)
+        docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
+          .crossJoin(pooled.agg(count(lit(1)).as("n_pooled")))
+          .withColumn("n_index", lit(nIndex))
+          .crossJoin(knn.agg(
+            count(lit(1)).as("n_knn"),
+            sum("rank").cast("long").as("knn_rank_sum"),
+            // integer 1e-4 units: each cos is round-4 quantized, so the
+            // sum is a decimal multiple of 0.0001 up to ~1e-12 float
+            // error — a decimal round at ANY fixed precision can land
+            // exactly on a half-way boundary and split the engines
+            // (11.0815 did, HALF_UP vs binary-repr), while
+            // nearest-integer after ×10⁴ cannot
+            round(sum("cos") * 10000).cast("long").as("knn_cos_sum")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, length(text) AS len FROM documents
+             |  WHERE text IS NOT NULL AND length(text) >= 1
+             |), ch AS (
+             |  SELECT doc_id,
+             |         CAST(unnest(range(greatest(CAST(ceil(CAST(len - 200 AS DOUBLE) / 150) AS BIGINT) + 1, 1))) AS BIGINT) AS ci,
+             |         text
+             |  FROM d
+             |), cw AS (
+             |  SELECT doc_id, ci, length(substring(text, CAST(ci AS INT) * 150 + 1, 200)) AS wlen
+             |  FROM ch
+             |), cv AS (
+             |  SELECT cw.doc_id, CAST(cw.wlen AS DOUBLE) AS w, e.embedding
+             |  FROM cw JOIN embeddings e
+             |    ON e.vec_id = (cw.doc_id * 7 + cw.ci) % (SELECT count(*) FROM embeddings)
+             |), ex AS (
+             |  SELECT doc_id, w, CAST(unnest(embedding) AS DOUBLE) AS x,
+             |         generate_subscripts(embedding, 1) AS pos
+             |  FROM cv
+             |), pooled AS (
+             |  SELECT doc_id, list(mx ORDER BY pos) AS pv
+             |  FROM (SELECT doc_id, pos, sum(x * w) / sum(w) AS mx
+             |        FROM ex GROUP BY doc_id, pos)
+             |  GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+             |         round(
+             |           list_sum(list_transform(list_zip(q.pv, c.pv),
+             |                                   p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |           / (sqrt(list_sum(list_transform(q.pv, x -> x * x)))
+             |              * sqrt(list_sum(list_transform(c.pv, x -> x * x)))), 4) AS cos
+             |  FROM pooled q, pooled c WHERE q.doc_id < 5
+             |), topk AS (
+             |  SELECT query_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rnk
+             |  FROM pairs QUALIFY rnk <= 3
+             |)
+             |SELECT (SELECT count(*) FROM documents) AS n_docs,
+             |       (SELECT count(*) FROM ch) AS n_chunks,
+             |       (SELECT count(*) FROM pooled) AS n_pooled,
+             |       (SELECT count(*) FROM pooled) AS n_index,
+             |       (SELECT count(*) FROM topk) AS n_knn,
+             |       (SELECT CAST(sum(rnk) AS BIGINT) FROM topk) AS knn_rank_sum,
+             |       (SELECT CAST(round(sum(cos) * 10000) AS BIGINT) FROM topk) AS knn_cos_sum""".stripMargin)),
   )
 }
