@@ -134,6 +134,58 @@ object RdrPipeline {
       .toDF("n_decisions", "n_rewarded", "total_reward")
   }
 
+  /** A trained two-phase chain: both models plus whether phase 1 was
+    * served from a warm checkpoint instead of retrained.
+    */
+  final case class TrainedChain(
+      propensity: graft.train.Trainer.PropensityModel,
+      decision: graft.train.Trainer.DecisionModel,
+      phase1Warm: Boolean)
+
+  /** The USER-FACING two-phase training chain over an EXISTING
+    * partition store. `storeDir` is the caller's durable location
+    * (object-store prefix, HDFS dir, …), reusable across invocations —
+    * unlike the gate wrappers below, nothing here is temp-dir scoped.
+    *
+    * `ckptDir` enables the reference trainer's warm start
+    * (checkpoint.py:26-110): a fresh, version-matching phase-1
+    * checkpoint there is REUSED instead of retraining phase 1, and a
+    * cold run saves one for the next invocation. `phaseTap` is called
+    * with each loaded phase frame before training (census dumps,
+    * debugging); the default does nothing.
+    */
+  def trainFromStore(spark: SparkSession, storeDir: String, model: String,
+      cfg: graft.train.Trainer.TrainConfig,
+      ckptDir: Option[String] = None,
+      maxRows: Long = 8000000L,
+      checkpointMaxAgeSeconds: Long = 24 * 3600,
+      phaseTap: (Int, DataFrame) => Unit = (_, _) => ()): TrainedChain = {
+    import graft.train.{Loader, ModelStore, Trainer}
+    val sample = if (cfg.explore) graft.encoding.Encoding.NonZeroPoissonProbability else 1.0
+    val warm = ckptDir.flatMap(d =>
+      ModelStore.loadCheckpoint(spark, d, checkpointMaxAgeSeconds))
+    val pm = warm.getOrElse {
+      // phase 1: minRows = maxRows realizes the scarce-data override
+      // (the explore sample only thins data the cap would drop anyway)
+      val phase1 = Loader.load(spark, storeDir, model,
+        maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
+        .withColumn(Schema.Model, lit(model)).persist()
+      try {
+        phaseTap(1, phase1)
+        val trained = Trainer.trainPropensity(phase1, cfg)
+        ckptDir.foreach(d => ModelStore.saveCheckpoint(trained, d))
+        trained
+      } finally { phase1.unpersist(); () }
+    }
+    val phase2 = Loader.load(spark, storeDir, model,
+      maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
+      .withColumn(Schema.Model, lit(model)).persist()
+    try {
+      phaseTap(2, phase2)
+      TrainedChain(pm, Trainer.trainDecision(phase2, pm, cfg), warm.isDefined)
+    } finally { phase2.unpersist(); () }
+  }
+
   /** The FULL reference chain in one query: ingest → merge → partition
     * store → listing-driven load (S4/O3/P3/P4) → two-phase train →
     * score a probe item. The gate output is the DATA-SIDE pre-fit
@@ -158,37 +210,27 @@ object RdrPipeline {
     val cfg = Trainer.TrainConfig(
       maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
       propensityTrees = 5, treeDepth = 4, seed = 42L)
-    // explore-mode bootstrap: the 1−1/e sample at load realizes the
-    // Poisson zero mass (phase 1 sets minRows=maxRows so scarce data
-    // overrides the sample; phase 2 samples unconditionally)
-    val sample = if (cfg.explore) graft.encoding.Encoding.NonZeroPoissonProbability else 1.0
-    val maxRows = 8000000L
-    val phase1 = Loader.load(spark, s"$slot/store", "events",
-      maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
-      .withColumn(Schema.Model, lit("events")).persist()
-    phase1.select(Schema.DecisionId, Schema.Reward, Schema.Count)
-      .write.mode("overwrite").parquet(s"$slot/phase1")
-    val trained = Trainer.trainPropensity(phase1, cfg)
-    phase1.unpersist()
-    // exercise the checkpoint surface inside the gate chain, exactly
-    // as the reference trainer's first branch does (checkpoint.py:
-    // 26-110): save phase 1, reload it, and train phase 2 from the
-    // RELOADED model — a silent feature/table drift through the
-    // save/load round-trip fails the gate loudly here
-    graft.train.ModelStore.saveCheckpoint(trained, s"$slot/ckpt")
-    val pm = graft.train.ModelStore.loadCheckpoint(spark, s"$slot/ckpt")
+    // the gate runs the USER-FACING chain (trainFromStore): explore
+    // bootstrap, scarce-data override, checkpoint save — with a tap
+    // that dumps each phase's data-side frame for the oracle census
+    val chain = trainFromStore(spark, s"$slot/store", "events", cfg,
+      ckptDir = Some(s"$slot/ckpt"),
+      phaseTap = (phase, df) =>
+        df.select(Schema.DecisionId, Schema.Reward, Schema.Count)
+          .write.mode("overwrite").parquet(s"$slot/phase$phase"))
+    val pm = chain.propensity
+    val dm = chain.decision
+    require(!chain.phase1Warm, "q_rdr_train: fresh slot must cold-start phase 1")
+    // checkpoint round-trip: the cold run saved phase 1 at ckpt — a
+    // silent feature/table drift through save/load fails loudly here
+    // (checkpoint.py:26-110 is the reference's warm-start branch;
+    // RdrPipelineSpec covers the actual warm reuse across invocations)
+    val reloaded = graft.train.ModelStore.loadCheckpoint(spark, s"$slot/ckpt")
       .getOrElse(sys.error("q_rdr_train: checkpoint failed to reload"))
-    require(pm.featureNames == trained.featureNames &&
-      pm.stringTables == trained.stringTables &&
-      pm.modelSeed == trained.modelSeed,
+    require(reloaded.featureNames == pm.featureNames &&
+      reloaded.stringTables == pm.stringTables &&
+      reloaded.modelSeed == pm.modelSeed,
       "q_rdr_train: reloaded checkpoint differs from the trained phase-1 model")
-    val phase2 = Loader.load(spark, s"$slot/store", "events",
-      maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
-      .withColumn(Schema.Model, lit("events")).persist()
-    phase2.select(Schema.DecisionId, Schema.Reward, Schema.Count)
-      .write.mode("overwrite").parquet(s"$slot/phase2")
-    val dm = Trainer.trainDecision(phase2, pm, cfg)
-    phase2.unpersist()
     pm.featureNames.toDF("feature").coalesce(1)
       .write.mode("overwrite").parquet(s"$slot/features_p1")
     dm.featureNames.toDF("feature").coalesce(1)
