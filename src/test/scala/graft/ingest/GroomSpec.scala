@@ -219,6 +219,64 @@ class GroomSpec extends AnyFunSuite with SparkTestBase {
     Groom.assertNoOverlappingKeys(PartitionStore.listKeys(spark, dir, "m"))
   }
 
+  test("a firehose batch landing MID-groom is neither lost nor double-merged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("groom_race").toString
+    val base = 1660000000L
+    // seed: two interleaved-timeline batches → overlapping files
+    for (b <- 0 until 2) {
+      val rows = (0 until 200).map { i =>
+        val ts = base + ((i * 7 + b * 3) % 300)
+        RewardedDecisionRow(Ksuid.deterministic(ts, (b * 1000 + i).toLong),
+          Some(s"""{"v":$i}"""), Some("{}"), Some(1.0), None, None, None, "m")
+      }
+      PartitionStore.write(Merge.merge(rows.toDF()), dir, "m", maxRowsPerFile = 100)
+    }
+    assert(Groom.findOverlaps(PartitionStore.listKeys(spark, dir, "m")).nonEmpty)
+
+    // Mid-groom ingest: the first compaction entry writes a fresh
+    // merged batch into the SAME timeline — a streaming-ingest delivery
+    // racing the compaction loop. Safe by construction: each compaction
+    // reads and deletes exactly the key list captured at iteration
+    // start, so a file it never listed can be neither consumed twice
+    // nor deleted. (Two concurrent groom() calls on one store remain
+    // the caller's responsibility to serialize, as the reference's
+    // Step-Function loop does.)
+    val landed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Groom.compactionStartHook = () => {
+      if (landed.compareAndSet(false, true)) {
+        val rows = (0 until 150).map { i =>
+          val ts = base + ((i * 11) % 300)
+          val rewards =
+            if (i < 50)
+              Some(s"""{"${Ksuid.deterministic(ts + 900, (9000 + i).toLong)}":2.0}""")
+            else None
+          RewardedDecisionRow(Ksuid.deterministic(ts, (5000 + i).toLong),
+            Some(s"""{"w":$i}"""), Some("{}"), Some(1.0), None, rewards, None, "m")
+        }
+        PartitionStore.write(Merge.merge(rows.toDF()), dir, "m", maxRowsPerFile = 100)
+      }
+    }
+    try Groom.groom(spark, dir, "m", maxRowsPerFile = 100)
+    finally Groom.compactionStartHook = () => ()
+    assert(landed.get(), "setup: the mid-groom batch never landed")
+
+    // the batch loop's NEXT tick (the reference re-enters groom from
+    // its Step-Function loop) picks up whatever landed mid-pass
+    Groom.groom(spark, dir, "m", maxRowsPerFile = 100)
+
+    val keys = PartitionStore.listKeys(spark, dir, "m")
+    Groom.assertNoOverlappingKeys(keys)
+    val all = PartitionStore.read(spark, dir, keys)
+    assert(all.count() == 550L, "rows lost or duplicated across the race")
+    assert(all.select(Schema.DecisionId).distinct().count() == 550L,
+      "a decision was double-merged")
+    assert(all.filter(col(Schema.Item).isNull).count() == 0)
+    // the landed batch's reward maps survive compaction intact
+    assert(all.agg(sum(Schema.Reward)).collect().head.getDouble(0)
+      === 2.0 * 50 +- 1e-9)
+  }
+
   test("same-second overload: one oversized file, groom reaches quiescence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("groom_ss").toString
