@@ -109,12 +109,18 @@ object IvfIndex {
       // into the appended side of the stats sidecar. Best-effort
       // monitoring, not correctness: a crash between the parquet
       // append and this write undercounts the appended side (drift is
-      // then under-reported until the next append), and a pre-stats
-      // index (no sidecar) is simply not tracked.
-      loadStats(index.dir).foreach { st =>
-        val batch = assignmentCensus(proj, vecCol, index.centroids)
-        writeSidecar(index.dir, StatsSidecar,
-          statsJson(st.copy(appended = mergeSides(st.appended, batch))))
+      // then under-reported until the next append), a crash MID-write
+      // leaves a sidecar loadStats rejects (index becomes untracked,
+      // never corrupted), and a pre-stats index is simply not tracked.
+      // The read-modify-write is serialized per JVM; concurrent
+      // appenders in SEPARATE processes must serialize externally or
+      // accept lost census updates (the parquet data itself is safe).
+      statsLock.synchronized {
+        loadStats(index.dir).foreach { st =>
+          val batch = assignmentCensus(proj, vecCol, index.centroids)
+          writeSidecar(index.dir, StatsSidecar,
+            statsJson(st.copy(appended = mergeSides(st.appended, batch))))
+        }
       }
     } finally proj.unpersist(blocking = false)
     index
@@ -128,6 +134,9 @@ object IvfIndex {
   val HistBins = 20
 
   private val StatsSidecar = "append_stats.json"
+
+  // serializes the sidecar read-modify-write across same-JVM appenders
+  private val statsLock = new Object
 
   /** One side of the drift ledger: row count, per-cell counts, and the
     * assignment-cosine histogram.
@@ -189,22 +198,32 @@ object IvfIndex {
   private def statsJson(st: AppendStats): String =
     s"""{"base":${sideJson(st.base)},"appended":${sideJson(st.appended)}}"""
 
-  /** The drift ledger, if this index carries one (indexes built before
-    * stats tracking do not).
+  /** The drift ledger, if this index carries one. None for indexes
+    * built before stats tracking, for a sidecar torn by a crash
+    * mid-write, and for a ledger whose histogram resolution does not
+    * match this version's [[HistBins]] — in every case the index is
+    * merely UNTRACKED (appends and probes keep working); a truncated
+    * or skewed ledger must never throw here, or every later append()
+    * would fail after its parquet data already landed, and zip-
+    * truncated histograms would yield a plausible-but-wrong PSI.
     */
-  def loadStats(dir: String): Option[AppendStats] = {
-    if (!fs(dir).exists(new HPath(dir, StatsSidecar))) return None
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(SidecarIndex.readSidecar(dir, StatsSidecar))
-    def side(n: com.fasterxml.jackson.databind.JsonNode): DriftSide = DriftSide(
-      n.get("n").longValue(),
-      (0 until n.get("cells").size()).map { i =>
-        val p = n.get("cells").get(i)
-        p.get(0).intValue() -> p.get(1).longValue()
-      }.toMap,
-      (0 until n.get("hist").size()).map(n.get("hist").get(_).longValue()))
-    Some(AppendStats(side(node.get("base")), side(node.get("appended"))))
-  }
+  def loadStats(dir: String): Option[AppendStats] =
+    try {
+      if (!fs(dir).exists(new HPath(dir, StatsSidecar))) return None
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(SidecarIndex.readSidecar(dir, StatsSidecar))
+      def side(n: com.fasterxml.jackson.databind.JsonNode): DriftSide = DriftSide(
+        n.get("n").longValue(),
+        (0 until n.get("cells").size()).map { i =>
+          val p = n.get("cells").get(i)
+          p.get(0).intValue() -> p.get(1).longValue()
+        }.toMap,
+        (0 until n.get("hist").size()).map(n.get("hist").get(_).longValue()))
+      val st = AppendStats(side(node.get("base")), side(node.get("appended")))
+      if (st.base.hist.length == HistBins && st.appended.hist.length == HistBins)
+        Some(st)
+      else None
+    } catch { case _: Exception => None }
 
   /** PSI of the appended assignment-cosine histogram against the
     * build-time baseline (ε-floored, same convention as Drift.psiBins).
