@@ -50,11 +50,17 @@ object IvfIndex {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
       writeSidecar(tmp, "centroids.json", centroidsJson(cents))
       // drift baseline: census the WRITTEN table (columnar re-read of
-      // vec+cell only) rather than re-running the assignment pass
-      val base = assignmentCensus(
-        df.sparkSession.read.parquet(s"$tmp/cells"), vecCol, cents)
-      writeSidecar(tmp, StatsSidecar,
-        statsJson(AppendStats(base, emptySide)))
+      // vec+cell only) rather than re-running the assignment pass.
+      // Best-effort: a census failure ships the index UNTRACKED (no
+      // stats sidecar) rather than failing a build whose data is fine.
+      try {
+        val base = assignmentCensus(
+          df.sparkSession.read.parquet(s"$tmp/cells"), vecCol, cents)
+        writeSidecar(tmp, StatsSidecar,
+          statsJson(AppendStats(base, emptySide)))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[ivf] build census skipped (index untracked): $e")
+      }
     }
     Index(dir, cents)
   }
@@ -116,10 +122,17 @@ object IvfIndex {
       // appenders in SEPARATE processes must serialize externally or
       // accept lost census updates (the parquet data itself is safe).
       statsLock.synchronized {
-        loadStats(index.dir).foreach { st =>
-          val batch = assignmentCensus(proj, vecCol, index.centroids)
-          writeSidecar(index.dir, StatsSidecar,
-            statsJson(st.copy(appended = mergeSides(st.appended, batch))))
+        // same swallow-to-untracked contract as loadStats: the census
+        // must never fail an append whose parquet data already landed
+        // (a retry would duplicate the batch's rows in the cells table)
+        try
+          loadStats(index.dir).foreach { st =>
+            val batch = assignmentCensus(proj, vecCol, index.centroids)
+            writeSidecar(index.dir, StatsSidecar,
+              statsJson(st.copy(appended = mergeSides(st.appended, batch))))
+          }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[ivf] append census skipped (data landed): $e")
         }
       }
     } finally proj.unpersist(blocking = false)
@@ -170,10 +183,18 @@ object IvfIndex {
     val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "_cent")
     val rows = assigned.select(col("cell"), col(vecCol))
+      // null-safety: a vector with a null ELEMENT passes append's
+      // size()==dim guard (size counts null slots) but cosine declines
+      // it to null, making _bin null; a null VECTOR lands in the null
+      // cell partition. Either would NPE the driver-side getInt below —
+      // after the parquet append already landed — so such rows are
+      // simply uncounted by the ledger (best-effort monitoring).
+      .filter(col("cell").isNotNull)
       .join(broadcast(centDf), Seq("cell"))
       .withColumn("_bin", least(lit(HistBins - 1), greatest(lit(0),
         floor((Ann.cosine(col(vecCol), col("_cent")) + 1.0) / 2.0 * HistBins)
           .cast("int"))))
+      .filter(col("_bin").isNotNull)
       .groupBy("cell", "_bin").agg(count(lit(1)).as("n"))
       .collect()
     val cells = rows.groupBy(_.getInt(0)).map { case (c, rs) =>

@@ -270,4 +270,36 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       new org.apache.hadoop.fs.Path(dir, "append_stats.json"), false)
     assert(IvfIndex.driftReport(idx).isEmpty)
   }
+
+  test("null-element vectors cannot fail a landed append or a build (census is best-effort)") {
+    // a null ELEMENT passes append's size()==dim guard (size counts
+    // null slots) while cosine declines the row to null — before the
+    // null filter this NPE'd the driver-side census AFTER the parquet
+    // append had already landed, so every retry duplicated the batch
+    val corpus = spark.range(1, 21).selectExpr("id as vec_id",
+      "array(cast(id as double), cast(id % 3 as double), 1.0d, " +
+        "if(id < 0, cast(null as double), 0.0d)) as v")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_nullel").toString + "/idx"
+    val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 2)
+    assert(IvfIndex.loadStats(dir).get.base.n == 20)
+
+    val batch = spark.range(1).selectExpr("100L as vec_id",
+      "array(cast(null as double), 1.0d, 2.0d, 3.0d) as v")
+    IvfIndex.append(idx, batch, "v") // must not throw
+    assert(spark.read.parquet(s"$dir/cells").count() == 21,
+      "the append landed")
+    val after = IvfIndex.loadStats(dir).get
+    assert(after.appended.n == 0,
+      s"null-element row is uncounted by the ledger, got ${after.appended}")
+
+    // a fully-null VECTOR row at build time lands in the null cell
+    // partition; the build census must skip it rather than NPE a build
+    // whose data is fine
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_nullvec").toString + "/idx"
+    val withNullVec = corpus.unionAll(spark.range(1).selectExpr(
+      "999L as vec_id", "cast(null as array<double>) as v"))
+    IvfIndex.build(withNullVec, "v", "vec_id", dir2, numCells = 2)
+    val st2 = IvfIndex.loadStats(dir2)
+    assert(st2.nonEmpty && st2.get.base.n == 20, s"got $st2")
+  }
 }
