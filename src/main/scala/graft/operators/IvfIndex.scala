@@ -45,8 +45,23 @@ object IvfIndex {
     val cents =
       if (kmeansQuantizer) Ann.kmeansCentroids(df, vecCol, numCells, seed)
       else Ann.centroids(df, vecCol, idCol, numCells)
+    // build-time dimension guard, mirroring append's: nearest_cell
+    // throws on SHORTER vectors but truncate-scores LONGER ones (an
+    // upgraded embedding model) into a cell where cosine then declines
+    // them at every probe — stored but permanently unprobeable, and
+    // invisible to the drift ledger. Fail the build loudly instead.
+    // Null VECTORS pass through (they land in the null cell partition
+    // and the census skips them — a null row must not fail a build
+    // whose other data is fine); null ELEMENTS pass size() and are
+    // handled by the census's cosine-nullity filter.
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val checked = df.withColumn(vecCol,
+      when(col(vecCol).isNull || size(col(vecCol)) === dim, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"ivf build: vector dimension must be $dim, got "),
+          size(col(vecCol)).cast("string"))).cast("array<double>")))
     buildAtomically(dir) { tmp =>
-      Ann.withCell(df, vecCol, cents)
+      Ann.withCell(checked, vecCol, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/cells")
       writeSidecar(tmp, "centroids.json", centroidsJson(cents))
       // drift baseline: census the WRITTEN table (columnar re-read of
@@ -59,7 +74,8 @@ object IvfIndex {
         writeSidecar(tmp, StatsSidecar,
           statsJson(AppendStats(base, emptySide)))
       } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[ivf] build census skipped (index untracked): $e")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ivf build census skipped (index untracked): $e")
       }
     }
     Index(dir, cents)
@@ -132,7 +148,8 @@ object IvfIndex {
               statsJson(st.copy(appended = mergeSides(st.appended, batch))))
           }
         catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[ivf] append census skipped (data landed): $e")
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ivf append census skipped (data landed): $e")
         }
       }
     } finally proj.unpersist(blocking = false)
@@ -185,16 +202,20 @@ object IvfIndex {
     val rows = assigned.select(col("cell"), col(vecCol))
       // null-safety: a vector with a null ELEMENT passes append's
       // size()==dim guard (size counts null slots) but cosine declines
-      // it to null, making _bin null; a null VECTOR lands in the null
-      // cell partition. Either would NPE the driver-side getInt below —
-      // after the parquet append already landed — so such rows are
-      // simply uncounted by the ledger (best-effort monitoring).
+      // it to null; a null VECTOR lands in the null cell partition.
+      // Either would NPE the driver-side getInt below — after the
+      // parquet append already landed — so such rows are simply
+      // uncounted by the ledger (best-effort monitoring). The nullity
+      // filter must run on the RAW cosine, before clamping: greatest/
+      // least IGNORE null arguments, so greatest(lit(0), floor(null))
+      // is 0, not null — a post-clamp filter would silently count the
+      // row in bin 0 (the worst-assignment bin) and fake drift.
       .filter(col("cell").isNotNull)
       .join(broadcast(centDf), Seq("cell"))
+      .withColumn("_cos", Ann.cosine(col(vecCol), col("_cent")))
+      .filter(col("_cos").isNotNull)
       .withColumn("_bin", least(lit(HistBins - 1), greatest(lit(0),
-        floor((Ann.cosine(col(vecCol), col("_cent")) + 1.0) / 2.0 * HistBins)
-          .cast("int"))))
-      .filter(col("_bin").isNotNull)
+        floor((col("_cos") + 1.0) / 2.0 * HistBins).cast("int"))))
       .groupBy("cell", "_bin").agg(count(lit(1)).as("n"))
       .collect()
     val cells = rows.groupBy(_.getInt(0)).map { case (c, rs) =>

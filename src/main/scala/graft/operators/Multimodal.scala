@@ -59,7 +59,17 @@ object Multimodal {
   }
 
   final case class MediaResized(id: Long, n_bytes: Int, resized: Seq[Int],
-      resized_mean: Double)
+      resized_mean: Double, decode_status: String)
+
+  /** Per-row decode outcome — the attributable census of why a payload
+    * took (or fell back to) the stub path. A corpus where every image
+    * silently stubbed out (e.g. a cap set too low for the incoming
+    * resolution) must be a countable fact, not an invisible drop.
+    */
+  val StatusDecoded  = "decoded"   // real image decode succeeded
+  val StatusNonImage = "non_image" // magic-number sniff: not an image payload
+  val StatusOversize = "oversize"  // DECLARED dims exceed the pixel cap
+  val StatusCorrupt  = "corrupt"   // sniffed as image but ImageIO rejects it
 
   // ---- real image codec (javax.imageio) ---------------------------------
 
@@ -99,13 +109,24 @@ object Multimodal {
     * signal is needed).
     */
   def decodeImage(bytes: Array[Byte],
-      maxPixels: Long = MaxDecodePixels): Option[DecodedImage] = {
-    if (!sniffImage(bytes)) return None
+      maxPixels: Long = MaxDecodePixels): Option[DecodedImage] =
+    decodeImageWithStatus(bytes, maxPixels)._1
+
+  /** [[decodeImage]] plus the outcome classification ([[StatusDecoded]]
+    * / [[StatusNonImage]] / [[StatusOversize]] / [[StatusCorrupt]]) —
+    * the per-row signal that makes a corpus-wide silent drop (every
+    * 4–32 MP image stubbed out by the cap, a batch of truncated files)
+    * attributable by cause instead of invisible.
+    */
+  def decodeImageWithStatus(bytes: Array[Byte],
+      maxPixels: Long = MaxDecodePixels): (Option[DecodedImage], String) = {
+    if (!sniffImage(bytes)) return (None, StatusNonImage)
     try {
       // ONE reader does both the header-only dimension check (no
       // pixel allocation yet) and, when the check passes, the actual
       // decode — reader discovery and header parse are paid once per
       // row, not twice
+      var declinedAs = StatusCorrupt
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val decoded: Option[java.awt.image.BufferedImage] = try {
@@ -117,30 +138,33 @@ object Multimodal {
             reader.setInput(iis, true, true)
             val dw = reader.getWidth(0).toLong
             val dh = reader.getHeight(0).toLong
-            if (dw <= 0 || dh <= 0 || dw * dh > maxPixels) None
+            if (dw <= 0 || dh <= 0) None
+            else if (dw * dh > maxPixels) { declinedAs = StatusOversize; None }
             else Option(reader.read(0))
           } finally reader.dispose()
         }
       } finally iis.close()
-      decoded.map { img =>
-        val w = img.getWidth
-        val h = img.getHeight
-        val lum = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            // integer Rec.601 luma — deterministic across JVMs
-            lum(y * w + x) =
-              (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-            x += 1
+      decoded match {
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val lum = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              // integer Rec.601 luma — deterministic across JVMs
+              lum(y * w + x) =
+                (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        DecodedImage(w, h, lum)
+          (Some(DecodedImage(w, h, lum)), StatusDecoded)
+        case None => (None, declinedAs)
       }
-    } catch { case _: Exception => None }
+    } catch { case _: Exception => (None, StatusCorrupt) }
   }
 
   /** Exact-partition area-average resize: every source pixel belongs
@@ -200,12 +224,13 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { it =>
         it.map { row =>
-          val r = decodeImage(row.bytes) match {
-            case Some(img) => resizeArea(img, outLen, outLen)
+          val (img, status) = decodeImageWithStatus(row.bytes)
+          val r = img match {
+            case Some(d) => resizeArea(d, outLen, outLen)
             case None => resizeStub(row.bytes, outLen)
           }
           val mean = if (r.isEmpty) 0.0 else r.sum.toDouble / r.length
-          MediaResized(row.id, row.bytes.length, r.toSeq, mean)
+          MediaResized(row.id, row.bytes.length, r.toSeq, mean, status)
         }
       }
   }

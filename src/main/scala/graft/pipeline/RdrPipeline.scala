@@ -37,21 +37,39 @@ object GateArtifacts {
     s"${System.getProperty("java.io.tmpdir")}/graft_gates$tag"
   }
 
-  /** Delete-then-return a named artifact slot: each gate owns one slot
-    * and rewrites it from scratch per invocation, so a repeated run
-    * (bench repeats, local iteration) never censuses stale files.
+  /** Build a named artifact slot ATOMICALLY: `build` writes into a
+    * staging directory, and only a fully-built staging tree is swapped
+    * into the published slot path (delete old + same-filesystem atomic
+    * rename). Each gate owns one slot and rebuilds it per invocation,
+    * so a repeated run (bench repeats, local iteration) never censuses
+    * stale files — and a crash mid-build leaves the PREVIOUS slot
+    * intact, while a crash mid-swap leaves no slot at all (the census
+    * then fails loudly on a missing path). Never a torn half-written
+    * slot silently censused as complete. Returns the published path.
     */
-  def freshSlot(sfDir: String, name: String): String = {
+  def buildSlot(sfDir: String, name: String)(build: String => Unit): String = {
     val slot = s"${dir(sfDir)}/$name"
-    val root = java.nio.file.Paths.get(slot)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    java.nio.file.Files.createDirectories(root.getParent)
+    val staging = java.nio.file.Paths.get(s"$slot.staging")
+    deleteTree(staging)
+    java.nio.file.Files.createDirectories(staging)
+    try build(staging.toString)
+    catch { case e: Throwable => deleteTree(staging); throw e }
+    deleteTree(java.nio.file.Paths.get(slot))
+    java.nio.file.Files.move(staging, java.nio.file.Paths.get(slot),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     slot
   }
+
+  /** Depth-first recursive delete with the `Files.walk` stream CLOSED
+    * (an unclosed walk leaks a directory handle per invocation).
+    */
+  private[pipeline] def deleteTree(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
 }
 
 object RdrPipeline {
@@ -114,24 +132,23 @@ object RdrPipeline {
     new java.io.File(dir).listFiles().toSeq
       .map(_.getPath).filter(_.endsWith(".txt.gz"))
 
-  private def deleteRecursively(dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def deleteRecursively(dir: String): Unit =
+    GateArtifacts.deleteTree(java.nio.file.Paths.get(dir))
 
   /** ingest → merge → summary row (the gate query; DuckDB-checkable). */
   def mergeSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val merged = cachedMerged(spark, sfDir)
+    // integer-units census (cents), not round(x, 2): a decimal round
+    // of a double is the engines' HALF_UP-vs-binary flake class this
+    // repo documents — an integer is rendered identically everywhere
     val r = merged.agg(
       count(lit(1)).as("n_decisions"),
       sum(when(col(Schema.Reward) > 0, 1L).otherwise(0L)).as("n_rewarded"),
-      round(sum(Schema.Reward), 2).as("total_reward")).collect().head
-    Seq((r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toDF("n_decisions", "n_rewarded", "total_reward")
+      round(sum(Schema.Reward) * 100).cast("long").as("total_reward_cents"))
+      .collect().head
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toDF("n_decisions", "n_rewarded", "total_reward_cents")
   }
 
   /** A trained two-phase chain: both models plus whether phase 1 was
@@ -204,58 +221,67 @@ object RdrPipeline {
   def trainSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.train.{Loader, Trainer}
     import spark.implicits._
-    val slot = GateArtifacts.freshSlot(sfDir, "train")
-    val ingested = cachedMerged(spark, sfDir)
-    PartitionStore.write(ingested, s"$slot/store", "events")
-    val cfg = Trainer.TrainConfig(
-      maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
-      propensityTrees = 5, treeDepth = 4, seed = 42L)
-    // the gate runs the USER-FACING chain (trainFromStore): explore
-    // bootstrap, scarce-data override, checkpoint save — with a tap
-    // that dumps each phase's data-side frame for the oracle census
-    val chain = trainFromStore(spark, s"$slot/store", "events", cfg,
-      ckptDir = Some(s"$slot/ckpt"),
-      phaseTap = (phase, df) =>
-        df.select(Schema.DecisionId, Schema.Reward, Schema.Count)
-          .write.mode("overwrite").parquet(s"$slot/phase$phase"))
-    val pm = chain.propensity
-    val dm = chain.decision
-    require(!chain.phase1Warm, "q_rdr_train: fresh slot must cold-start phase 1")
-    // checkpoint round-trip: the cold run saved phase 1 at ckpt — a
-    // silent feature/table drift through save/load fails loudly here
-    // (checkpoint.py:26-110 is the reference's warm-start branch;
-    // RdrPipelineSpec covers the actual warm reuse across invocations)
-    val reloaded = graft.train.ModelStore.loadCheckpoint(spark, s"$slot/ckpt")
-      .getOrElse(sys.error("q_rdr_train: checkpoint failed to reload"))
-    require(reloaded.featureNames == pm.featureNames &&
-      reloaded.stringTables == pm.stringTables &&
-      reloaded.modelSeed == pm.modelSeed,
-      "q_rdr_train: reloaded checkpoint differs from the trained phase-1 model")
-    pm.featureNames.toDF("feature").coalesce(1)
-      .write.mode("overwrite").parquet(s"$slot/features_p1")
-    dm.featureNames.toDF("feature").coalesce(1)
-      .write.mode("overwrite").parquet(s"$slot/features_p2")
-    // model-internal invariants: loud in-gate failures, not census rows
-    require(pm.model.getNumTrees > 0 && dm.model.getNumTrees > 0,
-      "q_rdr_train: a phase trained zero trees")
-    val probeScore = graft.train.Scorer
-      .rank(spark, dm, Seq("""{"k":50}"""), """{"t":"click"}""").head._2
-    require(!probeScore.isNaN && !probeScore.isInfinite,
-      s"q_rdr_train: non-finite probe score $probeScore")
-    // census from the READ-BACK dumps — byte-identical input to what
-    // the DuckDB oracle reads
+    // the whole chain builds in a STAGING dir; only a fully-built tree
+    // is swapped into the slot the oracle SQL reads (see buildSlot)
+    val slot = GateArtifacts.buildSlot(sfDir, "train") { stage =>
+      val ingested = cachedMerged(spark, sfDir)
+      PartitionStore.write(ingested, s"$stage/store", "events")
+      val cfg = Trainer.TrainConfig(
+        maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
+        propensityTrees = 5, treeDepth = 4, seed = 42L)
+      // the gate runs the USER-FACING chain (trainFromStore): explore
+      // bootstrap, scarce-data override, checkpoint save — with a tap
+      // that dumps each phase's data-side frame for the oracle census
+      val chain = trainFromStore(spark, s"$stage/store", "events", cfg,
+        ckptDir = Some(s"$stage/ckpt"),
+        phaseTap = (phase, df) =>
+          df.select(Schema.DecisionId, Schema.Reward, Schema.Count)
+            .write.mode("overwrite").parquet(s"$stage/phase$phase"))
+      val pm = chain.propensity
+      val dm = chain.decision
+      require(!chain.phase1Warm, "q_rdr_train: fresh slot must cold-start phase 1")
+      // checkpoint round-trip: the cold run saved phase 1 at ckpt — a
+      // silent feature/table drift through save/load fails loudly here
+      // (checkpoint.py:26-110 is the reference's warm-start branch;
+      // RdrPipelineSpec covers the actual warm reuse across invocations)
+      val reloaded = graft.train.ModelStore.loadCheckpoint(spark, s"$stage/ckpt")
+        .getOrElse(sys.error("q_rdr_train: checkpoint failed to reload"))
+      require(reloaded.featureNames == pm.featureNames &&
+        reloaded.stringTables == pm.stringTables &&
+        reloaded.modelSeed == pm.modelSeed,
+        "q_rdr_train: reloaded checkpoint differs from the trained phase-1 model")
+      pm.featureNames.toDF("feature").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/features_p1")
+      dm.featureNames.toDF("feature").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stage/features_p2")
+      // model-internal invariants: loud in-gate failures, not census rows
+      require(pm.model.getNumTrees > 0 && dm.model.getNumTrees > 0,
+        "q_rdr_train: a phase trained zero trees")
+      val probeScore = graft.train.Scorer
+        .rank(spark, dm, Seq("""{"k":50}"""), """{"t":"click"}""").head._2
+      require(!probeScore.isNaN && !probeScore.isInfinite,
+        s"q_rdr_train: non-finite probe score $probeScore")
+    }
+    // census from the READ-BACK, PUBLISHED dumps — byte-identical
+    // input to what the DuckDB oracle reads
     val p1 = spark.read.parquet(s"$slot/phase1")
     val p2 = spark.read.parquet(s"$slot/phase2")
-    val r1 = p1.agg(count(lit(1)), round(sum(Schema.Count), 2)).collect().head
-    val r2 = p2.agg(count(lit(1)), round(avg(Schema.Reward), 4),
-      round(coalesce(stddev_samp(Schema.Reward), lit(0.0)), 4)).collect().head
+    // integer-units census (see mergeSummary): ×100 / ×1e4 longs, not
+    // round(x, 2|4) doubles, so DuckDB and Spark render identically
+    val r1 = p1.agg(count(lit(1)),
+      round(sum(Schema.Count) * 100).cast("long")).collect().head
+    val r2 = p2.agg(count(lit(1)),
+      round(avg(Schema.Reward) * 10000).cast("long"),
+      round(coalesce(stddev_samp(Schema.Reward), lit(0.0)) * 10000)
+        .cast("long")).collect().head
     val nEvents = Tables.events(spark, sfDir).count()
     val nf1 = spark.read.parquet(s"$slot/features_p1").count()
     val nf2 = spark.read.parquet(s"$slot/features_p2").count()
     Seq((r1.getLong(0), r2.getLong(0), nEvents, nf1, nf2,
-      r1.getDouble(1), r2.getDouble(1), r2.getDouble(2)))
+      r1.getLong(1), r2.getLong(1), r2.getLong(2)))
       .toDF("n_rows_p1", "n_rows_p2", "n_events", "n_features_p1",
-        "n_features_p2", "total_count_p1", "reward_mean", "reward_std")
+        "n_features_p2", "total_count_p1_x100", "reward_mean_x1e4",
+        "reward_std_x1e4")
   }
 
   /** Full dataflow incl. partition store + groom; the store is written
@@ -266,16 +292,20 @@ object RdrPipeline {
     */
   def storeSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val slot = GateArtifacts.freshSlot(sfDir, "store")
-    val merged = cachedMerged(spark, sfDir)
-    PartitionStore.write(merged, slot, "events")
-    Groom.groom(spark, slot, "events")
+    // store + groom build in staging; the census below reads the
+    // PUBLISHED slot the oracle SQL also reads (see buildSlot)
+    val slot = GateArtifacts.buildSlot(sfDir, "store") { stage =>
+      val merged = cachedMerged(spark, sfDir)
+      PartitionStore.write(merged, stage, "events")
+      Groom.groom(spark, stage, "events")
+    }
     val keys = PartitionStore.listKeys(spark, slot, "events")
     Groom.assertNoOverlappingKeys(keys)
     val back = PartitionStore.read(spark, slot, keys)
     val stats = back.agg(
       count(lit(1)).as("n_rows"),
-      round(sum(Schema.Reward), 2).as("total_reward"),
+      // integer-units (cents), see mergeSummary
+      round(sum(Schema.Reward) * 100).cast("long").as("total_reward_cents"),
       min(Schema.DecisionId).as("min_id"),
       max(Schema.DecisionId).as("max_id")).collect().head
     // serving-path probe: a point lookup of the store's min id must
@@ -286,8 +316,8 @@ object RdrPipeline {
     require(probe.count() == 1L &&
       probe.inputFiles.length < math.max(2, keys.length),
       "q_rdr_store: point lookup did not prune to the covering file")
-    Seq((stats.getLong(0), stats.getDouble(1), keys.length.toLong,
+    Seq((stats.getLong(0), stats.getLong(1), keys.length.toLong,
       stats.getString(2), stats.getString(3)))
-      .toDF("n_rows", "total_reward", "n_files", "min_id", "max_id")
+      .toDF("n_rows", "total_reward_cents", "n_files", "min_id", "max_id")
   }
 }

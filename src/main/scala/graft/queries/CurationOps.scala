@@ -68,7 +68,10 @@ object CurationOps {
             count(lit(1)).as("n_shards"),
             max("shard_tokens").as("max_shard_tokens"),
             sum("n_docs").cast("long").as("n_docs"),
-            round(avg(col("shard_tokens") / 256.0), 4).as("avg_fill"))
+            // integer-units (×1e4 long), never round(x, d) doubles —
+            // the cross-engine decimal-round flake class
+            round(avg(col("shard_tokens") / 256.0) * 10000).cast("long")
+              .as("avg_fill_x1e4"))
           .orderBy("source")
       },
       Some("""WITH t AS (
@@ -86,7 +89,7 @@ object CurationOps {
              |)
              |SELECT source, count(*) AS n_shards, max(shard_tokens) AS max_shard_tokens,
              |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
-             |       round(avg(shard_tokens / 256.0), 4) AS avg_fill
+             |       CAST(round(avg(shard_tokens / 256.0) * 10000) AS BIGINT) AS avg_fill_x1e4
              |FROM per GROUP BY source ORDER BY source""".stripMargin)),
 
     // Exactly-7-per-source deterministic sample: full membership is
@@ -125,10 +128,10 @@ object CurationOps {
         graft.operators.Dedup.deltaPairsSigned(delta, corpus, "doc_id", 0.9)
           .agg(
             count(lit(1)).as("n_pairs"),
-            round(avg("jac"), 4).as("avg_jac"),
+            round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"),
             countDistinct(col("id_delta")).as("n_delta_docs"))
       },
-      Some("""SELECT count(*) AS n_pairs, round(avg(jac), 4) AS avg_jac,
+      Some("""SELECT count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4,
              |       count(DISTINCT id_delta) AS n_delta_docs
              |FROM (
              |  SELECT a.doc_id AS id_delta,
@@ -230,9 +233,12 @@ object CurationOps {
               round(topBg.cast("double") / (col("n_words") - 1), 6)).otherwise(lit(0.0)))
           .groupBy("source")
           .agg(
-            round(avg("dup_frac"), 4).as("avg_dup_frac"),
-            round(avg("top_bg_frac"), 4).as("avg_top_bg_frac"),
-            round(max("top_bg_frac"), 4).as("max_top_bg_frac"),
+            // per-row fracs stay round(x, 6) quantized (data
+            // derivation, mirrored in the oracle); only the final
+            // comparison columns ship as ×1e4 integer units
+            round(avg("dup_frac") * 10000).cast("long").as("avg_dup_frac_x1e4"),
+            round(avg("top_bg_frac") * 10000).cast("long").as("avg_top_bg_frac_x1e4"),
+            round(max("top_bg_frac") * 10000).cast("long").as("max_top_bg_frac_x1e4"),
             count(lit(1)).as("n_docs"))
           .orderBy("source")
       },
@@ -255,9 +261,9 @@ object CurationOps {
              |         ELSE 0.0 END AS top_bg_frac
              |  FROM m
              |)
-             |SELECT source, round(avg(dup_frac), 4) AS avg_dup_frac,
-             |       round(avg(top_bg_frac), 4) AS avg_top_bg_frac,
-             |       round(max(top_bg_frac), 4) AS max_top_bg_frac,
+             |SELECT source, CAST(round(avg(dup_frac) * 10000) AS BIGINT) AS avg_dup_frac_x1e4,
+             |       CAST(round(avg(top_bg_frac) * 10000) AS BIGINT) AS avg_top_bg_frac_x1e4,
+             |       CAST(round(max(top_bg_frac) * 10000) AS BIGINT) AS max_top_bg_frac_x1e4,
              |       count(*) AS n_docs
              |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 
@@ -296,8 +302,8 @@ object CurationOps {
 
     // Int8 max-abs embedding quantization: reconstruction-cosine
     // census. floor(x + 0.5) rounding so both engines agree exactly;
-    // min(cos) is order-independent (6 decimals), averages rounded to
-    // 4 to absorb summation-order noise.
+    // min(cos) is order-independent (×1e6 units), averages at ×1e4 to
+    // absorb summation-order noise.
     GateQuery(
       "q_embed_quant",
       (s, d) => {
@@ -313,9 +319,9 @@ object CurationOps {
           .withColumn("cos", Ann.cosine(col("v"), col("dq")))
           .agg(
             count(lit(1)).as("n_vecs"),
-            round(avg("cos"), 4).as("avg_cos"),
-            round(min("cos"), 6).as("min_cos"),
-            round(avg("scale"), 4).as("avg_scale"))
+            round(avg("cos") * 10000).cast("long").as("avg_cos_x1e4"),
+            round(min("cos") * 1000000).cast("long").as("min_cos_x1e6"),
+            round(avg("scale") * 10000).cast("long").as("avg_scale_x1e4"))
       },
       Some("""WITH e AS (
              |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -332,8 +338,9 @@ object CurationOps {
              |              * sqrt(list_sum(list_transform(dq, x -> x * x)))) AS cos
              |  FROM dq
              |)
-             |SELECT count(*) AS n_vecs, round(avg(cos), 4) AS avg_cos,
-             |       round(min(cos), 6) AS min_cos, round(avg(scale), 4) AS avg_scale
+             |SELECT count(*) AS n_vecs, CAST(round(avg(cos) * 10000) AS BIGINT) AS avg_cos_x1e4,
+             |       CAST(round(min(cos) * 1000000) AS BIGINT) AS min_cos_x1e6,
+             |       CAST(round(avg(scale) * 10000) AS BIGINT) AS avg_scale_x1e4
              |FROM c""".stripMargin)),
 
     // The END-TO-END curation funnel: quality filter → exact dedup →
@@ -505,8 +512,8 @@ object CurationOps {
           .agg(avg(log(col("tf").cast("double") / col("_n"))).as("lp"))
           .groupBy("lang")
           .agg(
-            round(avg("lp"), 4).as("avg_logprob"),
-            round(min("lp"), 4).as("min_logprob"),
+            round(avg("lp") * 10000).cast("long").as("avg_logprob_x1e4"),
+            round(min("lp") * 10000).cast("long").as("min_logprob_x1e4"),
             count(lit(1)).as("n_docs"))
           .orderBy("lang")
       },
@@ -522,8 +529,8 @@ object CurationOps {
              |  FROM toks JOIN freq USING (tok), n
              |  GROUP BY doc_id, lang
              |)
-             |SELECT lang, round(avg(lp), 4) AS avg_logprob,
-             |       round(min(lp), 4) AS min_logprob, count(*) AS n_docs
+             |SELECT lang, CAST(round(avg(lp) * 10000) AS BIGINT) AS avg_logprob_x1e4,
+             |       CAST(round(min(lp) * 10000) AS BIGINT) AS min_logprob_x1e4, count(*) AS n_docs
              |FROM doc GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Cross-source contamination matrix: distinct shared 5-gram
@@ -604,8 +611,10 @@ object CurationOps {
           .withColumn("n_tokens", size(split(trim(col("text")), " ")))
         Curation.weightedSample(docs, "doc_id",
             col("n_tokens").cast("double"), k = 10)
+          // integer-units (×1e7 long ≙ old k×1000 at 4 dp), not
+          // round(x, 4): the decimal-round flake class
           .select(col("doc_id"), col("n_tokens"),
-            round(col("_es_key") * 1000, 4).as("es_key_k"))
+            round(col("_es_key") * 10000000).cast("long").as("es_key_x1e7"))
           .orderBy("doc_id")
       },
       Some(s"""WITH w AS (
@@ -617,7 +626,7 @@ object CurationOps {
               |  FROM documents
               |  WHERE len(string_split(trim(text), ' ')) > 0
               |)
-              |SELECT doc_id, n_tokens, round(e * 1000, 4) AS es_key_k
+              |SELECT doc_id, n_tokens, CAST(round(e * 10000000) AS BIGINT) AS es_key_x1e7
               |FROM w
               |ORDER BY e, doc_id
               |LIMIT 10""".stripMargin)),
@@ -643,7 +652,7 @@ object CurationOps {
             // the SQL CASE yields 0 there, so mirror that, not null
             coalesce(sum((abs(col("z")) > 2).cast("long")), lit(0L))
               .as("n_outliers"),
-            round(max(abs(col("z"))), 4).as("max_abs_z"))
+            round(max(abs(col("z"))) * 10000).cast("long").as("max_abs_z_x1e4"))
           .orderBy("source")
       },
       Some("""WITH t AS (
@@ -656,7 +665,7 @@ object CurationOps {
              |)
              |SELECT t.source, count(*) AS n_docs,
              |       CAST(sum(CASE WHEN abs((n - mu) / sd) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-             |       round(max(abs((n - mu) / sd)), 4) AS max_abs_z
+             |       CAST(round(max(abs((n - mu) / sd)) * 10000) AS BIGINT) AS max_abs_z_x1e4
              |FROM t JOIN st ON t.source = st.source
              |GROUP BY t.source
              |ORDER BY t.source""".stripMargin)),

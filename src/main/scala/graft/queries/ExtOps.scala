@@ -94,10 +94,12 @@ object ExtOps {
         cachedVerifiedPairs(s, d)
           .agg(
             count(lit(1)).as("n_pairs"),
-            round(avg("jac"), 4).as("avg_jac"),
+            // integer-units (×1e4 long), never round(x, d) doubles —
+            // the cross-engine decimal-round flake class
+            round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"),
             countDistinct(col("id_a")).as("n_left_docs"))
       },
-      Some("""SELECT count(*) AS n_pairs, round(avg(jac), 4) AS avg_jac,
+      Some("""SELECT count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4,
              |       count(DISTINCT id_a) AS n_left_docs
              |FROM (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -257,7 +259,7 @@ object ExtOps {
           wordHash = Dedup.md5WordHash)
           .agg(
             count(lit(1)).as("n_pairs"),
-            round(avg("hamming"), 4).as("avg_hamming"))
+            round(avg("hamming") * 10000).cast("long").as("avg_hamming_x1e4"))
       },
       Some("""WITH w AS (
              |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
@@ -279,7 +281,7 @@ object ExtOps {
              |  SELECT bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
              |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              |)
-             |SELECT count(*) AS n_pairs, round(avg(hamming), 4) AS avg_hamming
+             |SELECT count(*) AS n_pairs, CAST(round(avg(hamming) * 10000) AS BIGINT) AS avg_hamming_x1e4
              |FROM pairs WHERE hamming <= 3""".stripMargin)),
 
     // Embedding-cosine near-dup via sign-LSH + exact verify, against a
@@ -307,7 +309,9 @@ object ExtOps {
           threshold = 0.95, bands = 16, bitsPerBand = 4)
           .agg(
             count(lit(1)).as("n_pairs"),
-            round(avg("cos"), 4).as("avg_cos"),
+            // integer-units (×1e4 long), not round(x, 4): decimal
+            // rounds of doubles are the HALF_UP-vs-binary flake class
+            round(avg("cos") * 10000).cast("long").as("avg_cos_x1e4"),
             sum(col("id_a") + col("id_b")).cast("long").as("id_checksum"))
       },
       Some("""WITH base AS (
@@ -328,7 +332,7 @@ object ExtOps {
              |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
              |)
              |SELECT count(*) AS n_pairs,
-             |       round(avg(round(cos, 4)), 4) AS avg_cos,
+             |       CAST(round(avg(cos) * 10000) AS BIGINT) AS avg_cos_x1e4,
              |       CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
              |FROM pairs WHERE cos >= 0.95""".stripMargin)),
 
@@ -659,7 +663,9 @@ object ExtOps {
           .where(col("n_bytes") > 0) // empty payloads excluded on both sides
           .agg(
             count(lit(1)).as("n_media"),
-            round(avg("resized_mean"), 4).as("avg_resized_mean"),
+            // integer-units (×1e4 long), see q_dedup_embedding
+            round(avg("resized_mean") * 10000).cast("long")
+              .as("avg_resized_mean_x1e4"),
             sum(expr("aggregate(resized, 0L, (acc, x) -> acc + x)"))
               .as("total_resized"))
       },
@@ -679,7 +685,7 @@ object ExtOps {
              |  FROM rb GROUP BY doc_id
              |)
              |SELECT count(*) AS n_media,
-             |       round(avg(m), 4) AS avg_resized_mean,
+             |       CAST(round(avg(m) * 10000) AS BIGINT) AS avg_resized_mean_x1e4,
              |       CAST(sum(s) AS BIGINT) AS total_resized
              |FROM per""".stripMargin)),
 
@@ -695,8 +701,9 @@ object ExtOps {
         Multimodal.extractFeatures(media).toDF()
           .agg(
             count(lit(1)).as("n_media"),
-            round(avg("entropy"), 4).as("avg_entropy"),
-            round(avg("frame_mean"), 4).as("avg_frame_mean"),
+            // integer-units (×1e4 long), see q_dedup_embedding
+            round(avg("entropy") * 10000).cast("long").as("avg_entropy_x1e4"),
+            round(avg("frame_mean") * 10000).cast("long").as("avg_frame_mean_x1e4"),
             sum("n_frames").as("total_frames"))
       },
       Some("""WITH d AS (
@@ -721,8 +728,8 @@ object ExtOps {
              |  FROM bv WHERE i % 16 = 0 GROUP BY doc_id
              |)
              |SELECT count(*) AS n_media,
-             |       round(avg(coalesce(ent.entropy, 0)), 4) AS avg_entropy,
-             |       round(avg(coalesce(fr.frame_mean, 0)), 4) AS avg_frame_mean,
+             |       CAST(round(avg(coalesce(ent.entropy, 0)) * 10000) AS BIGINT) AS avg_entropy_x1e4,
+             |       CAST(round(avg(coalesce(fr.frame_mean, 0)) * 10000) AS BIGINT) AS avg_frame_mean_x1e4,
              |       CAST(sum(coalesce(fr.n_frames, 0)) AS BIGINT) AS total_frames
              |FROM d LEFT JOIN ent USING (doc_id) LEFT JOIN fr USING (doc_id)""".stripMargin)),
 
@@ -757,16 +764,17 @@ object ExtOps {
             expr("percentile(value, array(0.5, 0.9, 0.99))").as("_ex"),
             expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)").as("_ap"))
           .select(
-            round(element_at(col("_ex"), 1), 4).as("p50"),
-            round(element_at(col("_ex"), 2), 4).as("p90"),
-            round(element_at(col("_ex"), 3), 4).as("p99"),
+            // integer-units (×1e4 long), see q_dedup_embedding
+            round(element_at(col("_ex"), 1) * 10000).cast("long").as("p50_x1e4"),
+            round(element_at(col("_ex"), 2) * 10000).cast("long").as("p90_x1e4"),
+            round(element_at(col("_ex"), 3) * 10000).cast("long").as("p99_x1e4"),
             (abs(element_at(col("_ap"), 1) - element_at(col("_ex"), 1)) <=
               abs(element_at(col("_ex"), 1)) * 0.01 + 0.001).as("apx_ok_p50"),
             (abs(element_at(col("_ap"), 3) - element_at(col("_ex"), 3)) <=
               abs(element_at(col("_ex"), 3)) * 0.01 + 0.001).as("apx_ok_p99")),
-      Some("""SELECT round(quantile_cont(value, 0.5), 4) AS p50,
-             |       round(quantile_cont(value, 0.9), 4) AS p90,
-             |       round(quantile_cont(value, 0.99), 4) AS p99,
+      Some("""SELECT CAST(round(quantile_cont(value, 0.5) * 10000) AS BIGINT) AS p50_x1e4,
+             |       CAST(round(quantile_cont(value, 0.9) * 10000) AS BIGINT) AS p90_x1e4,
+             |       CAST(round(quantile_cont(value, 0.99) * 10000) AS BIGINT) AS p99_x1e4,
              |       TRUE AS apx_ok_p50, TRUE AS apx_ok_p99
              |FROM events""".stripMargin)),
 

@@ -17,8 +17,8 @@ object PipelineOps {
       Some("""SELECT count(*) AS n_decisions,
              |       CAST(sum(CASE WHEN event_type = 'purchase' AND round(value, 2) > 0
              |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rewarded,
-             |       round(sum(CASE WHEN event_type = 'purchase'
-             |                      THEN round(value, 2) ELSE 0 END), 2) AS total_reward
+             |       CAST(round(sum(CASE WHEN event_type = 'purchase'
+             |                      THEN round(value, 2) ELSE 0 END) * 100) AS BIGINT) AS total_reward_cents
              |FROM events""".stripMargin)),
 
     // __GRAFT_GATES__ is substituted by Verify at oracle-dump time with
@@ -29,7 +29,7 @@ object PipelineOps {
       "q_rdr_store",
       (s, d) => RdrPipeline.storeSummary(s, d),
       Some("""SELECT count(*) AS n_rows,
-             |       round(sum(reward), 2) AS total_reward,
+             |       CAST(round(sum(reward) * 100) AS BIGINT) AS total_reward_cents,
              |       count(DISTINCT filename) AS n_files,
              |       min(decision_id) AS min_id,
              |       max(decision_id) AS max_id
@@ -44,8 +44,8 @@ object PipelineOps {
              |  (SELECT count(*) FROM events) AS n_events,
              |  (SELECT count(*) FROM read_parquet('__GRAFT_GATES__/train/features_p1/*.parquet')) AS n_features_p1,
              |  (SELECT count(*) FROM read_parquet('__GRAFT_GATES__/train/features_p2/*.parquet')) AS n_features_p2,
-             |  (SELECT round(sum("count"), 2) FROM read_parquet('__GRAFT_GATES__/train/phase1/*.parquet')) AS total_count_p1,
-             |  (SELECT round(avg(reward), 4) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_mean,
-             |  (SELECT round(coalesce(stddev_samp(reward), 0), 4) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_std""".stripMargin)),
+             |  (SELECT CAST(round(sum("count") * 100) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase1/*.parquet')) AS total_count_p1_x100,
+             |  (SELECT CAST(round(avg(reward) * 10000) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_mean_x1e4,
+             |  (SELECT CAST(round(coalesce(stddev_samp(reward), 0) * 10000) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_std_x1e4""".stripMargin)),
   )
 }

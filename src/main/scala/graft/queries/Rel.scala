@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * Each query exercises one operator family from SURVEY.md §2 (scan /
   * filter / projection / aggregation / join / window / sort / set-op),
   * re-expressed over the TPC-H-ish testdata so the driver's DuckDB
-  * oracle can hash-match results. Floating aggregates are rounded on
-  * BOTH sides (2–4 decimals) so double summation order cannot flip the
-  * hash.
+  * oracle can hash-match results. Floating aggregates ship as INTEGER
+  * units on BOTH sides (×100 / ×1e4 / ×1e6 longs, suffixed _x100 /
+  * _x1e4 / _x1e6): a decimal round of a double is the
+  * HALF_UP-vs-binary cross-engine flake class, while a
+  * nearest-integer after scaling renders identically everywhere.
   *
   * Scale notes (100 TB design): every query is a declarative DataFrame
   * plan — Catalyst pushes filters/projections into the parquet scan,
@@ -32,9 +34,15 @@ object Rel {
             && col("l_discount").between(0.03, 0.07)
             && col("l_quantity") < 24)
           .agg(
-            round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            // ALL gate comparison columns ship as integer units
+            // (×100 / ×1e4 longs), never round(x, d) doubles: a
+            // decimal round of a double is the HALF_UP-vs-binary
+            // cross-engine flake class this repo documents, and an
+            // integer renders identically everywhere
+            round(sum(col("l_extendedprice") * col("l_discount")) * 100)
+              .cast("long").as("revenue_x100"),
             count(lit(1)).as("n_rows")),
-      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      Some("""SELECT CAST(round(sum(l_extendedprice * l_discount) * 100) AS BIGINT) AS revenue_x100,
              |       count(*) AS n_rows
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -50,19 +58,20 @@ object Rel {
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum("l_quantity"), 2).as("sum_qty"),
-            round(sum("l_extendedprice"), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(avg("l_quantity"), 4).as("avg_qty"),
-            round(avg("l_discount"), 4).as("avg_disc"),
+            round(sum("l_quantity") * 100).cast("long").as("sum_qty_x100"),
+            round(sum("l_extendedprice") * 100).cast("long").as("sum_base_price_x100"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+              .cast("long").as("sum_disc_price_x100"),
+            round(avg("l_quantity") * 10000).cast("long").as("avg_qty_x1e4"),
+            round(avg("l_discount") * 10000).cast("long").as("avg_disc_x1e4"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_quantity), 2) AS sum_qty,
-             |       round(sum(l_extendedprice), 2) AS sum_base_price,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |       round(avg(l_quantity), 4) AS avg_qty,
-             |       round(avg(l_discount), 4) AS avg_disc,
+             |       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_x100,
+             |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_x100,
+             |       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_x100,
+             |       CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty_x1e4,
+             |       CAST(round(avg(l_discount) * 10000) AS BIGINT) AS avg_disc_x1e4,
              |       count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -76,15 +85,15 @@ object Rel {
         part(s, d)
           .groupBy("p_brand")
           .agg(
-            round(sum("p_retailprice"), 2).as("sum_retail"),
+            round(sum("p_retailprice") * 100).cast("long").as("sum_retail_x100"),
             count(lit(1)).as("n_parts"))
-          .orderBy(desc("sum_retail"), asc("p_brand"))
+          .orderBy(desc("sum_retail_x100"), asc("p_brand"))
           .limit(10),
-      Some("""SELECT p_brand, round(sum(p_retailprice), 2) AS sum_retail,
+      Some("""SELECT p_brand, CAST(round(sum(p_retailprice) * 100) AS BIGINT) AS sum_retail_x100,
              |       count(*) AS n_parts
              |FROM part
              |GROUP BY p_brand
-             |ORDER BY sum_retail DESC, p_brand ASC
+             |ORDER BY sum_retail_x100 DESC, p_brand ASC
              |LIMIT 10""".stripMargin)),
 
     // Join (shuffle hash / SMJ on fact side) + aggregation.
@@ -95,10 +104,10 @@ object Rel {
           .join(customer(s, d), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
-            round(sum("o_totalprice"), 2).as("sum_price"),
+            round(sum("o_totalprice") * 100).cast("long").as("sum_price_x100"),
             count(lit(1)).as("n_orders"))
           .orderBy("c_mktsegment"),
-      Some("""SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
+      Some("""SELECT c_mktsegment, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_price_x100,
              |       count(*) AS n_orders
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment
@@ -114,10 +123,10 @@ object Rel {
           .groupBy("r_name")
           .agg(
             count(lit(1)).as("n_suppliers"),
-            round(sum("s_acctbal"), 2).as("sum_bal"))
+            round(sum("s_acctbal") * 100).cast("long").as("sum_bal_x100"))
           .orderBy("r_name"),
       Some("""SELECT r_name, count(*) AS n_suppliers,
-             |       round(sum(s_acctbal), 2) AS sum_bal
+             |       CAST(round(sum(s_acctbal) * 100) AS BIGINT) AS sum_bal_x100
              |FROM supplier
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
@@ -173,10 +182,10 @@ object Rel {
           .groupBy("c_mktsegment")
           .agg(
             count(lit(1)).as("n_orphans"),
-            round(sum("c_acctbal"), 2).as("sum_bal"))
+            round(sum("c_acctbal") * 100).cast("long").as("sum_bal_x100"))
           .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment, count(*) AS n_orphans,
-             |       round(sum(c_acctbal), 2) AS sum_bal
+             |       CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS sum_bal_x100
              |FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |GROUP BY c_mktsegment
@@ -193,12 +202,13 @@ object Rel {
           .filter(col("prev_value").isNotNull)
           .groupBy("user_id")
           .agg(
-            round(sum(abs(col("value") - col("prev_value"))), 2).as("sum_abs_delta"),
+            round(sum(abs(col("value") - col("prev_value"))) * 100)
+              .cast("long").as("sum_abs_delta_x100"),
             count(lit(1)).as("n_steps"))
           .orderBy("user_id")
       },
       Some("""SELECT user_id,
-             |       round(sum(abs(value - prev_value)), 2) AS sum_abs_delta,
+             |       CAST(round(sum(abs(value - prev_value)) * 100) AS BIGINT) AS sum_abs_delta_x100,
              |       count(*) AS n_steps
              |FROM (
              |  SELECT user_id, value,
@@ -241,12 +251,13 @@ object Rel {
           .groupBy("kind")
           .agg(
             count(lit(1)).as("n"),
-            round(sum("bal"), 2).as("sum_bal"),
-            round(avg("bal"), 4).as("avg_bal"))
+            round(sum("bal") * 100).cast("long").as("sum_bal_x100"),
+            round(avg("bal") * 10000).cast("long").as("avg_bal_x1e4"))
           .orderBy("kind")
       },
-      Some("""SELECT kind, count(*) AS n, round(sum(bal), 2) AS sum_bal,
-             |       round(avg(bal), 4) AS avg_bal
+      Some("""SELECT kind, count(*) AS n,
+             |       CAST(round(sum(bal) * 100) AS BIGINT) AS sum_bal_x100,
+             |       CAST(round(avg(bal) * 10000) AS BIGINT) AS avg_bal_x1e4
              |FROM (
              |  SELECT c_custkey AS id, 'customer' AS kind, c_acctbal AS bal FROM customer
              |  UNION ALL
@@ -289,16 +300,19 @@ object Rel {
       (s, d) =>
         events(s, d).agg(
           count("value").as("n"),
-          round(avg("value"), 4).as("mean"),
-          round(stddev_samp("value"), 4).as("std"),
-          round(min("value"), 2).as("min_v"),
-          round(expr("percentile(value, 0.5)"), 4).as("median"),
-          round(max("value"), 2).as("max_v")),
-      Some("""SELECT count(value) AS n, round(avg(value), 4) AS mean,
-             |       round(stddev_samp(value), 4) AS std,
-             |       round(min(value), 2) AS min_v,
-             |       round(quantile_cont(value, 0.5), 4) AS median,
-             |       round(max(value), 2) AS max_v
+          // integer-units (×1e4 / ×100 longs), not round(x, d): decimal
+          // rounds of doubles are the HALF_UP-vs-binary flake class
+          round(avg("value") * 10000).cast("long").as("mean_x1e4"),
+          round(stddev_samp("value") * 10000).cast("long").as("std_x1e4"),
+          round(min("value") * 100).cast("long").as("min_v_cents"),
+          round(expr("percentile(value, 0.5)") * 10000).cast("long").as("median_x1e4"),
+          round(max("value") * 100).cast("long").as("max_v_cents")),
+      Some("""SELECT count(value) AS n,
+             |       CAST(round(avg(value) * 10000) AS BIGINT) AS mean_x1e4,
+             |       CAST(round(stddev_samp(value) * 10000) AS BIGINT) AS std_x1e4,
+             |       CAST(round(min(value) * 100) AS BIGINT) AS min_v_cents,
+             |       CAST(round(quantile_cont(value, 0.5) * 10000) AS BIGINT) AS median_x1e4,
+             |       CAST(round(max(value) * 100) AS BIGINT) AS max_v_cents
              |FROM events""".stripMargin)),
 
     // P7: rlike predicate.
@@ -326,12 +340,13 @@ object Rel {
           .agg(
             sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_high"),
             count(lit(1)).as("n"),
-            round(avg(when(col("value") > 100, 1.0).otherwise(0.0)), 4).as("high_rate"))
+            round(avg(when(col("value") > 100, 1.0).otherwise(0.0)) * 10000)
+              .cast("long").as("high_rate_x1e4"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
              |       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
              |       count(*) AS n,
-             |       round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 4) AS high_rate
+             |       CAST(round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) * 10000) AS BIGINT) AS high_rate_x1e4
              |FROM events
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
@@ -345,12 +360,12 @@ object Rel {
           .groupBy("event_type")
           .agg(
             sum("k").as("sum_k"),
-            round(avg("k"), 4).as("avg_k"),
+            round(avg("k") * 10000).cast("long").as("avg_k_x1e4"),
             count(lit(1)).as("n"))
           .orderBy("event_type"),
       Some("""SELECT event_type,
              |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-             |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+             |       CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000) AS BIGINT) AS avg_k_x1e4,
              |       count(*) AS n
              |FROM events
              |GROUP BY event_type
@@ -368,27 +383,28 @@ object Rel {
           .agg(min("event_id").as("first_decision"), count(lit(1)).as("n_decisions"))
         val rewards = ev.filter(col("event_type") === "purchase")
           .groupBy("user_id")
-          .agg(round(sum("value"), 2).as("reward_sum"), count(lit(1)).as("n_rewards"))
+          .agg(round(sum("value") * 100).cast("long").as("reward_sum_x100"),
+            count(lit(1)).as("n_rewards"))
         decisions
           .join(rewards, Seq("user_id"), "full_outer")
           .select(
             col("user_id"),
             col("first_decision"),
             coalesce(col("n_decisions"), lit(0L)).as("n_decisions"),
-            coalesce(col("reward_sum"), lit(0.0)).as("reward_sum"),
+            coalesce(col("reward_sum_x100"), lit(0L)).as("reward_sum_x100"),
             coalesce(col("n_rewards"), lit(0L)).as("n_rewards"))
           .orderBy("user_id")
       },
       Some("""SELECT COALESCE(d.user_id, r.user_id) AS user_id,
              |       d.first_decision AS first_decision,
              |       COALESCE(d.n_decisions, 0) AS n_decisions,
-             |       COALESCE(r.reward_sum, 0.0) AS reward_sum,
+             |       COALESCE(r.reward_sum_x100, 0) AS reward_sum_x100,
              |       COALESCE(r.n_rewards, 0) AS n_rewards
              |FROM (SELECT user_id, min(event_id) AS first_decision,
              |             count(*) AS n_decisions
              |      FROM events WHERE event_type = 'click' GROUP BY user_id) d
              |FULL OUTER JOIN
-             |     (SELECT user_id, round(sum(value), 2) AS reward_sum,
+             |     (SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT) AS reward_sum_x100,
              |             count(*) AS n_rewards
              |      FROM events WHERE event_type = 'purchase' GROUP BY user_id) r
              |ON d.user_id = r.user_id
@@ -421,10 +437,11 @@ object Rel {
           .filter(col("o_orderdate") < lit("1995-03-15").cast("date")
             && col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
           .groupBy("o_orderkey")
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-          .orderBy(desc("revenue"), asc("o_orderkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+            .cast("long").as("revenue_x100"))
+          .orderBy(desc("revenue_x100"), asc("o_orderkey"))
           .limit(10),
-      Some("""SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      Some("""SELECT o_orderkey, CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_x100
              |FROM customer
              |JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON o_orderkey = l_orderkey
@@ -432,7 +449,7 @@ object Rel {
              |  AND o_orderdate < DATE '1995-03-15'
              |  AND l_shipdate > TIMESTAMP '1995-03-15'
              |GROUP BY o_orderkey
-             |ORDER BY revenue DESC, o_orderkey ASC
+             |ORDER BY revenue_x100 DESC, o_orderkey ASC
              |LIMIT 10""".stripMargin)),
 
     // Sessionization: 30-minute-gap sessions per user via lag +
@@ -456,12 +473,12 @@ object Rel {
           .agg(
             count(lit(1)).as("n_sessions"),
             max("n_events").as("max_session_events"),
-            round(avg("n_events"), 4).as("avg_session_events"))
+            round(avg("n_events") * 10000).cast("long").as("avg_session_events_x1e4"))
           .orderBy("user_id")
       },
       Some("""SELECT user_id, count(*) AS n_sessions,
              |       max(n_events) AS max_session_events,
-             |       round(avg(n_events), 4) AS avg_session_events
+             |       CAST(round(avg(n_events) * 10000) AS BIGINT) AS avg_session_events_x1e4
              |FROM (
              |  SELECT user_id, session_id, count(*) AS n_events
              |  FROM (
@@ -486,12 +503,12 @@ object Rel {
         lineitem(s, d)
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_quantity") * 100).cast("long").as("sum_qty_x100"),
             count(lit(1)).as("n"),
             grouping_id().as("gid"))
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"), asc("gid")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_quantity), 2) AS sum_qty,
+             |       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_x100,
              |       count(*) AS n,
              |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
              |FROM lineitem
@@ -527,11 +544,11 @@ object Rel {
           .groupBy("month")
           .agg(
             count(lit(1)).as("n"),
-            round(sum("value"), 2).as("sum_value"),
+            round(sum("value") * 100).cast("long").as("sum_value_x100"),
             countDistinct(col("user_id")).as("n_users"))
           .orderBy("month"),
       Some("""SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n,
-             |       round(sum(value), 2) AS sum_value,
+             |       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_x100,
              |       count(DISTINCT user_id) AS n_users
              |FROM events
              |GROUP BY month
@@ -547,14 +564,14 @@ object Rel {
         events(s, d)
           .groupBy("user_id")
           .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-          .agg(round(sum("value"), 2))
+          .agg(round(sum("value") * 100).cast("long"))
           .orderBy("user_id"),
       Some("""SELECT user_id,
-             |       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
-             |       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
-             |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
-             |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
-             |       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS "view"
+             |       CAST(round(sum(CASE WHEN event_type = 'click' THEN value END) * 100) AS BIGINT) AS click,
+             |       CAST(round(sum(CASE WHEN event_type = 'error' THEN value END) * 100) AS BIGINT) AS error,
+             |       CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value END) * 100) AS BIGINT) AS purchase,
+             |       CAST(round(sum(CASE WHEN event_type = 'signup' THEN value END) * 100) AS BIGINT) AS signup,
+             |       CAST(round(sum(CASE WHEN event_type = 'view' THEN value END) * 100) AS BIGINT) AS "view"
              |FROM events
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
@@ -571,13 +588,14 @@ object Rel {
             Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
             "metric", "val")
           .groupBy("metric")
-          .agg(round(sum("val"), 2).as("sum_val"), count(lit(1)).as("n"))
+          .agg(round(sum("val") * 100).cast("long").as("sum_val_x100"),
+            count(lit(1)).as("n"))
           .orderBy("metric"),
-      Some("""SELECT 'l_quantity' AS metric, round(sum(l_quantity), 2) AS sum_val, count(*) AS n FROM lineitem
+      Some("""SELECT 'l_quantity' AS metric, CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_val_x100, count(*) AS n FROM lineitem
              |UNION ALL
-             |SELECT 'l_extendedprice', round(sum(l_extendedprice), 2), count(*) FROM lineitem
+             |SELECT 'l_extendedprice', CAST(round(sum(l_extendedprice) * 100) AS BIGINT), count(*) FROM lineitem
              |UNION ALL
-             |SELECT 'l_discount', round(sum(l_discount), 2), count(*) FROM lineitem
+             |SELECT 'l_discount', CAST(round(sum(l_discount) * 100) AS BIGINT), count(*) FROM lineitem
              |ORDER BY metric""".stripMargin)),
 
     // Data-quality expectations: the relation-level contract check a
@@ -658,7 +676,7 @@ object Rel {
             count(lit(1)).as("n"),
             sum((col("l_extendedprice") < col("lo")).cast("long")).as("n_low"),
             sum((col("l_extendedprice") > col("hi")).cast("long")).as("n_high"),
-            round(avg("clipped"), 2).as("winsor_mean"))
+            round(avg("clipped") * 100).cast("long").as("winsor_mean_x100"))
           .orderBy("l_returnflag")
       },
       Some("""WITH b AS (
@@ -670,7 +688,7 @@ object Rel {
              |SELECT l.l_returnflag, count(*) AS n,
              |       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
              |       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-             |       round(avg(least(greatest(l_extendedprice, lo), hi)), 2) AS winsor_mean
+             |       CAST(round(avg(least(greatest(l_extendedprice, lo), hi)) * 100) AS BIGINT) AS winsor_mean_x100
              |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
              |GROUP BY l.l_returnflag
              |ORDER BY l.l_returnflag""".stripMargin)),
@@ -682,14 +700,14 @@ object Rel {
       (s, d) =>
         lineitem(s, d)
           .agg(
-            round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price"),
-            round(corr("l_quantity", "l_discount"), 4).as("qty_disc"),
-            round(corr("l_extendedprice", "l_discount"), 4).as("price_disc"),
-            round(corr("l_extendedprice", "l_tax"), 4).as("price_tax")),
-      Some("""SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
-             |       round(corr(l_quantity, l_discount), 4) AS qty_disc,
-             |       round(corr(l_extendedprice, l_discount), 4) AS price_disc,
-             |       round(corr(l_extendedprice, l_tax), 4) AS price_tax
+            round(corr("l_quantity", "l_extendedprice") * 10000).cast("long").as("qty_price_x1e4"),
+            round(corr("l_quantity", "l_discount") * 10000).cast("long").as("qty_disc_x1e4"),
+            round(corr("l_extendedprice", "l_discount") * 10000).cast("long").as("price_disc_x1e4"),
+            round(corr("l_extendedprice", "l_tax") * 10000).cast("long").as("price_tax_x1e4")),
+      Some("""SELECT CAST(round(corr(l_quantity, l_extendedprice) * 10000) AS BIGINT) AS qty_price_x1e4,
+             |       CAST(round(corr(l_quantity, l_discount) * 10000) AS BIGINT) AS qty_disc_x1e4,
+             |       CAST(round(corr(l_extendedprice, l_discount) * 10000) AS BIGINT) AS price_disc_x1e4,
+             |       CAST(round(corr(l_extendedprice, l_tax) * 10000) AS BIGINT) AS price_tax_x1e4
              |FROM lineitem""".stripMargin)),
 
     // Market-basket association rules: item pairs co-bought in ≥ 3
@@ -698,8 +716,14 @@ object Rel {
     GateQuery(
       "q_assoc_rules",
       (s, d) =>
+        // the operator keeps its round(x, 4) double API; the GATE
+        // re-expresses the ratio columns in ×1e4 integer units
         graft.operators.Basket.rules(lineitem(s, d), "l_orderkey", "l_partkey",
             minSupport = 3L)
+          .select(col("item_a"), col("item_b"), col("pair_sup"),
+            round(col("conf_a_b") * 10000).cast("long").as("conf_a_b_x1e4"),
+            round(col("conf_b_a") * 10000).cast("long").as("conf_b_a_x1e4"),
+            round(col("lift") * 10000).cast("long").as("lift_x1e4"))
           .orderBy("item_a", "item_b"),
       Some("""WITH items AS (
              |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
@@ -711,9 +735,9 @@ object Rel {
              |  GROUP BY 1, 2
              |)
              |SELECT item_a, item_b, pair_sup,
-             |       round(pair_sup / CAST(sa.s AS DOUBLE), 4) AS conf_a_b,
-             |       round(pair_sup / CAST(sb.s AS DOUBLE), 4) AS conf_b_a,
-             |       round(pair_sup * n.nb / CAST(sa.s * sb.s AS DOUBLE), 4) AS lift
+             |       CAST(round(round(pair_sup / CAST(sa.s AS DOUBLE), 4) * 10000) AS BIGINT) AS conf_a_b_x1e4,
+             |       CAST(round(round(pair_sup / CAST(sb.s AS DOUBLE), 4) * 10000) AS BIGINT) AS conf_b_a_x1e4,
+             |       CAST(round(round(pair_sup * n.nb / CAST(sa.s * sb.s AS DOUBLE), 4) * 10000) AS BIGINT) AS lift_x1e4
              |FROM p
              |JOIN sup sa ON p.item_a = sa.i
              |JOIN sup sb ON p.item_b = sb.i
@@ -729,13 +753,13 @@ object Rel {
         lineitem(s, d)
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum("l_extendedprice"), 2).as("sum_price"),
+            round(sum("l_extendedprice") * 100).cast("long").as("sum_price_x100"),
             count(lit(1)).as("n"),
             grouping_id().as("gid"))
           .orderBy(asc_nulls_first("l_returnflag"),
             asc_nulls_first("l_linestatus"), asc("gid")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       round(sum(l_extendedprice), 2) AS sum_price,
+             |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price_x100,
              |       count(*) AS n,
              |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
              |FROM lineitem
@@ -757,7 +781,7 @@ object Rel {
               (col("hi") - col("lo"))), lit(9L)).cast("long"))
           .groupBy("bin")
           .agg(count(lit(1)).as("n"),
-            round(avg("l_extendedprice"), 2).as("bin_mean"))
+            round(avg("l_extendedprice") * 100).cast("long").as("bin_mean_x100"))
           .orderBy("bin")
       },
       Some("""WITH b AS (
@@ -766,7 +790,7 @@ object Rel {
              |)
              |SELECT CAST(least(floor((l_extendedprice - lo) * 10.0 / (hi - lo)), 9) AS BIGINT) AS bin,
              |       count(*) AS n,
-             |       round(avg(l_extendedprice), 2) AS bin_mean
+             |       CAST(round(avg(l_extendedprice) * 100) AS BIGINT) AS bin_mean_x100
              |FROM lineitem, b
              |GROUP BY bin
              |ORDER BY bin""".stripMargin)),
@@ -781,10 +805,17 @@ object Rel {
       "q_drift_psi",
       (s, d) => {
         val li = lineitem(s, d)
+        // the operator keeps its round(x, 6) double API; the GATE
+        // re-expresses those columns in integer units (×1e6 longs) so
+        // the oracle compare never hits the decimal-round flake class
         graft.operators.Drift.psiBins(
           li.filter(col("l_orderkey") % 2 === 0),
           li.filter(col("l_orderkey") % 2 === 1),
           "l_extendedprice", buckets = 10)
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round(col("share_ref") * 1000000).cast("long").as("share_ref_x1e6"),
+            round(col("share_cur") * 1000000).cast("long").as("share_cur_x1e6"),
+            round(col("psi_term") * 1000000).cast("long").as("psi_term_x1e6"))
       },
       Some("""WITH ref AS (
              |  SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 2 = 0
@@ -807,12 +838,12 @@ object Rel {
              |SELECT s.bin AS bin,
              |       coalesce(r.n_ref, 0) AS n_ref,
              |       coalesce(c.n_cur, 0) AS n_cur,
-             |       round(greatest(coalesce(r.n_ref, 0) / tr, 0.000001), 6) AS share_ref,
-             |       round(greatest(coalesce(c.n_cur, 0) / tc, 0.000001), 6) AS share_cur,
-             |       round((greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
+             |       CAST(round(round(greatest(coalesce(r.n_ref, 0) / tr, 0.000001), 6) * 1000000) AS BIGINT) AS share_ref_x1e6,
+             |       CAST(round(round(greatest(coalesce(c.n_cur, 0) / tc, 0.000001), 6) * 1000000) AS BIGINT) AS share_cur_x1e6,
+             |       CAST(round(round((greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
              |              - greatest(coalesce(r.n_ref, 0) / tr, 0.000001))
              |             * ln(greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
-             |                  / greatest(coalesce(r.n_ref, 0) / tr, 0.000001)), 6) AS psi_term
+             |                  / greatest(coalesce(r.n_ref, 0) / tr, 0.000001)), 6) * 1000000) AS BIGINT) AS psi_term_x1e6
              |FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin, t
              |ORDER BY bin""".stripMargin)),
 
@@ -826,11 +857,17 @@ object Rel {
       "q_drift_ks",
       (s, d) => {
         val li = lineitem(s, d)
+        // operator keeps its round(x, 6) double API; the GATE ships
+        // the share columns as ×1e6 integer units (see q_drift_psi)
         graft.operators.Drift.ksBins(
           li.filter(col("l_orderkey") % 2 === 0),
           li.filter(col("l_orderkey") % 2 === 1)
             .withColumn("l_extendedprice", col("l_extendedprice") * 1.1),
           "l_extendedprice", buckets = 10)
+          .select(col("bin"), col("n_ref"), col("n_cur"),
+            round(col("cum_share_ref") * 1000000).cast("long").as("cum_share_ref_x1e6"),
+            round(col("cum_share_cur") * 1000000).cast("long").as("cum_share_cur_x1e6"),
+            round(col("ks_term") * 1000000).cast("long").as("ks_term_x1e6"))
       },
       Some("""WITH ref AS (
              |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem WHERE l_orderkey % 2 = 0
@@ -860,9 +897,9 @@ object Rel {
              |  FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin
              |)
              |SELECT bin, n_ref, n_cur,
-             |       round(CAST(cr AS DOUBLE) / tr, 6) AS cum_share_ref,
-             |       round(CAST(cc AS DOUBLE) / tc, 6) AS cum_share_cur,
-             |       round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc), 6) AS ks_term
+             |       CAST(round(round(CAST(cr AS DOUBLE) / tr, 6) * 1000000) AS BIGINT) AS cum_share_ref_x1e6,
+             |       CAST(round(round(CAST(cc AS DOUBLE) / tc, 6) * 1000000) AS BIGINT) AS cum_share_cur_x1e6,
+             |       CAST(round(round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc), 6) * 1000000) AS BIGINT) AS ks_term_x1e6
              |FROM j, t
              |ORDER BY bin""".stripMargin)),
 
@@ -875,12 +912,18 @@ object Rel {
       "q_drift_nan",
       (s, d) => {
         val ev = events(s, d)
+        // operator keeps its round(x, 6) double API; the GATE ships
+        // the share columns as ×1e6 integer units (see q_drift_psi)
         graft.operators.Drift.nanShare(
           ev.filter(col("event_id") % 2 === 0).select(col("value")),
           ev.filter(col("event_id") % 2 === 1)
             .select(when(col("event_id") % 7 === 0, lit(Double.NaN))
               .otherwise(col("value")).as("value")),
           "value")
+          .select(col("n_ref"), col("n_bad_ref"), col("n_cur"), col("n_bad_cur"),
+            round(col("nan_share_ref") * 1000000).cast("long").as("nan_share_ref_x1e6"),
+            round(col("nan_share_cur") * 1000000).cast("long").as("nan_share_cur_x1e6"),
+            round(col("nan_share_delta") * 1000000).cast("long").as("nan_share_delta_x1e6"))
       },
       Some("""WITH ref AS (
              |  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_id % 2 = 0
@@ -898,10 +941,10 @@ object Rel {
              |  FROM cur
              |)
              |SELECT n_ref, n_bad_ref, n_cur, n_bad_cur,
-             |       round(CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1), 6) AS nan_share_ref,
-             |       round(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1), 6) AS nan_share_cur,
-             |       round(abs(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1)
-             |                 - CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1)), 6) AS nan_share_delta
+             |       CAST(round(round(CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1), 6) * 1000000) AS BIGINT) AS nan_share_ref_x1e6,
+             |       CAST(round(round(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1), 6) * 1000000) AS BIGINT) AS nan_share_cur_x1e6,
+             |       CAST(round(round(abs(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1)
+             |                 - CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1)), 6) * 1000000) AS BIGINT) AS nan_share_delta_x1e6
              |FROM r, c""".stripMargin)),
   )
 }

@@ -31,11 +31,14 @@ object SearchOps {
     GateQuery(
       "q_tfidf",
       (s, d) =>
+        // integer-units (×1e4 long), never round(x, d) doubles — the
+        // cross-engine decimal-round flake class; the quantized score
+        // stays the ranking key, so top-k tie-breaks match the oracle
         Search.tfIdf(documents(s, d), "doc_id", "text")
-          .withColumn("tfidf", round(col("tfidf"), 4))
-          .orderBy(desc("tfidf"), asc("doc_id"), asc("term"))
+          .withColumn("tfidf_x1e4", round(col("tfidf") * 10000).cast("long"))
+          .orderBy(desc("tfidf_x1e4"), asc("doc_id"), asc("term"))
           .limit(20)
-          .select("doc_id", "term", "tf", "df", "tfidf"),
+          .select("doc_id", "term", "tf", "df", "tfidf_x1e4"),
       Some(s"""WITH tf AS (
               |  SELECT doc_id, term, count(*) AS tf
               |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
@@ -44,9 +47,9 @@ object SearchOps {
               |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
               |n AS (SELECT count(*) AS n_docs FROM documents)
               |SELECT doc_id, term, tf, df,
-              |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+              |       CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS tfidf_x1e4
               |FROM tf JOIN dfs USING (term), n
-              |ORDER BY tfidf DESC, doc_id, term
+              |ORDER BY tfidf_x1e4 DESC, doc_id, term
               |LIMIT 20""".stripMargin)),
 
     // Okapi BM25 against a 4-term query; top-10 docs.
@@ -54,8 +57,9 @@ object SearchOps {
       "q_bm25",
       (s, d) =>
         Search.bm25(documents(s, d), "doc_id", "text", QueryTerms)
-          .withColumn("bm25", round(col("bm25"), 4))
-          .orderBy(desc("bm25"), asc("doc_id"))
+          .withColumn("bm25_x1e4", round(col("bm25") * 10000).cast("long"))
+          .drop("bm25")
+          .orderBy(desc("bm25_x1e4"), asc("doc_id"))
           .limit(10),
       Some(s"""WITH words AS (
               |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
@@ -68,13 +72,13 @@ object SearchOps {
               |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
               |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens)
               |SELECT doc_id,
-              |       round(sum(
+              |       CAST(round(sum(
               |         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
               |         * tf * 2.2
-              |         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+              |         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 10000) AS BIGINT) AS bm25_x1e4
               |FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id), stats
               |GROUP BY doc_id
-              |ORDER BY bm25 DESC, doc_id
+              |ORDER BY bm25_x1e4 DESC, doc_id
               |LIMIT 10""".stripMargin)),
 
     // More-like-this: documents ranked by TF-IDF-space cosine against
@@ -84,8 +88,9 @@ object SearchOps {
       "q_more_like_this",
       (s, d) =>
         Search.moreLikeThis(documents(s, d), "doc_id", "text", 0L)
-          .withColumn("sim", round(col("sim"), 4))
-          .orderBy(desc("sim"), asc("doc_id"))
+          .withColumn("sim_x1e4", round(col("sim") * 10000).cast("long"))
+          .drop("sim")
+          .orderBy(desc("sim_x1e4"), asc("doc_id"))
           .limit(10),
       Some("""WITH tf AS (
              |  SELECT doc_id, term, count(*) AS tf
@@ -106,9 +111,9 @@ object SearchOps {
              |  FROM w JOIN q USING (term) WHERE w.doc_id <> 0
              |  GROUP BY w.doc_id
              |)
-             |SELECT doc_id, round(dt / (norms.nrm * qn.nrm), 4) AS sim
+             |SELECT doc_id, CAST(round(dt / (norms.nrm * qn.nrm) * 10000) AS BIGINT) AS sim_x1e4
              |FROM dots JOIN norms USING (doc_id), qn
-             |ORDER BY sim DESC, doc_id
+             |ORDER BY sim_x1e4 DESC, doc_id
              |LIMIT 10""".stripMargin)),
 
     // Bloom-prefiltered semi-join: lineitem rows of high-value orders.
@@ -145,8 +150,9 @@ object SearchOps {
         val dir = GateScratch.dir("inv_idx_gate")
         val idx = InvertedIndex.build(documents(s, d), "doc_id", "text", dir)
         InvertedIndex.bm25(s, idx, QueryTerms)
-          .select(col("id").as("doc_id"), round(col("bm25"), 4).as("bm25"))
-          .orderBy(desc("bm25"), asc("doc_id"))
+          .select(col("id").as("doc_id"),
+            round(col("bm25") * 10000).cast("long").as("bm25_x1e4"))
+          .orderBy(desc("bm25_x1e4"), asc("doc_id"))
           .limit(10)
       },
       Some(s"""WITH words AS (
@@ -160,13 +166,13 @@ object SearchOps {
               |), dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
               |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens)
               |SELECT doc_id,
-              |       round(sum(
+              |       CAST(round(sum(
               |         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
               |         * tf * 2.2
-              |         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+              |         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) * 10000) AS BIGINT) AS bm25_x1e4
               |FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id), stats
               |GROUP BY doc_id
-              |ORDER BY bm25 DESC, doc_id
+              |ORDER BY bm25_x1e4 DESC, doc_id
               |LIMIT 10""".stripMargin)),
 
     // Z-order (Morton) values over two lineitem dimensions with fixed
@@ -228,10 +234,10 @@ object SearchOps {
             row_number().over(Window.orderBy(desc("s"), asc("vec_id"))))
           .select(col("vec_id").as("id"), col("rank"))
         Search.rrfFuse(Seq(lex, vec), "id")
-          .withColumn("rrf", round(col("rrf"), 6))
-          .orderBy(desc("rrf"), asc("id"))
+          .withColumn("rrf_x1e6", round(col("rrf") * 1000000).cast("long"))
+          .orderBy(desc("rrf_x1e6"), asc("id"))
           .limit(10)
-          .select("id", "rrf", "n_lists")
+          .select("id", "rrf_x1e6", "n_lists")
       },
       Some(s"""WITH words AS (
               |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
@@ -276,9 +282,9 @@ object SearchOps {
               |  UNION ALL
               |  SELECT id, 1.0 / (60 + rank) AS c FROM vec
               |)
-              |SELECT id, round(sum(c), 6) AS rrf, count(*) AS n_lists
+              |SELECT id, CAST(round(sum(c) * 1000000) AS BIGINT) AS rrf_x1e6, count(*) AS n_lists
               |FROM unioned
               |GROUP BY id
-              |ORDER BY rrf DESC, id
+              |ORDER BY rrf_x1e6 DESC, id
               |LIMIT 10""".stripMargin)))
 }

@@ -47,7 +47,7 @@ object StreamingOps {
   private val SessionizeOracle =
     """SELECT user_id, count(*) AS n_sessions,
       |       max(n_events) AS max_session_events,
-      |       round(avg(n_events), 4) AS avg_session_events
+      |       CAST(round(avg(n_events) * 10000) AS BIGINT) AS avg_session_events_x1e4
       |FROM (
       |  SELECT user_id, session_id, count(*) AS n_events
       |  FROM (
@@ -107,7 +107,7 @@ object StreamingOps {
           .agg(
             count(lit(1)).as("n_sessions"),
             max("n_events").as("max_session_events"),
-            round(avg("n_events"), 4).as("avg_session_events"))
+            round(avg("n_events") * 10000).cast("long").as("avg_session_events_x1e4"))
           .orderBy("user_id")
       },
       Some(SessionizeOracle)),
@@ -142,11 +142,11 @@ object StreamingOps {
           .select(
             date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
             col("event_type"), col("n"),
-            round(col("sum_value"), 2).as("sum_value"))
+            round(col("sum_value") * 100).cast("long").as("sum_value_x100"))
           .orderBy("hour", "event_type")
       },
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
-             |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |       event_type, count(*) AS n, CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_x100
              |FROM events
              |GROUP BY 1, 2
              |ORDER BY hour, event_type""".stripMargin)),
@@ -226,7 +226,7 @@ object StreamingOps {
         s.read.parquet(s"$work/out")
           .agg(
             count(lit(1)).as("n_joined"),
-            round(sum("reward"), 2).as("sum_reward"),
+            round(sum("reward") * 100).cast("long").as("sum_reward_x100"),
             sum("delay_sec").cast("long").as("sum_delay"),
             countDistinct(col("decision_id")).as("n_matched"))
       },
@@ -240,7 +240,7 @@ object StreamingOps {
              |         value AS reward
              |  FROM events WHERE value IS NOT NULL
              |)
-             |SELECT count(*) AS n_joined, round(sum(reward), 2) AS sum_reward,
+             |SELECT count(*) AS n_joined, CAST(round(sum(reward) * 100) AS BIGINT) AS sum_reward_x100,
              |       CAST(sum(rts - dts) AS BIGINT) AS sum_delay,
              |       count(DISTINCT decision_id) AS n_matched
              |FROM d JOIN r USING (decision_id)

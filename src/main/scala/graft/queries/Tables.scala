@@ -16,14 +16,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects; read
-    * nanos as long and truncate to microseconds (TimestampType).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+    * rejects unless read as long) and, after a testdata regeneration, as
+    * plain timestamp[us] (TIMESTAMP_NTZ to Spark). Adapt on the actual
+    * dtype so both generations load as session-TZ TimestampType: the
+    * Verify/Bench sessions pin UTC, so NTZ→timestamp is a wall-clock
+    * no-op and DuckDB hashing stays aligned.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) surfaced as long nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already session-TZ TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -74,7 +74,9 @@ object TemporalOps {
           .agg(
             count(lit(1)).as("n_nearby"),
             sum(col("r_click_id")).cast("long").as("sum_click_id"),
-            round(sum("r_value"), 2).as("sum_value"))
+            // integer-units (×100 long), never round(x, d) doubles —
+            // the cross-engine decimal-round flake class
+            round(sum("r_value") * 100).cast("long").as("sum_value_x100"))
           .orderBy("event_id")
       },
       Some("""WITH p AS (
@@ -86,7 +88,7 @@ object TemporalOps {
              |SELECT p.event_id,
              |       count(*) AS n_nearby,
              |       CAST(sum(c.click_id) AS BIGINT) AS sum_click_id,
-             |       round(sum(c.value), 2) AS sum_value
+             |       CAST(round(sum(c.value) * 100) AS BIGINT) AS sum_value_x100
              |FROM p JOIN c
              |  ON p.user_id = c.user_id
              | AND c.ts >= p.ts - INTERVAL 2 HOUR
@@ -110,8 +112,12 @@ object TemporalOps {
           .agg(
             count(lit(1)).as("n_buckets"),
             sum(col("is_gap").cast("long")).as("n_gaps"),
-            round(sum("v"), 2).as("sum_filled"),
-            round(sum(when(col("is_gap"), col("v"))), 2).as("sum_gap_fill"))
+            // bucket values stay round(x, 2) quantized (data
+            // derivation, mirrored in the oracle's b CTE); the final
+            // comparison sums ship as ×100 integer units
+            round(sum("v") * 100).cast("long").as("sum_filled_x100"),
+            round(sum(when(col("is_gap"), col("v"))) * 100).cast("long")
+              .as("sum_gap_fill_x100"))
           .orderBy("user_id")
       },
       Some("""WITH b AS (
@@ -135,8 +141,8 @@ object TemporalOps {
              |)
              |SELECT user_id, count(*) AS n_buckets,
              |       CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
-             |       round(sum(v), 2) AS sum_filled,
-             |       round(sum(CASE WHEN is_gap THEN v END), 2) AS sum_gap_fill
+             |       CAST(round(sum(v) * 100) AS BIGINT) AS sum_filled_x100,
+             |       CAST(round(sum(CASE WHEN is_gap THEN v END) * 100) AS BIGINT) AS sum_gap_fill_x100
              |FROM f
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
@@ -211,8 +217,8 @@ object TemporalOps {
           count(col("t_click")).as("n_clicked"),
           count(col("t_purchase")).as("n_converted"),
           round(expr(
-            "percentile(CASE WHEN t_purchase IS NOT NULL THEN (unix_micros(t_purchase) - unix_micros(t_view)) / 1e6 END, 0.5)"),
-            2).as("median_latency_sec"))
+            "percentile(CASE WHEN t_purchase IS NOT NULL THEN (unix_micros(t_purchase) - unix_micros(t_view)) / 1e6 END, 0.5)")
+            * 100).cast("long").as("median_latency_sec_x100"))
       },
       Some("""WITH v AS (
              |  SELECT user_id, min(ts) AS t_view FROM events
@@ -231,8 +237,8 @@ object TemporalOps {
              |SELECT (SELECT count(*) FROM v) AS n_viewed,
              |       (SELECT count(*) FROM c) AS n_clicked,
              |       (SELECT count(*) FROM p) AS n_converted,
-             |       round(quantile_cont((epoch_us(p.t_purchase) - epoch_us(v.t_view)) / 1e6, 0.5), 2)
-             |         AS median_latency_sec
+             |       CAST(round(quantile_cont((epoch_us(p.t_purchase) - epoch_us(v.t_view)) / 1e6, 0.5) * 100) AS BIGINT)
+             |         AS median_latency_sec_x100
              |FROM p JOIN v ON p.user_id = v.user_id""".stripMargin)),
 
     // Retention cohorts: users grouped by first-activity week, matrix

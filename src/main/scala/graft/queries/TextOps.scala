@@ -74,12 +74,14 @@ object TextOps {
           .groupBy("source")
           .agg(
             sum("n_tokens").as("sum_tokens"),
-            round(avg("n_tokens"), 4).as("avg_tokens"),
+            // integer-units (×1e4 long), never round(x, d) doubles —
+            // the cross-engine decimal-round flake class
+            round(avg("n_tokens") * 10000).cast("long").as("avg_tokens_x1e4"),
             max("n_tokens").as("max_tokens"),
             count(lit(1)).as("n_docs"))
           .orderBy("source"),
       Some(s"""SELECT source, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-              |       round(avg(n_tokens), 4) AS avg_tokens,
+              |       CAST(round(avg(n_tokens) * 10000) AS BIGINT) AS avg_tokens_x1e4,
               |       max(n_tokens) AS max_tokens, count(*) AS n_docs
               |FROM (
               |  SELECT source, len(string_split(trim(text), ' ')) AS n_tokens
@@ -123,12 +125,12 @@ object TextOps {
             (length(col("text")) - col("n_tokens") + 1).cast("double") / col("n_tokens"))
           .groupBy("lang")
           .agg(
-            round(avg("stop_ratio"), 4).as("avg_stop_ratio"),
-            round(avg("mean_tok_len"), 4).as("avg_tok_len"),
+            round(avg("stop_ratio") * 10000).cast("long").as("avg_stop_ratio_x1e4"),
+            round(avg("mean_tok_len") * 10000).cast("long").as("avg_tok_len_x1e4"),
             count(lit(1)).as("n_docs"))
           .orderBy("lang"),
-      Some(s"""SELECT lang, round(avg(stop_ratio), 4) AS avg_stop_ratio,
-              |       round(avg(mean_tok_len), 4) AS avg_tok_len,
+      Some(s"""SELECT lang, CAST(round(avg(stop_ratio) * 10000) AS BIGINT) AS avg_stop_ratio_x1e4,
+              |       CAST(round(avg(mean_tok_len) * 10000) AS BIGINT) AS avg_tok_len_x1e4,
               |       count(*) AS n_docs
               |FROM (
               |  SELECT lang,
@@ -176,10 +178,11 @@ object TextOps {
         val docs = documents(s, d).select("doc_id", "source", "text")
         Dedup.verifiedPairs(docs, "doc_id", "text", 0.9, groupCols = Seq("source"))
           .groupBy("source")
-          .agg(count(lit(1)).as("n_pairs"), round(avg("jac"), 4).as("avg_jac"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"))
           .orderBy("source")
       },
-      Some("""SELECT source, count(*) AS n_pairs, round(avg(jac), 4) AS avg_jac
+      Some("""SELECT source, count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4
              |FROM (
              |  SELECT a.source AS source,
              |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)

@@ -42,14 +42,16 @@ object VectorOps {
           .withColumn("nrm", sqrt(sumSq(col("v"))))
           .groupBy("label")
           .agg(
-            round(avg("nrm"), 4).as("avg_norm"),
-            round(min("nrm"), 4).as("min_norm"),
-            round(max("nrm"), 4).as("max_norm"),
+            // integer-units (×1e4 long), never round(x, d) doubles —
+            // the cross-engine decimal-round flake class
+            round(avg("nrm") * 10000).cast("long").as("avg_norm_x1e4"),
+            round(min("nrm") * 10000).cast("long").as("min_norm_x1e4"),
+            round(max("nrm") * 10000).cast("long").as("max_norm_x1e4"),
             count(lit(1)).as("n"))
           .orderBy("label"),
-      Some(s"""SELECT label, round(avg(nrm), 4) AS avg_norm,
-              |       round(min(nrm), 4) AS min_norm,
-              |       round(max(nrm), 4) AS max_norm, count(*) AS n
+      Some(s"""SELECT label, CAST(round(avg(nrm) * 10000) AS BIGINT) AS avg_norm_x1e4,
+              |       CAST(round(min(nrm) * 10000) AS BIGINT) AS min_norm_x1e4,
+              |       CAST(round(max(nrm) * 10000) AS BIGINT) AS max_norm_x1e4, count(*) AS n
               |FROM (SELECT label, sqrt($sqlNormSq) AS nrm FROM embeddings)
               |GROUP BY label
               |ORDER BY label""".stripMargin)),
@@ -63,24 +65,25 @@ object VectorOps {
           emb.filter(col("vec_id") === 0).select(col("v").as("qv")))
         emb.filter(col("vec_id") =!= 0)
           .crossJoin(qv)
-          .withColumn("cos",
+          .withColumn("cos_x1e4",
             round(dot(col("v"), col("qv")) /
-              (sqrt(sumSq(col("v"))) * sqrt(sumSq(col("qv")))), 4))
-          .select("vec_id", "label", "cos")
-          .orderBy(desc("cos"), asc("vec_id"))
+              (sqrt(sumSq(col("v"))) * sqrt(sumSq(col("qv")))) * 10000)
+              .cast("long"))
+          .select("vec_id", "label", "cos_x1e4")
+          .orderBy(desc("cos_x1e4"), asc("vec_id"))
           .limit(10)
       },
       Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
              |           FROM embeddings WHERE vec_id = 0)
              |SELECT vec_id, label,
-             |       round(
+             |       CAST(round(
              |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
              |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
              |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) * 10000) AS BIGINT) AS cos_x1e4
              |FROM embeddings, q
              |WHERE vec_id <> 0
-             |ORDER BY cos DESC, vec_id ASC
+             |ORDER BY cos_x1e4 DESC, vec_id ASC
              |LIMIT 10""".stripMargin)),
 
     // Sign-LSH bucketing: the ANN scale path (bucket → search in-bucket).
@@ -95,14 +98,14 @@ object VectorOps {
           .groupBy("bucket")
           .agg(
             count(lit(1)).as("n"),
-            round(avg(sqrt(sumSq(col("v")))), 4).as("avg_norm"),
+            round(avg(sqrt(sumSq(col("v")))) * 10000).cast("long").as("avg_norm_x1e4"),
             countDistinct(col("label")).as("n_labels"))
           .orderBy("bucket"),
       Some(s"""SELECT (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
               |        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
               |        + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket,
               |       count(*) AS n,
-              |       round(avg(sqrt($sqlNormSq)), 4) AS avg_norm,
+              |       CAST(round(avg(sqrt($sqlNormSq)) * 10000) AS BIGINT) AS avg_norm_x1e4,
               |       count(DISTINCT label) AS n_labels
               |FROM embeddings
               |GROUP BY bucket
@@ -118,10 +121,11 @@ object VectorOps {
           .agg(avg("x").as("mean_x"))
           .groupBy("label")
           .agg(
-            round(sqrt(sum(col("mean_x") * col("mean_x"))), 4).as("centroid_norm"),
+            round(sqrt(sum(col("mean_x") * col("mean_x"))) * 10000)
+              .cast("long").as("centroid_norm_x1e4"),
             count(lit(1)).as("n_dims"))
           .orderBy("label"),
-      Some("""SELECT label, round(sqrt(sum(mean_x * mean_x)), 4) AS centroid_norm,
+      Some("""SELECT label, CAST(round(sqrt(sum(mean_x * mean_x)) * 10000) AS BIGINT) AS centroid_norm_x1e4,
              |       count(*) AS n_dims
              |FROM (
              |  SELECT label, pos, avg(x) AS mean_x
@@ -143,10 +147,10 @@ object VectorOps {
             weight = (col("vec_id") % 3 + 1).cast("double"))
           .select(col("label"),
             round(sqrt(aggregate(transform(col("pooled"), x => x * x),
-              lit(0.0), (a, x) => a + x)), 4).as("pooled_norm"),
+              lit(0.0), (a, x) => a + x)) * 10000).cast("long").as("pooled_norm_x1e4"),
             size(col("pooled")).cast("long").as("n_dims"))
           .orderBy("label"),
-      Some("""SELECT label, round(sqrt(sum(mx * mx)), 4) AS pooled_norm,
+      Some("""SELECT label, CAST(round(sqrt(sum(mx * mx)) * 10000) AS BIGINT) AS pooled_norm_x1e4,
              |       CAST(count(*) AS BIGINT) AS n_dims
              |FROM (
              |  SELECT label, pos, sum(x * w) / sum(w) AS mx
@@ -183,27 +187,39 @@ object VectorOps {
           .meanPool(withVecs, "doc_id", "v", weight = length(col("chunk")).cast("double"))
           .select(col("doc_id"), col("pooled").as("v"))
           .persist() // feeds index build, queries, and the census
-        val dir = java.nio.file.Files.createTempDirectory("rag_funnel").toString + "/idx"
-        graft.operators.IvfIndex.build(pooled, "v", "doc_id", dir, numCells = 4, seed = 11L)
-        val idx = graft.operators.IvfIndex.load(s, dir)
-        val nIndex = s.read.parquet(s"$dir/cells").count()
-        val knn = graft.operators.IvfIndex.topKJoin(
-          s, idx, pooled.filter(col("doc_id") < 5), "v", "doc_id", "doc_id",
-          k = 3, nprobe = 4)
-        docs.agg(count(lit(1)).as("n_docs"))
-          .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
-          .crossJoin(pooled.agg(count(lit(1)).as("n_pooled")))
-          .withColumn("n_index", lit(nIndex))
-          .crossJoin(knn.agg(
-            count(lit(1)).as("n_knn"),
-            sum("rank").cast("long").as("knn_rank_sum"),
+        try {
+          // a stable per-sfDir artifact slot, rebuilt per invocation —
+          // NOT a fresh temp dir, which leaked a full IVF index per
+          // run (×3 bench repeats + verify) until the JVM exited
+          val slot = graft.pipeline.GateArtifacts.buildSlot(d, "rag_idx") { stage =>
+            graft.operators.IvfIndex.build(
+              pooled, "v", "doc_id", s"$stage/idx", numCells = 4, seed = 11L)
+            ()
+          }
+          val dir = s"$slot/idx"
+          val idx = graft.operators.IvfIndex.load(s, dir)
+          val nIndex = s.read.parquet(s"$dir/cells").count()
+          val knn = graft.operators.IvfIndex.topKJoin(
+            s, idx, pooled.filter(col("doc_id") < 5), "v", "doc_id", "doc_id",
+            k = 3, nprobe = 4)
+          // census collected EAGERLY so `pooled` can be unpersisted on
+          // exit (a lazy result would recompute the funnel on write)
+          val kr = knn.agg(
+            count(lit(1)),
+            sum("rank").cast("long"),
             // integer 1e-4 units: each cos is round-4 quantized, so the
             // sum is a decimal multiple of 0.0001 up to ~1e-12 float
             // error — a decimal round at ANY fixed precision can land
             // exactly on a half-way boundary and split the engines
             // (11.0815 did, HALF_UP vs binary-repr), while
             // nearest-integer after ×10⁴ cannot
-            round(sum("cos") * 10000).cast("long").as("knn_cos_sum")))
+            round(sum("cos") * 10000).cast("long")).collect().head
+          import s.implicits._
+          Seq((docs.count(), chunks.count(), pooled.count(), nIndex,
+            kr.getLong(0), kr.getLong(1), kr.getLong(2)))
+            .toDF("n_docs", "n_chunks", "n_pooled", "n_index",
+              "n_knn", "knn_rank_sum", "knn_cos_sum")
+        } finally { pooled.unpersist(blocking = false); () }
       },
       Some("""WITH d AS (
              |  SELECT doc_id, text, length(text) AS len FROM documents

@@ -276,12 +276,20 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     // null slots) while cosine declines the row to null — before the
     // null filter this NPE'd the driver-side census AFTER the parquet
     // append had already landed, so every retry duplicated the batch
+    // ids 7 and 14 carry a null ELEMENT into the build corpus; the
+    // deterministic quantizer (first-C centroids = clean ids 1, 2) is
+    // required here — kmeans' array_to_vector rejects null elements
+    // before the census contract under test is even reached
     val corpus = spark.range(1, 21).selectExpr("id as vec_id",
       "array(cast(id as double), cast(id % 3 as double), 1.0d, " +
-        "if(id < 0, cast(null as double), 0.0d)) as v")
+        "if(id % 7 = 0, cast(null as double), 0.0d)) as v")
     val dir = java.nio.file.Files.createTempDirectory("ivf_nullel").toString + "/idx"
-    val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 2)
-    assert(IvfIndex.loadStats(dir).get.base.n == 20)
+    val idx = IvfIndex.build(corpus, "v", "vec_id", dir, numCells = 2,
+      kmeansQuantizer = false)
+    assert(spark.read.parquet(s"$dir/cells").count() == 20,
+      "all 20 rows written, null elements included")
+    assert(IvfIndex.loadStats(dir).get.base.n == 18,
+      "the two null-element rows (ids 7, 14) are uncounted by the census")
 
     val batch = spark.range(1).selectExpr("100L as vec_id",
       "array(cast(null as double), 1.0d, 2.0d, 3.0d) as v")
@@ -298,8 +306,30 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     val dir2 = java.nio.file.Files.createTempDirectory("ivf_nullvec").toString + "/idx"
     val withNullVec = corpus.unionAll(spark.range(1).selectExpr(
       "999L as vec_id", "cast(null as array<double>) as v"))
-    IvfIndex.build(withNullVec, "v", "vec_id", dir2, numCells = 2)
+    IvfIndex.build(withNullVec, "v", "vec_id", dir2, numCells = 2,
+      kmeansQuantizer = false)
     val st2 = IvfIndex.loadStats(dir2)
-    assert(st2.nonEmpty && st2.get.base.n == 20, s"got $st2")
+    assert(st2.nonEmpty && st2.get.base.n == 18, s"got $st2")
+  }
+
+  test("mixed-dimension corpus fails the build loudly, not with silent recall loss") {
+    // nearest_cell truncate-scores a LONGER vector into a cell where
+    // cosine then declines it at every probe — stored but permanently
+    // unprobeable. The build-time guard must reject it instead.
+    val mixed = spark.range(1, 11).selectExpr("id as vec_id",
+      "if(id = 5, array(1.0d, 2.0d, 3.0d, 4.0d, 5.0d), " +
+        "array(cast(id as double), 1.0d, 0.0d, 0.0d)) as v")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_mixdim").toString + "/idx"
+    val e = intercept[Exception] {
+      IvfIndex.build(mixed, "v", "vec_id", dir, numCells = 2,
+        kmeansQuantizer = false)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("vector dimension must be 4")),
+      s"got: ${messages(e)}")
+    // the failed build must not leave a live index behind
+    assert(!SidecarIndex.fs(dir).exists(
+      new org.apache.hadoop.fs.Path(dir, "centroids.json")))
   }
 }

@@ -120,4 +120,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val expectStub = Multimodal.resizeStub("plain text payload".getBytes("UTF-8"), 2).toSeq
     assert(out(11L).resized == expectStub)
   }
+
+  test("decode drops are counted by cause, not silently stubbed") {
+    import spark.implicits._
+    // mixed fixture: 2 real images, 1 corrupt (PNG magic + garbage),
+    // 2 non-image text payloads
+    val png1 = pngBytes(4, 4)((_, _) => 0xffffff)
+    val png2 = pngBytes(8, 8)((_, _) => 0x000000)
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42, 42)
+    val rows = Seq(
+      (1L, png1), (2L, png2), (3L, corrupt),
+      (4L, "some text".getBytes("UTF-8")), (5L, "more text".getBytes("UTF-8")))
+    val media = rows.toDF("id", "bytes")
+      .withColumn("media_meta", struct(
+        octet_length(col("bytes")).as("n_bytes"),
+        lit("application/octet-stream").as("mime"),
+        lit(1).as("channels")))
+    // the corpus-wide census: one groupBy over resize's status column
+    val counts = Multimodal.resize(media, outLen = 2).toDF()
+      .groupBy("decode_status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map(
+      Multimodal.StatusDecoded -> 2L,
+      Multimodal.StatusCorrupt -> 1L,
+      Multimodal.StatusNonImage -> 2L), counts.toString)
+
+    // oversize is classified from the DECLARED header dims against the
+    // cap — distinguishable from corrupt even though both decline
+    val (none, status) = Multimodal.decodeImageWithStatus(png2, maxPixels = 16L)
+    assert(none.isEmpty && status == Multimodal.StatusOversize)
+    val (ok, st2) = Multimodal.decodeImageWithStatus(png2)
+    assert(ok.nonEmpty && st2 == Multimodal.StatusDecoded)
+    assert(Multimodal.decodeImageWithStatus(corrupt)._2 == Multimodal.StatusCorrupt)
+    assert(Multimodal.decodeImageWithStatus("txt".getBytes)._2 == Multimodal.StatusNonImage)
+  }
 }

@@ -67,4 +67,40 @@ class RdrPipelineSpec extends AnyFunSuite with SparkTestBase {
       ckptDir = Some(s"$work/ckpt"), checkpointMaxAgeSeconds = -1L)
     assert(!expired.phase1Warm)
   }
+
+  test("buildSlot swaps atomically: a crashed rebuild leaves the old slot, never a torn one") {
+    import java.nio.file.{Files, Paths}
+    val sfTag = Files.createTempDirectory("gate_slot_sf").toString
+
+    // v1 publishes cleanly
+    val slot = GateArtifacts.buildSlot(sfTag, "probe") { stage =>
+      Files.writeString(Paths.get(stage, "data.txt"), "v1")
+    }
+    assert(Files.readString(Paths.get(slot, "data.txt")) == "v1")
+
+    // a rebuild that writes PARTIAL output and then crashes must leave
+    // the published v1 intact — not the torn half-written v2 — and
+    // clean up its staging dir so a retry starts fresh
+    val boom = intercept[RuntimeException] {
+      GateArtifacts.buildSlot(sfTag, "probe") { stage =>
+        Files.writeString(Paths.get(stage, "data.txt"), "v2-partial")
+        throw new RuntimeException("mid-rewrite crash")
+      }
+    }
+    assert(boom.getMessage == "mid-rewrite crash")
+    assert(Files.readString(Paths.get(slot, "data.txt")) == "v1",
+      "old slot must survive a crashed rebuild")
+    assert(!Files.exists(Paths.get(s"$slot.staging")),
+      "crashed staging dir is cleaned up")
+
+    // a successful rebuild replaces v1 wholesale (no stale files):
+    // v2 drops data.txt and ships other.txt only
+    GateArtifacts.buildSlot(sfTag, "probe") { stage =>
+      Files.writeString(Paths.get(stage, "other.txt"), "v2")
+    }
+    assert(!Files.exists(Paths.get(slot, "data.txt")),
+      "stale v1 file must not survive into the v2 slot")
+    assert(Files.readString(Paths.get(slot, "other.txt")) == "v2")
+    GateArtifacts.deleteTree(Paths.get(GateArtifacts.dir(sfTag)))
+  }
 }
