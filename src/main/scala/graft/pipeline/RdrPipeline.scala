@@ -49,8 +49,21 @@ object GateArtifacts {
     */
   def buildSlot(sfDir: String, name: String)(build: String => Unit): String = {
     val slot = s"${dir(sfDir)}/$name"
-    val staging = java.nio.file.Paths.get(s"$slot.staging")
-    deleteTree(staging)
+    // UUID staging name: two concurrent builders (separate JVMs) must
+    // not write into each other's staging tree — last rename wins the
+    // slot, which is the same winner-takes-all a concurrent freshSlot
+    // rewrite had, minus the torn-interleaving. Orphans from CRASHED
+    // builds (which never reach their own deleteTree) are reaped here
+    // by prefix, so retries start clean and /tmp stays flat.
+    val parent = java.nio.file.Paths.get(slot).getParent
+    if (java.nio.file.Files.isDirectory(parent)) {
+      val siblings = java.nio.file.Files.list(parent)
+      try siblings.filter(p => p.getFileName.toString.startsWith(s"$name.staging-"))
+        .forEach(deleteTree(_))
+      finally siblings.close()
+    }
+    val staging = java.nio.file.Paths.get(
+      s"$slot.staging-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.createDirectories(staging)
     try build(staging.toString)
     catch { case e: Throwable => deleteTree(staging); throw e }
@@ -63,7 +76,7 @@ object GateArtifacts {
   /** Depth-first recursive delete with the `Files.walk` stream CLOSED
     * (an unclosed walk leaks a directory handle per invocation).
     */
-  private[pipeline] def deleteTree(root: java.nio.file.Path): Unit =
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -22,12 +22,7 @@ import graft.operators.{Ann, Dedup, Frequency, IvfIndex, Multimodal, SketchRollu
 private[queries] object GateScratch {
   lazy val root: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_gate_idx")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(dir))
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    sys.addShutdownHook(graft.pipeline.GateArtifacts.deleteTree(dir))
     dir.toString
   }
   def dir(name: String): String = s"$root/$name"

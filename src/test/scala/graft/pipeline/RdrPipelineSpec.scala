@@ -90,8 +90,20 @@ class RdrPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(boom.getMessage == "mid-rewrite crash")
     assert(Files.readString(Paths.get(slot, "data.txt")) == "v1",
       "old slot must survive a crashed rebuild")
-    assert(!Files.exists(Paths.get(s"$slot.staging")),
-      "crashed staging dir is cleaned up")
+    def stagingOrphans(): Seq[String] = {
+      val s = Files.list(Paths.get(slot).getParent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("probe.staging-")).toSeq
+      } finally s.close()
+    }
+    assert(stagingOrphans().isEmpty, "crashed staging dir is cleaned up")
+
+    // a staging orphan from a KILLED build (crash before its own
+    // cleanup ran) is reaped by the next buildSlot, not accumulated
+    Files.createDirectories(Paths.get(s"$slot.staging-deadbeef"))
+    Files.writeString(Paths.get(s"$slot.staging-deadbeef", "junk.txt"), "x")
 
     // a successful rebuild replaces v1 wholesale (no stale files):
     // v2 drops data.txt and ships other.txt only
@@ -101,6 +113,8 @@ class RdrPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!Files.exists(Paths.get(slot, "data.txt")),
       "stale v1 file must not survive into the v2 slot")
     assert(Files.readString(Paths.get(slot, "other.txt")) == "v2")
+    assert(stagingOrphans().isEmpty,
+      "killed-build staging orphan is reaped by the next build")
     GateArtifacts.deleteTree(Paths.get(GateArtifacts.dir(sfTag)))
   }
 }
