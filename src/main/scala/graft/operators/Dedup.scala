@@ -679,4 +679,72 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  // ---- exact substring-level dedup --------------------------------------
+
+  /** Exact SUBSTRING dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022): the third dedup mode between
+    * exact-document and near-duplicate. Every `minLen`-token window is
+    * keyed by the md5 of its space-joined tokens; windows whose key
+    * occurs ≥ `minCount` times CORPUS-WIDE (across documents or
+    * repeated within one) are duplicated passages. Flagged window
+    * positions are merged into maximal spans per document and the
+    * spans are CUT — aggressive remove-all-occurrences policy (the
+    * paper's ExactSubstr); compose with [[keepCanonical]] upstream
+    * when a canonical copy should survive.
+    *
+    * Returns one row per input document:
+    *   (id, kept text under `outCol`, n_tokens, n_removed, n_spans).
+    * Documents shorter than `minLen` tokens pass through untouched.
+    *
+    * Scale shape (the suffix-array stand-in that fits a cluster): the
+    * window relation is corpus-token-sized and shuffles ONCE on the
+    * window key (count ≥ minCount is a map-side-combinable agg); the
+    * flagged positions shuffle ONCE back onto the document key, where
+    * collect_list is bounded by document length; span merging, masking
+    * and text rebuild are per-row column programs (aggregate/filter/
+    * transform — codegen, no UDF). No driver state, no corpus², and
+    * the heavy window relation carries only (id, pos, 32-char key).
+    */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minCount: Long = 2L, outCol: String = "kept_text"): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    require(minCount >= 2, s"minCount must be >= 2 occurrences, got $minCount")
+    val withW = df
+      .withColumn("_words", split(trim(col(textCol)), " "))
+      .withColumn("_n", size(col("_words")))
+    val wins = withW.filter(col("_n") >= minLen)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, _n - $minLen), i -> md5(concat_ws(' ', slice(_words, i + 1, $minLen))))"
+      )).as(Seq("_pos", "_h")))
+    val dupKeys = wins.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("_h")
+    val spans = wins.join(dupKeys, Seq("_h"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("_pos"))).as("_ps"))
+      // fold sorted window starts into maximal [s, e] token intervals:
+      // a window at p covers [p, p+minLen-1]; overlapping or adjacent
+      // (p ≤ last.e + 1) windows extend the open interval
+      .withColumn("_iv", expr(
+        s"""aggregate(_ps,
+           |  cast(array() as array<struct<s: int, e: int>>),
+           |  (acc, p) -> CASE
+           |    WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |                array(named_struct('s', element_at(acc, -1).s,
+           |                                   'e', greatest(element_at(acc, -1).e, p + $minLen - 1))))
+           |    ELSE concat(acc, array(named_struct('s', p, 'e', p + $minLen - 1)))
+           |  END)""".stripMargin))
+      .select(col(idCol), col("_iv"))
+    withW.join(spans, Seq(idCol), "left")
+      .withColumn("_kept", when(col("_iv").isNull, col("_words")).otherwise(
+        expr("transform(filter(transform(_words, (w, i) -> named_struct('w', w, 'i', i)), " +
+          "s -> NOT exists(_iv, v -> s.i >= v.s AND s.i <= v.e)), s -> s.w)")))
+      .select(
+        col(idCol),
+        concat_ws(" ", col("_kept")).as(outCol),
+        col("_n").as("n_tokens"),
+        (col("_n") - size(col("_kept"))).as("n_removed"),
+        coalesce(size(col("_iv")), lit(0)).as("n_spans"))
+  }
 }

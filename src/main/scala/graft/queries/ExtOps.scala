@@ -61,13 +61,8 @@ object ExtOps {
         Dedup.duplicateClusters(s.read.parquet(s"$out/pairs"))
           .write.mode("overwrite").parquet(s"$out/clusters")
       } finally signed.unpersist(blocking = false)
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Paths.get(out)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      sys.addShutdownHook(
+        graft.pipeline.GateArtifacts.deleteTree(java.nio.file.Paths.get(out)))
       out
     })
 
@@ -240,6 +235,89 @@ object ExtOps {
              |SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM dropped) AS n_kept,
              |       CAST((SELECT sum(doc_id) FROM documents)
              |            - (SELECT coalesce(sum(id), 0) FROM dropped) AS BIGINT) AS kept_id_sum""".stripMargin)),
+
+    // Exact SUBSTRING dedup (Lee et al. ExactSubstr): duplicated
+    // ≥8-token windows are merged into maximal spans and cut from
+    // every occurrence. Planted passages (12 tokens copied from every
+    // doc_id % 10 = 3 document into a salted new doc) guarantee
+    // nonzero spans; organic repeats count identically on both
+    // engines because windows are keyed by md5 of the space-joined
+    // tokens — bit-identical across Spark and DuckDB.
+    GateQuery(
+      "q_dedup_substring",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "source", "text")
+        val w = docs.withColumn("_wd", split(trim(col("text")), " "))
+        val planted = w.filter(col("doc_id") % 10 === 3 && size(col("_wd")) >= 20)
+          .select(
+            (col("doc_id") + 500000L).as("doc_id"),
+            col("source"),
+            concat_ws(" ",
+              concat(lit("p"), col("doc_id"), lit("a")),
+              concat(lit("p"), col("doc_id"), lit("b")),
+              concat_ws(" ", slice(col("_wd"), 6, 12)),
+              concat(lit("p"), col("doc_id"), lit("c"))).as("text"))
+        val corpus = docs.unionByName(planted)
+        Dedup.exactSubstringDedup(corpus, "doc_id", "text", minLen = 8)
+          .join(corpus.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("n_removed") > 0).cast("long")).as("n_affected"),
+            sum("n_tokens").cast("long").as("total_tokens"),
+            sum("n_removed").cast("long").as("tokens_removed"),
+            sum("n_spans").cast("long").as("n_spans"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source, string_split(trim(text), ' ') AS words FROM documents
+             |), planted AS (
+             |  SELECT doc_id + 500000 AS doc_id, source,
+             |         'p' || doc_id || 'a p' || doc_id || 'b ' ||
+             |         array_to_string(words[6:17], ' ') || ' p' || doc_id || 'c' AS text
+             |  FROM w WHERE doc_id % 10 = 3 AND len(words) >= 20
+             |), corpus AS (
+             |  SELECT doc_id, source, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, source, text FROM planted
+             |), cw AS (
+             |  SELECT doc_id, source, string_split(trim(text), ' ') AS words FROM corpus
+             |), win AS (
+             |  SELECT doc_id, words, unnest(range(len(words) - 7)) AS pos
+             |  FROM cw WHERE len(words) >= 8
+             |), keyed AS (
+             |  SELECT doc_id, pos,
+             |         md5(array_to_string(words[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ')) AS h
+             |  FROM win
+             |), dup AS (
+             |  SELECT h FROM keyed GROUP BY h HAVING count(*) >= 2
+             |), flagged AS (
+             |  SELECT doc_id, pos FROM keyed JOIN dup USING (h)
+             |), ordered AS (
+             |  SELECT doc_id, pos,
+             |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM flagged
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+             |  FROM ordered
+             |), spans AS (
+             |  SELECT doc_id, g, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM isl GROUP BY doc_id, g
+             |), per_doc AS (
+             |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_removed
+             |  FROM spans GROUP BY doc_id
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+             |       CAST(sum(len(words)) AS BIGINT) AS total_tokens,
+             |       CAST(coalesce(sum(n_removed), 0) AS BIGINT) AS tokens_removed,
+             |       CAST(coalesce(sum(n_spans), 0) AS BIGINT) AS n_spans
+             |FROM cw LEFT JOIN per_doc USING (doc_id)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
 
     // SimHash near-dups (hamming ≤ 3). The gate uses the md5-nibble
     // word hash (both engines expose md5) so DuckDB reproduces the
