@@ -30,6 +30,25 @@ object Curation {
   def hashBucket(key: Column): Column =
     conv(substring(md5(key), 1, 7), 16, 10).cast("long")
 
+  /** Deterministic corpus shuffle for reproducible training order:
+    * every row gets a content-derived sort key
+    * (md5 bucket of `shuf:<seed>:<id>`, id tiebreak) and the frame is
+    * globally ordered by it — the same permutation on every run, any
+    * cluster layout, any retry. A different `seed` per epoch yields an
+    * independent order, so epoch schedules are reproducible from
+    * (corpus, seed) alone — no RNG state to persist.
+    *
+    * Scale shape: the global sort is ONE range exchange (sampled
+    * bounds) + local sorts — exactly what a sharded training-data
+    * write wants; `df.orderBy` here feeds `write.parquet` so shard N
+    * holds the Nth slice of the permutation. No window over the
+    * corpus, no driver state, no RNG whose draw depends on layout.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.orderBy(
+      hashBucket(concat_ws("", lit(s"shuf:$seed:"), col(idCol).cast("string"))),
+      col(idCol))
+
   /** Per-stratum deterministic sampling: keep a row iff its bucket
     * falls below the stratum's rate. The bucket key salts the id with
     * the stratum so re-using an id across strata draws independently.

@@ -35,6 +35,40 @@ object CurationOps {
     // Deterministic per-stratum sampling: down-weight two sources to
     // 10%, keep the rest at 40%. Census proves per-stratum achieved
     // rates (a filter, zero shuffle — the 100 TB plan is the scan).
+    // Deterministic corpus shuffle (training-order reproducibility):
+    // the md5-bucket sort key pins the SAME permutation on every run
+    // and engine. The census fixes both the head of the order (top-10
+    // under seed 7) and the ENTIRE permutation via the
+    // order-independent Σ key·doc_id checksum — any id mapping to a
+    // different key breaks the hash.
+    GateQuery(
+      "q_shuffle",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id")
+        val key = Curation.hashBucket(
+          concat_ws("", lit("shuf:7:"), col("doc_id").cast("string")))
+        val head = Curation.deterministicShuffle(docs, "doc_id", seed = 7L)
+          .limit(10)
+          .agg(
+            sum("doc_id").cast("long").as("head_id_sum"),
+            min("doc_id").as("head_min_id"),
+            max("doc_id").as("head_max_id"))
+        head.crossJoin(docs.agg(
+          count(lit(1)).as("n"),
+          sum(key * col("doc_id")).cast("long").as("perm_checksum")))
+      },
+      Some(s"""WITH k AS (
+              |  SELECT doc_id, ${bucketSql("'shuf:7:' || CAST(doc_id AS VARCHAR)")} AS key
+              |  FROM documents
+              |), head AS (
+              |  SELECT doc_id FROM k ORDER BY key, doc_id LIMIT 10
+              |)
+              |SELECT (SELECT CAST(sum(doc_id) AS BIGINT) FROM head) AS head_id_sum,
+              |       (SELECT min(doc_id) FROM head) AS head_min_id,
+              |       (SELECT max(doc_id) FROM head) AS head_max_id,
+              |       (SELECT count(*) FROM k) AS n,
+              |       (SELECT CAST(sum(key * doc_id) AS BIGINT) FROM k) AS perm_checksum""".stripMargin)),
+
     GateQuery(
       "q_stratified_sample",
       (s, d) =>

@@ -290,4 +290,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       Curation.weightedSample(df, "id", col("w"), 0))
   }
+
+  test("deterministicShuffle: layout-stable permutation, seed-keyed epochs") {
+    import spark.implicits._
+    val df = spark.range(1, 201).select(col("id"))
+    val order1 = Curation.deterministicShuffle(df, "id", seed = 7L)
+      .as[Long].collect().toSeq
+    // a permutation of the corpus, not a sample
+    assert(order1.sorted == (1L to 200L))
+    // layout-independent: shuffling a differently-partitioned frame
+    // yields the identical order (content-derived key, no RNG state)
+    val order2 = Curation.deterministicShuffle(df.repartition(7), "id", 7L)
+      .as[Long].collect().toSeq
+    assert(order2 == order1)
+    // epochs draw independent orders from their seed
+    val epoch2 = Curation.deterministicShuffle(df, "id", seed = 8L)
+      .as[Long].collect().toSeq
+    assert(epoch2 != order1 && epoch2.sorted == (1L to 200L))
+    // not the identity order (the hash actually permutes)
+    assert(order1 != (1L to 200L).toSeq)
+  }
 }
