@@ -710,16 +710,60 @@ object Dedup {
       minLen: Int, minCount: Long = 2L, outCol: String = "kept_text"): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
     require(minCount >= 2, s"minCount must be >= 2 occurrences, got $minCount")
-    val withW = df
-      .withColumn("_words", split(trim(col(textCol)), " "))
+    val withW = tokenized(df, textCol)
+    val wins = windowKeys(withW, idCol, minLen)
+    val dupKeys = wins.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("_h")
+    cutFlagged(withW, idCol, wins.join(dupKeys, Seq("_h")), minLen, outCol)
+  }
+
+  /** Span-level DECONTAMINATION: cut from `df` every `minLen`-token
+    * window that also appears anywhere in `reference` (an eval /
+    * benchmark corpus), merged into maximal spans — the surgical
+    * variant of [[graft.operators.Curation.decontaminate]], which
+    * drops whole documents. Cutting only the contaminated passage
+    * keeps the rest of an otherwise-clean document in the training
+    * set, the standard practice when eval sets quote fragments of
+    * common sources.
+    *
+    * Returns the same per-document shape as [[exactSubstringDedup]].
+    * Scale shape: reference windows are a DISTINCT key relation (no
+    * positions, no ids — eval sets are small next to the corpus, but
+    * nothing here requires that); one equi-join on the window key +
+    * one doc-keyed agg, everything else per-row column programs.
+    */
+  def cutSharedSubstrings(df: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, minLen: Int,
+      outCol: String = "kept_text"): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2 tokens, got $minLen")
+    val withW = tokenized(df, textCol)
+    val refKeys = windowKeys(
+      tokenized(reference, refTextCol).select(lit(0L).as("_rid"), col("_words"), col("_n")),
+      "_rid", minLen).select("_h").distinct()
+    cutFlagged(withW, idCol,
+      windowKeys(withW, idCol, minLen).join(refKeys, Seq("_h")), minLen, outCol)
+  }
+
+  private def tokenized(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_words", split(trim(col(textCol)), " "))
       .withColumn("_n", size(col("_words")))
-    val wins = withW.filter(col("_n") >= minLen)
+
+  /** (id, _pos, _h): md5 of each minLen-token window's space-joined
+    * tokens, anchored at every position.
+    */
+  private def windowKeys(withW: DataFrame, idCol: String, minLen: Int): DataFrame =
+    withW.filter(col("_n") >= minLen)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, _n - $minLen), i -> md5(concat_ws(' ', slice(_words, i + 1, $minLen))))"
       )).as(Seq("_pos", "_h")))
-    val dupKeys = wins.groupBy("_h").agg(count(lit(1)).as("_c"))
-      .filter(col("_c") >= minCount).select("_h")
-    val spans = wins.join(dupKeys, Seq("_h"))
+
+  /** Merge a document's flagged window positions into maximal [s, e]
+    * token intervals and cut them from the text. `flagged` carries
+    * (idCol, _pos); collect_list is bounded by document length.
+    */
+  private def cutFlagged(withW: DataFrame, idCol: String, flagged: DataFrame,
+      minLen: Int, outCol: String): DataFrame = {
+    val spans = flagged
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("_pos"))).as("_ps"))
       // fold sorted window starts into maximal [s, e] token intervals:

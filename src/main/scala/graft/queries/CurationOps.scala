@@ -208,6 +208,72 @@ object CurationOps {
               |       min(doc_id) AS first_flagged
               |FROM hits WHERE n_hits >= 2""".stripMargin)),
 
+    // Span-level decontamination (Dedup.cutSharedSubstrings): every
+    // 8-token window a train doc shares with the eval split
+    // (doc_id % 17 = 0) is merged into maximal spans and CUT, keeping
+    // the rest of the document — the surgical variant of
+    // q_decontaminate's whole-doc drop. The near-dup-heavy fixture
+    // guarantees organic cross-split quotes; windows are md5-keyed so
+    // both engines flag bit-identical positions.
+    GateQuery(
+      "q_decontaminate_spans",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "source", "text")
+        val evalSet = docs.filter(col("doc_id") % 17 === 0)
+        val train = docs.filter(col("doc_id") % 17 =!= 0)
+        graft.operators.Dedup.cutSharedSubstrings(
+            train, "doc_id", "text", evalSet, "text", minLen = 8)
+          .join(train.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("n_removed") > 0).cast("long")).as("n_affected"),
+            sum("n_tokens").cast("long").as("total_tokens"),
+            sum("n_removed").cast("long").as("tokens_removed"),
+            sum("n_spans").cast("long").as("n_spans"))
+          .orderBy("source")
+      },
+      Some("""WITH cw AS (
+             |  SELECT doc_id, source, string_split(trim(text), ' ') AS words FROM documents
+             |), win AS (
+             |  SELECT doc_id, words, unnest(range(len(words) - 7)) AS pos
+             |  FROM cw WHERE len(words) >= 8
+             |), keyed AS (
+             |  SELECT doc_id, pos,
+             |         md5(array_to_string(words[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ')) AS h
+             |  FROM win
+             |), evk AS (
+             |  SELECT DISTINCT h FROM keyed WHERE doc_id % 17 = 0
+             |), flagged AS (
+             |  SELECT doc_id, pos FROM keyed JOIN evk USING (h)
+             |  WHERE doc_id % 17 <> 0
+             |), ordered AS (
+             |  SELECT doc_id, pos,
+             |         max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+             |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM flagged
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+             |  FROM ordered
+             |), spans AS (
+             |  SELECT doc_id, g, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM isl GROUP BY doc_id, g
+             |), per_doc AS (
+             |  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS n_removed
+             |  FROM spans GROUP BY doc_id
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+             |       CAST(sum(len(words)) AS BIGINT) AS total_tokens,
+             |       CAST(coalesce(sum(n_removed), 0) AS BIGINT) AS tokens_removed,
+             |       CAST(coalesce(sum(n_spans), 0) AS BIGINT) AS n_spans
+             |FROM cw LEFT JOIN per_doc USING (doc_id)
+             |WHERE doc_id % 17 <> 0
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
     // Cross-document repeated-passage census: token 8-grams shared by
     // ≥ 2 distinct documents (exact substring duplication, the
     // suffix-array-dedup signal re-expressed as one hash aggregation).

@@ -83,5 +83,31 @@ class ExactSubstringSpec extends AnyFunSuite with SparkTestBase {
       Dedup.exactSubstringDedup(df, "doc_id", "text", minLen = 1))
     intercept[IllegalArgumentException](
       Dedup.exactSubstringDedup(df, "doc_id", "text", minLen = 4, minCount = 1L))
+    intercept[IllegalArgumentException](
+      Dedup.cutSharedSubstrings(df, "doc_id", "text", df, "text", minLen = 1))
+  }
+
+  test("cutSharedSubstrings: only eval-quoted passages are cut, per occurrence") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (10L, "the quick brown fox jumps over"),
+      (11L, "unrelated benchmark prompt text here")).toDF("eid", "etext")
+    val train = Seq(
+      // quotes a 6-token eval passage mid-document
+      (1L, "intro the quick brown fox jumps over outro1 outro2"),
+      // quotes it twice — both occurrences cut
+      (2L, "the quick brown fox jumps over mid the quick brown fox jumps over"),
+      // repeats ITSELF but shares nothing with eval → untouched
+      // (contrast exactSubstringDedup, which would cut the self-repeat)
+      (3L, "s1 s2 s3 s4 s5 mid2 s1 s2 s3 s4 s5"),
+      (4L, "completely clean training document text")).toDF("doc_id", "text")
+    val out = Dedup.cutSharedSubstrings(train, "doc_id", "text",
+        evalSet, "etext", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == (("intro outro1 outro2", 6, 1)), out(1L).toString)
+    assert(out(2L) == (("mid", 12, 2)), out(2L).toString)
+    assert(out(3L)._2 == 0 && out(3L)._3 == 0, "self-repeat is not contamination")
+    assert(out(4L) == (("completely clean training document text", 0, 0)))
   }
 }
