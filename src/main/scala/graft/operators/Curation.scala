@@ -139,6 +139,51 @@ object Curation {
       tokensCol: String, budget: Long): DataFrame =
     packShards(df, groupCol, Seq(orderCol), tokensCol, budget)
 
+  /** Concat-then-chunk SEQUENCE packing — the pretraining batch
+    * layout: within each group, documents are laid end to end in
+    * `orderCols` order and the token stream is cut into fixed
+    * `seqLen`-token training sequences; documents SPLIT across
+    * sequence boundaries (contrast [[packShards]], which keeps
+    * documents whole under a budget). One output row per
+    * (document, sequence) fragment:
+    *
+    *   groupCol, seq_id            — which sequence of the group
+    *   <idCols...>                 — the document's carried columns
+    *   doc_from, doc_to            — doc-relative token span (incl.)
+    *   seq_off                     — where the fragment starts in seq
+    *   n_in_seq                    — fragment length in tokens
+    *
+    * Σ n_in_seq over a document = its token count (nothing dropped,
+    * nothing duplicated) and Σ over a sequence ≤ seqLen — both
+    * invariants spec-pinned. Zero-token documents yield no rows.
+    *
+    * Scale shape: one per-GROUP window prefix-sum (groups bound the
+    * partition, as with packShards) + a per-row explode bounded by
+    * ⌈doc/seqLen⌉ fragments; all arithmetic is codegen column
+    * programs. Deterministic for a total `orderCols` order, so every
+    * retry and layout packs byte-identically.
+    */
+  def packSequences(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      tokensCol: String, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1 token, got $seqLen")
+    val w = Window.partitionBy(groupCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val C = lit(seqLen)
+    df.filter(col(tokensCol) > 0)
+      .withColumn("_start", (sum(col(tokensCol)).over(w) - col(tokensCol)).cast("long"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("_start") / C).cast("long"),
+        floor((col("_start") + col(tokensCol) - 1) / C).cast("long"))))
+      .withColumn("_sfrom", greatest(col("_start"), col("seq_id") * C))
+      .withColumn("_sto",
+        least(col("_start") + col(tokensCol), (col("seq_id") + 1) * C) - 1)
+      .withColumn("doc_from", (col("_sfrom") - col("_start")).cast("long"))
+      .withColumn("doc_to", (col("_sto") - col("_start")).cast("long"))
+      .withColumn("seq_off", (col("_sfrom") - col("seq_id") * C).cast("long"))
+      .withColumn("n_in_seq", (col("_sto") - col("_sfrom") + 1).cast("long"))
+      .drop("_start", "_sfrom", "_sto")
+  }
+
   /** Distinct word-`n`-gram shingle hashes of `textCol` (16-hex-char
     * md5 prefixes — 64 bits, collision-negligible at corpus scale and
     * far narrower than raw shingle strings in the shuffle). Documents

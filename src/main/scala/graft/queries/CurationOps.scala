@@ -35,6 +35,63 @@ object CurationOps {
     // Deterministic per-stratum sampling: down-weight two sources to
     // 10%, keep the rest at 40%. Census proves per-stratum achieved
     // rates (a filter, zero shuffle — the 100 TB plan is the scan).
+    // Concat-then-chunk sequence packing (Curation.packSequences):
+    // per-source token streams cut into 256-token training sequences
+    // with documents SPLIT across boundaries. The census pins fragment
+    // counts, sequence counts, the no-loss token total, how many docs
+    // split, and a position-sensitive Σ seq_id·doc_id + seq_off
+    // checksum — any mis-offset fragment breaks the hash.
+    GateQuery(
+      "q_pack_sequences",
+      (s, d) => {
+        val toks = documents(s, d)
+          .withColumn("n_tokens", size(split(trim(col("text")), " ")))
+        val packed = Curation.packSequences(
+          toks.select("doc_id", "source", "n_tokens"),
+          "source", Seq("doc_id"), "n_tokens", seqLen = 256L)
+        val frag = packed.groupBy("source").agg(
+          count(lit(1)).as("n_fragments"),
+          (max("seq_id") + 1).cast("long").as("n_sequences"),
+          sum("n_in_seq").cast("long").as("packed_tokens"),
+          sum(col("seq_id") * col("doc_id") + col("seq_off"))
+            .cast("long").as("pack_checksum"))
+        val splitDocs = packed.groupBy("source", "doc_id")
+          .agg(count(lit(1)).as("_nf"))
+          .groupBy("source")
+          .agg(sum((col("_nf") > 1).cast("long")).as("n_split_docs"))
+        frag.join(splitDocs, Seq("source")).orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n
+             |  FROM documents
+             |), st AS (
+             |  SELECT doc_id, source, n,
+             |         CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+             |                           ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS strt
+             |  FROM t WHERE n > 0
+             |), f AS (
+             |  SELECT doc_id, source, n, strt,
+             |         unnest(range(strt // 256, (strt + n - 1) // 256 + 1)) AS seq_id
+             |  FROM st
+             |), frag AS (
+             |  SELECT doc_id, source, seq_id,
+             |         greatest(strt, seq_id * 256) AS sfrom,
+             |         least(strt + n, (seq_id + 1) * 256) - 1 AS sto
+             |  FROM f
+             |), pd AS (
+             |  SELECT source, doc_id, count(*) AS nf FROM frag GROUP BY source, doc_id
+             |)
+             |SELECT fr.source, fr.n_fragments, fr.n_sequences, fr.packed_tokens,
+             |       fr.pack_checksum, p.n_split_docs
+             |FROM (SELECT source, count(*) AS n_fragments,
+             |             CAST(max(seq_id) + 1 AS BIGINT) AS n_sequences,
+             |             CAST(sum(sto - sfrom + 1) AS BIGINT) AS packed_tokens,
+             |             CAST(sum(seq_id * doc_id + (sfrom - seq_id * 256)) AS BIGINT) AS pack_checksum
+             |      FROM frag GROUP BY source) fr
+             |JOIN (SELECT source, CAST(sum(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+             |      FROM pd GROUP BY source) p USING (source)
+             |ORDER BY source""".stripMargin)),
+
     // Deterministic corpus shuffle (training-order reproducibility):
     // the md5-bucket sort key pins the SAME permutation on every run
     // and engine. The census fixes both the head of the order (top-10

@@ -291,6 +291,41 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Curation.weightedSample(df, "id", col("w"), 0))
   }
 
+  test("packSequences: concat-then-chunk fragments, exact offsets, boundary cases") {
+    import spark.implicits._
+    // one group, order by id, C=10: docs of 4, 10, 13, 3 tokens
+    //   doc 1: stream [0, 3]   → seq 0 off 0, doc 0..3
+    //   doc 2: stream [4, 13]  → seq 0 off 4 (6 toks), seq 1 off 0 (4 toks)
+    //   doc 3: stream [14, 26] → seq 1 off 4 (6), seq 2 off 0 (7)
+    //   doc 4: stream [27, 29] → seq 2 off 7 (3) — ends exactly at C
+    val df = Seq((1L, 4L), (2L, 10L), (3L, 13L), (4L, 3L), (5L, 0L))
+      .toDF("id", "n_tok").withColumn("g", lit("a"))
+    val out = Curation.packSequences(df, "g", Seq("id"), "n_tok", seqLen = 10)
+      .select("id", "seq_id", "doc_from", "doc_to", "seq_off", "n_in_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 3L, 0L, 4L),
+      (2L, 0L, 0L, 5L, 4L, 6L), (2L, 1L, 6L, 9L, 0L, 4L),
+      (3L, 1L, 0L, 5L, 4L, 6L), (3L, 2L, 6L, 12L, 0L, 7L),
+      (4L, 2L, 0L, 2L, 7L, 3L)), out.toString)
+    // invariants: per-doc fragment tokens sum to the doc, per-seq ≤ C,
+    // zero-token doc 5 emits nothing
+    assert(!out.exists(_._1 == 5L))
+    val bySeq = out.groupBy(_._2).view.mapValues(_.map(_._6).sum)
+    assert(bySeq.toMap == Map(0L -> 10L, 1L -> 10L, 2L -> 10L))
+
+    // groups pack independently; determinism across layouts
+    val two = df.withColumn("g", when(col("id") <= 2, "a").otherwise("b"))
+    val a = Curation.packSequences(two, "g", Seq("id"), "n_tok", 10)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Curation.packSequences(two.repartition(5), "g", Seq("id"), "n_tok", 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Curation.packSequences(df, "g", Seq("id"), "n_tok", 0))
+  }
+
   test("deterministicShuffle: layout-stable permutation, seed-keyed epochs") {
     import spark.implicits._
     val df = spark.range(1, 201).select(col("id"))
