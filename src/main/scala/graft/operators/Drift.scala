@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring between a REFERENCE snapshot and a
@@ -174,5 +174,45 @@ object Drift {
         round(col("n_bad_cur") / greatest(col("n_cur"), lit(1L)), 6).as("nan_share_cur"),
         round(abs(col("n_bad_cur") / greatest(col("n_cur"), lit(1L))
           - col("n_bad_ref") / greatest(col("n_ref"), lit(1L))), 6).as("nan_share_delta"))
+  }
+
+  /** EMBEDDING-space drift: per-group centroid comparison between two
+    * corpus snapshots — the monitor for "the embedding model (or the
+    * content it embeds) moved", which value-bin statistics on scalar
+    * columns cannot see. One row per group present on either side:
+    * counts, the cosine between the two centroids (1.0 = direction
+    * unchanged; null when a side is absent or all-null), and the
+    * centroid NORM ratio cur/ref (catches uniform scaling, which
+    * cosine is blind to). Alert when `centroid_cos` drops below a
+    * threshold or `norm_ratio` leaves [1/τ, τ].
+    *
+    * Scale shape: each side is one posexplode + ONE (group, pos)-keyed
+    * hash aggregation to a (groups × dim)-row relation, rebuilt to
+    * per-group arrays and joined on the group key — the meanPool
+    * shape; no collect, no corpus-sized join, cosine is the native
+    * single-pass expression.
+    */
+  def embeddingShift(ref: DataFrame, cur: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    def centroids(df: DataFrame, side: String) =
+      graft.operators.Ann.meanPool(df, groupCol, vecCol)
+        .select(col(groupCol), col("pooled").as(s"_c_$side"))
+    val normSq = (c: Column) =>
+      aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x)
+    centroids(ref, "ref")
+      .join(centroids(cur, "cur"), Seq(groupCol), "full_outer")
+      .join(ref.groupBy(groupCol).agg(count(col(vecCol)).as("n_ref")),
+        Seq(groupCol), "left")
+      .join(cur.groupBy(groupCol).agg(count(col(vecCol)).as("n_cur")),
+        Seq(groupCol), "left")
+      .select(
+        col(groupCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round(graft.operators.Ann.cosine(col("_c_ref"), col("_c_cur")), 6)
+          .as("centroid_cos"),
+        round(sqrt(normSq(col("_c_cur"))) / sqrt(normSq(col("_c_ref"))), 6)
+          .as("norm_ratio"))
+      .orderBy(groupCol)
   }
 }

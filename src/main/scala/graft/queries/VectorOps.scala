@@ -162,6 +162,75 @@ object VectorOps {
              |GROUP BY label
              |ORDER BY label""".stripMargin)),
 
+    // Embedding-space drift monitor (Drift.embeddingShift): per-label
+    // centroid cosine + norm ratio between the even/odd vec_id halves,
+    // with TWO planted drift modes — label 3 gets a +5.0 bump on dim 1
+    // (direction shift: cosine drops) and label 5 is scaled ×3
+    // (invisible to cosine, loud in the norm ratio) — so the gate
+    // pins that each signal catches exactly its drift mode.
+    GateQuery(
+      "q_drift_embedding",
+      (s, d) => {
+        val emb = withVec(embeddings(s, d))
+        val ref = emb.filter(col("vec_id") % 2 === 0).select(col("label"), col("v"))
+        val cur = emb.filter(col("vec_id") % 2 === 1)
+          .select(col("label"),
+            when(col("label") === 3,
+              concat(array(element_at(col("v"), 1) + lit(5.0)), slice(col("v"), 2, 63)))
+            .when(col("label") === 5, transform(col("v"), x => x * 3.0))
+            .otherwise(col("v")).as("v"))
+        graft.operators.Drift.embeddingShift(ref, cur, "label", "v")
+          .select(col("label"), col("n_ref"), col("n_cur"),
+            // integer units over the operator's round(x, 6) doubles
+            round(col("centroid_cos") * 1000000).cast("long").as("centroid_cos_x1e6"),
+            round(col("norm_ratio") * 1000000).cast("long").as("norm_ratio_x1e6"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |), refc AS (
+             |  SELECT label, list(mx ORDER BY pos) AS c FROM (
+             |    SELECT label, pos, avg(x) AS mx
+             |    FROM (SELECT label, CAST(unnest(v) AS DOUBLE) AS x,
+             |                 generate_subscripts(v, 1) AS pos
+             |          FROM e WHERE vec_id % 2 = 0)
+             |    GROUP BY label, pos)
+             |  GROUP BY label
+             |), curv AS (
+             |  SELECT label,
+             |         CASE WHEN label = 3 THEN list_concat([v[1] + 5.0], v[2:])
+             |              WHEN label = 5 THEN list_transform(v, x -> x * 3.0)
+             |              ELSE v END AS v
+             |  FROM e WHERE vec_id % 2 = 1
+             |), curc AS (
+             |  SELECT label, list(mx ORDER BY pos) AS c FROM (
+             |    SELECT label, pos, avg(x) AS mx
+             |    FROM (SELECT label, CAST(unnest(v) AS DOUBLE) AS x,
+             |                 generate_subscripts(v, 1) AS pos
+             |          FROM curv)
+             |    GROUP BY label, pos)
+             |  GROUP BY label
+             |), n AS (
+             |  SELECT label,
+             |         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             |         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+             |  FROM e GROUP BY label
+             |)
+             |SELECT n.label, n.n_ref, n.n_cur,
+             |       CAST(round(round(
+             |         list_sum(list_transform(list_zip(refc.c, curc.c),
+             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |         / (sqrt(list_sum(list_transform(refc.c, x -> x * x)))
+             |            * sqrt(list_sum(list_transform(curc.c, x -> x * x)))), 6) * 1000000) AS BIGINT)
+             |         AS centroid_cos_x1e6,
+             |       CAST(round(round(
+             |         sqrt(list_sum(list_transform(curc.c, x -> x * x)))
+             |         / sqrt(list_sum(list_transform(refc.c, x -> x * x))), 6) * 1000000) AS BIGINT)
+             |         AS norm_ratio_x1e6
+             |FROM n JOIN refc ON n.label = refc.label
+             |       JOIN curc ON n.label = curc.label
+             |ORDER BY n.label""".stripMargin)),
+
     // End-to-end RAG-prep funnel: chunk → (deterministic chunk→vector
     // assignment, the model-inference stand-in) → chunk-length-weighted
     // mean-pool per doc → IVF index build → exact k-NN join through the

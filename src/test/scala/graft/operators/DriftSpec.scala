@@ -129,4 +129,32 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getDouble(5)).max == 1.0)
     intercept[IllegalArgumentException](Drift.ksBins(ref, ref, "x", 1))
   }
+
+  test("embeddingShift: rotation drops cosine, scaling moves the norm ratio, absence yields nulls") {
+    import spark.implicits._
+    def side(rows: Seq[(String, Seq[Double])]) = rows.toDF("g", "v")
+    val ref = side(Seq(
+      ("stable", Seq(1.0, 0.0, 0.0)), ("stable", Seq(1.0, 0.2, 0.0)),
+      ("rotated", Seq(0.0, 1.0, 0.0)), ("rotated", Seq(0.0, 1.0, 0.1)),
+      ("scaled", Seq(2.0, 2.0, 0.0)),
+      ("ref_only", Seq(1.0, 1.0, 1.0))))
+    val cur = side(Seq(
+      ("stable", Seq(1.0, 0.1, 0.0)),
+      ("rotated", Seq(1.0, 0.0, 0.0)), // orthogonal pocket: cos ≈ 0
+      ("scaled", Seq(6.0, 6.0, 0.0)), // same direction, 3× norm
+      ("cur_only", Seq(0.5, 0.5, 0.0))))
+    val out = Drift.embeddingShift(ref, cur, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("stable", "rotated", "scaled", "ref_only", "cur_only"))
+    assert(out("stable").getDouble(3) > 0.99)
+    assert(math.abs(out("stable").getDouble(4) - 1.0) < 0.1)
+    assert(out("rotated").getDouble(3) < 0.1, "orthogonal centroid must read ≈ 0")
+    assert(out("scaled").getDouble(3) > 0.999, "pure scaling is invisible to cosine")
+    assert(math.abs(out("scaled").getDouble(4) - 3.0) < 1e-6,
+      "…but loud in the norm ratio")
+    // one-sided groups surface with counts and null comparisons, not
+    // silently dropped (a vanished or brand-new group IS drift)
+    assert(out("ref_only").getLong(1) == 1L && out("ref_only").getLong(2) == 0L)
+    assert(out("ref_only").isNullAt(3) && out("cur_only").isNullAt(3))
+  }
 }
