@@ -119,15 +119,39 @@ object Merge {
     * streaming micro-batch) shares, so failure handling and the
     * model-scoping rule live in exactly one place. Returns
     * model → written keys.
+    *
+    * Scale shape: the merged frame (typically gzip-JSONL parse + merge
+    * shuffle — expensive, not re-runnable for free) is materialized in
+    * ONE pass, `partitionBy(model)` into a transient staging tree;
+    * each model's store write then reads only its own staged subtree
+    * (a pruned columnar scan). Upstream cost is O(1) in the number of
+    * models — a thousand-model firehose batch costs one pass + one
+    * bounded listing, not a thousand upstream re-scans.
     */
   def writePerModel(merged: org.apache.spark.sql.DataFrame,
       storeDir: String): Map[String, Seq[String]] = {
-    val models = merged.select(col(Model)).distinct()
-      .collect().map(_.getString(0))
-    models.map { m =>
-      m -> graft.ingest.PartitionStore.write(
-        merged.filter(col(Model) === m), storeDir, m)
-    }.toMap
+    val spark = merged.sparkSession
+    val stageDir = s"$storeDir/_permodel_stage_${java.util.UUID.randomUUID()}"
+    val stagePath = new org.apache.hadoop.fs.Path(stageDir)
+    val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // LZ4: the stage is transient, codec speed beats ratio
+    merged.write.option("compression", "lz4")
+      .partitionBy(Model).parquet(stageDir)
+    try {
+      // model names are schema-validated to a filesystem-safe charset
+      // (Schema model regexp), so directory name == model name
+      val models = fs.listStatus(stagePath)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith(s"$Model=") => n.drop(Model.length + 1) }
+        .sorted
+      models.map { m =>
+        // the staged slice lost the model column to the directory key;
+        // PartitionStore.write drops it anyway, so no need to restore
+        m -> graft.ingest.PartitionStore.write(
+          spark.read.parquet(s"$stageDir/$Model=$m"), storeDir, m)
+      }.toMap
+    } finally { fs.delete(stagePath, true); () }
   }
 
   /** Convenience: parse firehose files and merge in one go —

@@ -171,9 +171,11 @@ object Curation {
     val C = lit(seqLen)
     df.filter(col(tokensCol) > 0)
       .withColumn("_start", (sum(col(tokensCol)).over(w) - col(tokensCol)).cast("long"))
+      .withColumn("_last", col("_start") + col(tokensCol).cast("long") - 1)
+      // integer `div`, not floor(x / C): double division loses exactness
+      // past 2^53 total tokens per group, which a 100 TB corpus can reach
       .withColumn("seq_id", explode(sequence(
-        floor(col("_start") / C).cast("long"),
-        floor((col("_start") + col(tokensCol) - 1) / C).cast("long"))))
+        expr(s"_start div $seqLen"), expr(s"_last div $seqLen"))))
       .withColumn("_sfrom", greatest(col("_start"), col("seq_id") * C))
       .withColumn("_sto",
         least(col("_start") + col(tokensCol), (col("seq_id") + 1) * C) - 1)
@@ -181,7 +183,7 @@ object Curation {
       .withColumn("doc_to", (col("_sto") - col("_start")).cast("long"))
       .withColumn("seq_off", (col("_sfrom") - col("seq_id") * C).cast("long"))
       .withColumn("n_in_seq", (col("_sto") - col("_sfrom") + 1).cast("long"))
-      .drop("_start", "_sfrom", "_sto")
+      .drop("_start", "_last", "_sfrom", "_sto")
   }
 
   /** Distinct word-`n`-gram shingle hashes of `textCol` (16-hex-char

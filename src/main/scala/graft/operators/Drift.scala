@@ -201,9 +201,12 @@ object Drift {
       aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x)
     centroids(ref, "ref")
       .join(centroids(cur, "cur"), Seq(groupCol), "full_outer")
-      .join(ref.groupBy(groupCol).agg(count(col(vecCol)).as("n_ref")),
+      // count ROWS (count(lit(1))), not non-null vectors — the monitor
+      // reports group sizes as a census, and row counts stay consistent
+      // with any external oracle counting the same groups
+      .join(ref.groupBy(groupCol).agg(count(lit(1)).as("n_ref")),
         Seq(groupCol), "left")
-      .join(cur.groupBy(groupCol).agg(count(col(vecCol)).as("n_cur")),
+      .join(cur.groupBy(groupCol).agg(count(lit(1)).as("n_cur")),
         Seq(groupCol), "left")
       .select(
         col(groupCol),
@@ -211,7 +214,11 @@ object Drift {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         round(graft.operators.Ann.cosine(col("_c_ref"), col("_c_cur")), 6)
           .as("centroid_cos"),
-        round(sqrt(normSq(col("_c_cur"))) / sqrt(normSq(col("_c_ref"))), 6)
+        // a zero-norm reference centroid has no meaningful ratio:
+        // null (absent signal), not Infinity
+        when(sqrt(normSq(col("_c_ref"))) === 0.0, lit(null))
+          .otherwise(
+            round(sqrt(normSq(col("_c_cur"))) / sqrt(normSq(col("_c_ref"))), 6))
           .as("norm_ratio"))
       .orderBy(groupCol)
   }

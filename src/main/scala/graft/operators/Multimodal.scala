@@ -248,4 +248,51 @@ object Multimodal {
         }
       }
   }
+
+  // ---- deterministic planted payloads (fixtures for status gates) -------
+
+  /** A tiny REAL PNG, encoded in-JVM — exercises the full
+    * sniff → header check → decode path ([[StatusDecoded]]).
+    * Stable within a JVM run (gate plant and oracle constant derive
+    * from the same array in the same run).
+    */
+  lazy val tinyPngBytes: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, ((x * 64) << 16) | ((y * 64) << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A syntactically valid PNG signature + IHDR DECLARING `w`×`h`
+    * pixels (correct chunk CRC, no pixel data) — the decompression-
+    * bomb shape: a ~33-byte payload claiming an arbitrarily large
+    * canvas. The header-only dimension check must classify it
+    * [[StatusOversize]] without allocating. */
+  def pngDeclaring(w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes("US-ASCII"))
+    def be32(v: Int): Unit =
+      ihdr.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    be32(w); be32(h)
+    ihdr.write(Array[Byte](8, 2, 0, 0, 0)) // depth 8, truecolor, no interlace
+    val body = ihdr.toByteArray
+    bos.write(Array[Byte](0, 0, 0, (body.length - 4).toByte)) // chunk data length
+    bos.write(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    val c = crc.getValue
+    bos.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+    bos.toByteArray
+  }
+
+  /** PNG magic followed by garbage — sniffs as image, rejected by the
+    * reader ([[StatusCorrupt]]). */
+  lazy val corruptPngBytes: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      Array.tabulate[Byte](24)(i => (i * 37 + 5).toByte)
 }

@@ -31,6 +31,13 @@ import graft.schema.Schema
 object GateArtifacts {
   val Placeholder = "__GRAFT_GATES__"
 
+  /** A crashed build's staging orphan is reaped only once this old —
+    * anything younger is presumed a live concurrent builder's tree.
+    * No real build holds a staging dir for an hour; a crashed one
+    * holds it forever.
+    */
+  private[graft] val StagingReapAgeMs: Long = 60L * 60 * 1000
+
   def dir(sfDir: String): String = {
     val tag = java.nio.file.Paths.get(sfDir).toAbsolutePath.toString
       .replaceAll("[^A-Za-z0-9.]+", "_")
@@ -54,12 +61,19 @@ object GateArtifacts {
     // slot, which is the same winner-takes-all a concurrent freshSlot
     // rewrite had, minus the torn-interleaving. Orphans from CRASHED
     // builds (which never reach their own deleteTree) are reaped here
-    // by prefix, so retries start clean and /tmp stays flat.
+    // so retries start clean and /tmp stays flat — but ONLY staging
+    // dirs older than `StagingReapAgeMs`: a young staging sibling may
+    // belong to a LIVE concurrent builder, and deleting it would crash
+    // that builder mid-write instead of letting rename order decide.
     val parent = java.nio.file.Paths.get(slot).getParent
     if (java.nio.file.Files.isDirectory(parent)) {
+      val now = System.currentTimeMillis()
       val siblings = java.nio.file.Files.list(parent)
-      try siblings.filter(p => p.getFileName.toString.startsWith(s"$name.staging-"))
-        .forEach(deleteTree(_))
+      try siblings.filter { p =>
+        p.getFileName.toString.startsWith(s"$name.staging-") &&
+          (try now - java.nio.file.Files.getLastModifiedTime(p).toMillis > StagingReapAgeMs
+           catch { case _: java.io.IOException => false }) // vanished concurrently
+      }.forEach(deleteTree(_))
       finally siblings.close()
     }
     val staging = java.nio.file.Paths.get(
@@ -237,19 +251,28 @@ object RdrPipeline {
     // the whole chain builds in a STAGING dir; only a fully-built tree
     // is swapped into the slot the oracle SQL reads (see buildSlot)
     val slot = GateArtifacts.buildSlot(sfDir, "train") { stage =>
-      val ingested = cachedMerged(spark, sfDir)
-      PartitionStore.write(ingested, s"$stage/store", "events")
+      // sub-step wall-times: printed to stderr AND published with the
+      // slot, so a bench-time growth in this (heaviest) gate decomposes
+      // into merge / store-write / train as measured fact, not
+      // data-shape guesswork
+      val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+      def timed[A](step: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        try body finally timings(step) = (System.nanoTime() - t0) / 1e9
+      }
+      val ingested = timed("merge")(cachedMerged(spark, sfDir))
+      timed("store_write")(PartitionStore.write(ingested, s"$stage/store", "events"))
       val cfg = Trainer.TrainConfig(
         maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
         propensityTrees = 5, treeDepth = 4, seed = 42L)
       // the gate runs the USER-FACING chain (trainFromStore): explore
       // bootstrap, scarce-data override, checkpoint save — with a tap
       // that dumps each phase's data-side frame for the oracle census
-      val chain = trainFromStore(spark, s"$stage/store", "events", cfg,
+      val chain = timed("train")(trainFromStore(spark, s"$stage/store", "events", cfg,
         ckptDir = Some(s"$stage/ckpt"),
         phaseTap = (phase, df) =>
           df.select(Schema.DecisionId, Schema.Reward, Schema.Count)
-            .write.mode("overwrite").parquet(s"$stage/phase$phase"))
+            .write.mode("overwrite").parquet(s"$stage/phase$phase")))
       val pm = chain.propensity
       val dm = chain.decision
       require(!chain.phase1Warm, "q_rdr_train: fresh slot must cold-start phase 1")
@@ -274,6 +297,12 @@ object RdrPipeline {
         .rank(spark, dm, Seq("""{"k":50}"""), """{"t":"click"}""").head._2
       require(!probeScore.isNaN && !probeScore.isInfinite,
         s"q_rdr_train: non-finite probe score $probeScore")
+      val line = timings.map { case (k, v) => f"$k=$v%.1fs" }.mkString(" ")
+      System.err.println(s"[timing] q_rdr_train $line")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stage, "timings.json"),
+        timings.map { case (k, v) => f""""$k": $v%.3f""" }
+          .mkString("{", ", ", "}"))
     }
     // census from the READ-BACK, PUBLISHED dumps — byte-identical
     // input to what the DuckDB oracle reads

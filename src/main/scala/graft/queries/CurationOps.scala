@@ -291,13 +291,13 @@ object CurationOps {
           .orderBy("source")
       },
       Some("""WITH cw AS (
-             |  SELECT doc_id, source, string_split(trim(text), ' ') AS words FROM documents
+             |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS words FROM documents
              |), win AS (
              |  SELECT doc_id, words, unnest(range(len(words) - 7)) AS pos
              |  FROM cw WHERE len(words) >= 8
              |), keyed AS (
              |  SELECT doc_id, pos,
-             |         md5(array_to_string(words[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ')) AS h
+             |         substr(md5(array_to_string(words[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ')), 1, 16) AS h
              |  FROM win
              |), evk AS (
              |  SELECT DISTINCT h FROM keyed WHERE doc_id % 17 = 0

@@ -281,13 +281,13 @@ object ExtOps {
              |  UNION ALL
              |  SELECT doc_id, source, text FROM planted
              |), cw AS (
-             |  SELECT doc_id, source, string_split(trim(text), ' ') AS words FROM corpus
+             |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS words FROM corpus
              |), win AS (
              |  SELECT doc_id, words, unnest(range(len(words) - 7)) AS pos
              |  FROM cw WHERE len(words) >= 8
              |), keyed AS (
              |  SELECT doc_id, pos,
-             |         md5(array_to_string(words[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ')) AS h
+             |         substr(md5(array_to_string(words[CAST(pos + 1 AS INT):CAST(pos + 8 AS INT)], ' ')), 1, 16) AS h
              |  FROM win
              |), dup AS (
              |  SELECT h FROM keyed GROUP BY h HAVING count(*) >= 2
@@ -805,6 +805,46 @@ object ExtOps {
              |       CAST(round(avg(coalesce(fr.frame_mean, 0)) * 10000) AS BIGINT) AS avg_frame_mean_x1e4,
              |       CAST(sum(coalesce(fr.n_frames, 0)) AS BIGINT) AS total_frames
              |FROM d LEFT JOIN ent USING (doc_id) LEFT JOIN fr USING (doc_id)""".stripMargin)),
+
+    // Decode-status census over a corpus with PLANTED payload classes:
+    // doc_id % 50 picks rows whose bytes are replaced by a real tiny
+    // PNG (7 → decoded), a header-only decompression bomb declaring
+    // 10^10 pixels (13 → oversize), and PNG-magic garbage
+    // (21 → corrupt); everything else keeps its UTF-8 text bytes
+    // (→ non_image). The statuses come from the REAL ImageIO
+    // sniff/header/decode path on the Spark side, while the oracle
+    // independently predicts each planted class from the modulo rule —
+    // so a misclassification (bomb decoded, PNG declined, text
+    // sniffed) breaks the hash. Planted byte lengths are inlined
+    // constants derived from the same in-JVM arrays the plant uses.
+    GateQuery(
+      "q_multimodal_status",
+      (s, d) => {
+        val media = Multimodal.withBinaryColumn(documents(s, d), "text", "doc_id")
+          .withColumn("bytes",
+            when(col("id") % 50 === 7, lit(Multimodal.tinyPngBytes))
+              .when(col("id") % 50 === 13, lit(Multimodal.pngDeclaring(100000, 100000)))
+              .when(col("id") % 50 === 21, lit(Multimodal.corruptPngBytes))
+              .otherwise(col("bytes")))
+        Multimodal.resize(media, outLen = 8).toDF()
+          .groupBy("decode_status")
+          .agg(
+            count(lit(1)).as("n_media"),
+            sum("n_bytes").cast("long").as("total_bytes"))
+          .orderBy("decode_status")
+      },
+      Some(s"""SELECT CASE WHEN doc_id % 50 = 7 THEN 'decoded'
+              |            WHEN doc_id % 50 = 13 THEN 'oversize'
+              |            WHEN doc_id % 50 = 21 THEN 'corrupt'
+              |            ELSE 'non_image' END AS decode_status,
+              |       count(*) AS n_media,
+              |       CAST(sum(CASE WHEN doc_id % 50 = 7 THEN ${graft.operators.Multimodal.tinyPngBytes.length}
+              |                     WHEN doc_id % 50 = 13 THEN ${graft.operators.Multimodal.pngDeclaring(100000, 100000).length}
+              |                     WHEN doc_id % 50 = 21 THEN ${graft.operators.Multimodal.corruptPngBytes.length}
+              |                     ELSE octet_length(encode(text)) END) AS BIGINT) AS total_bytes
+              |FROM documents
+              |GROUP BY 1
+              |ORDER BY 1""".stripMargin)),
 
     // HLL++ sketch census: exact per-group distincts (oracled) plus an
     // in-plan guard that the approx sketch lands within 5% of exact —

@@ -176,7 +176,11 @@ object VectorOps {
         val cur = emb.filter(col("vec_id") % 2 === 1)
           .select(col("label"),
             when(col("label") === 3,
-              concat(array(element_at(col("v"), 1) + lit(5.0)), slice(col("v"), 2, 63)))
+              // open-ended tail slice (size-derived, like the oracle's
+              // v[2:]) — a hardcoded length would silently truncate if
+              // the testdata regenerates with a different embedding dim
+              concat(array(element_at(col("v"), 1) + lit(5.0)),
+                slice(col("v"), lit(2), size(col("v")) - 1)))
             .when(col("label") === 5, transform(col("v"), x => x * 3.0))
             .otherwise(col("v")).as("v"))
         graft.operators.Drift.embeddingShift(ref, cur, "label", "v")

@@ -110,6 +110,48 @@ class PartitionStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(tailSecs < 120, s"bulk write took ${tailSecs}s")
   }
 
+  test("writePerModel: 50 models, ONE pass over the merged frame, per-model stores intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pstore_models").toString
+    val nModels = 50
+    val perModel = 20
+    val rows = (0 until nModels).flatMap { mi =>
+      (0 until perModel).map { i =>
+        RewardedDecisionRow(
+          decision_id = Ksuid.deterministic(base + mi * 1000 + i, (mi * 100 + i).toLong),
+          item = Some(s"""{"m":$mi,"v":$i}"""), context = Some("{}"),
+          count = Some(2.0), sample = None,
+          rewards = Some("{}"), reward = Some(0.0), model = f"model-$mi%02d")
+      }
+    }
+    // count how many times the merged frame's rows are EVALUATED: the
+    // single-pass contract means upstream executes once, not once per
+    // model. (Accumulators over-count on task retries; local mode has
+    // none, and the 2× slack keeps the assertion about O(1) vs
+    // O(models) passes, not exact evaluation counts.)
+    val evals = spark.sparkContext.longAccumulator("merged_evals")
+    val counted = org.apache.spark.sql.functions.udf { (s: String) =>
+      evals.add(1L); s
+    }
+    val merged = rows.toDF().withColumn(Schema.Item, counted(col(Schema.Item)))
+    val written = Merge.writePerModel(merged, dir)
+
+    assert(written.keySet == (0 until nModels).map(mi => f"model-$mi%02d").toSet)
+    assert(evals.value <= 2L * rows.size,
+      s"merged frame evaluated ${evals.value} times for ${rows.size} rows — not one pass")
+    // every model's store round-trips its own rows, nobody else's
+    Seq(0, 17, 49).foreach { mi =>
+      val m = f"model-$mi%02d"
+      val back = PartitionStore.read(spark, dir, PartitionStore.listKeys(spark, dir, m))
+      assert(back.count() == perModel, m)
+      assert(back.select(Schema.Item).as[String].collect()
+        .forall(_.contains(s""""m":$mi,""")), m)
+    }
+    // the transient per-model staging tree is gone
+    val leftovers = new java.io.File(dir).list().toSeq.filter(_.startsWith("_permodel_stage_"))
+    assert(leftovers.isEmpty, leftovers.toString)
+  }
+
   test("point lookup opens only the covering file(s), finds the row, misses cleanly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pstore3").toString

@@ -157,4 +157,22 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(out("ref_only").getLong(1) == 1L && out("ref_only").getLong(2) == 0L)
     assert(out("ref_only").isNullAt(3) && out("cur_only").isNullAt(3))
   }
+
+  test("embeddingShift: zero-norm reference centroid nulls the ratio; counts are row counts") {
+    import spark.implicits._
+    val ref = Seq(
+      // centroid of these two is the ZERO vector → ratio undefined
+      ("zeroed", Some(Seq(1.0, -1.0))), ("zeroed", Some(Seq(-1.0, 1.0))),
+      ("ok", Some(Seq(1.0, 0.0))),
+      // a null vector row: counted in n_ref (row census) but absent
+      // from the centroid (meanPool ignores nulls)
+      ("ok", None)).toDF("g", "v")
+    val cur = Seq(
+      ("zeroed", Some(Seq(2.0, 2.0))), ("ok", Some(Seq(1.0, 0.1)))).toDF("g", "v")
+    val out = Drift.embeddingShift(ref, cur, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("zeroed").isNullAt(4), "zero-norm ref centroid must yield null, not Infinity")
+    assert(out("ok").getLong(1) == 2L, "n_ref counts rows, null vectors included")
+    assert(!out("ok").isNullAt(4))
+  }
 }

@@ -87,6 +87,20 @@ class ExactSubstringSpec extends AnyFunSuite with SparkTestBase {
       Dedup.cutSharedSubstrings(df, "doc_id", "text", df, "text", minLen = 1))
   }
 
+  test("tokenization is \\s+: tabs / double spaces / newlines neither glue nor split tokens") {
+    // doc 1 separates the shared passage's tokens with tabs, a double
+    // space and a newline; doc 2 uses single spaces. Under \s+ both
+    // tokenize identically, so the passage is still recognized as an
+    // exact duplicate — and the rebuilt kept_text is whitespace-
+    // NORMALIZED (single spaces), the documented property.
+    val out = run(Seq(
+      (1L, "one two\talpha  beta\tgamma\ndelta three four"),
+      (2L, "five alpha beta gamma delta six seven eight")), minLen = 4)
+    assert(out(1L)._1 == "one two three four", out(1L).toString)
+    assert(out(1L) == (("one two three four", 8, 4, 1)))
+    assert(out(2L)._1 == "five six seven eight")
+  }
+
   test("cutSharedSubstrings: only eval-quoted passages are cut, per occurrence") {
     import spark.implicits._
     val evalSet = Seq(

@@ -154,4 +154,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeImageWithStatus(corrupt)._2 == Multimodal.StatusCorrupt)
     assert(Multimodal.decodeImageWithStatus("txt".getBytes)._2 == Multimodal.StatusNonImage)
   }
+
+  test("planted payload fixtures classify exactly as declared") {
+    assert(Multimodal.decodeImageWithStatus(Multimodal.tinyPngBytes)._2
+      == Multimodal.StatusDecoded)
+    // 10^10 declared pixels in a ~33-byte payload: header-only decline
+    assert(Multimodal.decodeImageWithStatus(Multimodal.pngDeclaring(100000, 100000))._2
+      == Multimodal.StatusOversize)
+    assert(Multimodal.decodeImageWithStatus(Multimodal.corruptPngBytes)._2
+      == Multimodal.StatusCorrupt)
+    // a small DECLARED canvas passes the header check (truncated body
+    // then fails the actual decode as corrupt, not oversize)
+    assert(Multimodal.decodeImageWithStatus(Multimodal.pngDeclaring(4, 4))._2
+      == Multimodal.StatusCorrupt)
+  }
 }

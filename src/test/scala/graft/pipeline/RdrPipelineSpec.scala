@@ -101,9 +101,18 @@ class RdrPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(stagingOrphans().isEmpty, "crashed staging dir is cleaned up")
 
     // a staging orphan from a KILLED build (crash before its own
-    // cleanup ran) is reaped by the next buildSlot, not accumulated
+    // cleanup ran) is reaped by the next buildSlot once it is OLD —
+    // backdate its mtime past the reap threshold
     Files.createDirectories(Paths.get(s"$slot.staging-deadbeef"))
     Files.writeString(Paths.get(s"$slot.staging-deadbeef", "junk.txt"), "x")
+    Files.setLastModifiedTime(Paths.get(s"$slot.staging-deadbeef"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
+
+    // …while a FRESH staging sibling (a LIVE concurrent builder's
+    // in-progress tree) must SURVIVE another builder's run untouched
+    Files.createDirectories(Paths.get(s"$slot.staging-live"))
+    Files.writeString(Paths.get(s"$slot.staging-live", "wip.txt"), "live")
 
     // a successful rebuild replaces v1 wholesale (no stale files):
     // v2 drops data.txt and ships other.txt only
@@ -113,8 +122,9 @@ class RdrPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!Files.exists(Paths.get(slot, "data.txt")),
       "stale v1 file must not survive into the v2 slot")
     assert(Files.readString(Paths.get(slot, "other.txt")) == "v2")
-    assert(stagingOrphans().isEmpty,
-      "killed-build staging orphan is reaped by the next build")
+    assert(stagingOrphans() == Seq("probe.staging-live"),
+      "old killed-build orphan reaped; live concurrent staging tree untouched")
+    assert(Files.readString(Paths.get(s"$slot.staging-live", "wip.txt")) == "live")
     GateArtifacts.deleteTree(Paths.get(GateArtifacts.dir(sfTag)))
   }
 }
