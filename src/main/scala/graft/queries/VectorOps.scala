@@ -235,6 +235,92 @@ object VectorOps {
              |       JOIN curc ON n.label = curc.label
              |ORDER BY n.label""".stripMargin)),
 
+    // END-TO-END drift monitoring: the full production loop in one
+    // gate — build an IVF index on the base corpus (vec_id % 3 = 0),
+    // append a DRIFTED batch (the rest, with a +10.0 direction bump on
+    // dim 1), and require that BOTH independent monitors fire
+    // together: the index's sidecar ledger (appended fraction 2/3 +
+    // assignment-quality PSI against the build-time baseline →
+    // needsRecluster) and the corpus-level embedding-shift alert
+    // (base-vs-appended centroid cosine collapses). The ledger
+    // internals are not SQL-expressible (they depend on the k-means
+    // quantizer), so they stay in-gate as loud requires — the oracle
+    // recomputes the embedding-shift census exactly and pins the two
+    // alert booleans as literal TRUEs (same convention as
+    // q_approx_distinct): a monitor that fails to fire breaks the
+    // hash.
+    GateQuery(
+      "q_drift_monitor",
+      (s, d) => {
+        import s.implicits._
+        val emb = withVec(embeddings(s, d))
+        val base = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"), col("v"))
+        val drifted = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id"),
+            concat(array(element_at(col("v"), 1) + lit(10.0)),
+              slice(col("v"), lit(2), size(col("v")) - 1)).as("v"))
+        val idx = graft.operators.IvfIndex.build(
+          base, "v", "vec_id", GateScratch.dir("drift_monitor_gate"),
+          numCells = 8, seed = 5L)
+        graft.operators.IvfIndex.append(idx, drifted, "v")
+        val report = graft.operators.IvfIndex.driftReport(idx).getOrElse(
+          sys.error("q_drift_monitor: grown index lost its drift ledger"))
+        require(report.needsRecluster,
+          s"q_drift_monitor: planted drift must trip the ledger, got $report")
+        val shift = graft.operators.Drift.embeddingShift(
+            base.withColumn("g", lit("all")),
+            drifted.withColumn("g", lit("all")), "g", "v")
+          .collect().head
+        val cos = shift.getAs[Double]("centroid_cos")
+        val shiftAlert = cos < 0.9
+        require(shiftAlert,
+          s"q_drift_monitor: planted drift must trip the embedding-shift alert, cos=$cos")
+        Seq((
+          shift.getAs[Long]("n_ref"), shift.getAs[Long]("n_cur"),
+          math.round(cos * 1000000),
+          math.round(shift.getAs[Double]("norm_ratio") * 1000000),
+          report.needsRecluster, shiftAlert))
+          .toDF("n_ref", "n_cur", "centroid_cos_x1e6", "norm_ratio_x1e6",
+            "needs_recluster", "shift_alert")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings
+             |), refc AS (
+             |  SELECT list(mx ORDER BY pos) AS c FROM (
+             |    SELECT pos, avg(x) AS mx
+             |    FROM (SELECT CAST(unnest(v) AS DOUBLE) AS x,
+             |                 generate_subscripts(v, 1) AS pos
+             |          FROM e WHERE vec_id % 3 = 0)
+             |    GROUP BY pos)
+             |), curv AS (
+             |  SELECT list_concat([v[1] + 10.0], v[2:]) AS v
+             |  FROM e WHERE vec_id % 3 <> 0
+             |), curc AS (
+             |  SELECT list(mx ORDER BY pos) AS c FROM (
+             |    SELECT pos, avg(x) AS mx
+             |    FROM (SELECT CAST(unnest(v) AS DOUBLE) AS x,
+             |                 generate_subscripts(v, 1) AS pos
+             |          FROM curv)
+             |    GROUP BY pos)
+             |)
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id % 3 = 0) AS n_ref,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id % 3 <> 0) AS n_cur,
+             |  CAST(round(round(
+             |    list_sum(list_transform(list_zip(refc.c, curc.c),
+             |                            p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |    / (sqrt(list_sum(list_transform(refc.c, x -> x * x)))
+             |       * sqrt(list_sum(list_transform(curc.c, x -> x * x)))), 6) * 1000000) AS BIGINT)
+             |    AS centroid_cos_x1e6,
+             |  CAST(round(round(
+             |    sqrt(list_sum(list_transform(curc.c, x -> x * x)))
+             |    / sqrt(list_sum(list_transform(refc.c, x -> x * x))), 6) * 1000000) AS BIGINT)
+             |    AS norm_ratio_x1e6,
+             |  TRUE AS needs_recluster,
+             |  TRUE AS shift_alert
+             |FROM refc, curc""".stripMargin)),
+
     // End-to-end RAG-prep funnel: chunk → (deterministic chunk→vector
     // assignment, the model-inference stand-in) → chunk-length-weighted
     // mean-pool per doc → IVF index build → exact k-NN join through the
