@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: replicates the driver testdata N× with
+  * deterministic perturbations, replays the heaviest gate families at
+  * that scale, and asserts the operators' bound invariants (LSH bucket
+  * fan-in, SemDeDup Σcluster², IVF cell balance + probe pruning, store
+  * file caps) with MEASURED numbers instead of design claims.
+  *
+  * Replica design (all offsets/perturbations are pure column
+  * expressions — deterministic, no RNG state):
+  *   - documents: replica r gets doc_id + r·10⁷. Replicas 1-2 keep the
+  *     text verbatim (planted EXACT duplicates, tripling every base
+  *     near-dup clique across replicas); replicas ≥3 prefix every word
+  *     with "r<r>x" — Jaccard 0 against every other replica, but
+  *     intra-replica similarity structure identical to the base corpus
+  *     (a fresh "shard" with its own vocabulary, the web-corpus shape).
+  *   - embeddings: replica r gets vec_id + r·10⁷. Replica 1 verbatim
+  *     (exact dupes); replicas ≥2 rotate the vector by r positions —
+  *     norm-preserving, near-orthogonal to the base, so each replica
+  *     adds genuine new geometry instead of 10⁵ copies of one point.
+  *   - events: replica r gets event_id + r·10⁷ (decision KSUIDs derive
+  *     from (ts-seconds, event_id), so ids stay globally unique);
+  *     everything else verbatim — a 10× event rate over the same
+  *     wall-clock window, which is exactly how this table grows.
+  *
+  * Commands: gen | run | inv | all (default all). Scales via env:
+  * SPARK_GRAFT_STRESS_X (gate replay, default 10) and
+  * SPARK_GRAFT_STRESS_XL (documents/embeddings-only invariant corpus,
+  * default 100).
+  */
+object ScaleStress {
+
+  private val Offset = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("all")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
+    val root = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR", "target/scalestress")
+    val x = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
+    val xl = sys.env.getOrElse("SPARK_GRAFT_STRESS_XL", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val xDir = s"$root/x$x"
+    val xlDir = s"$root/xl$xl"
+    if (cmd == "gen" || cmd == "all") {
+      gen(spark, baseDir, xDir, x, allTables = true)
+      gen(spark, baseDir, xlDir, xl, allTables = false)
+    }
+    if (cmd == "run" || cmd == "all") run(spark, baseDir, xDir, x)
+    if (cmd == "inv" || cmd == "all") invariants(spark, xDir, xlDir, x, xl)
+    spark.stop()
+  }
+
+  // ---- data generation ----------------------------------------------------
+
+  private def replicate(base: DataFrame, replicas: Int)(one: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until replicas).map(r => one(base, r)).reduce(_ unionByName _)
+
+  /** Build the scaled dir; idempotent via an _OK marker recording the
+    * replica count (a changed X regenerates).
+    */
+  def gen(spark: SparkSession, baseDir: String, outDir: String,
+      replicas: Int, allTables: Boolean): Unit = {
+    val marker = java.nio.file.Paths.get(s"$outDir/_OK")
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == replicas.toString) {
+      System.err.println(s"[stress] $outDir already generated (x$replicas), skipping")
+      return
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    replicate(docs, replicas) { (b, r) =>
+      val text =
+        if (r <= 2) col("text") // r=0 verbatim, r=1,2 exact duplicates
+        else when(col("text").isNotNull, array_join(
+          transform(split(col("text"), " "), w => concat(lit(s"r${r}x"), w)), " "))
+      b.select(
+        (col("doc_id") + lit(r * Offset)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.coalesce(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    replicate(emb, replicas) { (b, r) =>
+      val n = size(col("embedding"))
+      val v =
+        if (r <= 1) col("embedding") // r=1: exact duplicates
+        else concat(slice(col("embedding"), lit(r + 1), n - lit(r)), // rotate by r
+          slice(col("embedding"), lit(1), lit(r)))
+      b.select((col("vec_id") + lit(r * Offset)).as("vec_id"),
+        v.as("embedding"), col("label"))
+    }.coalesce(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    if (allTables) {
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      val cols = ev.columns
+      replicate(ev, replicas) { (b, r) =>
+        b.withColumn("event_id", col("event_id") + lit(r * Offset))
+          .select(cols.map(col).toIndexedSeq: _*)
+      }.coalesce(16).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+      // remaining tables verbatim, so every gate can read the dir
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem")) {
+        val src = java.nio.file.Paths.get(s"$baseDir/$t.parquet")
+        if (java.nio.file.Files.exists(src))
+          java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$outDir/$t.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    java.nio.file.Files.writeString(marker, replicas.toString)
+    System.err.println(s"[stress] generated $outDir (x$replicas)")
+  }
+
+  // ---- gate replay --------------------------------------------------------
+
+  /** The families VERDICT r8 asked to stress: the dedup ladder, ANN,
+    * and the full reference dataflow. Order matters — q_dedup_minhash
+    * pays the shared signed/pairs/clusters derivation that
+    * q_dedup_delta then reuses (identical order at both scales keeps
+    * the ratios honest).
+    */
+  private val Heavy = Seq(
+    "q_dedup_minhash", "q_dedup_delta", "q_dedup_substring",
+    "q_dedup_semantic", "q_ann_ivf_index", "q_knn_join", "q_rdr_train")
+
+  def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
+    spark.range(0, 100000).selectExpr("sum(id * 2)").collect() // JVM warmup
+    def time(name: String, d: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val n = fn(spark, d).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      System.err.println(f"[stress] $name @ $d: $dt%.1fs ($n rows)")
+      dt
+    }
+    println(s"| query | x1 (s) | x$x (s) | ratio | verdict |")
+    println("|---|---|---|---|---|")
+    for (q <- Heavy) {
+      val t1 = time(q, baseDir)
+      val tx = time(q, xDir)
+      val ratio = tx / t1
+      // fixed per-query overhead (JVM, planning, index I/O floors) makes
+      // sub-x ratios common; anything well past the replica factor is
+      // super-linear and needs a diagnosis in PLANS.md
+      val verdict = if (ratio <= x * 1.3) "≤ linear" else "SUPER-LINEAR"
+      println(f"| $q | $t1%.1f | $tx%.1f | ${ratio}%.1f× | $verdict |")
+    }
+  }
+
+  // ---- invariants ---------------------------------------------------------
+
+  def invariants(spark: SparkSession, xDir: String, xlDir: String,
+      x: Int, xl: Int): Unit = {
+    import graft.operators.{Ann, Dedup, IvfIndex}
+
+    // 1. LSH band-bucket fan-in at x: the candidate-join volume bound.
+    val docs = spark.read.parquet(s"$xDir/documents.parquet")
+    val nDocs = docs.count()
+    val census = Dedup.bandBucketCensus(
+      Dedup.withSignature(docs, "text"), "doc_id").persist()
+    val stats = census.agg(
+      count(lit(1)).as("n_buckets"),
+      max("fanin").as("max_fanin"),
+      expr("percentile_approx(fanin, 0.99)").as("p99_fanin"),
+      sum(expr("fanin * (fanin - 1) / 2")).cast("long").as("cand_bound")).head()
+    census.unpersist(blocking = false)
+    val maxFanin = stats.getLong(1)
+    println(f"| LSH bucket census @x$x | docs=$nDocs buckets=${stats.getLong(0)} " +
+      f"max_fanin=$maxFanin p99=${stats.get(2)} Σpairs_bound=${stats.getLong(3)} |")
+    require(maxFanin <= nDocs / 100,
+      s"LSH bucket fan-in $maxFanin exceeds 1% of corpus ($nDocs) — degenerate signatures")
+
+    // 2. SemDeDup contract at xl: label-clustering MUST be rejected
+    // (cluster ≈ xl·200 rows ≫ cap → quadratic pair fan-in), and the
+    // production path (IVF-cell clustering) must run bounded.
+    val emb = spark.read.parquet(s"$xlDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v")).persist()
+    val nVec = emb.count()
+    val rejected =
+      try { Dedup.semDedup(emb, "vec_id", "v", "label", 0.95, maxClusterSize = 10000); "NOT-FIRED" }
+      catch { case e: IllegalStateException => "fired: " + e.getMessage.take(60) }
+    println(s"| SemDeDup oversize contract @xl$xl (label clusters) | $rejected |")
+    require(rejected.startsWith("fired"), "oversize-cluster contract did not fire")
+
+    val t0 = System.nanoTime()
+    val cents = Ann.kmeansCentroids(emb, "v", 512, 7L)
+    val celled = Ann.withCell(emb, "v", cents).withColumnRenamed("cell", "_cell")
+    val szs = celled.groupBy("_cell").agg(count(lit(1)).as("sz"))
+      .agg(max("sz"), sum(expr("sz * sz")).cast("long"), count(lit(1))).head()
+    val kept = Dedup.semDedup(celled, "vec_id", "v", "_cell", 0.95,
+      maxClusterSize = 10000, oversized = Dedup.OversizedClusters.SaltSplit)
+    val nKept = kept.count()
+    kept.unpersist(blocking = false)
+    val semSec = (System.nanoTime() - t0) / 1e9
+    println(f"| SemDeDup production shape @xl$xl (512 IVF cells) | vecs=$nVec " +
+      f"max_cell=${szs.getLong(0)} Σsz²=${szs.getLong(1)} cells=${szs.getLong(2)} " +
+      f"kept=$nKept ${semSec}%.1fs |")
+
+    // 3. IVF at xl: cell balance + probe pruning through a written index.
+    val idxDir = s"$xlDir/_ivf_stress"
+    val t1 = System.nanoTime()
+    val index = IvfIndex.build(emb.select(col("vec_id"), col("v")), "v", "vec_id",
+      idxDir, numCells = 128)
+    val buildSec = (System.nanoTime() - t1) / 1e9
+    val cellStats = spark.read.parquet(s"$idxDir/cells")
+      .groupBy("cell").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)), max("sz"), avg("sz")).head()
+    val queries = emb.filter(col("vec_id") % 197 === 0)
+      .select(col("vec_id").as("qid"), col("v"))
+    val nQ = queries.count()
+    val t2 = System.nanoTime()
+    val nn = IvfIndex.topKJoin(spark, index, queries, "v", "vec_id", "qid",
+      k = 10, nprobe = 8).count()
+    val probeSec = (System.nanoTime() - t2) / 1e9
+    println(f"| IVF @xl$xl | build=${buildSec}%.1fs cells=${cellStats.getLong(0)} " +
+      f"max_cell=${cellStats.getLong(1)} avg=${cellStats.getDouble(2)}%.0f " +
+      f"knn($nQ queries, nprobe=8/128)=${probeSec}%.1fs rows=$nn |")
+    emb.unpersist(blocking = false)
+
+    // 4. Store file caps at x (needs the q_rdr_train replay's artifacts).
+    val store = s"${graft.pipeline.GateArtifacts.dir(xDir)}/store/rewarded_decisions/events/parquet"
+    if (new java.io.File(store).exists()) {
+      val perFile = spark.read.parquet(store)
+        .withColumn("_f", input_file_name())
+        .groupBy("_f").agg(count(lit(1)).as("n"))
+        .agg(max("n"), count(lit(1))).head()
+      println(s"| store caps @x$x | max_rows_per_file=${perFile.getLong(0)} " +
+        s"files=${perFile.getLong(1)} (cap 10000) |")
+      require(perFile.getLong(0) <= 10000, "store file cap violated at scale")
+    } else println(s"| store caps @x$x | SKIPPED (run phase not executed) |")
+  }
+}

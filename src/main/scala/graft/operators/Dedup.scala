@@ -98,6 +98,25 @@ object Dedup {
       .select("id_a" +: "id_b" +: groupCols map col: _*).distinct()
   }
 
+  /** Diagnostic census of the LSH band buckets: one row per
+    * (band, bucket[, groupCols…]) with its fan-in (documents landing
+    * in that bucket). The per-band candidate-join volume is exactly
+    * Σ fanin·(fanin−1)/2 over this relation, so the census is the
+    * operational monitor for the "bucket-bounded, never all-pairs"
+    * scale contract: a bucket whose fan-in approaches the corpus size
+    * means degenerate signatures (e.g. empty documents) and a
+    * quadratic join ahead — alert BEFORE running the join. One
+    * explode + one map-side-combined count; no joins, no collect.
+    */
+  def bandBucketCensus(signed: DataFrame, idCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val gcols = groupCols.map(col)
+    signed
+      .select(col(idCol) +: gcols :+ explode(bandKeys).as("bk"): _*)
+      .groupBy(col("bk.band").as("band") +: col("bk.bucket").as("bucket") +: gcols: _*)
+      .agg(count(lit(1)).as("fanin"))
+  }
+
   /** Exact Jaccard verification of candidate pairs against word sets.
     *
     * Both lookups are plain equi-joins on id: Spark hash-partitions

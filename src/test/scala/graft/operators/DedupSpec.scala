@@ -349,6 +349,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("band-bucket census: fan-in counts duplicates, bounds the candidate join") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> base, 3L -> base, 4L -> other)
+    val signed = Dedup.withSignature(df, "text")
+    val census = Dedup.bandBucketCensus(signed, "doc_id").collect()
+    // 3 exact copies share all 16 band buckets at fan-in 3; the distinct
+    // doc lands alone (its signature differs in every band w.h.p.)
+    assert(census.map(_.getLong(2)).max == 3L)
+    assert(census.count(_.getLong(2) == 3L) == Dedup.Bands)
+    // Σ C(fanin, 2) bounds the (distinct) candidate-pair volume
+    val bound = census.map(r => { val f = r.getLong(2); f * (f - 1) / 2 }).sum
+    val pairs = Dedup.candidatePairs(signed, "doc_id").count()
+    assert(pairs <= bound && pairs == 3L) // (1,2),(1,3),(2,3)
+  }
+
+  test("band-bucket census: groupCols scope the fan-in per group") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, "a", base), (2L, "a", base), (3L, "b", base))
+      .toDF("doc_id", "src", "text")
+    val census = Dedup.bandBucketCensus(
+      Dedup.withSignature(df, "text"), "doc_id", Seq("src")).collect()
+    // identical text, but group "b" must never share a census row with
+    // group "a": per-group fan-ins are 2 and 1
+    val bySrc = census.groupBy(_.getString(2)).view
+      .mapValues(_.map(_.getLong(3)).max).toMap
+    assert(bySrc == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("decode stub is deterministic and entropy-sane") {
     val bytes = "hello world hello world".getBytes("UTF-8")
     val (e1, f1, n1) = Multimodal.decodeStub(bytes)
