@@ -55,7 +55,10 @@ object Basket {
   }
 
   /** Association rules for the frequent pairs: confidence in both
-    * directions and lift (support·N / (sup_a·sup_b)), rounded to 4.
+    * directions and lift (support·N / (sup_a·sup_b)), full-precision
+    * doubles — quantization is the caller's presentation concern, and
+    * a decimal round(x, d) here is the cross-engine flake class when
+    * an external oracle re-derives these ratios.
     *
     * The result is persisted (it must be materialized before the
     * internal capped-item relation is released); the CALLER owns that
@@ -82,10 +85,10 @@ object Basket {
         .join(sup.select(col("i").as("item_b"), col("s").as("_sb")), Seq("item_b"))
         .select(
           col("item_a"), col("item_b"), col("pair_sup"),
-          round(col("pair_sup") / col("_sa").cast("double"), 4).as("conf_a_b"),
-          round(col("pair_sup") / col("_sb").cast("double"), 4).as("conf_b_a"),
-          round(col("pair_sup") * nBaskets /
-            (col("_sa") * col("_sb")).cast("double"), 4).as("lift"))
+          (col("pair_sup") / col("_sa").cast("double")).as("conf_a_b"),
+          (col("pair_sup") / col("_sb").cast("double")).as("conf_b_a"),
+          (col("pair_sup") * nBaskets /
+            (col("_sa") * col("_sb")).cast("double")).as("lift"))
       // consume `it` fully before releasing it
       Caching.handOff(out)
     } finally { it.unpersist(blocking = false); () }

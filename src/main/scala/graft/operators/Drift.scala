@@ -76,9 +76,13 @@ object Drift {
         greatest(coalesce(col("n_cur"), lit(0L)) / col("_tc"), lit(eps)).as("_pc"))
       .select(
         col("bin"), col("n_ref"), col("n_cur"),
-        round(col("_pr"), 6).as("share_ref"),
-        round(col("_pc"), 6).as("share_cur"),
-        round((col("_pc") - col("_pr")) * log(col("_pc") / col("_pr")), 6)
+        // full-precision doubles: quantization is the caller's
+        // presentation concern, and a decimal round(x, d) here is the
+        // cross-engine HALF_UP-vs-binary flake class when a gate
+        // oracle re-derives these shares
+        col("_pr").as("share_ref"),
+        col("_pc").as("share_cur"),
+        ((col("_pc") - col("_pr")) * log(col("_pc") / col("_pr")))
           .as("psi_term"))
       .orderBy("bin")
   }
@@ -145,9 +149,9 @@ object Drift {
         col("_tr"), col("_tc"))
       .select(
         col("bin"), col("n_ref"), col("n_cur"),
-        round(col("_cr") / col("_tr"), 6).as("cum_share_ref"),
-        round(col("_cc") / col("_tc"), 6).as("cum_share_cur"),
-        round(abs(col("_cr") / col("_tr") - col("_cc") / col("_tc")), 6)
+        (col("_cr") / col("_tr")).as("cum_share_ref"),
+        (col("_cc") / col("_tc")).as("cum_share_cur"),
+        abs(col("_cr") / col("_tr") - col("_cc") / col("_tc"))
           .as("ks_term"))
       .orderBy("bin")
   }
@@ -170,10 +174,10 @@ object Drift {
     census(ref, "ref").crossJoin(census(cur, "cur"))
       .select(
         col("n_ref"), col("n_bad_ref"), col("n_cur"), col("n_bad_cur"),
-        round(col("n_bad_ref") / greatest(col("n_ref"), lit(1L)), 6).as("nan_share_ref"),
-        round(col("n_bad_cur") / greatest(col("n_cur"), lit(1L)), 6).as("nan_share_cur"),
-        round(abs(col("n_bad_cur") / greatest(col("n_cur"), lit(1L))
-          - col("n_bad_ref") / greatest(col("n_ref"), lit(1L))), 6).as("nan_share_delta"))
+        (col("n_bad_ref") / greatest(col("n_ref"), lit(1L))).as("nan_share_ref"),
+        (col("n_bad_cur") / greatest(col("n_cur"), lit(1L))).as("nan_share_cur"),
+        abs(col("n_bad_cur") / greatest(col("n_cur"), lit(1L))
+          - col("n_bad_ref") / greatest(col("n_ref"), lit(1L))).as("nan_share_delta"))
   }
 
   /** EMBEDDING-space drift: per-group centroid comparison between two
@@ -212,13 +216,13 @@ object Drift {
         col(groupCol),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        round(graft.operators.Ann.cosine(col("_c_ref"), col("_c_cur")), 6)
+        graft.operators.Ann.cosine(col("_c_ref"), col("_c_cur"))
           .as("centroid_cos"),
         // a zero-norm reference centroid has no meaningful ratio:
         // null (absent signal), not Infinity
         when(sqrt(normSq(col("_c_ref"))) === 0.0, lit(null))
           .otherwise(
-            round(sqrt(normSq(col("_c_cur"))) / sqrt(normSq(col("_c_ref"))), 6))
+            sqrt(normSq(col("_c_cur"))) / sqrt(normSq(col("_c_ref"))))
           .as("norm_ratio"))
       .orderBy(groupCol)
   }

@@ -383,16 +383,16 @@ object CurationOps {
         documents(s, d)
           .withColumn("n_words", size(words))
           .withColumn("dup_frac",
-            round(lit(1.0) - size(array_distinct(words)).cast("double") / col("n_words"), 6))
+            lit(1.0) - size(array_distinct(words)).cast("double") / col("n_words"))
           .withColumn("bg", when(col("n_words") >= 2, bigrams).otherwise(array()))
           .withColumn("top_bg_frac",
             when(col("n_words") >= 2,
-              round(topBg.cast("double") / (col("n_words") - 1), 6)).otherwise(lit(0.0)))
+              topBg.cast("double") / (col("n_words") - 1)).otherwise(lit(0.0)))
           .groupBy("source")
           .agg(
-            // per-row fracs stay round(x, 6) quantized (data
-            // derivation, mirrored in the oracle); only the final
-            // comparison columns ship as ×1e4 integer units
+            // per-row fracs are exact IEEE divisions (identical in any
+            // engine); the ONLY quantization is the final ×1e4
+            // integer-units projection — no inner decimal round layer
             round(avg("dup_frac") * 10000).cast("long").as("avg_dup_frac_x1e4"),
             round(avg("top_bg_frac") * 10000).cast("long").as("avg_top_bg_frac_x1e4"),
             round(max("top_bg_frac") * 10000).cast("long").as("max_top_bg_frac_x1e4"),
@@ -403,7 +403,7 @@ object CurationOps {
              |  SELECT source, string_split(trim(text), ' ') AS words FROM documents
              |), m AS (
              |  SELECT source, len(words) AS n_words,
-             |         round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS dup_frac,
+             |         1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_frac,
              |         CASE WHEN len(words) >= 2 THEN
              |           list_transform(range(len(words) - 1),
              |                          i -> words[CAST(i + 1 AS INT)] || ' ' || words[CAST(i + 2 AS INT)])
@@ -412,9 +412,9 @@ object CurationOps {
              |), t AS (
              |  SELECT source, dup_frac,
              |         CASE WHEN n_words >= 2 THEN
-             |           round(CAST(list_max(list_transform(list_distinct(bg),
+             |           CAST(list_max(list_transform(list_distinct(bg),
              |                        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
-             |                 / (n_words - 1), 6)
+             |                 / (n_words - 1)
              |         ELSE 0.0 END AS top_bg_frac
              |  FROM m
              |)

@@ -716,8 +716,8 @@ object Rel {
     GateQuery(
       "q_assoc_rules",
       (s, d) =>
-        // the operator keeps its round(x, 4) double API; the GATE
-        // re-expresses the ratio columns in ×1e4 integer units
+        // the operator ships full-precision ratios; the GATE applies
+        // the suite's single scaled-integer quantization (×1e4 longs)
         graft.operators.Basket.rules(lineitem(s, d), "l_orderkey", "l_partkey",
             minSupport = 3L)
           .select(col("item_a"), col("item_b"), col("pair_sup"),
@@ -735,9 +735,9 @@ object Rel {
              |  GROUP BY 1, 2
              |)
              |SELECT item_a, item_b, pair_sup,
-             |       CAST(round(round(pair_sup / CAST(sa.s AS DOUBLE), 4) * 10000) AS BIGINT) AS conf_a_b_x1e4,
-             |       CAST(round(round(pair_sup / CAST(sb.s AS DOUBLE), 4) * 10000) AS BIGINT) AS conf_b_a_x1e4,
-             |       CAST(round(round(pair_sup * n.nb / CAST(sa.s * sb.s AS DOUBLE), 4) * 10000) AS BIGINT) AS lift_x1e4
+             |       CAST(round(pair_sup / CAST(sa.s AS DOUBLE) * 10000) AS BIGINT) AS conf_a_b_x1e4,
+             |       CAST(round(pair_sup / CAST(sb.s AS DOUBLE) * 10000) AS BIGINT) AS conf_b_a_x1e4,
+             |       CAST(round(pair_sup * n.nb / CAST(sa.s * sb.s AS DOUBLE) * 10000) AS BIGINT) AS lift_x1e4
              |FROM p
              |JOIN sup sa ON p.item_a = sa.i
              |JOIN sup sb ON p.item_b = sb.i
@@ -805,9 +805,8 @@ object Rel {
       "q_drift_psi",
       (s, d) => {
         val li = lineitem(s, d)
-        // the operator keeps its round(x, 6) double API; the GATE
-        // re-expresses those columns in integer units (×1e6 longs) so
-        // the oracle compare never hits the decimal-round flake class
+        // the operator ships full-precision shares; the GATE applies
+        // the suite's single scaled-integer quantization (×1e6 longs)
         graft.operators.Drift.psiBins(
           li.filter(col("l_orderkey") % 2 === 0),
           li.filter(col("l_orderkey") % 2 === 1),
@@ -838,12 +837,12 @@ object Rel {
              |SELECT s.bin AS bin,
              |       coalesce(r.n_ref, 0) AS n_ref,
              |       coalesce(c.n_cur, 0) AS n_cur,
-             |       CAST(round(round(greatest(coalesce(r.n_ref, 0) / tr, 0.000001), 6) * 1000000) AS BIGINT) AS share_ref_x1e6,
-             |       CAST(round(round(greatest(coalesce(c.n_cur, 0) / tc, 0.000001), 6) * 1000000) AS BIGINT) AS share_cur_x1e6,
-             |       CAST(round(round((greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
+             |       CAST(round(greatest(coalesce(r.n_ref, 0) / tr, 0.000001) * 1000000) AS BIGINT) AS share_ref_x1e6,
+             |       CAST(round(greatest(coalesce(c.n_cur, 0) / tc, 0.000001) * 1000000) AS BIGINT) AS share_cur_x1e6,
+             |       CAST(round((greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
              |              - greatest(coalesce(r.n_ref, 0) / tr, 0.000001))
              |             * ln(greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
-             |                  / greatest(coalesce(r.n_ref, 0) / tr, 0.000001)), 6) * 1000000) AS BIGINT) AS psi_term_x1e6
+             |                  / greatest(coalesce(r.n_ref, 0) / tr, 0.000001)) * 1000000) AS BIGINT) AS psi_term_x1e6
              |FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin, t
              |ORDER BY bin""".stripMargin)),
 
@@ -857,8 +856,8 @@ object Rel {
       "q_drift_ks",
       (s, d) => {
         val li = lineitem(s, d)
-        // operator keeps its round(x, 6) double API; the GATE ships
-        // the share columns as ×1e6 integer units (see q_drift_psi)
+        // operator ships full-precision shares; the GATE quantizes
+        // once to ×1e6 integer units (see q_drift_psi)
         graft.operators.Drift.ksBins(
           li.filter(col("l_orderkey") % 2 === 0),
           li.filter(col("l_orderkey") % 2 === 1)
@@ -897,9 +896,9 @@ object Rel {
              |  FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin
              |)
              |SELECT bin, n_ref, n_cur,
-             |       CAST(round(round(CAST(cr AS DOUBLE) / tr, 6) * 1000000) AS BIGINT) AS cum_share_ref_x1e6,
-             |       CAST(round(round(CAST(cc AS DOUBLE) / tc, 6) * 1000000) AS BIGINT) AS cum_share_cur_x1e6,
-             |       CAST(round(round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc), 6) * 1000000) AS BIGINT) AS ks_term_x1e6
+             |       CAST(round(CAST(cr AS DOUBLE) / tr * 1000000) AS BIGINT) AS cum_share_ref_x1e6,
+             |       CAST(round(CAST(cc AS DOUBLE) / tc * 1000000) AS BIGINT) AS cum_share_cur_x1e6,
+             |       CAST(round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc) * 1000000) AS BIGINT) AS ks_term_x1e6
              |FROM j, t
              |ORDER BY bin""".stripMargin)),
 
@@ -912,8 +911,8 @@ object Rel {
       "q_drift_nan",
       (s, d) => {
         val ev = events(s, d)
-        // operator keeps its round(x, 6) double API; the GATE ships
-        // the share columns as ×1e6 integer units (see q_drift_psi)
+        // operator ships full-precision shares; the GATE quantizes
+        // once to ×1e6 integer units (see q_drift_psi)
         graft.operators.Drift.nanShare(
           ev.filter(col("event_id") % 2 === 0).select(col("value")),
           ev.filter(col("event_id") % 2 === 1)
@@ -941,10 +940,10 @@ object Rel {
              |  FROM cur
              |)
              |SELECT n_ref, n_bad_ref, n_cur, n_bad_cur,
-             |       CAST(round(round(CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1), 6) * 1000000) AS BIGINT) AS nan_share_ref_x1e6,
-             |       CAST(round(round(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1), 6) * 1000000) AS BIGINT) AS nan_share_cur_x1e6,
-             |       CAST(round(round(abs(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1)
-             |                 - CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1)), 6) * 1000000) AS BIGINT) AS nan_share_delta_x1e6
+             |       CAST(round(CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1) * 1000000) AS BIGINT) AS nan_share_ref_x1e6,
+             |       CAST(round(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1) * 1000000) AS BIGINT) AS nan_share_cur_x1e6,
+             |       CAST(round(abs(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1)
+             |                 - CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1)) * 1000000) AS BIGINT) AS nan_share_delta_x1e6
              |FROM r, c""".stripMargin)),
   )
 }

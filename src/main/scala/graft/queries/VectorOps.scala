@@ -185,7 +185,8 @@ object VectorOps {
             .otherwise(col("v")).as("v"))
         graft.operators.Drift.embeddingShift(ref, cur, "label", "v")
           .select(col("label"), col("n_ref"), col("n_cur"),
-            // integer units over the operator's round(x, 6) doubles
+            // single scaled-integer quantization of the operator's
+            // full-precision doubles
             round(col("centroid_cos") * 1000000).cast("long").as("centroid_cos_x1e6"),
             round(col("norm_ratio") * 1000000).cast("long").as("norm_ratio_x1e6"))
       },
@@ -221,15 +222,15 @@ object VectorOps {
              |  FROM e GROUP BY label
              |)
              |SELECT n.label, n.n_ref, n.n_cur,
-             |       CAST(round(round(
+             |       CAST(round(
              |         list_sum(list_transform(list_zip(refc.c, curc.c),
              |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
              |         / (sqrt(list_sum(list_transform(refc.c, x -> x * x)))
-             |            * sqrt(list_sum(list_transform(curc.c, x -> x * x)))), 6) * 1000000) AS BIGINT)
+             |            * sqrt(list_sum(list_transform(curc.c, x -> x * x)))) * 1000000) AS BIGINT)
              |         AS centroid_cos_x1e6,
-             |       CAST(round(round(
+             |       CAST(round(
              |         sqrt(list_sum(list_transform(curc.c, x -> x * x)))
-             |         / sqrt(list_sum(list_transform(refc.c, x -> x * x))), 6) * 1000000) AS BIGINT)
+             |         / sqrt(list_sum(list_transform(refc.c, x -> x * x))) * 1000000) AS BIGINT)
              |         AS norm_ratio_x1e6
              |FROM n JOIN refc ON n.label = refc.label
              |       JOIN curc ON n.label = curc.label
@@ -307,15 +308,15 @@ object VectorOps {
              |SELECT
              |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id % 3 = 0) AS n_ref,
              |  (SELECT CAST(count(*) AS BIGINT) FROM e WHERE vec_id % 3 <> 0) AS n_cur,
-             |  CAST(round(round(
+             |  CAST(round(
              |    list_sum(list_transform(list_zip(refc.c, curc.c),
              |                            p -> struct_extract(p, 1) * struct_extract(p, 2)))
              |    / (sqrt(list_sum(list_transform(refc.c, x -> x * x)))
-             |       * sqrt(list_sum(list_transform(curc.c, x -> x * x)))), 6) * 1000000) AS BIGINT)
+             |       * sqrt(list_sum(list_transform(curc.c, x -> x * x)))) * 1000000) AS BIGINT)
              |    AS centroid_cos_x1e6,
-             |  CAST(round(round(
+             |  CAST(round(
              |    sqrt(list_sum(list_transform(curc.c, x -> x * x)))
-             |    / sqrt(list_sum(list_transform(refc.c, x -> x * x))), 6) * 1000000) AS BIGINT)
+             |    / sqrt(list_sum(list_transform(refc.c, x -> x * x))) * 1000000) AS BIGINT)
              |    AS norm_ratio_x1e6,
              |  TRUE AS needs_recluster,
              |  TRUE AS shift_alert

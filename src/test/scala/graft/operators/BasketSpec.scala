@@ -36,7 +36,7 @@ class BasketSpec extends AnyFunSuite with SparkTestBase {
     assert(out.keySet == Set((1L, 2L), (1L, 3L)))
     val (s12, cab, cba, lift) = out((1L, 2L))
     assert(s12 == 3L && cab == 0.75 && cba == 1.0)
-    assert(lift == math.rint(10000.0 * 3 * 4 / (4 * 3)) / 10000)
+    assert(lift == 3.0 * 4 / (4 * 3)) // full precision: no presentation round
     intercept[IllegalArgumentException](Basket.frequentPairs(fx, "b", "i", 0))
     intercept[IllegalArgumentException](Basket.frequentPairs(fx, "b", "i", 1, 1))
   }
