@@ -690,6 +690,70 @@ object CurationOps {
              |       CAST(round(min(lp) * 10000) AS BIGINT) AS min_logprob_x1e4, count(*) AS n_docs
              |FROM doc GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // CCNet-style perplexity filter (LangModel): a BIGRAM LM with
+    // Jelinek–Mercer interpolation (λ=0.9) against an add-one unigram
+    // floor is trained on the corpus itself, every doc scores its
+    // cross-entropy, and the corpus splits into head/middle/tail
+    // perplexity bands at fixed thresholds. The model IS two count
+    // relations (no driver vocabulary); scoring is three
+    // hash-partitioned equi-joins + one per-doc agg. Thresholds sit
+    // ≥3e-5 nats from every doc at sf0.01 — eight orders above
+    // float-sum noise, so band membership is engine-stable; the only
+    // quantization is the final ×1e4 integer-units projection.
+    GateQuery(
+      "q_lm_perplexity",
+      (s, d) => {
+        val docsDf = documents(s, d)
+        val m = graft.operators.LangModel.train(docsDf, "doc_id", "text")
+        val scored = graft.operators.LangModel
+          .scorePerplexity(docsDf, "doc_id", "text", m)
+        graft.operators.LangModel.perplexityBand(scored, lo = 3.38, hi = 3.40)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_bigrams").cast("long").as("n_bigrams"),
+            round(avg("xent") * 10000).cast("long").as("avg_xent_x1e4"),
+            round(max("ppl") * 10000).cast("long").as("max_ppl_x1e4"),
+            sum(when(col("band") === "head", 1L).otherwise(0L)).as("n_head"),
+            sum(when(col("band") === "middle", 1L).otherwise(0L)).as("n_middle"),
+            sum(when(col("band") === "tail", 1L).otherwise(0L)).as("n_tail"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words
+             |  FROM documents WHERE text IS NOT NULL
+             |), ev AS (
+             |  SELECT doc_id, unnest(words[1:len(words)-1]) AS prev,
+             |         unnest(words[2:len(words)]) AS tok
+             |  FROM w
+             |), uni AS (SELECT unnest(words) AS tok FROM w),
+             |uc AS (SELECT tok, count(*) AS c_w FROM uni WHERE tok <> '' GROUP BY tok),
+             |tot AS (SELECT count(*) AS t, count(DISTINCT tok) AS v FROM uni WHERE tok <> ''),
+             |bc AS (SELECT prev, tok, count(*) AS c_vw FROM ev GROUP BY 1, 2),
+             |cx AS (SELECT prev, sum(c_vw) AS c_v FROM bc GROUP BY 1),
+             |sc AS (
+             |  SELECT e.doc_id,
+             |         ln(0.9 * (bc.c_vw / CAST(cx.c_v AS DOUBLE))
+             |            + 0.1 * (uc.c_w + 1) / CAST(tot.t + tot.v AS DOUBLE)) AS lp
+             |  FROM ev e
+             |  JOIN bc ON e.prev = bc.prev AND e.tok = bc.tok
+             |  JOIN cx ON e.prev = cx.prev
+             |  JOIN uc ON e.tok = uc.tok, tot
+             |), doc AS (
+             |  SELECT doc_id, count(*) AS n_bigrams, -avg(lp) AS xent,
+             |         exp(-avg(lp)) AS ppl
+             |  FROM sc GROUP BY 1
+             |)
+             |SELECT d.source, count(*) AS n_docs,
+             |       CAST(coalesce(sum(doc.n_bigrams), 0) AS BIGINT) AS n_bigrams,
+             |       CAST(round(avg(doc.xent) * 10000) AS BIGINT) AS avg_xent_x1e4,
+             |       CAST(round(max(doc.ppl) * 10000) AS BIGINT) AS max_ppl_x1e4,
+             |       CAST(sum(CASE WHEN doc.xent < 3.38 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+             |       CAST(sum(CASE WHEN doc.xent >= 3.38 AND doc.xent <= 3.40 THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+             |       CAST(sum(CASE WHEN doc.xent > 3.40 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+             |FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // Cross-source contamination matrix: distinct shared 5-gram
     // shingles per source pair — the fan-out is (shingle, source)
     // DISTINCT pairs meeting in one hash join; no all-pairs of
