@@ -94,10 +94,13 @@ object ScaleStress {
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     replicate(emb, replicas) { (b, r) =>
       val n = size(col("embedding"))
+      // rotation folded into [1, dim-1] so any replica count works at
+      // any dimension (r itself can exceed dim at the XL scale)
+      val rot = pmod(lit(r), n - 1) + 1
       val v =
         if (r <= 1) col("embedding") // r=1: exact duplicates
-        else concat(slice(col("embedding"), lit(r + 1), n - lit(r)), // rotate by r
-          slice(col("embedding"), lit(1), lit(r)))
+        else concat(slice(col("embedding"), rot + 1, n - rot),
+          slice(col("embedding"), lit(1), rot))
       b.select((col("vec_id") + lit(r * Offset)).as("vec_id"),
         v.as("embedding"), col("label"))
     }.coalesce(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
