@@ -170,6 +170,20 @@ object ScaleStress {
     import graft.operators.{Ann, Dedup, IvfIndex}
 
     // 1. LSH band-bucket fan-in at x: the candidate-join volume bound.
+    //
+    // This corpus is heavily templated BY DESIGN (the driver plants
+    // ~1000-doc near-identical cliques — measured 6.5% all-pairs
+    // density at j≥0.9), so an absolute fan-in cap like "1% of corpus"
+    // is the wrong contract: bucket fan-in legitimately reaches the
+    // size of the largest true duplicate clique. The data-aware
+    // contract instead checks that the candidate volume is EXPLAINED
+    // by real duplication: (a) LSH precision — verified pairs over the
+    // census pair bound — stays above a floor (degenerate signatures
+    // drive it to ~0 because candidates explode while verified pairs
+    // don't), and (b) max bucket fan-in is bounded by the largest
+    // VERIFIED duplicate cluster (a bucket can't be much bigger than
+    // the clique that fills it). Reuses the run phase's materialized
+    // derivation (same JVM) instead of re-running the LSH join.
     val docs = spark.read.parquet(s"$xDir/documents.parquet")
     val nDocs = docs.count()
     val census = Dedup.bandBucketCensus(
@@ -181,10 +195,24 @@ object ScaleStress {
       sum(expr("fanin * (fanin - 1) / 2")).cast("long").as("cand_bound")).head()
     census.unpersist(blocking = false)
     val maxFanin = stats.getLong(1)
+    val candBound = stats.getLong(3)
+    val nPairs = graft.queries.ExtOps.cachedVerifiedPairs(spark, xDir).count()
+    val maxCluster = graft.queries.ExtOps.cachedClusters(spark, xDir)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .agg(max("sz")).head().getLong(0)
+    // candBound sums per-band fan-in pairs: a true near-dup pair at
+    // j=0.9 collides in ~10 of 16 bands, so candBound ≈ 10× distinct
+    // candidates; precision-vs-bound ≈ 1% on this corpus when healthy
+    val precision = nPairs.toDouble / candBound.max(1L)
     println(f"| LSH bucket census @x$x | docs=$nDocs buckets=${stats.getLong(0)} " +
-      f"max_fanin=$maxFanin p99=${stats.get(2)} Σpairs_bound=${stats.getLong(3)} |")
-    require(maxFanin <= nDocs / 100,
-      s"LSH bucket fan-in $maxFanin exceeds 1% of corpus ($nDocs) — degenerate signatures")
+      f"max_fanin=$maxFanin p99=${stats.get(2)} Σpairs_bound=$candBound " +
+      f"verified=$nPairs max_cluster=$maxCluster precision_vs_bound=$precision%.4f |")
+    require(precision >= 0.002,
+      f"LSH precision-vs-bound $precision%.5f < 0.2%% — candidate volume not " +
+        "explained by real duplication (degenerate signatures)")
+    require(maxFanin <= maxCluster * 2 + 64,
+      s"LSH bucket fan-in $maxFanin far exceeds the largest verified " +
+        s"duplicate cluster ($maxCluster) — buckets not explained by real cliques")
 
     // 2. SemDeDup contract at xl: label-clustering MUST be rejected
     // (cluster ≈ xl·200 rows ≫ cap → quadratic pair fan-in), and the

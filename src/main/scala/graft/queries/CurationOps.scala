@@ -890,5 +890,81 @@ object CurationOps {
              |FROM t JOIN st ON t.source = st.source
              |GROUP BY t.source
              |ORDER BY t.source""".stripMargin)),
+
+    // DSIR data selection (arXiv:2302.03169): importance log-weight of
+    // every doc under a hashed-unigram model of a target corpus vs the
+    // raw corpus; selection = log_weight > 0 ("more target-like than
+    // corpus-like"). The synthetic corpus shares ONE vocabulary across
+    // every lang/source (no organic distribution shift anywhere), so
+    // the target is PLANTED -- the suite's pattern for semantics the
+    // data lacks: every doc_id % 5 doc, with extra 'spark vector
+    // stream' mass appended, forms the target; docs naturally rich in
+    // those tokens then score positive. The bucket model is two count
+    // relations (<=65536 rows each) + a 1-row totals frame riding the
+    // plan; scoring is explode -> md5-bucket -> two left joins +
+    // per-doc agg -- keyed shuffles only, no driver vocabulary, no
+    // collect.
+    GateQuery(
+      "q_dsir_select",
+      (s, d) => {
+        import graft.operators.Dsir
+        val docs = documents(s, d)
+        val target = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(trim(col("text")),
+            lit(" spark vector stream spark vector stream")))
+        val model = Dsir.fit(target, docs, "doc_id", "text")
+        val scored = Dsir.centered(Dsir.score(docs, "doc_id", "text", model))
+        docs.join(scored, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum(when(col("rel_weight") > 0, 1L).otherwise(0L)),
+              lit(0L)).as("n_selected"),
+            sum("n_tokens").cast("long").as("n_tokens"),
+            round(avg("rel_weight") * 10000)
+              .cast("long").as("avg_rel_tok_x1e4"),
+            round(max("rel_weight") * 10000).cast("long").as("max_rel_tok_x1e4"))
+          .orderBy("source")
+      },
+      Some("""WITH tgt_docs AS (
+             |  SELECT doc_id,
+             |         trim(text) || ' spark vector stream spark vector stream' AS text
+             |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
+             |), tk AS (
+             |  SELECT doc_id, source, substring(md5(tok), 1, 4) AS b
+             |  FROM (SELECT doc_id, source,
+             |               unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM documents WHERE text IS NOT NULL)
+             |  WHERE tok <> ''
+             |), ttk AS (
+             |  SELECT substring(md5(tok), 1, 4) AS b
+             |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |        FROM tgt_docs)
+             |  WHERE tok <> ''
+             |), tgt AS (
+             |  SELECT b, count(*) AS c_t FROM ttk GROUP BY b
+             |), raw AS (
+             |  SELECT b, count(*) AS c_r FROM tk GROUP BY b
+             |), tot AS (
+             |  SELECT (SELECT count(*) FROM ttk) AS t_t,
+             |         (SELECT count(*) FROM tk) AS t_r
+             |), sc AS (
+             |  SELECT tk.doc_id, count(*) AS n_tokens,
+             |         sum(ln((coalesce(tgt.c_t, 0) + 1.0) / (tot.t_t + 65536.0))
+             |           - ln((coalesce(raw.c_r, 0) + 1.0) / (tot.t_r + 65536.0))) AS logw
+             |  FROM tk LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b), tot
+             |  GROUP BY tk.doc_id
+             |), cen AS (
+             |  SELECT doc_id, n_tokens,
+             |         logw / n_tokens - (SELECT avg(logw / n_tokens) FROM sc) AS rel
+             |  FROM sc
+             |)
+             |SELECT d.source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN cen.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+             |       CAST(sum(cen.n_tokens) AS BIGINT) AS n_tokens,
+             |       CAST(round(avg(cen.rel) * 10000) AS BIGINT) AS avg_rel_tok_x1e4,
+             |       CAST(round(max(cen.rel) * 10000) AS BIGINT) AS max_rel_tok_x1e4
+             |FROM documents d LEFT JOIN cen ON d.doc_id = cen.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
   )
 }

@@ -66,10 +66,10 @@ object ExtOps {
       out
     })
 
-  private def cachedVerifiedPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def cachedVerifiedPairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/pairs")
 
-  private def cachedClusters(s: SparkSession, d: String): DataFrame =
+  private[graft] def cachedClusters(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/clusters")
 
   private[queries] def cachedSigned(s: SparkSession, d: String): DataFrame =
