@@ -77,7 +77,19 @@ object Bench {
     val reps = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"sf":"$sfDir"}""")
+    // q_rdr_train sub-step decomposition (merge / store_write / train),
+    // written by the gate into its artifact slot: carried in the bench
+    // JSON so a round-over-round growth in the suite's heaviest gate
+    // decomposes into measured steps instead of data-shape guesswork
+    // (VERDICT r8 Next #5). Absent (empty object) when the gate didn't
+    // run this pass.
+    val trainSteps = {
+      val p = java.nio.file.Paths.get(
+        graft.pipeline.GateArtifacts.dir(sfDir), "train", "timings.json")
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
+      else "{}"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"train_steps":$trainSteps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -263,7 +263,9 @@ object ScaleStress {
     emb.unpersist(blocking = false)
 
     // 4. Store file caps at x (needs the q_rdr_train replay's artifacts).
-    val store = s"${graft.pipeline.GateArtifacts.dir(xDir)}/store/rewarded_decisions/events/parquet"
+    // the run phase's q_rdr_train replay writes its store inside the
+    // 'train' gate slot (trainSummary stages everything under one slot)
+    val store = s"${graft.pipeline.GateArtifacts.dir(xDir)}/train/store/rewarded_decisions/events/parquet"
     if (new java.io.File(store).exists()) {
       val perFile = spark.read.parquet(store)
         .withColumn("_f", input_file_name())

@@ -98,6 +98,54 @@ object Dedup {
       .select("id_a" +: "id_b" +: groupCols map col: _*).distinct()
   }
 
+  /** [[candidatePairs]] with a per-bucket fan-in cap — the production
+    * mitigation for GIANT duplicate cliques (measured on this corpus:
+    * ~1000-doc templated cliques make the uncapped candidate join emit
+    * 9.1M pairs from 5k docs; at 10× corpus that's ~100× pairs —
+    * quadratic in clique size, linear only in corpus size).
+    *
+    * Buckets at or under `cap` self-join exactly as before. A bucket
+    * OVER the cap emits a STAR instead: every member paired with the
+    * bucket's minimum id — O(fanin) edges instead of O(fanin²). For
+    * the downstream uses this is lossless-in-practice:
+    *   - clustering: a true clique's star edges all pass verification,
+    *     so the clique still collapses into ONE connected component
+    *     (duplicateClusters needs connectivity, not completeness);
+    *   - removal/keep-best: operate on the clusters, not the pairs.
+    * What is lost: the exhaustive pair LIST inside oversized buckets
+    * (a pair of non-center members is found only if some OTHER shared
+    * band bucket stays under the cap, which for mixed hash-collision
+    * buckets is the common case). Callers that need the full pair
+    * census (e.g. the all-pairs oracle gates) use the uncapped path.
+    *
+    * One extra window over the exploded relation, partitioned by the
+    * SAME key as the join — no additional shuffle stage beyond the
+    * join's own exchange.
+    */
+  def cappedCandidatePairs(signed: DataFrame, idCol: String, cap: Long,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    val gcols = groupCols.map(col)
+    val exploded = signed
+      .select(col(idCol) +: gcols :+ explode(bandKeys).as("bk"): _*)
+      .select(col(idCol) +: gcols :+ col("bk.band") :+ col("bk.bucket"): _*)
+    val w = Window.partitionBy(col("band") +: col("bucket") +: gcols: _*)
+    val sized = exploded
+      .withColumn("_sz", count(lit(1)).over(w))
+      .withColumn("_ctr", min(col(idCol)).over(w))
+    val small = sized.filter(col("_sz") <= cap).drop("_sz", "_ctr")
+    val a = small.select(col(idCol).as("id_a") +: gcols :+ col("band") :+ col("bucket"): _*)
+    val b = small.select(col(idCol).as("id_b") +: gcols :+ col("band") :+ col("bucket"): _*)
+    val smallPairs = a.join(b, Seq("band", "bucket") ++ groupCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a" +: "id_b" +: groupCols map col: _*)
+    // star: center = bucket min id, so id_a < id_b holds by construction
+    val starPairs = sized.filter(col("_sz") > cap && col(idCol) =!= col("_ctr"))
+      .select(col("_ctr").as("id_a") +: col(idCol).as("id_b") +: gcols: _*)
+    smallPairs.unionByName(starPairs).distinct()
+  }
+
   /** Diagnostic census of the LSH band buckets: one row per
     * (band, bucket[, groupCols…]) with its fan-in (documents landing
     * in that bucket). The per-band candidate-join volume is exactly

@@ -349,6 +349,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("capped candidate pairs: giant clique collapses to a star, clusters survive") {
+    // 12-doc exact-duplicate clique + 2 small near-dups + 1 distinct
+    val clique = (1 to 30).map(i => s"c$i").mkString(" ")
+    val pairTxt = (1 to 30).map(i => s"p$i").mkString(" ")
+    val rows = (1L to 12L).map(_ -> clique) ++
+      Seq(20L -> pairTxt, 21L -> pairTxt,
+        30L -> (1 to 30).map(i => s"z$i").mkString(" "))
+    val signed = Dedup.withSignature(docs(rows: _*), "text").persist()
+    try {
+      val uncapped = Dedup.candidatePairs(signed, "doc_id")
+      val capped = Dedup.cappedCandidatePairs(signed, "doc_id", cap = 5)
+      val unc = uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cap = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // uncapped enumerates the full clique: 12*11/2 = 66 clique pairs
+      assert(unc.count(p => p._1 <= 12 && p._2 <= 12) == 66)
+      // capped: only the star around the min id (11 edges)
+      assert(cap.count(p => p._1 <= 12 && p._2 <= 12) == 11)
+      assert((1L to 12L).forall(i => i == 1L || cap.contains((1L, i))))
+      // small buckets unaffected: the 2-doc dup pair survives verbatim
+      assert(cap.contains((20L, 21L)))
+      assert(!cap.exists(p => p._1 == 30L || p._2 == 30L))
+      // downstream clustering: star edges verify (jac = 1) and the
+      // clique still collapses into ONE component with min-id label
+      val verified = Dedup.exactVerify(signed, capped, "doc_id", 0.9)
+      val clusters = Dedup.duplicateClusters(verified)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 12L).forall(clusters(_) == 1L))
+      assert(clusters(20L) == 20L && clusters(21L) == 20L)
+    } finally signed.unpersist(blocking = false)
+  }
+
   test("band-bucket census: fan-in counts duplicates, bounds the candidate join") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val other = (1 to 40).map(i => s"z$i").mkString(" ")
