@@ -48,6 +48,48 @@ class OperatorPropSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("capped candidates: subset of uncapped, star connectivity inside over-cap buckets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (trial <- 1 to 3) {
+      // random corpus: a few dup families (identical text) of random
+      // size + singletons — family sizes straddle the cap
+      val fams = (1 to 4).map(f => f -> (2 + rnd.nextInt(9)))
+      val rows = fams.flatMap { case (f, n) =>
+        val txt = (1 to 25).map(i => s"t${f}w$i").mkString(" ")
+        (1 to n).map(k => (f * 100L + k) -> txt)
+      } ++ (1 to 6).map(i => (1000L + i) -> (1 to 25).map(j => s"s${i}u$j").mkString(" "))
+      val signed = Dedup.withSignature(rows.toDF("doc_id", "text").repartition(3), "text").persist()
+      try {
+        val cap = 4L
+        val unc = Dedup.candidatePairs(signed, "doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val cp = Dedup.cappedCandidatePairs(signed, "doc_id", cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // star edges are real bucket co-occurrences: capped ⊆ uncapped
+        assert(cp.subsetOf(unc), s"trial $trial: capped pair not in uncapped set")
+        // every dup-family member stays connected to the family minimum
+        // (identical docs share EVERY band bucket, so over-cap families
+        // keep exactly their star; under-cap families keep all pairs)
+        fams.foreach { case (f, n) =>
+          val ids = (1 to n).map(f * 100L + _)
+          val minId = ids.min
+          ids.filter(_ != minId).foreach { m =>
+            assert(cp.contains((minId, m)),
+              s"trial $trial: family $f member $m lost its center edge")
+          }
+          if (n <= cap)
+            ids.combinations(2).foreach { case Seq(a, b) =>
+              assert(cp.contains((a, b)),
+                s"trial $trial: under-cap family $f lost pair ($a,$b)")
+            }
+        }
+        // singletons never pair
+        assert(!cp.exists(p => p._1 > 1000L && p._2 > 1000L))
+      } finally signed.unpersist(blocking = false)
+    }
+  }
+
   test("frequent pairs equal brute force on random baskets") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
