@@ -83,10 +83,15 @@ object Bench {
     // decomposes into measured steps instead of data-shape guesswork
     // (VERDICT r8 Next #5). Absent (empty object) when the gate didn't
     // run this pass.
+    // guard against a STALE slot: the artifact dir persists across
+    // JVMs, so only report the decomposition when this pass actually
+    // ran the gate successfully
+    val trainRan = results.exists { case (n, v, _) => n == "q_rdr_train" && v >= 0 }
     val trainSteps = {
       val p = java.nio.file.Paths.get(
         graft.pipeline.GateArtifacts.dir(sfDir), "train", "timings.json")
-      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p)
+      if (trainRan && java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p)
       else "{}"
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"train_steps":$trainSteps,"sf":"$sfDir"}""")

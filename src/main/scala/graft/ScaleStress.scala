@@ -92,15 +92,25 @@ object ScaleStress {
     }.coalesce(8).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    // dim read once from the data: rotation amounts fold into
+    // [1, dim-1], and replicas past the rotation period REVERSE the
+    // vector first (norm-preserving, and reverse∘rotate ≠ rotate for
+    // generic vectors) — without the reverse leg, replicas r and
+    // r+(dim-1) would get the IDENTICAL rotation and plant unplanned
+    // exact-duplicate corpus copies at the XL scale
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(replicas <= 2 * (dim - 1) + 2,
+      s"replica transformation unique only up to ${2 * (dim - 1) + 2} replicas at dim $dim")
     replicate(emb, replicas) { (b, r) =>
       val n = size(col("embedding"))
-      // rotation folded into [1, dim-1] so any replica count works at
-      // any dimension (r itself can exceed dim at the XL scale)
-      val rot = pmod(lit(r), n - 1) + 1
+      val rot = lit((r % (dim - 1)) + 1)
+      val base0 =
+        if (r >= 2 && ((r - 2) / (dim - 1)) % 2 == 1) reverse(col("embedding"))
+        else col("embedding")
       val v =
         if (r <= 1) col("embedding") // r=1: exact duplicates
-        else concat(slice(col("embedding"), rot + 1, n - rot),
-          slice(col("embedding"), lit(1), rot))
+        else concat(slice(base0, rot + 1, n - rot),
+          slice(base0, lit(1), rot))
       b.select((col("vec_id") + lit(r * Offset)).as("vec_id"),
         v.as("embedding"), col("label"))
     }.coalesce(8).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -271,9 +281,10 @@ object ScaleStress {
         .withColumn("_f", input_file_name())
         .groupBy("_f").agg(count(lit(1)).as("n"))
         .agg(max("n"), count(lit(1))).head()
+      val cap = graft.ingest.PartitionStore.MaxRowsPerFile
       println(s"| store caps @x$x | max_rows_per_file=${perFile.getLong(0)} " +
-        s"files=${perFile.getLong(1)} (cap 10000) |")
-      require(perFile.getLong(0) <= 10000, "store file cap violated at scale")
+        s"files=${perFile.getLong(1)} (cap $cap) |")
+      require(perFile.getLong(0) <= cap, "store file cap violated at scale")
     } else println(s"| store caps @x$x | SKIPPED (run phase not executed) |")
   }
 }

@@ -145,11 +145,23 @@ object Merge {
         .map(_.getPath.getName)
         .collect { case n if n.startsWith(s"$Model=") => n.drop(Model.length + 1) }
         .sorted
+      // loud guard: a null/unvalidated model value reaches partitionBy
+      // as __HIVE_DEFAULT_PARTITION__ (or percent-escaped) and would
+      // otherwise materialize a bogus store subtree whose rows no
+      // legitimate listing ever finds
+      models.foreach(m => require(isValidModelName(m),
+        s"writePerModel: staged partition '$m' is not a valid model name " +
+          "(null or unvalidated model column in the merged frame?)"))
       models.map { m =>
         // the staged slice lost the model column to the directory key;
-        // PartitionStore.write drops it anyway, so no need to restore
+        // PartitionStore.write drops it anyway, so no need to restore.
+        // stageToDisk = false: the slice is ALREADY cheap re-runnable
+        // columnar input (a pruned scan of the staging tree we just
+        // wrote), so a third disk copy buys nothing — a memory persist
+        // (spill-safe) covers write()'s two passes
         m -> graft.ingest.PartitionStore.write(
-          spark.read.parquet(s"$stageDir/$Model=$m"), storeDir, m)
+          spark.read.parquet(s"$stageDir/$Model=$m"), storeDir, m,
+          stageToDisk = false)
       }.toMap
     } finally { fs.delete(stagePath, true); () }
   }

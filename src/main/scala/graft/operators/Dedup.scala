@@ -819,7 +819,7 @@ object Dedup {
     * how token-level dedup literature treats text.
     */
   private def tokenized(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("_words", split(trim(col(textCol)), "\\s+"))
+    df.withColumn("_words", graft.core.Text.whitespaceTokens(col(textCol)))
       .withColumn("_n", size(col("_words")))
 
   /** (id, _pos, _h): 64-bit window key — the first 16 hex chars of the

@@ -31,7 +31,7 @@ object Dsir {
       prefixLen: Int, extra: Seq[String] = Nil): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select((col(idCol) +: extra.map(col)) :+
-        explode(split(trim(col(textCol)), "\\s+")).as("_tok"): _*)
+        explode(graft.core.Text.whitespaceTokens(col(textCol))).as("_tok"): _*)
       .filter(col("_tok") =!= "")
       .withColumn("bucket", substring(md5(col("_tok")), 1, prefixLen))
       .drop("_tok")

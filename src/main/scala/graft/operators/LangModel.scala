@@ -47,7 +47,7 @@ object LangModel {
     */
   private def bigramEvents(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
+    val words = graft.core.Text.whitespaceTokens(col(textCol))
     df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(arrays_zip(
@@ -62,7 +62,7 @@ object LangModel {
     */
   def train(df: DataFrame, idCol: String, textCol: String): Model = {
     val toks = df.filter(col(textCol).isNotNull)
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .select(explode(graft.core.Text.whitespaceTokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
     val unigrams = toks.groupBy("tok").agg(count(lit(1)).as("c_w"))
     val bigrams = bigramEvents(df, idCol, textCol)

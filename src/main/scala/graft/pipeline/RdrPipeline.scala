@@ -301,7 +301,11 @@ object RdrPipeline {
       System.err.println(s"[timing] q_rdr_train $line")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(stage, "timings.json"),
-        timings.map { case (k, v) => f""""$k": $v%.3f""" }
+        timings.map { case (k, v) =>
+          // Locale.ROOT: the f interpolator renders %.3f with the JVM
+          // default locale — a comma decimal separator would make this
+          // invalid JSON that Bench splices verbatim into its output
+          s""""$k": ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}""" }
           .mkString("{", ", ", "}"))
     }
     // census from the READ-BACK, PUBLISHED dumps — byte-identical
