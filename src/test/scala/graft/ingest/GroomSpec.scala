@@ -86,7 +86,10 @@ class GroomSpec extends AnyFunSuite with SparkTestBase {
     val groups = Groom.groupPartitionsToGroom(keys)
     val overlaps = Groom.findOverlaps(keys)
     val ms = (System.nanoTime() - t0) / 1e6
-    assert(ms < 1000, s"grouping 100k keys took ${ms}ms")
+    // 5 s bound: the assertion's point is near-LINEARITY (a quadratic
+    // grouping would take minutes at 100k keys), not an exact budget —
+    // a 1 s bound flaked once under full-suite GC pressure
+    assert(ms < 5000, s"grouping 100k keys took ${ms}ms")
     assert(overlaps.isEmpty)
     // invariants hold at scale: no singleton work items, per-group row
     // cap respected, and the key-byte cap bounds one pass's payload
