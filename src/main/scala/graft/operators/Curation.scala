@@ -332,6 +332,44 @@ object Curation {
     * losing fractional draw at w < 1) are filtered before the explode,
     * so down-weighting is pushdown-shaped like stratifiedSample.
     */
+  /** Temperature-based source mixing (the T5/mT5 α-sampling scheme,
+    * arXiv:1910.10683 §3.3.1 / arXiv:2010.11934 §3): source s with
+    * corpus share p_s is drawn with probability ∝ p_s^α, flattening
+    * the source distribution toward uniform as α → 0 (α = 1 keeps the
+    * natural mix). Materializes a ~`targetTotal`-row mixed corpus:
+    * per-doc copy weight w_s = targetTotal·p_s^α / (Σ_t p_t^α) / n_s,
+    * realized as ⌊w⌋ guaranteed copies + one md5-hash-fractional copy
+    * (same machinery as [[weightedMix]] — deterministic, layout-free,
+    * oracle-reproducible). Output gains the `epoch` copy index.
+    *
+    * Scale shape: the weight relation is ONE row per source (a keyed
+    * count agg + a 1-row normalizer riding the plan) and broadcasts;
+    * the corpus side is a scan + filter + bounded explode — no
+    * shuffle of the corpus itself, no driver state.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(targetTotal > 0, s"targetTotal must be positive, got $targetTotal")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_pa", pow(col("_n").cast("double"), lit(alpha)))
+    val z = counts.agg(sum("_pa").as("_z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .withColumn("_w",
+        lit(targetTotal.toDouble) * col("_pa") / col("_z") / col("_n"))
+      .select(col(groupCol), col("_w"))
+    val frac = col("_w") - floor(col("_w"))
+    val copies = (floor(col("_w")) +
+      when(hashBucket(concat_ws(":",
+          col(groupCol), col(idCol).cast("string"), lit("tmix")))
+        < frac * BucketSpace, 1).otherwise(0)).cast("int")
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("_copies") - 1)))
+      .drop("_copies", "_w")
+  }
+
   def weightedMix(df: DataFrame, idCol: String, groupCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0), "negative mix weight")

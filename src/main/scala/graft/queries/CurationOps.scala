@@ -821,6 +821,54 @@ object CurationOps {
               |GROUP BY source
               |ORDER BY source""".stripMargin)),
 
+    // Temperature-based source mixing (T5/mT5 alpha-sampling,
+    // arXiv:1910.10683): alpha = 0.5 flattens the 20-source natural
+    // mix toward uniform at the same corpus size. The weight relation
+    // is one row per source (count agg + 1-row normalizer) and
+    // broadcasts; the corpus side never shuffles. The oracle
+    // recomputes w_s = N*n_s^0.5 / (sum_t n_t^0.5) / n_s and the
+    // md5-fractional copies exactly.
+    GateQuery(
+      "q_temperature_mix",
+      (s, d) => {
+        val docs = documents(s, d)
+        val n = docs.count()
+        Curation.temperatureMix(docs, "doc_id", "source", 0.5, n)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_rows_out"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            max("epoch").cast("long").as("max_epoch"),
+            sum(col("epoch") * col("doc_id") + col("doc_id"))
+              .cast("long").as("mix_checksum"))
+          .orderBy("source")
+      },
+      Some(s"""WITH n AS (
+              |  SELECT source, count(*) AS ns FROM documents GROUP BY source
+              |), z AS (
+              |  SELECT sum(power(ns, 0.5)) AS z, sum(ns) AS total FROM n
+              |), w AS (
+              |  SELECT d.doc_id, d.source,
+              |         z.total * power(n.ns, 0.5) / z.z / n.ns AS wt
+              |  FROM documents d JOIN n USING (source), z
+              |), c AS (
+              |  SELECT doc_id, source,
+              |         CAST(floor(wt) AS INT) +
+              |         CASE WHEN ${bucketSql("source || ':' || CAST(doc_id AS VARCHAR) || ':tmix'")}
+              |                   < (wt - floor(wt)) * 268435456 THEN 1 ELSE 0 END AS copies
+              |  FROM w
+              |), exploded AS (
+              |  SELECT doc_id, source, unnest(range(copies)) AS epoch
+              |  FROM c WHERE copies > 0
+              |)
+              |SELECT source, count(*) AS n_rows_out,
+              |       count(DISTINCT doc_id) AS n_docs,
+              |       CAST(max(epoch) AS BIGINT) AS max_epoch,
+              |       CAST(sum(epoch * doc_id + doc_id) AS BIGINT) AS mix_checksum
+              |FROM exploded
+              |GROUP BY source
+              |ORDER BY source""".stripMargin)),
+
     // Weighted sample without replacement (Efraimidis–Spirakis): k=10
     // docs, inclusion ∝ token count, exponential keys from the same
     // md5 bucket space as every other sampler — so the EXACT chosen

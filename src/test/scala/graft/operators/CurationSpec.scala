@@ -162,6 +162,49 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(downRate - 0.25) < 0.06, s"realized down-weight $downRate")
   }
 
+  test("temperatureMix: exact per-doc copies, alpha flattening, layout independence") {
+    import spark.implicits._
+    // sources: a = 80 docs, b = 20 docs (p = 0.8 / 0.2)
+    val df = (0L until 100L).map(i => (i, if (i < 80) "a" else "b"))
+      .toDF("id", "grp")
+    def run(alpha: Double, target: Long, parts: Int = 1) =
+      Curation.temperatureMix(df.repartition(parts), "id", "grp", alpha, target)
+        .select("id", "grp", "epoch").as[(Long, String, Int)].collect().toSet
+    // exact mirror of the operator arithmetic, md5 bucket included
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(grp: String, id: Long): Long = {
+      val hex = md.digest(s"$grp:$id:tmix".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def expected(alpha: Double, target: Long): Set[(Long, String, Int)] = {
+      val n = Map("a" -> 80L, "b" -> 20L)
+      val z = n.values.map(v => math.pow(v.toDouble, alpha)).sum
+      (0L until 100L).flatMap { id =>
+        val g = if (id < 80) "a" else "b"
+        val w = target.toDouble * math.pow(n(g).toDouble, alpha) / z / n(g)
+        val copies = w.toLong +
+          (if (bucket(g, id) < (w - math.floor(w)) * (1L << 28)) 1 else 0)
+        (0 until copies.toInt).map(e => (id, g, e))
+      }.toSet
+    }
+    for (alpha <- Seq(0.0, 0.5, 1.0); target <- Seq(50L, 100L, 250L))
+      assert(run(alpha, target) == expected(alpha, target),
+        s"alpha=$alpha target=$target")
+    // layout independence
+    assert(run(0.5, 100L, parts = 7) == run(0.5, 100L))
+    // alpha = 1 keeps the natural mix: uniform per-doc weight => the
+    // realized source shares track the input shares
+    val nat = run(1.0, 100L)
+    assert(math.abs(nat.count(_._2 == "a").toDouble / nat.size - 0.8) < 0.05)
+    // alpha = 0 flattens: each source targets the same row count
+    val flat = run(0.0, 100L)
+    val aN = flat.count(_._2 == "a"); val bN = flat.count(_._2 == "b")
+    assert(math.abs(aN - bN) <= 10, s"alpha=0 shares a=$aN b=$bN")
+    // b docs get guaranteed multi-copies at alpha=0 (w_b = 2.5)
+    assert(flat.filter(_._2 == "b").groupBy(_._1).forall(_._2.size >= 2))
+  }
+
   test("redact scrubs emails, phones, and long digit runs") {
     val pii = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
