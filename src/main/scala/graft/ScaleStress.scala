@@ -277,7 +277,11 @@ object ScaleStress {
     // 'train' gate slot (trainSummary stages everything under one slot)
     val store = s"${graft.pipeline.GateArtifacts.dir(xDir)}/train/store/rewarded_decisions/events/parquet"
     if (new java.io.File(store).exists()) {
-      val perFile = spark.read.parquet(store)
+      // the store nests chunks under yyyy/mm/dd DATA directories (not
+      // key=value partitions), which the parquet source only traverses
+      // with recursiveFileLookup
+      val perFile = spark.read
+        .option("recursiveFileLookup", "true").parquet(store)
         .withColumn("_f", input_file_name())
         .groupBy("_f").agg(count(lit(1)).as("n"))
         .agg(max("n"), count(lit(1))).head()
