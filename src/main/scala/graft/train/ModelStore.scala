@@ -169,6 +169,15 @@ object ModelStore {
     // of the artifact dir, so publish/unpack tar it automatically
     dm.nativeBooster.foreach(b =>
       writeBytes(tmp.toString, Boosters.NativeBoosterFile, b))
+    // CoreML `.mlmodel` (model_utils.py:275-321): the tree ensemble +
+    // the same metadata JSON in the userDefined dictionary, so Apple-
+    // device consumers get the artifact the reference publishes. See
+    // CoreMLExport for the (documented) offline validation boundary.
+    writeBytes(tmp.toString, CoreMLExport.MlModelFile,
+      CoreMLExport.toMlModelBytes(dm.model, dm.featureNames,
+        Map("graft.metadata.json" ->
+          metadataJson(dm.featureNames, dm.stringTables, dm.modelSeed,
+            Map("reward_mean" -> dm.rewardMean, "reward_std" -> dm.rewardStd)))))
     swapIn(f, tmp, root)
   }
 
