@@ -9,7 +9,8 @@ object SparkEntry {
   def all: Seq[GateQuery] = {
     val qs = Rel.queries ++ TextOps.queries ++ VectorOps.queries ++
       PipelineOps.queries ++ ExtOps.queries ++ CurationOps.queries ++
-      TemporalOps.queries ++ SearchOps.queries ++ StreamingOps.queries
+      TemporalOps.queries ++ SearchOps.queries ++ StreamingOps.queries ++
+      ScaleOps.queries
     // six contributing files: a duplicated name would silently drop a
     // query from queries.toMap (Bench AND Verify would skip it) — fail
     // loudly instead

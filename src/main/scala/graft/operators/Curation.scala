@@ -384,4 +384,69 @@ object Curation {
       .withColumn("epoch", explode(sequence(lit(0), col("_copies") - 1)))
       .drop("_copies")
   }
+
+  /** CCNet-style boilerplate stripping (Wenzek et al. 2020): hash each
+    * structural unit ("line" — here a non-overlapping `lineTokens`-token
+    * chunk, since the corpus carries no newlines) and remove every unit
+    * whose hash occurs in ≥ `minDocs` DISTINCT documents. This is the
+    * frequency-threshold complement to exact-substring dedup
+    * ([[graft.operators.Dedup]]): substring dedup cuts any repeated
+    * passage wherever it repeats; boilerplate stripping targets
+    * nav/header/footer text by DOCUMENT frequency, keeping legitimate
+    * within-document repetition intact.
+    *
+    * Returns one row per input document: (`idCol`, `outCol` = text
+    * rebuilt from the kept lines in order, single-space joined,
+    * `n_lines`, `n_removed` flagged-line occurrences dropped).
+    * Documents whose every line is boilerplate come back with an empty
+    * `outCol` (removal policy is the caller's — filter or keep).
+    *
+    * Scale shape: the line relation is corpus-token-sized but shuffles
+    * exactly TWICE — once on the 64-bit line key for the
+    * distinct-document-frequency aggregate (map-side partial
+    * count-distinct via the (key, id) pre-group), once back onto the
+    * document id for reassembly. The flagged-key set is the join's
+    * build side; boilerplate vocabularies are small by construction
+    * (high-df lines), so Spark auto-broadcasts it under AQE and the
+    * probe never widens. No UDFs — the chunk/hash/rebuild pipeline is
+    * all codegen'd `transform`/`slice`/`array_join`.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 8, minDocs: Int = 3,
+      outCol: String = "text_clean"): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
+    require(minDocs > 1, s"minDocs must be > 1, got $minDocs")
+    val L = lineTokens
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    // empty docs: sequence(0, -1) would DESCEND in Spark, so guard
+    val lined = df
+      .withColumn("_w", toks)
+      .withColumn("_nl", expr(s"(size(_w) + $L - 1) div $L"))
+      .withColumn("_lines", when(col("_nl") > 0,
+        expr(s"""transform(sequence(0, _nl - 1), i -> struct(
+                |  i as li,
+                |  array_join(slice(_w, i * $L + 1, $L), ' ') as txt))"""
+          .stripMargin))
+        .otherwise(expr("array()")))
+    val lines = lined
+      .select(col(idCol), explode(col("_lines")).as("_l"))
+      .select(col(idCol), col("_l.li").as("_li"),
+        col("_l.txt").as("_txt"),
+        substring(md5(col("_l.txt")), 1, 16).as("_key"))
+    val flagged = lines.groupBy("_key")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select("_key")
+    val kept = lines.join(flagged, Seq("_key"), "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      expr("array_join(transform(array_sort(collect_list(struct(_li, _txt))), s -> s._txt), ' ')")
+        .as(outCol),
+      count(lit(1)).as("_n_kept"))
+    lined.select(col(idCol), col("_nl").cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(outCol), lit("")).as(outCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+  }
 }

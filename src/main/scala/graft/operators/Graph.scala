@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over a weighted edge relation — the
+  * source-authority step of web-corpus curation (Common Crawl domain
+  * ranking à la harmonic-centrality / PageRank lists, used to weight
+  * or gate sources before sampling). The graph is DERIVED — typically
+  * a domain/source transition or citation relation aggregated out of
+  * a 100 TB event or link log — so the expensive part is the edge
+  * aggregation (one shuffle), while the power iteration runs over the
+  * much smaller node/edge relations.
+  *
+  * All iteration arithmetic is INTEGER-scaled (ranks are longs in
+  * units of 1/`scale`): sums of longs are exact and associative, so
+  * the result is bit-identical across partition layouts, task
+  * retries, AND engines — no floating-point accumulation-order drift,
+  * which matters because rank iteration compounds round-off across
+  * rounds. Truncating integer division (`div`, both operands
+  * positive) is pinned to the same floor semantics in Spark and the
+  * DuckDB oracle.
+  */
+object Graph {
+
+  /** PageRank with damping `dampNum`/100 for `iterations` rounds over
+    * `edges` (`srcCol`, `dstCol`, long weight `wCol` > 0). Returns
+    * (node, r) with r in units of 1/`scale`.
+    *
+    * r₀ = scale div N;
+    * rₜ₊₁(j) = (100−d)·scale div (100·N)
+    *           + d · Σᵢ (rₜ(i)·w(i,j) div outw(i)) div 100.
+    *
+    * Dangling mass (nodes with no out-edges) is dropped, not
+    * redistributed — ranks then sum to ≤ scale, which is fine for the
+    * ORDERING/weighting use and keeps every step a single join+agg.
+    *
+    * Overflow precondition: scale · max(rank_sum, max edge weight)
+    * must stay under 2⁶³ — with the default scale 1e9 that allows
+    * per-edge weights up to ~9e9. Checked against the max out-weight.
+    *
+    * Scale shape: each round is ONE hash-partitioned join (edges ⋈
+    * ranks on src) + partial/final long-sum agg + a left join back to
+    * the node list; `localCheckpoint` truncates lineage per round so
+    * the plan doesn't double per iteration (the q_dedup_clusters
+    * lesson — analysis cost, not executor cost, is what blows up).
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int = 5, scale: Long = 1000000000L,
+      dampNum: Long = 85L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum >= 0 && dampNum <= 100, s"damping must be in [0,100], got $dampNum")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e0 = edges.select(
+      col(srcCol).as("_src"), col(dstCol).as("_dst"),
+      col(wCol).cast("long").as("_w"))
+    val nodes = e0.select(col("_src").as("node"))
+      .union(e0.select(col("_dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "empty edge relation")
+    val outdeg = e0.groupBy("_src").agg(sum("_w").as("_outw"))
+    val maxOutw = outdeg.agg(max("_outw")).head.getLong(0)
+    require(maxOutw > 0, "edge weights must be positive")
+    require(maxOutw <= Long.MaxValue / scale,
+      s"scale=$scale x max out-weight=$maxOutw would overflow 64-bit rank math")
+    val e = e0.join(outdeg, "_src")
+    val base = ((100L - dampNum) * scale) / (100L * n)
+    var ranks = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, e("_src") === ranks("node"))
+        .select(col("_dst").as("node"),
+          expr("(r * _w) div _outw").as("_c"))
+        .groupBy("node").agg(sum("_c").as("_cs"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(_cs, 0L)) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** The edge-extraction half for event logs: consecutive event-type
+    * transitions within each user's timeline (`lead` over user
+    * sessions, deterministic `tsCol, idCol` order), aggregated to a
+    * weighted (src, dst, w) relation. ONE window pass + ONE shuffle on
+    * the (src, dst) pair — the part that actually touches the 100 TB.
+    */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .withColumn("_dst", lead(col(typeCol), 1).over(w))
+      .filter(col("_dst").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("_dst").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+}

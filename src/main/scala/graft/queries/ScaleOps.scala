@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Graph, Skew}
+
+/** Gate queries for the explicit scale-technique operators: salted
+  * skew mitigation (result-identical to the plain plan — the oracle IS
+  * the plain plan), CCNet-style boilerplate stripping, and the
+  * integer-scaled PageRank power iteration (bit-identical across
+  * engines because every step is long arithmetic — no FP
+  * accumulation-order drift to quantize away).
+  */
+object ScaleOps {
+  import Tables._
+
+  /** Oracle twin of [[Curation.hashBucket]]. */
+  private def bucketSql(key: String): String =
+    s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
+
+  private val PrScale = 1000000000L
+  private val PrDamp = 85L
+
+  /** Unrolled integer PageRank oracle: 5 chained (contrib, rank) CTE
+    * pairs mirroring Graph.pageRankInt's long math exactly (`//` on
+    * positive longs == Spark `div`).
+    */
+  private val pageRankSql: String = {
+    val iters = (1 to 5).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.dst AS node, sum(($prev.r * e.w) // e.outw) AS cs
+         |  FROM e JOIN $prev ON $prev.node = e.src GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |         ((100 - $PrDamp) * CAST($PrScale AS BIGINT)) // (100 * (SELECT n FROM nn))
+         |           + ($PrDamp * coalesce(c$i.cs, 0)) // 100 AS r
+         |  FROM nodes LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT event_type AS src,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts, event_id) AS dst
+       |  FROM events),
+       |e0 AS (SELECT src, dst, count(*) AS w FROM ev
+       |       WHERE dst IS NOT NULL GROUP BY src, dst),
+       |nodes AS (SELECT DISTINCT node FROM
+       |          (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, sum(w) AS outw FROM e0 GROUP BY src),
+       |e AS (SELECT e0.src, e0.dst, e0.w, od.outw FROM e0 JOIN od USING (src)),
+       |r0 AS (SELECT node, CAST($PrScale AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes),
+       |$iters
+       |SELECT node AS event_type, r AS rank_x1e9 FROM r5 ORDER BY event_type""".stripMargin
+  }
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // Salted two-phase aggregation over the hot event-type keys: the
+    // oracle is the PLAIN group-by — the gate proves the salted plan
+    // (content-hash salt, partial-on-(key,salt) then final-on-key) is
+    // result-identical, which is the whole point of the technique.
+    // Per-row x100 long quantization (2-decimal source data) keeps the
+    // sums integer-exact on both engines.
+    GateQuery(
+      "q_salted_agg",
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v100"),
+          lit(1L).as("n_events"))
+        Skew.saltedAgg(ev, "event_type", salts = 16,
+          partial = Map("v100" -> (c => sum(c)), "n_events" -> (c => sum(c))),
+          finalAgg = Map("v100" -> (c => sum(c)), "n_events" -> (c => sum(c))))
+          .select(col("event_type"), col("v100").as("sum_v_x100"),
+            col("n_events").cast("long").as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_x100,
+             |       count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Salted fact⋈dim join (hot source keys spread 8 ways, dim
+    // replicated per salt): again oracle = the plain join. The dim
+    // weight is content-derived (md5 bucket) so the weighted checksum
+    // pins every joined row.
+    GateQuery(
+      "q_salted_join",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        val dim = documents(s, d).select("source").distinct()
+          .withColumn("w", Curation.hashBucket(concat(lit("dimw:"), col("source"))))
+        Skew.saltedJoin(docs, dim, "source", salts = 8)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars") * col("w")).cast("long").as("weighted_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH dim AS (
+              |  SELECT source, ${bucketSql("'dimw:' || source")} AS w
+              |  FROM (SELECT DISTINCT source FROM documents))
+              |SELECT d.source, count(*) AS n_docs,
+              |       CAST(sum(d.n_chars * dim.w) AS BIGINT) AS weighted_chars
+              |FROM documents d JOIN dim ON d.source = dim.source
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // CCNet boilerplate stripping: 8-token lines, drop lines present in
+    // >= 3 DISTINCT docs. The census pins the doc count, how many docs
+    // lost lines, total/removed line counts, and the REBUILT text of
+    // every document via the md5-bucket checksum — a line kept or cut
+    // differently on either engine breaks the hash.
+    GateQuery(
+      "q_boilerplate_strip",
+      (s, d) => {
+        Curation.stripBoilerplate(
+            documents(s, d).select("doc_id", "text"),
+            "doc_id", "text", lineTokens = 8, minDocs = 3)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("n_removed") > 0).cast("long")).as("n_affected"),
+            sum("n_lines").cast("long").as("total_lines"),
+            sum("n_removed").cast("long").as("n_removed"),
+            sum(Curation.hashBucket(concat(col("doc_id").cast("string"),
+              lit(":"), col("text_clean")))).cast("long").as("clean_checksum"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id,
+              |         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+              |                     x -> x <> '') AS w
+              |  FROM documents),
+              |ld AS (SELECT doc_id, (len(w) + 7) // 8 AS nl, w FROM t),
+              |l AS (SELECT doc_id, unnest(range(nl)) AS li, w FROM ld),
+              |keyed AS (
+              |  SELECT doc_id, li,
+              |         array_to_string(w[CAST(li * 8 + 1 AS INT):CAST(least((li + 1) * 8, len(w)) AS INT)], ' ') AS txt
+              |  FROM l),
+              |hashed AS (SELECT doc_id, li, txt, substring(md5(txt), 1, 16) AS key FROM keyed),
+              |flagged AS (SELECT key FROM hashed GROUP BY key
+              |            HAVING count(DISTINCT doc_id) >= 3),
+              |kept AS (SELECT * FROM hashed WHERE key NOT IN (SELECT key FROM flagged)),
+              |reb AS (SELECT doc_id, array_to_string(list(txt ORDER BY li), ' ') AS clean,
+              |               count(*) AS nk
+              |        FROM kept GROUP BY doc_id),
+              |docs AS (
+              |  SELECT ld.doc_id, ld.nl, coalesce(reb.clean, '') AS clean,
+              |         ld.nl - coalesce(reb.nk, 0) AS nrem
+              |  FROM ld LEFT JOIN reb ON ld.doc_id = reb.doc_id)
+              |SELECT count(*) AS n_docs,
+              |       CAST(sum(CASE WHEN nrem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+              |       CAST(sum(nl) AS BIGINT) AS total_lines,
+              |       CAST(sum(nrem) AS BIGINT) AS n_removed,
+              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR) || ':' || clean")}) AS BIGINT) AS clean_checksum
+              |FROM docs""".stripMargin)),
+
+    // Source-authority ranking: event-type transition graph (lead over
+    // each user's timeline, ONE window pass over the log) -> 5 rounds
+    // of integer-scaled PageRank. Long-only math makes the ranks
+    // BIT-identical across engines and partition layouts — the oracle
+    // unrolls the same iteration in SQL.
+    GateQuery(
+      "q_pagerank_events",
+      (s, d) => {
+        val edges = Graph.transitions(events(s, d),
+          "user_id", "event_type", "ts", "event_id")
+        Graph.pageRankInt(edges, "src", "dst", "w",
+            iterations = 5, scale = PrScale, dampNum = PrDamp)
+          .select(col("node").as("event_type"), col("r").as("rank_x1e9"))
+          .orderBy("event_type")
+      },
+      Some(pageRankSql)))
+}
