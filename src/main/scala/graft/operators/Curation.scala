@@ -428,25 +428,33 @@ object Curation {
                 |  array_join(slice(_w, i * $L + 1, $L), ' ') as txt))"""
           .stripMargin))
         .otherwise(expr("array()")))
+    // the line relation carries _nl so the doc-level census needs NO
+    // second tokenize pass; flag-mark + in-aggregate filter (instead
+    // of an anti join + separate doc scan) keeps all-removed docs'
+    // line counts. Net: the corpus is tokenized twice (flagged build +
+    // probe — the unavoidable self-join shape; stage `lines` to
+    // parquet upstream to make it once), not three times.
     val lines = lined
-      .select(col(idCol), explode(col("_lines")).as("_l"))
-      .select(col(idCol), col("_l.li").as("_li"),
+      .select(col(idCol), col("_nl"), explode(col("_lines")).as("_l"))
+      .select(col(idCol), col("_nl"), col("_l.li").as("_li"),
         col("_l.txt").as("_txt"),
         substring(md5(col("_l.txt")), 1, 16).as("_key"))
     val flagged = lines.groupBy("_key")
       .agg(countDistinct(col(idCol)).as("_df"))
       .filter(col("_df") >= minDocs)
-      .select("_key")
-    val kept = lines.join(flagged, Seq("_key"), "left_anti")
-    val rebuilt = kept.groupBy(idCol).agg(
-      expr("array_join(transform(array_sort(collect_list(struct(_li, _txt))), s -> s._txt), ' ')")
-        .as(outCol),
-      count(lit(1)).as("_n_kept"))
-    lined.select(col(idCol), col("_nl").cast("long").as("n_lines"))
+      .select(col("_key"), lit(true).as("_cut"))
+    val rebuilt = lines.join(flagged, Seq("_key"), "left")
+      .withColumn("_keep", col("_cut").isNull)
+      .groupBy(idCol).agg(
+        expr("array_join(transform(filter(array_sort(collect_list(struct(_li, _txt, _keep))), s -> s._keep), s -> s._txt), ' ')")
+          .as(outCol),
+        first("_nl").cast("long").as("n_lines"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
+    df.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col(outCol), lit("")).as(outCol),
-        col("n_lines"),
-        (col("n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"))
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 }

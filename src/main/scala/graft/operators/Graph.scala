@@ -41,32 +41,39 @@ object Graph {
     *
     * Scale shape: each round is ONE hash-partitioned join (edges ⋈
     * ranks on src) + partial/final long-sum agg + a left join back to
-    * the node list; `localCheckpoint` truncates lineage per round so
-    * the plan doesn't double per iteration (the q_dedup_clusters
-    * lesson — analysis cost, not executor cost, is what blows up).
+    * the node list. `ranks` is referenced ONCE per round, so lineage
+    * grows linearly (unlike q_dedup_clusters' twice-referenced labels,
+    * which double per round) — no per-round materialization needed;
+    * `checkpointEvery` bounds analyzer cost on long horizons.
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iterations: Int = 5, scale: Long = 1000000000L,
-      dampNum: Long = 85L): DataFrame = {
+      dampNum: Long = 85L, checkpointEvery: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampNum >= 0 && dampNum <= 100, s"damping must be in [0,100], got $dampNum")
     require(scale > 0, s"scale must be positive, got $scale")
+    // materialize the (already aggregated, graph-sized — NOT log-sized)
+    // edge relation once: it is consumed iterations+2 times (node set,
+    // overflow probe, every round's join); without this each action
+    // re-derives the upstream extraction over the full log
     val e0 = edges.select(
       col(srcCol).as("_src"), col(dstCol).as("_dst"),
-      col(wCol).cast("long").as("_w"))
+      col(wCol).cast("long").as("_w")).localCheckpoint()
     val nodes = e0.select(col("_src").as("node"))
       .union(e0.select(col("_dst").as("node"))).distinct()
+      .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty edge relation")
     val outdeg = e0.groupBy("_src").agg(sum("_w").as("_outw"))
-    val maxOutw = outdeg.agg(max("_outw")).head.getLong(0)
+    val maxOutw = outdeg.agg(max("_outw")).head().getLong(0)
     require(maxOutw > 0, "edge weights must be positive")
     require(maxOutw <= Long.MaxValue / scale,
       s"scale=$scale x max out-weight=$maxOutw would overflow 64-bit rank math")
     val e = e0.join(outdeg, "_src")
     val base = ((100L - dampNum) * scale) / (100L * n)
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     var ranks = nodes.withColumn("r", lit(scale / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e.join(ranks, e("_src") === ranks("node"))
         .select(col("_dst").as("node"),
           expr("(r * _w) div _outw").as("_c"))
@@ -74,7 +81,8 @@ object Graph {
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(_cs, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

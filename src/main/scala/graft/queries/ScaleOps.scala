@@ -2,7 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Graph, Skew}
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Bucketed, Curation, Graph, Skew}
 
 /** Gate queries for the explicit scale-technique operators: salted
   * skew mitigation (result-identical to the plain plan — the oracle IS
@@ -54,7 +56,50 @@ object ScaleOps {
        |SELECT node AS event_type, r AS rank_x1e9 FROM r5 ORDER BY event_type""".stripMargin
   }
 
+  // Bucketed copies of lineitem/orders, written ONCE per (JVM, sfDir)
+  // — the production shape: the bucketed LAYOUT is a table property
+  // paid at write time, amortized over every later co-located join.
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketCache.computeIfAbsent(d, { _ =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val root = GateScratch.dir(s"bucketed_$hex")
+      val li = s"graft_bkt_lineitem_$hex"
+      val ord = s"graft_bkt_orders_$hex"
+      Bucketed.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("okey"),
+          col("l_extendedprice")), s"$root/li", li, "okey", 8)
+      Bucketed.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey").as("okey"),
+          col("o_orderpriority")), s"$root/ord", ord, "okey", 8)
+      (li, ord)
+    })
+
   val queries: Seq[GateQuery] = Seq(
+
+    // Co-located join over same-spec bucketed tables: zero exchanges on
+    // either join side (plan-asserted in BucketedSpec) — the layout
+    // pays the shuffle once at write. Oracle = the plain join, proving
+    // the bucketed read path loses no rows and the per-bucket merge is
+    // exact.
+    GateQuery(
+      "q_bucketed_join",
+      (s, d) => {
+        val (li, ord) = bucketedTables(s, d)
+        Bucketed.coLocatedJoin(s, li, ord, "okey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+              .as("sum_price_x100"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o.o_orderpriority, count(*) AS n_items,
+             |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_x100
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)),
 
     // Salted two-phase aggregation over the hot event-type keys: the
     // oracle is the PLAIN group-by — the gate proves the salted plan
