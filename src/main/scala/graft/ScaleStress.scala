@@ -146,9 +146,16 @@ object ScaleStress {
     */
   private val Heavy = Seq(
     "q_dedup_minhash", "q_dedup_delta", "q_dedup_substring",
-    "q_dedup_semantic", "q_ann_ivf_index", "q_knn_join", "q_rdr_train")
+    "q_dedup_semantic", "q_ann_ivf_index", "q_knn_join", "q_rdr_train",
+    // r9 additions: line-level boilerplate (corpus-token-sized line
+    // relation), event-log PageRank (window extraction dominates),
+    // bucketed join (write cost IS the query here — cache is per-dir)
+    "q_boilerplate_strip", "q_pagerank_events", "q_bucketed_join")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
+    // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(',').toSet)
+    val selected = Heavy.filter(q => only.forall(_.contains(q)))
     spark.range(0, 100000).selectExpr("sum(id * 2)").collect() // JVM warmup
     def time(name: String, d: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -161,7 +168,7 @@ object ScaleStress {
     }
     println(s"| query | x1 (s) | x$x (s) | ratio | verdict |")
     println("|---|---|---|---|---|")
-    for (q <- Heavy) {
+    for (q <- selected) {
       val t1 = time(q, baseDir)
       val tx = time(q, xDir)
       val ratio = tx / t1

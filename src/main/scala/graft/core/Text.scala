@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions.{split, trim}
   */
 object Text {
 
-  /** Whitespace-run tokenization (`\s+`), the production convention. */
-  def whitespaceTokens(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace-run tokenization, the production convention. The class
+    * is spelled out as `[ \t\n\r\f]+` — exactly RE2's `\s` — because
+    * Java's `\s` ALSO matches vertical tab (0x0B) while DuckDB's RE2
+    * does not; a bare `\s+` here would tokenize a 0x0B-carrying
+    * document differently on the two engines and break every
+    * hash-matched gate downstream. 0x0B is a token character on BOTH
+    * engines under this spelling.
+    */
+  def whitespaceTokens(c: Column): Column = split(trim(c), "[ \\t\\n\\r\\f]+")
 }

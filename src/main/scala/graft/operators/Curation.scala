@@ -417,7 +417,8 @@ object Curation {
     require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
     require(minDocs > 1, s"minDocs must be > 1, got $minDocs")
     val L = lineTokens
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val toks = filter(graft.core.Text.whitespaceTokens(col(textCol)),
+      t => length(t) > 0)
     // empty docs: sequence(0, -1) would DESCEND in Spark, so guard
     val lined = df
       .withColumn("_w", toks)

@@ -64,9 +64,13 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty edge relation")
+    // per-EDGE validation, not an aggregate proxy: a zero/negative/null
+    // weight hidden behind a positive max would divide-by-zero (ANSI)
+    // or silently corrupt ranks mid-iteration
+    val badW = e0.filter(col("_w").isNull || col("_w") <= 0).count()
+    require(badW == 0, s"$badW edges have null or non-positive weight")
     val outdeg = e0.groupBy("_src").agg(sum("_w").as("_outw"))
     val maxOutw = outdeg.agg(max("_outw")).head().getLong(0)
-    require(maxOutw > 0, "edge weights must be positive")
     require(maxOutw <= Long.MaxValue / scale,
       s"scale=$scale x max out-weight=$maxOutw would overflow 64-bit rank math")
     val e = e0.join(outdeg, "_src")

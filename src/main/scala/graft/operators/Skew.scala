@@ -27,7 +27,13 @@ object Skew {
       s"saltedJoin supports inner/left-family joins only, got $joinType")
     require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
       "input already has a _salt column")
-    val saltedBig = big.withColumn("_salt", (rand(seed) * salts).cast("int"))
+    // content-hash salt, same contract as saltedAgg: task retries
+    // re-derive identical salts (rand() is order-dependent under
+    // recomputation). Full-duplicate rows share a salt; a hot KEY
+    // still spreads as long as its rows differ in any column.
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64((big.columns.map(col).toSeq :+ lit(seed)): _*),
+        lit(salts)).cast("int"))
     val saltedSmall = small
       .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "_salt"), joinType).drop("_salt")

@@ -51,11 +51,15 @@ class BoilerplateSpec extends AnyFunSuite with SparkTestBase {
       1L -> "same  same\ttail1",
       2L -> "same same  tail2",
       3L -> " same same tail3",
-      4L -> ""))
+      4L -> "",
+      // vertical tab is a TOKEN character (RE2-\s parity with the
+      // DuckDB oracles — Java's \s would have split it)
+      5L -> "a\u000bb c"))
     assert(got(1L) === (("tail1", 2L, 1L)))
     assert(got(2L) === (("tail2", 2L, 1L)))
     assert(got(3L) === (("tail3", 2L, 1L)))
     assert(got(4L) === (("", 0L, 0L)))
+    assert(got(5L) === (("a\u000bb c", 1L, 0L)))
     // a doc that is NOTHING BUT boilerplate comes back empty, not dropped
     val all = strip(Seq(
       1L -> "same same", 2L -> "same same", 3L -> "same same"))
