@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering (the
+  * AllPairs/PPJoin family — Chaudhuri et al. 2006, Xiao et al. 2008):
+  * the deterministic complement to MinHash-LSH ([[Dedup]]). LSH is
+  * probabilistic (a pair can be missed with vanishing but nonzero
+  * probability) and pays signature construction; prefix filtering has
+  * ZERO false negatives by theorem and instead pays a global
+  * document-frequency ranking join. Use it when the dedup/contamination
+  * policy needs a provable "no pair above τ survives" guarantee —
+  * decontamination against a benchmark, legal/compliance removal — and
+  * LSH when approximate recall at lower cost is acceptable.
+  *
+  * The guarantee: order every document's token set by ONE global order
+  * (rarest-first document frequency, token tiebreak). For Jaccard ≥ t,
+  * |x∩y| ≥ ⌈t·|x|⌉ (and symmetrically for y), so x and y MUST share a
+  * token inside each's first |x| − ⌈t·|x|⌉ + 1 tokens — the prefix.
+  * Joining on prefix tokens therefore finds every qualifying pair; the
+  * exact Jaccard verify then removes false positives.
+  *
+  * Scale shape: one token-frequency agg + one corpus-token-sized join
+  * to rank tokens (the price of exactness), one doc regroup, then the
+  * prefix self-join whose fan-in is Σ df_prefix(token)² — rarest-first
+  * ordering makes prefix tokens the LOW-frequency ones, so buckets
+  * stay small on natural vocabularies; the length filter
+  * (t·|x| ≤ |y| ≤ |x|/t) prunes inside the join. No sketches, no
+  * probabilistic pre-filter anywhere in the verify.
+  */
+object SetJoin {
+
+  /** All pairs (id_a < id_b, jac) with exact Jaccard ≥ `threshold`
+    * over the word sets of `textCol` (engine word-set convention:
+    * single-space split of trimmed text, xxhash64 tokens, distinct —
+    * identical to [[Dedup.withSignature]] so the two algorithms are
+    * directly cross-checkable). Null-text rows are dropped (no set);
+    * empty strings keep their singleton empty-word set, matching the
+    * all-pairs oracle semantics.
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(array_distinct(
+        transform(split(trim(col(textCol)), " "), w => xxhash64(w)))).as("_tok"))
+    val dfreq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    // one global rarest-first order: (df, token) is a total order that
+    // every document sorts by identically
+    // the ranked relation feeds the prefix explode AND both verify
+    // sides — persist (spill-tolerant) for the run, release after the
+    // pair list is materialized (handOff: the bounded OUTPUT stays
+    // cached, the corpus-sized intermediate does not)
+    val sorted = toks.join(dfreq, "_tok")
+      .groupBy(idCol).agg(
+        expr("transform(array_sort(collect_list(struct(_df, _tok))), s -> s._tok)")
+          .as("_stoks"))
+      .withColumn("_len", size(col("_stoks")))
+      .withColumn("_plen",
+        (col("_len") - ceil(lit(threshold) * col("_len")) + 1).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pre = sorted.select(col(idCol), col("_len"),
+        explode(expr("slice(_stoks, 1, _plen)")).as("_ptok"))
+      val a = pre.select(col(idCol).as("id_a"), col("_len").as("_la"), col("_ptok"))
+      val b = pre.select(col(idCol).as("id_b"), col("_len").as("_lb"), col("_ptok"))
+      val cands = a.join(b, Seq("_ptok"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("_la") * threshold <= col("_lb") &&
+          col("_lb") * threshold <= col("_la"))
+        .select("id_a", "id_b").distinct()
+      val sides = sorted.select(col(idCol), col("_stoks"))
+      val out = cands
+        .join(sides.select(col(idCol).as("id_a"), col("_stoks").as("_sa")), Seq("id_a"))
+        .join(sides.select(col(idCol).as("id_b"), col("_stoks").as("_sb")), Seq("id_b"))
+        .withColumn("_nc", size(array_intersect(col("_sa"), col("_sb"))))
+        .withColumn("jac", col("_nc").cast("double") /
+          (size(col("_sa")) + size(col("_sb")) - col("_nc")))
+        .filter(col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+      Caching.handOff(out)
+    } finally { sorted.unpersist(blocking = false); () }
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Bucketed, Curation, Graph, Skew}
+import graft.operators.{Bucketed, Curation, Graph, SetJoin, Skew}
 
 /** Gate queries for the explicit scale-technique operators: salted
   * skew mitigation (result-identical to the plain plan — the oracle IS
@@ -212,5 +212,33 @@ object ScaleOps {
           .select(col("node").as("event_type"), col("r").as("rank_x1e9"))
           .orderBy("event_type")
       },
-      Some(pageRankSql)))
+      Some(pageRankSql)),
+
+    // EXACT set-similarity join (prefix filtering): zero false
+    // negatives by theorem, no sketches — the same all-pairs oracle
+    // q_dedup_minhash matches probabilistically is matched here
+    // deterministically, cross-validating two independent algorithms
+    // against one ground truth.
+    GateQuery(
+      "q_set_join_exact",
+      (s, d) => {
+        SetJoin.jaccardJoin(documents(s, d).select("doc_id", "text"),
+            "doc_id", "text", 0.9)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"),
+            countDistinct(col("id_a")).as("n_left_docs"))
+      },
+      Some("""SELECT count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4,
+             |       count(DISTINCT id_a) AS n_left_docs
+             |FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             |           / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jac
+             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) a
+             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) b
+             |    ON a.doc_id < b.doc_id)
+             |WHERE jac >= 0.9""".stripMargin)))
 }

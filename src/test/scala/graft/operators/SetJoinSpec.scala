@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SetJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Brute-force exact Jaccard all-pairs over word sets (ground truth). */
+  private def bruteForce(df: DataFrame, threshold: Double): Set[(Long, Long)] = {
+    val sets = df.collect().map { r =>
+      r.getLong(0) -> r.getString(1).trim.split(" ").toSet
+    }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= threshold
+    } yield (ia, ib)).toSet
+  }
+
+  private def run(df: DataFrame, threshold: Double): Set[(Long, Long)] =
+    SetJoin.jaccardJoin(df, "doc_id", "text", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("matches brute force exactly across thresholds on a random corpus") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with planted overlap structure:
+    // shared vocab of 30 words, docs of 8-20 words -> plenty of pairs
+    // straddling each threshold
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 80L).map { i =>
+      val n = 8 + rnd.nextInt(13)
+      (i, Seq.fill(n)(s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      assert(run(docs, t) === bruteForce(docs, t), s"threshold $t")
+    }
+  }
+
+  test("planted duplicates and near-duplicates are all found (no false negatives)") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      1L -> base,
+      2L -> base, // exact dup
+      3L -> (base + " extra"), // jac 10/11 = 0.909
+      4L -> "totally different words here now",
+      5L -> base.replace("kappa", "lambda") // jac 9/11 = 0.818
+    ).toDF("doc_id", "text")
+    assert(run(docs, 0.9) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // (3,5) stays OUT: inter 9, union 12 -> jac 0.75 < 0.8
+    assert(run(docs, 0.8) ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("null text drops, empty strings pair with each other, guards hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, ""), (4L, " "),
+      (5L, "a b c")).toDF("doc_id", "text")
+    val got = run(docs, 0.9)
+    // empty and whitespace-only docs share the singleton empty-word set
+    assert(got === Set((1L, 5L), (3L, 4L)))
+    intercept[IllegalArgumentException](
+      SetJoin.jaccardJoin(docs, "doc_id", "text", 0.0))
+    intercept[IllegalArgumentException](
+      SetJoin.jaccardJoin(docs, "doc_id", "text", 1.5))
+  }
+
+  test("result is layout-independent and agrees with the LSH+verify pipeline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1L to 60L).map { i =>
+      val n = 10 + rnd.nextInt(10)
+      (i, Seq.fill(n)(s"w${rnd.nextInt(25)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val p1 = run(docs.repartition(1), 0.8)
+    val p7 = run(docs.repartition(7), 0.8)
+    assert(p1 === p7)
+    // cross-algorithm: MinHash-LSH + exact verify finds the same pairs
+    val lsh = Dedup.verifiedPairsSigned(Dedup.withSignature(docs, "text"), "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 === lsh)
+  }
+}
