@@ -244,5 +244,56 @@ object StreamingOps {
              |       CAST(sum(rts - dts) AS BIGINT) AS sum_delay,
              |       count(DISTINCT decision_id) AS n_matched
              |FROM d JOIN r USING (decision_id)
-             |WHERE rts >= dts AND rts <= dts + 7200""".stripMargin)))
+             |WHERE rts >= dts AND rts <= dts + 7200""".stripMargin)),
+
+    // ST parity: streaming ANN-index maintenance. Build the IVF index
+    // on the odd half, stream the even half through a drop folder in
+    // ~3 micro-batch appends (frozen quantizer), then query
+    // exhaustively (nprobe = C ⇒ exact). The result must equal brute
+    // force over the WHOLE corpus — i.e. the micro-batched appends are
+    // indistinguishable from the one-shot batch append
+    // (q_ann_ivf_append's semantics) and from never having split the
+    // corpus at all.
+    GateQuery(
+      "q_ann_ivf_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val work = replayDir("ivf_stream")
+        val emb = Tables.embeddings(s, d)
+          .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+          .select("vec_id", "label", "v")
+        val query = emb.filter(col("vec_id") === 0)
+          .select("v").collect().head.getSeq[Double](0)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val dir = GateScratch.dir("ivf_stream_gate")
+        val idx = graft.operators.IvfIndex.build(
+          corpus.filter(col("vec_id") % 2 === 1),
+          "v", "vec_id", dir, numCells = 8, seed = 5L)
+        val schema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("label", IntegerType),
+          StructField("v", ArrayType(DoubleType))))
+        withReplayConf(s) {
+          corpus.filter(col("vec_id") % 2 === 0)
+            .repartition(3)
+            .write.mode("overwrite").json(s"$work/drop")
+          graft.streaming.StreamingIndex.appendStream(
+            s, s"$work/drop", s"$work/ckpt", idx, "v", schema)
+            .awaitTermination()
+        }
+        graft.operators.IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
+          .select("vec_id", "label", "cos")
+      },
+      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |           FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id, label,
+             |       round(
+             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
+             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
+             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+             |FROM embeddings, q
+             |WHERE vec_id <> 0
+             |ORDER BY cos DESC, vec_id ASC
+             |LIMIT 10""".stripMargin)))
 }
