@@ -150,7 +150,11 @@ object ScaleStress {
     // r9 additions: line-level boilerplate (corpus-token-sized line
     // relation), event-log PageRank (window extraction dominates),
     // bucketed join (write cost IS the query here — cache is per-dir)
-    "q_boilerplate_strip", "q_pagerank_events", "q_bucketed_join")
+    "q_boilerplate_strip", "q_pagerank_events", "q_bucketed_join",
+    // exact set-similarity join: output is data-quadratic in TRUE
+    // pairs (this corpus is clique-heavy by design) — the stress run
+    // measures the exact path's cost envelope vs the LSH-capped one
+    "q_set_join_exact", "q_ann_ivf_stream")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

@@ -385,6 +385,30 @@ object Curation {
       .drop("_copies")
   }
 
+  /** Corpus release auditing: classify every id across two snapshots as
+    * added / removed / changed / unchanged by content hash — the diff a
+    * dataset release pipeline publishes (and gates on) before swapping
+    * `latest/`. ONE full-outer hash join on the id; content hashes are
+    * computed scan-side (md5 over the content columns with explicit
+    * null/separator sentinels so (null, "a") never collides with
+    * ("a", null) or ("", "a")), so the join carries two narrow
+    * (id, hash) relations, never the payloads.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    def hashed(df: DataFrame, as: String) = df.select(col(idCol),
+      md5(concat_ws("\u0001",
+        contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as(as))
+    hashed(prev, "_hp").join(hashed(next, "_hn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_hp").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_hp") =!= col("_hn"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** CCNet-style boilerplate stripping (Wenzek et al. 2020): hash each
     * structural unit ("line" — here a non-overlapping `lineTokens`-token
     * chunk, since the corpus carries no newlines) and remove every unit

@@ -240,5 +240,56 @@ object ScaleOps {
              |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
              |        FROM documents) b
              |    ON a.doc_id < b.doc_id)
-             |WHERE jac >= 0.9""".stripMargin)))
+             |WHERE jac >= 0.9""".stripMargin)),
+
+    // Corpus release diff: derive the "next release" deterministically
+    // (md5-bucket 10% deletions, 10% text edits, 5% additions — all
+    // integer-exact bucket*k < 2^28 comparisons on both engines), then
+    // classify every id via snapshotDiff's content-hash full-outer
+    // join. The per-status id checksums pin the exact membership of
+    // each class, not just the counts.
+    GateQuery(
+      "q_snapshot_diff",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val B = Curation.BucketSpace
+        def bkt(tag: String) =
+          Curation.hashBucket(concat(lit(tag), col("doc_id").cast("string")))
+        val next = docs
+          .filter(bkt("del:") * 10 >= B)
+          .withColumn("text",
+            when(bkt("chg:") * 10 < B, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(bkt("add:") * 20 < B)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              concat(lit("new "), col("text")).as("text")))
+        Curation.snapshotDiff(docs, next, "doc_id", Seq("text"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            sum(Curation.hashBucket(col("doc_id").cast("string")))
+              .cast("long").as("id_checksum"))
+          .orderBy("status")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, text FROM documents),
+              |nxt AS (
+              |  SELECT doc_id,
+              |         CASE WHEN ${bucketSql("'chg:' || CAST(doc_id AS VARCHAR)")} * 10 < 268435456
+              |              THEN text || ' v2' ELSE text END AS text
+              |  FROM docs
+              |  WHERE ${bucketSql("'del:' || CAST(doc_id AS VARCHAR)")} * 10 >= 268435456
+              |  UNION ALL
+              |  SELECT doc_id + 10000000, 'new ' || text FROM docs
+              |  WHERE ${bucketSql("'add:' || CAST(doc_id AS VARCHAR)")} * 20 < 268435456
+              |),
+              |ph AS (SELECT doc_id, md5(text) AS h FROM docs),
+              |nh AS (SELECT doc_id, md5(text) AS h FROM nxt),
+              |j AS (SELECT coalesce(ph.doc_id, nh.doc_id) AS doc_id,
+              |             CASE WHEN ph.h IS NULL THEN 'added'
+              |                  WHEN nh.h IS NULL THEN 'removed'
+              |                  WHEN ph.h <> nh.h THEN 'changed'
+              |                  ELSE 'unchanged' END AS status
+              |      FROM ph FULL OUTER JOIN nh ON ph.doc_id = nh.doc_id)
+              |SELECT status, count(*) AS n,
+              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
+              |FROM j GROUP BY status ORDER BY status""".stripMargin)))
 }
