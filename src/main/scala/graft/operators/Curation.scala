@@ -389,18 +389,18 @@ object Curation {
     * added / removed / changed / unchanged by content hash — the diff a
     * dataset release pipeline publishes (and gates on) before swapping
     * `latest/`. ONE full-outer hash join on the id; content hashes are
-    * computed scan-side (md5 over the content columns with explicit
-    * null/separator sentinels so (null, "a") never collides with
-    * ("a", null) or ("", "a")), so the join carries two narrow
-    * (id, hash) relations, never the payloads.
+    * computed scan-side over the JSON serialization of the content
+    * columns (`ignoreNullFields=false`) — JSON framing is injective,
+    * so (null, "a") / ("a", null) / ("", "a") / values containing any
+    * would-be separator all hash apart, and the join carries two
+    * narrow (id, hash) relations, never the payloads.
     */
   def snapshotDiff(prev: DataFrame, next: DataFrame, idCol: String,
       contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "contentCols must be non-empty")
     def hashed(df: DataFrame, as: String) = df.select(col(idCol),
-      md5(concat_ws("\u0001",
-        contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
-        .as(as))
+      md5(to_json(struct(contentCols.map(col): _*),
+        Map("ignoreNullFields" -> "false"))).as(as))
     hashed(prev, "_hp").join(hashed(next, "_hn"), Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("_hp").isNull, "added")

@@ -35,6 +35,16 @@ object Dedup {
       ((rnd.nextLong() & 0x3fffffffL) + 1, rnd.nextLong() & 0x3fffffffL))
   }
 
+  /** THE word-set convention (single-space split of trimmed text,
+    * xxhash64 per word, distinct): shared by the LSH pipeline and
+    * [[SetJoin]] so the two similarity-join algorithms stay
+    * bit-identical on tokenization — the cross-validation gates
+    * (q_dedup_minhash vs q_set_join_exact against one oracle) depend
+    * on this being ONE definition, not two copies.
+    */
+  def wordSet(text: Column): Column =
+    array_distinct(transform(split(trim(text), " "), w => xxhash64(w)))
+
   /** Adds `wset` (distinct 64-bit word hashes — long set ops are ~10×
     * cheaper than string set ops in the verify join, and 64-bit
     * collisions are negligible even at web-corpus vocabulary) and
@@ -51,8 +61,7 @@ object Dedup {
     // each other, which is what the all-pairs semantics say.
     val base = df
       .filter(col(textCol).isNotNull)
-      .withColumn("wset", array_distinct(transform(
-        split(trim(col(textCol)), " "), w => xxhash64(w))))
+      .withColumn("wset", wordSet(col(textCol)))
       .withColumn("_h31", transform(col("wset"), h => pmod(h, lit(MersennePrime))))
     val sig = array(perms(seed).map { case (a, b) =>
       array_min(transform(col("_h31"), h => pmod(h * a + b, lit(MersennePrime))))

@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object SetJoin {
 
+  /** Pruning-filter slack for double rounding (see jaccardJoin): far
+    * below any meaningful threshold granularity, far above an ulp.
+    */
+  private val FpSlack = 1e-9
+
   /** All pairs (id_a < id_b, jac) with exact Jaccard ≥ `threshold`
     * over the word sets of `textCol` (engine word-set convention:
     * single-space split of trimmed text, xxhash64 tokens, distinct —
@@ -43,9 +48,10 @@ object SetJoin {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // ONE shared tokenization with the LSH pipeline (Dedup.wordSet) —
+    // the cross-validation gates depend on bit-identical word sets
     val toks = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(array_distinct(
-        transform(split(trim(col(textCol)), " "), w => xxhash64(w)))).as("_tok"))
+      .select(col(idCol), explode(Dedup.wordSet(col(textCol))).as("_tok"))
     val dfreq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
     // one global rarest-first order: (df, token) is a total order that
     // every document sorts by identically
@@ -58,8 +64,15 @@ object SetJoin {
         expr("transform(array_sort(collect_list(struct(_df, _tok))), s -> s._tok)")
           .as("_stoks"))
       .withColumn("_len", size(col("_stoks")))
+      // FpSlack before every ceil/compare: t·len computed in doubles
+      // can exceed the true rational by an ulp (e.g. 100·0.07 =
+      // 7.000000000000001), which would SHORTEN the prefix / TIGHTEN
+      // the length filter and prune a qualifying pair — a false
+      // negative. The slack errs the pruning filters conservative
+      // (never the verify, which stays the semantic boundary).
       .withColumn("_plen",
-        (col("_len") - ceil(lit(threshold) * col("_len")) + 1).cast("int"))
+        (col("_len") - ceil(lit(threshold) * col("_len") - lit(FpSlack)) + 1)
+          .cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val pre = sorted.select(col(idCol), col("_len"),
@@ -68,8 +81,8 @@ object SetJoin {
       val b = pre.select(col(idCol).as("id_b"), col("_len").as("_lb"), col("_ptok"))
       val cands = a.join(b, Seq("_ptok"))
         .filter(col("id_a") < col("id_b"))
-        .filter(col("_la") * threshold <= col("_lb") &&
-          col("_lb") * threshold <= col("_la"))
+        .filter(col("_lb") >= ceil(col("_la") * threshold - lit(FpSlack)) &&
+          col("_la") >= ceil(col("_lb") * threshold - lit(FpSlack)))
         .select("id_a", "id_b").distinct()
       val sides = sorted.select(col(idCol), col("_stoks"))
       val out = cands

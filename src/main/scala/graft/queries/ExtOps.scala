@@ -89,18 +89,7 @@ object ExtOps {
             round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"),
             countDistinct(col("id_a")).as("n_left_docs"))
       },
-      Some("""SELECT count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4,
-             |       count(DISTINCT id_a) AS n_left_docs
-             |FROM (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-             |           / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jac
-             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
-             |        FROM documents) a
-             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
-             |        FROM documents) b
-             |    ON a.doc_id < b.doc_id)
-             |WHERE jac >= 0.9""".stripMargin)),
+      Some(SharedOracles.allPairsJaccardCensus)),
 
     // Near-dup pairs collapsed into duplicate clusters (connected
     // components, min-id canonical representative). The DuckDB oracle
@@ -581,18 +570,7 @@ object ExtOps {
         Ann.topK(corpus, "v", "vec_id", query, 10, cents, nprobe = 8)
           .select("vec_id", "label", "cos")
       },
-      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-             |           FROM embeddings WHERE vec_id = 0)
-             |SELECT vec_id, label,
-             |       round(
-             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
-             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
-             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
-             |FROM embeddings, q
-             |WHERE vec_id <> 0
-             |ORDER BY cos DESC, vec_id ASC
-             |LIMIT 10""".stripMargin)),
+      Some(SharedOracles.exactTop10Cos)),
 
     // Same search through the MATERIALIZED index: build the
     // cell-partitioned table once, probe all cells (nprobe = C ⇒
@@ -614,18 +592,7 @@ object ExtOps {
         IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
       },
-      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-             |           FROM embeddings WHERE vec_id = 0)
-             |SELECT vec_id, label,
-             |       round(
-             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
-             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
-             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
-             |FROM embeddings, q
-             |WHERE vec_id <> 0
-             |ORDER BY cos DESC, vec_id ASC
-             |LIMIT 10""".stripMargin)),
+      Some(SharedOracles.exactTop10Cos)),
 
     // Incremental index maintenance: build the IVF index on half the
     // corpus, APPEND the other half (frozen quantizer — the daily
@@ -648,18 +615,7 @@ object ExtOps {
         IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
       },
-      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-             |           FROM embeddings WHERE vec_id = 0)
-             |SELECT vec_id, label,
-             |       round(
-             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
-             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
-             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
-             |FROM embeddings, q
-             |WHERE vec_id <> 0
-             |ORDER BY cos DESC, vec_id ASC
-             |LIMIT 10""".stripMargin)),
+      Some(SharedOracles.exactTop10Cos)),
 
     // k-NN JOIN: 5 query vectors × rest-of-corpus, top-3 each, through
     // the MATERIALIZED IVF index (partition-pruned cell table — the

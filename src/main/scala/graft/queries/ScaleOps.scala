@@ -229,18 +229,7 @@ object ScaleOps {
             round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"),
             countDistinct(col("id_a")).as("n_left_docs"))
       },
-      Some("""SELECT count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4,
-             |       count(DISTINCT id_a) AS n_left_docs
-             |FROM (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-             |           / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jac
-             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
-             |        FROM documents) a
-             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
-             |        FROM documents) b
-             |    ON a.doc_id < b.doc_id)
-             |WHERE jac >= 0.9""".stripMargin)),
+      Some(SharedOracles.allPairsJaccardCensus)),
 
     // Corpus release diff: derive the "next release" deterministically
     // (md5-bucket 10% deletions, 10% text edits, 5% additions — all
@@ -281,11 +270,11 @@ object ScaleOps {
               |  SELECT doc_id + 10000000, 'new ' || text FROM docs
               |  WHERE ${bucketSql("'add:' || CAST(doc_id AS VARCHAR)")} * 20 < 268435456
               |),
-              |ph AS (SELECT doc_id, md5(text) AS h FROM docs),
-              |nh AS (SELECT doc_id, md5(text) AS h FROM nxt),
+              |ph AS (SELECT doc_id, md5(coalesce(CAST(to_json(text) AS VARCHAR), 'null')) AS h FROM docs),
+              |nh AS (SELECT doc_id, md5(coalesce(CAST(to_json(text) AS VARCHAR), 'null')) AS h FROM nxt),
               |j AS (SELECT coalesce(ph.doc_id, nh.doc_id) AS doc_id,
-              |             CASE WHEN ph.h IS NULL THEN 'added'
-              |                  WHEN nh.h IS NULL THEN 'removed'
+              |             CASE WHEN ph.doc_id IS NULL THEN 'added'
+              |                  WHEN nh.doc_id IS NULL THEN 'removed'
               |                  WHEN ph.h <> nh.h THEN 'changed'
               |                  ELSE 'unchanged' END AS status
               |      FROM ph FULL OUTER JOIN nh ON ph.doc_id = nh.doc_id)

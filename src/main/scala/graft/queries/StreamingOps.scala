@@ -284,16 +284,5 @@ object StreamingOps {
         graft.operators.IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
       },
-      Some("""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-             |           FROM embeddings WHERE vec_id = 0)
-             |SELECT vec_id, label,
-             |       round(
-             |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
-             |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
-             |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-             |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
-             |FROM embeddings, q
-             |WHERE vec_id <> 0
-             |ORDER BY cos DESC, vec_id ASC
-             |LIMIT 10""".stripMargin)))
+      Some(SharedOracles.exactTop10Cos)))
 }

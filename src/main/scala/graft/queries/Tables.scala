@@ -49,3 +49,47 @@ final case class GateQuery(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+/** Oracle SQL shared VERBATIM by gates whose whole point is answering
+  * the same ground-truth question: one definition, so an edit cannot
+  * silently fork "one ground truth" into two diverging copies that
+  * both keep passing.
+  */
+private[queries] object SharedOracles {
+
+  /** Exact brute-force top-10 cosine vs vec 0 — the ground truth the
+    * direct scan, the materialized IVF probe, the batch append, and
+    * the streaming append must ALL equal (nprobe = C => exact).
+    */
+  val exactTop10Cos: String =
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |       round(
+      |         list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv),
+      |                                 p -> struct_extract(p, 1) * struct_extract(p, 2)))
+      |         / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+      |FROM embeddings, q
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id ASC
+      |LIMIT 10""".stripMargin
+
+  /** All-pairs exact Jaccard >= 0.9 census — the ground truth both the
+    * MinHash-LSH pipeline (q_dedup_minhash) and the exact prefix-filter
+    * join (q_set_join_exact) must match.
+    */
+  val allPairsJaccardCensus: String =
+    """SELECT count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4,
+      |       count(DISTINCT id_a) AS n_left_docs
+      |FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+      |           / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) AS jac
+      |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+      |        FROM documents) a
+      |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+      |        FROM documents) b
+      |    ON a.doc_id < b.doc_id)
+      |WHERE jac >= 0.9""".stripMargin
+}

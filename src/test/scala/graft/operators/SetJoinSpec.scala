@@ -70,6 +70,19 @@ class SetJoinSpec extends AnyFunSuite with SparkTestBase {
       SetJoin.jaccardJoin(docs, "doc_id", "text", 1.5))
   }
 
+  test("FP-boundary thresholds keep the zero-false-negative guarantee") {
+    import spark.implicits._
+    // jac(x, y) = 7/100 == double 0.07 exactly, but 100 * 0.07 =
+    // 7.000000000000001 in doubles: an un-slacked length filter prunes
+    // the qualifying pair, and ceil(0.07 * 100) = 8 shortens the
+    // prefix. Both filters carry FpSlack, so the pair must survive.
+    val x = (1 to 100).map(i => s"w$i").mkString(" ")
+    val y = (1 to 7).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1L -> x, 2L -> y).toDF("doc_id", "text")
+    assert(run(docs, 0.07) === Set((1L, 2L)))
+    assert(run(docs, 0.07) === bruteForce(docs, 0.07))
+  }
+
   test("result is layout-independent and agrees with the LSH+verify pipeline") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
