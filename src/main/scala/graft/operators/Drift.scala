@@ -226,4 +226,50 @@ object Drift {
           .as("norm_ratio"))
       .orderBy(groupCol)
   }
+
+  /** Categorical frequency shift — the drift dimension psi/ks (binned
+    * numerics) and embeddingShift (vectors) don't cover: per-category
+    * observed-vs-expected counts between a reference and a current
+    * window, with the per-category chi-square contribution. One row
+    * per category:
+    *
+    *   n_ref, n_cur          — raw counts (0 when absent on a side)
+    *   expected              — n_ref scaled to the current total
+    *   chi2_term             — (n_cur − expected)² / expected;
+    *                           null for categories ABSENT in ref
+    *                           (chi-square is undefined there — the
+    *                           `is_new` flag is the signal instead)
+    *   is_new / is_gone      — appeared / vanished category flags
+    *
+    * Deliberately NOT summed into one chi² statistic: the sum is one
+    * cross-partition double accumulation away from the engine-order
+    * flake class, and the per-category terms are what a monitor acts
+    * on anyway (which categories moved, not just that something did).
+    * Callers wanting the scalar sum the (few, category-bounded) rows.
+    *
+    * Scale shape: two count aggs + a category-sized full-outer join +
+    * a 1-row totals broadcast riding the plan.
+    */
+  def categoricalShift(ref: DataFrame, cur: DataFrame,
+      catCol: String): DataFrame = {
+    val r = ref.groupBy(catCol).agg(count(lit(1)).as("n_ref"))
+    val c = cur.groupBy(catCol).agg(count(lit(1)).as("n_cur"))
+    val joined = r.join(c, Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = broadcast(joined.agg(
+      sum("n_ref").as("_tr"), sum("n_cur").as("_tc")))
+    joined.crossJoin(totals)
+      .withColumn("expected",
+        col("n_ref").cast("double") * col("_tc") / col("_tr"))
+      .select(col(catCol), col("n_ref"), col("n_cur"),
+        col("expected"),
+        when(col("n_ref") === 0, lit(null).cast("double"))
+          .otherwise(pow(col("n_cur") - col("expected"), 2) / col("expected"))
+          .as("chi2_term"),
+        (col("n_ref") === 0).as("is_new"),
+        (col("n_cur") === 0).as("is_gone"))
+      .orderBy(catCol)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Bucketed, Curation, Graph, SetJoin, Skew}
+import graft.operators.{Bucketed, Curation, Drift, Graph, SetJoin, Skew}
 
 /** Gate queries for the explicit scale-technique operators: salted
   * skew mitigation (result-identical to the plain plan — the oracle IS
@@ -280,5 +280,52 @@ object ScaleOps {
               |      FROM ph FULL OUTER JOIN nh ON ph.doc_id = nh.doc_id)
               |SELECT status, count(*) AS n,
               |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
-              |FROM j GROUP BY status ORDER BY status""".stripMargin)))
+              |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // Categorical frequency drift: even users are the reference, odd
+    // users the current window with 20% of events (md5-bucket on
+    // event_id) remapped to a NEW category — the gate pins per-category
+    // observed/expected counts, the chi-square contribution, and the
+    // appeared-category flag. Expected/chi2 are single fixed-order
+    // double expressions from integer inputs (bit-identical on both
+    // engines), never cross-partition accumulations.
+    GateQuery(
+      "q_drift_categorical",
+      (s, d) => {
+        val ev = events(s, d)
+        val ref = ev.filter(col("user_id") % 2 === 0)
+        val cur = ev.filter(col("user_id") % 2 === 1)
+          .withColumn("event_type",
+            when(Curation.hashBucket(concat(lit("cat:"),
+                col("event_id").cast("string"))) * 5 < Curation.BucketSpace,
+              lit("novel_type")).otherwise(col("event_type")))
+        Drift.categoricalShift(ref, cur, "event_type")
+          .select(col("event_type").as("category"),
+            col("n_ref"), col("n_cur"),
+            round(col("expected") * 1000000).cast("long").as("expected_x1e6"),
+            round(col("chi2_term") * 1000000).cast("long").as("chi2_x1e6"),
+            col("is_new").cast("long").as("is_new"),
+            col("is_gone").cast("long").as("is_gone"))
+          .orderBy("category")
+      },
+      Some(s"""WITH refs AS (
+              |  SELECT event_type AS cat FROM events WHERE user_id % 2 = 0),
+              |curs AS (
+              |  SELECT CASE WHEN ${bucketSql("'cat:' || CAST(event_id AS VARCHAR)")} * 5 < 268435456
+              |              THEN 'novel_type' ELSE event_type END AS cat
+              |  FROM events WHERE user_id % 2 = 1),
+              |r AS (SELECT cat, count(*) AS n_ref FROM refs GROUP BY cat),
+              |c AS (SELECT cat, count(*) AS n_cur FROM curs GROUP BY cat),
+              |j AS (SELECT coalesce(r.cat, c.cat) AS category,
+              |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+              |      FROM r FULL OUTER JOIN c ON r.cat = c.cat),
+              |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+              |SELECT category, n_ref, n_cur,
+              |       CAST(round(CAST(n_ref AS DOUBLE) * tc / tr * 1000000) AS BIGINT) AS expected_x1e6,
+              |       CASE WHEN n_ref = 0 THEN NULL
+              |            ELSE CAST(round(pow(n_cur - CAST(n_ref AS DOUBLE) * tc / tr, 2)
+              |                            / (CAST(n_ref AS DOUBLE) * tc / tr) * 1000000) AS BIGINT) END AS chi2_x1e6,
+              |       CAST(n_ref = 0 AS BIGINT) AS is_new,
+              |       CAST(n_cur = 0 AS BIGINT) AS is_gone
+              |FROM j, t ORDER BY category""".stripMargin)))
 }

@@ -175,4 +175,22 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(out("ok").getLong(1) == 2L, "n_ref counts rows, null vectors included")
     assert(!out("ok").isNullAt(4))
   }
+
+  test("categoricalShift: hand-computed chi2 terms, new/gone flags, null for new") {
+    import spark.implicits._
+    // ref: a×6, b×3, c×1 (tr=10); cur: a×3, b×6, d×1 (tc=10)
+    val ref = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("cat")
+    val cur = (Seq.fill(3)("a") ++ Seq.fill(6)("b") ++ Seq("d")).toDF("cat")
+    val out = Drift.categoricalShift(ref, cur, "cat")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // expected = n_ref * 10/10 = n_ref; chi2 = (o-e)^2/e
+    assert(out("a").getLong(1) == 6L && out("a").getLong(2) == 3L)
+    assert(math.abs(out("a").getDouble(4) - 9.0 / 6.0) < 1e-12)
+    assert(math.abs(out("b").getDouble(4) - 9.0 / 3.0) < 1e-12)
+    assert(out("c").getLong(2) == 0L && out("c").getBoolean(6), "c vanished")
+    assert(math.abs(out("c").getDouble(4) - 1.0) < 1e-12) // (0-1)^2/1
+    assert(out("d").getLong(1) == 0L && out("d").getBoolean(5), "d appeared")
+    assert(out("d").isNullAt(4), "chi2 undefined for a ref-absent category")
+    assert(out.keySet === Set("a", "b", "c", "d"))
+  }
 }
