@@ -41,7 +41,7 @@ object JsonFlattener {
     else if (node.isNumber) out(path) = FlatValue.Num(node.doubleValue())
     else if (node.isTextual) out(path) = FlatValue.Str(node.textValue())
     else if (node.isObject) {
-      node.fields().asScala.foreach { e =>
+      node.properties().asScala.foreach { e =>
         flattenInto(e.getValue, path + "." + e.getKey, out)
       }
     } else if (node.isArray) {

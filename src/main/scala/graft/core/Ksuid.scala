@@ -156,7 +156,7 @@ object Ksuid {
       acc = q
     }
     while (sb.length < EncodedLength) sb.append('0')
-    sb.reverseContents().toString
+    sb.reverseInPlace().toString
   }
 
   /** Deterministic KSUID from a seed — for tests and synthetic data. */

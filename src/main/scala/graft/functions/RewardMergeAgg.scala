@@ -116,7 +116,7 @@ case class RewardMergeAgg(srcOrder: Expression, seq: Expression, rewards: Expres
     }
     CanonicalJson.tryParseBytes(mapBytes).foreach { node =>
       var pos = 0
-      node.fields().asScala.foreach { e =>
+      node.properties().asScala.foreach { e =>
         val key = e.getKey
         val valueJson = e.getValue.toString
         buffer.get(key) match {

@@ -42,7 +42,7 @@ object Merge {
     maps.foreach { m =>
       if (m != null && m != EmptyRewardsJson) {
         CanonicalJson.tryParse(m).foreach { node =>
-          node.fields().asScala.foreach(e => acc.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue))
+          node.properties().asScala.foreach(e => acc.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue))
         }
       }
     }

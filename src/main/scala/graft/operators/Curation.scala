@@ -295,7 +295,7 @@ object Curation {
     df.filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .withColumn("_ci", explode(sequence(lit(0), nChunks - 1)))
       .withColumn("chunk_start", col("_ci") * stride)
-      .select(df.columns.map(col) :+
+      .select(df.columns.map(col).toSeq :+
         col("_ci").as("chunk_idx") :+
         col("chunk_start") :+
         col(textCol).substr(col("chunk_start") + 1, lit(size)).as("chunk"): _*)

@@ -57,7 +57,7 @@ object Skew {
     require(partial.nonEmpty && finalAgg.nonEmpty, "aggregation maps must be non-empty")
     require(!df.columns.contains("_salt"), "input already has a _salt column")
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(salts)).cast("int"))
+      pmod(xxhash64((df.columns.map(col).toSeq :+ lit(seed)): _*), lit(salts)).cast("int"))
     val phase1 = salted.groupBy(col(key), col("_salt"))
       .agg(partial.head._2(col(partial.head._1)).as(partial.head._1),
         partial.tail.map { case (c, f) => f(col(c)).as(c) }.toSeq: _*)

@@ -67,6 +67,34 @@ class BoilerplateSpec extends AnyFunSuite with SparkTestBase {
     assert(all.size === 3)
   }
 
+  test("randomized differential: equals an in-memory reference implementation") {
+    def reference(docs: Seq[(Long, String)], lt: Int,
+        minDocs: Int): Map[Long, (String, Long, Long)] = {
+      val lines = docs.map { case (id, t) =>
+        id -> t.trim.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+          .grouped(lt).map(_.mkString(" ")).toVector
+      }
+      val docFreq = lines.flatMap { case (id, ls) => ls.map(l => (l, id)) }
+        .distinct.groupBy(_._1).map { case (l, v) => l -> v.size }
+      val flagged = docFreq.filter(_._2 >= minDocs).keySet
+      lines.map { case (id, ls) =>
+        val kept = ls.filterNot(flagged)
+        id -> ((kept.mkString(" "), ls.size.toLong, (ls.size - kept.size).toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val lt = 2 + rnd.nextInt(3)
+      val minDocs = 2 + rnd.nextInt(2)
+      val docs = (1L to (20L + rnd.nextInt(30))).map { i =>
+        val n = rnd.nextInt(25) // includes 0-token docs
+        (i, Seq.fill(n)(s"w${rnd.nextInt(10)}").mkString(" "))
+      }
+      assert(strip(docs, lt, minDocs) === reference(docs, lt, minDocs),
+        s"trial $trial (lineTokens=$lt minDocs=$minDocs)")
+    }
+  }
+
   test("result is layout-independent and guards reject bad parameters") {
     import spark.implicits._
     val rows = (1L to 60L).map(i =>

@@ -68,6 +68,38 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
         "src", "dst", "w", scale = 1000L))
   }
 
+  test("randomized differential: pageRankInt equals an in-memory integer reference") {
+    import spark.implicits._
+    // independent reference implementation of the documented recurrence
+    def reference(edges: Seq[(String, String, Long)], iters: Int,
+        scale: Long, damp: Long): Map[String, Long] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.size
+      val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val base = ((100L - damp) * scale) / (100L * n)
+      var r = nodes.map(_ -> scale / n).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+        for ((s, d, w) <- edges)
+          contrib(d) += (r(s) * w) / outw(s)
+        r = nodes.map(nd => nd -> (base + (damp * contrib(nd)) / 100L)).toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nNodes = 5 + rnd.nextInt(15)
+      val edges = (1 to 30 + rnd.nextInt(60)).map { _ =>
+        (s"n${rnd.nextInt(nNodes)}", s"n${rnd.nextInt(nNodes)}", (1 + rnd.nextInt(9)).toLong)
+      }.distinct
+      val iters = 1 + rnd.nextInt(5)
+      val got = Graph.pageRankInt(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+          iterations = iters, scale = 1000000L, dampNum = 85L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === reference(edges, iters, 1000000L, 85L), s"trial $trial")
+    }
+  }
+
   test("transitions builds the per-user consecutive-type edge relation deterministically") {
     import spark.implicits._
     val ev = Seq(
