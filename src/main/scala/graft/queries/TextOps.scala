@@ -258,5 +258,39 @@ object TextOps {
              |       CAST(sum(n_toks) AS BIGINT) AS type_tokens,
              |       count(*) AS n_types
              |FROM t""".stripMargin)),
+
+    // Lexical-diversity census (the Heaps/Zipf corner of a curation
+    // report): per-source token count, vocabulary size, hapax count
+    // (frequency-1 types — the Zipf tail a diversity monitor watches),
+    // and the type-token ratio in integer units. One explode + two
+    // keyed aggs; the vocabulary stays a relation, never driver state.
+    GateQuery(
+      "q_vocab_growth",
+      (s, d) => {
+        val words = documents(s, d)
+          .select(col("source"),
+            explode(split(trim(col("text")), " ")).as("w"))
+          .where(length(col("w")) >= 1)
+        val freq = words.groupBy("source", "w").agg(count(lit(1)).as("f"))
+        freq.groupBy("source")
+          .agg(
+            sum("f").cast("long").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum((col("f") === 1).cast("long")).as("n_hapax"),
+            round(count(lit(1)).cast("double") / sum("f") * 1000000)
+              .cast("long").as("ttr_x1e6"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (
+             |  SELECT source, w, count(*) AS f FROM (
+             |    SELECT source, unnest(string_split(trim(text), ' ')) AS w
+             |    FROM documents)
+             |  WHERE length(w) >= 1 GROUP BY source, w)
+             |SELECT source,
+             |       CAST(sum(f) AS BIGINT) AS n_tokens,
+             |       count(*) AS n_types,
+             |       CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |       CAST(round(CAST(count(*) AS DOUBLE) / sum(f) * 1000000) AS BIGINT) AS ttr_x1e6
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
   )
 }
