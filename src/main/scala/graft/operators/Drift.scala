@@ -253,20 +253,32 @@ object Drift {
   def categoricalShift(ref: DataFrame, cur: DataFrame,
       catCol: String): DataFrame = {
     val r = ref.groupBy(catCol).agg(count(lit(1)).as("n_ref"))
+      .withColumnRenamed(catCol, "_rcat")
     val c = cur.groupBy(catCol).agg(count(lit(1)).as("n_cur"))
-    val joined = r.join(c, Seq(catCol), "full_outer")
-      .select(col(catCol),
+      .withColumnRenamed(catCol, "_ccat")
+    // NULL-SAFE join key: a null category (missing values — a prime
+    // drift signal, the null-RATE shift) must meet itself, not split
+    // into a phantom vanished + phantom new pair as SQL equality would
+    val joined = r.join(c, r("_rcat") <=> c("_ccat"), "full_outer")
+      .select(coalesce(col("_rcat"), col("_ccat")).as(catCol),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      // the totals agg below would otherwise re-derive BOTH corpus
+      // scans; the joined relation is category-sized, so pinning it is
+      // one cheap job that halves the corpus reads
+      .localCheckpoint(true)
     val totals = broadcast(joined.agg(
       sum("n_ref").as("_tr"), sum("n_cur").as("_tc")))
     joined.crossJoin(totals)
       .withColumn("expected",
         col("n_ref").cast("double") * col("_tc") / col("_tr"))
+      .withColumn("_dev", col("n_cur") - col("expected"))
       .select(col(catCol), col("n_ref"), col("n_cur"),
         col("expected"),
+        // x*x, not pow(x, 2): a single IEEE multiply is bit-identical
+        // across engines; Math.pow/libm pow are only 1-ulp-accurate
         when(col("n_ref") === 0, lit(null).cast("double"))
-          .otherwise(pow(col("n_cur") - col("expected"), 2) / col("expected"))
+          .otherwise(col("_dev") * col("_dev") / col("expected"))
           .as("chi2_term"),
         (col("n_ref") === 0).as("is_new"),
         (col("n_cur") === 0).as("is_gone"))

@@ -318,14 +318,17 @@ object ScaleOps {
               |c AS (SELECT cat, count(*) AS n_cur FROM curs GROUP BY cat),
               |j AS (SELECT coalesce(r.cat, c.cat) AS category,
               |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
-              |      FROM r FULL OUTER JOIN c ON r.cat = c.cat),
-              |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+              |      FROM r FULL OUTER JOIN c ON r.cat IS NOT DISTINCT FROM c.cat),
+              |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+              |e AS (SELECT category, n_ref, n_cur,
+              |             CAST(n_ref AS DOUBLE) * tc / tr AS expected,
+              |             n_cur - CAST(n_ref AS DOUBLE) * tc / tr AS dev
+              |      FROM j, t)
               |SELECT category, n_ref, n_cur,
-              |       CAST(round(CAST(n_ref AS DOUBLE) * tc / tr * 1000000) AS BIGINT) AS expected_x1e6,
+              |       CAST(round(expected * 1000000) AS BIGINT) AS expected_x1e6,
               |       CASE WHEN n_ref = 0 THEN NULL
-              |            ELSE CAST(round(pow(n_cur - CAST(n_ref AS DOUBLE) * tc / tr, 2)
-              |                            / (CAST(n_ref AS DOUBLE) * tc / tr) * 1000000) AS BIGINT) END AS chi2_x1e6,
+              |            ELSE CAST(round(dev * dev / expected * 1000000) AS BIGINT) END AS chi2_x1e6,
               |       CAST(n_ref = 0 AS BIGINT) AS is_new,
               |       CAST(n_cur = 0 AS BIGINT) AS is_gone
-              |FROM j, t ORDER BY category""".stripMargin)))
+              |FROM e ORDER BY category""".stripMargin)))
 }

@@ -267,9 +267,12 @@ object TextOps {
     GateQuery(
       "q_vocab_growth",
       (s, d) => {
+        // production tokenizer (whitespaceTokens — what the LM/DSIR
+        // consumers of a diversity census use), not the single-space
+        // legacy split the minhash-joined gates are pinned to
         val words = documents(s, d)
           .select(col("source"),
-            explode(split(trim(col("text")), " ")).as("w"))
+            explode(graft.core.Text.whitespaceTokens(col("text"))).as("w"))
           .where(length(col("w")) >= 1)
         val freq = words.groupBy("source", "w").agg(count(lit(1)).as("f"))
         freq.groupBy("source")
@@ -283,7 +286,7 @@ object TextOps {
       },
       Some("""WITH f AS (
              |  SELECT source, w, count(*) AS f FROM (
-             |    SELECT source, unnest(string_split(trim(text), ' ')) AS w
+             |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
              |    FROM documents)
              |  WHERE length(w) >= 1 GROUP BY source, w)
              |SELECT source,

@@ -193,4 +193,18 @@ class DriftSpec extends AnyFunSuite with SparkTestBase {
     assert(out("d").isNullAt(4), "chi2 undefined for a ref-absent category")
     assert(out.keySet === Set("a", "b", "c", "d"))
   }
+
+  test("categoricalShift: a null category meets itself (null-RATE drift, not phantom pairs)") {
+    import spark.implicits._
+    val ref = (Seq.fill(4)(Option("a")) ++ Seq.fill(2)(Option.empty[String])).toDF("cat")
+    val cur = (Seq.fill(3)(Option("a")) ++ Seq.fill(3)(Option.empty[String])).toDF("cat")
+    val rows = Drift.categoricalShift(ref, cur, "cat").collect()
+    assert(rows.length === 2, rows.mkString("; "))
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) === 2L && nullRow.getLong(2) === 3L)
+    assert(!nullRow.getBoolean(5) && !nullRow.getBoolean(6),
+      "one merged null row — no phantom new/gone pair")
+    // chi2 for the null category: e = 2*6/6 = 2, (3-2)^2/2 = 0.5
+    assert(math.abs(nullRow.getDouble(4) - 0.5) < 1e-12)
+  }
 }
