@@ -385,6 +385,49 @@ object Curation {
       .drop("_copies")
   }
 
+  /** Curriculum staging: assign every row an exact NTILE bucket over
+    * (score, id) order — easy-to-hard training stages — WITHOUT a
+    * corpus-wide window. A plain `ntile` is a single-partition window
+    * (the whole corpus through one task); here the exact global rank
+    * is derived as histogram offset + within-score row_number:
+    *
+    *   rank(row) = (# rows with strictly smaller score)
+    *             + row_number within its score group (by id)
+    *
+    * The histogram/offset relation is DISTINCT-SCORE-sized (scores are
+    * discretized by construction — token counts, quality deciles), the
+    * within-score window partitions by score, and the ntile boundary
+    * arithmetic (first n mod b buckets get one extra row — the SQL
+    * standard distribution, so a plain-ntile oracle matches exactly)
+    * needs only the total count scalar. Appends `stage` (1-based) and
+    * `_rank`; order epochs by (stage, [[hashBucket]] shuffle, id) for
+    * a reproducible easy-first schedule.
+    */
+  def curriculumStages(df: DataFrame, idCol: String, scoreCol: String,
+      stages: Int): DataFrame = {
+    require(stages >= 1, s"stages must be >= 1, got $stages")
+    val hist = df.groupBy(scoreCol).agg(count(lit(1)).as("_cnt"))
+    val histW = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = hist
+      .withColumn("_base", coalesce(sum("_cnt").over(histW), lit(0L)))
+      .select(col(scoreCol), col("_base"))
+    val n = hist.agg(sum("_cnt")).head().getLong(0)
+    val q = n / stages
+    val r = n % stages
+    val inScore = Window.partitionBy(scoreCol).orderBy(col(idCol))
+    val ranked = df.join(base, Seq(scoreCol))
+      .withColumn("_rank",
+        col("_base") + row_number().over(inScore).cast("long"))
+    // CaseWhen evaluates only the taken branch, so the div-by-q arm is
+    // never touched when q = 0 (fewer rows than stages)
+    ranked.withColumn("stage",
+      (when(col("_rank") <= lit(r * (q + 1)),
+        expr(s"(_rank - 1) div ${q + 1}"))
+        .otherwise(lit(r) + expr(s"(_rank - 1 - ${r * (q + 1)}) div $q"))
+        + 1).cast("int"))
+  }
+
   /** Corpus release auditing: classify every id across two snapshots as
     * added / removed / changed / unchanged by content hash — the diff a
     * dataset release pipeline publishes (and gates on) before swapping

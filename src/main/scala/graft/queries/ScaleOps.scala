@@ -330,5 +330,41 @@ object ScaleOps {
               |            ELSE CAST(round(dev * dev / expected * 1000000) AS BIGINT) END AS chi2_x1e6,
               |       CAST(n_ref = 0 AS BIGINT) AS is_new,
               |       CAST(n_cur = 0 AS BIGINT) AS is_gone
-              |FROM e ORDER BY category""".stripMargin)))
+              |FROM e ORDER BY category""".stripMargin)),
+
+    // Curriculum staging: exact NTILE over (n_chars, doc_id) computed
+    // WITHOUT a corpus-wide window (histogram offset + within-score
+    // row_number — see Curation.curriculumStages); the oracle is the
+    // PLAIN ntile/row_number window, so the gate proves the
+    // distributed rank derivation exactly reproduces the standard
+    // semantics. rank_checksum pins every row's global rank;
+    // order_checksum pins the within-stage shuffle keys.
+    GateQuery(
+      "q_curriculum",
+      (s, d) => {
+        val staged = Curation.curriculumStages(
+          documents(s, d).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", stages = 4)
+        val shuf = Curation.hashBucket(
+          concat(lit("cur:7:"), col("doc_id").cast("string")))
+        staged.groupBy("stage")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_score"),
+            max("n_chars").as("max_score"),
+            sum(col("_rank") * col("doc_id")).cast("long").as("rank_checksum"),
+            sum(shuf * col("doc_id")).cast("long").as("order_checksum"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH k AS (
+              |  SELECT doc_id, n_chars,
+              |         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
+              |         ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage,
+              |         ${bucketSql("'cur:7:' || CAST(doc_id AS VARCHAR)")} AS shuf
+              |  FROM documents)
+              |SELECT stage, count(*) AS n_docs,
+              |       min(n_chars) AS min_score, max(n_chars) AS max_score,
+              |       CAST(sum(rnk * doc_id) AS BIGINT) AS rank_checksum,
+              |       CAST(sum(shuf * doc_id) AS BIGINT) AS order_checksum
+              |FROM k GROUP BY stage ORDER BY stage""".stripMargin)))
 }
