@@ -154,7 +154,9 @@ object ScaleStress {
     // exact set-similarity join: output is data-quadratic in TRUE
     // pairs (this corpus is clique-heavy by design) — the stress run
     // measures the exact path's cost envelope vs the LSH-capped one
-    "q_set_join_exact", "q_ann_ivf_stream")
+    "q_set_join_exact", "q_ann_ivf_stream",
+    "q_snapshot_diff", "q_drift_categorical", "q_vocab_growth",
+    "q_curriculum")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)
