@@ -406,17 +406,27 @@ object Curation {
   def curriculumStages(df: DataFrame, idCol: String, scoreCol: String,
       stages: Int): DataFrame = {
     require(stages >= 1, s"stages must be >= 1, got $stages")
+    // distinct-score-sized; pinned because it feeds the offset window
+    // AND the total-count scalar (two consumers, one corpus scan)
     val hist = df.groupBy(scoreCol).agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(true)
     val histW = Window.orderBy(col(scoreCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val base = hist
       .withColumn("_base", coalesce(sum("_cnt").over(histW), lit(0L)))
-      .select(col(scoreCol), col("_base"))
-    val n = hist.agg(sum("_cnt")).head().getLong(0)
+      .select(col(scoreCol).as("_bscore"), col("_base"))
+    // coalesce: an EMPTY corpus sums to null — return the (empty)
+    // frame instead of NPE-ing on the scalar
+    val n = hist.agg(coalesce(sum("_cnt"), lit(0L))).head().getLong(0)
     val q = n / stages
     val r = n % stages
     val inScore = Window.partitionBy(scoreCol).orderBy(col(idCol))
-    val ranked = df.join(base, Seq(scoreCol))
+    // NULL-SAFE score join: a null score is a real histogram group
+    // (Spark window order puts nulls FIRST, so they rank first) — SQL
+    // equality would silently drop those rows AND leave their count
+    // baked into every other score's offset
+    val ranked = df.join(base, col(scoreCol) <=> col("_bscore"))
+      .drop("_bscore")
       .withColumn("_rank",
         col("_base") + row_number().over(inScore).cast("long"))
     // CaseWhen evaluates only the taken branch, so the div-by-q arm is

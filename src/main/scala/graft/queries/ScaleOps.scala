@@ -347,13 +347,18 @@ object ScaleOps {
           "doc_id", "n_chars", stages = 4)
         val shuf = Curation.hashBucket(
           concat(lit("cur:7:"), col("doc_id").cast("string")))
+        // per-row modular fold to 2^31 before summing: the raw
+        // Σ shuf·doc_id passes 2^63 at x10 stress ids (ANSI overflow);
+        // folded terms keep the sum under 2^62 to ~2^31 rows
         staged.groupBy("stage")
           .agg(
             count(lit(1)).as("n_docs"),
             min("n_chars").as("min_score"),
             max("n_chars").as("max_score"),
-            sum(col("_rank") * col("doc_id")).cast("long").as("rank_checksum"),
-            sum(shuf * col("doc_id")).cast("long").as("order_checksum"))
+            sum(pmod(col("_rank") * col("doc_id"), lit(2147483648L)))
+              .cast("long").as("rank_checksum"),
+            sum(pmod(shuf * col("doc_id"), lit(2147483648L)))
+              .cast("long").as("order_checksum"))
           .orderBy("stage")
       },
       Some(s"""WITH k AS (
@@ -364,7 +369,7 @@ object ScaleOps {
               |  FROM documents)
               |SELECT stage, count(*) AS n_docs,
               |       min(n_chars) AS min_score, max(n_chars) AS max_score,
-              |       CAST(sum(rnk * doc_id) AS BIGINT) AS rank_checksum,
-              |       CAST(sum(shuf * doc_id) AS BIGINT) AS order_checksum
+              |       CAST(sum((rnk * doc_id) % 2147483648) AS BIGINT) AS rank_checksum,
+              |       CAST(sum((shuf * doc_id) % 2147483648) AS BIGINT) AS order_checksum
               |FROM k GROUP BY stage ORDER BY stage""".stripMargin)))
 }

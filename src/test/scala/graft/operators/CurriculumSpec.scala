@@ -38,6 +38,22 @@ class CurriculumSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("null scores rank first and are never dropped (plain-window parity)") {
+    import spark.implicits._
+    val docs = Seq((1L, Some(5L)), (2L, Option.empty[Long]), (3L, Some(1L)),
+      (4L, Option.empty[Long]), (5L, Some(5L))).toDF("doc_id", "score")
+    val d = distributed(docs, 2)
+    assert(d === plainNtile(docs, 2))
+    assert(d.size === 5, "null-score rows must survive")
+    assert(Set(d(2L)._1, d(4L)._1) === Set(1L, 2L), "nulls occupy the first ranks")
+  }
+
+  test("empty input returns an empty frame, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "score")
+    assert(Curation.curriculumStages(empty, "doc_id", "score", 4).count() === 0L)
+  }
+
   test("edge cases: fewer rows than stages, one stage, guards") {
     import spark.implicits._
     val tiny = Seq((1L, 9L), (2L, 3L)).toDF("doc_id", "score")
