@@ -163,10 +163,20 @@ object ScaleStress {
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(',').toSet)
     val selected = Heavy.filter(q => only.forall(_.contains(q)))
     spark.range(0, 100000).selectExpr("sum(id * 2)").collect() // JVM warmup
+    // SPARK_GRAFT_STRESS_FULL=1 materializes EVERY output column via
+    // the noop sink instead of count() — count() lets Catalyst prune
+    // unused projections (a checksum aggregate can be timed out of
+    // existence, which once masked an ANSI overflow); full mode is the
+    // honest measurement, count() stays the default for comparability
+    // with the recorded tables
+    val fullEval = sys.env.get("SPARK_GRAFT_STRESS_FULL").contains("1")
     def time(name: String, d: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n = fn(spark, d).count()
+      val df = fn(spark, d)
+      val n = if (fullEval) {
+        df.write.mode("overwrite").format("noop").save(); -1L
+      } else df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       System.err.println(f"[stress] $name @ $d: $dt%.1fs ($n rows)")
