@@ -107,4 +107,83 @@ object Graph {
       .groupBy(col(typeCol).as("src"), col("_dst").as("dst"))
       .agg(count(lit(1)).as("w"))
   }
+
+  /** Co-occurrence edge extraction for basket-shaped logs: an
+    * undirected edge (a, b), a < b, for every pair of distinct
+    * `itemCol` values sharing a `groupCol` value, weighted by the
+    * number of co-occurring groups. The pair generation is a
+    * per-group self-join, so its cost is Σ groupsize² — bounded by
+    * the largest GROUP (an order's line count, a session's length),
+    * never the corpus; the same fan-in contract as the basket
+    * association operator.
+    */
+  def cooccurrenceEdges(df: DataFrame, groupCol: String,
+      itemCol: String): DataFrame = {
+    val items = df.select(col(groupCol).as("_g"), col(itemCol).as("_i"))
+      .distinct()
+    val a = items.select(col("_g"), col("_i").as("a"))
+    val b = items.select(col("_g"), col("_i").as("b"))
+    a.join(b, Seq("_g")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+  }
+
+  /** Exact triangle count plus wedge census over an undirected edge
+    * relation (`aCol` < `bCol` canonical, no duplicates — the
+    * [[cooccurrenceEdges]] contract). Returns one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles). The global clustering
+    * coefficient is 3·triangles / wedges — left to the caller as the
+    * two exact integers so no cross-engine float division happens
+    * here.
+    *
+    * Scale shape: the classic node-iterator-with-orientation join.
+    * Edges are oriented by a TOTAL degree order (degree, then node id)
+    * so every triangle is counted exactly once from its lowest node,
+    * and — the scale property — wedge fan-in is Σ outdeg², where the
+    * orientation bounds outdeg by O(√m) on any graph (a high-degree
+    * hub receives edges instead of emitting them). Two
+    * hash-partitioned joins (wedge build on the shared endpoint,
+    * wedge close against the edge relation) + long-sum aggs; no
+    * driver state, no adjacency broadcast.
+    */
+  def triangleCensus(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      // consumed five times below (degrees, counts, orientation ×2,
+      // close); without pinning, each action re-derives the upstream
+      // extraction over the full log
+      .localCheckpoint()
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val nNodes = deg.count()
+    val nEdges = e.count()
+    // wedges from UNORIENTED degrees: Σ C(d, 2)
+    val nWedges = deg.agg(sum(expr("d * (d - 1) div 2"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    // orient low → high in (degree, id) order
+    val dA = deg.select(col("n").as("a"), col("d").as("_da"))
+    val dB = deg.select(col("n").as("b"), col("d").as("_db"))
+    val oriented = e.join(dA, "a").join(dB, "b")
+      .select(
+        when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")),
+          struct(col("a").as("lo"), col("b").as("hi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
+          .as("_e"))
+      .select(col("_e.lo").as("lo"), col("_e.hi").as("hi"))
+      .localCheckpoint()
+    // wedge build: two oriented edges out of the same low node; close
+    // against the UNDIRECTED edge set (canonical a < b)
+    val w1 = oriented.select(col("lo"), col("hi").as("x"))
+    val w2 = oriented.select(col("lo"), col("hi").as("y"))
+    val wedges = w1.join(w2, Seq("lo")).filter(col("x") < col("y"))
+    val closed = wedges.join(e,
+      wedges("x") === e("a") && wedges("y") === e("b"))
+    val nTriangles = closed.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, nWedges, nTriangles))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+  }
 }

@@ -113,4 +113,66 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     // user1: x->y, y->x; user2 (ties broken by event_id 4 then 5): y->y, y->x
     assert(got === Map(("x", "y") -> 1L, ("y", "x") -> 2L, ("y", "y") -> 1L))
   }
+
+  test("triangleCensus on known graphs: triangle, square, K4, disjoint edge") {
+    import spark.implicits._
+    def census(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val r = Graph.triangleCensus(edges.toDF("a", "b"), "a", "b").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // K3: 3 nodes, 3 edges, 3 wedges (each node degree 2), 1 triangle
+    assert(census(Seq((1L, 2L), (1L, 3L), (2L, 3L))) === ((3L, 3L, 3L, 1L)))
+    // C4 (square): 4 wedges, 0 triangles
+    assert(census(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) ===
+      ((4L, 4L, 4L, 0L)))
+    // K4: every node degree 3 -> 4*C(3,2)=12 wedges, C(4,3)=4 triangles
+    assert(census(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))) === ((4L, 6L, 12L, 4L)))
+    // K3 plus a disjoint edge: wedges/triangles unchanged, counts grow
+    assert(census(Seq((1L, 2L), (1L, 3L), (2L, 3L), (8L, 9L))) ===
+      ((5L, 4L, 3L, 1L)))
+  }
+
+  test("randomized differential: triangleCensus equals brute-force enumeration") {
+    import spark.implicits._
+    for (seed <- Seq(5, 6, 7)) {
+      val rnd = new scala.util.Random(seed)
+      // G(n, m) with duplicates filtered to the canonical a < b form —
+      // includes high-degree hubs (node 0 biased) to exercise the
+      // degree orientation
+      val edges = (1 to 300).map { _ =>
+        val a = if (rnd.nextInt(4) == 0) 0L else rnd.nextInt(30).toLong
+        val b = rnd.nextInt(30).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val r = Graph.triangleCensus(edges.toDF("a", "b"), "a", "b").head()
+      val eset = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val deg = nodes.map(n => edges.count(e => e._1 == n || e._2 == n))
+      val wedges = deg.map(d => d.toLong * (d - 1) / 2).sum
+      val tris = (for {
+        x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+        if eset((x, y)) && eset((x, z)) && eset((y, z))
+      } yield 1).size.toLong
+      assert(r.getLong(0) === nodes.size.toLong, s"seed $seed nodes")
+      assert(r.getLong(1) === edges.size.toLong, s"seed $seed edges")
+      assert(r.getLong(2) === wedges, s"seed $seed wedges")
+      assert(r.getLong(3) === tris, s"seed $seed triangles")
+    }
+  }
+
+  test("cooccurrenceEdges builds canonical weighted pair relation, bounded per group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L), // dup item in group 1
+      (2L, 20L), (2L, 10L),
+      (3L, 40L)) // singleton group -> no edges
+      .toDF("g", "item")
+    val got = Graph.cooccurrenceEdges(df, "g", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (10L, 20L) -> 2L, // groups 1 and 2
+      (10L, 30L) -> 1L,
+      (20L, 30L) -> 1L))
+  }
 }
