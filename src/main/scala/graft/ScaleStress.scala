@@ -156,7 +156,13 @@ object ScaleStress {
     // measures the exact path's cost envelope vs the LSH-capped one
     "q_set_join_exact", "q_ann_ivf_stream",
     "q_snapshot_diff", "q_drift_categorical", "q_vocab_growth",
-    "q_curriculum")
+    "q_curriculum",
+    // r9 mining family: the deletion-neighborhood join (signature
+    // relation is corpus-characters-sized), the wedge-bounded triangle
+    // census (fan-in O(sqrt m) per node by orientation), the two-scan
+    // PMI counts, and the anchor-broadcast hard-negative rank
+    "q_fuzzy_join_edit", "q_triangle_count", "q_pmi_bigrams",
+    "q_hard_negatives")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

@@ -20,6 +20,10 @@ object MiningOps {
   private def bucketSql(key: String): String =
     s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
 
+  // must precede `queries` (object vals initialize in declaration order)
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
   /** The dirty/clean linkage corpus: catalog strings made unique-ish
     * by appending the size, and a deterministic one-character deletion
     * at position p_partkey % length — the classic typo'd-feed shape.
@@ -283,5 +287,116 @@ object MiningOps {
              |SELECT user_id, count(*) AS n_events,
              |       CAST(sum(roll) AS BIGINT) AS sum_roll_cents,
              |       CAST(max(roll) AS BIGINT) AS max_roll_cents
-             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // DPO/RLHF preference-pair construction: per prompt group, pair
+    // the best- and worst-scoring responses. The (score, id) argmax is
+    // packed into ONE long (score · 2^23 + id) so chosen/rejected are
+    // plain min/max aggregates — no engine-specific struct-ordering or
+    // arg_max tie semantics anywhere; ties are impossible because the
+    // id occupies the low bits. One shuffle on the group key.
+    GateQuery(
+      "q_preference_pairs",
+      (s, d) => {
+        val scored = documents(s, d)
+          .withColumn("words", split(trim(col("text")), " "))
+          .withColumn("score",
+            expr(s"(size(filter(words, w -> w IN ($stopListSql))) * 1000000L)" +
+              " div size(words)"))
+          .withColumn("pack", col("score") * lit(1L << 23) + col("doc_id"))
+        scored
+          .groupBy(expr("doc_id div 16").as("grp"))
+          .agg(
+            count(lit(1)).as("n"),
+            max("pack").as("_c"),
+            min("pack").as("_r"))
+          .filter(col("n") >= 2)
+          .select(
+            col("grp"), col("n"),
+            pmod(col("_c"), lit(1L << 23)).as("chosen_id"),
+            pmod(col("_r"), lit(1L << 23)).as("rejected_id"),
+            (expr("_c div 8388608") - expr("_r div 8388608"))
+              .as("margin_x1e6"))
+          .orderBy("grp")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id,
+              |         (CAST(len(list_filter(string_split(trim(text), ' '),
+              |                               w -> w IN ($stopListSql))) AS BIGINT)
+              |          * 1000000) // len(string_split(trim(text), ' ')) AS score
+              |  FROM documents),
+              |packed AS (SELECT doc_id, score,
+              |                  score * 8388608 + doc_id AS pack
+              |           FROM scored),
+              |g AS (SELECT doc_id // 16 AS grp, count(*) AS n,
+              |             max(pack) AS c, min(pack) AS r
+              |      FROM packed GROUP BY doc_id // 16)
+              |SELECT grp, n,
+              |       CAST(c % 8388608 AS BIGINT) AS chosen_id,
+              |       CAST(r % 8388608 AS BIGINT) AS rejected_id,
+              |       CAST(c // 8388608 - r // 8388608 AS BIGINT) AS margin_x1e6
+              |FROM g WHERE n >= 2 ORDER BY grp""".stripMargin)),
+
+    // Stratified k-fold assignment: fold membership is a content
+    // hash, not RNG state — retry-stable, layout-independent,
+    // reproducible in any engine with md5. Census per (fold, lang)
+    // pins both the sizes (balance) and the exact membership (id
+    // checksum); the sampled relation itself never shuffles.
+    GateQuery(
+      "q_kfold_split",
+      (s, d) =>
+        documents(s, d)
+          .withColumn("fold",
+            pmod(Curation.hashBucket(
+              concat(lit("fold:"), col("doc_id").cast("string"))), lit(5)))
+          .groupBy("fold", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").cast("long").as("n_chars"),
+            sum(Curation.hashBucket(col("doc_id").cast("string")))
+              .cast("long").as("id_checksum"))
+          .orderBy("fold", "lang"),
+      Some(s"""SELECT ${bucketSql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold,
+              |       lang, count(*) AS n_docs,
+              |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
+              |FROM documents
+              |GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin)),
+
+    // Off-policy evaluation (IPS / self-normalized IPS) for the
+    // decision-log domain: per action, the importance-weighted value
+    // estimate under a synthetic-but-deterministic behavior propensity
+    // p = k/10, k = 1 + md5bucket % 9. The weight 1/p ships as the
+    // EXACT integer 25200/k (2520 = lcm(1..9) scaling), so every sum
+    // is long arithmetic — no cross-partition double accumulation
+    // anywhere, bit-identical across engines and layouts. One partial+
+    // final agg; the SNIPS ratio is exact integer division at the end.
+    GateQuery(
+      "q_offpolicy_ips",
+      (s, d) =>
+        events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("k",
+            pmod(Curation.hashBucket(
+              concat(lit("prop:"), col("event_id").cast("string"))), lit(9)) + 1)
+          .withColumn("w_x2520", expr("25200L div k"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("w_x2520").cast("long").as("sum_w_x2520"),
+            sum(col("cents") * col("w_x2520")).cast("long")
+              .as("ips_sum_x2520c"))
+          .withColumn("snips_x1e4",
+            expr("(ips_sum_x2520c * 10000L) div sum_w_x2520"))
+          .orderBy("event_type"),
+      Some(s"""WITH ev AS (
+              |  SELECT event_type,
+              |         CAST(round(value * 100) AS BIGINT) AS cents,
+              |         25200 // (${bucketSql("'prop:' || CAST(event_id AS VARCHAR)")} % 9 + 1) AS w
+              |  FROM events)
+              |SELECT event_type, count(*) AS n,
+              |       CAST(sum(w) AS BIGINT) AS sum_w_x2520,
+              |       CAST(sum(cents * w) AS BIGINT) AS ips_sum_x2520c,
+              |       CAST((CAST(sum(cents * w) AS BIGINT) * 10000) // CAST(sum(w) AS BIGINT) AS BIGINT) AS snips_x1e4
+              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }
