@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Robust}
+
+/** Gate queries for the dataset-audit extension family: annotator
+  * agreement (Cohen's kappa), label-balance census (Gini impurity),
+  * robust length-outlier detection (exact median/MAD), and web-corpus
+  * URL provenance. House rules throughout: every ratio ships as an
+  * integer-unit projection, and any product that could exceed long
+  * range at cluster-scale group sizes is widened to DECIMAL(38,0) on
+  * the Spark side and HUGEINT in the oracle BEFORE multiplying — the
+  * arithmetic stays exact at any n, and truncating `div`/`//` agree
+  * between the engines (both round toward zero).
+  */
+object AuditOps {
+  import Tables._
+
+  /** Oracle twin of [[Curation.hashBucket]]. */
+  private def bucketSql(key: String): String =
+    s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // Inter-annotator agreement on a labeled corpus: two deterministic
+    // annotators (content-hash labels; annotator 2 flips annotator 1's
+    // call on a planted 20% hash slice), then per-language Cohen's
+    // kappa from the EXACT integer identity
+    //   kappa = (a·n − S) / (n² − S),  S = r1·c1 + r0·c0
+    // — numerator and denominator are pure counts, so the only
+    // division is the final ×1e6 integral one. Widened to decimal so
+    // a·n and n² stay exact for groups of any size. One shuffle.
+    GateQuery(
+      "q_cohen_kappa",
+      (s, d) =>
+        documents(s, d)
+          .withColumn("a1",
+            pmod(Curation.hashBucket(
+              concat(lit("a1:"), col("doc_id").cast("string"))), lit(2)))
+          .withColumn("a2",
+            when(pmod(Curation.hashBucket(
+              concat(lit("flip:"), col("doc_id").cast("string"))), lit(5)) === 0,
+              lit(1L) - col("a1")).otherwise(col("a1")))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("a1") === col("a2"), 1L).otherwise(0L)).as("n_agree"),
+            sum("a1").cast("long").as("n_pos_a1"),
+            sum("a2").cast("long").as("n_pos_a2"))
+          .withColumn("_s",
+            expr("CAST(n_pos_a1 AS DECIMAL(38,0)) * n_pos_a2" +
+              " + (CAST(n AS DECIMAL(38,0)) - n_pos_a1) * (n - n_pos_a2)"))
+          .withColumn("kappa_x1e6",
+            expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - _s = 0 THEN NULL" +
+              " ELSE CAST((CAST(n_agree AS DECIMAL(38,0)) * n - _s) * 1000000" +
+              " div (CAST(n AS DECIMAL(38,0)) * n - _s) AS BIGINT) END"))
+          .select("lang", "n", "n_agree", "n_pos_a1", "n_pos_a2", "kappa_x1e6")
+          .orderBy("lang"),
+      Some(s"""WITH lab AS (
+              |  SELECT lang,
+              |         ${bucketSql("'a1:' || CAST(doc_id AS VARCHAR)")} % 2 AS a1,
+              |         ${bucketSql("'flip:' || CAST(doc_id AS VARCHAR)")} % 5 AS f
+              |  FROM documents),
+              |lab2 AS (SELECT lang, a1,
+              |                CASE WHEN f = 0 THEN 1 - a1 ELSE a1 END AS a2
+              |         FROM lab),
+              |g AS (SELECT lang, count(*) AS n,
+              |             CAST(sum(CASE WHEN a1 = a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+              |             CAST(sum(a1) AS BIGINT) AS n_pos_a1,
+              |             CAST(sum(a2) AS BIGINT) AS n_pos_a2
+              |      FROM lab2 GROUP BY lang),
+              |k AS (SELECT *,
+              |             CAST(n_pos_a1 AS HUGEINT) * n_pos_a2
+              |               + (CAST(n AS HUGEINT) - n_pos_a1) * (n - n_pos_a2) AS s
+              |      FROM g)
+              |SELECT lang, n, n_agree, n_pos_a1, n_pos_a2,
+              |       CASE WHEN CAST(n AS HUGEINT) * n - s = 0 THEN NULL
+              |            ELSE CAST((CAST(n_agree AS HUGEINT) * n - s) * 1000000
+              |                      // (CAST(n AS HUGEINT) * n - s) AS BIGINT) END AS kappa_x1e6
+              |FROM k ORDER BY lang""".stripMargin)),
+
+    // Label-balance census per source: Gini impurity and majority
+    // share of the language distribution, from the exact identity
+    //   gini = (n² − Σcᵢ²) / n²
+    // over the (source, lang) count relation — two keyed aggs, the
+    // second over a classes-sized relation. Same decimal widening.
+    GateQuery(
+      "q_gini_label_balance",
+      (s, d) =>
+        documents(s, d)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("_c"))
+          .groupBy("source")
+          .agg(
+            sum("_c").cast("long").as("n_docs"),
+            count(lit(1)).as("n_classes"),
+            sum(expr("CAST(_c AS DECIMAL(38,0)) * _c")).as("_sq"),
+            max("_c").cast("long").as("_maxc"))
+          .withColumn("gini_x1e6",
+            expr("CAST(((CAST(n_docs AS DECIMAL(38,0)) * n_docs - _sq) * 1000000)" +
+              " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)"))
+          .withColumn("majority_x1e6",
+            expr("(_maxc * 1000000L) div n_docs"))
+          .select("source", "n_docs", "n_classes", "gini_x1e6", "majority_x1e6")
+          .orderBy("source"),
+      Some("""WITH c AS (SELECT source, lang, count(*) AS c
+             |           FROM documents GROUP BY source, lang),
+             |g AS (SELECT source,
+             |             CAST(sum(c) AS BIGINT) AS n_docs,
+             |             count(*) AS n_classes,
+             |             sum(CAST(c AS HUGEINT) * c) AS sq,
+             |             CAST(max(c) AS BIGINT) AS maxc
+             |      FROM c GROUP BY source)
+             |SELECT source, n_docs, n_classes,
+             |       CAST(((CAST(n_docs AS HUGEINT) * n_docs - sq) * 1000000)
+             |            // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS gini_x1e6,
+             |       (maxc * 1000000) // n_docs AS majority_x1e6
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // Robust length-outlier detection per language: exact lower
+    // median + MAD over n_chars via Robust.madOutliers — the Spark
+    // side derives both medians from distinct-value HISTOGRAMS (the
+    // only windows are histogram-sized), while the oracle is the
+    // PLAIN row_number-window derivation, so the gate proves the
+    // scale-correct plan reproduces textbook rank semantics. Census
+    // pins the medians, MADs, outlier counts, and exact outlier
+    // membership (id checksum).
+    GateQuery(
+      "q_length_outliers",
+      (s, d) =>
+        Robust.madOutliers(documents(s, d), "lang", "n_chars", k = 3)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max("median").as("median_chars"),
+            max("mad").as("mad_chars"),
+            sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+            sum(when(col("is_outlier"),
+              Curation.hashBucket(col("doc_id").cast("string")))
+              .otherwise(0L)).cast("long").as("outlier_checksum"))
+          .orderBy("lang"),
+      Some(s"""WITH ranked AS (
+              |  SELECT lang, doc_id, n_chars,
+              |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+              |         count(*) OVER (PARTITION BY lang) AS n
+              |  FROM documents),
+              |med AS (SELECT lang, n_chars AS med FROM ranked WHERE rn = (n + 1) // 2),
+              |dev AS (SELECT d.lang, d.doc_id, m.med,
+              |               abs(d.n_chars - m.med) AS dv
+              |        FROM documents d JOIN med m ON d.lang = m.lang),
+              |rdev AS (SELECT lang, doc_id, dv,
+              |                row_number() OVER (PARTITION BY lang ORDER BY dv, doc_id) AS rn,
+              |                count(*) OVER (PARTITION BY lang) AS n
+              |         FROM dev),
+              |mad AS (SELECT lang, dv AS mad FROM rdev WHERE rn = (n + 1) // 2)
+              |SELECT dev.lang, count(*) AS n_docs,
+              |       CAST(max(med) AS BIGINT) AS median_chars,
+              |       CAST(max(mad.mad) AS BIGINT) AS mad_chars,
+              |       CAST(sum(CASE WHEN dv > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              |       CAST(sum(CASE WHEN dv > 3 * mad.mad
+              |                     THEN ${bucketSql("CAST(doc_id AS VARCHAR)")}
+              |                     ELSE 0 END) AS BIGINT) AS outlier_checksum
+              |FROM dev JOIN mad ON dev.lang = mad.lang
+              |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin)),
+
+    // Web-corpus URL provenance: a deterministic URL per document
+    // (host fans out over lang × residues, path depth varies by id),
+    // then pure STRUCTURAL parsing — split on '/' and '.', negative
+    // indexing for the registered domain — and a per-registered-domain
+    // census (docs, distinct hosts, path-depth mass, membership
+    // checksum). No regex anywhere: split-on-literal behaves
+    // identically in Java and RE2-family engines, which regex '.'
+    // classes do not. One explode-free scan + one keyed agg.
+    GateQuery(
+      "q_url_extract",
+      (s, d) =>
+        documents(s, d)
+          .withColumn("url",
+            concat(lit("https://"), col("lang"), col("doc_id") % 7,
+              lit(".example"), col("doc_id") % 3, lit(".com/"),
+              col("source"), lit("/"),
+              expr("repeat('p/', CAST(doc_id % 3 AS INT))"),
+              col("doc_id")))
+          .withColumn("_parts", split(col("url"), "/"))
+          .withColumn("host", element_at(col("_parts"), 3))
+          .withColumn("_hs", split(col("host"), "\\."))
+          .withColumn("reg_domain",
+            concat(element_at(col("_hs"), -2), lit("."),
+              element_at(col("_hs"), -1)))
+          .withColumn("depth", (size(col("_parts")) - 3).cast("long"))
+          .groupBy("reg_domain")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct("host").as("n_hosts"),
+            sum("depth").cast("long").as("sum_depth"),
+            sum(Curation.hashBucket(col("doc_id").cast("string")))
+              .cast("long").as("id_checksum"))
+          .orderBy("reg_domain"),
+      Some(s"""WITH u AS (
+              |  SELECT doc_id,
+              |         'https://' || lang || CAST(doc_id % 7 AS VARCHAR)
+              |           || '.example' || CAST(doc_id % 3 AS VARCHAR) || '.com/'
+              |           || source || '/'
+              |           || repeat('p/', CAST(doc_id % 3 AS INT))
+              |           || CAST(doc_id AS VARCHAR) AS url
+              |  FROM documents),
+              |p AS (SELECT doc_id,
+              |             string_split(url, '/') AS parts,
+              |             string_split(url, '/')[3] AS host
+              |      FROM u),
+              |r AS (SELECT doc_id, host,
+              |             string_split(host, '.')[-2] || '.' ||
+              |             string_split(host, '.')[-1] AS reg_domain,
+              |             CAST(len(parts) - 3 AS BIGINT) AS depth
+              |      FROM p)
+              |SELECT reg_domain, count(*) AS n_docs,
+              |       count(DISTINCT host) AS n_hosts,
+              |       CAST(sum(depth) AS BIGINT) AS sum_depth,
+              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
+              |FROM r GROUP BY reg_domain ORDER BY reg_domain""".stripMargin)))
+}
