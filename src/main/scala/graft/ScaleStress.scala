@@ -162,7 +162,11 @@ object ScaleStress {
     // census (fan-in O(sqrt m) per node by orientation), the two-scan
     // PMI counts, and the anchor-broadcast hard-negative rank
     "q_fuzzy_join_edit", "q_triangle_count", "q_pmi_bigrams",
-    "q_hard_negatives")
+    "q_hard_negatives",
+    // r9 audit family: the histogram-median claim is only interesting
+    // under data — the windows must stay value-domain-sized while the
+    // row count grows 10×
+    "q_length_outliers", "q_cohen_kappa")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

@@ -45,22 +45,29 @@ object Robust {
 
   /** Per-row MAD outlier flags: |value − group median| > k · group MAD
     * (MAD = lower median of the absolute deviations). Appends columns
-    * `median`, `mad`, `dev`, `is_outlier` to the input rows. Both
-    * median passes ride the histogram shape above; the group-stat
-    * relations joined back are one-row-per-group (broadcast-sized at
-    * any corpus scale). A group with MAD = 0 (over half its values
-    * identical) flags exactly the rows with any deviation when k ≥ 0 —
-    * the standard degenerate-MAD behavior, spec-pinned.
+    * `median`, `mad`, `dev`, `is_outlier` to the input rows — EVERY
+    * input row survives, including null-valued rows and rows of groups
+    * whose values are all null (group stats join back via LEFT joins;
+    * a null value yields null median-context columns as needed and
+    * `is_outlier = false`, since a value that doesn't exist cannot be
+    * an outlier — an explicit false, not a null that downstream
+    * `when(...)` guards would silently misread). Both median passes
+    * ride the histogram shape above; the group-stat relations joined
+    * back are one-row-per-group (broadcast-sized at any corpus scale).
+    * A group with MAD = 0 (over half its values identical) flags
+    * exactly the rows with any deviation when k ≥ 0 — the standard
+    * degenerate-MAD behavior, spec-pinned.
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
     val med = groupMedian(df, groupCol, valueCol)
-    val withDev = df.join(med, Seq(groupCol))
+    val withDev = df.join(med, Seq(groupCol), "left")
       .withColumn("dev", abs(col(valueCol).cast("long") - col("median")))
     val mad = groupMedian(withDev, groupCol, "dev")
       .withColumnRenamed("median", "mad")
-    withDev.join(mad, Seq(groupCol))
-      .withColumn("is_outlier", col("dev") > lit(k.toLong) * col("mad"))
+    withDev.join(mad, Seq(groupCol), "left")
+      .withColumn("is_outlier",
+        coalesce(col("dev") > lit(k.toLong) * col("mad"), lit(false)))
   }
 }

@@ -17,10 +17,6 @@ import graft.operators.{Curation, Robust}
 object AuditOps {
   import Tables._
 
-  /** Oracle twin of [[Curation.hashBucket]]. */
-  private def bucketSql(key: String): String =
-    s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
-
   val queries: Seq[GateQuery] = Seq(
 
     // Inter-annotator agreement on a labeled corpus: two deterministic
@@ -59,8 +55,8 @@ object AuditOps {
           .orderBy("lang"),
       Some(s"""WITH lab AS (
               |  SELECT lang,
-              |         ${bucketSql("'a1:' || CAST(doc_id AS VARCHAR)")} % 2 AS a1,
-              |         ${bucketSql("'flip:' || CAST(doc_id AS VARCHAR)")} % 5 AS f
+              |         ${SharedOracles.bucketSql("'a1:' || CAST(doc_id AS VARCHAR)")} % 2 AS a1,
+              |         ${SharedOracles.bucketSql("'flip:' || CAST(doc_id AS VARCHAR)")} % 5 AS f
               |  FROM documents),
               |lab2 AS (SELECT lang, a1,
               |                CASE WHEN f = 0 THEN 1 - a1 ELSE a1 END AS a2
@@ -159,7 +155,7 @@ object AuditOps {
               |       CAST(max(mad.mad) AS BIGINT) AS mad_chars,
               |       CAST(sum(CASE WHEN dv > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
               |       CAST(sum(CASE WHEN dv > 3 * mad.mad
-              |                     THEN ${bucketSql("CAST(doc_id AS VARCHAR)")}
+              |                     THEN ${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}
               |                     ELSE 0 END) AS BIGINT) AS outlier_checksum
               |FROM dev JOIN mad ON dev.lang = mad.lang
               |GROUP BY dev.lang ORDER BY dev.lang""".stripMargin)),
@@ -217,6 +213,6 @@ object AuditOps {
               |SELECT reg_domain, count(*) AS n_docs,
               |       count(DISTINCT host) AS n_hosts,
               |       CAST(sum(depth) AS BIGINT) AS sum_depth,
-              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
               |FROM r GROUP BY reg_domain ORDER BY reg_domain""".stripMargin)))
 }

@@ -18,8 +18,7 @@ object CurationOps {
   /** Oracle fragment: the 28-bit md5 sampling bucket (mirrors
     * Curation.hashBucket).
     */
-  private def bucketSql(key: String): String =
-    s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
+  private def bucketSql(key: String): String = SharedOracles.bucketSql(key)
 
   /** Oracle fragment: distinct 16-hex-md5 5-gram shingles of trimmed
     * whitespace-split text (mirrors Curation.shingleHashes at n=5).

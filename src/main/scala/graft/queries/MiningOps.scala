@@ -16,10 +16,6 @@ import graft.operators.{Curation, Fuzzy, Graph}
 object MiningOps {
   import Tables._
 
-  /** Oracle twin of [[Curation.hashBucket]]. */
-  private def bucketSql(key: String): String =
-    s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
-
   // must precede `queries` (object vals initialize in declaration order)
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
@@ -203,7 +199,7 @@ object MiningOps {
               |SELECT count(*) AS n_rows,
               |       CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
               |       CAST(sum(length(raw) - length(norm)) AS BIGINT) AS len_delta,
-              |       CAST(sum(${bucketSql("CAST(id AS VARCHAR) || ':' || norm")}) AS BIGINT) AS norm_checksum
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(id AS VARCHAR) || ':' || norm")}) AS BIGINT) AS norm_checksum
               |FROM n""".stripMargin)),
 
     // Contrastive hard-negative mining: for each sampled anchor, the 3
@@ -236,10 +232,14 @@ object MiningOps {
             round(graft.operators.Ann.dot(col("v"), col("av")) /
               (sqrt(sumSq(col("v"))) * sqrt(sumSq(col("av")))) * 10000)
               .cast("long"))
-        // two-stage top-3: per-(anchor, 64-way salt) partials first, so
-        // no window partition is ever corpus-sized; the final rank sees
-        // ≤ 64·3 survivors per anchor. Identical result to the global
-        // window (top-3 of the union of per-salt top-3s).
+        // two-stage top-3: per-(anchor, 64-way salt) partials cut each
+        // window partition to ~1/64 of the per-anchor candidate list
+        // (still linear in the corpus — the LINEARITY of this operator
+        // comes from the bounded anchor list above, the salt only
+        // spreads the rank work across tasks); the final rank is the
+        // truly bounded one, ≤ 64·3 survivors per anchor. Identical
+        // result to the global window (a global top-3 element is
+        // always top-3 within its salt partition).
         val w1 = Window.partitionBy("anchor_id", "_salt")
           .orderBy(desc("cos_x1e4"), asc("neg_id"))
         val w2 = Window.partitionBy("anchor_id")
@@ -370,10 +370,10 @@ object MiningOps {
             sum(Curation.hashBucket(col("doc_id").cast("string")))
               .cast("long").as("id_checksum"))
           .orderBy("fold", "lang"),
-      Some(s"""SELECT ${bucketSql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold,
+      Some(s"""SELECT ${SharedOracles.bucketSql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold,
               |       lang, count(*) AS n_docs,
               |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
-              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
               |FROM documents
               |GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin)),
 
@@ -406,7 +406,7 @@ object MiningOps {
       Some(s"""WITH ev AS (
               |  SELECT event_type,
               |         CAST(round(value * 100) AS BIGINT) AS cents,
-              |         25200 // (${bucketSql("'prop:' || CAST(event_id AS VARCHAR)")} % 9 + 1) AS w
+              |         25200 // (${SharedOracles.bucketSql("'prop:' || CAST(event_id AS VARCHAR)")} % 9 + 1) AS w
               |  FROM events)
               |SELECT event_type, count(*) AS n,
               |       CAST(sum(w) AS BIGINT) AS sum_w_x2520,

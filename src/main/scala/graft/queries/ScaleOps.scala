@@ -16,10 +16,6 @@ import graft.operators.{Bucketed, Curation, Drift, Graph, SetJoin, Skew}
 object ScaleOps {
   import Tables._
 
-  /** Oracle twin of [[Curation.hashBucket]]. */
-  private def bucketSql(key: String): String =
-    s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
-
   private val PrScale = 1000000000L
   private val PrDamp = 85L
 
@@ -142,7 +138,7 @@ object ScaleOps {
           .orderBy("source")
       },
       Some(s"""WITH dim AS (
-              |  SELECT source, ${bucketSql("'dimw:' || source")} AS w
+              |  SELECT source, ${SharedOracles.bucketSql("'dimw:' || source")} AS w
               |  FROM (SELECT DISTINCT source FROM documents))
               |SELECT d.source, count(*) AS n_docs,
               |       CAST(sum(d.n_chars * dim.w) AS BIGINT) AS weighted_chars
@@ -194,7 +190,7 @@ object ScaleOps {
               |       CAST(sum(CASE WHEN nrem > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
               |       CAST(sum(nl) AS BIGINT) AS total_lines,
               |       CAST(sum(nrem) AS BIGINT) AS n_removed,
-              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR) || ':' || clean")}) AS BIGINT) AS clean_checksum
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR) || ':' || clean")}) AS BIGINT) AS clean_checksum
               |FROM docs""".stripMargin)),
 
     // Source-authority ranking: event-type transition graph (lead over
@@ -262,13 +258,13 @@ object ScaleOps {
       Some(s"""WITH docs AS (SELECT doc_id, text FROM documents),
               |nxt AS (
               |  SELECT doc_id,
-              |         CASE WHEN ${bucketSql("'chg:' || CAST(doc_id AS VARCHAR)")} * 10 < 268435456
+              |         CASE WHEN ${SharedOracles.bucketSql("'chg:' || CAST(doc_id AS VARCHAR)")} * 10 < 268435456
               |              THEN text || ' v2' ELSE text END AS text
               |  FROM docs
-              |  WHERE ${bucketSql("'del:' || CAST(doc_id AS VARCHAR)")} * 10 >= 268435456
+              |  WHERE ${SharedOracles.bucketSql("'del:' || CAST(doc_id AS VARCHAR)")} * 10 >= 268435456
               |  UNION ALL
               |  SELECT doc_id + 10000000, 'new ' || text FROM docs
-              |  WHERE ${bucketSql("'add:' || CAST(doc_id AS VARCHAR)")} * 20 < 268435456
+              |  WHERE ${SharedOracles.bucketSql("'add:' || CAST(doc_id AS VARCHAR)")} * 20 < 268435456
               |),
               |ph AS (SELECT doc_id, md5(coalesce(CAST(to_json(text) AS VARCHAR), 'null')) AS h FROM docs),
               |nh AS (SELECT doc_id, md5(coalesce(CAST(to_json(text) AS VARCHAR), 'null')) AS h FROM nxt),
@@ -279,7 +275,7 @@ object ScaleOps {
               |                  ELSE 'unchanged' END AS status
               |      FROM ph FULL OUTER JOIN nh ON ph.doc_id = nh.doc_id)
               |SELECT status, count(*) AS n,
-              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
               |FROM j GROUP BY status ORDER BY status""".stripMargin)),
 
     // Categorical frequency drift: even users are the reference, odd
@@ -311,7 +307,7 @@ object ScaleOps {
       Some(s"""WITH refs AS (
               |  SELECT event_type AS cat FROM events WHERE user_id % 2 = 0),
               |curs AS (
-              |  SELECT CASE WHEN ${bucketSql("'cat:' || CAST(event_id AS VARCHAR)")} * 5 < 268435456
+              |  SELECT CASE WHEN ${SharedOracles.bucketSql("'cat:' || CAST(event_id AS VARCHAR)")} * 5 < 268435456
               |              THEN 'novel_type' ELSE event_type END AS cat
               |  FROM events WHERE user_id % 2 = 1),
               |r AS (SELECT cat, count(*) AS n_ref FROM refs GROUP BY cat),
@@ -365,7 +361,7 @@ object ScaleOps {
               |  SELECT doc_id, n_chars,
               |         row_number() OVER (ORDER BY n_chars, doc_id) AS rnk,
               |         ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage,
-              |         ${bucketSql("'cur:7:' || CAST(doc_id AS VARCHAR)")} AS shuf
+              |         ${SharedOracles.bucketSql("'cur:7:' || CAST(doc_id AS VARCHAR)")} AS shuf
               |  FROM documents)
               |SELECT stage, count(*) AS n_docs,
               |       min(n_chars) AS min_score, max(n_chars) AS max_score,

@@ -57,6 +57,13 @@ final case class GateQuery(
   */
 private[queries] object SharedOracles {
 
+  /** Oracle twin of [[graft.operators.Curation.hashBucket]] — the ONE
+    * definition of the md5-prefix bucket every gate family's SQL must
+    * agree on (previously four identical private copies).
+    */
+  def bucketSql(key: String): String =
+    s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
+
   /** Exact brute-force top-10 cosine vs vec 0 — the ground truth the
     * direct scan, the materialized IVF probe, the batch append, and
     * the streaming append must ALL equal (nprobe = C => exact).

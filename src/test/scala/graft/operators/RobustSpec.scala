@@ -83,6 +83,24 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true))
   }
 
+  test("madOutliers keeps null-valued rows and all-null groups (flag = false)") {
+    import spark.implicits._
+    val df = Seq(
+      // mixed group: the null row must survive with is_outlier = false
+      ("a", 1L, Some(5L)), ("a", 2L, Some(5L)), ("a", 3L, Some(9L)),
+      ("a", 4L, None),
+      // all-null group: no stats exist, rows must still survive
+      ("b", 5L, None), ("b", 6L, None)
+    ).toDF("g", "id", "v")
+    val out = Robust.madOutliers(df, "g", "v", k = 0)
+      .select("id", "is_outlier").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every input row present — nothing dropped by the stat joins
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // null values are never outliers; non-null deviations still flag
+    assert(out(3L) && !out(4L) && !out(5L) && !out(6L))
+  }
+
   test("negative k is rejected") {
     import spark.implicits._
     val df = Seq(("a", 1L)).toDF("g", "v")
