@@ -84,6 +84,35 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Exact class rebalance: downsample every class to the size of the
+    * SMALLEST class (the classic "balance to the minority" rebalance
+    * before fine-tuning), deterministically — the survivors of class g
+    * are its first min-count rows under the content-hash order
+    * (`rebal:<seed>:<class>:<id>` bucket, id tiebreak), so the result
+    * is identical on every run, cluster layout, and retry, and adding
+    * unrelated classes never changes which rows of g survive.
+    *
+    * Scale shape: the per-class count relation is classes-sized; its
+    * 1-row min aggregate joins back as a broadcast cross, and the only
+    * wide operation is the per-class rank window — as wide as the
+    * largest CLASS, never the corpus (the same accepted shape as
+    * [[sampleExactPerGroup]], which this generalizes with a
+    * data-derived n).
+    */
+  def rebalanceClasses(df: DataFrame, idCol: String, classCol: String,
+      seed: Long): DataFrame = {
+    val minCount = df.groupBy(classCol).agg(count(lit(1)).as("_cnt"))
+      .agg(min("_cnt").as("_min_cnt"))
+    val w = Window.partitionBy(classCol).orderBy(
+      hashBucket(concat_ws(":", lit("rebal"), lit(seed), col(classCol),
+        col(idCol).cast("string"))),
+      col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .crossJoin(broadcast(minCount))
+      .filter(col("_rn") <= col("_min_cnt"))
+      .drop("_rn", "_min_cnt")
+  }
+
   /** Weighted sample WITHOUT replacement, exactly k rows, inclusion
     * probability ∝ `weight` (Efraimidis–Spirakis A-ES): each row draws
     * its uniform u from a content-hash bucket (salted, retry/layout-

@@ -16,8 +16,89 @@ import graft.operators.{Curation, Robust}
   */
 object AuditOps {
   import Tables._
+  import graft.operators.Expectations
+  import graft.operators.Expectations.{Complete, Satisfies, Unique}
 
   val queries: Seq[GateQuery] = Seq(
+
+    // Deequ-style declarative expectations in ONE aggregation pass:
+    // six constraints (completeness, key uniqueness, range/set/length
+    // compliance, one deliberately failing) compile into a single
+    // agg(...) — one scan + one 1-row exchange for any number of
+    // constraints — then unpivot via stack (a projection). Metrics are
+    // integral parts-per-million; the oracle re-derives every cell
+    // from scalar SQL aggregates.
+    GateQuery(
+      "q_expectations",
+      (s, d) =>
+        Expectations.audit(documents(s, d), Seq(
+          Complete("text_complete", "text"),
+          Complete("lang_complete", "lang"),
+          Unique("doc_id_unique", "doc_id"),
+          Satisfies("chars_in_range", col("n_chars").between(50, 500),
+            thresholdX1e6 = 900000L),
+          Satisfies("lang_in_set", col("lang").isin("en", "de", "fr"),
+            thresholdX1e6 = 500000L),
+          // deliberately strict: pins the passed=false path
+          Satisfies("short_docs", col("n_chars") <= 100,
+            thresholdX1e6 = 900000L)))
+          .orderBy("expectation"),
+      Some("""WITH g AS (
+             |  SELECT count(*) AS n,
+             |         CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_text,
+             |         CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_lang,
+             |         CAST(count(DISTINCT doc_id) AS BIGINT) AS m_uniq,
+             |         CAST(sum(CASE WHEN n_chars BETWEEN 50 AND 500 THEN 1 ELSE 0 END) AS BIGINT) AS m_range,
+             |         CAST(sum(CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS m_set,
+             |         CAST(sum(CASE WHEN n_chars <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS m_short
+             |  FROM documents),
+             |rows_out AS (
+             |  SELECT 'text_complete' AS expectation, m_text AS m, CAST(1000000 AS BIGINT) AS threshold_x1e6 FROM g
+             |  UNION ALL SELECT 'lang_complete', m_lang, 1000000 FROM g
+             |  UNION ALL SELECT 'doc_id_unique', m_uniq, 1000000 FROM g
+             |  UNION ALL SELECT 'chars_in_range', m_range, 900000 FROM g
+             |  UNION ALL SELECT 'lang_in_set', m_set, 500000 FROM g
+             |  UNION ALL SELECT 'short_docs', m_short, 900000 FROM g)
+             |SELECT expectation,
+             |       CASE WHEN g.n = 0 THEN NULL
+             |            ELSE CAST((m * 1000000) // g.n AS BIGINT) END AS metric_x1e6,
+             |       threshold_x1e6,
+             |       coalesce(CASE WHEN g.n = 0 THEN NULL
+             |                     ELSE CAST((m * 1000000) // g.n AS BIGINT) END
+             |                >= threshold_x1e6, false) AS passed
+             |FROM rows_out, g
+             |ORDER BY expectation""".stripMargin)),
+
+    // Exact minority-class rebalance: every language downsampled to
+    // the smallest language's count, survivors decided by content-hash
+    // rank (retry/layout-stable). The census pins the equal-size
+    // invariant (n_kept identical across classes) AND exact membership
+    // via id checksum; the oracle re-derives the same rank in SQL.
+    GateQuery(
+      "q_class_rebalance",
+      (s, d) =>
+        graft.operators.Curation.rebalanceClasses(
+          documents(s, d), "doc_id", "lang", seed = 7L)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(graft.operators.Curation.hashBucket(
+              col("doc_id").cast("string"))).cast("long").as("id_checksum"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"))
+          .orderBy("lang"),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+              |m AS (SELECT min(cnt) AS mn FROM c),
+              |r AS (SELECT lang, doc_id, n_chars,
+              |             row_number() OVER (PARTITION BY lang ORDER BY
+              |               ${SharedOracles.bucketSql("'rebal:7:' || lang || ':' || CAST(doc_id AS VARCHAR)")},
+              |               doc_id) AS rn
+              |      FROM documents)
+              |SELECT lang, count(*) AS n_kept,
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum,
+              |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+              |FROM r, m WHERE rn <= mn
+              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // Inter-annotator agreement on a labeled corpus: two deterministic
     // annotators (content-hash labels; annotator 2 flips annotator 1's

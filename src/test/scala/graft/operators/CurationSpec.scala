@@ -388,4 +388,40 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     // not the identity order (the hash actually permutes)
     assert(order1 != (1L to 200L).toSeq)
   }
+
+  test("rebalanceClasses: every class cut to the minority size, deterministic, prefix-nested") {
+    import spark.implicits._
+    val df = ((1 to 30).map(i => ("en", i.toLong)) ++
+      (31 to 40).map(i => ("de", i.toLong)) ++
+      (41 to 45).map(i => ("fr", i.toLong))).toDF("lang", "doc_id")
+      .withColumn("n_chars", col("doc_id") * 10)
+
+    val out = Curation.rebalanceClasses(df, "doc_id", "lang", seed = 7L)
+    val sizes = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // minority class has 5 rows -> every class keeps exactly 5
+    assert(sizes == Map("en" -> 5L, "de" -> 5L, "fr" -> 5L))
+    // all original columns survive
+    assert(out.columns.toSeq == df.columns.toSeq)
+
+    // layout independence: a different partitioning yields the same rows
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.rebalanceClasses(df.repartition(7), "doc_id", "lang", 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+
+    // a different seed draws a different survivor set for the big class
+    val ids3 = Curation.rebalanceClasses(df, "doc_id", "lang", seed = 8L)
+      .filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids3 != ids.filter(_ <= 30))
+
+    // prefix nesting: shrinking the minority (drop 2 fr rows -> min 3)
+    // keeps each class's survivors a SUBSET of its min-5 survivors —
+    // the hash order is per-class, so the cut only moves the prefix
+    val df2 = df.filter(!(col("lang") === "fr" && col("doc_id") >= 44))
+    val smaller = Curation.rebalanceClasses(df2, "doc_id", "lang", 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.size == 9 && smaller.subsetOf(ids ++ Set(41L, 42L, 43L)))
+  }
 }
