@@ -295,5 +295,131 @@ object AuditOps {
               |       count(DISTINCT host) AS n_hosts,
               |       CAST(sum(depth) AS BIGINT) AS sum_depth,
               |       CAST(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
-              |FROM r GROUP BY reg_domain ORDER BY reg_domain""".stripMargin)))
+              |FROM r GROUP BY reg_domain ORDER BY reg_domain""".stripMargin)),
+
+    // Label-noise detection via k-NN majority vote (Confident-
+    // Learning-lite): each vector's 5 cosine-nearest neighbors vote;
+    // a strict majority (≥3) disagreeing with the vector's own label
+    // flags it. The Spark side rides the IVF topKJoin at nprobe = C
+    // (exact; at corpus scale nprobe < C makes detection approximate,
+    // which is fine for monitoring) and takes top-6-including-self
+    // then drops self — the top-5 non-self under the shared total
+    // order (cos desc, id asc) is always a subset of the top-6
+    // overall, so this equals the oracle's exclude-self-first rank.
+    // Every window after the k-NN join is ≤6 rows per query.
+    GateQuery(
+      "q_label_noise",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = embeddings(s, d)
+          .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+        val cents = graft.operators.Ann.centroids(e, "v", "vec_id", 8)
+        val lab = e.select(col("vec_id"), col("label"))
+        val nn5 = graft.operators.Ann.topKJoin(
+          e.select(col("vec_id"), col("v")), e.select(col("vec_id"), col("v")),
+          "v", "vec_id", "vec_id", k = 6, cents, nprobe = 8)
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("_r",
+            row_number().over(Window.partitionBy("query_id").orderBy("rank")))
+          .filter(col("_r") <= 5)
+        val maj = nn5
+          .join(lab.select(col("vec_id"), col("label").as("n_label")), Seq("vec_id"))
+          .groupBy("query_id", "n_label").agg(count(lit(1)).as("cnt"))
+          .withColumn("_mr", row_number().over(
+            Window.partitionBy("query_id").orderBy(desc("cnt"), asc("n_label"))))
+          .filter(col("_mr") === 1)
+          .select(col("query_id").as("vec_id"),
+            col("n_label").as("maj_label"), col("cnt").as("maj_cnt"))
+        maj.join(lab, Seq("vec_id"))
+          .withColumn("is_noise",
+            col("maj_label") =!= col("label") && col("maj_cnt") >= 3)
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(when(col("is_noise"), 1L).otherwise(0L)).as("n_flagged"),
+            sum(when(col("is_noise"),
+              graft.operators.Curation.hashBucket(col("vec_id").cast("string")))
+              .otherwise(0L)).cast("long").as("flagged_checksum"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS n_label,
+              |             round(
+              |               list_sum(list_transform(list_zip(a.v, b.v),
+              |                                       x -> struct_extract(x, 1) * struct_extract(x, 2)))
+              |               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              |                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+              |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY cos DESC, nid) AS rn
+              |      FROM p),
+              |v AS (SELECT qid, n_label, count(*) AS cnt
+              |      FROM r WHERE rn <= 5 GROUP BY qid, n_label),
+              |m AS (SELECT qid, n_label AS maj_label, cnt AS maj_cnt,
+              |             row_number() OVER (PARTITION BY qid
+              |                                ORDER BY cnt DESC, n_label) AS mr
+              |      FROM v),
+              |f AS (SELECT e.vec_id, e.label,
+              |             (m.maj_label <> e.label AND m.maj_cnt >= 3) AS is_noise
+              |      FROM e JOIN m ON m.qid = e.vec_id AND m.mr = 1)
+              |SELECT label, count(*) AS n_vecs,
+              |       CAST(sum(CASE WHEN is_noise THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+              |       CAST(sum(CASE WHEN is_noise
+              |                     THEN ${SharedOracles.bucketSql("CAST(vec_id AS VARCHAR)")}
+              |                     ELSE 0 END) AS BIGINT) AS flagged_checksum
+              |FROM f GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Cross-split leakage census: near-duplicate pairs (exact-verified
+    // Jaccard ≥ 0.9, the SAME LSH pipeline as the dedup gates) whose
+    // endpoints land in DIFFERENT folds of the SAME content-hash
+    // 5-fold split q_kfold_split assigns — the leakage a model
+    // evaluated on fold i trained on fold j would exploit. Census per
+    // unordered fold pair with exact pair-membership checksums.
+    GateQuery(
+      "q_split_leakage",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val folds = documents(s, d).select(col("doc_id"),
+          pmod(graft.operators.Curation.hashBucket(
+            concat(lit("fold:"), col("doc_id").cast("string"))), lit(5))
+            .as("fold"))
+        graft.operators.Dedup.verifiedPairs(docs, "doc_id", "text", 0.9)
+          .join(folds.select(col("doc_id").as("id_a"), col("fold").as("fold_a")),
+            Seq("id_a"))
+          .join(folds.select(col("doc_id").as("id_b"), col("fold").as("fold_b")),
+            Seq("id_b"))
+          .filter(col("fold_a") =!= col("fold_b"))
+          .withColumn("fold_lo", least(col("fold_a"), col("fold_b")))
+          .withColumn("fold_hi", greatest(col("fold_a"), col("fold_b")))
+          .groupBy("fold_lo", "fold_hi")
+          .agg(
+            count(lit(1)).as("n_leaks"),
+            sum(graft.operators.Curation.hashBucket(
+              concat_ws(":", col("id_a"), col("id_b"))))
+              .cast("long").as("pair_checksum"))
+          .orderBy("fold_lo", "fold_hi")
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id,
+              |         list_distinct(string_split(trim(text), ' ')) AS wset,
+              |         ${SharedOracles.bucketSql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold
+              |  FROM documents),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         a.fold AS fold_a, b.fold AS fold_b
+              |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+              |        / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset)))
+              |        >= 0.9),
+              |x AS (SELECT least(fold_a, fold_b) AS fold_lo,
+              |             greatest(fold_a, fold_b) AS fold_hi,
+              |             id_a, id_b
+              |      FROM pairs WHERE fold_a <> fold_b)
+              |SELECT fold_lo, fold_hi, count(*) AS n_leaks,
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)")}) AS BIGINT) AS pair_checksum
+              |FROM x GROUP BY fold_lo, fold_hi
+              |ORDER BY fold_lo, fold_hi""".stripMargin)))
 }
