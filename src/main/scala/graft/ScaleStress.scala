@@ -166,7 +166,13 @@ object ScaleStress {
     // r9 audit family: the histogram-median claim is only interesting
     // under data — the windows must stay value-domain-sized while the
     // row count grows 10×
-    "q_length_outliers", "q_cohen_kappa")
+    "q_length_outliers", "q_cohen_kappa",
+    // single-pass expectations (constant exchanges), class rebalance
+    // (class-wide rank window), split leakage (the already-measured
+    // LSH pair pipeline + two keyed joins). q_label_noise is NOT here:
+    // its gate mode is nprobe = C (exact k-NN — quadratic by design,
+    // like q_set_join_exact's envelope); its scale mode is nprobe < C
+    "q_expectations", "q_class_rebalance", "q_split_leakage")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

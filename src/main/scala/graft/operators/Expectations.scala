@@ -81,10 +81,14 @@ object Expectations {
     val wide = df.agg(aggs.head, aggs.tail: _*)
 
     // unpivot the 1-row agg with stack: 4 output cells per expectation
-    // (name, ppm metric, threshold, passed) — a projection, not a join
+    // (name, ppm metric, threshold, passed) — a projection, not a join.
+    // The ×10⁶ product is widened to DECIMAL(38,0) BEFORE multiplying
+    // (house rule): a long would overflow past ~9.2e12 rows, which a
+    // narrow table at 100 TB can exceed
     val cells = expectations.zipWithIndex.map { case (e, i) =>
       val ppm = s"CASE WHEN _n = 0 THEN NULL" +
-        s" ELSE (coalesce(_m$i, 0L) * 1000000L) div _n END"
+        s" ELSE CAST((CAST(coalesce(_m$i, 0L) AS DECIMAL(38,0)) * 1000000)" +
+        s" div _n AS BIGINT) END"
       Seq(
         s"'${e.name}'",
         ppm,

@@ -382,15 +382,12 @@ object AuditOps {
       "q_split_leakage",
       (s, d) => {
         val docs = documents(s, d).select("doc_id", "text")
-        val folds = documents(s, d).select(col("doc_id"),
-          pmod(graft.operators.Curation.hashBucket(
-            concat(lit("fold:"), col("doc_id").cast("string"))), lit(5))
-            .as("fold"))
+        // folds are a pure function of the ids ALREADY on the pair
+        // list — computed as a projection, not via a second documents
+        // scan + two shuffled joins
         graft.operators.Dedup.verifiedPairs(docs, "doc_id", "text", 0.9)
-          .join(folds.select(col("doc_id").as("id_a"), col("fold").as("fold_a")),
-            Seq("id_a"))
-          .join(folds.select(col("doc_id").as("id_b"), col("fold").as("fold_b")),
-            Seq("id_b"))
+          .withColumn("fold_a", SharedOracles.foldCol(col("id_a")))
+          .withColumn("fold_b", SharedOracles.foldCol(col("id_b")))
           .filter(col("fold_a") =!= col("fold_b"))
           .withColumn("fold_lo", least(col("fold_a"), col("fold_b")))
           .withColumn("fold_hi", greatest(col("fold_a"), col("fold_b")))
@@ -405,7 +402,7 @@ object AuditOps {
       Some(s"""WITH w AS (
               |  SELECT doc_id,
               |         list_distinct(string_split(trim(text), ' ')) AS wset,
-              |         ${SharedOracles.bucketSql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold
+              |         ${SharedOracles.foldSql("doc_id")} AS fold
               |  FROM documents),
               |pairs AS (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -370,7 +370,7 @@ object MiningOps {
             sum(Curation.hashBucket(col("doc_id").cast("string")))
               .cast("long").as("id_checksum"))
           .orderBy("fold", "lang"),
-      Some(s"""SELECT ${SharedOracles.bucketSql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold,
+      Some(s"""SELECT ${SharedOracles.foldSql("doc_id")} AS fold,
               |       lang, count(*) AS n_docs,
               |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
               |       CAST(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum

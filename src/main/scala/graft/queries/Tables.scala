@@ -64,6 +64,22 @@ private[queries] object SharedOracles {
   def bucketSql(key: String): String =
     s"CAST('0x' || substring(md5($key), 1, 7) AS BIGINT)"
 
+  /** THE content-hash 5-fold split — both engines, one definition.
+    * q_kfold_split assigns it and q_split_leakage audits it; sharing
+    * the derivation is what makes "the SAME split" a guarantee instead
+    * of a parallel-edit convention. (% == pmod here: the bucket is
+    * non-negative.)
+    */
+  val Folds = 5
+  def foldCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      graft.operators.Curation.hashBucket(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("fold:"), id.cast("string"))),
+      org.apache.spark.sql.functions.lit(Folds))
+  def foldSql(idExpr: String): String =
+    s"${bucketSql(s"'fold:' || CAST($idExpr AS VARCHAR)")} % $Folds"
+
   /** Exact brute-force top-10 cosine vs vec 0 — the ground truth the
     * direct scan, the materialized IVF probe, the batch append, and
     * the streaming append must ALL equal (nprobe = C => exact).
