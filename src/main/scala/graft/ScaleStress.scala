@@ -168,8 +168,9 @@ object ScaleStress {
     // row count grows 10×
     "q_length_outliers", "q_cohen_kappa",
     // single-pass expectations (constant exchanges), class rebalance
-    // (class-wide rank window), split leakage (the already-measured
-    // LSH pair pipeline + two keyed joins). q_label_noise is NOT here:
+    // (class-wide rank window), split leakage (reads the materialized
+    // pair table; replayed solo it pays the one-off pair derivation,
+    // the LSH pipeline already measured above). q_label_noise is NOT here:
     // its gate mode is nprobe = C (exact k-NN — quadratic by design,
     // like q_set_join_exact's envelope); its scale mode is nprobe < C
     "q_expectations", "q_class_rebalance", "q_split_leakage")

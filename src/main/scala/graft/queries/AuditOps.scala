@@ -380,12 +380,13 @@ object AuditOps {
     // unordered fold pair with exact pair-membership checksums.
     GateQuery(
       "q_split_leakage",
-      (s, d) => {
-        val docs = documents(s, d).select("doc_id", "text")
-        // folds are a pure function of the ids ALREADY on the pair
-        // list — computed as a projection, not via a second documents
-        // scan + two shuffled joins
-        graft.operators.Dedup.verifiedPairs(docs, "doc_id", "text", 0.9)
+      (s, d) =>
+        // the verified pair graph is the suite's ONE materialized
+        // dedup product (ExtOps.cachedVerifiedPairs — the production
+        // shape: downstream audits read the pair TABLE, they don't
+        // re-run LSH); folds are a pure function of the ids already on
+        // it — a projection, no second corpus scan, no joins
+        ExtOps.cachedVerifiedPairs(s, d)
           .withColumn("fold_a", SharedOracles.foldCol(col("id_a")))
           .withColumn("fold_b", SharedOracles.foldCol(col("id_b")))
           .filter(col("fold_a") =!= col("fold_b"))
@@ -397,8 +398,7 @@ object AuditOps {
             sum(graft.operators.Curation.hashBucket(
               concat_ws(":", col("id_a"), col("id_b"))))
               .cast("long").as("pair_checksum"))
-          .orderBy("fold_lo", "fold_hi")
-      },
+          .orderBy("fold_lo", "fold_hi"),
       Some(s"""WITH w AS (
               |  SELECT doc_id,
               |         list_distinct(string_split(trim(text), ' ')) AS wset,
