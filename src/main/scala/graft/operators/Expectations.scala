@@ -57,15 +57,34 @@ object Expectations {
     */
   def audit(df: DataFrame, expectations: Seq[Expectation],
       exact: Boolean = true): DataFrame = {
+    validate(expectations)
+    val aggs = counterAggs(expectations, exact)
+    project(df.agg(aggs.head, aggs.tail: _*), expectations)
+  }
+
+  /** Shared structural guards (also applied by the streaming auditor
+    * before it starts accumulating).
+    */
+  def validate(expectations: Seq[Expectation]): Unit = {
     require(expectations.nonEmpty, "audit needs at least one expectation")
     val names = expectations.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate expectation names: ${names.diff(names.distinct).mkString(", ")}")
-    // names are spliced into a SQL stack() literal below
+    // names are spliced into a SQL stack() literal in project()
     names.foreach(n => require(n.matches("[A-Za-z0-9_.:-]+"),
       s"expectation name must be [A-Za-z0-9_.:-]+, got '$n'"))
+  }
 
-    val aggs = count(lit(1)).as("_n") +: expectations.zipWithIndex.map {
+  /** The per-constraint counter aggregates (`_n` first, then `_m<i>` in
+    * expectation order). Complete/Satisfies counters are plain
+    * conditional sums — MERGEABLE longs, which is what lets the
+    * streaming auditor accumulate them across micro-batches; Unique is
+    * the one non-mergeable counter (the streaming path derives it from
+    * an incremental seen-values ledger instead).
+    */
+  def counterAggs(expectations: Seq[Expectation],
+      exact: Boolean): Seq[Column] =
+    count(lit(1)).as("_n") +: expectations.zipWithIndex.map {
       case (e, i) =>
         val c = e match {
           case Complete(_, column, _) =>
@@ -78,13 +97,17 @@ object Expectations {
         }
         c.cast("long").as(s"_m$i")
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
 
-    // unpivot the 1-row agg with stack: 4 output cells per expectation
-    // (name, ppm metric, threshold, passed) — a projection, not a join.
-    // The ×10⁶ product is widened to DECIMAL(38,0) BEFORE multiplying
-    // (house rule): a long would overflow past ~9.2e12 rows, which a
-    // narrow table at 100 TB can exceed
+  /** Unpivot a 1-row counters frame (`_n`, `_m0..`) into the audit
+    * result via stack: 4 output cells per expectation (name, ppm
+    * metric, threshold, passed) — a projection, not a join. The ×10⁶
+    * product is widened to DECIMAL(38,0) BEFORE multiplying (house
+    * rule): a long would overflow past ~9.2e12 rows, which a narrow
+    * table at 100 TB can exceed. Public so the streaming auditor's
+    * accumulated counters project through the IDENTICAL arithmetic.
+    */
+  def project(wide: DataFrame,
+      expectations: Seq[Expectation]): DataFrame = {
     val cells = expectations.zipWithIndex.map { case (e, i) =>
       val ppm = s"CASE WHEN _n = 0 THEN NULL" +
         s" ELSE CAST((CAST(coalesce(_m$i, 0L) AS DECIMAL(38,0)) * 1000000)" +

@@ -19,6 +19,54 @@ object AuditOps {
   import graft.operators.Expectations
   import graft.operators.Expectations.{Complete, Satisfies, Unique}
 
+  /** THE documents-table constraint suite — shared verbatim by the
+    * batch gate (q_expectations) and the streaming parity gate
+    * (q_expectations_stream), which must answer the identical
+    * question.
+    */
+  private[queries] val DocExpectations = Seq(
+    Complete("text_complete", "text"),
+    Complete("lang_complete", "lang"),
+    Unique("doc_id_unique", "doc_id"),
+    Satisfies("chars_in_range", col("n_chars").between(50, 500),
+      thresholdX1e6 = 900000L),
+    Satisfies("lang_in_set", col("lang").isin("en", "de", "fr"),
+      thresholdX1e6 = 500000L),
+    // deliberately strict: pins the passed=false path
+    Satisfies("short_docs", col("n_chars") <= 100,
+      thresholdX1e6 = 900000L))
+
+  /** Oracle for [[DocExpectations]] — shared verbatim by the batch and
+    * streaming parity gates (the streaming accumulator must answer the
+    * identical question, so it gets the identical ground truth).
+    */
+  private[queries] val ExpectationsOracle =
+    """WITH g AS (
+      |  SELECT count(*) AS n,
+      |         CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_text,
+      |         CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_lang,
+      |         CAST(count(DISTINCT doc_id) AS BIGINT) AS m_uniq,
+      |         CAST(sum(CASE WHEN n_chars BETWEEN 50 AND 500 THEN 1 ELSE 0 END) AS BIGINT) AS m_range,
+      |         CAST(sum(CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS m_set,
+      |         CAST(sum(CASE WHEN n_chars <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS m_short
+      |  FROM documents),
+      |rows_out AS (
+      |  SELECT 'text_complete' AS expectation, m_text AS m, CAST(1000000 AS BIGINT) AS threshold_x1e6 FROM g
+      |  UNION ALL SELECT 'lang_complete', m_lang, 1000000 FROM g
+      |  UNION ALL SELECT 'doc_id_unique', m_uniq, 1000000 FROM g
+      |  UNION ALL SELECT 'chars_in_range', m_range, 900000 FROM g
+      |  UNION ALL SELECT 'lang_in_set', m_set, 500000 FROM g
+      |  UNION ALL SELECT 'short_docs', m_short, 900000 FROM g)
+      |SELECT expectation,
+      |       CASE WHEN g.n = 0 THEN NULL
+      |            ELSE CAST((m * 1000000) // g.n AS BIGINT) END AS metric_x1e6,
+      |       threshold_x1e6,
+      |       coalesce(CASE WHEN g.n = 0 THEN NULL
+      |                     ELSE CAST((m * 1000000) // g.n AS BIGINT) END
+      |                >= threshold_x1e6, false) AS passed
+      |FROM rows_out, g
+      |ORDER BY expectation""".stripMargin
+
   val queries: Seq[GateQuery] = Seq(
 
     // Deequ-style declarative expectations in ONE aggregation pass:
@@ -31,43 +79,9 @@ object AuditOps {
     GateQuery(
       "q_expectations",
       (s, d) =>
-        Expectations.audit(documents(s, d), Seq(
-          Complete("text_complete", "text"),
-          Complete("lang_complete", "lang"),
-          Unique("doc_id_unique", "doc_id"),
-          Satisfies("chars_in_range", col("n_chars").between(50, 500),
-            thresholdX1e6 = 900000L),
-          Satisfies("lang_in_set", col("lang").isin("en", "de", "fr"),
-            thresholdX1e6 = 500000L),
-          // deliberately strict: pins the passed=false path
-          Satisfies("short_docs", col("n_chars") <= 100,
-            thresholdX1e6 = 900000L)))
+        Expectations.audit(documents(s, d), DocExpectations)
           .orderBy("expectation"),
-      Some("""WITH g AS (
-             |  SELECT count(*) AS n,
-             |         CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_text,
-             |         CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_lang,
-             |         CAST(count(DISTINCT doc_id) AS BIGINT) AS m_uniq,
-             |         CAST(sum(CASE WHEN n_chars BETWEEN 50 AND 500 THEN 1 ELSE 0 END) AS BIGINT) AS m_range,
-             |         CAST(sum(CASE WHEN lang IN ('en','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS m_set,
-             |         CAST(sum(CASE WHEN n_chars <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS m_short
-             |  FROM documents),
-             |rows_out AS (
-             |  SELECT 'text_complete' AS expectation, m_text AS m, CAST(1000000 AS BIGINT) AS threshold_x1e6 FROM g
-             |  UNION ALL SELECT 'lang_complete', m_lang, 1000000 FROM g
-             |  UNION ALL SELECT 'doc_id_unique', m_uniq, 1000000 FROM g
-             |  UNION ALL SELECT 'chars_in_range', m_range, 900000 FROM g
-             |  UNION ALL SELECT 'lang_in_set', m_set, 500000 FROM g
-             |  UNION ALL SELECT 'short_docs', m_short, 900000 FROM g)
-             |SELECT expectation,
-             |       CASE WHEN g.n = 0 THEN NULL
-             |            ELSE CAST((m * 1000000) // g.n AS BIGINT) END AS metric_x1e6,
-             |       threshold_x1e6,
-             |       coalesce(CASE WHEN g.n = 0 THEN NULL
-             |                     ELSE CAST((m * 1000000) // g.n AS BIGINT) END
-             |                >= threshold_x1e6, false) AS passed
-             |FROM rows_out, g
-             |ORDER BY expectation""".stripMargin)),
+      Some(ExpectationsOracle)),
 
     // Exact minority-class rebalance: every language downsampled to
     // the smallest language's count, survivors decided by content-hash

@@ -284,5 +284,39 @@ object StreamingOps {
         graft.operators.IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
       },
-      Some(SharedOracles.exactTop10Cos)))
+      Some(SharedOracles.exactTop10Cos)),
+
+    // ST parity: incremental data-quality expectations
+    // (StreamingAudit) — the documents fixture replayed through a drop
+    // folder in micro-batches, mergeable constraint counters
+    // accumulated per batch (uniqueness via the incremental
+    // seen-values ledger), must produce the IDENTICAL audit the batch
+    // q_expectations gate computes: same constraint suite
+    // (AuditOps.DocExpectations), same projection arithmetic
+    // (Expectations.project), same oracle VERBATIM.
+    GateQuery(
+      "q_expectations_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val work = replayDir("audit_stream")
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "n_chars")
+        withReplayConf(s) {
+          // several files → several micro-batches (maxFilesPerTrigger
+          // = 1), so the accumulate/ledger path actually exercises
+          docs.repartition(4).write.mode("overwrite").json(s"$work/drop")
+          graft.streaming.StreamingAudit.auditStream(
+            s, s"$work/drop", s"$work/state", s"$work/ckpt",
+            StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("text", StringType),
+              StructField("lang", StringType),
+              StructField("n_chars", LongType))),
+            AuditOps.DocExpectations).awaitTermination()
+        }
+        graft.streaming.StreamingAudit
+          .result(s, s"$work/state", AuditOps.DocExpectations)
+          .orderBy("expectation")
+      },
+      Some(AuditOps.ExpectationsOracle)))
 }
