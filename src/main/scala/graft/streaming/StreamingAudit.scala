@@ -5,8 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import scala.jdk.CollectionConverters._
-
 import graft.operators.Expectations
 import graft.operators.Expectations.{Expectation, Unique}
 
@@ -64,83 +62,85 @@ object StreamingAudit {
 
   private[streaming] def applyBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, workDir: String, expectations: Seq[Expectation]): Unit = {
-    // mergeable counters in ONE agg over the batch; Unique slots are
-    // placeholders here (their counts come from the ledgers below)
-    val aggs = Expectations.counterAggs(expectations, exact = true)
-      .zip(None +: expectations.map(Some(_))).map {
-        case (_, Some(Unique(_, _, _))) => lit(0L)
-        case (a, _) => a
-      }
-    val plainRow = batch.agg(aggs.head, aggs.tail: _*).head()
-
-    // per-Unique incremental distinct: batch-distinct ∖ prior ledger
-    val uniqueCounts = expectations.zipWithIndex.map {
-      case (Unique(_, column, _), i) =>
-        val ledger = s"$workDir/seen_$i"
-        val batchVals = batch.select(col(column).as("v"))
-          .filter(col("v").isNotNull).distinct()
-        val prior = readLedger(spark, ledger, batchId)
-        val fresh = prior match {
-          case Some(p) => batchVals.join(p, Seq("v"), "left_anti")
-          case None => batchVals
+    // the batch feeds one counter agg plus, per Unique constraint, a
+    // distinct + anti-join — pin it so the source files are read once
+    batch.persist()
+    try {
+      // mergeable counters in ONE agg over the batch; Unique slots are
+      // placeholders here (their counts come from the ledgers below)
+      val aggs = Expectations.counterAggs(expectations, exact = true)
+        .zip(None +: expectations.map(Some(_))).map {
+          case (_, Some(Unique(_, _, _))) => lit(0L)
+          case (a, _) => a
         }
-        // overwrite THIS batch's partition (replay-idempotent)
-        val freshCount = fresh.count()
-        fresh.write.mode("overwrite").parquet(s"$ledger/batch=$batchId")
-        i -> freshCount
-      case (_, i) => i -> 0L
-    }.toMap
+      val plainRow = batch.agg(aggs.head, aggs.tail: _*).head()
 
-    // cumulative totals: previous batch's row + this batch's deltas
-    val cols = counterCols(expectations)
-    val prevTotals = readTotals(spark, s"$workDir/totals", batchId, cols)
-    val batchCounts = cols.zipWithIndex.map { case (c, j) =>
-      val plain = Option(plainRow.get(j)).map(_.asInstanceOf[Long]).getOrElse(0L)
-      c -> (plain + (if (j == 0) 0L else uniqueCounts.getOrElse(j - 1, 0L)))
-    }
-    val totals = batchCounts.map { case (c, v) =>
-      c -> (v + prevTotals.getOrElse(c, 0L))
-    }
-    import spark.implicits._
-    Seq(totals.map(_._2)).toDF("vals")
-      .select(cols.zipWithIndex.map { case (c, j) =>
-        element_at(col("vals"), j + 1).as(c)
-      }: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$workDir/totals/batch=$batchId")
+      // per-Unique incremental distinct: batch-distinct ∖ prior ledger
+      val uniqueCounts = expectations.zipWithIndex.map {
+        case (Unique(_, column, _), i) =>
+          val ledger = s"$workDir/seen_$i"
+          val batchVals = batch.select(col(column).as("v"))
+            .filter(col("v").isNotNull).distinct()
+          val fresh = ledgerBefore(spark, ledger, batchId) match {
+            case Some(p) => batchVals.join(p, Seq("v"), "left_anti")
+            case None => batchVals
+          }
+          // overwrite THIS batch's partition (replay-idempotent), then
+          // COUNT THE WRITTEN FILES — one execution of the anti-join,
+          // and the count provably matches what the ledger now holds
+          fresh.write.mode("overwrite").parquet(s"$ledger/batch=$batchId")
+          i -> spark.read.parquet(s"$ledger/batch=$batchId").count()
+        case (_, i) => i -> 0L
+      }.toMap
+
+      // cumulative totals: previous batch's row + this batch's deltas
+      val cols = counterCols(expectations)
+      val prevTotals = readTotals(spark, s"$workDir/totals", batchId, cols)
+      val totals = cols.zipWithIndex.map { case (c, j) =>
+        val plain = Option(plainRow.get(j)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val delta = plain + (if (j == 0) 0L else uniqueCounts.getOrElse(j - 1, 0L))
+        c -> (delta + prevTotals.getOrElse(c, 0L))
+      }
+      spark.range(1)
+        .select(totals.map { case (c, v) => lit(v).as(c) }: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$workDir/totals/batch=$batchId")
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Ledger rows visible to batch `batchId`: partitions with a
     * STRICTLY smaller batch id (a replayed batch must not see its own
-    * earlier, possibly partial, contribution).
+    * earlier, possibly partial, contribution). One partitioned read
+    * with a filter on the `batch` partition column — native partition
+    * pruning, flat plan, whatever the stream's age.
     */
-  private def readLedger(spark: SparkSession, dir: String,
+  private def ledgerBefore(spark: SparkSession, dir: String,
       batchId: Long): Option[DataFrame] =
-    listBatches(dir).filter(_ < batchId) match {
-      case Nil => None
-      case ids => Some(ids.map(b => spark.read.parquet(s"$dir/batch=$b"))
-        .reduce(_ unionByName _))
-    }
+    if (listBatches(spark, dir).isEmpty) None
+    else Some(spark.read.parquet(dir)
+      .where(col("batch") < batchId).select("v"))
 
   private def readTotals(spark: SparkSession, dir: String, batchId: Long,
       cols: Seq[String]): Map[String, Long] =
-    listBatches(dir).filter(_ < batchId).sorted.lastOption match {
+    listBatches(spark, dir).filter(_ < batchId).sorted.lastOption match {
       case None => Map.empty
       case Some(b) =>
         val row = spark.read.parquet(s"$dir/batch=$b").head()
         cols.map(c => c -> row.getAs[Long](c)).toMap
     }
 
-  private def listBatches(dir: String): List[Long] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) Nil
-    else {
-      val s = java.nio.file.Files.list(p)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong).toList
-      finally s.close()
-    }
+  /** State listing through the Hadoop FileSystem API (repo convention
+    * — ModelStore/PartitionStore do the same), so a non-local
+    * `workDir` (hdfs://, s3a://) works instead of silently listing
+    * nothing via the local filesystem.
+    */
+  private def listBatches(spark: SparkSession, dir: String): List[Long] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toList.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
   }
 
   /** The audit result after the stream terminates: the LAST cumulative
@@ -149,7 +149,7 @@ object StreamingAudit {
     */
   def result(spark: SparkSession, workDir: String,
       expectations: Seq[Expectation]): DataFrame = {
-    val ids = listBatches(s"$workDir/totals")
+    val ids = listBatches(spark, s"$workDir/totals")
     require(ids.nonEmpty, s"no audit totals under $workDir/totals")
     Expectations.project(
       spark.read.parquet(s"$workDir/totals/batch=${ids.max}"), expectations)
