@@ -59,10 +59,10 @@ object AuditOps {
       |  UNION ALL SELECT 'short_docs', m_short, 900000 FROM g)
       |SELECT expectation,
       |       CASE WHEN g.n = 0 THEN NULL
-      |            ELSE CAST((m * 1000000) // g.n AS BIGINT) END AS metric_x1e6,
+      |            ELSE CAST((CAST(m AS HUGEINT) * 1000000) // g.n AS BIGINT) END AS metric_x1e6,
       |       threshold_x1e6,
       |       coalesce(CASE WHEN g.n = 0 THEN NULL
-      |                     ELSE CAST((m * 1000000) // g.n AS BIGINT) END
+      |                     ELSE CAST((CAST(m AS HUGEINT) * 1000000) // g.n AS BIGINT) END
       |                >= threshold_x1e6, false) AS passed
       |FROM rows_out, g
       |ORDER BY expectation""".stripMargin
@@ -192,7 +192,8 @@ object AuditOps {
             expr("CAST(((CAST(n_docs AS DECIMAL(38,0)) * n_docs - _sq) * 1000000)" +
               " div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)"))
           .withColumn("majority_x1e6",
-            expr("(_maxc * 1000000L) div n_docs"))
+            expr("CAST((CAST(_maxc AS DECIMAL(38,0)) * 1000000)" +
+              " div n_docs AS BIGINT)"))
           .select("source", "n_docs", "n_classes", "gini_x1e6", "majority_x1e6")
           .orderBy("source"),
       Some("""WITH c AS (SELECT source, lang, count(*) AS c
@@ -206,7 +207,7 @@ object AuditOps {
              |SELECT source, n_docs, n_classes,
              |       CAST(((CAST(n_docs AS HUGEINT) * n_docs - sq) * 1000000)
              |            // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS gini_x1e6,
-             |       (maxc * 1000000) // n_docs AS majority_x1e6
+             |       CAST((CAST(maxc AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS majority_x1e6
              |FROM g ORDER BY source""".stripMargin)),
 
     // Robust length-outlier detection per language: exact lower

@@ -360,9 +360,9 @@ object MiningOps {
       "q_kfold_split",
       (s, d) =>
         documents(s, d)
-          .withColumn("fold",
-            pmod(Curation.hashBucket(
-              concat(lit("fold:"), col("doc_id").cast("string"))), lit(5)))
+          // THE shared split definition (SharedOracles.foldCol) — the
+          // same one q_split_leakage audits
+          .withColumn("fold", SharedOracles.foldCol(col("doc_id")))
           .groupBy("fold", "lang")
           .agg(
             count(lit(1)).as("n_docs"),
