@@ -35,6 +35,11 @@ object ScaleStress {
 
   private val Offset = 10000000L
 
+  /** Bumped whenever `gen`'s replication scheme changes, so stale
+    * stress dirs regenerate instead of silently serving old data.
+    */
+  private val GenVersion = "v2"
+
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("all")
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
@@ -73,7 +78,7 @@ object ScaleStress {
       replicas: Int, allTables: Boolean): Unit = {
     val marker = java.nio.file.Paths.get(s"$outDir/_OK")
     if (java.nio.file.Files.exists(marker) &&
-        java.nio.file.Files.readString(marker).trim == replicas.toString) {
+        java.nio.file.Files.readString(marker).trim == s"$replicas:$GenVersion") {
       System.err.println(s"[stress] $outDir already generated (x$replicas), skipping")
       return
     }
@@ -123,16 +128,49 @@ object ScaleStress {
           .select(cols.map(col).toIndexedSeq: _*)
       }.coalesce(16).write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-      // remaining tables verbatim, so every gate can read the dir
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem")) {
+      // part: DISJOINT replicas — r >= 1 names are prefixed so the
+      // FastSS/levenshtein corpora scale as r separate catalogs
+      // (un-prefixed copies would near-dup-match ACROSS replicas and
+      // grow the match graph quadratically — a data-density change,
+      // not an operator property). The verbatim copy here used to make
+      // the part/lineitem-based x10 replays silently measure the SAME
+      // data (ratios were noise) — see PLANS.md.
+      val pt = spark.read.parquet(s"$baseDir/part.parquet")
+      val ptCols = pt.columns
+      replicate(pt, replicas) { (b, r) =>
+        b.withColumn("p_partkey", col("p_partkey") + lit(r * Offset))
+          .withColumn("p_name",
+            if (r == 0) col("p_name") else concat(lit(s"r${r}x"), col("p_name")))
+          .select(ptCols.map(col).toIndexedSeq: _*)
+      }.coalesce(8).write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+      // lineitem + orders: key-shifted disjoint copies, join-consistent
+      // with each other (l_orderkey ↔ o_orderkey shift together) and
+      // with the replicated part (l_partkey shifts with p_partkey);
+      // o_custkey stays, so joins to the verbatim customer remain valid
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      val liCols = li.columns
+      replicate(li, replicas) { (b, r) =>
+        b.withColumn("l_orderkey", col("l_orderkey") + lit(r * Offset))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * Offset))
+          .select(liCols.map(col).toIndexedSeq: _*)
+      }.coalesce(16).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+      val ordCols = ord.columns
+      replicate(ord, replicas) { (b, r) =>
+        b.withColumn("o_orderkey", col("o_orderkey") + lit(r * Offset))
+          .select(ordCols.map(col).toIndexedSeq: _*)
+      }.coalesce(8).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+      // remaining dims verbatim, so every gate can read the dir
+      for (t <- Seq("region", "nation", "customer", "supplier")) {
         val src = java.nio.file.Paths.get(s"$baseDir/$t.parquet")
         if (java.nio.file.Files.exists(src))
           java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$outDir/$t.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    java.nio.file.Files.writeString(marker, replicas.toString)
+    java.nio.file.Files.writeString(marker, s"$replicas:$GenVersion")
     System.err.println(s"[stress] generated $outDir (x$replicas)")
   }
 
@@ -173,7 +211,10 @@ object ScaleStress {
     // the LSH pipeline already measured above). q_label_noise is NOT here:
     // its gate mode is nprobe = C (exact k-NN — quadratic by design,
     // like q_set_join_exact's envelope); its scale mode is nprobe < C
-    "q_expectations", "q_class_rebalance", "q_split_leakage")
+    "q_expectations", "q_class_rebalance", "q_split_leakage",
+    // ER funnel: FastSS signature join + min-label rounds (rounds =
+    // cluster diameter) — the propagation join is the scale question
+    "q_entity_resolution")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

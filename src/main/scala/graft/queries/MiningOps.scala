@@ -34,6 +34,25 @@ object MiningOps {
       |                           2147483647) AS str
       |          FROM base)""".stripMargin
 
+  /** The Scala twin of [[fuzzyBaseSql]] — ONE derivation of the
+    * clean-catalog/typo'd-feed linkage corpus, shared by the fuzzy
+    * join gate and the entity-resolution funnel (parallel edits to
+    * the corpus would silently make the two gates test different
+    * data).
+    */
+  private def fuzzyCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = part(s, d).select(col("p_partkey").as("id"),
+      concat(col("p_name"), lit(" "),
+        col("p_size").cast("string")).as("str"))
+    val dirty = base.select(col("id"),
+      expr("""concat(substring(str, 1, CAST(id % length(str) AS INT)),
+             |       substring(str, CAST(id % length(str) AS INT) + 2,
+             |                 2147483647))""".stripMargin
+        .replaceAll("\\s+", " ")).as("str"))
+    (base, dirty)
+  }
+
   val queries: Seq[GateQuery] = Seq(
 
     // EXACT edit-distance linkage (lev <= 1) of a typo'd feed against
@@ -45,14 +64,7 @@ object MiningOps {
     GateQuery(
       "q_fuzzy_join_edit",
       (s, d) => {
-        val base = part(s, d).select(col("p_partkey").as("id"),
-          concat(col("p_name"), lit(" "),
-            col("p_size").cast("string")).as("str"))
-        val dirty = base.select(col("id"),
-          expr("""concat(substring(str, 1, CAST(id % length(str) AS INT)),
-                 |       substring(str, CAST(id % length(str) AS INT) + 2,
-                 |                 2147483647))""".stripMargin
-            .replaceAll("\\s+", " ")).as("str"))
+        val (base, dirty) = fuzzyCorpus(s, d)
         Fuzzy.editJoin(dirty, "id", "str", base, "id", "str", k = 1)
           .agg(
             count(lit(1)).as("n_pairs"),
@@ -412,5 +424,99 @@ object MiningOps {
               |       CAST(sum(w) AS BIGINT) AS sum_w_x2520,
               |       CAST(sum(cents * w) AS BIGINT) AS ips_sum_x2520c,
               |       CAST((CAST(sum(cents * w) AS BIGINT) * 10000) // CAST(sum(w) AS BIGINT) AS BIGINT) AS snips_x1e4
-              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)))
+              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Entity-resolution FUNNEL: the full record-linkage chain composed
+    // — blocked fuzzy match (FastSS, zero false negatives) → duplicate
+    // clusters (min-label propagation over the match graph; base and
+    // feed rows become distinct nodes 2·id / 2·id+1) → canonical
+    // survivor per cluster (longest string, id tiebreak). Like
+    // q_curation_funnel/q_rag_funnel, this gate pins the HANDOFFS
+    // between families where integration bugs live; the oracle
+    // re-derives every stage independently (all-pairs levenshtein,
+    // recursive min-label CTE, window survivor) and the census pins
+    // exact node→cluster and cluster→survivor membership via
+    // checksums, not just counts.
+    GateQuery(
+      "q_entity_resolution",
+      (s, d) => {
+        val (base, dirty) = fuzzyCorpus(s, d)
+        val matches = Fuzzy.editJoin(dirty, "id", "str", base, "id", "str",
+          k = 1).persist()
+        try {
+          val pairs = matches.select(
+            (col("idL") * 2 + 1).as("id_a"),
+            (col("idR") * 2).as("id_b")).distinct()
+          val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+          val nodes = base.select((col("id") * 2).as("node"), col("str"))
+            .unionByName(dirty.select((col("id") * 2 + 1).as("node"), col("str")))
+          val labeled = clusters
+            .join(nodes, col("id") === col("node")).drop("node")
+            .persist()
+          try {
+            val surv = labeled.withColumn("_r",
+              row_number().over(Window.partitionBy("cluster")
+                .orderBy(length(col("str")).desc, col("id").asc)))
+              .filter(col("_r") === 1)
+            val bucket = (c: org.apache.spark.sql.Column) =>
+              graft.operators.Curation.hashBucket(c)
+            labeled.agg(
+              count(lit(1)).as("n_nodes"),
+              countDistinct("cluster").as("n_clusters"),
+              sum(bucket(concat_ws(":", col("id"), col("cluster"))))
+                .cast("long").as("map_checksum"))
+              .crossJoin(labeled.groupBy("cluster").agg(count(lit(1)).as("sz"))
+                .agg(max("sz").cast("long").as("max_cluster")))
+              .crossJoin(surv.agg(
+                sum(bucket(concat_ws(">", col("cluster"), col("id"))))
+                  .cast("long").as("surv_checksum"),
+                sum(when(pmod(col("id"), lit(2)) === 1, 1L).otherwise(0L))
+                  .cast("long").as("n_surv_dirty")))
+              .crossJoin(matches.agg(
+                countDistinct("idL").as("n_matched_dirty")))
+              .crossJoin(dirty.agg(count(lit(1)).as("_n_dirty")))
+              .withColumn("n_unmatched_dirty",
+                col("_n_dirty") - col("n_matched_dirty"))
+              .select("n_nodes", "n_clusters", "max_cluster",
+                "n_matched_dirty", "n_unmatched_dirty", "n_surv_dirty",
+                "map_checksum", "surv_checksum")
+          } finally { labeled.unpersist(blocking = false); () }
+        } finally { matches.unpersist(blocking = false); () }
+      },
+      Some(s"""WITH $fuzzyBaseSql,
+              |m AS (SELECT d.id AS idl, c.id AS idr
+              |      FROM dirty d JOIN base c
+              |        ON abs(length(d.str) - length(c.str)) <= 1
+              |      WHERE levenshtein(d.str, c.str) <= 1),
+              |pairs AS (SELECT DISTINCT idl * 2 + 1 AS id_a, idr * 2 AS id_b FROM m),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              |          UNION SELECT id_b, id_a FROM pairs),
+              |lab AS (
+              |  WITH RECURSIVE walk(id, lbl) AS (
+              |    SELECT src, src FROM edges
+              |    UNION
+              |    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+              |    WHERE w.lbl < e.dst
+              |  )
+              |  SELECT id, min(lbl) AS cluster FROM walk GROUP BY id
+              |),
+              |nodes AS (SELECT id * 2 AS node, str FROM base
+              |          UNION ALL SELECT id * 2 + 1, str FROM dirty),
+              |labeled AS (SELECT l.id, l.cluster, n.str
+              |            FROM lab l JOIN nodes n ON n.node = l.id),
+              |surv AS (SELECT cluster, id AS surv_id FROM (
+              |           SELECT cluster, id,
+              |                  row_number() OVER (PARTITION BY cluster
+              |                                     ORDER BY length(str) DESC, id) AS r
+              |           FROM labeled) WHERE r = 1),
+              |sizes AS (SELECT cluster, count(*) AS sz FROM labeled GROUP BY cluster)
+              |SELECT
+              |  (SELECT count(*) FROM labeled) AS n_nodes,
+              |  (SELECT count(*) FROM sizes) AS n_clusters,
+              |  (SELECT CAST(max(sz) AS BIGINT) FROM sizes) AS max_cluster,
+              |  (SELECT count(DISTINCT idl) FROM m) AS n_matched_dirty,
+              |  (SELECT count(*) FROM dirty) - (SELECT count(DISTINCT idl) FROM m) AS n_unmatched_dirty,
+              |  (SELECT CAST(sum(CASE WHEN surv_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM surv) AS n_surv_dirty,
+              |  (SELECT CAST(sum(${SharedOracles.bucketSql("CAST(id AS VARCHAR) || ':' || CAST(cluster AS VARCHAR)")}) AS BIGINT) FROM labeled) AS map_checksum,
+              |  (SELECT CAST(sum(${SharedOracles.bucketSql("CAST(cluster AS VARCHAR) || '>' || CAST(surv_id AS VARCHAR)")}) AS BIGINT) FROM surv) AS surv_checksum""".stripMargin)))
 }
