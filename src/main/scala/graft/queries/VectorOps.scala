@@ -425,5 +425,111 @@ object VectorOps {
              |       (SELECT count(*) FROM topk) AS n_knn,
              |       (SELECT CAST(sum(rnk) AS BIGINT) FROM topk) AS knn_rank_sum,
              |       (SELECT CAST(round(sum(cos) * 10000) AS BIGINT) FROM topk) AS knn_cos_sum""".stripMargin)),
+
+    // ANN QUALITY EVALUATION: recall@10 of the sign-LSH bucketed
+    // retrieval vs the exact ground truth — the measurement a real
+    // user of the approximate path needs (the other ANN gates pin
+    // nprobe = C exactness; this one MEASURES what pruning costs).
+    // The bucket is the engine-safe 3-bit sign derivation
+    // (q_ann_buckets'), NOT a float-argmax cell assignment that a
+    // 1-ulp cosine difference could flip between engines; ranking is
+    // by the ×1e4 INTEGER cosine (id tiebreak) on both sides, so both
+    // top-10 sets are deterministic and identical across engines.
+    // The query sample is ABSOLUTELY bounded (vec_id < 50 — the
+    // hard-negatives lesson: an eval harness samples a fixed list,
+    // never a corpus fraction), so the scored relation stays linear
+    // in the corpus; per-query windows are the documented eval-
+    // harness exception (bounded query count × corpus).
+    GateQuery(
+      "q_ann_recall",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def bucketOf(v: Column): Column =
+          when(element_at(v, 1) > 0, 4).otherwise(0) +
+            when(element_at(v, 2) > 0, 2).otherwise(0) +
+            when(element_at(v, 3) > 0, 1).otherwise(0)
+        val e = withVec(embeddings(s, d))
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            bucketOf(col("v")).as("qb"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+          bucketOf(col("v")).as("cb"))
+        val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
+          .withColumn("cos_x1e4",
+            round(graft.operators.Ann.cosine(col("qv"), col("cv")) * 10000)
+              .cast("long"))
+          .persist()
+        try {
+          def top10(df: DataFrame, tag: String) =
+            df.withColumn(s"_r$tag", row_number().over(
+              Window.partitionBy("qid")
+                .orderBy(desc("cos_x1e4"), asc("cid"))))
+              .filter(col(s"_r$tag") <= 10)
+              .select(col("qid"), col("cid"), col(s"_r$tag"))
+          val exact = top10(scored, "e")
+          val approx = top10(scored.filter(col("qb") === col("cb")), "a")
+          val overlap = exact.join(approx, Seq("qid", "cid"))
+          val perQ = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+            .join(overlap.groupBy("qid").agg(
+              count(lit(1)).as("n_overlap"),
+              sum(when(col("_re") === 1, 1L).otherwise(0L)).as("hit1")),
+              Seq("qid"), "left")
+            .select(col("qid"), col("n_exact"),
+              coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+              coalesce(col("hit1"), lit(0L)).as("hit1"))
+          perQ.agg(
+            count(lit(1)).as("n_queries"),
+            sum("n_exact").cast("long").as("n_exact_total"),
+            sum("n_overlap").cast("long").as("n_overlap_total"),
+            expr("CAST((CAST(sum(n_overlap) AS DECIMAL(38,0)) * 1000000)" +
+              " div sum(n_exact) AS BIGINT)").as("recall_ppm"),
+            sum("hit1").cast("long").as("n_hit_at_1"),
+            min("n_overlap").cast("long").as("min_overlap"))
+        } finally { scored.unpersist(blocking = false); () }
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+              |         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              |          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              |          + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS b
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.b AS qb, c.b AS cb,
+              |         CAST(round(
+              |           list_sum(list_transform(list_zip(q.v, c.v),
+              |                                   p -> struct_extract(p, 1) * struct_extract(p, 2)))
+              |           / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+              |              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) * 10000)
+              |           AS BIGINT) AS cos_x1e4
+              |  FROM e q JOIN e c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+              |ex AS (SELECT qid, cid, r FROM (
+              |         SELECT qid, cid,
+              |                row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY cos_x1e4 DESC, cid) AS r
+              |         FROM scored) WHERE r <= 10),
+              |ap AS (SELECT qid, cid FROM (
+              |         SELECT qid, cid,
+              |                row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY cos_x1e4 DESC, cid) AS r
+              |         FROM scored WHERE qb = cb) WHERE r <= 10),
+              |ov AS (SELECT ex.qid, ex.cid, ex.r
+              |       FROM ex JOIN ap ON ex.qid = ap.qid AND ex.cid = ap.cid),
+              |perq AS (
+              |  SELECT g.qid, g.n_exact,
+              |         coalesce(o.n_overlap, 0) AS n_overlap,
+              |         coalesce(o.hit1, 0) AS hit1
+              |  FROM (SELECT qid, count(*) AS n_exact FROM ex GROUP BY qid) g
+              |  LEFT JOIN (SELECT qid, count(*) AS n_overlap,
+              |                    sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS hit1
+              |             FROM ov GROUP BY qid) o ON g.qid = o.qid)
+              |SELECT count(*) AS n_queries,
+              |       CAST(sum(n_exact) AS BIGINT) AS n_exact_total,
+              |       CAST(sum(n_overlap) AS BIGINT) AS n_overlap_total,
+              |       CAST((CAST(sum(n_overlap) AS HUGEINT) * 1000000)
+              |            // sum(n_exact) AS BIGINT) AS recall_ppm,
+              |       CAST(sum(hit1) AS BIGINT) AS n_hit_at_1,
+              |       CAST(min(n_overlap) AS BIGINT) AS min_overlap
+              |FROM perq""".stripMargin)),
   )
 }
