@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk audits for training corpora: k-anonymity and
+  * l-diversity censuses over quasi-identifier (QI) tuples.
+  *
+  * A record is k-anonymous when at least k−1 other records share its
+  * QI tuple (its *equivalence class*); an equivalence class is
+  * l-diverse when it contains ≥ l distinct values of the sensitive
+  * attribute. Releasing (or training on) records from small or
+  * mono-sensitive classes is the standard re-identification /
+  * attribute-disclosure risk a corpus audit must surface before the
+  * data ships — the same census a Mondrian-style generalizer would
+  * consume to decide what to coarsen.
+  *
+  * Scale shape: one keyed aggregation corpus → class relation (bounded
+  * by the number of DISTINCT QI tuples, not the corpus), then one
+  * keyed aggregation over that class relation. No windows, no joins,
+  * no driver state; the only distinct-agg is per-class sensitive
+  * cardinality, which Spark plans as a single scan with Expand
+  * (rows ×2) — mergeable and partial-aggregated map-side.
+  */
+object Privacy {
+
+  /** One row per distinct QI tuple: its size and the number of
+    * distinct sensitive values inside it.
+    */
+  def classCensus(df: DataFrame, qiCols: Seq[String], sensCol: String): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(sensCol).as("n_sensitive"))
+
+  /** Per-`groupCol` k-anonymity report. QI classes are formed WITHIN
+    * each group (the group is itself part of the quasi-identifier —
+    * the usual per-cohort audit shape).
+    *
+    * Output columns per group: `n_records`, `n_classes`,
+    * `min_class_size`, one `records_lt_<k>` per requested k (records
+    * living in classes smaller than k — the at-risk population),
+    * `mono_classes` (classes with a single sensitive value — the
+    * l-diversity failures at l=2), and `risk_checksum` — an exact
+    * membership checksum (md5-prefix bucket of the class key) over the
+    * classes smaller than `riskK`, so two runs agreeing on COUNTS but
+    * flagging different classes cannot both pass a gate.
+    */
+  def kAnonymity(
+      df: DataFrame,
+      groupCol: String,
+      qiCols: Seq[String],
+      sensCol: String,
+      ks: Seq[Int] = Seq(2, 5, 10),
+      riskK: Int = 5): DataFrame = {
+    require(ks.nonEmpty, "kAnonymity: at least one k required")
+    val census = classCensus(df, groupCol +: qiCols, sensCol)
+    val classKey = concat_ws(":", qiCols.map(c => col(c).cast("string")): _*)
+    val perK: Seq[Column] = ks.map(k =>
+      sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+        .cast("long").as(s"records_lt_$k"))
+    val aggs: Seq[Column] = Seq(
+      sum("class_size").cast("long").as("n_records"),
+      count(lit(1)).as("n_classes"),
+      min("class_size").cast("long").as("min_class_size")) ++ perK ++ Seq(
+      sum(when(col("n_sensitive") === 1, 1L).otherwise(0L))
+        .cast("long").as("mono_classes"),
+      sum(when(col("class_size") < riskK, Curation.hashBucket(classKey))
+        .otherwise(0L)).cast("long").as("risk_checksum"))
+    census
+      .groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

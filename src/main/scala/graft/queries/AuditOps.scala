@@ -6,8 +6,8 @@ import graft.operators.{Curation, Robust}
 
 /** Gate queries for the dataset-audit extension family: annotator
   * agreement (Cohen's kappa), label-balance census (Gini impurity),
-  * robust length-outlier detection (exact median/MAD), and web-corpus
-  * URL provenance. House rules throughout: every ratio ships as an
+  * robust length-outlier detection (exact median/MAD), web-corpus
+  * URL provenance, and the k-anonymity / l-diversity privacy census. House rules throughout: every ratio ships as an
   * integer-unit projection, and any product that could exceed long
   * range at cluster-scale group sizes is widened to DECIMAL(38,0) on
   * the Spark side and HUGEINT in the oracle BEFORE multiplying — the
@@ -433,5 +433,47 @@ object AuditOps {
               |SELECT fold_lo, fold_hi, count(*) AS n_leaks,
               |       CAST(sum(${SharedOracles.bucketSql("CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)")}) AS BIGINT) AS pair_checksum
               |FROM x GROUP BY fold_lo, fold_hi
-              |ORDER BY fold_lo, fold_hi""".stripMargin)))
+              |ORDER BY fold_lo, fold_hi""".stripMargin)),
+
+    // k-anonymity / l-diversity privacy census per language cohort:
+    // QI = (source, 50-char length band), sensitive = a deterministic
+    // content-hash label. Per cohort: the at-risk population under
+    // k ∈ {2,5,10} (records in classes smaller than k), the
+    // l-diversity failures at l=2 (mono-sensitive classes), and an
+    // EXACT class-membership checksum over the sub-riskK classes — so
+    // two runs agreeing on counts but flagging different classes
+    // cannot both pass. Two keyed aggs; the second runs over the
+    // distinct-QI-tuple relation, bounded regardless of corpus size.
+    GateQuery(
+      "q_k_anonymity",
+      (s, d) =>
+        graft.operators.Privacy.kAnonymity(
+          documents(s, d)
+            // `div`, not `/`: integer band math stays exact at any
+            // n_chars; null length → its own '-1' band on both engines
+            .withColumn("cb", coalesce(expr("n_chars div 50"), lit(-1L)))
+            .withColumn("sens", pmod(Curation.hashBucket(
+              concat(lit("sens:"), col("doc_id").cast("string"))), lit(3L))),
+          groupCol = "lang", qiCols = Seq("source", "cb"), sensCol = "sens")
+          .orderBy("lang"),
+      Some(s"""WITH q AS (
+              |  SELECT lang, source,
+              |         coalesce(n_chars // 50, -1) AS cb,
+              |         ${SharedOracles.bucketSql("'sens:' || CAST(doc_id AS VARCHAR)")} % 3 AS sens
+              |  FROM documents),
+              |c AS (SELECT lang, source, cb, count(*) AS cs,
+              |             count(DISTINCT sens) AS ns
+              |      FROM q GROUP BY lang, source, cb)
+              |SELECT lang,
+              |       CAST(sum(cs) AS BIGINT) AS n_records,
+              |       count(*) AS n_classes,
+              |       CAST(min(cs) AS BIGINT) AS min_class_size,
+              |       CAST(sum(CASE WHEN cs < 2 THEN cs ELSE 0 END) AS BIGINT) AS records_lt_2,
+              |       CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT) AS records_lt_5,
+              |       CAST(sum(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS BIGINT) AS records_lt_10,
+              |       CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mono_classes,
+              |       CAST(sum(CASE WHEN cs < 5
+              |                     THEN ${SharedOracles.bucketSql("source || ':' || CAST(cb AS VARCHAR)")}
+              |                     ELSE 0 END) AS BIGINT) AS risk_checksum
+              |FROM c GROUP BY lang ORDER BY lang""".stripMargin)))
 }

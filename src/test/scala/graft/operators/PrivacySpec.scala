@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class PrivacySpec extends AnyFunSuite with SparkTestBase {
+
+  /** 8 records, one cohort, QI = (src, band):
+    *   class (web, 0): rows 1,2,3,4,5 — size 5, sens {0,1}
+    *   class (web, 1): rows 6,7      — size 2, sens {2}   (mono)
+    *   class (lib, 0): row 8         — size 1, sens {0}   (mono)
+    */
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "en", "web", 0L, 0L), (2L, "en", "web", 0L, 1L),
+      (3L, "en", "web", 0L, 0L), (4L, "en", "web", 0L, 1L),
+      (5L, "en", "web", 0L, 0L),
+      (6L, "en", "web", 1L, 2L), (7L, "en", "web", 1L, 2L),
+      (8L, "en", "lib", 0L, 0L)
+    ).toDF("id", "lang", "src", "band", "sens")
+  }
+
+  test("classCensus: one row per QI tuple with size and sensitive cardinality") {
+    val got = Privacy.classCensus(corpus, Seq("src", "band"), "sens")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      ("web", 0L) -> ((5L, 2L)),
+      ("web", 1L) -> ((2L, 1L)),
+      ("lib", 0L) -> ((1L, 1L))))
+  }
+
+  test("kAnonymity: at-risk populations, mono classes, and membership checksum") {
+    val row = Privacy.kAnonymity(
+      corpus, "lang", Seq("src", "band"), "sens",
+      ks = Seq(2, 5, 10), riskK = 5).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getAs[Long]("n_records") == 8L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_class_size") == 1L)
+    // k=2: only the singleton class is sub-k -> 1 record at risk
+    assert(r.getAs[Long]("records_lt_2") == 1L)
+    // k=5: singleton + pair -> 3 records at risk
+    assert(r.getAs[Long]("records_lt_5") == 3L)
+    // k=10: everything -> 8
+    assert(r.getAs[Long]("records_lt_10") == 8L)
+    // l-diversity failures at l=2: (web,1) and (lib,0)
+    assert(r.getAs[Long]("mono_classes") == 2L)
+    // checksum = exact membership of the sub-riskK classes, keyed by
+    // the ':'-joined QI string — recompute independently
+    val expected = Seq("web:1", "lib:0").map { key =>
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 7), 16)
+    }.sum
+    assert(r.getAs[Long]("risk_checksum") == expected)
+  }
+
+  test("kAnonymity: null QI values form their own class on the Spark side") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", Some("web"), 0L, 0L),
+      (2L, "en", None: Option[String], 0L, 1L),
+      (3L, "en", None: Option[String], 0L, 1L)
+    ).toDF("id", "lang", "src", "band", "sens")
+    val r = Privacy.kAnonymity(
+      df, "lang", Seq("src", "band"), "sens").collect().head
+    // 2 classes: (web,0) size 1 and (null,0) size 2 — null grouped, not dropped
+    assert(r.getAs[Long]("n_classes") == 2L)
+    assert(r.getAs[Long]("n_records") == 3L)
+    assert(r.getAs[Long]("records_lt_2") == 1L)
+  }
+
+  test("kAnonymity on a fully k-anonymous cohort reports zero risk") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i =>
+      (i, "de", "web", i % 2, i % 3)).toDF("id", "lang", "src", "band", "sens")
+    val r = Privacy.kAnonymity(
+      df, "lang", Seq("src", "band"), "sens").collect().head
+    assert(r.getAs[Long]("min_class_size") == 10L)
+    assert(r.getAs[Long]("records_lt_10") == 0L)
+    assert(r.getAs[Long]("mono_classes") == 0L)
+    assert(r.getAs[Long]("risk_checksum") == 0L)
+  }
+}
