@@ -214,7 +214,10 @@ object ScaleStress {
     "q_expectations", "q_class_rebalance", "q_split_leakage",
     // ER funnel: FastSS signature join + min-label rounds (rounds =
     // cluster diameter) — the propagation join is the scale question
-    "q_entity_resolution")
+    "q_entity_resolution",
+    // privacy census: class relation is distinct-QI-bounded, so 10×
+    // rows should grow class SIZES, not the second agg's input
+    "q_k_anonymity")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)
