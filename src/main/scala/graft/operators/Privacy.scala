@@ -55,7 +55,15 @@ object Privacy {
       riskK: Int = 5): DataFrame = {
     require(ks.nonEmpty, "kAnonymity: at least one k required")
     val census = classCensus(df, groupCol +: qiCols, sensCol)
-    val classKey = concat_ws(":", qiCols.map(c => col(c).cast("string")): _*)
+    // NULL QI values form their own class upstream (groupBy keeps
+    // them), so the checksum key must keep them distinct too:
+    // concat_ws SKIPS nulls, which would both collide a (null, x)
+    // class with a ("", x)-shaped one and diverge from any oracle
+    // whose `||` propagates NULL. A NUL sentinel cannot collide with
+    // real values (parquet strings are NUL-free in practice) and is
+    // reproducible on the SQL side as chr(0).
+    val classKey = concat_ws(":",
+      qiCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
     val perK: Seq[Column] = ks.map(k =>
       sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
         .cast("long").as(s"records_lt_$k"))

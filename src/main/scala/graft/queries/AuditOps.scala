@@ -473,7 +473,7 @@ object AuditOps {
               |       CAST(sum(CASE WHEN cs < 10 THEN cs ELSE 0 END) AS BIGINT) AS records_lt_10,
               |       CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mono_classes,
               |       CAST(sum(CASE WHEN cs < 5
-              |                     THEN ${SharedOracles.bucketSql("source || ':' || CAST(cb AS VARCHAR)")}
+              |                     THEN ${SharedOracles.bucketSql("coalesce(source, chr(0)) || ':' || CAST(cb AS VARCHAR)")}
               |                     ELSE 0 END) AS BIGINT) AS risk_checksum
               |FROM c GROUP BY lang ORDER BY lang""".stripMargin)))
 }

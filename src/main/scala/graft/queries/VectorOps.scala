@@ -32,6 +32,22 @@ object VectorOps {
   private val sqlNormSq =
     "list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
+  /** 3-bit sign-LSH bucket — the ONE derivation shared by the bucket
+    * census gate (q_ann_buckets) and the recall harness
+    * (q_ann_recall), Spark and oracle sides alike, so widening the
+    * bucket cannot silently fork the gates into two diverging
+    * definitions that both keep passing.
+    */
+  private def signBucket3(v: Column): Column =
+    when(element_at(v, 1) > 0, 4).otherwise(0) +
+      when(element_at(v, 2) > 0, 2).otherwise(0) +
+      when(element_at(v, 3) > 0, 1).otherwise(0)
+
+  private def signBucket3Sql(arr: String): String =
+    s"(CASE WHEN $arr[1] > 0 THEN 4 ELSE 0 END" +
+      s" + CASE WHEN $arr[2] > 0 THEN 2 ELSE 0 END" +
+      s" + CASE WHEN $arr[3] > 0 THEN 1 ELSE 0 END)"
+
   val queries: Seq[GateQuery] = Seq(
 
     // L2-norm distribution per label.
@@ -91,19 +107,14 @@ object VectorOps {
       "q_ann_buckets",
       (s, d) =>
         withVec(embeddings(s, d))
-          .withColumn("bucket",
-            (when(element_at(col("v"), 1) > 0, 4).otherwise(0)
-              + when(element_at(col("v"), 2) > 0, 2).otherwise(0)
-              + when(element_at(col("v"), 3) > 0, 1).otherwise(0)))
+          .withColumn("bucket", signBucket3(col("v")))
           .groupBy("bucket")
           .agg(
             count(lit(1)).as("n"),
             round(avg(sqrt(sumSq(col("v")))) * 10000).cast("long").as("avg_norm_x1e4"),
             countDistinct(col("label")).as("n_labels"))
           .orderBy("bucket"),
-      Some(s"""SELECT (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-              |        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-              |        + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket,
+      Some(s"""SELECT ${signBucket3Sql("embedding")} AS bucket,
               |       count(*) AS n,
               |       CAST(round(avg(sqrt($sqlNormSq)) * 10000) AS BIGINT) AS avg_norm_x1e4,
               |       count(DISTINCT label) AS n_labels
@@ -444,30 +455,30 @@ object VectorOps {
       "q_ann_recall",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        def bucketOf(v: Column): Column =
-          when(element_at(v, 1) > 0, 4).otherwise(0) +
-            when(element_at(v, 2) > 0, 2).otherwise(0) +
-            when(element_at(v, 3) > 0, 1).otherwise(0)
         val e = withVec(embeddings(s, d))
         val q = e.filter(col("vec_id") < 50)
           .select(col("vec_id").as("qid"), col("v").as("qv"),
-            bucketOf(col("v")).as("qb"))
+            signBucket3(col("v")).as("qb"))
         val c = e.select(col("vec_id").as("cid"), col("v").as("cv"),
-          bucketOf(col("v")).as("cb"))
+          signBucket3(col("v")).as("cb"))
         val scored = broadcast(q).join(c, col("qid") =!= col("cid"))
           .withColumn("cos_x1e4",
             round(graft.operators.Ann.cosine(col("qv"), col("cv")) * 10000)
               .cast("long"))
+          .select("qid", "cid", "qb", "cb", "cos_x1e4")
           .persist()
         try {
-          def top10(df: DataFrame, tag: String) =
-            df.withColumn(s"_r$tag", row_number().over(
+          def top10(df: DataFrame) =
+            df.withColumn("_r", row_number().over(
               Window.partitionBy("qid")
                 .orderBy(desc("cos_x1e4"), asc("cid"))))
-              .filter(col(s"_r$tag") <= 10)
-              .select(col("qid"), col("cid"), col(s"_r$tag"))
-          val exact = top10(scored, "e")
-          val approx = top10(scored.filter(col("qb") === col("cb")), "a")
+              .filter(col("_r") <= 10)
+          val exact = top10(scored)
+            .select(col("qid"), col("cid"), col("_r").as("_re"))
+          // the approx rank is never consulted downstream — overlap
+          // membership and hit@1 read only the EXACT rank
+          val approx = top10(scored.filter(col("qb") === col("cb")))
+            .select("qid", "cid")
           val overlap = exact.join(approx, Seq("qid", "cid"))
           val perQ = exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
             .join(overlap.groupBy("qid").agg(
@@ -477,7 +488,11 @@ object VectorOps {
             .select(col("qid"), col("n_exact"),
               coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
               coalesce(col("hit1"), lit(0L)).as("hit1"))
-          perQ.agg(
+          // ONE aggregate row, collected EAGERLY while `scored` is
+          // cached — returning the lazy frame would evaluate after the
+          // finally unpersists, recomputing the 50×N cosine scan for
+          // every downstream branch (the q_rag_funnel lesson)
+          val r = perQ.agg(
             count(lit(1)).as("n_queries"),
             sum("n_exact").cast("long").as("n_exact_total"),
             sum("n_overlap").cast("long").as("n_overlap_total"),
@@ -485,14 +500,18 @@ object VectorOps {
               " div sum(n_exact) AS BIGINT)").as("recall_ppm"),
             sum("hit1").cast("long").as("n_hit_at_1"),
             min("n_overlap").cast("long").as("min_overlap"))
+            .collect().head
+          import s.implicits._
+          Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+            .toDF("n_queries", "n_exact_total", "n_overlap_total",
+              "recall_ppm", "n_hit_at_1", "min_overlap")
         } finally { scored.unpersist(blocking = false); () }
       },
       Some(s"""WITH e AS (
               |  SELECT vec_id,
               |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-              |         (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
-              |          + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-              |          + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS b
+              |         ${signBucket3Sql("embedding")} AS b
               |  FROM embeddings),
               |scored AS (
               |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.b AS qb, c.b AS cb,

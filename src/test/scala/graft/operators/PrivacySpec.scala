@@ -53,12 +53,7 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("mono_classes") == 2L)
     // checksum = exact membership of the sub-riskK classes, keyed by
     // the ':'-joined QI string — recompute independently
-    val expected = Seq("web:1", "lib:0").map { key =>
-      java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(key.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 7), 16)
-    }.sum
+    val expected = Seq("web:1", "lib:0").map(md5Bucket).sum
     assert(r.getAs[Long]("risk_checksum") == expected)
   }
 
@@ -75,7 +70,19 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("n_classes") == 2L)
     assert(r.getAs[Long]("n_records") == 3L)
     assert(r.getAs[Long]("records_lt_2") == 1L)
+    // both classes are sub-riskK; the null QI keys via the NUL
+    // sentinel (concat_ws would otherwise SKIP it, colliding the
+    // (null,0) class key with a bare "0" and diverging from an
+    // oracle whose || propagates NULL)
+    val expected = Seq("web:0", "\u0000:0").map(md5Bucket).sum
+    assert(r.getAs[Long]("risk_checksum") == expected)
   }
+
+  private def md5Bucket(key: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 7), 16)
 
   test("kAnonymity on a fully k-anonymous cohort reports zero risk") {
     import spark.implicits._
