@@ -79,4 +79,74 @@ object Privacy {
       .groupBy(groupCol)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** k-anonymity by SUPPRESSION: drop every record whose equivalence
+    * class (groupCol + qiCols, NULLs grouping together) has fewer
+    * than k members. One window count over the class key — a single
+    * shuffle, no census join, no driver state; the window partition
+    * is the equivalence class itself, so partitions are at most the
+    * largest class (the quantity k-anonymity is ABOUT — never skewed
+    * toward a scan-sized partition unless the data is one class, in
+    * which case nothing is suppressed anyway).
+    */
+  def suppress(df: DataFrame, groupCol: String, qiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"suppress: k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCol +: qiCols).map(col): _*)
+    df.withColumn("_class_size", count(lit(1)).over(w))
+      .filter(col("_class_size") >= k)
+      .drop("_class_size")
+  }
+
+  /** k-anonymity by FULL-DOMAIN GENERALIZATION over a ladder of QI
+    * prefixes: level 0 keeps all of `qiCols`, level l drops the LAST
+    * l columns (coarsening ladder: the caller orders qiCols from
+    * coarse to fine), level `qiCols.size` keeps only the cohort.
+    * Each record is assigned the FINEST level at which its
+    * (coarsened) class reaches size ≥ k, plus a `suppressed` flag for
+    * records whose whole cohort is still sub-k at the top.
+    *
+    * Scale shape: the corpus is scanned twice and SHUFFLED never —
+    * the level-0 census is one map-side-combined groupBy (only
+    * census-sized partials move), every coarser level's sizes are
+    * aggregations of the QI-bounded census ITSELF (a rollup over the
+    * corpus would re-scan and re-shuffle it once per referenced
+    * level — measured: 3 Expand+Exchange corpus subtrees), and the
+    * single enriched census broadcasts back onto the corpus in ONE
+    * join. Null QI values participate via null-safe equality (`<=>`),
+    * matching the census's groupBy semantics.
+    */
+  def generalize(df: DataFrame, groupCol: String, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "generalize: at least one QI column required")
+    require(k >= 1, s"generalize: k must be >= 1, got $k")
+    val ladder = groupCol +: qiCols
+    val c0 = df.groupBy(ladder.map(col): _*).agg(count(lit(1)).as("_n_l0"))
+    // enrich each level-0 class with its size at every coarser level
+    // via window sums OVER THE CENSUS — one plan subtree (a groupBy
+    // self-join per level would re-derive c0, and with it the corpus
+    // scan, once per level), and the window partitions are coarser
+    // classes of the census relation, never corpus-sized; nulls group
+    // together in window partitioning, matching the groupBy semantics
+    val enriched = (1 to qiCols.size).foldLeft(c0) { (acc, l) =>
+      val keep = ladder.dropRight(l)
+      acc.withColumn(s"_n_l$l", sum("_n_l0").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keep.map(col): _*)))
+    }
+    val key = enriched
+      .select(ladder.map(c => col(c).as(s"_k$c"))
+        ++ (0 to qiCols.size).map(l => col(s"_n_l$l")): _*)
+    val joined = df.join(
+      broadcast(key),
+      ladder.map(c => df(c) <=> key(s"_k$c")).reduce(_ && _),
+      "left")
+      .drop(ladder.map(c => s"_k$c"): _*)
+    val level = (0 until qiCols.size).foldRight(lit(qiCols.size): Column) {
+      (l, rest) => when(col(s"_n_l$l") >= k, l).otherwise(rest)
+    }
+    joined
+      .withColumn("gen_level", level)
+      .withColumn("suppressed", col(s"_n_l${qiCols.size}") < k)
+      .drop((0 to qiCols.size).map(l => s"_n_l$l"): _*)
+  }
 }

@@ -7,7 +7,8 @@ import graft.operators.{Curation, Robust}
 /** Gate queries for the dataset-audit extension family: annotator
   * agreement (Cohen's kappa), label-balance census (Gini impurity),
   * robust length-outlier detection (exact median/MAD), web-corpus
-  * URL provenance, and the k-anonymity / l-diversity privacy census. House rules throughout: every ratio ships as an
+  * URL provenance, and the k-anonymity / l-diversity privacy family
+  * (census, suppression, generalization ladder). House rules throughout: every ratio ships as an
   * integer-unit projection, and any product that could exceed long
   * range at cluster-scale group sizes is widened to DECIMAL(38,0) on
   * the Spark side and HUGEINT in the oracle BEFORE multiplying — the
@@ -475,5 +476,102 @@ object AuditOps {
               |       CAST(sum(CASE WHEN cs < 5
               |                     THEN ${SharedOracles.bucketSql("coalesce(source, chr(0)) || ':' || CAST(cb AS VARCHAR)")}
               |                     ELSE 0 END) AS BIGINT) AS risk_checksum
-              |FROM c GROUP BY lang ORDER BY lang""".stripMargin)))
+              |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // k-anonymity ENFORCEMENT by suppression: drop every record in a
+    // sub-k class (k=5), report per-cohort survivors plus an exact
+    // survivor-membership checksum. Spark side is ONE window count
+    // over the class key (the window partition IS the equivalence
+    // class — bounded by the largest class, the quantity the audit is
+    // about); the oracle re-derives via a window too but aggregates
+    // with conditional sums instead of a filter.
+    GateQuery(
+      "q_k_suppress",
+      (s, d) => {
+        val base = documents(s, d)
+          .withColumn("cb", coalesce(expr("n_chars div 50"), lit(-1L)))
+        val kept = graft.operators.Privacy
+          .suppress(base, "lang", Seq("source", "cb"), k = 5)
+        base.groupBy("lang").agg(count(lit(1)).as("n_records"))
+          .join(
+            kept.groupBy("lang").agg(
+              count(lit(1)).as("n_kept"),
+              sum(Curation.hashBucket(col("doc_id").cast("string")))
+                .cast("long").as("kept_checksum")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("n_records"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_records") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            coalesce(col("kept_checksum"), lit(0L)).as("kept_checksum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT lang, source, coalesce(n_chars // 50, -1) AS cb, doc_id
+              |  FROM documents),
+              |g AS (SELECT *, count(*) OVER (PARTITION BY lang, source, cb) AS cs
+              |      FROM q)
+              |SELECT lang, count(*) AS n_records,
+              |       CAST(sum(CASE WHEN cs >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       CAST(sum(CASE WHEN cs < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              |       CAST(sum(CASE WHEN cs >= 5
+              |                     THEN ${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}
+              |                     ELSE 0 END) AS BIGINT) AS kept_checksum
+              |FROM g GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // k-anonymity ENFORCEMENT by full-domain generalization over the
+    // ladder (source, band) -> (source) -> (cohort only): each record
+    // is assigned the FINEST level whose coarsened class reaches
+    // k=5, with a suppressed flag when even the whole cohort is
+    // sub-k. Spark builds the level-0 census once (map-side-combined
+    // groupBy), derives coarser level sizes as window sums OVER THE
+    // CENSUS relation, and broadcasts the one enriched census back —
+    // two corpus scans, zero corpus shuffles; the oracle
+    // independently re-derives levels with three layered window
+    // counts over the corpus. The checksum pins the per-record LEVEL
+    // assignment, not just the counts.
+    GateQuery(
+      "q_k_generalize",
+      (s, d) => {
+        val base = documents(s, d)
+          .withColumn("cb", coalesce(expr("n_chars div 50"), lit(-1L)))
+        graft.operators.Privacy
+          .generalize(base, "lang", Seq("source", "cb"), k = 5)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_records"),
+            sum(when(col("gen_level") === 0, 1L).otherwise(0L))
+              .cast("long").as("n_l0"),
+            sum(when(col("gen_level") === 1, 1L).otherwise(0L))
+              .cast("long").as("n_l1"),
+            sum(when(col("gen_level") === 2, 1L).otherwise(0L))
+              .cast("long").as("n_l2"),
+            sum(when(col("suppressed"), 1L).otherwise(0L))
+              .cast("long").as("n_suppressed"),
+            sum(Curation.hashBucket(concat(
+              col("doc_id").cast("string"), lit(":"),
+              col("gen_level").cast("string"))))
+              .cast("long").as("level_checksum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT lang, source, coalesce(n_chars // 50, -1) AS cb, doc_id
+              |  FROM documents),
+              |g AS (SELECT *,
+              |        count(*) OVER (PARTITION BY lang, source, cb) AS n0,
+              |        count(*) OVER (PARTITION BY lang, source) AS n1,
+              |        count(*) OVER (PARTITION BY lang) AS n2
+              |      FROM q),
+              |lv AS (SELECT lang, doc_id,
+              |              CASE WHEN n0 >= 5 THEN 0
+              |                   WHEN n1 >= 5 THEN 1
+              |                   ELSE 2 END AS lvl,
+              |              CASE WHEN n2 < 5 THEN 1 ELSE 0 END AS sup
+              |       FROM g)
+              |SELECT lang, count(*) AS n_records,
+              |       CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+              |       CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+              |       CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+              |       CAST(sum(sup) AS BIGINT) AS n_suppressed,
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR) || ':' || CAST(lvl AS VARCHAR)")}) AS BIGINT) AS level_checksum
+              |FROM lv GROUP BY lang ORDER BY lang""".stripMargin)))
 }

@@ -78,6 +78,65 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("risk_checksum") == expected)
   }
 
+  test("suppress drops exactly the records in sub-k classes") {
+    val kept = Privacy.suppress(corpus, "lang", Seq("src", "band"), k = 3)
+      .select("id").collect().map(_.getLong(0)).sorted
+    // only class (web,0) with size 5 survives k=3
+    assert(kept.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    // k=1 keeps everything; k=2 drops only the singleton
+    assert(Privacy.suppress(corpus, "lang", Seq("src", "band"), k = 1).count() == 8L)
+    assert(Privacy.suppress(corpus, "lang", Seq("src", "band"), k = 2).count() == 7L)
+  }
+
+  test("suppress groups null QI values as their own class") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", Some("web")), (2L, "en", None: Option[String]),
+      (3L, "en", None: Option[String])
+    ).toDF("id", "lang", "src")
+    val kept = Privacy.suppress(df, "lang", Seq("src"), k = 2)
+      .select("id").collect().map(_.getLong(0)).sorted
+    // the (null) class has size 2 and survives; the web singleton drops
+    assert(kept.sameElements(Array(2L, 3L)))
+  }
+
+  test("generalize assigns the finest level reaching k, ladder = drop-last") {
+    // corpus classes at level 0: (web,0)x5, (web,1)x2, (lib,0)x1
+    // level 1 (src only): web=7, lib=1;  level 2 (lang): en=8
+    val got = Privacy.generalize(corpus, "lang", Seq("src", "band"), k = 5)
+      .select("id", "gen_level", "suppressed").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    // (web,0) already >= 5 -> level 0; (web,1) coarsens to web=7 -> level 1
+    // (lib,0) -> lib=1 < 5 -> falls through to cohort en=8 -> level 2
+    assert((1L to 5L).forall(got(_) == ((0, false))))
+    assert(got(6L) == ((1, false)) && got(7L) == ((1, false)))
+    assert(got(8L) == ((2, false)))
+  }
+
+  test("generalize flags suppression when even the cohort is sub-k") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "xx", "web", 0L), (2L, "xx", "web", 1L)
+    ).toDF("id", "lang", "src", "band")
+    val got = Privacy.generalize(df, "lang", Seq("src", "band"), k = 5)
+      .select("gen_level", "suppressed").collect()
+    assert(got.forall(r => r.getInt(0) == 2 && r.getBoolean(1)))
+  }
+
+  test("generalize joins null QI classes null-safely (no dropped rows)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", None: Option[String], 0L), (2L, "en", None: Option[String], 0L),
+      (3L, "en", Some("web"), 0L)
+    ).toDF("id", "lang", "src", "band")
+    val out = Privacy.generalize(df, "lang", Seq("src", "band"), k = 2)
+    assert(out.count() == 3L) // left joins + <=> keep every record exactly once
+    val got = out.select("id", "gen_level").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // (null,0) size 2 -> level 0; web singleton -> src level web=1 -> cohort=3 -> level 2
+    assert(got(1L) == 0 && got(2L) == 0 && got(3L) == 2)
+  }
+
   private def md5Bucket(key: String): Long =
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
