@@ -217,7 +217,10 @@ object ScaleStress {
     "q_entity_resolution",
     // privacy census: class relation is distinct-QI-bounded, so 10×
     // rows should grow class SIZES, not the second agg's input
-    "q_k_anonymity")
+    "q_k_anonymity",
+    // privacy enforcement: suppress = one class-key window (partition
+    // ≤ largest class); generalize = census windows + broadcast join
+    "q_k_suppress", "q_k_generalize")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)
