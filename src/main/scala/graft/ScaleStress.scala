@@ -220,7 +220,12 @@ object ScaleStress {
     "q_k_anonymity",
     // privacy enforcement: suppress = one class-key window (partition
     // ≤ largest class); generalize = census windows + broadcast join
-    "q_k_suppress", "q_k_generalize")
+    "q_k_suppress", "q_k_generalize",
+    // directed shingle containment: one-sided prefix join — B indexes
+    // its FULL shingle set, so the candidate volume (Σ df over
+    // A-prefixes) is the scale question; x10 plants exact-duplicate
+    // replicas, so true pair volume grows with the duplication
+    "q_containment_join")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

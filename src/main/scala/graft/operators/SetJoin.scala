@@ -96,4 +96,74 @@ object SetJoin {
       Caching.handOff(out)
     } finally { sorted.unpersist(blocking = false); () }
   }
+
+  /** All DIRECTED pairs (id_a, id_b, cont) with exact shingle
+    * containment |A∩B| / |A| ≥ `threshold`, id_a ≠ id_b, where A/B
+    * are the documents' distinct word-`shingleN`-gram shingle sets
+    * ([[Curation.shingleHashes]] — the decontamination convention).
+    * The asymmetric member of the dedup ladder: Jaccard is blind to
+    * small-inside-big inclusion (a 50-token quote verbatim inside a
+    * 5,000-token page has Jaccard ≈ 0.01 but containment 1.0), and
+    * SHINGLE sets are what make the predicate mean quote inclusion —
+    * unigram word sets are structurally dense on any shared
+    * vocabulary (measured on the test corpus: τ=0.95 word containment
+    * still matched 42k of 250k possible pairs; τ=0.8 shingle
+    * containment matched 50). Documents shorter than `shingleN`
+    * words have no shingles and are excluded (containment of an
+    * empty set is undefined).
+    *
+    * Prefix guarantee (one-sided): under a global rarest-first order,
+    * |A∩B| ≥ ⌈t·|A|⌉ shared shingles cannot all avoid A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles (pigeonhole on A alone). The B side
+    * has NO prefix — containment puts no bound on where a shared
+    * shingle sits in B's order — so the index side explodes B's full
+    * shingle set. That one-sidedness is the price of asymmetry:
+    * candidate fan-in per A-prefix shingle is its document frequency
+    * df(t), and rarest-first ordering keeps prefix shingles the
+    * low-df ones (shingle df is far more skew-resistant than word df
+    * — a 5-gram shared by many documents IS the duplication being
+    * hunted). The |B| ≥ ⌈t·|A|⌉ length filter prunes inside the
+    * join; the exact set intersection is the verify.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
+    // explode of an empty shingle array drops the row — sub-shingleN
+    // documents leave the relation here
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(Curation.shingleHashes(col(textCol), shingleN)).as("_tok"))
+    val dfreq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    val sorted = toks.join(dfreq, "_tok")
+      .groupBy(idCol).agg(
+        expr("transform(array_sort(collect_list(struct(_df, _tok))), s -> s._tok)")
+          .as("_stoks"))
+      .withColumn("_len", size(col("_stoks")))
+      .withColumn("_plen",
+        (col("_len") - ceil(lit(threshold) * col("_len") - lit(FpSlack)) + 1)
+          .cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = sorted.select(col(idCol).as("id_a"), col("_len").as("_la"),
+        explode(expr("slice(_stoks, 1, _plen)")).as("_ptok"))
+      val b = sorted.select(col(idCol).as("id_b"), col("_len").as("_lb"),
+        explode(col("_stoks")).as("_ptok"))
+      val cands = a.join(b, Seq("_ptok"))
+        .filter(col("id_a") =!= col("id_b"))
+        .filter(col("_lb") >= ceil(col("_la") * threshold - lit(FpSlack)))
+        .select("id_a", "id_b").distinct()
+      val sides = sorted.select(col(idCol), col("_stoks"))
+      val out = cands
+        .join(sides.select(col(idCol).as("id_a"), col("_stoks").as("_sa")), Seq("id_a"))
+        .join(sides.select(col(idCol).as("id_b"), col("_stoks").as("_sb")), Seq("id_b"))
+        .withColumn("cont",
+          size(array_intersect(col("_sa"), col("_sb"))).cast("double") /
+            size(col("_sa")))
+        .filter(col("cont") >= threshold)
+        .select("id_a", "id_b", "cont")
+      Caching.handOff(out)
+    } finally { sorted.unpersist(blocking = false); () }
+  }
 }

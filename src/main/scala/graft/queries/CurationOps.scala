@@ -20,14 +20,11 @@ object CurationOps {
     */
   private def bucketSql(key: String): String = SharedOracles.bucketSql(key)
 
-  /** Oracle fragment: distinct 16-hex-md5 5-gram shingles of trimmed
-    * whitespace-split text (mirrors Curation.shingleHashes at n=5).
+  /** Oracle fragment: distinct 16-hex-md5 5-gram shingles (now the
+    * shared definition in [[SharedOracles.shingle5Sql]] — the
+    * containment-join gate must agree on it too).
     */
-  private val shingleSql =
-    """list_distinct(CASE WHEN len(words) >= 5
-      |  THEN list_transform(range(len(words) - 4),
-      |         i -> substring(md5(array_to_string(words[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')), 1, 16))
-      |  ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+  private val shingleSql = SharedOracles.shingle5Sql
 
   val queries: Seq[GateQuery] = Seq(
 

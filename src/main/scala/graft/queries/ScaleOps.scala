@@ -227,6 +227,41 @@ object ScaleOps {
       },
       Some(SharedOracles.allPairsJaccardCensus)),
 
+    // EXACT directed shingle-CONTAINMENT join (|A∩B| / |A| >= 0.8
+    // over 5-gram shingle sets): the asymmetric dedup-ladder member —
+    // Jaccard is blind to a small doc quoted verbatim inside a big
+    // one, and unigram word sets are structurally dense (see the
+    // operator Scaladoc's measured comparison). One-sided prefix
+    // filter (pigeonhole on A only; B indexes its full shingle set),
+    // exact intersect verify. The checksum pins the DIRECTED pair set.
+    GateQuery(
+      "q_containment_join",
+      (s, d) => {
+        SetJoin.containmentJoin(documents(s, d).select("doc_id", "text"),
+            "doc_id", "text", 0.8)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_a")).as("n_contained"),
+            round(avg("cont") * 10000).cast("long").as("avg_cont_x1e4"),
+            sum(Curation.hashBucket(concat_ws(">", col("id_a"), col("id_b"))))
+              .cast("long").as("pair_checksum"))
+      },
+      Some(s"""WITH w0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS words
+              |  FROM documents WHERE text IS NOT NULL),
+              |w AS (
+              |  SELECT doc_id, ${SharedOracles.shingle5Sql} AS s FROM w0),
+              |wf AS (SELECT * FROM w WHERE len(s) > 0),
+              |p AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS cont
+              |  FROM wf a JOIN wf b ON a.doc_id <> b.doc_id)
+              |SELECT count(*) AS n_pairs,
+              |       count(DISTINCT id_a) AS n_contained,
+              |       CAST(round(avg(cont) * 10000) AS BIGINT) AS avg_cont_x1e4,
+              |       CAST(sum(${SharedOracles.bucketSql("CAST(id_a AS VARCHAR) || '>' || CAST(id_b AS VARCHAR)")}) AS BIGINT) AS pair_checksum
+              |FROM p WHERE cont >= 0.8""".stripMargin)),
+
     // Corpus release diff: derive the "next release" deterministically
     // (md5-bucket 10% deletions, 10% text edits, 5% additions — all
     // integer-exact bucket*k < 2^28 comparisons on both engines), then

@@ -98,6 +98,17 @@ private[queries] object SharedOracles {
       |ORDER BY cos DESC, vec_id ASC
       |LIMIT 10""".stripMargin
 
+  /** Oracle fragment: distinct 16-hex-md5 5-gram shingles of trimmed
+    * whitespace-split text (mirrors Curation.shingleHashes at n=5)
+    * over a `words` list column — THE shingle derivation every gate
+    * family's SQL must agree on (decontamination and containment).
+    */
+  val shingle5Sql: String =
+    """list_distinct(CASE WHEN len(words) >= 5
+      |  THEN list_transform(range(len(words) - 4),
+      |         i -> substring(md5(array_to_string(words[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')), 1, 16))
+      |  ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+
   /** All-pairs exact Jaccard >= 0.9 census — the ground truth both the
     * MinHash-LSH pipeline (q_dedup_minhash) and the exact prefix-filter
     * join (q_set_join_exact) must match.

@@ -98,4 +98,84 @@ class SetJoinSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p1 === lsh)
   }
+
+  // ---- containmentJoin (directed, shingle sets) ----
+
+  /** Scala mirror of Curation.shingleHashes at word-level n-grams. */
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val words = text.trim.split(" ")
+    if (words.length < n) Set.empty
+    else words.sliding(n).map { g =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 16)
+    }.toSet
+  }
+
+  private def bruteContainment(df: DataFrame, t: Double, n: Int = 5): Set[(Long, Long)] = {
+    val sets = df.collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1), n))
+      .filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      cont = (sa & sb).size.toDouble / sa.size
+      if cont >= t
+    } yield (ia, ib)).toSet
+  }
+
+  private def runCont(df: DataFrame, t: Double): Set[(Long, Long)] =
+    SetJoin.containmentJoin(df, "doc_id", "text", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** 30 base docs + planted quotes: full slices, noised partials. */
+  private def quotedCorpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val bases = (1L to 30L).map { i =>
+      (i, Seq.fill(15 + rnd.nextInt(10))(s"w${i}_${rnd.nextInt(40)}").mkString(" "))
+    }
+    val quotes = (1L to 10L).map { i =>
+      val words = bases(i.toInt - 1)._2.split(" ")
+      (100L + i, words.slice(2, 2 + 6 + rnd.nextInt(6)).mkString(" "))
+    }
+    val partials = (1L to 5L).map { i =>
+      val words = bases(i.toInt - 1)._2.split(" ")
+      (200L + i, (words.slice(0, 8) ++ Seq(s"x$i", s"y$i", s"z$i")).mkString(" "))
+    }
+    (bases ++ quotes ++ partials).toDF("doc_id", "text")
+  }
+
+  test("containmentJoin matches brute force across thresholds (directed)") {
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      assert(runCont(quotedCorpus, t) === bruteContainment(quotedCorpus, t),
+        s"threshold $t")
+    }
+  }
+
+  test("containment is directional: quote->parent only, never the reverse") {
+    import spark.implicits._
+    val parent = (1 to 30).map(i => s"p$i").mkString(" ")
+    val quote = (5 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(1L -> parent, 2L -> quote).toDF("doc_id", "text")
+    // every shingle of the quote is a shingle of the parent
+    assert(runCont(docs, 1.0) === Set((2L, 1L)))
+  }
+
+  test("sub-shingle documents are excluded even when textually identical") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "just four words here",
+      2L -> "just four words here",
+      3L -> (1 to 20).map(i => s"q$i").mkString(" ")
+    ).toDF("doc_id", "text")
+    // docs 1 and 2 have < 5 words -> no shingles -> no pairs at all
+    assert(runCont(docs, 0.5) === Set.empty)
+  }
+
+  test("containmentJoin is layout-independent") {
+    assert(SetJoin.containmentJoin(quotedCorpus.repartition(1), "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      SetJoin.containmentJoin(quotedCorpus.repartition(7), "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
