@@ -91,6 +91,8 @@ object Privacy {
     */
   def suppress(df: DataFrame, groupCol: String, qiCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"suppress: k must be >= 1, got $k")
+    require(!df.columns.contains("_class_size"),
+      "suppress: input already has a _class_size column")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((groupCol +: qiCols).map(col): _*)
     df.withColumn("_class_size", count(lit(1)).over(w))
@@ -98,55 +100,74 @@ object Privacy {
       .drop("_class_size")
   }
 
-  /** k-anonymity by FULL-DOMAIN GENERALIZATION over a ladder of QI
-    * prefixes: level 0 keeps all of `qiCols`, level l drops the LAST
-    * l columns (coarsening ladder: the caller orders qiCols from
-    * coarse to fine), level `qiCols.size` keeps only the cohort.
-    * Each record is assigned the FINEST level at which its
-    * (coarsened) class reaches size ≥ k, plus a `suppressed` flag for
-    * records whose whole cohort is still sub-k at the top.
+  /** k-anonymity by BOTTOM-UP GENERALIZATION (local recoding with a
+    * sound cascade) over a ladder of QI prefixes: level 0 keeps all
+    * of `qiCols`, level l drops the LAST l columns (coarsening
+    * ladder: the caller orders qiCols from coarse to fine), level
+    * `qiCols.size` keeps only the cohort.
+    *
+    * Soundness: classes reaching k at level l are RELEASED there and
+    * removed before level l+1 sizes are computed over the REMAINDER.
+    * Counting coarser levels over the full population instead (the
+    * naive reading of "finest level reaching k") is NOT k-anonymous:
+    * a 2-record class inside a 7-record level-1 prefix would release
+    * at level 1 because the prefix counts 7 — but 5 of those 7 are
+    * released at level 0 showing their full QI, so an adversary who
+    * knows the target's fine QI excludes them and the published
+    * anonymity set is 2. In the cascade, a record's anonymity set is
+    * exactly the records released WITH ITS DISPLAYED QI, and every
+    * released set has ≥ k members; records whose remainder never
+    * reaches k even at the cohort level carry `suppressed` = true
+    * (release them only by dropping, as [[suppress]] does).
     *
     * Scale shape: the corpus is scanned twice and SHUFFLED never —
     * the level-0 census is one map-side-combined groupBy (only
-    * census-sized partials move), every coarser level's sizes are
-    * aggregations of the QI-bounded census ITSELF (a rollup over the
-    * corpus would re-scan and re-shuffle it once per referenced
-    * level — measured: 3 Expand+Exchange corpus subtrees), and the
-    * single enriched census broadcasts back onto the corpus in ONE
-    * join. Null QI values participate via null-safe equality (`<=>`),
-    * matching the census's groupBy semantics.
+    * census-sized partials move), the cascade is a chain of
+    * CONDITIONAL window sums over the QI-bounded census itself
+    * (remaining-mass at level l = Σ _n_l0 over still-sub-k classes
+    * in the level-l prefix; a rollup over the corpus would re-scan
+    * and re-shuffle it once per referenced level — measured: 3
+    * Expand+Exchange corpus subtrees), and the single enriched
+    * census broadcasts back onto the corpus in ONE join. Null QI
+    * values participate via null-safe equality (`<=>`), matching the
+    * census's groupBy semantics.
     */
   def generalize(df: DataFrame, groupCol: String, qiCols: Seq[String], k: Int): DataFrame = {
     require(qiCols.nonEmpty, "generalize: at least one QI column required")
     require(k >= 1, s"generalize: k must be >= 1, got $k")
+    Seq("gen_level", "suppressed").foreach(c =>
+      require(!df.columns.contains(c),
+        s"generalize: input already has a $c column"))
     val ladder = groupCol +: qiCols
     val c0 = df.groupBy(ladder.map(col): _*).agg(count(lit(1)).as("_n_l0"))
-    // enrich each level-0 class with its size at every coarser level
-    // via window sums OVER THE CENSUS — one plan subtree (a groupBy
-    // self-join per level would re-derive c0, and with it the corpus
-    // scan, once per level), and the window partitions are coarser
-    // classes of the census relation, never corpus-sized; nulls group
-    // together in window partitioning, matching the groupBy semantics
-    val enriched = (1 to qiCols.size).foldLeft(c0) { (acc, l) =>
+    // _rem_l = mass still unreleased entering level l's prefix;
+    // a class is still sub-k after level l iff every _rem_j (j <= l)
+    // it has seen was < k
+    def stillSub(l: Int): Column =
+      (0 to l).map(j => col(s"_rem_l$j") < k).reduce(_ && _)
+    val enriched = (1 to qiCols.size).foldLeft(
+      c0.withColumn("_rem_l0", col("_n_l0"))) { (acc, l) =>
       val keep = ladder.dropRight(l)
-      acc.withColumn(s"_n_l$l", sum("_n_l0").over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(keep.map(col): _*)))
+      acc.withColumn(s"_rem_l$l",
+        sum(when(stillSub(l - 1), col("_n_l0")).otherwise(0L)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keep.map(col): _*)))
     }
     val key = enriched
       .select(ladder.map(c => col(c).as(s"_k$c"))
-        ++ (0 to qiCols.size).map(l => col(s"_n_l$l")): _*)
+        ++ (0 to qiCols.size).map(l => col(s"_rem_l$l")): _*)
     val joined = df.join(
       broadcast(key),
       ladder.map(c => df(c) <=> key(s"_k$c")).reduce(_ && _),
       "left")
       .drop(ladder.map(c => s"_k$c"): _*)
+    // released at the first level whose REMAINDER mass reaches k
     val level = (0 until qiCols.size).foldRight(lit(qiCols.size): Column) {
-      (l, rest) => when(col(s"_n_l$l") >= k, l).otherwise(rest)
+      (l, rest) => when(col(s"_rem_l$l") >= k, l).otherwise(rest)
     }
     joined
       .withColumn("gen_level", level)
-      .withColumn("suppressed", col(s"_n_l${qiCols.size}") < k)
-      .drop((0 to qiCols.size).map(l => s"_n_l$l"): _*)
+      .withColumn("suppressed", stillSub(qiCols.size))
+      .drop((0 to qiCols.size).map(l => s"_rem_l$l"): _*)
   }
 }

@@ -36,6 +36,38 @@ object SetJoin {
     */
   private val FpSlack = 1e-9
 
+  /** Shared prefix-filter scaffold: global rarest-first ranking of a
+    * `(idCol, _tok)` relation into per-document sorted sets with
+    * prefix lengths — `_stoks` (tokens sorted by one global
+    * (df, token) total order every document sorts by identically),
+    * `_len`, `_plen`. Returned PERSISTED (spill-tolerant): it feeds
+    * the prefix explode AND both verify sides; callers release it
+    * after the pair list is materialized (handOff: the bounded
+    * OUTPUT stays cached, the corpus-sized intermediate does not).
+    *
+    * FpSlack before every ceil/compare: t·len computed in doubles
+    * can exceed the true rational by an ulp (e.g. 100·0.07 =
+    * 7.000000000000001), which would SHORTEN the prefix / TIGHTEN
+    * the length filter and prune a qualifying pair — a false
+    * negative. The slack errs the pruning filters conservative
+    * (never the verify, which stays the semantic boundary). Jaccard
+    * and containment share this scaffold so a slack/ordering fix
+    * can never apply to one cross-checkable join and not the other.
+    */
+  private def rankedSets(toks: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val dfreq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
+    toks.join(dfreq, "_tok")
+      .groupBy(idCol).agg(
+        expr("transform(array_sort(collect_list(struct(_df, _tok))), s -> s._tok)")
+          .as("_stoks"))
+      .withColumn("_len", size(col("_stoks")))
+      .withColumn("_plen",
+        (col("_len") - ceil(lit(threshold) * col("_len") - lit(FpSlack)) + 1)
+          .cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** All pairs (id_a < id_b, jac) with exact Jaccard ≥ `threshold`
     * over the word sets of `textCol` (engine word-set convention:
     * single-space split of trimmed text, xxhash64 tokens, distinct —
@@ -52,28 +84,7 @@ object SetJoin {
     // the cross-validation gates depend on bit-identical word sets
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(Dedup.wordSet(col(textCol))).as("_tok"))
-    val dfreq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
-    // one global rarest-first order: (df, token) is a total order that
-    // every document sorts by identically
-    // the ranked relation feeds the prefix explode AND both verify
-    // sides — persist (spill-tolerant) for the run, release after the
-    // pair list is materialized (handOff: the bounded OUTPUT stays
-    // cached, the corpus-sized intermediate does not)
-    val sorted = toks.join(dfreq, "_tok")
-      .groupBy(idCol).agg(
-        expr("transform(array_sort(collect_list(struct(_df, _tok))), s -> s._tok)")
-          .as("_stoks"))
-      .withColumn("_len", size(col("_stoks")))
-      // FpSlack before every ceil/compare: t·len computed in doubles
-      // can exceed the true rational by an ulp (e.g. 100·0.07 =
-      // 7.000000000000001), which would SHORTEN the prefix / TIGHTEN
-      // the length filter and prune a qualifying pair — a false
-      // negative. The slack errs the pruning filters conservative
-      // (never the verify, which stays the semantic boundary).
-      .withColumn("_plen",
-        (col("_len") - ceil(lit(threshold) * col("_len") - lit(FpSlack)) + 1)
-          .cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = rankedSets(toks, idCol, threshold)
     try {
       val pre = sorted.select(col(idCol), col("_len"),
         explode(expr("slice(_stoks, 1, _plen)")).as("_ptok"))
@@ -135,16 +146,7 @@ object SetJoin {
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(Curation.shingleHashes(col(textCol), shingleN)).as("_tok"))
-    val dfreq = toks.groupBy("_tok").agg(count(lit(1)).as("_df"))
-    val sorted = toks.join(dfreq, "_tok")
-      .groupBy(idCol).agg(
-        expr("transform(array_sort(collect_list(struct(_df, _tok))), s -> s._tok)")
-          .as("_stoks"))
-      .withColumn("_len", size(col("_stoks")))
-      .withColumn("_plen",
-        (col("_len") - ceil(lit(threshold) * col("_len") - lit(FpSlack)) + 1)
-          .cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = rankedSets(toks, idCol, threshold)
     try {
       val a = sorted.select(col(idCol).as("id_a"), col("_len").as("_la"),
         explode(expr("slice(_stoks, 1, _plen)")).as("_ptok"))

@@ -492,13 +492,15 @@ object AuditOps {
           .withColumn("cb", coalesce(expr("n_chars div 50"), lit(-1L)))
         val kept = graft.operators.Privacy
           .suppress(base, "lang", Seq("source", "cb"), k = 5)
+        // null-SAFE cohort join (<=>): a null-lang cohort must match
+        // its own kept aggregate, mirroring the oracle's single-
+        // relation GROUP BY (an equi-join would report it all-dropped)
+        val keptAgg = kept.groupBy(col("lang").as("_lang")).agg(
+          count(lit(1)).as("n_kept"),
+          sum(Curation.hashBucket(col("doc_id").cast("string")))
+            .cast("long").as("kept_checksum"))
         base.groupBy("lang").agg(count(lit(1)).as("n_records"))
-          .join(
-            kept.groupBy("lang").agg(
-              count(lit(1)).as("n_kept"),
-              sum(Curation.hashBucket(col("doc_id").cast("string")))
-                .cast("long").as("kept_checksum")),
-            Seq("lang"), "left")
+          .join(keptAgg, col("lang") <=> col("_lang"), "left")
           .select(col("lang"), col("n_records"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
             (col("n_records") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
@@ -518,17 +520,19 @@ object AuditOps {
               |                     ELSE 0 END) AS BIGINT) AS kept_checksum
               |FROM g GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    // k-anonymity ENFORCEMENT by full-domain generalization over the
-    // ladder (source, band) -> (source) -> (cohort only): each record
-    // is assigned the FINEST level whose coarsened class reaches
-    // k=5, with a suppressed flag when even the whole cohort is
-    // sub-k. Spark builds the level-0 census once (map-side-combined
-    // groupBy), derives coarser level sizes as window sums OVER THE
-    // CENSUS relation, and broadcasts the one enriched census back —
-    // two corpus scans, zero corpus shuffles; the oracle
-    // independently re-derives levels with three layered window
-    // counts over the corpus. The checksum pins the per-record LEVEL
-    // assignment, not just the counts.
+    // k-anonymity ENFORCEMENT by bottom-up generalization over the
+    // ladder (source, band) -> (source) -> (cohort only), with the
+    // SOUND cascade: classes reaching k=5 at a level are released
+    // there and removed before the next level's sizes are computed
+    // over the remainder (counting coarser levels over the full
+    // population would publish sub-k anonymity sets — see the
+    // operator Scaladoc). Spark builds the level-0 census once
+    // (map-side-combined groupBy), runs the cascade as conditional
+    // window sums OVER THE CENSUS relation, and broadcasts the one
+    // enriched census back — two corpus scans, zero corpus shuffles;
+    // the oracle independently re-derives the cascade with layered
+    // conditional window counts over the corpus. The checksum pins
+    // the per-record LEVEL assignment, not just the counts.
     GateQuery(
       "q_k_generalize",
       (s, d) => {
@@ -557,16 +561,23 @@ object AuditOps {
               |  SELECT lang, source, coalesce(n_chars // 50, -1) AS cb, doc_id
               |  FROM documents),
               |g AS (SELECT *,
-              |        count(*) OVER (PARTITION BY lang, source, cb) AS n0,
-              |        count(*) OVER (PARTITION BY lang, source) AS n1,
-              |        count(*) OVER (PARTITION BY lang) AS n2
+              |        count(*) OVER (PARTITION BY lang, source, cb) AS n0
               |      FROM q),
+              |g1 AS (SELECT *,
+              |         sum(CASE WHEN n0 < 5 THEN 1 ELSE 0 END)
+              |           OVER (PARTITION BY lang, source) AS r1
+              |       FROM g),
+              |g2 AS (SELECT *,
+              |         sum(CASE WHEN n0 < 5 AND r1 < 5 THEN 1 ELSE 0 END)
+              |           OVER (PARTITION BY lang) AS r2
+              |       FROM g1),
               |lv AS (SELECT lang, doc_id,
               |              CASE WHEN n0 >= 5 THEN 0
-              |                   WHEN n1 >= 5 THEN 1
+              |                   WHEN r1 >= 5 THEN 1
               |                   ELSE 2 END AS lvl,
-              |              CASE WHEN n2 < 5 THEN 1 ELSE 0 END AS sup
-              |       FROM g)
+              |              CASE WHEN n0 < 5 AND r1 < 5 AND r2 < 5
+              |                   THEN 1 ELSE 0 END AS sup
+              |       FROM g2)
               |SELECT lang, count(*) AS n_records,
               |       CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
               |       CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,

@@ -100,17 +100,56 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(kept.sameElements(Array(2L, 3L)))
   }
 
-  test("generalize assigns the finest level reaching k, ladder = drop-last") {
-    // corpus classes at level 0: (web,0)x5, (web,1)x2, (lib,0)x1
-    // level 1 (src only): web=7, lib=1;  level 2 (lang): en=8
+  test("generalize cascade: released classes leave the remainder pool") {
+    // corpus classes at level 0: (web,0)x5, (web,1)x2, (lib,0)x1.
+    // (web,0) releases at level 0. The naive full-population count
+    // would release (web,1) at level 1 because web=7 >= 5 — but 5 of
+    // those 7 records are PUBLISHED with their full QI, so the true
+    // anonymity set of a (web,*) record is only the remainder {6,7}
+    // (+{8} at the cohort level) — sub-k, must be suppressed.
     val got = Privacy.generalize(corpus, "lang", Seq("src", "band"), k = 5)
       .select("id", "gen_level", "suppressed").collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
-    // (web,0) already >= 5 -> level 0; (web,1) coarsens to web=7 -> level 1
-    // (lib,0) -> lib=1 < 5 -> falls through to cohort en=8 -> level 2
     assert((1L to 5L).forall(got(_) == ((0, false))))
-    assert(got(6L) == ((1, false)) && got(7L) == ((1, false)))
-    assert(got(8L) == ((2, false)))
+    assert((6L to 8L).forall(got(_) == ((2, true))))
+  }
+
+  test("generalize releases at level 1 when the REMAINDER reaches k") {
+    import spark.implicits._
+    // (web,0)x5 releases at 0; (web,1)x3 and (web,2)x3 are each
+    // sub-k but their remainder under (en, web) is 6 >= 5 — released
+    // together at level 1, a genuine 6-member anonymity set
+    val df = ((1L to 5L).map(i => (i, "en", "web", 0L)) ++
+      (6L to 8L).map(i => (i, "en", "web", 1L)) ++
+      (9L to 11L).map(i => (i, "en", "web", 2L))).toDF("id", "lang", "src", "band")
+    val got = Privacy.generalize(df, "lang", Seq("src", "band"), k = 5)
+      .select("id", "gen_level", "suppressed").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert((1L to 5L).forall(got(_) == ((0, false))))
+    assert((6L to 11L).forall(got(_) == ((1, false))))
+  }
+
+  test("generalize: every released (non-suppressed) display group has >= k members") {
+    import spark.implicits._
+    // randomized class structure; assert the k-anonymity INVARIANT on
+    // the released table: group records by what they DISPLAY (QI
+    // coarsened to their assigned level) — every non-suppressed
+    // display group must have >= k members
+    val rnd = new scala.util.Random(31)
+    val df = (1L to 300L).map { i =>
+      (i, s"l${rnd.nextInt(3)}", s"s${rnd.nextInt(4)}", rnd.nextInt(6).toLong)
+    }.toDF("id", "lang", "src", "band")
+    val k = 7
+    val out = Privacy.generalize(df, "lang", Seq("src", "band"), k)
+      .withColumn("disp_src", when(col("gen_level") <= 1, col("src")))
+      .withColumn("disp_band", when(col("gen_level") === 0, col("band")))
+      .filter(!col("suppressed"))
+      .groupBy("lang", "gen_level", "disp_src", "disp_band")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n") >= k),
+      out.filter(_.getAs[Long]("n") < k).mkString(","))
   }
 
   test("generalize flags suppression when even the cohort is sub-k") {
