@@ -225,7 +225,10 @@ object ScaleStress {
     // its FULL shingle set, so the candidate volume (Σ df over
     // A-prefixes) is the scale question; x10 plants exact-duplicate
     // replicas, so true pair volume grows with the duplication
-    "q_containment_join")
+    "q_containment_join",
+    // winnowing: the fingerprint relation is ~grams/w-sized; join
+    // fan-in per fp = its df (LSH-band shape on a smaller relation)
+    "q_winnow_pairs")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

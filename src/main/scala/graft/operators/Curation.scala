@@ -220,12 +220,19 @@ object Curation {
     * far narrower than raw shingle strings in the shuffle). Documents
     * shorter than `n` words have no shingles.
     */
-  def shingleHashes(textCol: Column, n: Int): Column = {
+  def shingleHashes(textCol: Column, n: Int): Column =
+    array_distinct(shingleSeq(textCol, n))
+
+  /** POSITIONAL word-`n`-gram shingle hashes — one entry per gram
+    * position, duplicates kept (winnowing needs the positional
+    * sequence; [[shingleHashes]] is its distinct set).
+    */
+  def shingleSeq(textCol: Column, n: Int): Column = {
     val words = split(trim(textCol), " ")
     val grams = transform(sequence(lit(0), size(words) - n),
       i => substring(md5(array_join(slice(words, i + 1, lit(n)), " ")), 1, 16))
     // sequence(0, neg) counts DOWN in Spark — guard short docs explicitly
-    array_distinct(when(size(words) >= n, grams).otherwise(array()))
+    when(size(words) >= n, grams).otherwise(array())
   }
 
   /** Eval-set decontamination: training documents sharing at least

@@ -103,11 +103,16 @@ private[queries] object SharedOracles {
     * over a `words` list column — THE shingle derivation every gate
     * family's SQL must agree on (decontamination and containment).
     */
-  val shingle5Sql: String =
-    """list_distinct(CASE WHEN len(words) >= 5
+  /** Positional variant (duplicates kept — mirrors
+    * Curation.shingleSeq at n=5; winnowing selects over it).
+    */
+  val shingleSeq5Sql: String =
+    """CASE WHEN len(words) >= 5
       |  THEN list_transform(range(len(words) - 4),
       |         i -> substring(md5(array_to_string(words[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')), 1, 16))
-      |  ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+      |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  val shingle5Sql: String = s"list_distinct($shingleSeq5Sql)"
 
   /** All-pairs exact Jaccard >= 0.9 census — the ground truth both the
     * MinHash-LSH pipeline (q_dedup_minhash) and the exact prefix-filter

@@ -65,6 +65,50 @@ object TextOps {
              |GROUP BY source
              |ORDER BY source""".stripMargin)),
 
+    // Winnowing fingerprints (MOSS): min-hash-per-window selection
+    // keeps ~2/(w+1) of the k-gram shingles while guaranteeing any
+    // shared run >= w+k-1 tokens still collides — the fingerprint
+    // relation (the thing that shuffles) is w-fold smaller than the
+    // full shingle explode. Census pins the selected-fingerprint
+    // relation AND the candidate pair set (>= 2 shared fps).
+    GateQuery(
+      "q_winnow_pairs",
+      (s, d) => {
+        val docs = documents(s, d).select("doc_id", "text")
+        val fp = graft.operators.Winnow.fingerprints(docs, "doc_id", "text")
+        val pairs = graft.operators.Winnow
+          .candidatePairs(docs, "doc_id", "text", minShared = 2)
+        fp.agg(
+          countDistinct(col("doc_id")).as("n_fp_docs"),
+          countDistinct(col("fp")).as("n_fps"))
+          .crossJoin(pairs.agg(
+            count(lit(1)).as("n_pairs"),
+            coalesce(sum("n_shared"), lit(0L)).cast("long").as("sum_shared"),
+            coalesce(sum(graft.operators.Curation.hashBucket(
+              concat_ws(">", col("id_a"), col("id_b")))), lit(0L))
+              .cast("long").as("pair_checksum")))
+      },
+      Some(s"""WITH w0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS words
+              |  FROM documents WHERE text IS NOT NULL),
+              |g AS (SELECT doc_id, ${SharedOracles.shingleSeq5Sql} AS grams FROM w0),
+              |f AS (SELECT doc_id,
+              |        CASE WHEN len(grams) >= 4
+              |          THEN list_distinct(list_transform(range(len(grams) - 3),
+              |                 j -> list_min(grams[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))
+              |          ELSE CAST([] AS VARCHAR[]) END AS fps
+              |      FROM g),
+              |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+              |      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2 HAVING count(*) >= 2)
+              |SELECT (SELECT count(DISTINCT doc_id) FROM fp) AS n_fp_docs,
+              |       (SELECT count(DISTINCT fp) FROM fp) AS n_fps,
+              |       count(*) AS n_pairs,
+              |       CAST(coalesce(sum(n_shared), 0) AS BIGINT) AS sum_shared,
+              |       CAST(coalesce(sum(${SharedOracles.bucketSql("CAST(id_a AS VARCHAR) || '>' || CAST(id_b AS VARCHAR)")}), 0) AS BIGINT) AS pair_checksum
+              |FROM p""".stripMargin)),
+
     // Token counting (whitespace tokenization) per source.
     GateQuery(
       "q_token_count",
