@@ -47,13 +47,23 @@ object Winnow {
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
+    require(idCol != "fp", "fingerprints: idCol 'fp' would collide with the output column")
+    Seq("_rid", "_grams", "_n", "_pos", "_g").foreach(c =>
+      require(!df.columns.contains(c),
+        s"fingerprints: input already has a $c column"))
+    // winnow per ROW (a synthetic row key partitions the window, so
+    // duplicate ids — a pre-dedup corpus, a union replaying an id —
+    // can never interleave two texts' grams into one frame), then
+    // union per id via the distinct: the fingerprints of an id are
+    // the union over its rows, matching a per-row oracle
     val grams = df.filter(col(textCol).isNotNull)
+      .withColumn("_rid", monotonically_increasing_id())
       .withColumn("_grams", Curation.shingleSeq(col(textCol), k))
       .withColumn("_n", size(col("_grams")))
-      .select(col(idCol), col("_n"),
+      .select(col(idCol), col("_rid"), col("_n"),
         posexplode(col("_grams")).as(Seq("_pos", "_g")))
     val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("_pos")
+      .partitionBy("_rid").orderBy("_pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
     grams
       .withColumn("_wmin", min("_g").over(win))

@@ -14,7 +14,10 @@ class WinnowSpec extends AnyFunSuite with SparkTestBase {
     * prefixes, lexicographic min per w-window, distinct).
     */
   private def bruteWinnow(text: String, k: Int = K, w: Int = W): Set[String] = {
-    val words = text.trim.split(" ")
+    // split(" ", -1): keep trailing empty tokens, mirroring Spark's
+    // split (Scala's 1-arg split drops them — a silent divergence the
+    // multi-space corpus case below would expose)
+    val words = text.trim.split(" ", -1)
     if (words.length < k) return Set.empty
     val grams = words.sliding(k).map { g =>
       java.security.MessageDigest.getInstance("MD5")
@@ -34,12 +37,25 @@ class WinnowSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
     val docs = (1L to 50L).map { i =>
-      (i, Seq.fill(10 + rnd.nextInt(30))(s"w${rnd.nextInt(50)}").mkString(" "))
+      // every third doc gets whitespace warts (double/trailing
+      // spaces) so the differential exercises empty-token handling,
+      // not just single-space-joined text
+      val sep = if (i % 3 == 0) "  " else " "
+      val tail = if (i % 5 == 0) " " else ""
+      (i, Seq.fill(10 + rnd.nextInt(30))(s"w${rnd.nextInt(50)}").mkString(sep) + tail)
     }
     val got = runFps(docs.toDF("doc_id", "text"))
     docs.foreach { case (id, text) =>
       assert(got.getOrElse(id, Set.empty) === bruteWinnow(text), s"doc $id")
     }
+  }
+
+  test("duplicate ids never interleave texts: fingerprints are the per-row union") {
+    import spark.implicits._
+    val t1 = (1 to 30).map(i => s"d$i").mkString(" ")
+    val t2 = (1 to 30).map(i => s"e$i").mkString(" ")
+    val dup = Seq(7L -> t1, 7L -> t2).toDF("doc_id", "text")
+    assert(runFps(dup)(7L) === (bruteWinnow(t1) ++ bruteWinnow(t2)))
   }
 
   test("selection is sparse: far fewer fingerprints than grams, never zero for long docs") {
