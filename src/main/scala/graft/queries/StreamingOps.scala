@@ -318,5 +318,60 @@ object StreamingOps {
           .result(s, s"$work/state", AuditOps.DocExpectations)
           .orderBy("expectation")
       },
-      Some(AuditOps.ExpectationsOracle)))
+      Some(AuditOps.ExpectationsOracle)),
+
+    // ST parity: streaming winnow near-dup flagging (incremental
+    // fingerprint table, flag-at-arrival) must equal the batch
+    // winnow-pair derivation. The flag contract is ID-ORDER (a doc is
+    // flagged iff a smaller-id doc shares >= 2 fingerprints), so the
+    // flag set is a pure function of the corpus — independent of the
+    // micro-batch boundaries the replay happens to produce — and the
+    // oracle re-derives it from the all-pairs winnow relation.
+    GateQuery(
+      "q_neardup_stream",
+      (s, d) => {
+        val work = replayDir("neardup_stream")
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("text").isNotNull)
+          // several files -> several micro-batches, so the
+          // prior-vs-intra-batch split is actually exercised
+          .repartition(4)
+          .write.mode("overwrite").json(s"$work/drop")
+        withReplayConf(s) {
+          graft.streaming.StreamingNearDup.flagStream(
+            s, s"$work/drop", s"$work/nd", s"$work/ckpt")
+            .awaitTermination()
+        }
+        val flagged = s.read.parquet(s"$work/nd/flags")
+          .select("doc_id").distinct()
+        val fps = s.read.parquet(s"$work/nd/fps")
+        flagged.agg(
+          count(lit(1)).as("n_flagged"),
+          coalesce(sum(graft.operators.Curation.hashBucket(
+            col("doc_id").cast("string"))), lit(0L))
+            .cast("long").as("flag_checksum"))
+          .crossJoin(fps.agg(
+            count(lit(1)).as("n_fps"),
+            countDistinct(col("doc_id")).as("n_fp_docs")))
+      },
+      Some(s"""WITH w0 AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS words
+              |  FROM documents WHERE text IS NOT NULL),
+              |g AS (SELECT doc_id, ${SharedOracles.shingleSeq5Sql} AS grams FROM w0),
+              |f AS (SELECT doc_id,
+              |        CASE WHEN len(grams) >= 4
+              |          THEN list_distinct(list_transform(range(len(grams) - 3),
+              |                 j -> list_min(grams[CAST(j + 1 AS INT):CAST(j + 4 AS INT)])))
+              |          ELSE CAST([] AS VARCHAR[]) END AS fps
+              |      FROM g),
+              |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+              |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |      GROUP BY 1, 2 HAVING count(*) >= 2),
+              |fl AS (SELECT DISTINCT id_b AS doc_id FROM p)
+              |SELECT (SELECT count(*) FROM fl) AS n_flagged,
+              |       (SELECT CAST(coalesce(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}), 0) AS BIGINT) FROM fl) AS flag_checksum,
+              |       (SELECT count(*) FROM fp) AS n_fps,
+              |       (SELECT count(DISTINCT doc_id) FROM fp) AS n_fp_docs
+              |FROM (SELECT 1)""".stripMargin)))
 }
