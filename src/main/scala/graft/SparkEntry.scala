@@ -10,7 +10,8 @@ object SparkEntry {
     val qs = Rel.queries ++ TextOps.queries ++ VectorOps.queries ++
       PipelineOps.queries ++ ExtOps.queries ++ CurationOps.queries ++
       TemporalOps.queries ++ SearchOps.queries ++ StreamingOps.queries ++
-      ScaleOps.queries ++ MiningOps.queries ++ AuditOps.queries
+      ScaleOps.queries ++ MiningOps.queries ++ AuditOps.queries ++
+      EvalOps.queries
     // many contributing files: a duplicated name would silently drop a
     // query from queries.toMap (Bench AND Verify would skip it) — fail
     // loudly instead

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact model-evaluation metrics over scored corpora — the offline
+  * eval pass every training pipeline runs on its validation tables
+  * (the reference evaluates trained propensity models driver-side in
+  * src/trainer/code/train.py; at 100 TB the scored frame never fits a
+  * driver, so each metric is re-expressed as a distributed column
+  * program).
+  *
+  * House rules: every ratio ships as integer parts-per-million
+  * (`*_x1e6`), products that can exceed long range at cluster-scale
+  * row counts are widened to DECIMAL(38,0) BEFORE multiplying, and no
+  * float ever decides an ordering — ranks come from exact integer
+  * counts per distinct score value, so the result is a pure function
+  * of the corpus (layout/retry-stable and oracle-checkable).
+  */
+object Metrics {
+
+  /** Exact ROC-AUC via the tie-aware Mann–Whitney rank-sum, computed
+    * distributed: AUC = U / (P·N) where U counts positive–negative
+    * pairs ordered correctly, ties at half weight.
+    *
+    * Scale shape: ONE hash aggregation compresses the corpus to a
+    * per-distinct-score histogram (n_pos, n_neg) — map-side combined,
+    * so the shuffle carries |distinct scores| rows, not |corpus| —
+    * then one running-sum window over that histogram accumulates the
+    * negatives below each score. The window partitions by `groupCols`
+    * (per-group eval: one window partition per group); for a global
+    * AUC it is a single partition over the DISTINCT-SCORE relation
+    * only — the same documented envelope as
+    * [[Curation.curriculumStages]], and the standard two-pass
+    * range-partitioned prefix sum drops in if a corpus ever has
+    * corpus-sized distinct scores.
+    *
+    * U is exact integer arithmetic throughout: with per-score counts
+    * p_s, n_s and B_s = Σ negatives at strictly smaller scores,
+    * 2U = Σ_s p_s · (2·B_s + n_s)  (the n_s term is the half-weight
+    * tie credit), so `auc_x1e6 = 2U·1e6 div 2PN` needs no floats.
+    * Rows with a null score or label are excluded (documented; an
+    * oracle must filter identically). Output per group: `n_pos`,
+    * `n_neg`, `auc_x1e6` (null when either class is empty — AUC is
+    * undefined, not 0).
+    */
+  def aucExact(df: DataFrame, labelCol: String, scoreCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val grp = groupCols.map(col)
+    val hist = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy((grp :+ col(scoreCol)): _*)
+      .agg(
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("_np"),
+        sum(when(col(labelCol) =!= 0, 0L).otherwise(1L)).as("_nn"))
+    val w = Window.partitionBy(grp: _*).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = hist
+      .withColumn("_below", coalesce(sum("_nn").over(w), lit(0L)))
+      // p_s·(2B_s + n_s): each factor ≤ n, the product ≤ 2n² — decimal
+      // BEFORE the multiply so the arithmetic is exact at any n
+      .withColumn("_u2",
+        expr("CAST(_np AS DECIMAL(38,0)) * (2 * CAST(_below AS DECIMAL(38,0)) + _nn)"))
+    contrib
+      .groupBy(grp: _*)
+      .agg(
+        sum("_np").as("n_pos"),
+        sum("_nn").as("n_neg"),
+        sum("_u2").as("_u2s"))
+      .withColumn("auc_x1e6",
+        expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL" +
+          " ELSE CAST(_u2s * 1000000 div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"))
+      .drop("_u2s")
+  }
+
+  /** Calibration census (reliability diagram) + expected calibration
+    * error over a scored corpus whose predicted probability arrives as
+    * integer micro-units `probX1e6Col` ∈ [0, 1e6] (the house fixed-
+    * point form — binning integer micro-probabilities sidesteps the
+    * float-boundary flake class entirely).
+    *
+    * Output: one row per non-empty bin — `bin` (0-based, equi-width,
+    * the p=1e6 edge folded into the last bin), `n`, `n_pos`,
+    * `acc_x1e6` (empirical positive rate), `conf_x1e6` (mean claimed
+    * probability, truncating div), `gap_x1e6` = |acc − conf| — plus
+    * the scalar `ece_x1e6` = Σ_b n_b·gap_b div n repeated on every row
+    * (exact integer weighting, no per-bin re-rounding).
+    *
+    * Scale shape: one map-side-combined aggregation to ≤ `bins` rows,
+    * then a broadcast of the 1-row total for the ECE weighting — no
+    * corpus-sized shuffle, no driver loop.
+    */
+  def calibration(df: DataFrame, probX1e6Col: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val width = 1000000L / bins
+    val binned = df
+      .filter(col(probX1e6Col).isNotNull && col(labelCol).isNotNull)
+      .withColumn("_bin",
+        least(expr(s"$probX1e6Col div $width"), lit(bins - 1L)).cast("long"))
+      .groupBy("_bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("n_pos"),
+        // Σ micro-probs ≤ n·1e6: decimal before the sum would be
+        // overkill row-wise, but the SUM itself widens: at 1e12 rows
+        // the total passes 2^63 — accumulate in decimal
+        sum(col(probX1e6Col).cast("decimal(38,0)")).as("_sump"))
+      .withColumn("acc_x1e6",
+        expr("CAST(CAST(n_pos AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+      .withColumn("conf_x1e6", expr("CAST(_sump div n AS BIGINT)"))
+      .withColumn("gap_x1e6", abs(col("acc_x1e6") - col("conf_x1e6")))
+    val total = binned.agg(
+      sum("n").as("_ntot"),
+      sum(expr("CAST(n AS DECIMAL(38,0)) * gap_x1e6")).as("_wgap"))
+    binned
+      .crossJoin(broadcast(total))
+      .withColumn("ece_x1e6", expr("CAST(_wgap div _ntot AS BIGINT)"))
+      .select(col("_bin").as("bin"), col("n"), col("n_pos"),
+        col("acc_x1e6"), col("conf_x1e6"), col("gap_x1e6"), col("ece_x1e6"))
+  }
+
+  /** SQuAD-style token-overlap F1 between a prediction and a reference
+    * text per pair — the standard QA/eval-harness match metric, as a
+    * distributed relation program. Overlap is the MULTISET
+    * intersection Σ_w min(count_pred(w), count_ref(w)); precision =
+    * overlap/|pred|, recall = overlap/|ref|, F1 = 2·overlap/(|pred| +
+    * |ref|) — all exact integers shipped ×1e6.
+    *
+    * Tokenization is the gate convention (single-space split of
+    * trimmed text) so oracles join on identical token sets; empty or
+    * null texts yield null metrics (score undefined, not 0 — a pair
+    * with BOTH sides empty has no tokens to match).
+    *
+    * Scale shape: explode each side to (pair, token) and count — two
+    * map-side-combined aggs — then ONE equi-join on (pair, token)
+    * (both sides hash-partitioned on the same key, no broadcast of a
+    * corpus-sized side) and a final per-pair agg. Work is
+    * token-relation-sized, never pairs².
+    */
+  def tokenF1(pairs: DataFrame, pairIdCol: String, predCol: String,
+      refCol: String): DataFrame = {
+    def counts(c: String, as: String) = pairs
+      .select(col(pairIdCol).as("_pid"),
+        explode(split(trim(col(c)), " ")).as("_tok"))
+      .filter(length(col("_tok")) > 0)
+      .groupBy("_pid", "_tok")
+      .agg(count(lit(1)).as(as))
+    val cp = counts(predCol, "_cp")
+    val cr = counts(refCol, "_cr")
+    val overlap = cp.join(cr, Seq("_pid", "_tok"))
+      .groupBy("_pid")
+      .agg(sum(least(col("_cp"), col("_cr"))).as("_ov"))
+    val lens = pairs.select(
+      col(pairIdCol).as("_pid"),
+      size(filter(split(trim(col(predCol)), " "), t => length(t) > 0))
+        .cast("long").as("_lp"),
+      size(filter(split(trim(col(refCol)), " "), t => length(t) > 0))
+        .cast("long").as("_lr"))
+    lens
+      .join(overlap, Seq("_pid"), "left")
+      .na.fill(0L, Seq("_ov"))
+      .select(
+        col("_pid").as(pairIdCol),
+        col("_lp").as("n_pred"),
+        col("_lr").as("n_ref"),
+        col("_ov").as("overlap"),
+        expr("CASE WHEN _lp <= 0 THEN NULL" +
+          " ELSE CAST(CAST(_ov AS DECIMAL(38,0)) * 1000000 div _lp AS BIGINT) END")
+          .as("precision_x1e6"),
+        expr("CASE WHEN _lr <= 0 THEN NULL" +
+          " ELSE CAST(CAST(_ov AS DECIMAL(38,0)) * 1000000 div _lr AS BIGINT) END")
+          .as("recall_x1e6"),
+        expr("CASE WHEN _lp + _lr <= 0 THEN NULL" +
+          " ELSE CAST(2 * CAST(_ov AS DECIMAL(38,0)) * 1000000 div (_lp + _lr) AS BIGINT) END")
+          .as("f1_x1e6"))
+  }
+}

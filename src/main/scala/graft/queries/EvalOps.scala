@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Metrics
+
+/** Gate queries for the model-evaluation extension family: exact
+  * distributed ROC-AUC (tie-aware Mann–Whitney), calibration /
+  * expected-calibration-error census, and SQuAD-style token-overlap
+  * F1. All metrics are exact integer arithmetic (×1e6 parts-per-
+  * million, DECIMAL(38,0)/HUGEINT widening before any product) — no
+  * float ever decides an ordering or a published digit, so every gate
+  * hash-matches a DuckDB oracle bit-for-bit.
+  *
+  * Label/score fixtures derive deterministically from the embeddings
+  * table: the binary label is the parity of the stored class label,
+  * and the "model score" is a raw stored embedding component (both
+  * engines read the identical float bits from parquet; the score is
+  * only ever COMPARED, never aggregated as a float).
+  */
+object EvalOps {
+  import Tables._
+
+  /** THE scored-corpus fixture: y = parity of the class label, score =
+    * raw 2nd embedding component (no arithmetic — comparisons only).
+    */
+  private def scored(s: org.apache.spark.sql.SparkSession, d: String) =
+    embeddings(s, d)
+      .filter(col("embedding").isNotNull && col("label").isNotNull)
+      .select(
+        col("vec_id"),
+        when(col("label") % 2 === 0, 1).otherwise(0).as("y"),
+        element_at(col("embedding"), 2).as("score"))
+
+  private val ScoredSql =
+    """SELECT vec_id,
+      |       CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
+      |       embedding[2] AS score
+      |FROM embeddings
+      |WHERE embedding IS NOT NULL AND label IS NOT NULL
+      |  AND embedding[2] IS NOT NULL""".stripMargin
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // Exact global ROC-AUC. The corpus compresses to a per-distinct-
+    // score histogram in one map-side-combined agg; the rank prefix
+    // sum runs over that histogram only (see Metrics.aucExact). The
+    // oracle re-derives the same tie-aware rank-sum in SQL.
+    GateQuery(
+      "q_auc",
+      (s, d) => Metrics.aucExact(scored(s, d), "y", "score"),
+      Some(s"""WITH s AS ($ScoredSql),
+             |h AS (
+             |  SELECT score, CAST(sum(y) AS BIGINT) AS np,
+             |         CAST(count(*) - sum(y) AS BIGINT) AS nn
+             |  FROM s GROUP BY score),
+             |w AS (
+             |  SELECT np, nn,
+             |         CAST(coalesce(sum(nn) OVER (ORDER BY score
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS below
+             |  FROM h)
+             |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             |       CAST(sum(nn) AS BIGINT) AS n_neg,
+             |       CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+             |            ELSE CAST(sum(CAST(np AS HUGEINT) * (2 * below + nn)) * 1000000
+             |                      // (2 * CAST(sum(np) AS HUGEINT) * sum(nn)) AS BIGINT) END AS auc_x1e6
+             |FROM w""".stripMargin)),
+
+    // Per-cohort AUC: the window partitions by cohort, so each
+    // prefix sum is cohort-local — the grouped-eval shape (per-slice
+    // model monitoring) with zero extra passes.
+    GateQuery(
+      "q_auc_grouped",
+      (s, d) =>
+        Metrics.aucExact(
+          scored(s, d).withColumn("cohort", pmod(col("vec_id"), lit(4L))),
+          "y", "score", groupCols = Seq("cohort"))
+          .orderBy("cohort"),
+      Some(s"""WITH s AS ($ScoredSql),
+             |h AS (
+             |  SELECT vec_id % 4 AS cohort, score, CAST(sum(y) AS BIGINT) AS np,
+             |         CAST(count(*) - sum(y) AS BIGINT) AS nn
+             |  FROM s GROUP BY 1, 2),
+             |w AS (
+             |  SELECT cohort, np, nn,
+             |         CAST(coalesce(sum(nn) OVER (PARTITION BY cohort ORDER BY score
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS below
+             |  FROM h)
+             |SELECT cohort, CAST(sum(np) AS BIGINT) AS n_pos,
+             |       CAST(sum(nn) AS BIGINT) AS n_neg,
+             |       CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+             |            ELSE CAST(sum(CAST(np AS HUGEINT) * (2 * below + nn)) * 1000000
+             |                      // (2 * CAST(sum(np) AS HUGEINT) * sum(nn)) AS BIGINT) END AS auc_x1e6
+             |FROM w
+             |GROUP BY cohort
+             |ORDER BY cohort""".stripMargin)),
+
+    // Reliability diagram + ECE. The claimed probability is derived
+    // once as integer micro-units (floor of identical IEEE double
+    // arithmetic on the stored float, mirrored token-for-token in the
+    // oracle); binning and every published ratio are then pure integer
+    // arithmetic. One agg to <= 10 bin rows.
+    GateQuery(
+      "q_calibration",
+      (s, d) =>
+        Metrics.calibration(
+          embeddings(s, d)
+            .filter(col("embedding").isNotNull && col("label").isNotNull)
+            .select(
+              when(col("label") % 2 === 0, 1).otherwise(0).as("y"),
+              floor(
+                (greatest(least(element_at(col("embedding"), 3).cast("double"),
+                  lit(1.0)), lit(-1.0)) + lit(1.0)) / lit(2.0) * lit(1000000.0))
+                .cast("long").as("p_x1e6")),
+          "p_x1e6", "y", bins = 10)
+          .orderBy("bin"),
+      Some("""WITH s AS (
+             |  SELECT CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
+             |         CAST(floor((greatest(least(CAST(embedding[3] AS DOUBLE), 1.0), -1.0) + 1.0)
+             |                    / 2.0 * 1000000.0) AS BIGINT) AS p
+             |  FROM embeddings
+             |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+             |    AND embedding[3] IS NOT NULL),
+             |b AS (
+             |  SELECT least(p // 100000, 9) AS bin, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(y) AS BIGINT) AS n_pos,
+             |         CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sump
+             |  FROM s GROUP BY 1),
+             |e AS (
+             |  SELECT bin, n, n_pos,
+             |         CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT) AS acc_x1e6,
+             |         CAST(sump // n AS BIGINT) AS conf_x1e6
+             |  FROM b),
+             |g AS (
+             |  SELECT *, abs(acc_x1e6 - conf_x1e6) AS gap_x1e6 FROM e),
+             |t AS (
+             |  SELECT CAST(sum(n) AS HUGEINT) AS ntot,
+             |         sum(CAST(n AS HUGEINT) * gap_x1e6) AS wgap
+             |  FROM g)
+             |SELECT bin, n, n_pos, acc_x1e6, conf_x1e6, gap_x1e6,
+             |       CAST(wgap // ntot AS BIGINT) AS ece_x1e6
+             |FROM g, t
+             |ORDER BY bin""".stripMargin)),
+
+    // Token-overlap F1 between adjacent-document pairs (even doc_id =
+    // prediction, its successor = reference): the QA eval-harness
+    // match metric over a corpus of pairs. Multiset-intersection
+    // overlap via one (pair, token) equi-join of two map-side-combined
+    // count relations — work is token-sized, never pairs².
+    GateQuery(
+      "q_token_f1",
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("pair_id"), col("text").as("pred"))
+          .join(
+            docs.select((col("doc_id") - 1).as("pair_id"),
+              col("text").as("ref")),
+            Seq("pair_id"))
+        Metrics.tokenF1(pairs, "pair_id", "pred", "ref")
+          .orderBy("pair_id")
+      },
+      Some("""WITH pr AS (
+             |  SELECT a.doc_id AS pair_id, a.text AS ptext, b.text AS rtext
+             |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |  WHERE a.doc_id % 2 = 0),
+             |tp AS (
+             |  SELECT pair_id, u.t AS tok, count(*) AS cp
+             |  FROM pr, unnest(list_filter(string_split(trim(ptext), ' '),
+             |                              x -> len(x) > 0)) AS u(t)
+             |  GROUP BY 1, 2),
+             |tr AS (
+             |  SELECT pair_id, u.t AS tok, count(*) AS cr
+             |  FROM pr, unnest(list_filter(string_split(trim(rtext), ' '),
+             |                              x -> len(x) > 0)) AS u(t)
+             |  GROUP BY 1, 2),
+             |ov AS (
+             |  SELECT tp.pair_id, CAST(sum(least(cp, cr)) AS BIGINT) AS ov
+             |  FROM tp JOIN tr ON tp.pair_id = tr.pair_id AND tp.tok = tr.tok
+             |  GROUP BY 1),
+             |lens AS (
+             |  SELECT pair_id,
+             |         CAST(len(list_filter(string_split(trim(ptext), ' '),
+             |                              x -> len(x) > 0)) AS BIGINT) AS lp,
+             |         CAST(len(list_filter(string_split(trim(rtext), ' '),
+             |                              x -> len(x) > 0)) AS BIGINT) AS lr
+             |  FROM pr)
+             |SELECT lens.pair_id, lp AS n_pred, lr AS n_ref,
+             |       coalesce(ov, 0) AS overlap,
+             |       CASE WHEN lp <= 0 THEN NULL
+             |            ELSE CAST(CAST(coalesce(ov, 0) AS HUGEINT) * 1000000 // lp AS BIGINT) END AS precision_x1e6,
+             |       CASE WHEN lr <= 0 THEN NULL
+             |            ELSE CAST(CAST(coalesce(ov, 0) AS HUGEINT) * 1000000 // lr AS BIGINT) END AS recall_x1e6,
+             |       CASE WHEN lp + lr <= 0 THEN NULL
+             |            ELSE CAST(2 * CAST(coalesce(ov, 0) AS HUGEINT) * 1000000 // (lp + lr) AS BIGINT) END AS f1_x1e6
+             |FROM lens LEFT JOIN ov ON lens.pair_id = ov.pair_id
+             |ORDER BY lens.pair_id""".stripMargin)))
+}
