@@ -121,6 +121,127 @@ object Metrics {
         col("acc_x1e6"), col("conf_x1e6"), col("gap_x1e6"), col("ece_x1e6"))
   }
 
+  /** Exact precision–recall curve + average precision over a scored
+    * corpus — one row per distinct score threshold (descending), the
+    * operating points a production classifier threshold is chosen
+    * from.
+    *
+    * Rides the SAME distinct-score histogram shape as [[aucExact]]:
+    * ONE map-side-combined agg compresses the corpus to per-score
+    * (n_pos, n_neg), then cumulative windows run over that histogram
+    * only (single-partition over the DISTINCT-SCORE relation — the
+    * documented global-eval envelope; corpus-sized distinct scores
+    * would swap in the two-pass range-partitioned prefix sum).
+    *
+    * Output per threshold: `thr_rank` (1 = highest score; the float
+    * threshold itself is never published — float columns are the
+    * cross-engine flake class), `n_pred` = rows predicted positive at
+    * this threshold, `tp`, `fp`, `prec_ppm` = tp·1e6 div n_pred,
+    * `recall_ppm` = tp·1e6 div P — plus the scalar `ap_ppm` repeated
+    * on every row: AP = Σ_t Δtp_t · prec_ppm_t div P, the standard
+    * step-interpolation with the per-threshold precision quantized to
+    * ppm BEFORE the weighted sum (house integer form — no float sum
+    * whose accumulation order could split engines). Products widen to
+    * DECIMAL(38,0) first. Null-score/label rows are excluded;
+    * `recall_ppm`/`ap_ppm` are null when the corpus has no positives
+    * (undefined, not 0).
+    */
+  def prCurve(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val hist = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol))
+      .agg(
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("_np"),
+        sum(when(col(labelCol) =!= 0, 0L).otherwise(1L)).as("_nn"))
+    val cumW = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("tp", sum("_np").over(cumW))
+      .withColumn("fp", sum("_nn").over(cumW))
+      .withColumn("thr_rank",
+        row_number().over(Window.orderBy(col(scoreCol).desc)))
+      .withColumn("prec_ppm",
+        expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div (tp + fp) AS BIGINT)"))
+    val totals = hist.agg(sum("_np").as("_ptot"))
+    val curve = cum
+      .crossJoin(broadcast(totals))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN _ptot = 0 THEN NULL" +
+          " ELSE CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div _ptot AS BIGINT) END"))
+    val ap = curve.agg(
+      expr("CASE WHEN max(_ptot) = 0 THEN NULL" +
+        " ELSE CAST(sum(CAST(_np AS DECIMAL(38,0)) * prec_ppm) div max(_ptot) AS BIGINT) END")
+        .as("ap_ppm"))
+    curve
+      .crossJoin(broadcast(ap))
+      .select(col("thr_rank"), (col("tp") + col("fp")).as("n_pred"),
+        col("tp"), col("fp"), col("prec_ppm"), col("recall_ppm"),
+        col("ap_ppm"))
+  }
+
+  /** The ×1e6-quantized DCG discount table 1e6/log2(r+1) for ranks
+    * 1..k — computed ONCE here and embedded as integer literals in
+    * BOTH engines' programs (the gate SQL interpolates these values),
+    * so ranking metrics involve ZERO runtime float operations and
+    * cannot hit the libm-ulp cross-engine class.
+    */
+  def discountsX1e6(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      Math.round(1000000.0 / (Math.log(r + 1.0) / Math.log(2.0))))
+
+  /** Retrieval-ranking evaluation — nDCG@k and reciprocal rank per
+    * query over a retrieved-list relation `(qid, rank, rel)` with
+    * `rank` 1-based and unique per query and `rel` a small integer
+    * relevance grade (exponential gain 2^rel − 1).
+    *
+    * All-integer: DCG@k = Σ gain(rel)·w[rank] over the quantized
+    * discount table [[discountsX1e6]] — a sum of exact integers, so
+    * partial-aggregation order cannot matter; IDCG re-ranks the SAME
+    * retrieved list by (rel desc, rank asc) via a per-query window
+    * (≤ k rows per partition); `ndcg_ppm` = dcg·1e6 div idcg (null
+    * when idcg = 0 — no relevant item, undefined). `rr_x1e6` =
+    * 1e6 div first_rel_rank, 0 when no relevant item retrieved (the
+    * MRR convention — missing counts against the system). A fleet
+    * mean is then exact integer arithmetic over these per-query
+    * integers: avg of `ndcg_ppm`/`rr_x1e6` longs.
+    *
+    * Scale shape: one filter + one window + one agg over the
+    * retrieved relation (|queries|·k rows) — the corpus itself is
+    * never touched; gains widen to DECIMAL(38,0) before the product
+    * so any rel grade is safe.
+    */
+  def rankingMetrics(retrieved: DataFrame, qidCol: String, rankCol: String,
+      relCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = discountsX1e6(k)
+    val wArr = array(w.map(lit): _*)
+    val topk = retrieved
+      .filter(col(rankCol).isNotNull && col(relCol).isNotNull &&
+        col(rankCol) >= 1 && col(rankCol) <= k)
+    val idealW = Window.partitionBy(col(qidCol))
+      .orderBy(col(relCol).desc, col(rankCol).asc)
+    topk
+      .withColumn("_gain",
+        expr(s"CAST(shiftleft(CAST(1 AS BIGINT), CAST($relCol AS INT)) - 1 AS DECIMAL(38,0))"))
+      .withColumn("_wsys", element_at(wArr, col(rankCol).cast("int")))
+      .withColumn("_wideal", element_at(wArr, row_number().over(idealW)))
+      .groupBy(col(qidCol))
+      .agg(
+        count(lit(1)).as("n_ret"),
+        sum(when(col(relCol) > 0, 1L).otherwise(0L)).as("n_rel"),
+        min(when(col(relCol) > 0, col(rankCol).cast("long"))).as("first_rel_rank"),
+        sum(expr("_gain * _wsys")).as("_dcg"),
+        sum(expr("_gain * _wideal")).as("_idcg"))
+      .select(
+        col(qidCol), col("n_ret"), col("n_rel"), col("first_rel_rank"),
+        expr("CASE WHEN first_rel_rank IS NULL THEN CAST(0 AS BIGINT)" +
+          " ELSE 1000000 div first_rel_rank END").as("rr_x1e6"),
+        col("_dcg").cast("long").as("dcg_x1e6"),
+        col("_idcg").cast("long").as("idcg_x1e6"),
+        expr("CASE WHEN _idcg = 0 THEN NULL" +
+          " ELSE CAST(_dcg * 1000000 div _idcg AS BIGINT) END").as("ndcg_ppm"))
+  }
+
   /** SQuAD-style token-overlap F1 between a prediction and a reference
     * text per pair — the standard QA/eval-harness match metric, as a
     * distributed relation program. Overlap is the MULTISET

@@ -142,6 +142,131 @@ object EvalOps {
              |FROM g, t
              |ORDER BY bin""".stripMargin)),
 
+    // Exact PR curve + average precision: the same distinct-score
+    // histogram shape as q_auc (one map-side-combined agg, cumulative
+    // windows over the histogram only); every published column is an
+    // exact integer — the float threshold itself is never published
+    // (thr_rank stands in), and AP quantizes each threshold's
+    // precision to ppm BEFORE the integer-weighted sum, so no float
+    // accumulation order exists to split engines.
+    GateQuery(
+      "q_pr_curve",
+      (s, d) => Metrics.prCurve(scored(s, d), "y", "score")
+        .orderBy("thr_rank"),
+      Some(s"""WITH s AS ($ScoredSql),
+             |h AS (
+             |  SELECT score, CAST(sum(y) AS BIGINT) AS np,
+             |         CAST(count(*) - sum(y) AS BIGINT) AS nn
+             |  FROM s GROUP BY score),
+             |c AS (
+             |  SELECT np, nn,
+             |         CAST(sum(np) OVER (ORDER BY score DESC
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             |         CAST(sum(nn) OVER (ORDER BY score DESC
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+             |         row_number() OVER (ORDER BY score DESC) AS thr_rank
+             |  FROM h),
+             |t AS (SELECT CAST(sum(np) AS HUGEINT) AS ptot FROM h),
+             |curve AS (
+             |  SELECT thr_rank, np, tp, fp,
+             |         CAST(CAST(tp AS HUGEINT) * 1000000 // (tp + fp) AS BIGINT) AS prec_ppm,
+             |         CASE WHEN ptot = 0 THEN NULL
+             |              ELSE CAST(CAST(tp AS HUGEINT) * 1000000 // ptot AS BIGINT) END AS recall_ppm
+             |  FROM c, t),
+             |a AS (
+             |  SELECT CASE WHEN (SELECT ptot FROM t) = 0 THEN NULL
+             |              ELSE CAST(sum(CAST(np AS HUGEINT) * prec_ppm)
+             |                        // (SELECT ptot FROM t) AS BIGINT) END AS ap_ppm
+             |  FROM curve)
+             |SELECT thr_rank, tp + fp AS n_pred, tp, fp, prec_ppm, recall_ppm, ap_ppm
+             |FROM curve, a
+             |ORDER BY thr_rank""".stripMargin)),
+
+    // nDCG@10 + reciprocal rank of the sign-LSH bucketed retrieval,
+    // graded by label agreement (2 = same label, 1 = same parity,
+    // 0 = neither). The discount table is Metrics.discountsX1e6 —
+    // ×1e6-quantized integers interpolated as LITERALS into this SQL,
+    // so ranking arithmetic has zero runtime float ops on either
+    // engine; ranking itself is by the ×1e4 integer cosine with id
+    // tiebreak (the q_ann_recall convention). Queries are ABSOLUTELY
+    // bounded (vec_id < 30), so the scored relation is linear in the
+    // corpus.
+    GateQuery(
+      "q_ndcg_mrr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = VectorOps.withVec(embeddings(s, d))
+        val q = e.filter(col("vec_id") < 30)
+          .select(col("vec_id").as("qid"), col("label").as("ql"),
+            col("v").as("qv"), VectorOps.signBucket3(col("v")).as("qb"))
+        val c = e.select(col("vec_id").as("cid"), col("label").as("cl"),
+          col("v").as("cv"), VectorOps.signBucket3(col("v")).as("cb"))
+        val retrieved = broadcast(q)
+          .join(c, col("qb") === col("cb") && col("qid") =!= col("cid"))
+          .withColumn("cos_x1e4",
+            round(graft.operators.Ann.cosine(col("qv"), col("cv")) * 10000)
+              .cast("long"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("cid"))))
+          .filter(col("rank") <= 10)
+          .withColumn("rel",
+            when(col("ql") === col("cl"), 2)
+              .when(col("ql") % 2 === col("cl") % 2, 1)
+              .otherwise(0))
+          .select("qid", "rank", "rel")
+        Metrics.rankingMetrics(retrieved, "qid", "rank", "rel", k = 10)
+          .orderBy("qid")
+      },
+      Some {
+        val w = Metrics.discountsX1e6(10).mkString("[", ", ", "]")
+        s"""WITH e AS (
+           |  SELECT vec_id, label,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           |         ${VectorOps.signBucket3Sql("embedding")} AS b
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.label AS ql, c.label AS cl,
+           |         CAST(round(
+           |           list_sum(list_transform(list_zip(q.v, c.v),
+           |                                   p -> struct_extract(p, 1) * struct_extract(p, 2)))
+           |           / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+           |              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) * 10000) AS BIGINT) AS cos_x1e4
+           |  FROM e q JOIN e c ON q.b = c.b AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 30),
+           |ranked AS (
+           |  SELECT qid, ql, cl,
+           |         row_number() OVER (PARTITION BY qid
+           |           ORDER BY cos_x1e4 DESC, cid ASC) AS rnk
+           |  FROM scored QUALIFY rnk <= 10),
+           |graded AS (
+           |  SELECT qid, rnk,
+           |         CASE WHEN ql = cl THEN 2
+           |              WHEN ql % 2 = cl % 2 THEN 1 ELSE 0 END AS rel
+           |  FROM ranked),
+           |wtd AS (
+           |  SELECT qid, rnk, rel,
+           |         CAST((CAST(1 AS BIGINT) << rel) - 1 AS HUGEINT) AS gain,
+           |         ($w)[rnk] AS wsys,
+           |         ($w)[row_number() OVER (PARTITION BY qid
+           |           ORDER BY rel DESC, rnk ASC)] AS wideal
+           |  FROM graded),
+           |agg AS (
+           |  SELECT qid, CAST(count(*) AS BIGINT) AS n_ret,
+           |         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+           |         CAST(min(CASE WHEN rel > 0 THEN rnk END) AS BIGINT) AS first_rel_rank,
+           |         sum(gain * wsys) AS dcg, sum(gain * wideal) AS idcg
+           |  FROM wtd GROUP BY qid)
+           |SELECT qid, n_ret, n_rel, first_rel_rank,
+           |       CASE WHEN first_rel_rank IS NULL THEN CAST(0 AS BIGINT)
+           |            ELSE CAST(1000000 // first_rel_rank AS BIGINT) END AS rr_x1e6,
+           |       CAST(dcg AS BIGINT) AS dcg_x1e6,
+           |       CAST(idcg AS BIGINT) AS idcg_x1e6,
+           |       CASE WHEN idcg = 0 THEN NULL
+           |            ELSE CAST(dcg * 1000000 // idcg AS BIGINT) END AS ndcg_ppm
+           |FROM agg
+           |ORDER BY qid""".stripMargin
+      }),
+
     // Token-overlap F1 between adjacent-document pairs (even doc_id =
     // prediction, its successor = reference): the QA eval-harness
     // match metric over a corpus of pairs. Multiset-intersection

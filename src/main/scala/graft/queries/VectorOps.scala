@@ -26,7 +26,7 @@ object VectorOps {
   private def dot(a: Column, b: Column): Column =
     graft.operators.Ann.dot(a, b)
 
-  private def withVec(df: DataFrame): DataFrame =
+  private[queries] def withVec(df: DataFrame): DataFrame =
     df.withColumn("v", transform(col("embedding"), x => x.cast("double")))
 
   private val sqlNormSq =
@@ -38,12 +38,12 @@ object VectorOps {
     * bucket cannot silently fork the gates into two diverging
     * definitions that both keep passing.
     */
-  private def signBucket3(v: Column): Column =
+  private[queries] def signBucket3(v: Column): Column =
     when(element_at(v, 1) > 0, 4).otherwise(0) +
       when(element_at(v, 2) > 0, 2).otherwise(0) +
       when(element_at(v, 3) > 0, 1).otherwise(0)
 
-  private def signBucket3Sql(arr: String): String =
+  private[queries] def signBucket3Sql(arr: String): String =
     s"(CASE WHEN $arr[1] > 0 THEN 4 ELSE 0 END" +
       s" + CASE WHEN $arr[2] > 0 THEN 2 ELSE 0 END" +
       s" + CASE WHEN $arr[3] > 0 THEN 1 ELSE 0 END)"

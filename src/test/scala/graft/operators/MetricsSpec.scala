@@ -109,6 +109,123 @@ class MetricsSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.count() === 0)
   }
 
+  // ------------------------------------------------------------ prCurve
+
+  test("prCurve matches a brute-force threshold sweep") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map(_ => (rnd.nextInt(2), rnd.nextInt(15) / 10.0))
+    val got = Metrics.prCurve(rows.toDF("y", "score").repartition(6),
+      "y", "score").orderBy("thr_rank").collect()
+
+    val p = rows.count(_._1 != 0).toLong
+    val thresholds = rows.map(_._2).distinct.sorted.reverse
+    assert(got.length === thresholds.length)
+    var apTerms = 0L
+    thresholds.zipWithIndex.foreach { case (t, i) =>
+      val pred = rows.filter(_._2 >= t)
+      val tp = pred.count(_._1 != 0).toLong
+      val fp = pred.size - tp
+      val np = rows.count(r => r._2 == t && r._1 != 0).toLong
+      val r = got(i)
+      assert(r.getAs[Long]("thr_rank") === i + 1)
+      assert(r.getAs[Long]("n_pred") === pred.size.toLong)
+      assert(r.getAs[Long]("tp") === tp && r.getAs[Long]("fp") === fp)
+      val prec = tp * 1000000L / pred.size
+      assert(r.getAs[Long]("prec_ppm") === prec)
+      assert(r.getAs[Long]("recall_ppm") === tp * 1000000L / p)
+      apTerms += np * prec
+    }
+    assert(got.forall(_.getAs[Long]("ap_ppm") === apTerms / p))
+    // final threshold predicts everything; recall there is 1
+    assert(got.last.getAs[Long]("recall_ppm") === 1000000L)
+  }
+
+  test("prCurve with no positives yields null recall/AP, exact fp") {
+    val rows = Seq((0, 0.9), (0, 0.5), (0, 0.5))
+    val got = Metrics.prCurve(rows.toDF("y", "score"), "y", "score")
+      .orderBy("thr_rank").collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r.isNullAt(r.fieldIndex("recall_ppm"))
+      && r.isNullAt(r.fieldIndex("ap_ppm"))
+      && r.getAs[Long]("prec_ppm") === 0L))
+    assert(got.last.getAs[Long]("fp") === 3L)
+  }
+
+  // ----------------------------------------------------- rankingMetrics
+
+  /** Brute-force nDCG/RR with the SAME quantized discount table. */
+  private def rankBrute(items: Seq[(Int, Int)], k: Int)
+      : (Long, Long, Long, Option[Long]) = {
+    val w = Metrics.discountsX1e6(k)
+    val top = items.filter(t => t._1 >= 1 && t._1 <= k)
+    def gain(rel: Int) = (1L << rel) - 1
+    val dcg = top.map { case (r, rel) => gain(rel) * w(r - 1) }.sum
+    val ideal = top.sortBy { case (r, rel) => (-rel, r) }
+    val idcg = ideal.zipWithIndex.map { case ((_, rel), i) =>
+      gain(rel) * w(i)
+    }.sum
+    val firstRel = top.filter(_._2 > 0).map(_._1).sorted.headOption
+    val rr = firstRel.map(1000000L / _).getOrElse(0L)
+    (dcg, idcg, rr,
+      if (idcg == 0) None else Some(dcg * 1000000L / idcg))
+  }
+
+  test("rankingMetrics matches brute force on random graded lists") {
+    val rnd = new scala.util.Random(5)
+    val rows = for (q <- 0 until 40; r <- 1 to 10)
+      yield (q.toLong, r, rnd.nextInt(3))
+    val got = Metrics.rankingMetrics(
+      rows.toDF("qid", "rank", "rel").repartition(7), "qid", "rank", "rel")
+      .collect().map(r => r.getAs[Long]("qid") -> r).toMap
+    for (q <- 0L until 40L) {
+      val items = rows.filter(_._1 == q).map(t => (t._2, t._3))
+      val (dcg, idcg, rr, ndcg) = rankBrute(items, 10)
+      val r = got(q)
+      assert(r.getAs[Long]("dcg_x1e6") === dcg, s"q$q dcg")
+      assert(r.getAs[Long]("idcg_x1e6") === idcg, s"q$q idcg")
+      assert(r.getAs[Long]("rr_x1e6") === rr, s"q$q rr")
+      ndcg match {
+        case Some(v) => assert(r.getAs[Long]("ndcg_ppm") === v, s"q$q ndcg")
+        case None => assert(r.isNullAt(r.fieldIndex("ndcg_ppm")), s"q$q ndcg")
+      }
+    }
+  }
+
+  test("rankingMetrics edges: perfect order, no relevant, short lists, rank>k") {
+    // perfectly ordered by rel -> ndcg exactly 1e6
+    val perfect = Seq((1L, 1, 2), (1L, 2, 1), (1L, 3, 0))
+    val p = Metrics.rankingMetrics(
+      perfect.toDF("qid", "rank", "rel"), "qid", "rank", "rel").head()
+    assert(p.getAs[Long]("ndcg_ppm") === 1000000L)
+    assert(p.getAs[Long]("rr_x1e6") === 1000000L)
+    // no relevant -> idcg 0, ndcg null, rr 0 (counts against the system)
+    val none = Seq((2L, 1, 0), (2L, 2, 0))
+    val n = Metrics.rankingMetrics(
+      none.toDF("qid", "rank", "rel"), "qid", "rank", "rel").head()
+    assert(n.isNullAt(n.fieldIndex("ndcg_ppm")))
+    assert(n.getAs[Long]("rr_x1e6") === 0L)
+    assert(n.isNullAt(n.fieldIndex("first_rel_rank")))
+    // rows beyond k are ignored entirely
+    val withTail = Seq((3L, 1, 0), (3L, 2, 2), (3L, 11, 2))
+    val t = Metrics.rankingMetrics(
+      withTail.toDF("qid", "rank", "rel"), "qid", "rank", "rel").head()
+    assert(t.getAs[Long]("n_ret") === 2L)
+    assert(t.getAs[Long]("first_rel_rank") === 2L)
+    assert(t.getAs[Long]("rr_x1e6") === 500000L)
+    // reversed order: dcg < idcg, ndcg < 1e6 but > 0
+    val worst = Seq((4L, 1, 0), (4L, 2, 0), (4L, 3, 2))
+    val wv = Metrics.rankingMetrics(
+      worst.toDF("qid", "rank", "rel"), "qid", "rank", "rel").head()
+    assert(wv.getAs[Long]("ndcg_ppm") === 500000L)
+  }
+
+  test("discount table is the quantized 1e6/log2(r+1) ladder") {
+    val w = Metrics.discountsX1e6(10)
+    assert(w.head === 1000000L) // log2(2) = 1
+    assert(w(2) === 500000L)    // log2(4) = 2
+    assert(w === w.sorted.reverse && w.length === 10)
+  }
+
   // ------------------------------------------------------------ tokenF1
 
   test("tokenF1 multiset overlap, precision/recall asymmetry, empties") {
