@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Frequency, IvfIndex, Multimodal, SketchRollup}
+import graft.operators.{Ann, CountMin, Dedup, Frequency, IvfIndex, Multimodal, SketchRollup}
 
 /** Gate queries for the scale extensions: MinHash-LSH / SimHash dedup,
   * IVF ANN, sketches, heavy hitters, multimodal binary plumbing —
@@ -922,5 +922,55 @@ object ExtOps {
              |FROM events
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
+
+    // Count-Min point-frequency estimates, cross-checked against the
+    // exact census: the sketch is built (weighted) over the partkey
+    // count relation -- CMS is linear, so this equals building over
+    // raw occurrences -- and probed for the exact top-20 part keys.
+    // The md5-prefix bucket (SharedOracles.bucketSql twin) makes both
+    // engines' sketches CELL-IDENTICAL, so est/overcount hash-match
+    // exactly, and the never_under column pins the one-sided-error
+    // guarantee on real data (2000 distinct keys into width 256 means
+    // ~8 keys per cell -- the overcounts are real collisions, not a
+    // rigged zero; the documents vocabulary is only 31 tokens, which
+    // is why the fixture is lineitem).
+    GateQuery(
+      "q_cms_counts",
+      (s, d) => {
+        val cnt = lineitem(s, d)
+          .groupBy(col("l_partkey").as("item"))
+          .agg(count(lit(1)).as("exact_n"))
+        val sketch = CountMin.build(cnt, "item", depth = 4, width = 256,
+          weightCol = Some("exact_n"))
+        val top = cnt.orderBy(desc("exact_n"), asc("item")).limit(20)
+        CountMin.estimate(sketch, top, "item", depth = 4, width = 256)
+          .join(top, Seq("item"))
+          .select(col("item"), col("exact_n"), col("est_n"),
+            (col("est_n") - col("exact_n")).as("overcount"),
+            (col("est_n") >= col("exact_n")).as("never_under"))
+          .orderBy(desc("exact_n"), asc("item"))
+      },
+      Some(s"""WITH cnt AS (
+             |  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS exact_n
+             |  FROM lineitem GROUP BY 1),
+             |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+             |cms AS (
+             |  SELECT seed,
+             |         ${SharedOracles.bucketSql("'cms' || CAST(seed AS VARCHAR) || ':' || CAST(item AS VARCHAR)")} % 256 AS bucket,
+             |         CAST(sum(exact_n) AS BIGINT) AS cnt
+             |  FROM cnt, seeds GROUP BY 1, 2),
+             |top AS (SELECT item, exact_n FROM cnt ORDER BY exact_n DESC, item ASC LIMIT 20),
+             |probes AS (
+             |  SELECT t.item, t.exact_n, s.seed,
+             |         ${SharedOracles.bucketSql("'cms' || CAST(s.seed AS VARCHAR) || ':' || CAST(t.item AS VARCHAR)")} % 256 AS bucket
+             |  FROM top t, seeds s),
+             |est AS (
+             |  SELECT p.item, p.exact_n, min(coalesce(c.cnt, 0)) AS est_n
+             |  FROM probes p LEFT JOIN cms c ON p.seed = c.seed AND p.bucket = c.bucket
+             |  GROUP BY 1, 2)
+             |SELECT item, exact_n, CAST(est_n AS BIGINT) AS est_n,
+             |       CAST(est_n - exact_n AS BIGINT) AS overcount,
+             |       est_n >= exact_n AS never_under
+             |FROM est ORDER BY exact_n DESC, item ASC""".stripMargin)),
   )
 }
