@@ -446,10 +446,14 @@ object Curation {
     // AND the total-count scalar (two consumers, one corpus scan)
     val hist = df.groupBy(scoreCol).agg(count(lit(1)).as("_cnt"))
       .localCheckpoint(true)
-    val histW = Window.orderBy(col(scoreCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val base = hist
-      .withColumn("_base", coalesce(sum("_cnt").over(histW), lit(0L)))
+    // global offset via the range-partitioned two-pass scan — a
+    // continuous score makes the histogram corpus-sized, so the
+    // previous single-partition window over it was the one
+    // non-parallel step left in this operator (null scores order
+    // first in both the range partitioner and the per-partition
+    // window, preserving the nulls-rank-first contract)
+    val base = PrefixSum.rangeExclusive(hist, scoreCol,
+      descending = false, Seq("_cnt" -> "_base"))
       .select(col(scoreCol).as("_bscore"), col("_base"))
     // coalesce: an EMPTY corpus sums to null — return the (empty)
     // frame instead of NPE-ing on the scalar

@@ -54,10 +54,22 @@ object Metrics {
       .agg(
         sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("_np"),
         sum(when(col(labelCol) =!= 0, 0L).otherwise(1L)).as("_nn"))
-    val w = Window.partitionBy(grp: _*).orderBy(col(scoreCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val contrib = hist
-      .withColumn("_below", coalesce(sum("_nn").over(w), lit(0L)))
+    // grouped eval: the window partitions by the group key, so each
+    // prefix sum is group-local and parallel already. GLOBAL eval
+    // swaps in the range-partitioned two-pass scan — with a
+    // continuous score the distinct-score histogram is corpus-sized,
+    // and a single-partition window over it would be the scale
+    // killer (PrefixSum is the shape that survives 100×).
+    val contrib0 =
+      if (grp.isEmpty)
+        PrefixSum.rangeExclusive(hist, scoreCol, descending = false,
+          Seq("_nn" -> "_below"))
+      else {
+        val w = Window.partitionBy(grp: _*).orderBy(col(scoreCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        hist.withColumn("_below", coalesce(sum("_nn").over(w), lit(0L)))
+      }
+    val contrib = contrib0
       // p_s·(2B_s + n_s): each factor ≤ n, the product ≤ 2n² — decimal
       // BEFORE the multiply so the arithmetic is exact at any n
       .withColumn("_u2",
@@ -153,13 +165,16 @@ object Metrics {
       .agg(
         sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("_np"),
         sum(when(col(labelCol) =!= 0, 0L).otherwise(1L)).as("_nn"))
-    val cumW = Window.orderBy(col(scoreCol).desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("tp", sum("_np").over(cumW))
-      .withColumn("fp", sum("_nn").over(cumW))
-      .withColumn("thr_rank",
-        row_number().over(Window.orderBy(col(scoreCol).desc)))
+    // inclusive cumulatives and the threshold index all derive from
+    // ONE exclusive range-partitioned prefix scan (three sums share
+    // the single range exchange) — no corpus-sized single-partition
+    // window even when every score is distinct
+    val cum = PrefixSum.rangeExclusive(
+      hist.withColumn("_one", lit(1L)), scoreCol, descending = true,
+      Seq("_np" -> "_xtp", "_nn" -> "_xfp", "_one" -> "_xrk"))
+      .withColumn("tp", col("_xtp") + col("_np"))
+      .withColumn("fp", col("_xfp") + col("_nn"))
+      .withColumn("thr_rank", (col("_xrk") + 1).cast("int"))
       .withColumn("prec_ppm",
         expr("CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 div (tp + fp) AS BIGINT)"))
     val totals = hist.agg(sum("_np").as("_ptot"))

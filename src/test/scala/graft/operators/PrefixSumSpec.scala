@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class PrefixSumSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Plain single-partition-window reference. */
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, orderCol: String,
+      descending: Boolean, sums: Seq[(String, String)]) = {
+    val key = if (descending) col(orderCol).desc else col(orderCol).asc
+    val w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+    sums.foldLeft(df) { case (d, (v, o)) =>
+      d.withColumn(o, coalesce(sum(col(v)).over(w), lit(0L)))
+    }
+  }
+
+  test("rangeExclusive equals the plain window, both directions, multi-sum") {
+    val rnd = new scala.util.Random(31)
+    val rows = rnd.shuffle((0 until 500).toVector)
+      .map(k => (k * 3 + 1, rnd.nextInt(100).toLong, rnd.nextInt(5).toLong))
+    val df = rows.toDF("k", "a", "b").repartition(11)
+    for (desc <- Seq(false, true)) {
+      val got = PrefixSum.rangeExclusive(df, "k", desc,
+        Seq("a" -> "pa", "b" -> "pb"), partitions = 7)
+        .orderBy("k").collect().map(r =>
+          (r.getAs[Int]("k"), r.getAs[Long]("pa"), r.getAs[Long]("pb")))
+      val expect = viaWindow(df, "k", desc, Seq("a" -> "pa", "b" -> "pb"))
+        .orderBy("k").collect().map(r =>
+          (r.getAs[Int]("k"), r.getAs[Long]("pa"), r.getAs[Long]("pb")))
+      assert(got.toSeq === expect.toSeq, s"descending=$desc")
+    }
+  }
+
+  test("result is independent of the partition count") {
+    val rows = (0 until 300).map(k => (k.toDouble / 7, 1L))
+    val df = rows.toDF("k", "one")
+    val expected = PrefixSum.rangeExclusive(df, "k", descending = false,
+      Seq("one" -> "rank0"), partitions = 1).orderBy("k")
+      .collect().map(_.getAs[Long]("rank0")).toSeq
+    for (p <- Seq(3, 32, 64)) {
+      val got = PrefixSum.rangeExclusive(df.repartition(9), "k",
+        descending = false, Seq("one" -> "rank0"), partitions = p)
+        .orderBy("k").collect().map(_.getAs[Long]("rank0")).toSeq
+      assert(got === expected, s"partitions=$p")
+      assert(got === (0L until 300L), s"partitions=$p exact ranks")
+    }
+  }
+
+  test("null order keys rank first ascending (window parity) and last descending") {
+    val df = Seq((Some(2), 10L), (None, 1L), (Some(1), 5L), (Some(3), 2L))
+      .toDF("k", "v")
+    val asc = PrefixSum.rangeExclusive(df, "k", descending = false,
+      Seq("v" -> "pv"), partitions = 3)
+      .collect().map(r => Option(r.getAs[Integer]("k")) -> r.getAs[Long]("pv"))
+      .toMap
+    // nulls first: the null row has nothing before it; k=1 sees the null's v
+    assert(asc(None) === 0L)
+    assert(asc(Some(1)) === 1L)
+    assert(asc(Some(2)) === 6L)
+    assert(asc(Some(3)) === 16L)
+    val desc = PrefixSum.rangeExclusive(df, "k", descending = true,
+      Seq("v" -> "pv"), partitions = 3)
+      .collect().map(r => Option(r.getAs[Integer]("k")) -> r.getAs[Long]("pv"))
+      .toMap
+    // nulls last: the null row sums everything else
+    assert(desc(None) === 17L)
+    assert(desc(Some(3)) === 0L)
+    assert(desc(Some(2)) === 2L)
+    assert(desc(Some(1)) === 12L)
+  }
+
+  test("empty and single-row inputs") {
+    val empty = PrefixSum.rangeExclusive(
+      Seq.empty[(Int, Long)].toDF("k", "v"), "k", descending = false,
+      Seq("v" -> "pv"))
+    assert(empty.count() === 0)
+    val one = PrefixSum.rangeExclusive(
+      Seq((5, 9L)).toDF("k", "v"), "k", descending = false,
+      Seq("v" -> "pv")).head()
+    assert(one.getAs[Long]("pv") === 0L)
+  }
+
+  test("no corpus-sized single-partition window in the plan") {
+    val df = (0 until 100).map(k => (k, 1L)).toDF("k", "v")
+    val plan = PrefixSum.rangeExclusive(df, "k", descending = false,
+      Seq("v" -> "pv"), partitions = 8)
+      .queryExecution.executedPlan.toString
+    // the data-bearing window must partition by _psx_pid (parallel);
+    // the only unpartitioned window runs over the ≤partitions-row
+    // totals spine AFTER the groupBy — i.e. every window spec that
+    // lacks a partition key sits above a HashAggregate, never above
+    // the row relation
+    val dataWindow =
+      "windowspecdefinition\\(_psx_pid".r.findFirstIn(plan)
+    assert(dataWindow.isDefined,
+      s"expected the per-partition window keyed by _psx_pid in:\n$plan")
+    assert(plan.contains("REPARTITION_BY_NUM") || plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+  }
+}
