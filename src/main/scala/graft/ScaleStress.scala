@@ -228,7 +228,14 @@ object ScaleStress {
     "q_containment_join",
     // winnowing: the fingerprint relation is ~grams/w-sized; join
     // fan-in per fp = its df (LSH-band shape on a smaller relation)
-    "q_winnow_pairs")
+    "q_winnow_pairs",
+    // r9 session-3 eval family: AUC + PR curve exercise the NEW
+    // range-partitioned prefix scan on a continuous score (distinct
+    // scores = corpus-sized — the exact case the single-partition
+    // window would have choked on); token-F1 is a token-sized
+    // equi-join; nDCG rides a 30-query absolute bound × corpus scan;
+    // CMS is one map-side-combined agg to 1024 cells
+    "q_auc", "q_pr_curve", "q_token_f1", "q_ndcg_mrr", "q_cms_counts")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)
@@ -385,5 +392,49 @@ object ScaleStress {
         s"files=${perFile.getLong(1)} (cap $cap) |")
       require(perFile.getLong(0) <= cap, "store file cap violated at scale")
     } else println(s"| store caps @x$x | SKIPPED (run phase not executed) |")
+
+    // 5. Prefix-scan linearity at synthetic N: the testdata embeddings
+    // are only thousands of rows, so the eval gates can't exercise the
+    // range-partitioned prefix scan where it matters — a CONTINUOUS
+    // score whose distinct-score histogram is corpus-sized. Construct
+    // that case directly: score = id (every score distinct), y = id%2,
+    // for which the tie-free rank-sum has the closed form
+    // 2U = (n/2)(n/2+1) ⇒ auc_x1e6 = 500000 exactly at any even n —
+    // so the probe pins CORRECTNESS of the scan at N rows AND its
+    // wall-clock ratio across a 10× N step (bar: ≤ 13×, the same
+    // linear-with-headroom bar as the gate replays).
+    import graft.operators.Metrics
+    def aucProbe(n: Long): Double = {
+      val df = spark.range(n).select(
+        (col("id") % 2).as("y"), col("id").as("score"))
+      val t = System.nanoTime()
+      val r = Metrics.aucExact(df, "y", "score").head()
+      val sec = (System.nanoTime() - t) / 1e9
+      require(r.getAs[Long]("auc_x1e6") == 500000L,
+        s"closed-form AUC violated at n=$n: ${r.getAs[Long]("auc_x1e6")}")
+      require(r.getAs[Long]("n_pos") == n / 2, s"n_pos wrong at n=$n")
+      spark.catalog.clearCache(); sec
+    }
+    def prProbe(n: Long): Double = {
+      val df = spark.range(n).select(
+        (col("id") % 2).as("y"), col("id").as("score"))
+      val t = System.nanoTime()
+      val curve = Metrics.prCurve(df, "y", "score")
+      val last = curve.agg(count(lit(1)), max("tp"), max("recall_ppm")).head()
+      val sec = (System.nanoTime() - t) / 1e9
+      require(last.getLong(0) == n, s"curve must have n=$n thresholds")
+      require(last.getLong(1) == n / 2 && last.getLong(2) == 1000000L,
+        s"curve tail wrong at n=$n")
+      sec
+    }
+    val n1 = 2000000L
+    val aucS = aucProbe(n1); val aucL = aucProbe(n1 * 10)
+    val prS = prProbe(n1); val prL = prProbe(n1 * 10)
+    println(f"| prefix-scan probe (distinct-score histogram = corpus) | " +
+      f"auc: ${n1 / 1000000}M=${aucS}%.1fs ${n1 * 10 / 1000000}M=${aucL}%.1fs " +
+      f"ratio=${aucL / aucS}%.1f | pr_curve: ${prS}%.1fs ${prL}%.1fs " +
+      f"ratio=${prL / prS}%.1f |")
+    require(aucL <= aucS * 13 + 5, f"aucExact super-linear: ${aucL / aucS}%.1f×")
+    require(prL <= prS * 13 + 5, f"prCurve super-linear: ${prL / prS}%.1f×")
   }
 }

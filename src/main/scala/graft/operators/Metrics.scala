@@ -54,6 +54,21 @@ object Metrics {
       .agg(
         sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("_np"),
         sum(when(col(labelCol) =!= 0, 0L).otherwise(1L)).as("_nn"))
+    aucFromHistogram(hist, scoreCol, groupCols)
+  }
+
+  /** The rank-sum tail of [[aucExact]] over an ALREADY-BUILT
+    * per-distinct-score histogram `(scoreCol, _np, _nn)` — exposed
+    * because the histogram is a plain additive relation: per-unit
+    * (per-day, per-micro-batch) histograms merged by summing `_np`/
+    * `_nn` per score yield the IDENTICAL corpus histogram, which makes
+    * exact AUC incrementally maintainable (the streaming monitor gate
+    * rides this; the same holds for any rollup cadence).
+    */
+  def aucFromHistogram(hist0: DataFrame, scoreCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val grp = groupCols.map(col)
+    val hist = hist0
     // grouped eval: the window partitions by the group key, so each
     // prefix sum is group-local and parallel already. GLOBAL eval
     // swaps in the range-partitioned two-pass scan — with a

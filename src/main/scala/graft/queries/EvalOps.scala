@@ -24,7 +24,7 @@ object EvalOps {
   /** THE scored-corpus fixture: y = parity of the class label, score =
     * raw 2nd embedding component (no arithmetic — comparisons only).
     */
-  private def scored(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def scored(s: org.apache.spark.sql.SparkSession, d: String) =
     embeddings(s, d)
       .filter(col("embedding").isNotNull && col("label").isNotNull)
       .select(
@@ -32,7 +32,7 @@ object EvalOps {
         when(col("label") % 2 === 0, 1).otherwise(0).as("y"),
         element_at(col("embedding"), 2).as("score"))
 
-  private val ScoredSql =
+  private[queries] val ScoredSql =
     """SELECT vec_id,
       |       CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
       |       embedding[2] AS score
@@ -40,16 +40,11 @@ object EvalOps {
       |WHERE embedding IS NOT NULL AND label IS NOT NULL
       |  AND embedding[2] IS NOT NULL""".stripMargin
 
-  val queries: Seq[GateQuery] = Seq(
-
-    // Exact global ROC-AUC. The corpus compresses to a per-distinct-
-    // score histogram in one map-side-combined agg; the rank prefix
-    // sum runs over that histogram only (see Metrics.aucExact). The
-    // oracle re-derives the same tie-aware rank-sum in SQL.
-    GateQuery(
-      "q_auc",
-      (s, d) => Metrics.aucExact(scored(s, d), "y", "score"),
-      Some(s"""WITH s AS ($ScoredSql),
+  /** The q_auc oracle — shared VERBATIM with the streaming AUC
+    * monitor parity gate (same ground truth, one definition).
+    */
+  private[queries] val AucOracle: String =
+    s"""WITH s AS ($ScoredSql),
              |h AS (
              |  SELECT score, CAST(sum(y) AS BIGINT) AS np,
              |         CAST(count(*) - sum(y) AS BIGINT) AS nn
@@ -64,7 +59,18 @@ object EvalOps {
              |       CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
              |            ELSE CAST(sum(CAST(np AS HUGEINT) * (2 * below + nn)) * 1000000
              |                      // (2 * CAST(sum(np) AS HUGEINT) * sum(nn)) AS BIGINT) END AS auc_x1e6
-             |FROM w""".stripMargin)),
+             |FROM w""".stripMargin
+
+  val queries: Seq[GateQuery] = Seq(
+
+    // Exact global ROC-AUC. The corpus compresses to a per-distinct-
+    // score histogram in one map-side-combined agg; the rank prefix
+    // sum runs over that histogram only (see Metrics.aucExact). The
+    // oracle re-derives the same tie-aware rank-sum in SQL.
+    GateQuery(
+      "q_auc",
+      (s, d) => Metrics.aucExact(scored(s, d), "y", "score"),
+      Some(AucOracle)),
 
     // Per-cohort AUC: the window partitions by cohort, so each
     // prefix sum is cohort-local — the grouped-eval shape (per-slice

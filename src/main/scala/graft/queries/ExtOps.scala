@@ -75,6 +75,33 @@ object ExtOps {
   private[queries] def cachedSigned(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/signed")
 
+  /** The q_cms_counts oracle — shared VERBATIM with the streaming
+    * sketch parity gate (same ground truth, one definition).
+    */
+  private[queries] val CmsOracle: String =
+    s"""WITH cnt AS (
+             |  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS exact_n
+             |  FROM lineitem GROUP BY 1),
+             |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+             |cms AS (
+             |  SELECT seed,
+             |         ${SharedOracles.bucketSql("'cms' || CAST(seed AS VARCHAR) || ':' || CAST(item AS VARCHAR)")} % 256 AS bucket,
+             |         CAST(sum(exact_n) AS BIGINT) AS cnt
+             |  FROM cnt, seeds GROUP BY 1, 2),
+             |top AS (SELECT item, exact_n FROM cnt ORDER BY exact_n DESC, item ASC LIMIT 20),
+             |probes AS (
+             |  SELECT t.item, t.exact_n, s.seed,
+             |         ${SharedOracles.bucketSql("'cms' || CAST(s.seed AS VARCHAR) || ':' || CAST(t.item AS VARCHAR)")} % 256 AS bucket
+             |  FROM top t, seeds s),
+             |est AS (
+             |  SELECT p.item, p.exact_n, min(coalesce(c.cnt, 0)) AS est_n
+             |  FROM probes p LEFT JOIN cms c ON p.seed = c.seed AND p.bucket = c.bucket
+             |  GROUP BY 1, 2)
+             |SELECT item, exact_n, CAST(est_n AS BIGINT) AS est_n,
+             |       CAST(est_n - exact_n AS BIGINT) AS overcount,
+             |       est_n >= exact_n AS never_under
+             |FROM est ORDER BY exact_n DESC, item ASC""".stripMargin
+
   val queries: Seq[GateQuery] = Seq(
 
     // MinHash LSH candidates + exact verify == all-pairs Jaccard ≥ 0.9.
@@ -950,27 +977,6 @@ object ExtOps {
             (col("est_n") >= col("exact_n")).as("never_under"))
           .orderBy(desc("exact_n"), asc("item"))
       },
-      Some(s"""WITH cnt AS (
-             |  SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS exact_n
-             |  FROM lineitem GROUP BY 1),
-             |seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
-             |cms AS (
-             |  SELECT seed,
-             |         ${SharedOracles.bucketSql("'cms' || CAST(seed AS VARCHAR) || ':' || CAST(item AS VARCHAR)")} % 256 AS bucket,
-             |         CAST(sum(exact_n) AS BIGINT) AS cnt
-             |  FROM cnt, seeds GROUP BY 1, 2),
-             |top AS (SELECT item, exact_n FROM cnt ORDER BY exact_n DESC, item ASC LIMIT 20),
-             |probes AS (
-             |  SELECT t.item, t.exact_n, s.seed,
-             |         ${SharedOracles.bucketSql("'cms' || CAST(s.seed AS VARCHAR) || ':' || CAST(t.item AS VARCHAR)")} % 256 AS bucket
-             |  FROM top t, seeds s),
-             |est AS (
-             |  SELECT p.item, p.exact_n, min(coalesce(c.cnt, 0)) AS est_n
-             |  FROM probes p LEFT JOIN cms c ON p.seed = c.seed AND p.bucket = c.bucket
-             |  GROUP BY 1, 2)
-             |SELECT item, exact_n, CAST(est_n AS BIGINT) AS est_n,
-             |       CAST(est_n - exact_n AS BIGINT) AS overcount,
-             |       est_n >= exact_n AS never_under
-             |FROM est ORDER BY exact_n DESC, item ASC""".stripMargin)),
+      Some(CmsOracle)),
   )
 }

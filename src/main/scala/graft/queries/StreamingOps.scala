@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingAggregates, StreamingDedup, StreamingJoin, StreamingSessions}
+import graft.streaming.{StreamingAggregates, StreamingDedup, StreamingJoin, StreamingRollup, StreamingSessions}
 
 /** Streaming↔batch parity gates: the streaming operators run over the
   * SAME gate fixtures as their batch counterparts and must hash-match
@@ -373,5 +373,80 @@ object StreamingOps {
               |       (SELECT CAST(coalesce(sum(${SharedOracles.bucketSql("CAST(doc_id AS VARCHAR)")}), 0) AS BIGINT) FROM fl) AS flag_checksum,
               |       (SELECT count(*) FROM fp) AS n_fps,
               |       (SELECT count(DISTINCT doc_id) FROM fp) AS n_fp_docs
-              |FROM (SELECT 1)""".stripMargin)))
+              |FROM (SELECT 1)""".stripMargin)),
+
+    // ST parity: incremental Count-Min maintenance. Each micro-batch
+    // writes its own sketch contribution (batch=<id> overwrite -- the
+    // exactly-once rollup contract); the merged cells equal one build
+    // over everything delivered (CMS linearity, CountMinSpec pins the
+    // identity), so the estimates -- and this gate's output -- are
+    // IDENTICAL to the batch q_cms_counts, oracle shared verbatim.
+    GateQuery(
+      "q_cms_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.operators.CountMin
+        val work = replayDir("cms_stream")
+        Tables.lineitem(s, d).select("l_partkey")
+          // several files -> several micro-batches, so merged() really
+          // sums cross-batch contributions
+          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+        withReplayConf(s) {
+          StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
+            s"$work/ckpt",
+            StructType(Seq(StructField("l_partkey", LongType))))(
+            b => CountMin.build(b, "l_partkey", depth = 4, width = 256))
+            .awaitTermination()
+        }
+        val sketch = StreamingRollup.merged(s, s"$work/state",
+          Seq("seed", "bucket"), Seq("cnt"))
+        val cnt = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("item"))
+          .agg(count(lit(1)).as("exact_n"))
+        val top = cnt.orderBy(desc("exact_n"), asc("item")).limit(20)
+        CountMin.estimate(sketch, top, "item", depth = 4, width = 256)
+          .join(top, Seq("item"))
+          .select(col("item"), col("exact_n"), col("est_n"),
+            (col("est_n") - col("exact_n")).as("overcount"),
+            (col("est_n") >= col("exact_n")).as("never_under"))
+          .orderBy(desc("exact_n"), asc("item"))
+      },
+      Some(ExtOps.CmsOracle)),
+
+    // ST parity: incremental exact-AUC monitoring. The per-distinct-
+    // score (n_pos, n_neg) histogram is additive, so per-batch
+    // histograms merged by a keyed sum reconstruct the corpus
+    // histogram EXACTLY -- streaming delivery maintains the exact AUC
+    // (not an approximation), Metrics.aucFromHistogram computes the
+    // rank-sum over the merged state, and the output equals the batch
+    // q_auc bit-for-bit (oracle shared verbatim). Scores survive the
+    // JSON hop because doubles serialize as shortest-round-trip
+    // decimal; y/score nulls are filtered batch-side like the batch
+    // fixture.
+    GateQuery(
+      "q_auc_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.operators.Metrics
+        val work = replayDir("auc_stream")
+        EvalOps.scored(s, d)
+          .select(col("y"), col("score").cast("double").as("score"))
+          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+        withReplayConf(s) {
+          StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
+            s"$work/ckpt",
+            StructType(Seq(StructField("y", IntegerType),
+              StructField("score", DoubleType))))(
+            b => b.filter(col("score").isNotNull && col("y").isNotNull)
+              .groupBy("score")
+              .agg(sum(when(col("y") =!= 0, 1L).otherwise(0L)).as("_np"),
+                sum(when(col("y") =!= 0, 0L).otherwise(1L)).as("_nn")))
+            .awaitTermination()
+        }
+        Metrics.aucFromHistogram(
+          StreamingRollup.merged(s, s"$work/state", Seq("score"),
+            Seq("_np", "_nn")),
+          "score")
+      },
+      Some(EvalOps.AucOracle)))
 }
