@@ -42,28 +42,56 @@ object Drift {
     // the constant clamp to the top bin, below (or equal) to bin 0 —
     // a total shift away from a frozen reference must surface, not
     // vanish into a shared bin.
-    val bounds = ref
-      .select(col(valueCol).cast("double").as("_v"))
+    val bounds = refBounds(ref, valueCol)
+    val r = binCounts(ref, valueCol, bounds, buckets, "n_ref")
+    val c = binCounts(cur, valueCol, bounds, buckets, "n_cur")
+    psiFromBins(r, c, buckets, eps)
+  }
+
+  /** The [min, max] reference bounds relation (1 row) [[psiBins]]
+    * pins its grid to — exposed so a monitoring deployment can freeze
+    * the grid at deploy time and bin arriving batches against it.
+    */
+  def refBounds(ref: DataFrame, valueCol: String): DataFrame =
+    ref.select(col(valueCol).cast("double").as("_v"))
       .filter(col("_v").isNotNull && !isnan(col("_v")))
       .agg(min("_v").as("_lo"), max("_v").as("_hi"))
-    def binned(df: DataFrame, n: String) =
-      df.select(col(valueCol).cast("double").as("_x"))
-        .filter(col("_x").isNotNull && !isnan(col("_x")))
-        .crossJoin(bounds)
-        .withColumn("bin",
-          when(col("_hi") === col("_lo"),
-            when(col("_x") > col("_hi"), lit(buckets - 1L)).otherwise(lit(0L)))
-          .otherwise(
-            greatest(
-              least(floor((col("_x") - col("_lo")) * buckets / (col("_hi") - col("_lo"))),
-                lit(buckets - 1L)),
-              lit(0L))).cast("long"))
-        .groupBy("bin").agg(count(lit(1)).as(n))
-    val r = binned(ref, "n_ref")
-    val c = binned(cur, "n_cur")
+
+  /** Equal-width bin counts of `valueCol` over a `bounds` relation
+    * (`_lo`/`_hi`, 1 row — crossed in, never collected mid-plan): the
+    * ONE binning definition [[psiBins]] and the streaming drift
+    * monitor share. The output `(bin, <as>)` relation is ADDITIVE —
+    * per-batch counts merged by a keyed sum equal one binning pass
+    * over the concatenation, which is what makes PSI incrementally
+    * maintainable (the [[graft.streaming.StreamingRollup]] contract).
+    */
+  def binCounts(df: DataFrame, valueCol: String, bounds: DataFrame,
+      buckets: Int, as: String): DataFrame =
+    df.select(col(valueCol).cast("double").as("_x"))
+      .filter(col("_x").isNotNull && !isnan(col("_x")))
+      .crossJoin(bounds)
+      .withColumn("bin",
+        when(col("_hi") === col("_lo"),
+          when(col("_x") > col("_hi"), lit(buckets - 1L)).otherwise(lit(0L)))
+        .otherwise(
+          greatest(
+            least(floor((col("_x") - col("_lo")) * buckets / (col("_hi") - col("_lo"))),
+              lit(buckets - 1L)),
+            lit(0L))).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as(as))
+
+  /** The share/PSI-term tail of [[psiBins]] over ALREADY-BINNED count
+    * relations `(bin, n_ref)` / `(bin, n_cur)` — exposed because bin
+    * counts are additive (see [[binCounts]]), so an incrementally
+    * accumulated current window plugs straight in.
+    */
+  def psiFromBins(r: DataFrame, c: DataFrame, buckets: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(eps > 0.0, s"eps must be positive, got $eps")
     val totals = r.agg(sum("n_ref").as("_tr"))
       .crossJoin(c.agg(sum("n_cur").as("_tc")))
-    val spine = ref.sparkSession.range(buckets).select(col("id").as("bin"))
+    val spine = r.sparkSession.range(buckets).select(col("id").as("bin"))
     spine
       .join(r, Seq("bin"), "left")
       .join(c, Seq("bin"), "left")
@@ -132,7 +160,7 @@ object Drift {
     val c = binned(cur, "n_cur")
     val totals = r.agg(sum("n_ref").as("_tr"))
       .crossJoin(c.agg(sum("n_cur").as("_tc")))
-    val spine = ref.sparkSession.range(buckets).select(col("id").as("bin"))
+    val spine = r.sparkSession.range(buckets).select(col("id").as("bin"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)

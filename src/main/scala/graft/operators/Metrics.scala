@@ -272,6 +272,52 @@ object Metrics {
           " ELSE CAST(_dcg * 1000000 div _idcg AS BIGINT) END").as("ndcg_ppm"))
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-relevance census a trainer runs to rank candidate
+    * features against the label before paying for an encoding
+    * (the reference hand-picks its feature columns; at 100 TB
+    * relevance ranking is a one-scan question worth asking first).
+    *
+    * Output: one row per observed (x, y) cell — `x`, `y`, `n_xy`,
+    * `n_x`, `n_y`, `mi_term_x1e9` = round(p_xy·ln(p_xy/(p_x·p_y))·1e9)
+    * — plus the scalar `mi_x1e9` = Σ of the QUANTIZED terms repeated
+    * on every row. Like the drift monitors' chi2 terms, the statistic
+    * is summed only AFTER per-cell integer quantization: a float sum
+    * over cells would be partial-aggregation-order-dependent (the
+    * engine-split class), while the integer sum is exact in any
+    * order; each term's ln input is the same correctly-rounded double
+    * divisions on both engines. Null x/y rows are excluded
+    * (documented; oracles must filter identically).
+    *
+    * Scale shape: ONE map-side-combined corpus agg to the cell
+    * relation (bounded by |X|·|Y| distinct pairs); marginals are two
+    * keyed aggs OVER THE CELLS, the total a 1-row broadcast — the
+    * corpus is scanned exactly once.
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = cells.groupBy("x").agg(sum("n_xy").as("n_x"))
+    val my = cells.groupBy("y").agg(sum("n_xy").as("n_y"))
+    val tot = cells.agg(sum("n_xy").cast("double").as("_n"))
+    val terms = cells
+      .join(mx, Seq("x")).join(my, Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mi_term_x1e9",
+        round((col("n_xy") / col("_n")) *
+          log((col("n_xy") / col("_n")) /
+            ((col("n_x") / col("_n")) * (col("n_y") / col("_n")))) *
+          1e9).cast("long"))
+    val mi = terms.agg(sum("mi_term_x1e9").as("mi_x1e9"))
+    terms
+      .crossJoin(broadcast(mi))
+      .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+        col("mi_term_x1e9"), col("mi_x1e9"))
+  }
+
   /** SQuAD-style token-overlap F1 between a prediction and a reference
     * text per pair — the standard QA/eval-harness match metric, as a
     * distributed relation program. Overlap is the MULTISET

@@ -44,8 +44,19 @@ object PrefixSum {
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val key: Column = if (descending) col(orderCol).desc else col(orderCol).asc
+    // PINNED (eager localCheckpoint): the partitioned relation has two
+    // consumers (the totals branch and the offset join), and without
+    // pinning each may instantiate the range exchange SEPARATELY —
+    // RangePartitioner samples its boundaries from the input, and a
+    // shuffled upstream (e.g. a hash-aggregate histogram) presents
+    // rows in a nondeterministic order, so the two instantiations can
+    // sample DIFFERENT boundaries and disagree on every partition id
+    // (caught by the ScaleStress closed-form AUC probe at 2M rows:
+    // off by ~20 ppm, varying run to run). The checkpoint freezes one
+    // partitioning that both branches read.
     val parts = df.repartitionByRange(p, key)
       .withColumn("_psx_pid", spark_partition_id())
+      .localCheckpoint(true)
     val local = Window.partitionBy("_psx_pid").orderBy(key)
       .rowsBetween(Window.unboundedPreceding, -1)
     // per-partition totals: ≤ p rows — the bounded spine

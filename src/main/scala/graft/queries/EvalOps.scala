@@ -273,6 +273,82 @@ object EvalOps {
            |ORDER BY qid""".stripMargin
       }),
 
+
+    // Mutual information census between document source and language:
+    // per-cell terms quantized to integer BEFORE the total (the float
+    // sum over cells would be partial-agg-order-dependent -- the same
+    // reason the drift chi2 terms ship unsummed); ln inputs are the
+    // identical correctly-rounded double divisions on both engines
+    // (the PMI precedent). One corpus scan; everything after is
+    // cell-relation-sized.
+    GateQuery(
+      "q_mutual_info",
+      (s, d) =>
+        Metrics.mutualInformation(documents(s, d), "source", "lang")
+          .orderBy("x", "y"),
+      Some("""WITH s AS (
+             |  SELECT source AS x, lang AS y FROM documents
+             |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+             |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM s GROUP BY 1, 2),
+             |mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY 1),
+             |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS n FROM cells),
+             |terms AS (
+             |  SELECT cells.x, cells.y, n_xy, n_x, n_y,
+             |         CAST(round((n_xy / n) * ln((n_xy / n) / ((n_x / n) * (n_y / n))) * 1e9) AS BIGINT) AS mi_term_x1e9
+             |  FROM cells JOIN mx ON cells.x = mx.x JOIN my ON cells.y = my.y, t),
+             |mi AS (SELECT CAST(sum(mi_term_x1e9) AS BIGINT) AS mi_x1e9 FROM terms)
+             |SELECT x, y, n_xy, n_x, n_y, mi_term_x1e9, mi_x1e9
+             |FROM terms, mi
+             |ORDER BY x, y""".stripMargin)),
+
+    // Feature-relevance RANKING by MI against the language label:
+    // `source` vs a derived length bucket, each through ONE
+    // mutualInformation pass, ranked by the exact integer mi_x1e9 (no
+    // float ever decides the order). The deliberately weak length
+    // feature must rank below source -- a swapped marginal or a
+    // mis-normalized term would reorder them.
+    GateQuery(
+      "q_feature_rank",
+      (s, d) => {
+        def one(df: org.apache.spark.sql.DataFrame, name: String) =
+          Metrics.mutualInformation(df, "f", "lang")
+            .agg(count(lit(1)).as("n_cells"), max("mi_x1e9").as("mi_x1e9"))
+            .select(lit(name).as("feature"), col("n_cells"), col("mi_x1e9"))
+        val docs = documents(s, d)
+        one(docs.select(col("source").as("f"), col("lang")), "source")
+          .unionByName(one(
+            docs.select(expr("n_chars div 500").as("f"), col("lang")),
+            "len_bucket"))
+          .orderBy(desc("mi_x1e9"), asc("feature"))
+      },
+      Some("""WITH
+             |f1 AS (SELECT source AS f, lang AS y FROM documents
+             |       WHERE source IS NOT NULL AND lang IS NOT NULL),
+             |c1 AS (SELECT f, y, CAST(count(*) AS BIGINT) AS n_xy FROM f1 GROUP BY 1, 2),
+             |x1 AS (SELECT f, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c1 GROUP BY 1),
+             |y1 AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c1 GROUP BY 1),
+             |t1 AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS n FROM c1),
+             |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             |              CAST(sum(CAST(round((n_xy / n) * ln((n_xy / n) / ((n_x / n) * (n_y / n))) * 1e9) AS BIGINT)) AS BIGINT) AS mi_x1e9
+             |       FROM c1 JOIN x1 ON c1.f = x1.f JOIN y1 ON c1.y = y1.y, t1),
+             |f2 AS (SELECT n_chars // 500 AS f, lang AS y FROM documents
+             |       WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+             |c2 AS (SELECT f, y, CAST(count(*) AS BIGINT) AS n_xy FROM f2 GROUP BY 1, 2),
+             |x2 AS (SELECT f, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c2 GROUP BY 1),
+             |y2 AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c2 GROUP BY 1),
+             |t2 AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS n FROM c2),
+             |m2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             |              CAST(sum(CAST(round((n_xy / n) * ln((n_xy / n) / ((n_x / n) * (n_y / n))) * 1e9) AS BIGINT)) AS BIGINT) AS mi_x1e9
+             |       FROM c2 JOIN x2 ON c2.f = x2.f JOIN y2 ON c2.y = y2.y, t2),
+             |u AS (
+             |  SELECT 'source' AS feature, n_cells, mi_x1e9 FROM m1
+             |  UNION ALL
+             |  SELECT 'len_bucket' AS feature, n_cells, mi_x1e9 FROM m2)
+             |SELECT feature, n_cells, mi_x1e9
+             |FROM u
+             |ORDER BY mi_x1e9 DESC, feature ASC""".stripMargin)),
+
     // Token-overlap F1 between adjacent-document pairs (even doc_id =
     // prediction, its successor = reference): the QA eval-harness
     // match metric over a corpus of pairs. Multiset-intersection

@@ -22,6 +22,49 @@ import org.apache.spark.sql.functions._
 object Rel {
   import Tables._
 
+  /** The suite's single ×1e6 quantization of Drift.psiBins output —
+    * shared by q_drift_psi and the streaming monitor parity gate.
+    */
+  private[queries] def psiGateProjection(df: DataFrame): DataFrame =
+    df.select(col("bin"), col("n_ref"), col("n_cur"),
+      round(col("share_ref") * 1000000).cast("long").as("share_ref_x1e6"),
+      round(col("share_cur") * 1000000).cast("long").as("share_cur_x1e6"),
+      round(col("psi_term") * 1000000).cast("long").as("psi_term_x1e6"))
+
+  /** The q_drift_psi oracle — shared VERBATIM with the streaming
+    * drift-monitor parity gate (same ground truth, one definition).
+    */
+  private[queries] val DriftPsiOracle: String =
+    """WITH ref AS (
+             |  SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 2 = 0
+             |), cur AS (
+             |  SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 2 = 1
+             |), b AS (
+             |  SELECT min(x) AS lo, max(x) AS hi FROM ref
+             |), r AS (
+             |  SELECT greatest(least(CAST(floor((x - lo) * 10 / (hi - lo)) AS BIGINT), 9), 0) AS bin,
+             |         count(*) AS n_ref
+             |  FROM ref, b GROUP BY 1
+             |), c AS (
+             |  SELECT greatest(least(CAST(floor((x - lo) * 10 / (hi - lo)) AS BIGINT), 9), 0) AS bin,
+             |         count(*) AS n_cur
+             |  FROM cur, b GROUP BY 1
+             |), t AS (
+             |  SELECT (SELECT sum(n_ref) FROM r) AS tr,
+             |         (SELECT sum(n_cur) FROM c) AS tc
+             |), s AS (SELECT unnest(range(10)) AS bin)
+             |SELECT s.bin AS bin,
+             |       coalesce(r.n_ref, 0) AS n_ref,
+             |       coalesce(c.n_cur, 0) AS n_cur,
+             |       CAST(round(greatest(coalesce(r.n_ref, 0) / tr, 0.000001) * 1000000) AS BIGINT) AS share_ref_x1e6,
+             |       CAST(round(greatest(coalesce(c.n_cur, 0) / tc, 0.000001) * 1000000) AS BIGINT) AS share_cur_x1e6,
+             |       CAST(round((greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
+             |              - greatest(coalesce(r.n_ref, 0) / tr, 0.000001))
+             |             * ln(greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
+             |                  / greatest(coalesce(r.n_ref, 0) / tr, 0.000001)) * 1000000) AS BIGINT) AS psi_term_x1e6
+             |FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin, t
+             |ORDER BY bin""".stripMargin
+
   val queries: Seq[GateQuery] = Seq(
 
     // S1/S3/P3: scan + projection + filter pushdown (TPC-H Q6 shape).
@@ -811,40 +854,9 @@ object Rel {
           li.filter(col("l_orderkey") % 2 === 0),
           li.filter(col("l_orderkey") % 2 === 1),
           "l_extendedprice", buckets = 10)
-          .select(col("bin"), col("n_ref"), col("n_cur"),
-            round(col("share_ref") * 1000000).cast("long").as("share_ref_x1e6"),
-            round(col("share_cur") * 1000000).cast("long").as("share_cur_x1e6"),
-            round(col("psi_term") * 1000000).cast("long").as("psi_term_x1e6"))
+          .transform(psiGateProjection)
       },
-      Some("""WITH ref AS (
-             |  SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 2 = 0
-             |), cur AS (
-             |  SELECT l_extendedprice AS x FROM lineitem WHERE l_orderkey % 2 = 1
-             |), b AS (
-             |  SELECT min(x) AS lo, max(x) AS hi FROM ref
-             |), r AS (
-             |  SELECT greatest(least(CAST(floor((x - lo) * 10 / (hi - lo)) AS BIGINT), 9), 0) AS bin,
-             |         count(*) AS n_ref
-             |  FROM ref, b GROUP BY 1
-             |), c AS (
-             |  SELECT greatest(least(CAST(floor((x - lo) * 10 / (hi - lo)) AS BIGINT), 9), 0) AS bin,
-             |         count(*) AS n_cur
-             |  FROM cur, b GROUP BY 1
-             |), t AS (
-             |  SELECT (SELECT sum(n_ref) FROM r) AS tr,
-             |         (SELECT sum(n_cur) FROM c) AS tc
-             |), s AS (SELECT unnest(range(10)) AS bin)
-             |SELECT s.bin AS bin,
-             |       coalesce(r.n_ref, 0) AS n_ref,
-             |       coalesce(c.n_cur, 0) AS n_cur,
-             |       CAST(round(greatest(coalesce(r.n_ref, 0) / tr, 0.000001) * 1000000) AS BIGINT) AS share_ref_x1e6,
-             |       CAST(round(greatest(coalesce(c.n_cur, 0) / tc, 0.000001) * 1000000) AS BIGINT) AS share_cur_x1e6,
-             |       CAST(round((greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
-             |              - greatest(coalesce(r.n_ref, 0) / tr, 0.000001))
-             |             * ln(greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
-             |                  / greatest(coalesce(r.n_ref, 0) / tr, 0.000001)) * 1000000) AS BIGINT) AS psi_term_x1e6
-             |FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin, t
-             |ORDER BY bin""".stripMargin)),
+      Some(DriftPsiOracle)),
 
     // Binned two-sample Kolmogorov–Smirnov drift (Drift.ksBins): cur
     // is the odd-key half SCALED ×1.1 — a genuine planted location

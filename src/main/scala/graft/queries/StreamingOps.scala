@@ -448,5 +448,43 @@ object StreamingOps {
             Seq("_np", "_nn")),
           "score")
       },
-      Some(EvalOps.AucOracle)))
+      Some(EvalOps.AucOracle)),
+
+    // ST parity: incremental PSI drift monitoring. The deployment
+    // shape: the bin GRID is frozen from the reference at deploy time
+    // (the two bounds are the only driver-held state -- justified
+    // collect, 2 scalars), each arriving micro-batch contributes its
+    // equal-width bin counts (Drift.binCounts -- the ONE binning
+    // definition, shared with the batch operator), and bin counts are
+    // additive, so the merged state + Drift.psiFromBins reproduce the
+    // batch q_drift_psi bit-for-bit (oracle shared verbatim).
+    GateQuery(
+      "q_drift_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.operators.Drift
+        val work = replayDir("drift_stream")
+        val li = Tables.lineitem(s, d)
+        val ref = li.filter(col("l_orderkey") % 2 === 0)
+        val b = Drift.refBounds(ref, "l_extendedprice").head()
+        val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_extendedprice").cast("double").as("x"))
+          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+        withReplayConf(s) {
+          StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
+            s"$work/ckpt", StructType(Seq(StructField("x", DoubleType))))(
+            batch => Drift.binCounts(batch, "x",
+              batch.sparkSession.range(1)
+                .select(lit(lo).as("_lo"), lit(hi).as("_hi")),
+              10, "n_cur"))
+            .awaitTermination()
+        }
+        val curBins = StreamingRollup.merged(s, s"$work/state",
+          Seq("bin"), Seq("n_cur"))
+        val refBins = Drift.binCounts(ref, "l_extendedprice",
+          Drift.refBounds(ref, "l_extendedprice"), 10, "n_ref")
+        Rel.psiGateProjection(Drift.psiFromBins(refBins, curBins, 10))
+      },
+      Some(Rel.DriftPsiOracle)))
 }

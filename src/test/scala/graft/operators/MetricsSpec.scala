@@ -226,6 +226,45 @@ class MetricsSpec extends AnyFunSuite with SparkTestBase {
     assert(w === w.sorted.reverse && w.length === 10)
   }
 
+  // ---------------------------------------------------- mutualInformation
+
+  test("mutualInformation matches hand-computed terms on a 2x2 table") {
+    // cells: (a,0)=4 (a,1)=1 (b,0)=1 (b,1)=4, N=10
+    val rows = Seq.fill(4)(("a", 0)) ++ Seq(("a", 1), ("b", 0)) ++
+      Seq.fill(4)(("b", 1))
+    val got = Metrics.mutualInformation(
+      rows.toDF("f", "y").repartition(4), "f", "y")
+      .orderBy("x", "y").collect()
+    assert(got.length === 4)
+    def term(nxy: Long, nx: Long, ny: Long, n: Double): Long =
+      Math.round((nxy / n) * Math.log((nxy / n) / ((nx / n) * (ny / n))) * 1e9)
+    val expect = Seq(
+      ("a", 0, 4L), ("a", 1, 1L), ("b", 0, 1L), ("b", 1, 4L))
+      .map { case (x, y, nxy) => term(nxy, 5L, 5L, 10.0) }
+    got.zip(expect).foreach { case (r, e) =>
+      assert(r.getAs[Long]("mi_term_x1e9") === e)
+      assert(r.getAs[Long]("n_x") === 5L && r.getAs[Long]("n_y") === 5L)
+    }
+    val total = expect.sum
+    assert(got.forall(_.getAs[Long]("mi_x1e9") === total))
+    assert(total > 0L) // dependent table -> strictly positive MI
+  }
+
+  test("mutualInformation is exactly zero under independence and drops nulls") {
+    // perfectly independent uniform 2x3: every term is ln(1) = 0
+    val rows = for (x <- Seq("a", "b"); y <- 0 until 3; _ <- 0 until 5)
+      yield (x, y)
+    val got = Metrics.mutualInformation(rows.toDF("f", "y"), "f", "y")
+      .collect()
+    assert(got.length === 6)
+    assert(got.forall(_.getAs[Long]("mi_term_x1e9") === 0L))
+    assert(got.forall(_.getAs[Long]("mi_x1e9") === 0L))
+    val withNulls = Seq((Some("a"), Some(1)), (None, Some(1)),
+      (Some("a"), None)).toDF("f", "y")
+    val g2 = Metrics.mutualInformation(withNulls, "f", "y").collect()
+    assert(g2.length === 1 && g2.head.getAs[Long]("n_xy") === 1L)
+  }
+
   // ------------------------------------------------------------ tokenF1
 
   test("tokenF1 multiset overlap, precision/recall asymmetry, empties") {

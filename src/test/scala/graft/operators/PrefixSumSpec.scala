@@ -99,7 +99,10 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestBase {
       "windowspecdefinition\\(_psx_pid".r.findFirstIn(plan)
     assert(dataWindow.isDefined,
       s"expected the per-partition window keyed by _psx_pid in:\n$plan")
-    assert(plan.contains("REPARTITION_BY_NUM") || plan.contains("rangepartitioning"),
-      s"expected a range exchange in:\n$plan")
+    // the range exchange ran EAGERLY inside the localCheckpoint (the
+    // pin that keeps both consumers on one sampled partitioning — see
+    // PrefixSum), so the downstream plan reads the pinned RDD
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed (pinned) relation scan in:\n$plan")
   }
 }
