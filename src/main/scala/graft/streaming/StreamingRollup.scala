@@ -66,4 +66,51 @@ object StreamingRollup {
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
+
+  /** The growth plan: fold every `batch=<id>` partition with
+    * id < `keepFromBatch` (plus any previous base) into ONE
+    * `batch=-1` base partition, built in a FRESH `outDir` — newer
+    * batch partitions are copied through unchanged, and the caller
+    * swaps `outDir` into place with a single atomic rename (the
+    * staged-build pattern, [[graft.pipeline.RdrPipeline]]): no crash
+    * point leaves a half-compacted live state dir.
+    *
+    * Replay safety: only fold batches the stream's checkpoint has
+    * COMMITTED (an AvailableNow/continuous restart replays at most
+    * the in-flight batch, whose id is ≥ the last committed + 1 — so
+    * `keepFromBatch` = that id keeps every replayable partition
+    * overwritable). Folding is by additivity: `merged` over the
+    * compacted dir equals `merged` over the original (spec-pinned).
+    * The base id −1 can never collide with a real micro-batch id.
+    */
+  def compact(spark: SparkSession, stateDir: String, outDir: String,
+      keyCols: Seq[String], sumCols: Seq[String],
+      keepFromBatch: Long): Unit = {
+    require(new java.io.File(outDir).toPath.toAbsolutePath !=
+      new java.io.File(stateDir).toPath.toAbsolutePath,
+      "compact builds a fresh dir; the caller swaps it in atomically")
+    val dirs = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    val (fold, keep) = dirs.partition(
+      _.getName.stripPrefix("batch=").toLong < keepFromBatch)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    if (fold.nonEmpty) {
+      spark.read.parquet(fold.map(_.getPath).toIndexedSeq: _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+        .write.mode("overwrite").parquet(s"$outDir/batch=-1")
+    }
+    keep.foreach { d =>
+      val dst = java.nio.file.Paths.get(outDir, d.getName)
+      java.nio.file.Files.walk(d.toPath).forEach { p =>
+        val t = dst.resolve(d.toPath.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+  }
 }

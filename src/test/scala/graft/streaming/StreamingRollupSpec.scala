@@ -53,6 +53,40 @@ class StreamingRollupSpec extends AnyFunSuite with SparkTestBase {
     assert(mergedCounts(s"$work/state") === before)
   }
 
+  test("compact folds committed batches into a base; merged view unchanged") {
+    val work = tmp("rollup_compact")
+    (0 until 200).map(i => s"k${i % 9}").toDF("k")
+      .repartition(4).write.json(s"$work/drop")
+    StreamingRollup.rollupStream(spark, s"$work/drop", s"$work/state",
+      s"$work/ckpt", schema)(countRollup).awaitTermination()
+    val before = mergedCounts(s"$work/state")
+    val batchIds = new java.io.File(s"$work/state").listFiles()
+      .filter(_.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).sorted
+    assert(batchIds.length >= 3)
+    val keepFrom = batchIds.last // fold all but the last (replayable) batch
+    StreamingRollup.compact(spark, s"$work/state", s"$work/state2",
+      Seq("k"), Seq("n"), keepFrom)
+    assert(mergedCounts(s"$work/state2") === before)
+    val after = new java.io.File(s"$work/state2").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(after === Array(s"batch=$keepFrom", "batch=-1").sorted)
+    // a replay of the kept batch still overwrites cleanly post-compact
+    // (sourced from the ORIGINAL state dir — reading and overwriting
+    // the same path in one lazy plan would delete its own input)
+    spark.read.parquet(s"$work/state/batch=$keepFrom")
+      .write.mode("overwrite").parquet(s"$work/state2/batch=$keepFrom")
+    assert(mergedCounts(s"$work/state2") === before)
+    // compacting again (nothing new to fold below keepFrom) folds the
+    // base with nothing and keeps the tail — still the same view
+    StreamingRollup.compact(spark, s"$work/state2", s"$work/state3",
+      Seq("k"), Seq("n"), keepFrom)
+    assert(mergedCounts(s"$work/state3") === before)
+    intercept[IllegalArgumentException](
+      StreamingRollup.compact(spark, s"$work/state3", s"$work/state3",
+        Seq("k"), Seq("n"), 0L))
+  }
+
   test("merged requires keys and sums") {
     intercept[IllegalArgumentException](
       StreamingRollup.merged(spark, "/nonexistent", Nil, Seq("n")))
