@@ -27,14 +27,11 @@ object Metrics {
     * Scale shape: ONE hash aggregation compresses the corpus to a
     * per-distinct-score histogram (n_pos, n_neg) — map-side combined,
     * so the shuffle carries |distinct scores| rows, not |corpus| —
-    * then one running-sum window over that histogram accumulates the
-    * negatives below each score. The window partitions by `groupCols`
-    * (per-group eval: one window partition per group); for a global
-    * AUC it is a single partition over the DISTINCT-SCORE relation
-    * only — the same documented envelope as
-    * [[Curation.curriculumStages]], and the standard two-pass
-    * range-partitioned prefix sum drops in if a corpus ever has
-    * corpus-sized distinct scores.
+    * then the running negative-count below each score. Grouped eval
+    * windows by the group key (one parallel partition per group);
+    * GLOBAL eval uses the range-partitioned two-pass scan
+    * ([[PrefixSum.rangeExclusive]]) so a continuous score — histogram
+    * = corpus-sized — never hits a single-partition window.
     *
     * U is exact integer arithmetic throughout: with per-score counts
     * p_s, n_s and B_s = Σ negatives at strictly smaller scores,
@@ -122,10 +119,42 @@ object Metrics {
       bins: Int = 10): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val width = 1000000L / bins
-    val binned = df
-      .filter(col(probX1e6Col).isNotNull && col(labelCol).isNotNull)
-      .withColumn("_bin",
-        least(expr(s"$probX1e6Col div $width"), lit(bins - 1L)).cast("long"))
+    calibrationTail(
+      df.filter(col(probX1e6Col).isNotNull && col(labelCol).isNotNull)
+        .withColumn("_bin",
+          least(expr(s"$probX1e6Col div $width"), lit(bins - 1L)).cast("long")),
+      probX1e6Col, labelCol)
+  }
+
+  /** Equal-MASS calibration: bins hold (as close as arithmetic
+    * allows) the same number of rows instead of the same probability
+    * width — the reliability diagram that stays readable when the
+    * score distribution is concentrated (equi-width bins then put 99%
+    * of rows in one bin). Bin assignment is the exact distributed
+    * ntile ([[Curation.curriculumStages]] — histogram offset via the
+    * range-partitioned prefix scan + within-score `idCol` tiebreak,
+    * no corpus-wide window), so bins are a pure function of the
+    * corpus. Ties on the probability may split across adjacent bins
+    * (exact equal mass, the SQL ntile contract). Output schema and
+    * every ratio match [[calibration]]; `bin` is 0-based rank order.
+    */
+  def calibrationEqualMass(df: DataFrame, probX1e6Col: String,
+      labelCol: String, idCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    calibrationTail(
+      Curation.curriculumStages(
+        df.filter(col(probX1e6Col).isNotNull && col(labelCol).isNotNull),
+        idCol, probX1e6Col, bins)
+        .withColumn("_bin", (col("stage") - 1).cast("long")),
+      probX1e6Col, labelCol)
+  }
+
+  /** Shared bin-census + ECE tail over a frame carrying `_bin` — ONE
+    * definition for both binning policies.
+    */
+  private def calibrationTail(withBin: DataFrame, probX1e6Col: String,
+      labelCol: String): DataFrame = {
+    val binned = withBin
       .groupBy("_bin")
       .agg(
         count(lit(1)).as("n"),
@@ -207,6 +236,33 @@ object Metrics {
       .select(col("thr_rank"), (col("tp") + col("fp")).as("n_pred"),
         col("tp"), col("fp"), col("prec_ppm"), col("recall_ppm"),
         col("ap_ppm"))
+  }
+
+  /** Brier score over integer micro-unit probabilities — the proper
+    * scoring rule companion to [[calibration]], fully integer: with
+    * p ∈ [0, 1e6] and y ∈ {0, 1}, each residual (p − y·1e6)² ≤ 1e12
+    * is exact in DECIMAL(38,0), so `brier_x1e12` = Σ(p − y·1e6)²
+    * div n is a pure function of the corpus (no float accumulation at
+    * all). Grouped by `groupCols` when given (per-slice monitoring);
+    * one map-side-combined aggregation either way. Null rows are
+    * excluded; an empty group yields no row (not a 0 score).
+    */
+  def brier(df: DataFrame, probX1e6Col: String, labelCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val grp = groupCols.map(col)
+    val base = df
+      .filter(col(probX1e6Col).isNotNull && col(labelCol).isNotNull)
+      .withColumn("_r",
+        (col(probX1e6Col).cast("decimal(38,0)") -
+          when(col(labelCol) =!= 0, 1000000L).otherwise(0L)))
+    val agg = if (grp.isEmpty) base.groupBy() else base.groupBy(grp: _*)
+    agg
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol) =!= 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(expr("_r * _r")).as("_sq"))
+      .withColumn("brier_x1e12", expr("CAST(_sq div n AS BIGINT)"))
+      .drop("_sq")
   }
 
   /** The ×1e6-quantized DCG discount table 1e6/log2(r+1) for ranks

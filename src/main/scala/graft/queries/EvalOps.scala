@@ -148,6 +148,92 @@ object EvalOps {
              |FROM g, t
              |ORDER BY bin""".stripMargin)),
 
+
+    // Brier score per cohort -- the proper scoring rule companion to
+    // the calibration census, FULLY integer: residuals (p - y*1e6)
+    // are exact in DECIMAL(38,0)/HUGEINT, so brier_x1e12 is a pure
+    // function of the corpus with zero float accumulation anywhere.
+    GateQuery(
+      "q_brier",
+      (s, d) =>
+        graft.operators.Metrics.brier(
+          embeddings(s, d)
+            .filter(col("embedding").isNotNull && col("label").isNotNull)
+            .select(
+              pmod(col("vec_id"), lit(4L)).as("cohort"),
+              when(col("label") % 2 === 0, 1).otherwise(0).as("y"),
+              floor(
+                (greatest(least(element_at(col("embedding"), 3).cast("double"),
+                  lit(1.0)), lit(-1.0)) + lit(1.0)) / lit(2.0) * lit(1000000.0))
+                .cast("long").as("p_x1e6")),
+          "p_x1e6", "y", groupCols = Seq("cohort"))
+          .orderBy("cohort"),
+      Some("""WITH s AS (
+             |  SELECT vec_id % 4 AS cohort,
+             |         CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
+             |         CAST(floor((greatest(least(CAST(embedding[3] AS DOUBLE), 1.0), -1.0) + 1.0)
+             |                    / 2.0 * 1000000.0) AS BIGINT) AS p
+             |  FROM embeddings
+             |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+             |    AND embedding[3] IS NOT NULL)
+             |SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(y) AS BIGINT) AS n_pos,
+             |       CAST(sum(CAST(p - y * 1000000 AS HUGEINT) * (p - y * 1000000))
+             |            // count(*) AS BIGINT) AS brier_x1e12
+             |FROM s GROUP BY cohort ORDER BY cohort""".stripMargin)),
+
+    // Equal-MASS reliability diagram: bins are the exact distributed
+    // ntile over (p, vec_id) -- rank assignment rides the
+    // range-partitioned prefix scan (curriculumStages), so a
+    // concentrated score distribution cannot collapse the diagram
+    // into one bin. The oracle re-derives with the PLAIN ntile window
+    // (the scale-correct plan must reproduce textbook semantics).
+    GateQuery(
+      "q_calibration_em",
+      (s, d) =>
+        graft.operators.Metrics.calibrationEqualMass(
+          embeddings(s, d)
+            .filter(col("embedding").isNotNull && col("label").isNotNull)
+            .select(
+              col("vec_id"),
+              when(col("label") % 2 === 0, 1).otherwise(0).as("y"),
+              floor(
+                (greatest(least(element_at(col("embedding"), 3).cast("double"),
+                  lit(1.0)), lit(-1.0)) + lit(1.0)) / lit(2.0) * lit(1000000.0))
+                .cast("long").as("p_x1e6")),
+          "p_x1e6", "y", idCol = "vec_id", bins = 10)
+          .orderBy("bin"),
+      Some("""WITH s AS (
+             |  SELECT vec_id,
+             |         CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS y,
+             |         CAST(floor((greatest(least(CAST(embedding[3] AS DOUBLE), 1.0), -1.0) + 1.0)
+             |                    / 2.0 * 1000000.0) AS BIGINT) AS p
+             |  FROM embeddings
+             |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+             |    AND embedding[3] IS NOT NULL),
+             |r AS (
+             |  SELECT y, p, ntile(10) OVER (ORDER BY p, vec_id) AS stage FROM s),
+             |b AS (
+             |  SELECT CAST(stage - 1 AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(y) AS BIGINT) AS n_pos,
+             |         CAST(sum(CAST(p AS HUGEINT)) AS HUGEINT) AS sump
+             |  FROM r GROUP BY 1),
+             |e AS (
+             |  SELECT bin, n, n_pos,
+             |         CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT) AS acc_x1e6,
+             |         CAST(sump // n AS BIGINT) AS conf_x1e6
+             |  FROM b),
+             |g AS (
+             |  SELECT *, abs(acc_x1e6 - conf_x1e6) AS gap_x1e6 FROM e),
+             |t AS (
+             |  SELECT CAST(sum(n) AS HUGEINT) AS ntot,
+             |         sum(CAST(n AS HUGEINT) * gap_x1e6) AS wgap
+             |  FROM g)
+             |SELECT bin, n, n_pos, acc_x1e6, conf_x1e6, gap_x1e6,
+             |       CAST(wgap // ntot AS BIGINT) AS ece_x1e6
+             |FROM g, t
+             |ORDER BY bin""".stripMargin)),
+
     // Exact PR curve + average precision: the same distinct-score
     // histogram shape as q_auc (one map-side-combined agg, cumulative
     // windows over the histogram only); every published column is an

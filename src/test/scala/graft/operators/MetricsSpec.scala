@@ -226,6 +226,52 @@ class MetricsSpec extends AnyFunSuite with SparkTestBase {
     assert(w === w.sorted.reverse && w.length === 10)
   }
 
+  // -------------------------------------------------------------- brier
+
+  test("brier is the exact integer mean squared residual, grouped") {
+    // cohort 0: p=1e6,y=1 (perfect) and p=0,y=1 (worst) -> mean 5e11
+    // cohort 1: p=250000,y=0 -> 62500000000 exactly
+    val rows = Seq(
+      (0, 1, 1000000L), (0, 1, 0L),
+      (1, 0, 250000L))
+    val got = Metrics.brier(rows.toDF("g", "y", "p"), "p", "y", Seq("g"))
+      .orderBy("g").collect()
+    assert(got(0).getAs[Long]("brier_x1e12") === 500000000000L)
+    assert(got(0).getAs[Long]("n") === 2 && got(0).getAs[Long]("n_pos") === 2)
+    assert(got(1).getAs[Long]("brier_x1e12") === 62500000000L)
+    // global (ungrouped) variant: one row, exact pooled mean
+    val all = Metrics.brier(rows.toDF("g", "y", "p"), "p", "y").head()
+    assert(all.getAs[Long]("brier_x1e12") ===
+      (1000000L * 1000000L + 62500000000L * 1) / 3)
+    // perfectly calibrated hard predictions -> 0
+    val perfect = Seq((1, 1000000L), (0, 0L)).toDF("y", "p")
+    assert(Metrics.brier(perfect, "p", "y").head()
+      .getAs[Long]("brier_x1e12") === 0L)
+  }
+
+  // ------------------------------------------------- calibrationEqualMass
+
+  test("calibrationEqualMass bins hold equal mass and reuse the exact ratios") {
+    // 20 rows, 4 bins -> 5 rows per bin exactly; p = rank * 1000
+    val rows = (0 until 20).map(i => (i.toLong, i % 2, i * 1000L))
+    val got = Metrics.calibrationEqualMass(
+      rows.toDF("id", "y", "p").repartition(5), "p", "y", "id", bins = 4)
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Long]("n")).toSeq === Seq(5L, 5L, 5L, 5L))
+    assert(got.map(_.getAs[Long]("bin")).toSeq === Seq(0L, 1L, 2L, 3L))
+    // bin 0 holds p in 0..4000: conf = (0+1+2+3+4)*1000/5 = 2000
+    assert(got(0).getAs[Long]("conf_x1e6") === 2000L)
+    assert(got(0).getAs[Long]("n_pos") === 2L) // ids 1, 3
+    // a concentrated distribution still spreads across bins (tie split)
+    val conc = (0 until 100).map(i => (i.toLong, i % 2, 500000L))
+    val g2 = Metrics.calibrationEqualMass(
+      conc.toDF("id", "y", "p"), "p", "y", "id", bins = 10)
+      .orderBy("bin").collect()
+    assert(g2.length === 10)
+    assert(g2.map(_.getAs[Long]("n")).sum === 100L)
+    assert(g2.forall(_.getAs[Long]("n") === 10L))
+  }
+
   // ---------------------------------------------------- mutualInformation
 
   test("mutualInformation matches hand-computed terms on a 2x2 table") {
