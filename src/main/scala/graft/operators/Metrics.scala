@@ -66,22 +66,14 @@ object Metrics {
       groupCols: Seq[String] = Nil): DataFrame = {
     val grp = groupCols.map(col)
     val hist = hist0
-    // grouped eval: the window partitions by the group key, so each
-    // prefix sum is group-local and parallel already. GLOBAL eval
-    // swaps in the range-partitioned two-pass scan — with a
+    // the range-partitioned two-pass scan in BOTH modes: with a
     // continuous score the distinct-score histogram is corpus-sized,
     // and a single-partition window over it would be the scale
-    // killer (PrefixSum is the shape that survives 100×).
-    val contrib0 =
-      if (grp.isEmpty)
-        PrefixSum.rangeExclusive(hist, scoreCol, descending = false,
-          Seq("_nn" -> "_below"))
-      else {
-        val w = Window.partitionBy(grp: _*).orderBy(col(scoreCol))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        hist.withColumn("_below", coalesce(sum("_nn").over(w), lit(0L)))
-      }
-    val contrib = contrib0
+    // killer; grouped eval restarts the scan per group WITHOUT
+    // pinning any group to one partition (a corpus-sized single
+    // cohort — country, say — stays parallel).
+    val contrib = PrefixSum.rangeExclusive(hist, scoreCol,
+      descending = false, Seq("_nn" -> "_below"), groupCols = groupCols)
       // p_s·(2B_s + n_s): each factor ≤ n, the product ≤ 2n² — decimal
       // BEFORE the multiply so the arithmetic is exact at any n
       .withColumn("_u2",

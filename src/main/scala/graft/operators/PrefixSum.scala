@@ -31,19 +31,29 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /** Append EXCLUSIVE (strictly-preceding-rows) prefix sums over the
-    * global `orderCol` order: for each `(valueCol, outCol)` in `sums`,
-    * `outCol` = Σ valueCol over rows ordered strictly before. Nulls in
-    * `orderCol` order first ascending / last descending (Spark's
-    * default, identical in the range partitioner and the window).
-    * `partitions` defaults to `spark.sql.shuffle.partitions`.
+    * `orderCol` order — GLOBAL, or per group when `groupCols` is
+    * given (the order restarts inside each group, like a window
+    * `partitionBy(groupCols).orderBy(orderCol)`, but no group ever
+    * occupies a single partition: a corpus-sized cohort scans as
+    * parallel range partitions). For each `(valueCol, outCol)` in
+    * `sums`, `outCol` = Σ valueCol over same-group rows ordered
+    * strictly before. Nulls in `orderCol` order first ascending /
+    * last descending (Spark's default, identical in the range
+    * partitioner and the window). `partitions` defaults to
+    * `spark.sql.shuffle.partitions`.
     */
   def rangeExclusive(df: DataFrame, orderCol: String, descending: Boolean,
-      sums: Seq[(String, String)], partitions: Int = 0): DataFrame = {
+      sums: Seq[(String, String)], partitions: Int = 0,
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(sums.nonEmpty, "at least one (valueCol, outCol) required")
     val p =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val key: Column = if (descending) col(orderCol).desc else col(orderCol).asc
+    // group-major range: a group's rows span CONTIGUOUS partitions,
+    // so the per-group offset is a prefix over that group's pids
+    val rangeKeys = groupCols.map(col(_).asc) :+ key
+    val pidGrp = "_psx_pid" +: groupCols
     // PINNED (eager localCheckpoint): the partitioned relation has two
     // consumers (the totals branch and the offset join), and without
     // pinning each may instantiate the range exchange SEPARATELY —
@@ -54,24 +64,38 @@ object PrefixSum {
     // (caught by the ScaleStress closed-form AUC probe at 2M rows:
     // off by ~20 ppm, varying run to run). The checkpoint freezes one
     // partitioning that both branches read.
-    val parts = df.repartitionByRange(p, key)
+    val parts = df.repartitionByRange(p, rangeKeys: _*)
       .withColumn("_psx_pid", spark_partition_id())
       .localCheckpoint(true)
-    val local = Window.partitionBy("_psx_pid").orderBy(key)
+    val local = Window.partitionBy(pidGrp.map(col): _*).orderBy(key)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // per-partition totals: ≤ p rows — the bounded spine
-    val totals = parts.groupBy("_psx_pid")
+    // per-(partition, group) totals: ≤ p + |groups| rows (each group
+    // spans contiguous pids) — the bounded spine
+    val totals = parts.groupBy(pidGrp.map(col): _*)
       .agg(sum(col(sums.head._1)).as(s"_psx_t0"),
         sums.tail.zipWithIndex.map { case ((v, _), i) =>
           sum(col(v)).as(s"_psx_t${i + 1}")
         }: _*)
-    val offW = Window.orderBy(col("_psx_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW =
+      (if (groupCols.isEmpty) Window.orderBy(col("_psx_pid"))
+       else Window.partitionBy(groupCols.map(col): _*)
+         .orderBy(col("_psx_pid")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    // spine columns renamed so the join back is unambiguous, and the
+    // group keys join NULL-SAFELY (a null group is a real histogram
+    // group — plain equality would silently drop its rows)
     val offsets = totals.select(
-      col("_psx_pid") +: sums.indices.map(i =>
-        coalesce(sum(col(s"_psx_t$i")).over(offW), lit(0L)).as(s"_psx_o$i")): _*)
+      pidGrp.zipWithIndex.map { case (c, i) => col(c).as(s"_psx_k$i") } ++
+        sums.indices.map(i =>
+          coalesce(sum(col(s"_psx_t$i")).over(offW), lit(0L)).as(s"_psx_o$i")): _*)
+    // global: offsets are ≤ p rows — broadcast. Grouped: the spine is
+    // group-cardinality-sized, so let the planner pick the join
+    val offSide = if (groupCols.isEmpty) broadcast(offsets) else offsets
+    val joinCond = pidGrp.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"_psx_k$i") }
+      .reduce(_ && _)
     parts
-      .join(broadcast(offsets), Seq("_psx_pid"))
+      .join(offSide, joinCond)
       .select(df.columns.map(col).toIndexedSeq ++
         sums.zipWithIndex.map { case ((v, out), i) =>
           (col(s"_psx_o$i") +

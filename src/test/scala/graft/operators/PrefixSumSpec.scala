@@ -36,6 +36,31 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("grouped rangeExclusive equals the per-group window, null group included") {
+    val rnd = new scala.util.Random(41)
+    val rows = rnd.shuffle((0 until 400).toVector).map { i =>
+      val g: Option[String] =
+        if (i % 7 == 0) None else Some(s"g${i % 3}")
+      (g, i, rnd.nextInt(50).toLong)
+    }
+    val df = rows.toDF("g", "k", "v").repartition(9)
+    val got = PrefixSum.rangeExclusive(df, "k", descending = false,
+      Seq("v" -> "pv"), partitions = 5, groupCols = Seq("g"))
+      .collect()
+      .map(r => (Option(r.getAs[String]("g")), r.getAs[Int]("k")) ->
+        r.getAs[Long]("pv")).toMap
+    val w = Window.partitionBy("g").orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = df.withColumn("pv", coalesce(sum("v").over(w), lit(0L)))
+      .collect()
+      .map(r => (Option(r.getAs[String]("g")), r.getAs[Int]("k")) ->
+        r.getAs[Long]("pv")).toMap
+    assert(got.size === rows.size)
+    assert(got === expect)
+    // null-group rows must survive the null-safe spine join
+    assert(got.keySet.exists(_._1.isEmpty))
+  }
+
   test("result is independent of the partition count") {
     val rows = (0 until 300).map(k => (k.toDouble / 7, 1L))
     val df = rows.toDF("k", "one")
