@@ -385,6 +385,34 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** SOFT dedup over a pre-computed cluster assignment: instead of
+    * dropping duplicates, every document is kept and DOWNWEIGHTED by
+    * its duplicate multiplicity — `weight_x1e6` = 1e6 div
+    * cluster_size (unclustered documents weigh 1e6) — so a training
+    * loader samples each CONTENT equally no matter how many copies
+    * the crawl carried. The drop-vs-downweight choice is the modern
+    * dedup tradeoff: hard removal loses the natural frequency signal
+    * entirely, soft weighting preserves it at tunable strength; this
+    * is the weight-1/n endpoint, and Σ weight_x1e6 is the effective
+    * (deduplicated) corpus size ×1e6 — exact integers throughout.
+    *
+    * Scale shape: one cluster-keyed agg over the (id, cluster) label
+    * relation + one id-keyed left join back — both hash-partitioned,
+    * no corpus self-join, reusing the materialized dedup product like
+    * [[keepCanonicalLabeled]].
+    */
+  def softWeights(df: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val sizes = clusters
+      .join(clusters.groupBy("cluster").agg(count(lit(1)).as("_sz")),
+        Seq("cluster"))
+      .select(col("id").as(idCol), col("_sz"))
+    df.join(sizes, Seq(idCol), "left")
+      .withColumn("cluster_size", coalesce(col("_sz"), lit(1L)))
+      .withColumn("weight_x1e6", expr("1000000 div cluster_size"))
+      .drop("_sz")
+  }
+
   /** Removal straight from the pair graph: label-propagates first,
     * then keeps each cluster's canonical (minimum-id) representative
     * plus every unclustered document.

@@ -161,6 +161,69 @@ object ExtOps {
              |       CAST(max(sz) AS BIGINT) AS max_cluster
              |FROM sizes""".stripMargin)),
 
+    // SOFT dedup: keep every document, downweight by duplicate
+    // multiplicity (weight = 1e6 div cluster_size) -- the modern
+    // drop-vs-downweight tradeoff's weight-1/n endpoint, consuming
+    // the same materialized label table as removal. The census pins
+    // the per-multiplicity populations, the weights, exact membership
+    // via id checksums, and the effective (deduplicated) corpus size
+    // as an exact integer.
+    GateQuery(
+      "q_dedup_soft",
+      (s, d) => {
+        val w = Dedup.softWeights(
+          documents(s, d).select("doc_id"), "doc_id", cachedClusters(s, d))
+        val bySize = w.groupBy("cluster_size")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max("weight_x1e6").as("weight_x1e6"),
+            sum(pmod(
+              graft.operators.Curation.hashBucket(
+                concat(lit("soft:"), col("doc_id").cast("string")))
+                * col("doc_id"), lit(2147483648L)))
+              .cast("long").as("id_checksum"))
+        val eff = w.agg(sum("weight_x1e6").cast("long").as("effective_x1e6"))
+        bySize.crossJoin(broadcast(eff)).orderBy("cluster_size")
+      },
+      Some(s"""WITH pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) a
+             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+             |        FROM documents) b
+             |    ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+             |          / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.9
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION
+             |  SELECT id_b AS src, id_a AS dst FROM pairs
+             |), lab AS (
+             |  WITH RECURSIVE walk(id, lbl) AS (
+             |    SELECT src, src FROM edges
+             |    UNION
+             |    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+             |    WHERE w.lbl < e.dst
+             |  )
+             |  SELECT id, min(lbl) AS cluster FROM walk GROUP BY id
+             |),
+             |sz AS (SELECT cluster, count(*) AS n FROM lab GROUP BY cluster),
+             |w AS (
+             |  SELECT d.doc_id,
+             |         CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size,
+             |         CAST(1000000 // coalesce(sz.n, 1) AS BIGINT) AS weight_x1e6
+             |  FROM documents d
+             |  LEFT JOIN lab ON d.doc_id = lab.id
+             |  LEFT JOIN sz ON lab.cluster = sz.cluster),
+             |eff AS (SELECT CAST(sum(weight_x1e6) AS BIGINT) AS effective_x1e6 FROM w)
+             |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(max(weight_x1e6) AS BIGINT) AS weight_x1e6,
+             |       CAST(sum((${SharedOracles.bucketSql("'soft:' || CAST(doc_id AS VARCHAR)")} * doc_id) % 2147483648) AS BIGINT) AS id_checksum,
+             |       effective_x1e6
+             |FROM w, eff
+             |GROUP BY cluster_size, effective_x1e6
+             |ORDER BY cluster_size""".stripMargin)),
+
     // Duplicate REMOVAL: keep each near-dup cluster's canonical
     // (min-id) member plus every unclustered doc. The census pins the
     // exact surviving set via an id checksum — one wrongly dropped or

@@ -290,6 +290,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(canonical == Set(1L, 10L, 4L, 5L), canonical)
   }
 
+  test("softWeights downweights by multiplicity; singletons keep full weight") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 4L, 5L).toDF("doc_id")
+    val w = Dedup.softWeights(docs, "doc_id", clusters)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("weight_x1e6"))).toMap
+    assert(w.size === 7) // every document KEPT — that's the point
+    assert(w(1L) === ((3L, 333333L)) && w(2L) === ((3L, 333333L)))
+    assert(w(10L) === ((2L, 500000L)) && w(11L) === ((2L, 500000L)))
+    assert(w(4L) === ((1L, 1000000L)) && w(5L) === ((1L, 1000000L)))
+    // effective corpus = 3·(1/3) + 2·(1/2) + 2·1 = 4 documents
+    val eff = Dedup.softWeights(docs, "doc_id", clusters)
+      .agg(org.apache.spark.sql.functions.sum("weight_x1e6")).head().getLong(0)
+    assert(eff === 3999999L) // 3·333333 + 2·500000 + 2·1000000
+  }
+
   test("drain-and-release cycle leaves zero cached blocks (handOff contract)") {
     import spark.implicits._
     // clean slate: earlier tests in this suite may have left caller-
