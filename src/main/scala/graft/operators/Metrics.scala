@@ -230,6 +230,50 @@ object Metrics {
         col("ap_ppm"))
   }
 
+  /** Per-group quantile (rank) normalization — batch-effect
+    * correction for scores from heterogeneous sources: each row gets
+    * its EXACT percentile within its group, `pct_x1e6` =
+    * (rank − 1)·1e6 div (n_g − 1) (SQL percent_rank ×1e6, truncating;
+    * single-row groups pct 0), with rank the exact (value, id) order.
+    * After it, "top 10% by quality" means the same thing in every
+    * source no matter how each source's raw scorer is scaled — the
+    * precondition for cross-source curation thresholds.
+    *
+    * Scale shape: the rank is curriculumStages' histogram-offset
+    * form, per group — a (group, value) histogram agg, the GROUPED
+    * range-partitioned prefix scan ([[PrefixSum.rangeExclusive]]: no
+    * group ever pins to one partition), a within-(group, value)
+    * row_number (partition = one tie set), and a group-size join.
+    * Null values rank FIRST in their group (Spark's asc ordering —
+    * an oracle must order NULLS FIRST explicitly); products widen to
+    * DECIMAL(38,0) before ×1e6.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val base = PrefixSum.rangeExclusive(hist, valueCol,
+      descending = false, Seq("_cnt" -> "_base"), groupCols = Seq(groupCol))
+      .select(col(groupCol).as("_bg"), col(valueCol).as("_bv"), col("_base"))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_ng"))
+      .withColumnRenamed(groupCol, "_sg")
+    val inTie = Window.partitionBy(col(groupCol), col(valueCol))
+      .orderBy(col(idCol))
+    df
+      // null-safe joins: a null value (or group) is a real rank group
+      .join(base, col(groupCol) <=> col("_bg") && col(valueCol) <=> col("_bv"))
+      .drop("_bg", "_bv")
+      .withColumn("group_rank",
+        col("_base") + row_number().over(inTie).cast("long"))
+      .join(sizes, col(groupCol) <=> col("_sg"))
+      .drop("_sg")
+      .withColumn("pct_x1e6",
+        when(col("_ng") <= 1, lit(0L)).otherwise(
+          expr("CAST(CAST(group_rank - 1 AS DECIMAL(38,0)) * 1000000" +
+            " div (_ng - 1) AS BIGINT)")))
+      .drop("_base", "_ng")
+  }
+
   /** Brier score over integer micro-unit probabilities — the proper
     * scoring rule companion to [[calibration]], fully integer: with
     * p ∈ [0, 1e6] and y ∈ {0, 1}, each residual (p − y·1e6)² ≤ 1e12

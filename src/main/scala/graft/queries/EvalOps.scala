@@ -435,6 +435,35 @@ object EvalOps {
              |FROM u
              |ORDER BY mi_x1e9 DESC, feature ASC""".stripMargin)),
 
+
+    // Per-source quantile normalization: every document's EXACT
+    // length percentile within its source -- after it, "top 10%"
+    // means the same thing in every source regardless of raw scale
+    // (the batch-effect-correction precondition for cross-source
+    // thresholds). Rank rides the GROUPED range-partitioned prefix
+    // scan; the oracle is the plain percent_rank-style window the
+    // scale-correct plan must reproduce row for row (5000 rows
+    // hashed, not a summary).
+    GateQuery(
+      "q_quantile_normalize",
+      (s, d) =>
+        Metrics.quantileNormalize(
+          documents(s, d).select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id")
+          .select("doc_id", "source", "n_chars", "group_rank", "pct_x1e6")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source, n_chars,
+             |       CAST(rnk AS BIGINT) AS group_rank,
+             |       CASE WHEN cnt <= 1 THEN 0
+             |            ELSE CAST(CAST(rnk - 1 AS HUGEINT) * 1000000 // (cnt - 1) AS BIGINT)
+             |       END AS pct_x1e6
+             |FROM (SELECT doc_id, source, n_chars,
+             |             row_number() OVER (PARTITION BY source
+             |               ORDER BY n_chars ASC NULLS FIRST, doc_id) AS rnk,
+             |             count(*) OVER (PARTITION BY source) AS cnt
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Token-overlap F1 between adjacent-document pairs (even doc_id =
     // prediction, its successor = reference): the QA eval-harness
     // match metric over a corpus of pairs. Multiset-intersection

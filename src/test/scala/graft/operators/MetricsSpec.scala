@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -224,6 +225,35 @@ class MetricsSpec extends AnyFunSuite with SparkTestBase {
     assert(w.head === 1000000L) // log2(2) = 1
     assert(w(2) === 500000L)    // log2(4) = 2
     assert(w === w.sorted.reverse && w.length === 10)
+  }
+
+  // --------------------------------------------------- quantileNormalize
+
+  test("quantileNormalize matches the plain percent_rank window, edges included") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { i =>
+      val g: Option[String] = if (i == 0) None else Some(s"s${i % 4}")
+      val v: Option[Long] = if (i % 11 == 0) None else Some(rnd.nextInt(20).toLong)
+      (i.toLong, g, v)
+    } :+ ((1000L, Option("solo"), Option(5L))) // single-row group -> pct 0
+    val df = rows.toDF("id", "g", "v").repartition(7)
+    val got = Metrics.quantileNormalize(df, "g", "v", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("group_rank"), r.getAs[Long]("pct_x1e6"))).toMap
+    assert(got.size === rows.size) // no row lost to null group/value joins
+    // reference: plain window rank (nulls first) + percent arithmetic
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val expect = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy("g")))
+      .collect().map { r =>
+        val (rnk, cnt) = (r.getAs[Long]("rnk"), r.getAs[Long]("cnt"))
+        r.getAs[Long]("id") ->
+          ((rnk, if (cnt <= 1) 0L else (rnk - 1) * 1000000L / (cnt - 1)))
+      }.toMap
+    assert(got === expect)
+    assert(got(1000L) === ((1L, 0L)))
   }
 
   // -------------------------------------------------------------- brier
