@@ -210,6 +210,45 @@ object Temporal {
     * driver state. A pathological key whose span/step is huge inflates
     * only its own partition — cap the span upstream if steps are tiny.
     */
+  /** Time-decayed per-key aggregate — the feature-store
+    * materialization "recent activity counts more": every event's
+    * integer `valueCol` is weighted by a power-of-two half-life decay
+    * `weight_x1e6 = 1e6 >> min(age div halfLifeDays, capShift)` (age
+    * in whole days before the corpus' newest event, integer epoch
+    * arithmetic), and `decayed_x1e6` = Σ value·weight per key. The
+    * power-of-two ladder makes the decay EXACT integer arithmetic —
+    * no exp/pow float whose libm rounding could split engines — while
+    * keeping the half-life semantics (one halfLife ⇒ weight halves);
+    * `capShift` floors the weight at 1e6 >> cap (older events still
+    * count, just minimally).
+    *
+    * Scale shape: a 1-row max-ts aggregate crossed in (never
+    * collected), then ONE map-side-combined aggregation — weights are
+    * a per-row column program. Products widen to DECIMAL(38,0).
+    * Null ts/value rows are excluded (documented).
+    */
+  def decayedSum(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, halfLifeDays: Int, capShift: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    require(capShift >= 0 && capShift <= 62, s"capShift in [0,62], got $capShift")
+    val ref = df.agg(max(unix_timestamp(col(tsCol))).as("_ref"))
+    df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .crossJoin(broadcast(ref))
+      .withColumn("_age_days",
+        expr(s"(_ref - unix_timestamp($tsCol)) div 86400"))
+      .withColumn("_w", expr(
+        s"1000000 div shiftleft(CAST(1 AS BIGINT)," +
+          s" CAST(least(_age_days div $halfLifeDays, $capShift) AS INT))"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("_age_days").as("last_age_days"),
+        sum(expr(s"CAST($valueCol AS DECIMAL(38,0)) * _w"))
+          .cast("long").as("decayed_x1e6"))
+  }
+
   def resample(df: DataFrame, on: Seq[String], ts: String, stepUs: Long,
       aggs: Seq[(String, Column)]): DataFrame = {
     require(stepUs > 0, s"stepUs must be positive, got $stepUs")

@@ -268,5 +268,41 @@ object TemporalOps {
              |FROM events e JOIN fw ON e.user_id = fw.user_id
              |GROUP BY 1, 2
              |ORDER BY cohort, week_n""".stripMargin)),
+
+    // Time-decayed per-user engagement (feature-store shape): integer
+    // cents weighted by a power-of-two half-life ladder
+    // (1e6 >> (age_days div 7), capped) -- EXACT integer decay, no
+    // exp/pow float whose libm rounding could split engines. The
+    // reference epoch is the corpus' newest event (1-row agg crossed
+    // in, computed BEFORE the null-value filter -- documented
+    // operator semantic, mirrored in the oracle); epoch seconds via
+    // integer epoch_us // 1e6 on the DuckDB side because a
+    // double-epoch CAST rounds instead of flooring.
+    GateQuery(
+      "q_decayed_score",
+      (s, d) =>
+        Temporal.decayedSum(
+          events(s, d).filter(col("user_id").isNotNull)
+            .select(col("user_id"), col("ts"),
+              round(col("value") * 100).cast("long").as("cents")),
+          Seq("user_id"), "ts", "cents", halfLifeDays = 7)
+          .orderBy("user_id"),
+      Some("""WITH base AS (
+             |  SELECT user_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE user_id IS NOT NULL),
+             |r AS (SELECT max(epoch_us(ts) // 1000000) AS ref FROM base),
+             |w AS (
+             |  SELECT user_id,
+             |         (ref - epoch_us(ts) // 1000000) // 86400 AS age,
+             |         cents
+             |  FROM base, r
+             |  WHERE ts IS NOT NULL AND cents IS NOT NULL)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(min(age) AS BIGINT) AS last_age_days,
+             |       CAST(sum(CAST(cents AS HUGEINT)
+             |                * (1000000 // (CAST(1 AS BIGINT) << CAST(least(age // 7, 20) AS INT))))
+             |            AS BIGINT) AS decayed_x1e6
+             |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

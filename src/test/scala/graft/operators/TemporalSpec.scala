@@ -264,4 +264,38 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("r_rid"), e.getMessage)
   }
+
+  test("decayedSum: exact power-of-two half-life weights, ref from the corpus max") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // newest event day 29 -> ages 0, 7, 14, 21 days at halfLife 7
+    val rows = Seq(
+      (1L, ts(29), 100L), // age 0  -> weight 1e6
+      (1L, ts(22), 100L), // age 7  -> weight 5e5
+      (1L, ts(15), 100L), // age 14 -> weight 25e4
+      (2L, ts(8), 400L))  // age 21 -> weight 125e3
+    val got = Temporal.decayedSum(rows.toDF("user_id", "ts", "v")
+      .repartition(3), Seq("user_id"), "ts", "v", halfLifeDays = 7)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("last_age_days"),
+          r.getAs[Long]("decayed_x1e6"))).toMap
+    assert(got(1L) === ((3L, 0L, 100L * 1000000L + 100L * 500000L + 100L * 250000L)))
+    assert(got(2L) === ((1L, 21L, 400L * 125000L)))
+    // capShift floors the weight instead of zeroing ancient events
+    val old = Seq((9L, ts(1), 1000000L), (9L, ts(29), 0L))
+    val capped = Temporal.decayedSum(old.toDF("user_id", "ts", "v"),
+      Seq("user_id"), "ts", "v", halfLifeDays = 1, capShift = 3).collect()
+    // age 28 days at halfLife 1 shifts 28 but caps at 3 -> weight 125000
+    assert(capped.head.getAs[Long]("decayed_x1e6") === 1000000L * 125000L)
+    // null ts/value rows are excluded but still anchor nothing
+    val withNull = Seq(
+      (5L, Option(ts(29)), Option(10L)),
+      (5L, Option(ts(20)), None),
+      (5L, None, Option(7L)))
+      .toDF("user_id", "ts", "v")
+    val g2 = Temporal.decayedSum(withNull, Seq("user_id"), "ts", "v", 7).head()
+    assert(g2.getAs[Long]("n_events") === 1L)
+    assert(g2.getAs[Long]("decayed_x1e6") === 10L * 1000000L)
+  }
 }
