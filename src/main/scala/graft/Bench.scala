@@ -72,11 +72,15 @@ object Bench {
         (name, median(all), all.length)
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // milli-second precision is plenty for round-over-round compare
+    // and keeps the JSON lines short (the driver's stdout capture is a
+    // ~2 KB tail window — r8/r9 artifacts were head-truncated mid-map)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val reps = results.map { case (k, _, n) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = r3(results.map(_._2).sum)
     // q_rdr_train sub-step decomposition (merge / store_write / train),
     // written by the gate into its artifact slot: carried in the bench
     // JSON so a round-over-round growth in the suite's heaviest gate
@@ -94,7 +98,24 @@ object Bench {
         java.nio.file.Files.readString(p)
       else "{}"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"train_steps":$trainSteps,"sf":"$sfDir"}""")
+    // The driver records only a ~2 KB TAIL of stdout, so the final
+    // line must be SHORT and self-contained: total, failure list, and
+    // the slowest queries. The complete per-query map (plus repeat
+    // counts and train-step decomposition) goes to BENCH_DETAIL.json
+    // in the repo root — the driver commits uncommitted files, so the
+    // full artifact survives the round even though stdout can't carry
+    // it.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"train_steps":$trainSteps,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), fullJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    val failed = results.collect { case (n, v, _) if v < 0 => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val slowest = results.sortBy(-_._2).take(25)
+      .map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries_shown":25,"failed":$failed,"queries":$slowest,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

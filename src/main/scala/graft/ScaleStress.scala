@@ -264,6 +264,11 @@ object ScaleStress {
     println(s"| query | x1 (s) | x$x (s) | ratio | verdict |")
     println("|---|---|---|---|---|")
     for (q <- selected) {
+      // discard a first x1 pass: the query's own codegen/classload
+      // warmup (~seconds) otherwise inflates the x1 denominator and
+      // makes cheap gates report unfalsifiable sub-1× ratios — the
+      // linear bar is only meaningful against a WARM x1 leg
+      time(q, baseDir)
       val t1 = time(q, baseDir)
       val tx = time(q, xDir)
       val ratio = tx / t1

@@ -85,6 +85,11 @@ object Basket {
         .join(sup.select(col("i").as("item_b"), col("s").as("_sb")), Seq("item_b"))
         .select(
           col("item_a"), col("item_b"), col("pair_sup"),
+          // the exact integer inputs ride along so consumers (and
+          // gates) can quantize confidence/lift in pure integer
+          // arithmetic instead of re-rounding the double ratios
+          col("_sa").as("sup_a"), col("_sb").as("sup_b"),
+          lit(nBaskets).as("n_baskets"),
           (col("pair_sup") / col("_sa").cast("double")).as("conf_a_b"),
           (col("pair_sup") / col("_sb").cast("double")).as("conf_b_a"),
           (col("pair_sup") * nBaskets /

@@ -42,6 +42,11 @@ object CountMin {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2 && width <= (1 << 24),
       s"width must be in [2, 2^24], got $width")
+    // the bucket space is the 28-bit md5 prefix; a non-power-of-two
+    // width makes pmod biased toward low buckets and quietly weakens
+    // the stated one-sided CMS error bound
+    require((width & (width - 1)) == 0,
+      s"width must be a power of two (divides the 2^28 bucket space), got $width")
   }
 
   /** Build the sketch relation over `itemCol` (null items are not
@@ -96,8 +101,15 @@ object CountMin {
       .select(col(itemCol).as("item")).distinct()
       .select(col("item"), posexplode(array((0 until depth).map(s =>
         bucket(col("item"), s, width)): _*)).as(Seq("seed", "bucket")))
+    // only force the broadcast when the sketch is provably small:
+    // depth*width bounds its row count, and 2^22 cells (~100 MB of
+    // (int,long,long) rows) is the forced-broadcast ceiling — a
+    // depth=16/width=2^24 sketch (268M rows) must shuffle-join instead
+    // of being rammed through a broadcast.
+    val sketchSide =
+      if (depth.toLong * width <= (1L << 22)) broadcast(sketch) else sketch
     probes
-      .join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .join(sketchSide, Seq("seed", "bucket"), "left")
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
   }

@@ -190,27 +190,48 @@ object Dedup {
     * cannot drop a true pair, but discards the mid-similarity
     * candidate bulk before the (more expensive) set intersection.
     */
-  private def verifyJaccard(joined: DataFrame, threshold: Double): DataFrame = {
+  /** TWO-STAGE candidate verification, each join carrying only what
+    * its stage needs. The old single wide join pulled (wset_a, wset_b,
+    * sig_a, sig_b) — up to ~10 KB per candidate row — through both
+    * shuffles, which is what pushed the x10 stress replay to an
+    * 80 GiB heap (the candidate relation grows with clique
+    * replication, so row WIDTH is the memory lever). Stage 1 joins
+    * signatures only (fixed 64 longs/side) and applies the estimate
+    * pre-filter; stage 2 joins the (much smaller) survivor set against
+    * the word sets for the exact Jaccard. Same semantics, ~an order of
+    * magnitude less buffered bytes at peak; the price is reading each
+    * signed relation twice — callers keep them persisted/materialized
+    * (the production shape).
+    */
+  private def verifyStaged(cands: DataFrame,
+      left: DataFrame, leftIdIn: String, leftKey: String,
+      right: DataFrame, rightIdIn: String, rightKey: String,
+      threshold: Double, carryCols: Seq[String] = Nil): DataFrame = {
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast("double") / NumHashes
-    joined
+    val survivors = cands
+      .join(left.select(col(leftIdIn).as(leftKey), col("sig").as("sig_a")),
+        Seq(leftKey))
+      .join(right.select(col(rightIdIn).as(rightKey), col("sig").as("sig_b")),
+        Seq(rightKey))
       .filter(est >= threshold - 0.25)
+      .select(col(leftKey) +: col(rightKey) +: carryCols.map(col): _*)
+    survivors
+      .join(left.select(col(leftIdIn).as(leftKey), col("wset").as("set_a")),
+        Seq(leftKey))
+      .join(right.select(col(rightIdIn).as(rightKey), col("wset").as("set_b")),
+        Seq(rightKey))
       .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("jac", col("n_common").cast("double") /
         (size(col("set_a")) + size(col("set_b")) - col("n_common")))
       .filter(col("jac") >= threshold)
+      .select(col(leftKey) +: col(rightKey) +: col("jac") +: carryCols.map(col): _*)
   }
 
   def exactVerify(signed: DataFrame, cands: DataFrame, idCol: String,
-      threshold: Double, carryCols: Seq[String] = Nil): DataFrame = {
-    val sides = signed.select(col(idCol), col("wset"), col("sig"))
-    verifyJaccard(
-      cands
-        .join(sides.select(col(idCol).as("id_a"), col("wset").as("set_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sides.select(col(idCol).as("id_b"), col("wset").as("set_b"), col("sig").as("sig_b")), Seq("id_b")),
-      threshold)
-      .select(col("id_a") +: col("id_b") +: col("jac") +: carryCols.map(col): _*)
-  }
+      threshold: Double, carryCols: Seq[String] = Nil): DataFrame =
+    verifyStaged(cands, signed, idCol, "id_a", signed, idCol, "id_b",
+      threshold, carryCols)
 
   /** Exact Jaccard verification of candidates against word sets.
     * `groupCols` scope the dedup to same-group pairs (see
@@ -359,14 +380,8 @@ object Dedup {
         .select(col("id_corpus"), col("bk.band"), col("bk.bucket"))
       val cands = a.join(b, Seq("band", "bucket"))
         .select("id_delta", "id_corpus").distinct()
-      val out = verifyJaccard(
-        cands
-          .join(sd.select(col(idCol).as("id_delta"), col("wset").as("set_a"), col("sig").as("sig_a")),
-            Seq("id_delta"))
-          .join(sc.select(col(idCol).as("id_corpus"), col("wset").as("set_b"), col("sig").as("sig_b")),
-            Seq("id_corpus")),
-        threshold)
-        .select("id_delta", "id_corpus", "jac")
+      val out = verifyStaged(cands, sd, idCol, "id_delta",
+        sc, idCol, "id_corpus", threshold)
       Caching.handOff(out)
     }
   }

@@ -381,6 +381,17 @@ object Metrics {
     * divisions on both engines. Null x/y rows are excluded
     * (documented; oracles must filter identically).
     *
+    * ACCEPTED FLAKE-CLASS EXCEPTION (same class as the PSI/chi2
+    * terms): `mi_term_x1e9` quantizes a libm `ln` product, and libm
+    * logs are not correctly rounded — a term within an ulp of a .5
+    * boundary could round differently across engines (and a 1-unit
+    * split would also flip any ranking summed from the terms). This
+    * is why the output ALSO ships the exact integer inputs (`n_xy`,
+    * `n_x`, `n_y`): a consumer who needs engine-exact comparison can
+    * re-derive MI from those; `mi_term_x1e9` is the convenience
+    * projection. No exact integer formulation of Σ p·ln(...) exists
+    * without arbitrary-precision rational arithmetic.
+    *
     * Scale shape: ONE map-side-combined corpus agg to the cell
     * relation (bounded by |X|·|Y| distinct pairs); marginals are two
     * keyed aggs OVER THE CELLS, the total a 1-row broadcast — the

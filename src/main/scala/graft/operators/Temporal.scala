@@ -219,8 +219,10 @@ object Temporal {
     * power-of-two ladder makes the decay EXACT integer arithmetic —
     * no exp/pow float whose libm rounding could split engines — while
     * keeping the half-life semantics (one halfLife ⇒ weight halves);
-    * `capShift` floors the weight at 1e6 >> cap (older events still
-    * count, just minimally).
+    * `capShift` floors the weight at `1e6 div 2^cap` (older events
+    * still count, just minimally — the default 19 keeps the floor at
+    * weight 1; a capShift ≥ 20 makes the floor 0, i.e. events older
+    * than cap half-lives contribute exactly nothing).
     *
     * Scale shape: a 1-row max-ts aggregate crossed in (never
     * collected), then ONE map-side-combined aggregation — weights are
@@ -228,7 +230,7 @@ object Temporal {
     * Null ts/value rows are excluded (documented).
     */
   def decayedSum(df: DataFrame, keyCols: Seq[String], tsCol: String,
-      valueCol: String, halfLifeDays: Int, capShift: Int = 20): DataFrame = {
+      valueCol: String, halfLifeDays: Int, capShift: Int = 19): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
     require(capShift >= 0 && capShift <= 62, s"capShift in [0,62], got $capShift")

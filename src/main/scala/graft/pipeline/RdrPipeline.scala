@@ -330,6 +330,92 @@ object RdrPipeline {
         "reward_std_x1e4")
   }
 
+  /** Curation-weighted training chain: the merged rewarded decisions
+    * get (a) SOFT-DEDUP weights — exact-duplicate clusters on the
+    * canonical (item, context) payload, each row downweighted by its
+    * cluster's multiplicity via [[graft.operators.Dedup.softWeights]]
+    * — and (b) a RECENCY feature — the per-event-type time-decayed
+    * engagement from [[graft.operators.Temporal.decayedSum]], injected
+    * into the context JSON so the encoder sees it as a real numeric
+    * feature. Both phases then train with the soft weight multiplying
+    * the phase-2 IPW/Poisson weight (TrainConfig.rowWeightCol), the
+    * reference-weighting analogue (decision_trainer.py:99-135).
+    *
+    * The gate output is a per-event-type census of the weight/recency
+    * relations. The (decision_id, cluster, et) assignment is dumped to
+    * [[GateArtifacts]]; the DuckDB oracle RE-DERIVES multiplicities and
+    * weights from the dumped cluster labels and the decayed recency
+    * straight from `events` — both engines compute the census
+    * independently from first principles. Model fits stay in-gate as
+    * loud requires (not SQL-expressible).
+    *
+    * Scale shape: the cluster census is one hash agg on the payload
+    * key; weights ride a keyed join; the decayed relation is
+    * |event_type|-rows and broadcast. No collects, no windows over the
+    * corpus.
+    */
+  def softTrainSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.train.Trainer
+    val merged = cachedMerged(spark, sfDir)
+    val clusters = merged
+      .groupBy(Schema.Item, Schema.Context)
+      .agg(min(col(Schema.DecisionId)).as("cluster"))
+    val assign = merged
+      .select(col(Schema.DecisionId).as("id"), col(Schema.Item), col(Schema.Context))
+      .join(clusters, Seq(Schema.Item, Schema.Context))
+      .select(col("id"), col("cluster"))
+    val decayed = graft.operators.Temporal.decayedSum(
+      Tables.events(spark, sfDir).select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents")),
+      Seq("event_type"), "ts", "cents", halfLifeDays = 7)
+      .select(col("event_type").as("_et"), col("decayed_x1e6"))
+    val enriched = graft.operators.Dedup.softWeights(merged, Schema.DecisionId, assign)
+      .join(assign.select(col("id").as(Schema.DecisionId), col("cluster")),
+        Seq(Schema.DecisionId))
+      .withColumn("_et", get_json_object(col(Schema.Context), "$.t"))
+      .join(broadcast(decayed), Seq("_et"), "left")
+      // keys alphabetical to match the canonical-JSON convention
+      .withColumn(Schema.Context,
+        concat(lit("""{"recency":"""), coalesce(col("decayed_x1e6"), lit(0L)),
+          lit(""","t":""""), col("_et"), lit(""""}""")))
+      .withColumn("_soft_w", col("weight_x1e6").cast("double") / 1e6)
+    val slot = GateArtifacts.buildSlot(sfDir, "soft") { stage =>
+      val e = enriched.persist()
+      try {
+        e.select(col(Schema.DecisionId), col("cluster"), col("_et").as("et"))
+          .write.mode("overwrite").parquet(s"$stage/weights")
+        val cfg = Trainer.TrainConfig(maxFeatures = 20, pruneMinStringCount = 0,
+          maxTrees = 3, propensityTrees = 3, treeDepth = 3, seed = 7L,
+          rowWeightCol = Some("_soft_w"))
+        val pm = Trainer.trainPropensity(e, cfg)
+        val dm = Trainer.trainDecision(e, pm, cfg)
+        require(pm.model.getNumTrees > 0 && dm.model.getNumTrees > 0,
+          "q_train_soft: a phase trained zero trees")
+        require(pm.featureNames.exists(_.contains("recency")),
+          "q_train_soft: the injected recency feature was not selected " +
+            s"(features: ${pm.featureNames.mkString(", ")})")
+      } finally { e.unpersist(blocking = false); () }
+    }
+    // census from the READ-BACK dump: multiplicities/weights
+    // re-derived from the cluster labels (exactly what the oracle does)
+    val w = spark.read.parquet(s"$slot/weights")
+    val sizes = w.groupBy("cluster").agg(count(lit(1)).as("_sz"))
+    w.join(sizes, Seq("cluster"))
+      .withColumn("w_x1e6", expr("1000000 div _sz"))
+      .groupBy(col("et").as("event_type"))
+      .agg(
+        count(lit(1)).as("n_decisions"),
+        countDistinct("cluster").as("n_clusters"),
+        sum((col("_sz") >= 2).cast("long")).as("n_downweighted"),
+        sum("w_x1e6").as("sum_weight_x1e6"))
+      .join(decayed.withColumnRenamed("_et", "event_type"),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("n_decisions"), col("n_clusters"),
+        col("n_downweighted"), col("sum_weight_x1e6"),
+        coalesce(col("decayed_x1e6"), lit(0L)).as("decayed_x1e6"))
+      .orderBy("event_type")
+  }
+
   /** Full dataflow incl. partition store + groom; the store is written
     * to [[GateArtifacts]] and the census (row count, reward total, file
     * count, id range) is computed by reading the written files back, so

@@ -378,20 +378,28 @@ object CurationOps {
           x => size(filter(col("bg"), y => y === x))))
         documents(s, d)
           .withColumn("n_words", size(words))
-          .withColumn("dup_frac",
-            lit(1.0) - size(array_distinct(words)).cast("double") / col("n_words"))
+          .withColumn("n_distinct", size(array_distinct(words)))
+          // per-doc fracs quantized to EXACT ×1e8 integer units (one
+          // integer half-up division each), then averaged in integer
+          // arithmetic — the old avg(double) summed in partial-agg
+          // order, the remaining FP boundary one layer down
+          .withColumn("dup_x1e8", expr(
+            "(2 * CAST(n_words - n_distinct AS BIGINT) * 100000000 + n_words)" +
+              " div (2 * CAST(n_words AS BIGINT))"))
           .withColumn("bg", when(col("n_words") >= 2, bigrams).otherwise(array()))
-          .withColumn("top_bg_frac",
-            when(col("n_words") >= 2,
-              topBg.cast("double") / (col("n_words") - 1)).otherwise(lit(0.0)))
+          .withColumn("top_bg", topBg)
+          .withColumn("top_x1e8", expr(
+            "CASE WHEN n_words >= 2 THEN" +
+              " (2 * CAST(top_bg AS BIGINT) * 100000000 + (n_words - 1))" +
+              " div (2 * CAST(n_words - 1 AS BIGINT)) ELSE 0 END"))
           .groupBy("source")
           .agg(
-            // per-row fracs are exact IEEE divisions (identical in any
-            // engine); the ONLY quantization is the final ×1e4
-            // integer-units projection — no inner decimal round layer
-            round(avg("dup_frac") * 10000).cast("long").as("avg_dup_frac_x1e4"),
-            round(avg("top_bg_frac") * 10000).cast("long").as("avg_top_bg_frac_x1e4"),
-            round(max("top_bg_frac") * 10000).cast("long").as("max_top_bg_frac_x1e4"),
+            expr("CAST((2 * sum(CAST(dup_x1e8 AS DECIMAL(38,0))) + count(dup_x1e8) * 10000)" +
+              " div (2 * count(dup_x1e8) * 10000) AS BIGINT)").as("avg_dup_frac_x1e4"),
+            expr("CAST((2 * sum(CAST(top_x1e8 AS DECIMAL(38,0))) + count(top_x1e8) * 10000)" +
+              " div (2 * count(top_x1e8) * 10000) AS BIGINT)").as("avg_top_bg_frac_x1e4"),
+            expr("CAST((2 * max(top_x1e8) + 10000) div 20000 AS BIGINT)")
+              .as("max_top_bg_frac_x1e4"),
             count(lit(1)).as("n_docs"))
           .orderBy("source")
       },
@@ -399,24 +407,28 @@ object CurationOps {
              |  SELECT source, string_split(trim(text), ' ') AS words FROM documents
              |), m AS (
              |  SELECT source, len(words) AS n_words,
-             |         1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS dup_frac,
+             |         (2 * CAST(len(words) - len(list_distinct(words)) AS HUGEINT) * 100000000
+             |          + len(words)) // (2 * CAST(len(words) AS HUGEINT)) AS dup_x1e8,
              |         CASE WHEN len(words) >= 2 THEN
              |           list_transform(range(len(words) - 1),
              |                          i -> words[CAST(i + 1 AS INT)] || ' ' || words[CAST(i + 2 AS INT)])
              |         ELSE CAST([] AS VARCHAR[]) END AS bg
              |  FROM w
              |), t AS (
-             |  SELECT source, dup_frac,
+             |  SELECT source, dup_x1e8,
              |         CASE WHEN n_words >= 2 THEN
-             |           CAST(list_max(list_transform(list_distinct(bg),
-             |                        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
-             |                 / (n_words - 1)
-             |         ELSE 0.0 END AS top_bg_frac
+             |           (2 * CAST(list_max(list_transform(list_distinct(bg),
+             |                        x -> len(list_filter(bg, y -> y = x)))) AS HUGEINT)
+             |                 * 100000000 + (n_words - 1)) // (2 * CAST(n_words - 1 AS HUGEINT))
+             |         ELSE 0 END AS top_x1e8
              |  FROM m
              |)
-             |SELECT source, CAST(round(avg(dup_frac) * 10000) AS BIGINT) AS avg_dup_frac_x1e4,
-             |       CAST(round(avg(top_bg_frac) * 10000) AS BIGINT) AS avg_top_bg_frac_x1e4,
-             |       CAST(round(max(top_bg_frac) * 10000) AS BIGINT) AS max_top_bg_frac_x1e4,
+             |SELECT source,
+             |       CAST((2 * sum(CAST(dup_x1e8 AS HUGEINT)) + count(dup_x1e8) * 10000)
+             |            // (2 * count(dup_x1e8) * 10000) AS BIGINT) AS avg_dup_frac_x1e4,
+             |       CAST((2 * sum(CAST(top_x1e8 AS HUGEINT)) + count(top_x1e8) * 10000)
+             |            // (2 * count(top_x1e8) * 10000) AS BIGINT) AS avg_top_bg_frac_x1e4,
+             |       CAST((2 * max(top_x1e8) + 10000) // 20000 AS BIGINT) AS max_top_bg_frac_x1e4,
              |       count(*) AS n_docs
              |FROM t GROUP BY source ORDER BY source""".stripMargin)),
 

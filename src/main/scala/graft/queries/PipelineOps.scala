@@ -47,5 +47,47 @@ object PipelineOps {
              |  (SELECT CAST(round(sum("count") * 100) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase1/*.parquet')) AS total_count_p1_x100,
              |  (SELECT CAST(round(avg(reward) * 10000) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_mean_x1e4,
              |  (SELECT CAST(round(coalesce(stddev_samp(reward), 0) * 10000) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_std_x1e4""".stripMargin)),
+
+    // Curation-weighted training: soft-dedup weights + decayed recency
+    // feature multiplied into the phase-2 training weight
+    // (RdrPipeline.softTrainSummary). The gate dumps only the CLUSTER
+    // ASSIGNMENT; the oracle re-derives multiplicities and weights
+    // from the labels and recomputes the decayed recency straight from
+    // `events` — two independent derivations of the same census. The
+    // model fits themselves are loud in-gate requires.
+    GateQuery(
+      "q_train_soft",
+      (s, d) => RdrPipeline.softTrainSummary(s, d),
+      Some("""WITH w AS (
+             |  SELECT * FROM read_parquet('__GRAFT_GATES__/soft/weights/*.parquet')
+             |), sz AS (
+             |  SELECT cluster, count(*) AS m FROM w GROUP BY 1
+             |), ww AS (
+             |  SELECT w.et, w.cluster, sz.m, 1000000 // sz.m AS wx
+             |  FROM w JOIN sz USING (cluster)
+             |), base AS (
+             |  SELECT event_type, epoch_us(ts) // 1000000 AS sec,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events
+             |), r AS (SELECT max(sec) AS ref FROM base),
+             |dk AS (
+             |  SELECT event_type, (ref - sec) // 86400 AS age, cents
+             |  FROM base, r WHERE sec IS NOT NULL AND cents IS NOT NULL
+             |), dec AS (
+             |  SELECT event_type,
+             |         CAST(sum(CAST(cents AS HUGEINT)
+             |                  * (1000000 // (CAST(1 AS BIGINT) << CAST(least(age // 7, 19) AS INT))))
+             |              AS BIGINT) AS decayed_x1e6
+             |  FROM dk GROUP BY 1
+             |)
+             |SELECT ww.et AS event_type,
+             |       count(*) AS n_decisions,
+             |       CAST(count(DISTINCT ww.cluster) AS BIGINT) AS n_clusters,
+             |       CAST(sum(CASE WHEN ww.m >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_downweighted,
+             |       CAST(sum(ww.wx) AS BIGINT) AS sum_weight_x1e6,
+             |       coalesce(max(dec.decayed_x1e6), 0) AS decayed_x1e6
+             |FROM ww LEFT JOIN dec ON ww.et = dec.event_type
+             |GROUP BY ww.et
+             |ORDER BY event_type""".stripMargin)),
   )
 }

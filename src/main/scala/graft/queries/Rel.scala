@@ -24,12 +24,29 @@ object Rel {
 
   /** The suite's single ×1e6 quantization of Drift.psiBins output —
     * shared by q_drift_psi and the streaming monitor parity gate.
+    * Shares are re-derived from the EXACT integer bin counts (totals
+    * via a window over the ≤buckets-row relation) and quantized with
+    * integer half-up division — no double round on a ratio; the
+    * smoothing floor becomes `greatest(…, 1)` in ×1e6 units, which is
+    * value-identical to rounding `greatest(n/t, 1e-6)·1e6`. Only
+    * `psi_term` still quantizes a double: its ln() has no exact
+    * integer form (the documented accepted exception — see
+    * [[graft.operators.Metrics.mutualInformation]]).
     */
-  private[queries] def psiGateProjection(df: DataFrame): DataFrame =
-    df.select(col("bin"), col("n_ref"), col("n_cur"),
-      round(col("share_ref") * 1000000).cast("long").as("share_ref_x1e6"),
-      round(col("share_cur") * 1000000).cast("long").as("share_cur_x1e6"),
-      round(col("psi_term") * 1000000).cast("long").as("psi_term_x1e6"))
+  private[queries] def psiGateProjection(df: DataFrame): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    df.select(col("bin"), col("n_ref"), col("n_cur"), col("psi_term"))
+      .withColumn("_tr", sum("n_ref").over(all))
+      .withColumn("_tc", sum("n_cur").over(all))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        expr("greatest(CAST((2 * CAST(n_ref AS DECIMAL(38,0)) * 1000000 + _tr)" +
+          " div (2 * _tr) AS BIGINT), 1)").as("share_ref_x1e6"),
+        expr("greatest(CAST((2 * CAST(n_cur AS DECIMAL(38,0)) * 1000000 + _tc)" +
+          " div (2 * _tc) AS BIGINT), 1)").as("share_cur_x1e6"),
+        round(col("psi_term") * 1000000).cast("long").as("psi_term_x1e6"))
+  }
 
   /** The q_drift_psi oracle — shared VERBATIM with the streaming
     * drift-monitor parity gate (same ground truth, one definition).
@@ -56,8 +73,10 @@ object Rel {
              |SELECT s.bin AS bin,
              |       coalesce(r.n_ref, 0) AS n_ref,
              |       coalesce(c.n_cur, 0) AS n_cur,
-             |       CAST(round(greatest(coalesce(r.n_ref, 0) / tr, 0.000001) * 1000000) AS BIGINT) AS share_ref_x1e6,
-             |       CAST(round(greatest(coalesce(c.n_cur, 0) / tc, 0.000001) * 1000000) AS BIGINT) AS share_cur_x1e6,
+             |       greatest(CAST((2 * CAST(coalesce(r.n_ref, 0) AS HUGEINT) * 1000000 + tr)
+             |                     // (2 * tr) AS BIGINT), 1) AS share_ref_x1e6,
+             |       greatest(CAST((2 * CAST(coalesce(c.n_cur, 0) AS HUGEINT) * 1000000 + tc)
+             |                     // (2 * tc) AS BIGINT), 1) AS share_cur_x1e6,
              |       CAST(round((greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
              |              - greatest(coalesce(r.n_ref, 0) / tr, 0.000001))
              |             * ln(greatest(coalesce(c.n_cur, 0) / tc, 0.000001)
@@ -699,42 +718,55 @@ object Rel {
              |  ON l.l_orderkey = o.o_orderkey
              |ORDER BY rule""".stripMargin)),
 
-    // Winsorization: clip each group's values at its own exact
-    // interpolated [p05, p95] — outlier taming before statistics. The
-    // percentile relation is groups-sized (joined back, never
-    // collected); census pins clipped counts and the trimmed mean.
+    // Winsorization: clip each group's values at its own [p05, p95] —
+    // outlier taming before statistics. The percentile relation is
+    // groups-sized (joined back, never collected); census pins clipped
+    // counts and the trimmed mean. EXACT integer arithmetic end to
+    // end: prices become cents per row (a deterministic single round
+    // of identical doubles), the interpolated bounds are quantized to
+    // integer cents ONCE per group, and the clipped mean is a
+    // DECIMAL(38,0) sum with integer half-up division — no float ever
+    // accumulates in shuffle order (the old round(avg*100) did, and a
+    // partial-agg-order ulp could flip the final digit).
     GateQuery(
       "q_winsorize",
       (s, d) => {
-        val li = lineitem(s, d)
+        val li = lineitem(s, d).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("_cents"))
         val bounds = li.groupBy("l_returnflag")
           .agg(
-            expr("percentile(l_extendedprice, 0.05)").as("lo"),
-            expr("percentile(l_extendedprice, 0.95)").as("hi"))
+            round(expr("percentile(_cents, 0.05)")).cast("long").as("lo_c"),
+            round(expr("percentile(_cents, 0.95)")).cast("long").as("hi_c"))
         li.join(bounds, Seq("l_returnflag"))
-          .withColumn("clipped",
-            least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+          .withColumn("_clip",
+            least(greatest(col("_cents"), col("lo_c")), col("hi_c")))
           .groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("n"),
-            sum((col("l_extendedprice") < col("lo")).cast("long")).as("n_low"),
-            sum((col("l_extendedprice") > col("hi")).cast("long")).as("n_high"),
-            round(avg("clipped") * 100).cast("long").as("winsor_mean_x100"))
+            sum((col("_cents") < col("lo_c")).cast("long")).as("n_low"),
+            sum((col("_cents") > col("hi_c")).cast("long")).as("n_high"),
+            expr("CAST((2 * sum(CAST(_clip AS DECIMAL(38,0))) + count(1))" +
+              " div (2 * count(1)) AS BIGINT)").as("winsor_mean_x100"))
           .orderBy("l_returnflag")
       },
-      Some("""WITH b AS (
+      Some("""WITH c AS (
              |  SELECT l_returnflag,
-             |         quantile_cont(l_extendedprice, 0.05) AS lo,
-             |         quantile_cont(l_extendedprice, 0.95) AS hi
-             |  FROM lineitem GROUP BY l_returnflag
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT l_returnflag,
+             |         CAST(round(quantile_cont(cents, 0.05)) AS BIGINT) AS lo_c,
+             |         CAST(round(quantile_cont(cents, 0.95)) AS BIGINT) AS hi_c
+             |  FROM c GROUP BY l_returnflag
              |)
-             |SELECT l.l_returnflag, count(*) AS n,
-             |       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
-             |       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-             |       CAST(round(avg(least(greatest(l_extendedprice, lo), hi)) * 100) AS BIGINT) AS winsor_mean_x100
-             |FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
-             |GROUP BY l.l_returnflag
-             |ORDER BY l.l_returnflag""".stripMargin)),
+             |SELECT c.l_returnflag, count(*) AS n,
+             |       CAST(sum(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |       CAST(sum(CASE WHEN cents > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |       CAST((2 * sum(CAST(least(greatest(cents, lo_c), hi_c) AS HUGEINT)) + count(*))
+             |            // (2 * count(*)) AS BIGINT) AS winsor_mean_x100
+             |FROM c JOIN b ON c.l_returnflag = b.l_returnflag
+             |GROUP BY c.l_returnflag
+             |ORDER BY c.l_returnflag""".stripMargin)),
 
     // Pairwise Pearson correlation matrix over numeric columns — one
     // aggregation pass computes every pair (no per-pair scans).
@@ -759,14 +791,21 @@ object Rel {
     GateQuery(
       "q_assoc_rules",
       (s, d) =>
-        // the operator ships full-precision ratios; the GATE applies
-        // the suite's single scaled-integer quantization (×1e4 longs)
+        // the operator ships full-precision ratios PLUS their exact
+        // integer inputs; the GATE quantizes in pure integer half-up
+        // division ((2·num·1e4 + den) div (2·den)) — no double is ever
+        // rounded, so no FP boundary exists to split engines
         graft.operators.Basket.rules(lineitem(s, d), "l_orderkey", "l_partkey",
             minSupport = 3L)
           .select(col("item_a"), col("item_b"), col("pair_sup"),
-            round(col("conf_a_b") * 10000).cast("long").as("conf_a_b_x1e4"),
-            round(col("conf_b_a") * 10000).cast("long").as("conf_b_a_x1e4"),
-            round(col("lift") * 10000).cast("long").as("lift_x1e4"))
+            expr("CAST((2 * CAST(pair_sup AS DECIMAL(38,0)) * 10000 + sup_a)" +
+              " div (2 * sup_a) AS BIGINT)").as("conf_a_b_x1e4"),
+            expr("CAST((2 * CAST(pair_sup AS DECIMAL(38,0)) * 10000 + sup_b)" +
+              " div (2 * sup_b) AS BIGINT)").as("conf_b_a_x1e4"),
+            expr("CAST((2 * CAST(pair_sup AS DECIMAL(38,0)) * n_baskets * 10000" +
+              " + CAST(sup_a AS DECIMAL(38,0)) * sup_b)" +
+              " div (2 * CAST(sup_a AS DECIMAL(38,0)) * sup_b) AS BIGINT)")
+              .as("lift_x1e4"))
           .orderBy("item_a", "item_b"),
       Some("""WITH items AS (
              |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
@@ -778,9 +817,13 @@ object Rel {
              |  GROUP BY 1, 2
              |)
              |SELECT item_a, item_b, pair_sup,
-             |       CAST(round(pair_sup / CAST(sa.s AS DOUBLE) * 10000) AS BIGINT) AS conf_a_b_x1e4,
-             |       CAST(round(pair_sup / CAST(sb.s AS DOUBLE) * 10000) AS BIGINT) AS conf_b_a_x1e4,
-             |       CAST(round(pair_sup * n.nb / CAST(sa.s * sb.s AS DOUBLE) * 10000) AS BIGINT) AS lift_x1e4
+             |       CAST((2 * CAST(pair_sup AS HUGEINT) * 10000 + sa.s)
+             |            // (2 * sa.s) AS BIGINT) AS conf_a_b_x1e4,
+             |       CAST((2 * CAST(pair_sup AS HUGEINT) * 10000 + sb.s)
+             |            // (2 * sb.s) AS BIGINT) AS conf_b_a_x1e4,
+             |       CAST((2 * CAST(pair_sup AS HUGEINT) * n.nb * 10000
+             |             + CAST(sa.s AS HUGEINT) * sb.s)
+             |            // (2 * CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_x1e4
              |FROM p
              |JOIN sup sa ON p.item_a = sa.i
              |JOIN sup sb ON p.item_b = sb.i
@@ -868,17 +911,38 @@ object Rel {
       "q_drift_ks",
       (s, d) => {
         val li = lineitem(s, d)
-        // operator ships full-precision shares; the GATE quantizes
-        // once to ×1e6 integer units (see q_drift_psi)
+        // cumulative sums and totals re-derived from the EXACT
+        // integer bin counts over the 10-row relation; quantization
+        // is integer half-up division — the old round(double·1e6)
+        // carried a (tiny) cross-engine FP boundary one layer down
+        val cum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val all = org.apache.spark.sql.expressions.Window
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
         graft.operators.Drift.ksBins(
           li.filter(col("l_orderkey") % 2 === 0),
           li.filter(col("l_orderkey") % 2 === 1)
             .withColumn("l_extendedprice", col("l_extendedprice") * 1.1),
           "l_extendedprice", buckets = 10)
+          .select(col("bin"), col("n_ref"), col("n_cur"))
+          .withColumn("_cr", sum("n_ref").over(cum))
+          .withColumn("_cc", sum("n_cur").over(cum))
+          .withColumn("_tr", sum("n_ref").over(all))
+          .withColumn("_tc", sum("n_cur").over(all))
           .select(col("bin"), col("n_ref"), col("n_cur"),
-            round(col("cum_share_ref") * 1000000).cast("long").as("cum_share_ref_x1e6"),
-            round(col("cum_share_cur") * 1000000).cast("long").as("cum_share_cur_x1e6"),
-            round(col("ks_term") * 1000000).cast("long").as("ks_term_x1e6"))
+            expr("CAST((2 * CAST(_cr AS DECIMAL(38,0)) * 1000000 + _tr)" +
+              " div (2 * _tr) AS BIGINT)").as("cum_share_ref_x1e6"),
+            expr("CAST((2 * CAST(_cc AS DECIMAL(38,0)) * 1000000 + _tc)" +
+              " div (2 * _tc) AS BIGINT)").as("cum_share_cur_x1e6"),
+            expr("CAST((2 * abs(CAST(_cr AS DECIMAL(38,0)) * _tc" +
+              " - CAST(_cc AS DECIMAL(38,0)) * _tr) * 1000000" +
+              " + CAST(_tr AS DECIMAL(38,0)) * _tc)" +
+              " div (2 * CAST(_tr AS DECIMAL(38,0)) * _tc) AS BIGINT)")
+              .as("ks_term_x1e6"))
       },
       Some("""WITH ref AS (
              |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem WHERE l_orderkey % 2 = 0
@@ -908,9 +972,13 @@ object Rel {
              |  FROM s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin
              |)
              |SELECT bin, n_ref, n_cur,
-             |       CAST(round(CAST(cr AS DOUBLE) / tr * 1000000) AS BIGINT) AS cum_share_ref_x1e6,
-             |       CAST(round(CAST(cc AS DOUBLE) / tc * 1000000) AS BIGINT) AS cum_share_cur_x1e6,
-             |       CAST(round(abs(CAST(cr AS DOUBLE) / tr - CAST(cc AS DOUBLE) / tc) * 1000000) AS BIGINT) AS ks_term_x1e6
+             |       CAST((2 * CAST(cr AS HUGEINT) * 1000000 + tr)
+             |            // (2 * tr) AS BIGINT) AS cum_share_ref_x1e6,
+             |       CAST((2 * CAST(cc AS HUGEINT) * 1000000 + tc)
+             |            // (2 * tc) AS BIGINT) AS cum_share_cur_x1e6,
+             |       CAST((2 * abs(CAST(cr AS HUGEINT) * tc - CAST(cc AS HUGEINT) * tr) * 1000000
+             |             + CAST(tr AS HUGEINT) * tc)
+             |            // (2 * CAST(tr AS HUGEINT) * tc) AS BIGINT) AS ks_term_x1e6
              |FROM j, t
              |ORDER BY bin""".stripMargin)),
 
@@ -932,9 +1000,20 @@ object Rel {
               .otherwise(col("value")).as("value")),
           "value")
           .select(col("n_ref"), col("n_bad_ref"), col("n_cur"), col("n_bad_cur"),
-            round(col("nan_share_ref") * 1000000).cast("long").as("nan_share_ref_x1e6"),
-            round(col("nan_share_cur") * 1000000).cast("long").as("nan_share_cur_x1e6"),
-            round(col("nan_share_delta") * 1000000).cast("long").as("nan_share_delta_x1e6"))
+            // shares re-derived from the exact counts in integer
+            // half-up arithmetic (delta as a single cross-multiplied
+            // rational) — no double ratio is ever rounded
+            expr("CAST((2 * CAST(n_bad_ref AS DECIMAL(38,0)) * 1000000" +
+              " + greatest(n_ref, 1)) div (2 * greatest(n_ref, 1)) AS BIGINT)")
+              .as("nan_share_ref_x1e6"),
+            expr("CAST((2 * CAST(n_bad_cur AS DECIMAL(38,0)) * 1000000" +
+              " + greatest(n_cur, 1)) div (2 * greatest(n_cur, 1)) AS BIGINT)")
+              .as("nan_share_cur_x1e6"),
+            expr("CAST((2 * abs(CAST(n_bad_cur AS DECIMAL(38,0)) * greatest(n_ref, 1)" +
+              " - CAST(n_bad_ref AS DECIMAL(38,0)) * greatest(n_cur, 1)) * 1000000" +
+              " + CAST(greatest(n_ref, 1) AS DECIMAL(38,0)) * greatest(n_cur, 1))" +
+              " div (2 * CAST(greatest(n_ref, 1) AS DECIMAL(38,0)) * greatest(n_cur, 1))" +
+              " AS BIGINT)").as("nan_share_delta_x1e6"))
       },
       Some("""WITH ref AS (
              |  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_id % 2 = 0
@@ -952,10 +1031,15 @@ object Rel {
              |  FROM cur
              |)
              |SELECT n_ref, n_bad_ref, n_cur, n_bad_cur,
-             |       CAST(round(CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1) * 1000000) AS BIGINT) AS nan_share_ref_x1e6,
-             |       CAST(round(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1) * 1000000) AS BIGINT) AS nan_share_cur_x1e6,
-             |       CAST(round(abs(CAST(n_bad_cur AS DOUBLE) / greatest(n_cur, 1)
-             |                 - CAST(n_bad_ref AS DOUBLE) / greatest(n_ref, 1)) * 1000000) AS BIGINT) AS nan_share_delta_x1e6
+             |       CAST((2 * CAST(n_bad_ref AS HUGEINT) * 1000000 + greatest(n_ref, 1))
+             |            // (2 * greatest(n_ref, 1)) AS BIGINT) AS nan_share_ref_x1e6,
+             |       CAST((2 * CAST(n_bad_cur AS HUGEINT) * 1000000 + greatest(n_cur, 1))
+             |            // (2 * greatest(n_cur, 1)) AS BIGINT) AS nan_share_cur_x1e6,
+             |       CAST((2 * abs(CAST(n_bad_cur AS HUGEINT) * greatest(n_ref, 1)
+             |                     - CAST(n_bad_ref AS HUGEINT) * greatest(n_cur, 1)) * 1000000
+             |             + CAST(greatest(n_ref, 1) AS HUGEINT) * greatest(n_cur, 1))
+             |            // (2 * CAST(greatest(n_ref, 1) AS HUGEINT) * greatest(n_cur, 1))
+             |            AS BIGINT) AS nan_share_delta_x1e6
              |FROM r, c""".stripMargin)),
   )
 }

@@ -49,7 +49,8 @@ object ScaleOps {
        |e AS (SELECT e0.src, e0.dst, e0.w, od.outw FROM e0 JOIN od USING (src)),
        |r0 AS (SELECT node, CAST($PrScale AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes),
        |$iters
-       |SELECT node AS event_type, r AS rank_x1e9 FROM r5 ORDER BY event_type""".stripMargin
+       |SELECT node AS event_type, CAST(r AS BIGINT) AS rank_x1e9
+       |FROM r5 ORDER BY event_type""".stripMargin
   }
 
   // Bucketed copies of lineitem/orders, written ONCE per (JVM, sfDir)

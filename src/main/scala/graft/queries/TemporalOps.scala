@@ -168,9 +168,17 @@ object TemporalOps {
           .agg(
             count(lit(1)).as("n_segments"),
             sum(col("valid_to").isNull.cast("long")).as("n_current"),
-            round(avg(when(col("valid_to").isNotNull,
-              (unix_micros(col("valid_to")) - unix_micros(col("ts"))) / 1e6)), 2)
-              .as("avg_dur_sec"))
+            // mean closed duration in EXACT integer arithmetic:
+            // micros are integers, so the ×100-seconds mean is one
+            // half-up integer division — the old round(avg(double), 2)
+            // summed doubles in partial-agg order (flake class)
+            expr("CASE WHEN count(CASE WHEN valid_to IS NOT NULL THEN 1 END) = 0" +
+              " THEN CAST(NULL AS BIGINT)" +
+              " ELSE CAST((2 * sum(CASE WHEN valid_to IS NOT NULL THEN" +
+              " CAST(unix_micros(valid_to) - unix_micros(ts) AS DECIMAL(38,0)) END)" +
+              " + count(CASE WHEN valid_to IS NOT NULL THEN 1 END) * 10000)" +
+              " div (2 * count(CASE WHEN valid_to IS NOT NULL THEN 1 END) * 10000)" +
+              " AS BIGINT) END").as("avg_dur_sec_x100"))
           .orderBy("event_type")
       },
       Some("""WITH seg AS (
@@ -186,8 +194,13 @@ object TemporalOps {
              |)
              |SELECT event_type, count(*) AS n_segments,
              |       CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
-             |       round(avg(CASE WHEN valid_to IS NOT NULL
-             |                 THEN (epoch_us(valid_to) - epoch_us(ts)) / 1e6 END), 2) AS avg_dur_sec
+             |       CASE WHEN count(CASE WHEN valid_to IS NOT NULL THEN 1 END) = 0
+             |            THEN CAST(NULL AS BIGINT)
+             |            ELSE CAST((2 * sum(CASE WHEN valid_to IS NOT NULL THEN
+             |                       CAST(epoch_us(valid_to) - epoch_us(ts) AS HUGEINT) END)
+             |                       + count(CASE WHEN valid_to IS NOT NULL THEN 1 END) * 10000)
+             |                      // (2 * count(CASE WHEN valid_to IS NOT NULL THEN 1 END) * 10000)
+             |                      AS BIGINT) END AS avg_dur_sec_x100
              |FROM iv
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
@@ -301,7 +314,7 @@ object TemporalOps {
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
              |       CAST(min(age) AS BIGINT) AS last_age_days,
              |       CAST(sum(CAST(cents AS HUGEINT)
-             |                * (1000000 // (CAST(1 AS BIGINT) << CAST(least(age // 7, 20) AS INT))))
+             |                * (1000000 // (CAST(1 AS BIGINT) << CAST(least(age // 7, 19) AS INT))))
              |            AS BIGINT) AS decayed_x1e6
              |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )

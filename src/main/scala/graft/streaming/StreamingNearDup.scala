@@ -91,8 +91,16 @@ object StreamingNearDup {
       // arriving after its higher-id partner must still flag that
       // partner, or the flag set would depend on arrival order and
       // the id-order contract (and batch replayability) would break.
+      // distinct BEFORE the fp join: the at-least-once contract means
+      // a crash-replayed batch re-appends its fingerprints, and a
+      // duplicated (doc_id, fp) row would double-count into _n_shared
+      // — a pair sharing only 1 distinct fingerprint could then cross
+      // minShared and be falsely flagged, breaking the "flag set is a
+      // pure function of the corpus" contract. Dedup here (not just at
+      // reconciliation) makes the flag derivation itself replay-proof.
       val pool = prior.unionByName(newFps)
         .select(col("doc_id").as("_id_old"), col("fp"))
+        .distinct()
       val flagged = newFps
         .select(col("doc_id").as("_id_new"), col("fp"))
         .join(pool, Seq("fp"))

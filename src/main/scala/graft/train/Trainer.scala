@@ -43,7 +43,16 @@ object Trainer {
       rewardPriorCount: Int = 300,
       clipMinPropensity: Double = 1e-4,
       testSplit: Double = 0.3,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      /** Optional per-row weight MULTIPLIER column on the phase-2
+        * input (e.g. [[graft.operators.Dedup.softWeights]]' duplicate
+        * downweight, or any curation-derived importance): multiplies
+        * into the decision model's training weight alongside the
+        * inverse-propensity and Poisson factors. Null/absent values
+        * weigh 1.0. Phase 1 is unaffected — propensity stays pure
+        * memorization of the observed decisions.
+        */
+      rowWeightCol: Option[String] = None)
 
   final case class PropensityModel(
       model: GBTClassificationModel,
@@ -156,7 +165,10 @@ object Trainer {
       .withColumn(WeightCol,
         col("_ipw") * (if (config.explore)
           Encoding.nonZeroPoisson(hashUniform(col(Schema.DecisionId), modelSeed + 13))
-        else lit(1.0)))
+        else lit(1.0)) *
+          config.rowWeightCol
+            .map(c => coalesce(col(c).cast("double"), lit(1.0)))
+            .getOrElse(lit(1.0)))
       .withColumn(TargetCol,
         if (config.normalizeRewards)
           (col(Schema.Reward) - lit(rewardMean)) / lit(rewardStd)

@@ -30,13 +30,18 @@ class BasketSpec extends AnyFunSuite with SparkTestBase {
 
   test("rules compute confidence and lift from the capped relation") {
     val out = Basket.rules(fx, "b", "i", minSupport = 3, maxBasketSize = 20)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+      .collect().map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) ->
+        ((r.getAs[Long]("pair_sup"), r.getAs[Double]("conf_a_b"),
+          r.getAs[Double]("conf_b_a"), r.getAs[Double]("lift"),
+          r.getAs[Long]("sup_a"), r.getAs[Long]("sup_b"),
+          r.getAs[Long]("n_baskets")))).toMap
     // items: 1 in 4 baskets, 2 in 3, 3 in 3; N = 4 (basket 99 dropped)
     assert(out.keySet == Set((1L, 2L), (1L, 3L)))
-    val (s12, cab, cba, lift) = out((1L, 2L))
+    val (s12, cab, cba, lift, sa, sb, nb) = out((1L, 2L))
     assert(s12 == 3L && cab == 0.75 && cba == 1.0)
     assert(lift == 3.0 * 4 / (4 * 3)) // full precision: no presentation round
+    // the exact integer inputs ride along for integer-exact consumers
+    assert(sa == 4L && sb == 3L && nb == 4L)
     intercept[IllegalArgumentException](Basket.frequentPairs(fx, "b", "i", 0))
     intercept[IllegalArgumentException](Basket.frequentPairs(fx, "b", "i", 1, 1))
   }

@@ -288,6 +288,14 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
       Seq("user_id"), "ts", "v", halfLifeDays = 1, capShift = 3).collect()
     // age 28 days at halfLife 1 shifts 28 but caps at 3 -> weight 125000
     assert(capped.head.getAs[Long]("decayed_x1e6") === 1000000L * 125000L)
+    // default capShift=19 floors the weight at exactly 1, never 0:
+    // an event thousands of half-lives old still contributes value*1
+    val ancient = Seq(
+      (7L, Timestamp.valueOf("2020-01-01 00:00:00"), 5L),
+      (7L, ts(29), 0L))
+    val fl = Temporal.decayedSum(ancient.toDF("user_id", "ts", "v"),
+      Seq("user_id"), "ts", "v", halfLifeDays = 1).head()
+    assert(fl.getAs[Long]("decayed_x1e6") === 5L)
     // null ts/value rows are excluded but still anchor nothing
     val withNull = Seq(
       (5L, Option(ts(29)), Option(10L)),

@@ -72,13 +72,27 @@ def main():
         s, o = norm(spark), norm(ora)
         rows = len(s) == len(o)
         schema = list(s.columns) == list(o.columns)
-        # align dtypes the lenient way the driver effectively does
-        try:
-            o2 = o.astype({c: s[c].dtype for c in s.columns}) if schema else o
-        except Exception:
-            o2 = o
-        hmatch = schema and rows and value_hash(s) == value_hash(o2)
+        # STRICT: hash the oracle frame exactly as pandas materialized
+        # it from DuckDB — the driver does the same, so any dtype drift
+        # (e.g. HUGEINT -> float64 from an un-CAST sum(BIGINT)) must
+        # fail HERE, not only on the driver.
+        hmatch = schema and rows and value_hash(s) == value_hash(o)
+        dtype_only = False
+        if schema and rows and not hmatch:
+            # diagnose: would the old lenient coercion have passed?
+            try:
+                o2 = o.astype({c: s[c].dtype for c in s.columns})
+                dtype_only = value_hash(s) == value_hash(o2)
+            except Exception:
+                pass
+        o2 = o
         status = "OK" if (rows and schema and hmatch) else "FAIL"
+        if dtype_only:
+            print(f"{q}: DTYPE-ONLY mismatch — values equal after "
+                  f"coercion; CAST the oracle's final select "
+                  f"(driver would fail this). oracle dtypes: "
+                  f"{dict(o.dtypes.astype(str))} spark dtypes: "
+                  f"{dict(s.dtypes.astype(str))}")
         print(f"{q}: {status} rows={rows}({len(s)}/{len(o)}) "
               f"schema={schema} hash={hmatch}")
         if status == "FAIL":
