@@ -264,19 +264,27 @@ object ScaleStress {
     println(s"| query | x1 (s) | x$x (s) | ratio | verdict |")
     println("|---|---|---|---|---|")
     for (q <- selected) {
-      // discard a first x1 pass: the query's own codegen/classload
-      // warmup (~seconds) otherwise inflates the x1 denominator and
-      // makes cheap gates report unfalsifiable sub-1× ratios — the
-      // linear bar is only meaningful against a WARM x1 leg
-      time(q, baseDir)
-      val t1 = time(q, baseDir)
+      // run x1 TWICE: the first pass pays the query's codegen/classload
+      // warmup (and, for gates with per-sfDir materialized products —
+      // cached pair tables, bucketed layouts — the one-off derivation);
+      // the second is the warm steady state. The honest denominator:
+      // when the two passes differ by >2× a REAL materialization
+      // happened, and the x10 leg pays that same derivation fresh, so
+      // compare against the FIRST pass; otherwise the gap is JIT noise
+      // and the WARM pass is the meaningful linear bar (r9's cold-x1
+      // made cheap gates report unfalsifiable sub-1× ratios; r10's
+      // first warm-only attempt made cache-materializing gates report
+      // nonsense 3000× ratios — this rule handles both).
+      val t1cold = time(q, baseDir)
+      val t1warm = time(q, baseDir)
+      val t1 = if (t1cold > 2 * t1warm) t1cold else t1warm
       val tx = time(q, xDir)
       val ratio = tx / t1
       // fixed per-query overhead (JVM, planning, index I/O floors) makes
       // sub-x ratios common; anything well past the replica factor is
       // super-linear and needs a diagnosis in PLANS.md
       val verdict = if (ratio <= x * 1.3) "≤ linear" else "SUPER-LINEAR"
-      println(f"| $q | $t1%.1f | $tx%.1f | ${ratio}%.1f× | $verdict |")
+      println(f"| $q | $t1%.1f (cold $t1cold%.1f/warm $t1warm%.1f) | $tx%.1f | ${ratio}%.1f× | $verdict |")
     }
   }
 

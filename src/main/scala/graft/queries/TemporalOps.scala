@@ -205,6 +205,54 @@ object TemporalOps {
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // CDC / MERGE INTO application (Cdc.applyChangelog): the customer
+    // snapshot updated by an orders-derived changelog — last change
+    // per key by (o_orderdate, o_orderkey) wins; status-F finals
+    // delete the key; untouched keys keep their base row. The FULL
+    // result table is hashed (every key's survival, payload, and
+    // provenance pinned), payloads in integer cents. One window over
+    // the changelog + one key join — both on the same key.
+    GateQuery(
+      "q_cdc_apply",
+      (s, d) => {
+        val snapshot = customer(s, d).select(
+          col("c_custkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_x100"),
+          col("c_mktsegment").as("seg"))
+        val changes = orders(s, d).select(
+          col("o_custkey").as("c_custkey"),
+          col("o_orderdate"), col("o_orderkey"),
+          (col("o_orderstatus") === "F").as("del"),
+          round(col("o_totalprice") * 100).cast("long").as("bal_x100"),
+          col("o_orderpriority").as("seg"))
+        graft.operators.Cdc.applyChangelog(snapshot, changes,
+          keyCols = Seq("c_custkey"),
+          ordCols = Seq("o_orderdate", "o_orderkey"),
+          opCol = "del", payloadCols = Seq("bal_x100", "seg"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH chg AS (
+             |  SELECT o_custkey AS c_custkey,
+             |         (o_orderstatus = 'F') AS del,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS bal_x100,
+             |         o_orderpriority AS seg,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders),
+             |last AS (SELECT * FROM chg WHERE rn = 1),
+             |base AS (
+             |  SELECT c_custkey,
+             |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_x100,
+             |         c_mktsegment AS seg
+             |  FROM customer)
+             |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+             |       CASE WHEN l.c_custkey IS NOT NULL THEN l.bal_x100 ELSE b.bal_x100 END AS bal_x100,
+             |       CASE WHEN l.c_custkey IS NOT NULL THEN l.seg ELSE b.seg END AS seg,
+             |       CASE WHEN l.c_custkey IS NOT NULL THEN 'upsert' ELSE 'base' END AS _src
+             |FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.c_custkey
+             |WHERE coalesce(l.del, false) = false
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Ordered funnel: view → click → purchase, each step strictly
     // after the previous (min qualifying timestamp per step, computed
     // with conditional aggregation — ONE shuffle on user_id, no
