@@ -312,14 +312,25 @@ object RdrPipeline {
     // input to what the DuckDB oracle reads
     val p1 = spark.read.parquet(s"$slot/phase1")
     val p2 = spark.read.parquet(s"$slot/phase2")
-    // integer-units census (see mergeSummary): ×100 / ×1e4 longs, not
-    // round(x, 2|4) doubles, so DuckDB and Spark render identically
+    // integer-units census (see mergeSummary): rewards are exact 2dp
+    // cents, so mean/std derive from EXACT integer moments (S1, S2 in
+    // DECIMAL) with one half-up division / one sqrt of an
+    // exact-int-derived double — engine-built avg/stddev float sums
+    // (partial-agg order) never touch the published digits. The
+    // formula text is mirrored in the q_rdr_train oracle.
     val r1 = p1.agg(count(lit(1)),
       round(sum(Schema.Count) * 100).cast("long")).collect().head
     val r2 = p2.agg(count(lit(1)),
-      round(avg(Schema.Reward) * 10000).cast("long"),
-      round(coalesce(stddev_samp(Schema.Reward), lit(0.0)) * 10000)
-        .cast("long")).collect().head
+      expr("CAST((2 * sum(CAST(round(reward * 100) AS DECIMAL(38,0))) * 100" +
+        " + count(1)) div (2 * count(1)) AS BIGINT)"),
+      expr("CASE WHEN count(1) < 2 THEN CAST(0 AS BIGINT) ELSE" +
+        " CAST(round(sqrt((CAST(count(1) AS DOUBLE)" +
+        " * CAST(sum(CAST(round(reward * 100) AS DECIMAL(38,0))" +
+        "         * CAST(round(reward * 100) AS BIGINT)) AS DOUBLE)" +
+        " - CAST(sum(CAST(round(reward * 100) AS DECIMAL(38,0))) AS DOUBLE)" +
+        " * CAST(sum(CAST(round(reward * 100) AS DECIMAL(38,0))) AS DOUBLE))" +
+        " / (CAST(count(1) AS DOUBLE) * (count(1) - 1))) * 100) AS BIGINT) END"))
+      .collect().head
     val nEvents = Tables.events(spark, sfDir).count()
     val nf1 = spark.read.parquet(s"$slot/features_p1").count()
     val nf2 = spark.read.parquet(s"$slot/features_p2").count()

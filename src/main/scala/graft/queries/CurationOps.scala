@@ -155,9 +155,10 @@ object CurationOps {
             count(lit(1)).as("n_shards"),
             max("shard_tokens").as("max_shard_tokens"),
             sum("n_docs").cast("long").as("n_docs"),
-            // integer-units (×1e4 long), never round(x, d) doubles —
-            // the cross-engine decimal-round flake class
-            round(avg(col("shard_tokens") / 256.0) * 10000).cast("long")
+            // exact integer fill: Σ tokens · 1e4 / (256·n) as ONE
+            // half-up division — no float sum, no decimal round
+            expr("CAST((2 * sum(CAST(shard_tokens AS DECIMAL(38,0))) * 10000" +
+              " + 256 * count(1)) div (2 * 256 * count(1)) AS BIGINT)")
               .as("avg_fill_x1e4"))
           .orderBy("source")
       },
@@ -176,7 +177,8 @@ object CurationOps {
              |)
              |SELECT source, count(*) AS n_shards, max(shard_tokens) AS max_shard_tokens,
              |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
-             |       CAST(round(avg(shard_tokens / 256.0) * 10000) AS BIGINT) AS avg_fill_x1e4
+             |       CAST((2 * sum(CAST(shard_tokens AS HUGEINT)) * 10000 + 256 * count(*))
+             |            // (2 * 256 * count(*)) AS BIGINT) AS avg_fill_x1e4
              |FROM per GROUP BY source ORDER BY source""".stripMargin)),
 
     // Exactly-7-per-source deterministic sample: full membership is
@@ -213,12 +215,19 @@ object CurationOps {
         val delta = signed.filter(col("doc_id") % 10 === 0)
         val corpus = signed.filter(col("doc_id") % 10 =!= 0)
         graft.operators.Dedup.deltaPairsSigned(delta, corpus, "doc_id", 0.9)
+          // per-pair jac quantized to exact ×1e8 ints (identical
+          // doubles on both engines — same integer division), then an
+          // integer half-up average — no float accumulates
+          .withColumn("_jx", round(col("jac") * 100000000).cast("long"))
           .agg(
             count(lit(1)).as("n_pairs"),
-            round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"),
+            expr("CAST((2 * sum(CAST(_jx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_jac_x1e4"),
             countDistinct(col("id_delta")).as("n_delta_docs"))
       },
-      Some("""SELECT count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4,
+      Some("""SELECT count(*) AS n_pairs,
+             |       CAST((2 * sum(CAST(round(jac * 100000000) AS HUGEINT)) + count(*) * 10000)
+             |            // (2 * count(*) * 10000) AS BIGINT) AS avg_jac_x1e4,
              |       count(DISTINCT id_delta) AS n_delta_docs
              |FROM (
              |  SELECT a.doc_id AS id_delta,
@@ -467,8 +476,9 @@ object CurationOps {
 
     // Int8 max-abs embedding quantization: reconstruction-cosine
     // census. floor(x + 0.5) rounding so both engines agree exactly;
-    // min(cos) is order-independent (×1e6 units), averages at ×1e4 to
-    // absorb summation-order noise.
+    // min(cos) is order-independent (×1e6 units); averages ride
+    // per-row ×1e8 integer quantization + integer half-up division,
+    // so no float ever sums in shuffle order.
     GateQuery(
       "q_embed_quant",
       (s, d) => {
@@ -482,11 +492,18 @@ object CurationOps {
           .withColumn("q", q)
           .withColumn("dq", dq)
           .withColumn("cos", Ann.cosine(col("v"), col("dq")))
+          // per-row cos/scale quantized to exact ×1e8 ints (identical
+          // doubles both engines — same fixed-order fold), then
+          // integer half-up averages; min is order-free as-is
+          .withColumn("_cx", round(col("cos") * 100000000).cast("long"))
+          .withColumn("_sx", round(col("scale") * 100000000).cast("long"))
           .agg(
             count(lit(1)).as("n_vecs"),
-            round(avg("cos") * 10000).cast("long").as("avg_cos_x1e4"),
+            expr("CAST((2 * sum(CAST(_cx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_cos_x1e4"),
             round(min("cos") * 1000000).cast("long").as("min_cos_x1e6"),
-            round(avg("scale") * 10000).cast("long").as("avg_scale_x1e4"))
+            expr("CAST((2 * sum(CAST(_sx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_scale_x1e4"))
       },
       Some("""WITH e AS (
              |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
@@ -503,9 +520,12 @@ object CurationOps {
              |              * sqrt(list_sum(list_transform(dq, x -> x * x)))) AS cos
              |  FROM dq
              |)
-             |SELECT count(*) AS n_vecs, CAST(round(avg(cos) * 10000) AS BIGINT) AS avg_cos_x1e4,
+             |SELECT count(*) AS n_vecs,
+             |       CAST((2 * sum(CAST(round(cos * 100000000) AS HUGEINT)) + count(*) * 10000)
+             |            // (2 * count(*) * 10000) AS BIGINT) AS avg_cos_x1e4,
              |       CAST(round(min(cos) * 1000000) AS BIGINT) AS min_cos_x1e6,
-             |       CAST(round(avg(scale) * 10000) AS BIGINT) AS avg_scale_x1e4
+             |       CAST((2 * sum(CAST(round(scale * 100000000) AS HUGEINT)) + count(*) * 10000)
+             |            // (2 * count(*) * 10000) AS BIGINT) AS avg_scale_x1e4
              |FROM c""".stripMargin)),
 
     // The END-TO-END curation funnel: quality filter → exact dedup →
@@ -672,31 +692,49 @@ object CurationOps {
         // job or second corpus scan
         val n = toks.agg(count(lit(1)).as("_n"))
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+        // per-TOKEN log-probs quantized to exact ×1e9 ints (the ln
+        // itself stays the documented accepted libm class, but every
+        // sum after it is order-free integer arithmetic), per-doc and
+        // per-lang means as signed half-away integer divisions
         toks.join(freq, Seq("tok")).crossJoin(n)
+          .withColumn("_lpt",
+            round(log(col("tf").cast("double") / col("_n")) * 1000000000)
+              .cast("long"))
           .groupBy("doc_id", "lang")
-          .agg(avg(log(col("tf").cast("double") / col("_n"))).as("lp"))
+          .agg(expr(SharedOracles.halfDivSpark(
+            "sum(CAST(_lpt AS DECIMAL(38,0)))", "count(1)")).as("lp_x1e9"))
           .groupBy("lang")
           .agg(
-            round(avg("lp") * 10000).cast("long").as("avg_logprob_x1e4"),
-            round(min("lp") * 10000).cast("long").as("min_logprob_x1e4"),
+            expr(SharedOracles.halfDivSpark(
+              "sum(CAST(lp_x1e9 AS DECIMAL(38,0)))", "count(1) * 100000"))
+              .as("avg_logprob_x1e4"),
+            expr(SharedOracles.halfDivSpark("min(lp_x1e9)", "100000"))
+              .as("min_logprob_x1e4"),
             count(lit(1)).as("n_docs"))
           .orderBy("lang")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
-             |  FROM documents
-             |), freq AS (
-             |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
-             |), n AS (
-             |  SELECT count(*) AS n FROM toks
-             |), doc AS (
-             |  SELECT doc_id, lang, avg(ln(CAST(tf AS DOUBLE) / n.n)) AS lp
-             |  FROM toks JOIN freq USING (tok), n
-             |  GROUP BY doc_id, lang
-             |)
-             |SELECT lang, CAST(round(avg(lp) * 10000) AS BIGINT) AS avg_logprob_x1e4,
-             |       CAST(round(min(lp) * 10000) AS BIGINT) AS min_logprob_x1e4, count(*) AS n_docs
-             |FROM doc GROUP BY lang ORDER BY lang""".stripMargin)),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+              |  FROM documents
+              |), freq AS (
+              |  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+              |), n AS (
+              |  SELECT count(*) AS n FROM toks
+              |), doc AS (
+              |  SELECT doc_id, lang,
+              |         ${SharedOracles.halfDivSql(
+                 "sum(CAST(round(ln(CAST(tf AS DOUBLE) / n.n) * 1000000000) AS HUGEINT))",
+                 "count(*)")} AS lp_x1e9
+              |  FROM toks JOIN freq USING (tok), n
+              |  GROUP BY doc_id, lang
+              |)
+              |SELECT lang,
+              |       ${SharedOracles.halfDivSql(
+                 "sum(CAST(lp_x1e9 AS HUGEINT))", "count(*) * 100000")} AS avg_logprob_x1e4,
+              |       ${SharedOracles.halfDivSql(
+                 "min(lp_x1e9)", "100000")} AS min_logprob_x1e4,
+              |       count(*) AS n_docs
+              |FROM doc GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // CCNet-style perplexity filter (LangModel): a BIGRAM LM with
     // Jelinek–Mercer interpolation (λ=0.9) against an add-one unigram
@@ -716,18 +754,25 @@ object CurationOps {
         val scored = graft.operators.LangModel
           .scorePerplexity(docsDf, "doc_id", "text", m)
         graft.operators.LangModel.perplexityBand(scored, lo = 3.38, hi = 3.40)
+          // per-doc xent quantized to exact ×1e8 ints, then a signed
+          // half-away integer mean — the corpus-wide float sum was the
+          // widest remaining accumulation-order exposure here; max(ppl)
+          // is order-free (one per-row exp, accepted libm class)
+          .withColumn("_xx", round(col("xent") * 100000000).cast("long"))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),
             sum("n_bigrams").cast("long").as("n_bigrams"),
-            round(avg("xent") * 10000).cast("long").as("avg_xent_x1e4"),
+            expr(SharedOracles.halfDivSpark(
+              "sum(CAST(_xx AS DECIMAL(38,0)))", "count(_xx) * 10000"))
+              .as("avg_xent_x1e4"),
             round(max("ppl") * 10000).cast("long").as("max_ppl_x1e4"),
             sum(when(col("band") === "head", 1L).otherwise(0L)).as("n_head"),
             sum(when(col("band") === "middle", 1L).otherwise(0L)).as("n_middle"),
             sum(when(col("band") === "tail", 1L).otherwise(0L)).as("n_tail"))
           .orderBy("source")
       },
-      Some("""WITH w AS (
+      Some(raw"""WITH w AS (
              |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words
              |  FROM documents WHERE text IS NOT NULL
              |), ev AS (
@@ -754,7 +799,9 @@ object CurationOps {
              |)
              |SELECT d.source, count(*) AS n_docs,
              |       CAST(coalesce(sum(doc.n_bigrams), 0) AS BIGINT) AS n_bigrams,
-             |       CAST(round(avg(doc.xent) * 10000) AS BIGINT) AS avg_xent_x1e4,
+             |       ${SharedOracles.halfDivSql(
+                "sum(CAST(round(doc.xent * 100000000) AS HUGEINT))",
+                "count(doc.xent) * 10000")} AS avg_xent_x1e4,
              |       CAST(round(max(doc.ppl) * 10000) AS BIGINT) AS max_ppl_x1e4,
              |       CAST(sum(CASE WHEN doc.xent < 3.38 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
              |       CAST(sum(CASE WHEN doc.xent >= 3.38 AND doc.xent <= 3.40 THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
@@ -915,11 +962,28 @@ object CurationOps {
     GateQuery(
       "q_outliers",
       (s, d) => {
+        // mu/sd from EXACT integer moments (S1, S2 in DECIMAL) with
+        // ONE double division + sqrt at the end — engine-built
+        // avg/stddev_samp use different merge algorithms whose float
+        // sums can drift an ulp apart; exact-int-derived doubles are
+        // identical on both engines (divide/sqrt are correctly
+        // rounded), so z, the >2 flags, and max|z| are deterministic.
+        // The formula TEXT is mirrored verbatim in the oracle.
         val docs = documents(s, d)
-          .withColumn("n_tokens",
-            size(split(trim(col("text")), " ")).cast("double"))
+          .withColumn("n_int", size(split(trim(col("text")), " ")))
+          .withColumn("n_tokens", col("n_int").cast("double"))
         val stats = docs.groupBy("source")
-          .agg(avg("n_tokens").as("mu"), stddev_samp(col("n_tokens")).as("sd"))
+          .agg(
+            count(lit(1)).as("_N"),
+            expr("sum(CAST(n_int AS DECIMAL(38,0)))").as("_S1"),
+            expr("sum(CAST(n_int AS DECIMAL(38,0)) * n_int)").as("_S2"))
+          .withColumn("mu", expr("CAST(_S1 AS DOUBLE) / _N"))
+          .withColumn("sd", expr(
+            "CASE WHEN _N < 2 THEN CAST(NULL AS DOUBLE) ELSE" +
+              " sqrt((CAST(_N AS DOUBLE) * CAST(_S2 AS DOUBLE)" +
+              " - CAST(_S1 AS DOUBLE) * CAST(_S1 AS DOUBLE))" +
+              " / (CAST(_N AS DOUBLE) * (_N - 1))) END"))
+          .select("source", "mu", "sd")
         docs.join(stats, Seq("source"))
           .withColumn("z", (col("n_tokens") - col("mu")) / col("sd"))
           .groupBy("source")
@@ -933,12 +997,21 @@ object CurationOps {
           .orderBy("source")
       },
       Some("""WITH t AS (
-             |  SELECT source,
+             |  SELECT source, len(string_split(trim(text), ' ')) AS n_int,
              |         CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n
              |  FROM documents
-             |), st AS (
-             |  SELECT source, avg(n) AS mu, stddev_samp(n) AS sd
+             |), mo AS (
+             |  SELECT source, count(*) AS _N,
+             |         sum(CAST(n_int AS HUGEINT)) AS _S1,
+             |         sum(CAST(n_int AS HUGEINT) * n_int) AS _S2
              |  FROM t GROUP BY source
+             |), st AS (
+             |  SELECT source, CAST(_S1 AS DOUBLE) / _N AS mu,
+             |         CASE WHEN _N < 2 THEN CAST(NULL AS DOUBLE) ELSE
+             |           sqrt((CAST(_N AS DOUBLE) * CAST(_S2 AS DOUBLE)
+             |                 - CAST(_S1 AS DOUBLE) * CAST(_S1 AS DOUBLE))
+             |                / (CAST(_N AS DOUBLE) * (_N - 1))) END AS sd
+             |  FROM mo
              |)
              |SELECT t.source, count(*) AS n_docs,
              |       CAST(sum(CASE WHEN abs((n - mu) / sd) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
@@ -977,8 +1050,12 @@ object CurationOps {
             coalesce(sum(when(col("rel_weight") > 0, 1L).otherwise(0L)),
               lit(0L)).as("n_selected"),
             sum("n_tokens").cast("long").as("n_tokens"),
-            round(avg("rel_weight") * 10000)
-              .cast("long").as("avg_rel_tok_x1e4"),
+            // per-doc rel quantized to ×1e8 ints, signed half-away
+            // integer mean (rel can be negative); the inner ln sums
+            // stay the documented accepted class
+            expr(SharedOracles.halfDivSpark(
+              "sum(CAST(round(rel_weight * 100000000) AS DECIMAL(38,0)))",
+              "count(rel_weight) * 10000")).as("avg_rel_tok_x1e4"),
             round(max("rel_weight") * 10000).cast("long").as("max_rel_tok_x1e4"))
           .orderBy("source")
       },
@@ -1018,7 +1095,11 @@ object CurationOps {
              |SELECT d.source, count(*) AS n_docs,
              |       CAST(sum(CASE WHEN cen.rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
              |       CAST(sum(cen.n_tokens) AS BIGINT) AS n_tokens,
-             |       CAST(round(avg(cen.rel) * 10000) AS BIGINT) AS avg_rel_tok_x1e4,
+             |       CASE WHEN (sum(CAST(round(cen.rel * 100000000) AS HUGEINT))) < 0
+             |            THEN -CAST((2 * (-(sum(CAST(round(cen.rel * 100000000) AS HUGEINT)))) + (count(cen.rel) * 10000))
+             |                       // (2 * (count(cen.rel) * 10000)) AS BIGINT)
+             |            ELSE CAST((2 * (sum(CAST(round(cen.rel * 100000000) AS HUGEINT))) + (count(cen.rel) * 10000))
+             |                      // (2 * (count(cen.rel) * 10000)) AS BIGINT) END AS avg_rel_tok_x1e4,
              |       CAST(round(max(cen.rel) * 10000) AS BIGINT) AS max_rel_tok_x1e4
              |FROM documents d LEFT JOIN cen ON d.doc_id = cen.doc_id
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),

@@ -109,11 +109,13 @@ object ExtOps {
       "q_dedup_minhash",
       (s, d) => {
         cachedVerifiedPairs(s, d)
+          // per-pair jac quantized to exact ×1e8 ints, then an integer
+          // half-up average — no float sum in shuffle order
+          .withColumn("_jx", round(col("jac") * 100000000).cast("long"))
           .agg(
             count(lit(1)).as("n_pairs"),
-            // integer-units (×1e4 long), never round(x, d) doubles —
-            // the cross-engine decimal-round flake class
-            round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"),
+            expr("CAST((2 * sum(CAST(_jx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_jac_x1e4"),
             countDistinct(col("id_a")).as("n_left_docs"))
       },
       Some(SharedOracles.allPairsJaccardCensus)),
@@ -411,7 +413,10 @@ object ExtOps {
           wordHash = Dedup.md5WordHash)
           .agg(
             count(lit(1)).as("n_pairs"),
-            round(avg("hamming") * 10000).cast("long").as("avg_hamming_x1e4"))
+            // hamming is an exact integer — the mean is ONE half-up
+            // integer division, no float sum
+            expr("CAST((2 * sum(CAST(hamming AS DECIMAL(38,0))) * 10000 + count(1))" +
+              " div (2 * count(1)) AS BIGINT)").as("avg_hamming_x1e4"))
       },
       Some("""WITH w AS (
              |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
@@ -433,7 +438,9 @@ object ExtOps {
              |  SELECT bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
              |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
              |)
-             |SELECT count(*) AS n_pairs, CAST(round(avg(hamming) * 10000) AS BIGINT) AS avg_hamming_x1e4
+             |SELECT count(*) AS n_pairs,
+             |       CAST((2 * sum(CAST(hamming AS HUGEINT)) * 10000 + count(*))
+             |            // (2 * count(*)) AS BIGINT) AS avg_hamming_x1e4
              |FROM pairs WHERE hamming <= 3""".stripMargin)),
 
     // Embedding-cosine near-dup via sign-LSH + exact verify, against a
@@ -459,11 +466,14 @@ object ExtOps {
         val corpus = base.unionByName(dups)
         Dedup.embeddingNearDupPairs(corpus, "vec_id", "v", dim = 64,
           threshold = 0.95, bands = 16, bitsPerBand = 4)
+          // per-pair cos quantized to exact ×1e8 ints (identical
+          // doubles both engines — same fixed-order fold), then an
+          // integer half-up average — no float sum in shuffle order
+          .withColumn("_cx", round(col("cos") * 100000000).cast("long"))
           .agg(
             count(lit(1)).as("n_pairs"),
-            // integer-units (×1e4 long), not round(x, 4): decimal
-            // rounds of doubles are the HALF_UP-vs-binary flake class
-            round(avg("cos") * 10000).cast("long").as("avg_cos_x1e4"),
+            expr("CAST((2 * sum(CAST(_cx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_cos_x1e4"),
             sum(col("id_a") + col("id_b")).cast("long").as("id_checksum"))
       },
       Some("""WITH base AS (
@@ -484,7 +494,8 @@ object ExtOps {
              |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
              |)
              |SELECT count(*) AS n_pairs,
-             |       CAST(round(avg(cos) * 10000) AS BIGINT) AS avg_cos_x1e4,
+             |       CAST((2 * sum(CAST(round(cos * 100000000) AS HUGEINT)) + count(*) * 10000)
+             |            // (2 * count(*) * 10000) AS BIGINT) AS avg_cos_x1e4,
              |       CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum
              |FROM pairs WHERE cos >= 0.95""".stripMargin)),
 
@@ -780,11 +791,13 @@ object ExtOps {
         val media = Multimodal.withBinaryColumn(documents(s, d), "text", "doc_id")
         Multimodal.resize(media, outLen = 32).toDF()
           .where(col("n_bytes") > 0) // empty payloads excluded on both sides
+          // per-doc mean quantized to exact ×1e8 ints, then an integer
+          // half-up average — no float sum in shuffle order
+          .withColumn("_mx", round(col("resized_mean") * 100000000).cast("long"))
           .agg(
             count(lit(1)).as("n_media"),
-            // integer-units (×1e4 long), see q_dedup_embedding
-            round(avg("resized_mean") * 10000).cast("long")
-              .as("avg_resized_mean_x1e4"),
+            expr("CAST((2 * sum(CAST(_mx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_resized_mean_x1e4"),
             sum(expr("aggregate(resized, 0L, (acc, x) -> acc + x)"))
               .as("total_resized"))
       },
@@ -804,7 +817,8 @@ object ExtOps {
              |  FROM rb GROUP BY doc_id
              |)
              |SELECT count(*) AS n_media,
-             |       CAST(round(avg(m) * 10000) AS BIGINT) AS avg_resized_mean_x1e4,
+             |       CAST((2 * sum(CAST(round(m * 100000000) AS HUGEINT)) + count(*) * 10000)
+             |            // (2 * count(*) * 10000) AS BIGINT) AS avg_resized_mean_x1e4,
              |       CAST(sum(s) AS BIGINT) AS total_resized
              |FROM per""".stripMargin)),
 
@@ -818,11 +832,17 @@ object ExtOps {
         val docs = documents(s, d)
         val media = Multimodal.withBinaryColumn(docs, "text", "doc_id")
         Multimodal.extractFeatures(media).toDF()
+          // per-doc features quantized to exact ×1e8 ints, then
+          // integer half-up averages (inner per-doc log2 terms stay
+          // the documented accepted libm class)
+          .withColumn("_ex", round(col("entropy") * 100000000).cast("long"))
+          .withColumn("_fx", round(col("frame_mean") * 100000000).cast("long"))
           .agg(
             count(lit(1)).as("n_media"),
-            // integer-units (×1e4 long), see q_dedup_embedding
-            round(avg("entropy") * 10000).cast("long").as("avg_entropy_x1e4"),
-            round(avg("frame_mean") * 10000).cast("long").as("avg_frame_mean_x1e4"),
+            expr("CAST((2 * sum(CAST(_ex AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_entropy_x1e4"),
+            expr("CAST((2 * sum(CAST(_fx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_frame_mean_x1e4"),
             sum("n_frames").as("total_frames"))
       },
       Some("""WITH d AS (
@@ -847,8 +867,12 @@ object ExtOps {
              |  FROM bv WHERE i % 16 = 0 GROUP BY doc_id
              |)
              |SELECT count(*) AS n_media,
-             |       CAST(round(avg(coalesce(ent.entropy, 0)) * 10000) AS BIGINT) AS avg_entropy_x1e4,
-             |       CAST(round(avg(coalesce(fr.frame_mean, 0)) * 10000) AS BIGINT) AS avg_frame_mean_x1e4,
+             |       CAST((2 * sum(CAST(round(coalesce(ent.entropy, 0) * 100000000) AS HUGEINT))
+             |             + count(*) * 10000)
+             |            // (2 * count(*) * 10000) AS BIGINT) AS avg_entropy_x1e4,
+             |       CAST((2 * sum(CAST(round(coalesce(fr.frame_mean, 0) * 100000000) AS HUGEINT))
+             |             + count(*) * 10000)
+             |            // (2 * count(*) * 10000) AS BIGINT) AS avg_frame_mean_x1e4,
              |       CAST(sum(coalesce(fr.n_frames, 0)) AS BIGINT) AS total_frames
              |FROM d LEFT JOIN ent USING (doc_id) LEFT JOIN fr USING (doc_id)""".stripMargin)),
 

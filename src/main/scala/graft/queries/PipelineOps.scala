@@ -45,8 +45,17 @@ object PipelineOps {
              |  (SELECT count(*) FROM read_parquet('__GRAFT_GATES__/train/features_p1/*.parquet')) AS n_features_p1,
              |  (SELECT count(*) FROM read_parquet('__GRAFT_GATES__/train/features_p2/*.parquet')) AS n_features_p2,
              |  (SELECT CAST(round(sum("count") * 100) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase1/*.parquet')) AS total_count_p1_x100,
-             |  (SELECT CAST(round(avg(reward) * 10000) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_mean_x1e4,
-             |  (SELECT CAST(round(coalesce(stddev_samp(reward), 0) * 10000) AS BIGINT) FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_std_x1e4""".stripMargin)),
+             |  (SELECT CAST((2 * sum(CAST(round(reward * 100) AS HUGEINT)) * 100 + count(*))
+             |               // (2 * count(*)) AS BIGINT)
+             |   FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_mean_x1e4,
+             |  (SELECT CASE WHEN count(*) < 2 THEN CAST(0 AS BIGINT) ELSE
+             |            CAST(round(sqrt((CAST(count(*) AS DOUBLE)
+             |                 * CAST(sum(CAST(round(reward * 100) AS HUGEINT)
+             |                            * CAST(round(reward * 100) AS BIGINT)) AS DOUBLE)
+             |                 - CAST(sum(CAST(round(reward * 100) AS HUGEINT)) AS DOUBLE)
+             |                 * CAST(sum(CAST(round(reward * 100) AS HUGEINT)) AS DOUBLE))
+             |                / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) * 100) AS BIGINT) END
+             |   FROM read_parquet('__GRAFT_GATES__/train/phase2/*.parquet')) AS reward_std_x1e4""".stripMargin)),
 
     // Curation-weighted training: soft-dedup weights + decayed recency
     // feature multiplied into the phase-2 training weight

@@ -101,10 +101,16 @@ object Rel {
             // decimal round of a double is the HALF_UP-vs-binary
             // cross-engine flake class this repo documents, and an
             // integer renders identically everywhere
-            round(sum(col("l_extendedprice") * col("l_discount")) * 100)
-              .cast("long").as("revenue_x100"),
+            // exact: cents·basis-points summed in DECIMAL, ONE half-up
+            // division at the end — the old round(sum(double)·100)
+            // summed floats in partial-agg order
+            expr("CAST((2 * sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))" +
+              " * CAST(round(l_discount * 100) AS BIGINT)) + 100) div 200 AS BIGINT)")
+              .as("revenue_x100"),
             count(lit(1)).as("n_rows")),
-      Some("""SELECT CAST(round(sum(l_extendedprice * l_discount) * 100) AS BIGINT) AS revenue_x100,
+      Some("""SELECT CAST((2 * sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |                     * CAST(round(l_discount * 100) AS BIGINT)) + 100)
+             |            // 200 AS BIGINT) AS revenue_x100,
              |       count(*) AS n_rows
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -118,22 +124,37 @@ object Rel {
       (s, d) =>
         lineitem(s, d)
           .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          // per-row exact integers (qty integral, price/discount exact
+          // 2dp — fixture-verified): every sum/avg below is DECIMAL
+          // integer arithmetic with ONE half-up division per published
+          // column; no float ever accumulates in shuffle order
+          .withColumn("_q", round(col("l_quantity")).cast("long"))
+          .withColumn("_c", round(col("l_extendedprice") * 100).cast("long"))
+          .withColumn("_d100", round(col("l_discount") * 100).cast("long"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum("l_quantity") * 100).cast("long").as("sum_qty_x100"),
-            round(sum("l_extendedprice") * 100).cast("long").as("sum_base_price_x100"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
-              .cast("long").as("sum_disc_price_x100"),
-            round(avg("l_quantity") * 10000).cast("long").as("avg_qty_x1e4"),
-            round(avg("l_discount") * 10000).cast("long").as("avg_disc_x1e4"),
+            expr("CAST(sum(CAST(_q AS DECIMAL(38,0))) * 100 AS BIGINT)")
+              .as("sum_qty_x100"),
+            expr("CAST(sum(CAST(_c AS DECIMAL(38,0))) AS BIGINT)")
+              .as("sum_base_price_x100"),
+            expr("CAST((2 * sum(CAST(_c AS DECIMAL(38,0)) * (100 - _d100)) + 100)" +
+              " div 200 AS BIGINT)").as("sum_disc_price_x100"),
+            expr("CAST((2 * sum(CAST(_q AS DECIMAL(38,0))) * 10000 + count(1))" +
+              " div (2 * count(1)) AS BIGINT)").as("avg_qty_x1e4"),
+            expr("CAST((2 * sum(CAST(_d100 AS DECIMAL(38,0))) * 100 + count(1))" +
+              " div (2 * count(1)) AS BIGINT)").as("avg_disc_x1e4"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_x100,
-             |       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_x100,
-             |       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_x100,
-             |       CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty_x1e4,
-             |       CAST(round(avg(l_discount) * 10000) AS BIGINT) AS avg_disc_x1e4,
+             |       CAST(sum(CAST(round(l_quantity) AS HUGEINT)) * 100 AS BIGINT) AS sum_qty_x100,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS BIGINT) AS sum_base_price_x100,
+             |       CAST((2 * sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             |                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 100)
+             |            // 200 AS BIGINT) AS sum_disc_price_x100,
+             |       CAST((2 * sum(CAST(round(l_quantity) AS HUGEINT)) * 10000 + count(*))
+             |            // (2 * count(*)) AS BIGINT) AS avg_qty_x1e4,
+             |       CAST((2 * sum(CAST(round(l_discount * 100) AS HUGEINT)) * 100 + count(*))
+             |            // (2 * count(*)) AS BIGINT) AS avg_disc_x1e4,
              |       count(*) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

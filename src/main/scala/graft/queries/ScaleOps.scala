@@ -221,9 +221,11 @@ object ScaleOps {
       (s, d) => {
         SetJoin.jaccardJoin(documents(s, d).select("doc_id", "text"),
             "doc_id", "text", 0.9)
+          .withColumn("_jx", round(col("jac") * 100000000).cast("long"))
           .agg(
             count(lit(1)).as("n_pairs"),
-            round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"),
+            expr("CAST((2 * sum(CAST(_jx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_jac_x1e4"),
             countDistinct(col("id_a")).as("n_left_docs"))
       },
       Some(SharedOracles.allPairsJaccardCensus)),

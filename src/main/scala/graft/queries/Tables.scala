@@ -80,6 +80,22 @@ private[queries] object SharedOracles {
   def foldSql(idExpr: String): String =
     s"${bucketSql(s"'fold:' || CAST($idExpr AS VARCHAR)")} % $Folds"
 
+  /** Integer half-AWAY-from-zero division `num/den` (den > 0) — the
+    * signed sibling of the positive-only `(2a+b) div (2b)` idiom, for
+    * quantizing NEGATIVE integer sums (log-probs). Matches round()'s
+    * tie behavior on both engines (HALF_UP away from zero). The twin
+    * pair keeps the Spark (`div`, DECIMAL) and DuckDB (`//`, HUGEINT)
+    * renderings from drifting apart — callers pass pre-widened `num`.
+    */
+  def halfDivSpark(num: String, den: String): String =
+    s"CASE WHEN ($num) < 0" +
+      s" THEN -CAST((2 * (-($num)) + ($den)) div (2 * ($den)) AS BIGINT)" +
+      s" ELSE CAST((2 * ($num) + ($den)) div (2 * ($den)) AS BIGINT) END"
+  def halfDivSql(num: String, den: String): String =
+    s"CASE WHEN ($num) < 0" +
+      s" THEN -CAST((2 * (-($num)) + ($den)) // (2 * ($den)) AS BIGINT)" +
+      s" ELSE CAST((2 * ($num) + ($den)) // (2 * ($den)) AS BIGINT) END"
+
   /** Exact brute-force top-10 cosine vs vec 0 — the ground truth the
     * direct scan, the materialized IVF probe, the batch append, and
     * the streaming append must ALL equal (nprobe = C => exact).
@@ -119,7 +135,9 @@ private[queries] object SharedOracles {
     * join (q_set_join_exact) must match.
     */
   val allPairsJaccardCensus: String =
-    """SELECT count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4,
+    """SELECT count(*) AS n_pairs,
+      |       CAST((2 * sum(CAST(round(jac * 100000000) AS HUGEINT)) + count(*) * 10000)
+      |            // (2 * count(*) * 10000) AS BIGINT) AS avg_jac_x1e4,
       |       count(DISTINCT id_a) AS n_left_docs
       |FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
