@@ -11,7 +11,7 @@ object SparkEntry {
       PipelineOps.queries ++ ExtOps.queries ++ CurationOps.queries ++
       TemporalOps.queries ++ SearchOps.queries ++ StreamingOps.queries ++
       ScaleOps.queries ++ MiningOps.queries ++ AuditOps.queries ++
-      EvalOps.queries
+      EvalOps.queries ++ StatsOps.queries
     // many contributing files: a duplicated name would silently drop a
     // query from queries.toMap (Bench AND Verify would skip it) — fail
     // loudly instead

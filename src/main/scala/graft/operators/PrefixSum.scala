@@ -102,4 +102,39 @@ object PrefixSum {
             coalesce(sum(col(v)).over(local), lit(0L))).as(out)
         }: _*)
   }
+
+  /** EXCLUSIVE (strictly-preceding-rows) prefix MAX over the
+    * `orderCol` order — the max-monoid sibling of [[rangeExclusive]],
+    * same two-pass shape: ONE range exchange, parallel per-partition
+    * windows, a ≤`partitions`-row totals spine, broadcast offsets.
+    * `outCol` is NULL when no row strictly precedes (max over the
+    * empty set — callers decide the identity). Used by
+    * [[Skyline.pareto2d]] for the running "best other coordinate so
+    * far" scan that a naive `Window.orderBy` without partitionBy
+    * would compute on a single partition.
+    */
+  def rangeExclusiveMax(df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String, partitions: Int = 0): DataFrame = {
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // pinned for the same two-consumer boundary-race reason as
+    // rangeExclusive (see the localCheckpoint comment above)
+    val parts = df.repartitionByRange(p, col(orderCol).asc)
+      .withColumn("_psx_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = Window.partitionBy(col("_psx_pid")).orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = parts.groupBy(col("_psx_pid"))
+      .agg(max(col(valueCol)).as("_psx_t0"))
+    val offW = Window.orderBy(col("_psx_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = broadcast(totals.select(
+      col("_psx_pid").as("_psx_k0"),
+      max(col("_psx_t0")).over(offW).as("_psx_o0")))
+    parts
+      .join(offsets, col("_psx_pid") === col("_psx_k0"))
+      .select(df.columns.map(col).toIndexedSeq :+
+        greatest(col("_psx_o0"), max(col(valueCol)).over(local)).as(outCol): _*)
+  }
 }

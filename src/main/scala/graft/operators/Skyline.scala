@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed 2-D skyline (Pareto front) — the "no row is better on
+  * both axes" operator model-selection and corpus-curation sweeps ask
+  * for (keep documents no other document beats on BOTH quality and
+  * brevity; keep model checkpoints no other checkpoint beats on BOTH
+  * loss and size).
+  *
+  * Definition (minimize `minCol`, maximize `maxCol`): row p is
+  * DOMINATED iff some q has `q.min <= p.min && q.max >= p.max` with
+  * at least one strict inequality. The skyline is the non-dominated
+  * set. Duplicated (min, max) points do not dominate each other —
+  * both survive.
+  *
+  * Shape: the quadratic NOT-EXISTS self-join is never materialized.
+  * The dominance test for 2-D needs only, per row,
+  *   (a) the best `maxCol` among rows with STRICTLY smaller `minCol`
+  *       — an exclusive prefix max over the ≤|distinct minCol|-row
+  *       histogram ([[PrefixSum.rangeExclusiveMax]]: one range
+  *       exchange, parallel windows, bounded spine), and
+  *   (b) the best `maxCol` among rows with the SAME `minCol` — a
+  *       plain per-key aggregate on the same histogram.
+  * The annotated histogram joins back onto the corpus on `minCol`
+  * (broadcast when small, shuffle equi-join otherwise) — no window
+  * ever sees the full corpus on one partition, so the plan survives a
+  * corpus whose `minCol` is near-continuous.
+  */
+object Skyline {
+
+  /** Append `dominatedCol` (boolean) to `df`. Both columns must be
+    * orderable numerics; nulls in either coordinate are dominated by
+    * definition (they never beat anything and anything beats them) —
+    * callers filter nulls first if they mean "unknown".
+    */
+  def markDominated(df: DataFrame, minCol: String, maxCol: String,
+      dominatedCol: String = "dominated"): DataFrame = {
+    // per-distinct-minCol histogram: the only relation the prefix
+    // scan touches; distinct keys by construction (groupBy), so the
+    // exclusive window is tie-free
+    val hist = df.groupBy(col(minCol).as("_sky_k"))
+      .agg(max(col(maxCol)).as("_sky_same"))
+    val marked = PrefixSum
+      .rangeExclusiveMax(hist, "_sky_k", "_sky_same", "_sky_cheaper")
+    df.join(marked, col(minCol) === col("_sky_k"))
+      .withColumn(dominatedCol,
+        // strictly-cheaper row at least ties maxCol, or a same-cost
+        // row strictly beats it
+        (col("_sky_cheaper").isNotNull &&
+          col("_sky_cheaper") >= col(maxCol)) ||
+          col("_sky_same") > col(maxCol))
+      .drop("_sky_k", "_sky_same", "_sky_cheaper")
+  }
+
+  /** The skyline itself: rows of `df` not dominated under
+    * (minimize `minCol`, maximize `maxCol`).
+    */
+  def pareto2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val d = "_sky_dom"
+    markDominated(df, minCol, maxCol, d).filter(!col(d)).drop(d)
+  }
+}

@@ -1,0 +1,608 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Curation, PrefixSum, Skyline, Stats}
+
+/** Gate queries for the statistics/readout extension family:
+  * ANALYZE-style per-column table statistics (the CBO input a 100 TB
+  * catalog needs), distributed 2-D skyline (Pareto front), the
+  * deterministic Poisson bootstrap, doubly-robust off-policy
+  * evaluation, multi-touch attribution, exact rolling medians, A/B
+  * experiment readout, and positional phrase search. House rules
+  * throughout: content-derived md5 randomness, exact integer/decimal
+  * accumulation, half-up integer quantization at the projection, the
+  * one accepted double class (correctly-rounded /,sqrt over
+  * exact-integer-derived inputs, q_outliers precedent).
+  */
+object StatsOps {
+  import Tables._
+  import SharedOracles.{halfDivSpark, halfDivSql, bucketSql}
+
+  /** The six profiled lineitem columns, as exact BIGINT projections
+    * (timestamps as epoch micros — no float, no engine-specific
+    * date-to-string rendering anywhere).
+    */
+  private val statColNames =
+    Seq("l_linenumber", "l_orderkey", "l_partkey", "l_quantity",
+      "l_shipdate_us", "l_suppkey")
+
+  def queries: Seq[GateQuery] = Seq(
+
+    // ANALYZE-style table statistics: per-column row/null/NDV/min/max
+    // census — the stats relation a cost-based optimizer (join order,
+    // broadcast thresholds, partition sizing) is fed from. ONE corpus
+    // scan: Spark plans the 6 exact count-distincts as a single
+    // Expand (×6 row replication map-side, partial aggs combine);
+    // at 100 TB you would swap exact NDV for approx_count_distinct
+    // and the plan shape would not change — the gate pins the exact
+    // variant because the oracle can reproduce it.
+    GateQuery(
+      "q_table_stats",
+      (s, d) => {
+        val li = lineitem(s, d).select(
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_orderkey").as("l_orderkey"),
+          col("l_partkey").as("l_partkey"),
+          col("l_quantity").cast("long").as("l_quantity"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("l_shipdate_us"),
+          col("l_suppkey").as("l_suppkey"))
+        val wide = li.agg(
+          count(lit(1)).as("n_rows"),
+          statColNames.flatMap(c => Seq(
+            sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).as(s"mn_$c"),
+            max(col(c)).as(s"mx_$c"))): _*)
+        val stackArgs = statColNames
+          .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+        wide.selectExpr("n_rows",
+          s"stack(${statColNames.size}, $stackArgs)" +
+            " as (col_name, n_nulls, ndv, min_v, max_v)")
+          .select("col_name", "n_rows", "n_nulls", "ndv", "min_v", "max_v")
+          .orderBy("col_name")
+      },
+      Some {
+        val perCol = statColNames.map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |       count(*) - count($c) AS n_nulls,
+             |       count(DISTINCT $c) AS ndv,
+             |       CAST(min($c) AS BIGINT) AS min_v,
+             |       CAST(max($c) AS BIGINT) AS max_v FROM s""".stripMargin
+        }.mkString("\n", "\nUNION ALL\n", "\n")
+        s"""WITH s AS (
+           |  SELECT CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |         l_orderkey, l_partkey,
+           |         CAST(l_quantity AS BIGINT) AS l_quantity,
+           |         epoch_us(l_shipdate) AS l_shipdate_us,
+           |         l_suppkey
+           |  FROM lineitem)
+           |SELECT * FROM ($perCol) ORDER BY col_name""".stripMargin
+      }),
+
+    // Distributed 2-D skyline (Pareto front) over part: cheapest-for-
+    // the-size frontier (minimize retail cents, maximize size). The
+    // engine never forms the quadratic dominance join — Skyline
+    // reduces it to an exclusive prefix max over the price histogram
+    // (PrefixSum range architecture: one exchange, bounded spine) +
+    // one equi-join back; the oracle IS the quadratic NOT EXISTS, so
+    // the gate is a true independent re-derivation.
+    GateQuery(
+      "q_pareto",
+      (s, d) => {
+        val p = part(s, d).select(
+          col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+          col("p_size").cast("long").as("size_v"))
+        Skyline.pareto2d(p, "price_cents", "size_v")
+          .select("p_partkey", "price_cents", "size_v")
+          .orderBy("price_cents", "p_partkey")
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey,
+             |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             |         CAST(p_size AS BIGINT) AS size_v
+             |  FROM part)
+             |SELECT p_partkey, price_cents, size_v FROM p a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM p b
+             |  WHERE b.price_cents <= a.price_cents AND b.size_v >= a.size_v
+             |    AND (b.price_cents < a.price_cents OR b.size_v > a.size_v))
+             |ORDER BY price_cents, p_partkey""".stripMargin)),
+
+    // Deterministic Poisson bootstrap (the scale-out bootstrap): 20
+    // replicates of the mean event value, each row contributing
+    // m ~ Poisson(1) copies per replicate with m a pure function of
+    // md5("boot:<rep>:<event_id>") — ONE corpus pass, map-side
+    // explode, no corpus resampling shuffle, reproducible on any
+    // layout. The inverse-CDF thresholds are rendered as identical
+    // integer literals into both engines (Stats.poissonCountSql), so
+    // a boundary disagreement is impossible by construction.
+    GateQuery(
+      "q_bootstrap_ci",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        Stats.poissonBootstrap(ev, col("event_id"), col("cents"), reps = 20)
+          .withColumn("mean_x100", expr(halfDivSpark("wsum * 100", "n_eff")))
+          .orderBy("rep")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events),
+              |m AS (
+              |  SELECT r.range AS rep,
+              |         ${Stats.poissonCountSql(bucketSql(
+                 "'boot:' || CAST(r.range AS VARCHAR) || ':' || CAST(ev.event_id AS VARCHAR)"))} AS m,
+              |         ev.cents
+              |  FROM ev CROSS JOIN range(20) r)
+              |SELECT rep, CAST(sum(m) AS BIGINT) AS n_eff,
+              |       CAST(sum(m * cents) AS BIGINT) AS wsum,
+              |       ${halfDivSql("CAST(sum(m * cents) AS HUGEINT) * 100",
+                 "CAST(sum(m) AS HUGEINT)")} AS mean_x100
+              |FROM m GROUP BY rep ORDER BY rep""".stripMargin)),
+
+    // Doubly-robust off-policy evaluation — the estimator that stays
+    // consistent if EITHER the propensity model or the reward model
+    // is right (Dudík et al., arXiv:1103.4601). Reward model q̂ =
+    // per-action mean cents on the even-id fit split; importance
+    // weight w = 1/p with the same exact-integer 25200/k propensity
+    // as q_offpolicy_ips. The whole estimate is one exact rational:
+    //   V·(2520·N·n_e) = 2520·S·n_e + N·Σw·c − S·Σw
+    // (S,N = fit sum/count; sums over the odd-id eval split), carried
+    // in DECIMAL(38,0)/HUGEINT and quantized once. Two scans of the
+    // 5-row-keyed aggregates + one broadcast join.
+    GateQuery(
+      "q_offpolicy_dr",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("k",
+            pmod(Curation.hashBucket(
+              concat(lit("prop:"), col("event_id").cast("string"))), lit(9)) + 1)
+          .withColumn("w_x2520", expr("25200L div k"))
+        val fit = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_fit"),
+            sum("cents").cast("long").as("s_fit"))
+        val eval = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_eval"),
+            sum("w_x2520").cast("long").as("sw"),
+            sum(col("w_x2520") * col("cents")).cast("long").as("swc"))
+        eval.join(broadcast(fit), Seq("event_type"))
+          .withColumn("qhat_x100", expr(halfDivSpark("s_fit * 100", "n_fit")))
+          .withColumn("ips_x1e4", expr(halfDivSpark(
+            "CAST(swc AS DECIMAL(38,0)) * 10000", "2520 * n_eval")))
+          .withColumn("dr_x1e4", expr(halfDivSpark(
+            "(CAST(s_fit AS DECIMAL(38,0)) * 2520 * n_eval" +
+              " + CAST(n_fit AS DECIMAL(38,0)) * swc" +
+              " - CAST(s_fit AS DECIMAL(38,0)) * sw) * 10000",
+            "CAST(n_fit AS DECIMAL(38,0)) * n_eval * 2520")))
+          .select("event_type", "n_fit", "n_eval", "qhat_x100",
+            "ips_x1e4", "dr_x1e4")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_type, event_id,
+              |         CAST(round(value * 100) AS BIGINT) AS cents,
+              |         25200 // (${bucketSql("'prop:' || CAST(event_id AS VARCHAR)")} % 9 + 1) AS w
+              |  FROM events),
+              |fit AS (
+              |  SELECT event_type, count(*) AS n_fit,
+              |         CAST(sum(cents) AS HUGEINT) AS s_fit
+              |  FROM ev WHERE event_id % 2 = 0 GROUP BY event_type),
+              |ev2 AS (
+              |  SELECT event_type, count(*) AS n_eval,
+              |         CAST(sum(w) AS HUGEINT) AS sw,
+              |         CAST(sum(w * cents) AS HUGEINT) AS swc
+              |  FROM ev WHERE event_id % 2 = 1 GROUP BY event_type)
+              |SELECT ev2.event_type, n_fit, n_eval,
+              |       ${halfDivSql("s_fit * 100", "n_fit")} AS qhat_x100,
+              |       ${halfDivSql("swc * 10000", "2520 * n_eval")} AS ips_x1e4,
+              |       ${halfDivSql(
+                 "(s_fit * 2520 * n_eval + n_fit * swc - s_fit * sw) * 10000",
+                 "CAST(n_fit AS HUGEINT) * n_eval * 2520")} AS dr_x1e4
+              |FROM ev2 JOIN fit ON ev2.event_type = fit.event_type
+              |ORDER BY ev2.event_type""".stripMargin)),
+
+    // Multi-touch attribution: every purchase's cents credited to the
+    // view/click touches that preceded it in the same user timeline —
+    // first-touch, last-touch, and linear (proportional) models in
+    // ONE pass. All state is per-user windows over (ts, event_id)
+    // total order (one shuffle on user_id, no self-join, no state
+    // beyond the frame); linear credits are per-purchase exact
+    // half-up integers summed — no float shares anywhere.
+    GateQuery(
+      "q_attribution",
+      (s, d) => {
+        val touch = when(col("event_type").isin("view", "click"),
+          col("event_type"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("first_t", first(touch, ignoreNulls = true).over(w))
+          .withColumn("last_t", last(touch, ignoreNulls = true).over(w))
+          .withColumn("nv", coalesce(
+            sum(when(col("event_type") === "view", 1L)).over(w), lit(0L)))
+          .withColumn("nc", coalesce(
+            sum(when(col("event_type") === "click", 1L)).over(w), lit(0L)))
+        ev.filter(col("event_type") === "purchase")
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            coalesce(sum(when(col("nv") + col("nc") > 0, 1L)), lit(0L))
+              .as("n_attributed"),
+            coalesce(sum(when(col("first_t") === "view", col("cents"))), lit(0L))
+              .as("first_view_cents"),
+            coalesce(sum(when(col("first_t") === "click", col("cents"))), lit(0L))
+              .as("first_click_cents"),
+            coalesce(sum(when(col("last_t") === "view", col("cents"))), lit(0L))
+              .as("last_view_cents"),
+            coalesce(sum(when(col("last_t") === "click", col("cents"))), lit(0L))
+              .as("last_click_cents"),
+            coalesce(sum(when(col("nv") + col("nc") > 0,
+              expr(halfDivSpark("cents * 100 * nv", "nv + nc")))), lit(0L))
+              .cast("long").as("linear_view_x100"),
+            coalesce(sum(when(col("nv") + col("nc") > 0,
+              expr(halfDivSpark("cents * 100 * nc", "nv + nc")))), lit(0L))
+              .cast("long").as("linear_click_x100"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, event_id, ts, event_type,
+              |         CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events),
+              |w AS (
+              |  SELECT *,
+              |         first_value(CASE WHEN event_type IN ('view', 'click')
+              |                          THEN event_type END IGNORE NULLS)
+              |           OVER win AS first_t,
+              |         last_value(CASE WHEN event_type IN ('view', 'click')
+              |                         THEN event_type END IGNORE NULLS)
+              |           OVER win AS last_t,
+              |         coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END)
+              |           OVER win, 0) AS nv,
+              |         coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END)
+              |           OVER win, 0) AS nc
+              |  FROM ev
+              |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              |p AS (SELECT * FROM w WHERE event_type = 'purchase')
+              |SELECT count(*) AS n_purchases,
+              |       CAST(coalesce(sum(CASE WHEN nv + nc > 0 THEN 1 END), 0) AS BIGINT) AS n_attributed,
+              |       CAST(coalesce(sum(CASE WHEN first_t = 'view' THEN cents END), 0) AS BIGINT) AS first_view_cents,
+              |       CAST(coalesce(sum(CASE WHEN first_t = 'click' THEN cents END), 0) AS BIGINT) AS first_click_cents,
+              |       CAST(coalesce(sum(CASE WHEN last_t = 'view' THEN cents END), 0) AS BIGINT) AS last_view_cents,
+              |       CAST(coalesce(sum(CASE WHEN last_t = 'click' THEN cents END), 0) AS BIGINT) AS last_click_cents,
+              |       CAST(coalesce(sum(CASE WHEN nv + nc > 0 THEN ${halfDivSql("cents * 100 * nv", "nv + nc")} END), 0) AS BIGINT) AS linear_view_x100,
+              |       CAST(coalesce(sum(CASE WHEN nv + nc > 0 THEN ${halfDivSql("cents * 100 * nc", "nv + nc")} END), 0) AS BIGINT) AS linear_click_x100
+              |FROM p""".stripMargin)),
+
+    // Exact rolling median (trailing-5 frame) per user timeline —
+    // the robust sibling of q_rolling_stats' rolling sums. The frame
+    // is BOUNDED (5 rows), so the per-row sorted-frame state is O(k),
+    // not O(timeline); med2 = sum of the two middle order statistics
+    // (2·median, exact integer — no even-count float averaging).
+    GateQuery(
+      "q_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+        events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("_win", sort_array(collect_list("cents").over(w)))
+          .withColumn("med2",
+            element_at(col("_win"), expr("CAST((size(_win) + 1) div 2 AS INT)")) +
+              element_at(col("_win"), expr("CAST((size(_win) + 2) div 2 AS INT)")))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum("med2").cast("long").as("sum_med2"),
+            max("med2").as("max_med2"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, ts,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id,
+             |         list_sort(list(cents) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id
+             |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS l
+             |  FROM ev),
+             |m AS (
+             |  SELECT user_id,
+             |         l[CAST((len(l) + 1) // 2 AS INT)] +
+             |         l[CAST((len(l) + 2) // 2 AS INT)] AS med2
+             |  FROM r)
+             |SELECT user_id, count(*) AS n_events,
+             |       CAST(sum(med2) AS BIGINT) AS sum_med2,
+             |       CAST(max(med2) AS BIGINT) AS max_med2
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // A/B experiment readout: deterministic 50/50 user-hash split,
+    // exact integer/decimal moments per variant, and the Welch
+    // t-statistic from those exact moments — the q_outliers-class
+    // double (correctly-rounded /,sqrt over identical exact-int
+    // inputs, engine-identical; formula TEXT mirrored verbatim).
+    // Mean difference is quantized as one exact rational, not a
+    // difference of two roundings.
+    GateQuery(
+      "q_ab_readout",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("variant",
+            pmod(Curation.hashBucket(
+              concat(lit("ab:"), col("user_id").cast("string"))), lit(2)))
+        val m = ev.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("variant") === 0, col("cents")).otherwise(0L))
+            .cast("long").as("sa"),
+          expr("sum(CASE WHEN variant = 0" +
+            " THEN CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END)").as("ssa"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("variant") === 1, col("cents")).otherwise(0L))
+            .cast("long").as("sb"),
+          expr("sum(CASE WHEN variant = 1" +
+            " THEN CAST(cents AS DECIMAL(38,0)) * cents ELSE 0 END)").as("ssb"))
+        m.withColumn("mean_a_x100", expr(halfDivSpark("sa * 100", "na")))
+          .withColumn("mean_b_x100", expr(halfDivSpark("sb * 100", "nb")))
+          .withColumn("diff_x100", expr(halfDivSpark(
+            "(CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na) * 100",
+            "CAST(na AS DECIMAL(38,0)) * nb")))
+          .withColumn("welch_t_x1e4", expr(
+            "CAST(round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)" +
+              " / sqrt(((CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE)" +
+              "          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))" +
+              "         / (CAST(na AS DOUBLE) * (na - 1))) / na" +
+              "        + ((CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE)" +
+              "            - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))" +
+              "           / (CAST(nb AS DOUBLE) * (nb - 1))) / nb)" +
+              " * 10000) AS BIGINT)"))
+          .select("na", "nb", "mean_a_x100", "mean_b_x100", "diff_x100",
+            "welch_t_x1e4")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+              |         ${bucketSql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS variant
+              |  FROM events),
+              |m AS (
+              |  SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+              |         CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS HUGEINT) AS sa,
+              |         sum(CASE WHEN variant = 0 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ssa,
+              |         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+              |         CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS HUGEINT) AS sb,
+              |         sum(CASE WHEN variant = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ssb
+              |  FROM ev)
+              |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+              |       ${halfDivSql("sa * 100", "na")} AS mean_a_x100,
+              |       ${halfDivSql("sb * 100", "nb")} AS mean_b_x100,
+              |       ${halfDivSql("(sa * nb - sb * na) * 100", "CAST(na AS HUGEINT) * nb")} AS diff_x100,
+              |       CAST(round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+              |            / sqrt(((CAST(na AS DOUBLE) * CAST(ssa AS DOUBLE)
+              |                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+              |                    / (CAST(na AS DOUBLE) * (na - 1))) / na
+              |                   + ((CAST(nb AS DOUBLE) * CAST(ssb AS DOUBLE)
+              |                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+              |                      / (CAST(nb AS DOUBLE) * (nb - 1))) / nb)
+              |            * 10000) AS BIGINT) AS welch_t_x1e4
+              |FROM m""".stripMargin)),
+
+    // Positional phrase search ("table value" adjacency): the engine
+    // builds positional postings (posexplode) and answers the phrase
+    // query as a postings SELF-JOIN on (doc_id, pos+1) — the
+    // index-backed proximity-query plan, two filtered posting lists
+    // meeting in one equi-join, never a full-document rescan per
+    // query. The oracle is the opposite derivation (per-document
+    // array scan), so the gate cross-checks plan families.
+    GateQuery(
+      "q_phrase_search",
+      (s, d) => {
+        val postings = documents(s, d)
+          .withColumn("words", split(trim(col("text")), " "))
+          .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
+        // column renames on the second leg: both legs derive from the
+        // SAME postings plan, so df-api column refs would be ambiguous
+        val a = postings.filter(col("w") === "table")
+          .select(col("doc_id"), col("pos").as("pos_a"))
+        val b = postings.filter(col("w") === "value")
+          .select(col("doc_id").as("doc_id_b"), col("pos").as("pos_b"))
+        val hits = a.join(b,
+          col("doc_id") === col("doc_id_b") && col("pos_b") === col("pos_a") + 1)
+          .select("doc_id")
+        val perDoc = hits.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n").cast("long").as("n_occurrences"),
+          coalesce(sum(Curation.hashBucket(col("doc_id").cast("string"))), lit(0L))
+            .cast("long").as("id_checksum"))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS words
+              |  FROM documents),
+              |c AS (
+              |  SELECT doc_id,
+              |         CASE WHEN len(words) >= 2 THEN
+              |           len(list_filter(range(len(words) - 1),
+              |                 i -> words[CAST(i + 1 AS INT)] = 'table'
+              |                  AND words[CAST(i + 2 AS INT)] = 'value'))
+              |         ELSE 0 END AS n
+              |  FROM w)
+              |SELECT count(*) FILTER (WHERE n > 0) AS n_docs,
+              |       CAST(coalesce(sum(n), 0) AS BIGINT) AS n_occurrences,
+              |       CAST(coalesce(sum(CASE WHEN n > 0 THEN ${bucketSql("CAST(doc_id AS VARCHAR)")} END), 0) AS BIGINT) AS id_checksum
+              |FROM c""".stripMargin)),
+
+    // Grouped exact WEIGHTED median — distributed order statistics
+    // over a weight mass, the robust location estimate sampling-
+    // weighted corpora need. The engine never single-partitions a
+    // group: per-(type, cents) histogram → GROUPED exclusive prefix
+    // sums (PrefixSum range architecture: one exchange, parallel
+    // windows, bounded spine) → the crossing row where the cumulative
+    // weight first reaches half the group total. Weights are
+    // content-derived integers (1..5), the lower weighted median is
+    // picked by exact integer inequalities — no interpolation floats.
+    GateQuery(
+      "q_weighted_median",
+      (s, d) => {
+        val hist = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("w",
+            pmod(Curation.hashBucket(
+              concat(lit("wm:"), col("event_id").cast("string"))), lit(5)) + 1)
+          .groupBy("event_type", "cents")
+          .agg(sum("w").cast("long").as("wc"))
+        val cum = PrefixSum.rangeExclusive(hist, "cents", descending = false,
+          Seq("wc" -> "cum_excl"), groupCols = Seq("event_type"))
+        val totals = hist.groupBy("event_type")
+          .agg(sum("wc").cast("long").as("w_total"))
+        cum.join(broadcast(totals), Seq("event_type"))
+          .filter(lit(2) * (col("cum_excl") + col("wc")) >= col("w_total") &&
+            lit(2) * col("cum_excl") < col("w_total"))
+          .select(col("event_type"), col("w_total"),
+            col("cents").as("median_cents"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_type,
+              |         CAST(round(value * 100) AS BIGINT) AS cents,
+              |         ${bucketSql("'wm:' || CAST(event_id AS VARCHAR)")} % 5 + 1 AS w
+              |  FROM events),
+              |h AS (
+              |  SELECT event_type, cents, CAST(sum(w) AS BIGINT) AS wc
+              |  FROM ev GROUP BY event_type, cents),
+              |c AS (
+              |  SELECT *,
+              |         coalesce(sum(wc) OVER (PARTITION BY event_type
+              |           ORDER BY cents
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |           AS cum_excl,
+              |         sum(wc) OVER (PARTITION BY event_type) AS w_total
+              |  FROM h)
+              |SELECT event_type, CAST(w_total AS BIGINT) AS w_total,
+              |       cents AS median_cents
+              |FROM c
+              |WHERE 2 * (cum_excl + wc) >= w_total AND 2 * cum_excl < w_total
+              |ORDER BY event_type""".stripMargin)),
+
+    // Split-conformal prediction threshold (90% coverage): per
+    // action, the reward model is the even-id fit-split mean kept as
+    // the EXACT rational S/N, calibration residuals on the odd-id
+    // split are |cents·N − S| (scaled ×N so they stay integers), and
+    // the conformal quantile is the k-th smallest residual with
+    // k = ceil(0.9·(n_cal+1)) — exact distributed rank selection over
+    // the grouped residual histogram, same PrefixSum shape as the
+    // weighted median, never a per-group sort on one partition.
+    GateQuery(
+      "q_conformal",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        val fit = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_fit"), sum("cents").cast("long").as("s_fit"))
+        val cal = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .join(broadcast(fit), Seq("event_type"))
+          .withColumn("resid_xn", abs(col("cents") * col("n_fit") - col("s_fit")))
+        val hist = cal.groupBy("event_type", "n_fit", "resid_xn")
+          .agg(count(lit(1)).as("cnt"))
+        val cum = PrefixSum.rangeExclusive(hist, "resid_xn",
+          descending = false, Seq("cnt" -> "cum_excl"),
+          groupCols = Seq("event_type"))
+        val ks = hist.groupBy("event_type")
+          .agg(sum("cnt").cast("long").as("n_cal"))
+          .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+        cum.join(broadcast(ks), Seq("event_type"))
+          .filter(col("cum_excl") < col("k") &&
+            col("cum_excl") + col("cnt") >= col("k"))
+          .select(col("event_type"), col("n_fit"), col("n_cal"), col("k"),
+            col("resid_xn").as("thresh_resid_xn"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, event_id,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |fit AS (
+             |  SELECT event_type, count(*) AS n_fit,
+             |         CAST(sum(cents) AS BIGINT) AS s_fit
+             |  FROM ev WHERE event_id % 2 = 0 GROUP BY event_type),
+             |cal AS (
+             |  SELECT ev.event_type, n_fit,
+             |         abs(cents * n_fit - s_fit) AS resid_xn
+             |  FROM ev JOIN fit ON ev.event_type = fit.event_type
+             |  WHERE event_id % 2 = 1),
+             |h AS (
+             |  SELECT event_type, n_fit, resid_xn, count(*) AS cnt
+             |  FROM cal GROUP BY event_type, n_fit, resid_xn),
+             |c AS (
+             |  SELECT *,
+             |         coalesce(sum(cnt) OVER (PARTITION BY event_type
+             |           ORDER BY resid_xn
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS cum_excl,
+             |         sum(cnt) OVER (PARTITION BY event_type) AS n_cal
+             |  FROM h)
+             |SELECT event_type, CAST(n_fit AS BIGINT) AS n_fit,
+             |       CAST(n_cal AS BIGINT) AS n_cal,
+             |       CAST((9 * (n_cal + 1) + 9) // 10 AS BIGINT) AS k,
+             |       resid_xn AS thresh_resid_xn
+             |FROM c
+             |WHERE cum_excl < (9 * (n_cal + 1) + 9) // 10
+             |  AND cum_excl + cnt >= (9 * (n_cal + 1) + 9) // 10
+             |ORDER BY event_type""".stripMargin)),
+
+    // Equi-DEPTH histogram (10 exact decile boundaries of lineitem
+    // price cents) — the NDV-aware companion of q_histogram's
+    // equi-width bins and the other CBO input next to q_table_stats.
+    // Boundary j = the ceil(j·n/10)-th smallest value, selected
+    // exactly: price histogram → GLOBAL exclusive prefix counts (one
+    // range exchange, bounded spine) → a broadcast join against the
+    // 10-row target-rank relation picks each crossing row. At 100 TB
+    // the same plan stands — only the ≤|distinct price| histogram and
+    // 10 target rows ever concentrate.
+    GateQuery(
+      "q_equidepth_hist",
+      (s, d) => {
+        val hist = lineitem(s, d)
+          .withColumn("cents",
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .groupBy("cents").agg(count(lit(1)).as("cnt"))
+        val cum = PrefixSum.rangeExclusive(hist, "cents",
+          descending = false, Seq("cnt" -> "cum_excl"))
+        val n = hist.agg(sum("cnt").cast("long").as("n_rows"))
+        val targets = n.select(col("n_rows"),
+            explode(sequence(lit(1), lit(10))).as("bucket"))
+          .withColumn("target", expr("(bucket * n_rows + 9) div 10"))
+        cum.join(broadcast(targets),
+            col("cum_excl") < col("target") &&
+              col("cum_excl") + col("cnt") >= col("target"))
+          .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
+            col("target"), col("cents").as("boundary_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH li AS (
+             |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |h AS (SELECT cents, count(*) AS cnt FROM li GROUP BY cents),
+             |c AS (
+             |  SELECT *,
+             |         coalesce(sum(cnt) OVER (ORDER BY cents
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS cum_excl,
+             |         sum(cnt) OVER () AS n_rows
+             |  FROM h),
+             |t AS (SELECT range AS bucket FROM range(1, 11))
+             |SELECT bucket, CAST(c.n_rows AS BIGINT) AS n_rows,
+             |       CAST((bucket * c.n_rows + 9) // 10 AS BIGINT) AS target,
+             |       cents AS boundary_cents
+             |FROM c JOIN t
+             |  ON cum_excl < (bucket * c.n_rows + 9) // 10
+             | AND cum_excl + cnt >= (bucket * c.n_rows + 9) // 10
+             |ORDER BY bucket""".stripMargin))
+  )
+}

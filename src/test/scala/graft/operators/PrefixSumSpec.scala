@@ -130,4 +130,22 @@ class PrefixSumSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("Scan ExistingRDD"),
       s"expected the checkpointed (pinned) relation scan in:\n$plan")
   }
+
+  test("rangeExclusiveMax equals the plain exclusive window max") {
+    val rnd = new scala.util.Random(53)
+    val rows = rnd.shuffle((0 until 400).toVector)
+      .map(k => (k.toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "v").repartition(9)
+    val got = PrefixSum.rangeExclusiveMax(df, "k", "v", "pm", partitions = 7)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    val w = Window.orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = df.withColumn("pm", max(col("v")).over(w))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === expect.toSeq)
+    // first row: no strictly-preceding rows -> null (empty-set max)
+    assert(got.head._2.isEmpty)
+  }
 }
