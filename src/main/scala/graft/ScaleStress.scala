@@ -235,7 +235,16 @@ object ScaleStress {
     // window would have choked on); token-F1 is a token-sized
     // equi-join; nDCG rides a 30-query absolute bound × corpus scan;
     // CMS is one map-side-combined agg to 1024 cells
-    "q_auc", "q_pr_curve", "q_token_f1", "q_ndcg_mrr", "q_cms_counts")
+    "q_auc", "q_pr_curve", "q_token_f1", "q_ndcg_mrr", "q_cms_counts",
+    // r10 stats family: the three PrefixSum rank-selection consumers
+    // (value histograms stay NDV-bounded while counts grow 10× — the
+    // claim under test), the 20-replicate map-side bootstrap explode,
+    // per-user attribution/rolling windows over 10×-longer timelines,
+    // the skyline's histogram prefix-max + join-back, the 6-way
+    // count-distinct Expand, and the positional postings self-join
+    "q_weighted_median", "q_conformal", "q_equidepth_hist",
+    "q_bootstrap_ci", "q_attribution", "q_rolling_median", "q_pareto",
+    "q_table_stats", "q_phrase_search")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

@@ -603,6 +603,112 @@ object StatsOps {
              |FROM c JOIN t
              |  ON cum_excl < (bucket * c.n_rows + 9) // 10
              | AND cum_excl + cnt >= (bucket * c.n_rows + 9) // 10
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // Leave-one-source-out ablation (data valuation census): for each
+    // document source, how the corpus-wide mean token count moves if
+    // that source is dropped — the cheapest honest "is this source
+    // pulling quality up or down" readout (the group-level analogue
+    // of influence functions). Everything is exact rationals from ONE
+    // scan: per-source (N_j, S_j) + the global (N, S) broadcast back;
+    // delta = (S·N_j − S_j·N) / (N·(N−N_j)) quantized once, signed
+    // half-away — never a difference of two roundings.
+    GateQuery(
+      "q_source_ablation",
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("n_tok", size(split(trim(col("text")), " ")).cast("long"))
+        val per = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").cast("long").as("sum_tok"))
+        val tot = docs.agg(count(lit(1)).as("n_all"),
+          sum("n_tok").cast("long").as("s_all"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("mean_x100", expr(halfDivSpark("sum_tok * 100", "n_docs")))
+          .withColumn("loo_mean_x100", expr(halfDivSpark(
+            "(s_all - sum_tok) * 100", "n_all - n_docs")))
+          .withColumn("delta_x1e4", expr(halfDivSpark(
+            "(CAST(s_all AS DECIMAL(38,0)) * n_docs" +
+              " - CAST(sum_tok AS DECIMAL(38,0)) * n_all) * 10000",
+            "CAST(n_all AS DECIMAL(38,0)) * (n_all - n_docs)")))
+          .select("source", "n_docs", "sum_tok", "mean_x100",
+            "loo_mean_x100", "delta_x1e4")
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source,
+              |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |per AS (
+              |  SELECT source, count(*) AS n_docs,
+              |         CAST(sum(n_tok) AS HUGEINT) AS sum_tok
+              |  FROM t GROUP BY source),
+              |tot AS (
+              |  SELECT count(*) AS n_all, CAST(sum(n_tok) AS HUGEINT) AS s_all
+              |  FROM t)
+              |SELECT source, n_docs, CAST(sum_tok AS BIGINT) AS sum_tok,
+              |       ${halfDivSql("sum_tok * 100", "n_docs")} AS mean_x100,
+              |       ${halfDivSql("(s_all - sum_tok) * 100", "n_all - n_docs")} AS loo_mean_x100,
+              |       ${halfDivSql("(s_all * n_docs - sum_tok * n_all) * 10000",
+                 "CAST(n_all AS HUGEINT) * (n_all - n_docs)")} AS delta_x1e4
+              |FROM per CROSS JOIN tot
+              |ORDER BY source""".stripMargin)),
+
+    // Exact 10%-trimmed mean per action — the outlier-robust mean
+    // between the q_weighted_median point estimate and q_winsorize's
+    // clamping. No per-group sort: the (type, cents) histogram gets
+    // grouped exclusive prefix counts, and each histogram row
+    // contributes the exact overlap of its rank interval
+    // [cum_excl+1, cum_excl+cnt] with the retained band
+    // [lo+1, n−lo] (lo = n div 10) — trimmed sum and mean fall out as
+    // integer arithmetic over the NDV-bounded relation.
+    GateQuery(
+      "q_trimmed_mean",
+      (s, d) => {
+        val hist = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("event_type", "cents")
+          .agg(count(lit(1)).as("cnt"))
+        val cum = PrefixSum.rangeExclusive(hist, "cents", descending = false,
+          Seq("cnt" -> "cum_excl"), groupCols = Seq("event_type"))
+        val totals = hist.groupBy("event_type")
+          .agg(sum("cnt").cast("long").as("n"))
+          .withColumn("lo", expr("n div 10"))
+        cum.join(broadcast(totals), Seq("event_type"))
+          .withColumn("kept", greatest(lit(0L),
+            least(col("cum_excl") + col("cnt"), col("n") - col("lo"))
+              - greatest(col("cum_excl"), col("lo"))))
+          .groupBy("event_type", "n", "lo")
+          .agg(sum(col("kept") * col("cents")).cast("long").as("trim_sum"))
+          .withColumn("trimmed_mean_x100", expr(halfDivSpark(
+            "trim_sum * 100", "n - 2 * lo")))
+          .select("event_type", "n", "lo", "trim_sum", "trimmed_mean_x100")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events),
+              |h AS (
+              |  SELECT event_type, cents, count(*) AS cnt
+              |  FROM ev GROUP BY event_type, cents),
+              |c AS (
+              |  SELECT *,
+              |         coalesce(sum(cnt) OVER (PARTITION BY event_type
+              |           ORDER BY cents
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |           AS cum_excl,
+              |         sum(cnt) OVER (PARTITION BY event_type) AS n
+              |  FROM h),
+              |k AS (
+              |  SELECT event_type, n, n // 10 AS lo,
+              |         greatest(0, least(cum_excl + cnt, n - n // 10)
+              |                      - greatest(cum_excl, n // 10)) * cents AS part
+              |  FROM c)
+              |SELECT event_type, CAST(n AS BIGINT) AS n,
+              |       CAST(lo AS BIGINT) AS lo,
+              |       CAST(sum(part) AS BIGINT) AS trim_sum,
+              |       ${halfDivSql("CAST(sum(part) AS HUGEINT) * 100", "n - 2 * lo")} AS trimmed_mean_x100
+              |FROM k GROUP BY event_type, n, lo
+              |ORDER BY event_type""".stripMargin))
   )
 }
