@@ -114,26 +114,40 @@ object PrefixSum {
     * would compute on a single partition.
     */
   def rangeExclusiveMax(df: DataFrame, orderCol: String, valueCol: String,
-      outCol: String, partitions: Int = 0): DataFrame = {
+      outCol: String, partitions: Int = 0,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val p =
       if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // pinned for the same two-consumer boundary-race reason as
+    // group-major range (groups span contiguous partitions), pinned
+    // for the same two-consumer boundary-race reason as
     // rangeExclusive (see the localCheckpoint comment above)
-    val parts = df.repartitionByRange(p, col(orderCol).asc)
+    val rangeKeys = groupCols.map(col(_).asc) :+ col(orderCol).asc
+    val pidGrp = "_psx_pid" +: groupCols
+    val parts = df.repartitionByRange(p, rangeKeys: _*)
       .withColumn("_psx_pid", spark_partition_id())
       .localCheckpoint(true)
-    val local = Window.partitionBy(col("_psx_pid")).orderBy(col(orderCol).asc)
+    val local = Window.partitionBy(pidGrp.map(col): _*)
+      .orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val totals = parts.groupBy(col("_psx_pid"))
+    val totals = parts.groupBy(pidGrp.map(col): _*)
       .agg(max(col(valueCol)).as("_psx_t0"))
-    val offW = Window.orderBy(col("_psx_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = broadcast(totals.select(
-      col("_psx_pid").as("_psx_k0"),
-      max(col("_psx_t0")).over(offW).as("_psx_o0")))
+    val offW =
+      (if (groupCols.isEmpty) Window.orderBy(col("_psx_pid"))
+       else Window.partitionBy(groupCols.map(col): _*)
+         .orderBy(col("_psx_pid")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets0 = totals.select(
+      pidGrp.zipWithIndex.map { case (c, i) => col(c).as(s"_psx_k$i") } :+
+        max(col("_psx_t0")).over(offW).as("_psx_o0"): _*)
+    // global: ≤ p rows — broadcast; grouped: spine is group-sized,
+    // let the planner pick
+    val offsets = if (groupCols.isEmpty) broadcast(offsets0) else offsets0
+    val joinCond = pidGrp.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"_psx_k$i") }
+      .reduce(_ && _)
     parts
-      .join(offsets, col("_psx_pid") === col("_psx_k0"))
+      .join(offsets, joinCond)
       .select(df.columns.map(col).toIndexedSeq :+
         greatest(col("_psx_o0"), max(col(valueCol)).over(local)).as(outCol): _*)
   }

@@ -30,35 +30,45 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
-  /** Append `dominatedCol` (boolean) to `df`. Both columns must be
+  /** Append `dominatedCol` (boolean) to `df` — dominance evaluated
+    * WITHIN each `groupCols` cohort when given (a per-brand frontier:
+    * rows only dominate same-group rows). Both columns must be
     * orderable numerics; nulls in either coordinate are dominated by
     * definition (they never beat anything and anything beats them) —
     * callers filter nulls first if they mean "unknown".
     */
   def markDominated(df: DataFrame, minCol: String, maxCol: String,
-      dominatedCol: String = "dominated"): DataFrame = {
-    // per-distinct-minCol histogram: the only relation the prefix
-    // scan touches; distinct keys by construction (groupBy), so the
-    // exclusive window is tie-free
-    val hist = df.groupBy(col(minCol).as("_sky_k"))
+      dominatedCol: String = "dominated",
+      groupCols: Seq[String] = Nil): DataFrame = {
+    // per-distinct-(group, minCol) histogram: the only relation the
+    // prefix scan touches; distinct keys by construction (groupBy),
+    // so the exclusive window is tie-free
+    val hist = df
+      .groupBy((groupCols.map(col) :+ col(minCol).as("_sky_k")): _*)
       .agg(max(col(maxCol)).as("_sky_same"))
-    val marked = PrefixSum
-      .rangeExclusiveMax(hist, "_sky_k", "_sky_same", "_sky_cheaper")
-    df.join(marked, col(minCol) === col("_sky_k"))
+    val marked = PrefixSum.rangeExclusiveMax(hist, "_sky_k", "_sky_same",
+      "_sky_cheaper", groupCols = groupCols)
+      .withColumnsRenamed(groupCols.map(c => c -> s"_sky_g_$c").toMap)
+    val joinCond = (groupCols.map(c => col(c) <=> col(s"_sky_g_$c")) :+
+      (col(minCol) === col("_sky_k"))).reduce(_ && _)
+    df.join(marked, joinCond)
       .withColumn(dominatedCol,
-        // strictly-cheaper row at least ties maxCol, or a same-cost
-        // row strictly beats it
+        // strictly-cheaper same-group row at least ties maxCol, or a
+        // same-cost row strictly beats it
         (col("_sky_cheaper").isNotNull &&
           col("_sky_cheaper") >= col(maxCol)) ||
           col("_sky_same") > col(maxCol))
-      .drop("_sky_k", "_sky_same", "_sky_cheaper")
+      .drop(("_sky_k" +: "_sky_same" +: "_sky_cheaper" +:
+        groupCols.map(c => s"_sky_g_$c")): _*)
   }
 
   /** The skyline itself: rows of `df` not dominated under
-    * (minimize `minCol`, maximize `maxCol`).
+    * (minimize `minCol`, maximize `maxCol`), per `groupCols` cohort
+    * when given.
     */
-  def pareto2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+  def pareto2d(df: DataFrame, minCol: String, maxCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val d = "_sky_dom"
-    markDominated(df, minCol, maxCol, d).filter(!col(d)).drop(d)
+    markDominated(df, minCol, maxCol, d, groupCols).filter(!col(d)).drop(d)
   }
 }

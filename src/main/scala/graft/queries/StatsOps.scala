@@ -111,6 +111,49 @@ object StatsOps {
              |    AND (b.price_cents < a.price_cents OR b.size_v > a.size_v))
              |ORDER BY price_cents, p_partkey""".stripMargin)),
 
+    // Per-brand Pareto front: the grouped skyline — dominance only
+    // within a brand cohort (the per-domain frontier a model-selection
+    // or per-source curation sweep asks for). Same histogram prefix-
+    // max architecture, group-major range partitioning: a brand never
+    // pins to one partition. Census output (frontier size + id/price
+    // checksums per brand) keeps the gate row count brand-bounded
+    // while still pinning exact membership.
+    GateQuery(
+      "q_pareto_grouped",
+      (s, d) => {
+        val p = part(s, d).select(
+          col("p_brand"), col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+          col("p_size").cast("long").as("size_v"))
+        Skyline.pareto2d(p, "price_cents", "size_v",
+            groupCols = Seq("p_brand"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n_frontier"),
+            sum(Curation.hashBucket(col("p_partkey").cast("string")))
+              .cast("long").as("id_checksum"),
+            sum("price_cents").cast("long").as("sum_price_cents"),
+            max("size_v").as("max_size"))
+          .orderBy("p_brand")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT p_brand, p_partkey,
+              |         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+              |         CAST(p_size AS BIGINT) AS size_v
+              |  FROM part),
+              |f AS (
+              |  SELECT * FROM p a
+              |  WHERE NOT EXISTS (
+              |    SELECT 1 FROM p b
+              |    WHERE b.p_brand = a.p_brand
+              |      AND b.price_cents <= a.price_cents AND b.size_v >= a.size_v
+              |      AND (b.price_cents < a.price_cents OR b.size_v > a.size_v)))
+              |SELECT p_brand, count(*) AS n_frontier,
+              |       CAST(sum(${bucketSql("CAST(p_partkey AS VARCHAR)")}) AS BIGINT) AS id_checksum,
+              |       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+              |       CAST(max(size_v) AS BIGINT) AS max_size
+              |FROM f GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // Deterministic Poisson bootstrap (the scale-out bootstrap): 20
     // replicates of the mean event value, each row contributing
     // m ~ Poisson(1) copies per replicate with m a pure function of

@@ -51,6 +51,26 @@ class SkylineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("grouped pareto2d = per-group quadratic reference, groups isolated") {
+    val rnd = new scala.util.Random(29)
+    val pts = (0L until 300L).map(i =>
+      (i, s"g${i % 3}", rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val df = pts.toDF("id", "g", "mn", "mx").repartition(7)
+    val got = Skyline.pareto2d(df, "mn", "mx", groupCols = Seq("g"))
+      .select("id").as[Long].collect().toSet
+    val expect = pts.groupBy(_._2).values.flatMap { grp =>
+      bruteSkyline(grp.map(t => (t._1, t._3, t._4)))
+    }.toSet
+    assert(got === expect)
+    // a point crushed globally but alone in its group must survive:
+    // group isolation, not a weaker global frontier
+    val iso = Seq((1L, "a", 1L, 100L), (2L, "b", 50L, 1L))
+    val sky = Skyline.pareto2d(iso.toDF("id", "g", "mn", "mx"),
+      "mn", "mx", groupCols = Seq("g"))
+      .select("id").as[Long].collect().toSet
+    assert(sky === Set(1L, 2L))
+  }
+
   test("single point and strictly-sorted chain edge cases") {
     assert(Skyline.pareto2d(Seq((1L, 7L, 7L)).toDF("id", "mn", "mx"),
       "mn", "mx").count() === 1L)
