@@ -501,8 +501,12 @@ object StatsOps {
           .agg(sum("w").cast("long").as("wc"))
         val cum = PrefixSum.rangeExclusive(hist, "cents", descending = false,
           Seq("wc" -> "cum_excl"), groupCols = Seq("event_type"))
-        val totals = hist.groupBy("event_type")
-          .agg(sum("wc").cast("long").as("w_total"))
+        // group totals DERIVED FROM the prefix relation (last row's
+        // inclusive cum), which rides PrefixSum's pinned partitioning
+        // — aggregating `hist` here instead would recompute the
+        // histogram from parquet, a second full corpus scan
+        val totals = cum.groupBy("event_type")
+          .agg(max(col("cum_excl") + col("wc")).as("w_total"))
         cum.join(broadcast(totals), Seq("event_type"))
           .filter(lit(2) * (col("cum_excl") + col("wc")) >= col("w_total") &&
             lit(2) * col("cum_excl") < col("w_total"))
@@ -556,8 +560,10 @@ object StatsOps {
         val cum = PrefixSum.rangeExclusive(hist, "resid_xn",
           descending = false, Seq("cnt" -> "cum_excl"),
           groupCols = Seq("event_type"))
-        val ks = hist.groupBy("event_type")
-          .agg(sum("cnt").cast("long").as("n_cal"))
+        // n_cal from the prefix relation's last inclusive cum — rides
+        // the pinned partitioning, no second corpus scan
+        val ks = cum.groupBy("event_type")
+          .agg(max(col("cum_excl") + col("cnt")).as("n_cal"))
           .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
         cum.join(broadcast(ks), Seq("event_type"))
           .filter(col("cum_excl") < col("k") &&
@@ -617,7 +623,9 @@ object StatsOps {
           .groupBy("cents").agg(count(lit(1)).as("cnt"))
         val cum = PrefixSum.rangeExclusive(hist, "cents",
           descending = false, Seq("cnt" -> "cum_excl"))
-        val n = hist.agg(sum("cnt").cast("long").as("n_rows"))
+        // n from the prefix relation's last inclusive cum — rides the
+        // pinned partitioning, no second corpus scan
+        val n = cum.agg(max(col("cum_excl") + col("cnt")).as("n_rows"))
         val targets = n.select(col("n_rows"),
             explode(sequence(lit(1), lit(10))).as("bucket"))
           .withColumn("target", expr("(bucket * n_rows + 9) div 10"))
@@ -714,8 +722,10 @@ object StatsOps {
           .agg(count(lit(1)).as("cnt"))
         val cum = PrefixSum.rangeExclusive(hist, "cents", descending = false,
           Seq("cnt" -> "cum_excl"), groupCols = Seq("event_type"))
-        val totals = hist.groupBy("event_type")
-          .agg(sum("cnt").cast("long").as("n"))
+        // n from the prefix relation (last inclusive cum) — no second
+        // corpus scan
+        val totals = cum.groupBy("event_type")
+          .agg(max(col("cum_excl") + col("cnt")).as("n"))
           .withColumn("lo", expr("n div 10"))
         cum.join(broadcast(totals), Seq("event_type"))
           .withColumn("kept", greatest(lit(0L),
