@@ -28,6 +28,28 @@ object StatsOps {
     Seq("l_linenumber", "l_orderkey", "l_partkey", "l_quantity",
       "l_shipdate_us", "l_suppkey")
 
+  /** ONE ground truth for the 20-replicate Poisson bootstrap — shared
+    * verbatim by the batch gate (q_bootstrap_ci) and the streaming
+    * rollup parity gate (q_bootstrap_stream): replicate weights are
+    * content-derived, so streaming delivery must reproduce the batch
+    * table bit-for-bit.
+    */
+  private[queries] val BootstrapOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |m AS (
+       |  SELECT r.range AS rep,
+       |         ${Stats.poissonCountSql(SharedOracles.bucketSql(
+          "'boot:' || CAST(r.range AS VARCHAR) || ':' || CAST(ev.event_id AS VARCHAR)"))} AS m,
+       |         ev.cents
+       |  FROM ev CROSS JOIN range(20) r)
+       |SELECT rep, CAST(sum(m) AS BIGINT) AS n_eff,
+       |       CAST(sum(m * cents) AS BIGINT) AS wsum,
+       |       ${SharedOracles.halfDivSql("CAST(sum(m * cents) AS HUGEINT) * 100",
+          "CAST(sum(m) AS HUGEINT)")} AS mean_x100
+       |FROM m GROUP BY rep ORDER BY rep""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
 
     // ANALYZE-style table statistics: per-column row/null/NDV/min/max
@@ -171,20 +193,7 @@ object StatsOps {
           .withColumn("mean_x100", expr(halfDivSpark("wsum * 100", "n_eff")))
           .orderBy("rep")
       },
-      Some(s"""WITH ev AS (
-              |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
-              |  FROM events),
-              |m AS (
-              |  SELECT r.range AS rep,
-              |         ${Stats.poissonCountSql(bucketSql(
-                 "'boot:' || CAST(r.range AS VARCHAR) || ':' || CAST(ev.event_id AS VARCHAR)"))} AS m,
-              |         ev.cents
-              |  FROM ev CROSS JOIN range(20) r)
-              |SELECT rep, CAST(sum(m) AS BIGINT) AS n_eff,
-              |       CAST(sum(m * cents) AS BIGINT) AS wsum,
-              |       ${halfDivSql("CAST(sum(m * cents) AS HUGEINT) * 100",
-                 "CAST(sum(m) AS HUGEINT)")} AS mean_x100
-              |FROM m GROUP BY rep ORDER BY rep""".stripMargin)),
+      Some(BootstrapOracle)),
 
     // Doubly-robust off-policy evaluation — the estimator that stays
     // consistent if EITHER the propensity model or the reward model

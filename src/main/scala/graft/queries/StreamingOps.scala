@@ -413,6 +413,41 @@ object StreamingOps {
       },
       Some(ExtOps.CmsOracle)),
 
+    // ST parity: incremental Poisson-bootstrap monitoring. Replicate
+    // weights are content-derived (md5 of (rep, event_id)), so each
+    // micro-batch's per-replicate (n_eff, wsum) partials are exact and
+    // ADDITIVE — merged by one keyed sum they reconstruct the corpus
+    // replicate table bit-for-bit, and the confidence readout can be
+    // refreshed at any monitoring cadence without rescanning history.
+    // Output equals the batch q_bootstrap_ci exactly (oracle shared
+    // verbatim).
+    GateQuery(
+      "q_bootstrap_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import graft.operators.Stats
+        val work = replayDir("bootstrap_stream")
+        Tables.events(s, d)
+          .select(col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+        withReplayConf(s) {
+          StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
+            s"$work/ckpt",
+            StructType(Seq(StructField("event_id", LongType),
+              StructField("cents", LongType))))(
+            b => Stats.poissonBootstrap(b, col("event_id"), col("cents"),
+              reps = 20))
+            .awaitTermination()
+        }
+        StreamingRollup.merged(s, s"$work/state", Seq("rep"),
+          Seq("n_eff", "wsum"))
+          .withColumn("mean_x100", expr(
+            SharedOracles.halfDivSpark("wsum * 100", "n_eff")))
+          .orderBy("rep")
+      },
+      Some(StatsOps.BootstrapOracle)),
+
     // ST parity: incremental exact-AUC monitoring. The per-distinct-
     // score (n_pos, n_neg) histogram is additive, so per-batch
     // histograms merged by a keyed sum reconstruct the corpus
