@@ -771,6 +771,136 @@ object StatsOps {
               |       CAST(sum(part) AS BIGINT) AS trim_sum,
               |       ${halfDivSql("CAST(sum(part) AS HUGEINT) * 100", "n - 2 * lo")} AS trimmed_mean_x100
               |FROM k GROUP BY event_type, n, lo
-              |ORDER BY event_type""".stripMargin))
+              |ORDER BY event_type""".stripMargin)),
+
+    // Exact Spearman rank correlation (cents vs event time, per
+    // action) — tie-correct: each row's DOUBLED average rank is the
+    // integer 2p + c + 1 (p = strictly-smaller count, c = tie count),
+    // derived for BOTH variables from grouped prefix counts over their
+    // value histograms (PrefixSum — no per-group sort), joined back,
+    // then Pearson over the exact integer doubled ranks. Only the
+    // final rho is the accepted correctly-rounded /,sqrt double
+    // (q_outliers class; formula text mirrored verbatim). The oracle
+    // derives the same doubled ranks the OPPOSITE way
+    // (2·rank_min + cnt − 1 via window functions) — equal by algebra,
+    // so the gate cross-checks derivations, not one implementation.
+    GateQuery(
+      "q_spearman",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("tus", unix_micros(col("ts")))
+        def doubledRanks(valCol: String, out: String) = {
+          val h = ev.groupBy("event_type", valCol)
+            .agg(count(lit(1)).as("_c"))
+          PrefixSum.rangeExclusive(h, valCol, descending = false,
+            Seq("_c" -> "_p"), groupCols = Seq("event_type"))
+            .select(col("event_type"), col(valCol),
+              (lit(2) * col("_p") + col("_c") + 1).as(out))
+        }
+        val r = ev
+          .join(doubledRanks("cents", "rx"), Seq("event_type", "cents"))
+          .join(doubledRanks("tus", "ry"), Seq("event_type", "tus"))
+        r.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("sum(CAST(rx AS DECIMAL(38,0)))").as("_sx"),
+            expr("sum(CAST(ry AS DECIMAL(38,0)))").as("_sy"),
+            expr("sum(CAST(rx AS DECIMAL(38,0)) * rx)").as("_sxx"),
+            expr("sum(CAST(ry AS DECIMAL(38,0)) * ry)").as("_syy"),
+            expr("sum(CAST(rx AS DECIMAL(38,0)) * ry)").as("_sxy"))
+          .withColumn("rho_x1e6", expr(
+            "CAST(round((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)" +
+              " - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))" +
+              " / sqrt((CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)" +
+              "         - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))" +
+              "        * (CAST(n AS DOUBLE) * CAST(_syy AS DOUBLE)" +
+              "           - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE)))" +
+              " * 1000000) AS BIGINT)"))
+          .select("event_type", "n", "rho_x1e6")
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |         CAST(round(value * 100) AS BIGINT) AS cents,
+             |         epoch_us(ts) AS tus
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type,
+             |         2 * rank() OVER (PARTITION BY event_type ORDER BY cents)
+             |           + count(*) OVER (PARTITION BY event_type, cents) - 1 AS rx,
+             |         2 * rank() OVER (PARTITION BY event_type ORDER BY tus)
+             |           + count(*) OVER (PARTITION BY event_type, tus) - 1 AS ry
+             |  FROM ev),
+             |m AS (
+             |  SELECT event_type, count(*) AS n,
+             |         sum(CAST(rx AS HUGEINT)) AS _sx,
+             |         sum(CAST(ry AS HUGEINT)) AS _sy,
+             |         sum(CAST(rx AS HUGEINT) * rx) AS _sxx,
+             |         sum(CAST(ry AS HUGEINT) * ry) AS _syy,
+             |         sum(CAST(rx AS HUGEINT) * ry) AS _sxy
+             |  FROM r GROUP BY event_type)
+             |SELECT event_type, n,
+             |       CAST(round((CAST(n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+             |            - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+             |           / sqrt((CAST(n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+             |                   - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE))
+             |                  * (CAST(n AS DOUBLE) * CAST(_syy AS DOUBLE)
+             |                     - CAST(_sy AS DOUBLE) * CAST(_sy AS DOUBLE)))
+             |           * 1000000) AS BIGINT) AS rho_x1e6
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Exact Gini concentration (Lorenz census) of value mass per
+    // action — the inequality readout data-mixing diagnostics use
+    // ("is 1% of sessions carrying 90% of reward?"). Tie-exact from
+    // the value histogram alone: a tie block (v, c) at strictly-
+    // smaller count p contributes v·(2cp + c² + c) to the doubled
+    // rank-weighted sum, so G = (2Σi·x − (n+1)·T)/(n·T) is ONE exact
+    // rational over grouped prefix counts — no per-group sort, no
+    // per-row ranks, quantized once (half-away: G can round negative
+    // at 0 only in theory; values are positive cents).
+    GateQuery(
+      "q_gini_value",
+      (s, d) => {
+        val hist = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("event_type", "cents")
+          .agg(count(lit(1)).as("c"))
+        val cum = PrefixSum.rangeExclusive(hist, "cents",
+          descending = false, Seq("c" -> "p"), groupCols = Seq("event_type"))
+        cum.groupBy("event_type")
+          .agg(
+            sum("c").cast("long").as("n"),
+            expr("sum(CAST(cents AS DECIMAL(38,0)) * c)").as("_t"),
+            expr("sum(CAST(cents AS DECIMAL(38,0)) * (2 * c * p + c * c + c))")
+              .as("_a2"))
+          .withColumn("gini_x1e6", expr(halfDivSpark(
+            "(_a2 - (n + 1) * _t) * 1000000", "CAST(n AS DECIMAL(38,0)) * _t")))
+          .select(col("event_type"), col("n"),
+            expr("CAST(_t AS BIGINT)").as("total_cents"), col("gini_x1e6"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events),
+              |h AS (
+              |  SELECT event_type, cents, count(*) AS c
+              |  FROM ev GROUP BY event_type, cents),
+              |cu AS (
+              |  SELECT *,
+              |         coalesce(sum(c) OVER (PARTITION BY event_type
+              |           ORDER BY cents
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |           AS p
+              |  FROM h),
+              |m AS (
+              |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+              |         sum(CAST(cents AS HUGEINT) * c) AS _t,
+              |         sum(CAST(cents AS HUGEINT) * (2 * c * p + c * c + c)) AS _a2
+              |  FROM cu GROUP BY event_type)
+              |SELECT event_type, n, CAST(_t AS BIGINT) AS total_cents,
+              |       ${halfDivSql("(_a2 - (n + 1) * _t) * 1000000",
+                 "CAST(n AS HUGEINT) * _t")} AS gini_x1e6
+              |FROM m ORDER BY event_type""".stripMargin))
   )
 }
