@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Curation, PrefixSum, Skyline, Stats}
+import graft.operators.{Curation, PrefixSum, RankStats, Skyline, Stats}
 
 /** Gate queries for the statistics/readout extension family:
   * ANALYZE-style per-column table statistics (the CBO input a 100 TB
@@ -501,26 +501,15 @@ object StatsOps {
     GateQuery(
       "q_weighted_median",
       (s, d) => {
-        val hist = events(s, d)
+        val ev = events(s, d)
           .withColumn("cents", round(col("value") * 100).cast("long"))
           .withColumn("w",
             pmod(Curation.hashBucket(
               concat(lit("wm:"), col("event_id").cast("string"))), lit(5)) + 1)
-          .groupBy("event_type", "cents")
-          .agg(sum("w").cast("long").as("wc"))
-        val cum = PrefixSum.rangeExclusive(hist, "cents", descending = false,
-          Seq("wc" -> "cum_excl"), groupCols = Seq("event_type"))
-        // group totals DERIVED FROM the prefix relation (last row's
-        // inclusive cum), which rides PrefixSum's pinned partitioning
-        // — aggregating `hist` here instead would recompute the
-        // histogram from parquet, a second full corpus scan
-        val totals = cum.groupBy("event_type")
-          .agg(max(col("cum_excl") + col("wc")).as("w_total"))
-        cum.join(broadcast(totals), Seq("event_type"))
-          .filter(lit(2) * (col("cum_excl") + col("wc")) >= col("w_total") &&
-            lit(2) * col("cum_excl") < col("w_total"))
-          .select(col("event_type"), col("w_total"),
-            col("cents").as("median_cents"))
+        RankStats.weightedMedian(ev, "cents", col("w"),
+            groupCols = Seq("event_type"), medianCol = "median_cents")
+          .select(col("event_type"), col("total").as("w_total"),
+            col("median_cents"))
           .orderBy("event_type")
       },
       Some(s"""WITH ev AS (
@@ -564,20 +553,13 @@ object StatsOps {
         val cal = ev.filter(pmod(col("event_id"), lit(2)) === 1)
           .join(broadcast(fit), Seq("event_type"))
           .withColumn("resid_xn", abs(col("cents") * col("n_fit") - col("s_fit")))
-        val hist = cal.groupBy("event_type", "n_fit", "resid_xn")
-          .agg(count(lit(1)).as("cnt"))
-        val cum = PrefixSum.rangeExclusive(hist, "resid_xn",
-          descending = false, Seq("cnt" -> "cum_excl"),
-          groupCols = Seq("event_type"))
-        // n_cal from the prefix relation's last inclusive cum — rides
-        // the pinned partitioning, no second corpus scan
-        val ks = cum.groupBy("event_type")
-          .agg(max(col("cum_excl") + col("cnt")).as("n_cal"))
-          .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
-        cum.join(broadcast(ks), Seq("event_type"))
-          .filter(col("cum_excl") < col("k") &&
-            col("cum_excl") + col("cnt") >= col("k"))
-          .select(col("event_type"), col("n_fit"), col("n_cal"), col("k"),
+        // n_fit rides along as a group key (constant within
+        // event_type), so the selected row still carries the scale
+        RankStats.kthValue(cal, "resid_xn", lit(1L),
+            groupCols = Seq("event_type", "n_fit"),
+            k = expr("(9 * (total + 1) + 9) div 10"))
+          .select(col("event_type"), col("n_fit"),
+            col("total").as("n_cal"), col("k"),
             col("resid_xn").as("thresh_resid_xn"))
           .orderBy("event_type")
       },
@@ -626,22 +608,17 @@ object StatsOps {
     GateQuery(
       "q_equidepth_hist",
       (s, d) => {
-        val hist = lineitem(s, d)
+        val li = lineitem(s, d)
           .withColumn("cents",
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-          .groupBy("cents").agg(count(lit(1)).as("cnt"))
-        val cum = PrefixSum.rangeExclusive(hist, "cents",
-          descending = false, Seq("cnt" -> "cum_excl"))
-        // n from the prefix relation's last inclusive cum — rides the
-        // pinned partitioning, no second corpus scan
-        val n = cum.agg(max(col("cum_excl") + col("cnt")).as("n_rows"))
-        val targets = n.select(col("n_rows"),
-            explode(sequence(lit(1), lit(10))).as("bucket"))
-          .withColumn("target", expr("(bucket * n_rows + 9) div 10"))
-        cum.join(broadcast(targets),
-            col("cum_excl") < col("target") &&
-              col("cum_excl") + col("cnt") >= col("target"))
-          .select(col("bucket").cast("long").as("bucket"), col("n_rows"),
+        val cum = RankStats.cumHistogram(li, "cents", lit(1L), Nil)
+        val targets = s.range(1, 11)
+          .select(col("id").cast("long").as("bucket"))
+        cum.crossJoin(broadcast(targets))
+          .withColumn("target", expr("(bucket * total + 9) div 10"))
+          .filter(col("cum_excl") < col("target") &&
+            col("cum_excl") + col("mass") >= col("target"))
+          .select(col("bucket"), col("total").as("n_rows"),
             col("target"), col("cents").as("boundary_cents"))
           .orderBy("bucket")
       },
@@ -725,26 +702,14 @@ object StatsOps {
     GateQuery(
       "q_trimmed_mean",
       (s, d) => {
-        val hist = events(s, d)
+        val ev = events(s, d)
           .withColumn("cents", round(col("value") * 100).cast("long"))
-          .groupBy("event_type", "cents")
-          .agg(count(lit(1)).as("cnt"))
-        val cum = PrefixSum.rangeExclusive(hist, "cents", descending = false,
-          Seq("cnt" -> "cum_excl"), groupCols = Seq("event_type"))
-        // n from the prefix relation (last inclusive cum) — no second
-        // corpus scan
-        val totals = cum.groupBy("event_type")
-          .agg(max(col("cum_excl") + col("cnt")).as("n"))
-          .withColumn("lo", expr("n div 10"))
-        cum.join(broadcast(totals), Seq("event_type"))
-          .withColumn("kept", greatest(lit(0L),
-            least(col("cum_excl") + col("cnt"), col("n") - col("lo"))
-              - greatest(col("cum_excl"), col("lo"))))
-          .groupBy("event_type", "n", "lo")
-          .agg(sum(col("kept") * col("cents")).cast("long").as("trim_sum"))
+        RankStats.trimmedSum(ev, "cents", lit(1L),
+            groupCols = Seq("event_type"), num = 1, den = 10)
+          .select(col("event_type"), col("total").as("n"), col("lo"),
+            col("trim_sum"))
           .withColumn("trimmed_mean_x100", expr(halfDivSpark(
             "trim_sum * 100", "n - 2 * lo")))
-          .select("event_type", "n", "lo", "trim_sum", "trimmed_mean_x100")
           .orderBy("event_type")
       },
       Some(s"""WITH ev AS (
@@ -790,17 +755,11 @@ object StatsOps {
         val ev = events(s, d)
           .withColumn("cents", round(col("value") * 100).cast("long"))
           .withColumn("tus", unix_micros(col("ts")))
-        def doubledRanks(valCol: String, out: String) = {
-          val h = ev.groupBy("event_type", valCol)
-            .agg(count(lit(1)).as("_c"))
-          PrefixSum.rangeExclusive(h, valCol, descending = false,
-            Seq("_c" -> "_p"), groupCols = Seq("event_type"))
-            .select(col("event_type"), col(valCol),
-              (lit(2) * col("_p") + col("_c") + 1).as(out))
-        }
         val r = ev
-          .join(doubledRanks("cents", "rx"), Seq("event_type", "cents"))
-          .join(doubledRanks("tus", "ry"), Seq("event_type", "tus"))
+          .join(RankStats.doubledRanks(ev, "cents", Seq("event_type"), "rx"),
+            Seq("event_type", "cents"))
+          .join(RankStats.doubledRanks(ev, "tus", Seq("event_type"), "ry"),
+            Seq("event_type", "tus"))
         r.groupBy("event_type")
           .agg(
             count(lit(1)).as("n"),
@@ -862,22 +821,14 @@ object StatsOps {
     GateQuery(
       "q_gini_value",
       (s, d) => {
-        val hist = events(s, d)
+        val ev = events(s, d)
           .withColumn("cents", round(col("value") * 100).cast("long"))
-          .groupBy("event_type", "cents")
-          .agg(count(lit(1)).as("c"))
-        val cum = PrefixSum.rangeExclusive(hist, "cents",
-          descending = false, Seq("c" -> "p"), groupCols = Seq("event_type"))
-        cum.groupBy("event_type")
-          .agg(
-            sum("c").cast("long").as("n"),
-            expr("sum(CAST(cents AS DECIMAL(38,0)) * c)").as("_t"),
-            expr("sum(CAST(cents AS DECIMAL(38,0)) * (2 * c * p + c * c + c))")
-              .as("_a2"))
-          .withColumn("gini_x1e6", expr(halfDivSpark(
-            "(_a2 - (n + 1) * _t) * 1000000", "CAST(n AS DECIMAL(38,0)) * _t")))
+        RankStats.giniParts(ev, "cents", Seq("event_type"))
+          .withColumn("gini_x1e6",
+            expr(halfDivSpark("gini_num * 1000000", "gini_den")))
           .select(col("event_type"), col("n"),
-            expr("CAST(_t AS BIGINT)").as("total_cents"), col("gini_x1e6"))
+            expr("CAST(total_value AS BIGINT)").as("total_cents"),
+            col("gini_x1e6"))
           .orderBy("event_type")
       },
       Some(s"""WITH ev AS (
