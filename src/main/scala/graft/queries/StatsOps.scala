@@ -738,6 +738,55 @@ object StatsOps {
               |FROM k GROUP BY event_type, n, lo
               |ORDER BY event_type""".stripMargin)),
 
+    // Per-source percentile FILTER (keep each source's top decile by
+    // token count) — the curation shape "per-domain quality bar":
+    // the bar itself is an exact order statistic (smallest value with
+    // cumulative count ≥ ceil(0.9·n), RankStats.kthValue), broadcast
+    // back as a 20-row relation; the corpus pass is one scan + one
+    // broadcast join + a filter. Census pins the exact surviving set.
+    GateQuery(
+      "q_percentile_filter",
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("n_tok", size(split(trim(col("text")), " ")).cast("long"))
+        val bars = RankStats.kthValue(docs, "n_tok", lit(1L),
+            groupCols = Seq("source"), k = expr("(9 * total + 9) div 10"))
+          .select(col("source"), col("n_tok").as("p90_tok"))
+        docs.join(broadcast(bars), Seq("source"))
+          .filter(col("n_tok") >= col("p90_tok"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            min("n_tok").as("min_kept_tok"),
+            max("n_tok").as("max_kept_tok"),
+            sum(Curation.hashBucket(col("doc_id").cast("string")))
+              .cast("long").as("id_checksum"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source, doc_id,
+              |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+              |  FROM documents),
+              |h AS (
+              |  SELECT source, n_tok, count(*) AS cnt
+              |  FROM t GROUP BY source, n_tok),
+              |c AS (
+              |  SELECT *,
+              |         sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum_incl,
+              |         sum(cnt) OVER (PARTITION BY source) AS n
+              |  FROM h),
+              |bars AS (
+              |  SELECT source, min(n_tok) AS p90_tok
+              |  FROM c WHERE cum_incl >= (9 * n + 9) // 10
+              |  GROUP BY source)
+              |SELECT t.source, count(*) AS n_kept,
+              |       CAST(min(n_tok) AS BIGINT) AS min_kept_tok,
+              |       CAST(max(n_tok) AS BIGINT) AS max_kept_tok,
+              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
+              |FROM t JOIN bars ON t.source = bars.source
+              |WHERE t.n_tok >= bars.p90_tok
+              |GROUP BY t.source ORDER BY t.source""".stripMargin)),
+
     // Exact Spearman rank correlation (cents vs event time, per
     // action) — tie-correct: each row's DOUBLED average rank is the
     // integer 2p + c + 1 (p = strictly-smaller count, c = tie count),
