@@ -210,6 +210,56 @@ object Temporal {
     * driver state. A pathological key whose span/step is huge inflates
     * only its own partition — cap the span upstream if steps are tiny.
     */
+  /** Interval OVERLAP join: inner-join left intervals
+    * [`leftStart`, `leftEnd`] to right intervals
+    * [`rightStart`, `rightEnd`] (micros, inclusive) sharing the `on`
+    * keys, wherever the intervals intersect. The interval×interval
+    * sibling of [[rangeJoin]]'s point-in-window.
+    *
+    * Scale path: both sides explode onto a fixed `bucketUs`-wide time
+    * grid (replication = ceil(span/bucketUs) + 1 cells per interval —
+    * pick bucketUs near the typical span), the join is a plain
+    * shuffle equi-join on (keys, bucket), and each overlapping pair
+    * is emitted EXACTLY ONCE without any distinct: only the canonical
+    * cell — the bucket containing max(leftStart, rightStart), the
+    * overlap's first instant, which both sides necessarily generated
+    * — survives the post-filter. A raw `ls <= re AND rs <= le` theta
+    * join would give Catalyst nothing to hash on and degenerate to a
+    * nested loop; this never does. Appends `overlap_us` =
+    * min(le, re) − max(ls, rs) (≥ 0, exact integer).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketUs: Long, rightPrefix: String = "r_"): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive: $bucketUs")
+    val l = left
+      .withColumn("_ij_bucket", explode(sequence(
+        floor(col(leftStart) / bucketUs).cast("long"),
+        floor(col(leftEnd) / bucketUs).cast("long"))))
+    val r = right.select(
+      (Seq(struct(right.columns.map(col).toIndexedSeq: _*).as("_ij_r"),
+        col(rightStart).as("_ij_rs"), col(rightEnd).as("_ij_re")) ++
+        on.map(col)).toIndexedSeq: _*)
+      .withColumn("_ij_bucket", explode(sequence(
+        floor(col("_ij_rs") / bucketUs).cast("long"),
+        floor(col("_ij_re") / bucketUs).cast("long"))))
+    val cond = (on :+ "_ij_bucket")
+      .map(k => l(k) === r(k))
+      .reduce(_ && _) &&
+      l(leftStart) <= r("_ij_re") && r("_ij_rs") <= l(leftEnd) &&
+      // canonical cell only: the bucket holding the overlap's first
+      // instant — dedups multi-cell pairs with zero extra shuffles
+      l("_ij_bucket") ===
+        floor(greatest(l(leftStart), r("_ij_rs")) / bucketUs).cast("long")
+    l.join(r, cond)
+      .select((left.columns.map(c => l(c)) ++
+        right.columns.map(c => col("_ij_r").getField(c).as(rightPrefix + c)) :+
+        (least(l(leftEnd), col("_ij_re")) -
+          greatest(l(leftStart), col("_ij_rs"))).as("overlap_us"))
+        .toIndexedSeq: _*)
+  }
+
   /** Time-decayed per-key aggregate — the feature-store
     * materialization "recent activity counts more": every event's
     * integer `valueCol` is weighted by a power-of-two half-life decay

@@ -365,5 +365,66 @@ object TemporalOps {
              |                * (1000000 // (CAST(1 AS BIGINT) << CAST(least(age // 7, 19) AS INT))))
              |            AS BIGINT) AS decayed_x1e6
              |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Interval OVERLAP join (interval×interval — the sibling
+    // q_range_join's point-in-window doesn't cover): per-user daily
+    // activity spans × the 20 worst error incidents' ±30 min windows.
+    // The engine grid-buckets BOTH interval sets onto a 1 h grid and
+    // equi-joins on the cell, emitting each overlapping pair exactly
+    // once via the canonical-cell filter (Temporal.intervalJoin — no
+    // distinct, no theta-join nested loop); the oracle is the plain
+    // inequality join. Census pins pair multiplicity, both distinct
+    // sides, the exact integer overlap mass, and membership.
+    GateQuery(
+      "q_interval_join",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("tus", unix_micros(col("ts")))
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        val sessions = ev
+          .groupBy(col("user_id"), expr("tus div 86400000000L").as("day"))
+          .agg(min("tus").as("s_start"), max("tus").as("s_end"))
+        val incidents = ev.filter(col("event_type") === "error")
+          .orderBy(desc("cents"), asc("event_id")).limit(20)
+          .select(col("event_id").as("incident_id"),
+            (col("tus") - 1800000000L).as("i_start"),
+            (col("tus") + 1800000000L).as("i_end"))
+        Temporal.intervalJoin(sessions, incidents, Nil,
+            "s_start", "s_end", "i_start", "i_end",
+            bucketUs = 3600000000L)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("user_id") * 1000000 + col("day"))
+              .as("n_sessions_hit"),
+            countDistinct(col("r_incident_id")).as("n_incidents_hit"),
+            sum("overlap_us").cast("long").as("sum_overlap_us"),
+            sum(graft.operators.Curation.hashBucket(concat_ws(":",
+              col("user_id"), col("day"), col("r_incident_id"))))
+              .cast("long").as("pair_checksum"))
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+              |         CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events),
+              |sess AS (
+              |  SELECT user_id, tus // 86400000000 AS day,
+              |         min(tus) AS s_start, max(tus) AS s_end
+              |  FROM ev GROUP BY user_id, tus // 86400000000),
+              |inc AS (
+              |  SELECT event_id AS incident_id,
+              |         tus - 1800000000 AS i_start, tus + 1800000000 AS i_end
+              |  FROM ev WHERE event_type = 'error'
+              |  ORDER BY cents DESC, event_id ASC LIMIT 20),
+              |p AS (
+              |  SELECT user_id, day, incident_id,
+              |         least(s_end, i_end) - greatest(s_start, i_start) AS overlap_us
+              |  FROM sess JOIN inc ON s_start <= i_end AND i_start <= s_end)
+              |SELECT count(*) AS n_pairs,
+              |       count(DISTINCT user_id * 1000000 + day) AS n_sessions_hit,
+              |       count(DISTINCT incident_id) AS n_incidents_hit,
+              |       CAST(sum(overlap_us) AS BIGINT) AS sum_overlap_us,
+              |       CAST(sum(${SharedOracles.bucketSql(
+                 "CAST(user_id AS VARCHAR) || ':' || CAST(day AS VARCHAR) || ':' || CAST(incident_id AS VARCHAR)")}) AS BIGINT) AS pair_checksum
+              |FROM p""".stripMargin)),
   )
 }

@@ -306,4 +306,50 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     assert(g2.getAs[Long]("n_events") === 1L)
     assert(g2.getAs[Long]("decayed_x1e6") === 10L * 1000000L)
   }
+
+  test("intervalJoin = brute-force overlap join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // spans 0..5 buckets wide at bucketUs=100 — exercises multi-cell
+    // replication and the canonical-cell dedup
+    val lefts = (0 until 200).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, s, s + rnd.nextInt(500))
+    }
+    val rights = (0 until 150).map { j =>
+      val s = rnd.nextInt(10000).toLong
+      (j.toLong, s, s + rnd.nextInt(500))
+    }
+    val got = Temporal.intervalJoin(
+      lefts.toDF("lid", "ls", "le"), rights.toDF("rid", "rs", "re"),
+      Nil, "ls", "le", "rs", "re", bucketUs = 100L)
+      .select("lid", "r_rid", "overlap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = for {
+      (li, ls, le) <- lefts
+      (ri, rs, re) <- rights
+      if ls <= re && rs <= le
+    } yield (li, ri, math.min(le, re) - math.max(ls, rs))
+    // exact multiset equality: multiplicity 1 per overlapping pair
+    assert(got.sorted.toSeq === expect.sorted.toSeq)
+  }
+
+  test("intervalJoin scopes overlap by the on-keys") {
+    import spark.implicits._
+    val l = Seq(("k1", 0L, 100L), ("k2", 0L, 100L)).toDF("k", "ls", "le")
+    val r = Seq(("k1", 50L, 60L), ("k3", 50L, 60L)).toDF("k", "rs", "re")
+    val got = Temporal.intervalJoin(l, r, Seq("k"),
+      "ls", "le", "rs", "re", bucketUs = 1000L)
+      .select("k", "overlap_us").collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(got.toSeq === Seq(("k1", 10L)))
+  }
+
+  test("intervalJoin touch-at-boundary counts as overlap (inclusive ends)") {
+    import spark.implicits._
+    val l = Seq((1L, 0L, 100L)).toDF("lid", "ls", "le")
+    val r = Seq((2L, 100L, 200L)).toDF("rid", "rs", "re")
+    val got = Temporal.intervalJoin(l, r, Nil, "ls", "le", "rs", "re", 64L)
+      .select("overlap_us").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(0L))
+  }
 }
