@@ -235,6 +235,40 @@ object Multimodal {
       }
   }
 
+  final case class MediaFrame(id: Long, frame_idx: Int, offset: Long,
+      frame_sum: Long)
+
+  /** Uniform FRAME SAMPLING over a binary "video" payload: k frames
+    * of `frameLen` bytes at offsets spread evenly across the stream
+    * (offset_j = floor(j·(n − frameLen)/(k − 1)), pure integer
+    * algebra — reproducible in any engine that can slice the bytes),
+    * each summarized by its exact byte sum. Payloads shorter than one
+    * frame are skipped. A real video stack would replace the
+    * byte-slice with codec frame extraction; the Spark-side shape —
+    * typed flatMap, k-row fan-out per payload, per-partition batch —
+    * is the real plumbing and is what the gate pins.
+    */
+  def sampleFrames(df: DataFrame, frameLen: Int, k: Int): Dataset[MediaFrame] = {
+    require(frameLen > 0 && k >= 2, s"bad frame spec: len=$frameLen k=$k")
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("bytes"), col("media_meta.mime"))
+      .as[MediaRow]
+      .flatMap { row =>
+        val n = row.bytes.length
+        if (n < frameLen) Iterator.empty
+        else (0 until k).iterator.map { j =>
+          val off = j.toLong * (n - frameLen) / (k - 1)
+          var s = 0L
+          var i = 0
+          while (i < frameLen) {
+            s += row.bytes(off.toInt + i) & 0xff
+            i += 1
+          }
+          MediaFrame(row.id, j, off, s)
+        }
+      }
+  }
+
   /** Batched feature extraction over the binary column. */
   def extractFeatures(df: DataFrame): Dataset[MediaFeatures] = {
     import df.sparkSession.implicits._

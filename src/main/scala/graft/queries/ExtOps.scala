@@ -822,6 +822,47 @@ object ExtOps {
              |       CAST(sum(s) AS BIGINT) AS total_resized
              |FROM per""".stripMargin)),
 
+    // Uniform frame SAMPLING over binary "video" payloads — the k-row
+    // fan-out plumbing (typed flatMap, integer offsets spread across
+    // the stream) a real video stack would feed codec frames through.
+    // Offsets and frame byte-sums are pure integer algebra, so DuckDB
+    // recomputes every sampled frame from hex(encode(text)) and the
+    // census pins the full (doc, frame, sum) relation.
+    GateQuery(
+      "q_multimodal_frames",
+      (s, d) => {
+        val media = Multimodal.withBinaryColumn(documents(s, d), "text", "doc_id")
+        Multimodal.sampleFrames(media, frameLen = 64, k = 8).toDF()
+          .agg(
+            countDistinct("id").as("n_docs"),
+            count(lit(1)).as("n_frames"),
+            sum("frame_sum").cast("long").as("total_frame_sum"),
+            sum(graft.operators.Curation.hashBucket(concat_ws(":",
+              col("id"), col("frame_idx"), col("frame_sum"))))
+              .cast("long").as("frame_checksum"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+              |         octet_length(encode(text)) AS n
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, n, hx, unnest(range(8)) AS j
+              |  FROM d WHERE n >= 64),
+              |o AS (
+              |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+              |         (CAST(j AS BIGINT) * (n - 64)) // 7 AS off, hx
+              |  FROM f),
+              |s AS (
+              |  SELECT doc_id, j, off,
+              |         list_sum(list_transform(range(64),
+              |           b -> CAST('0x' || substr(hx, CAST((off + b) * 2 + 1 AS INT), 2) AS BIGINT))) AS fsum
+              |  FROM o)
+              |SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS n_frames,
+              |       CAST(sum(fsum) AS BIGINT) AS total_frame_sum,
+              |       CAST(sum(${SharedOracles.bucketSql(
+                 "CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':' || CAST(fsum AS VARCHAR)")}) AS BIGINT) AS frame_checksum
+              |FROM s""".stripMargin)),
+
     // Stubbed decode + feature extraction over binary batches. The
     // stub's pseudo-features (byte-histogram entropy, every-16th-byte
     // frame samples) are pure byte algebra, so DuckDB recomputes them
