@@ -168,4 +168,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeImageWithStatus(Multimodal.pngDeclaring(4, 4))._2
       == Multimodal.StatusCorrupt)
   }
+
+  test("sampleFrames: uniform offsets, exact sums, short payloads skipped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 200),  // 200 bytes -> frames at offsets j*(200-64)/7
+      (2L, "ab"),       // shorter than one frame -> skipped
+      (3L, "y" * 64)    // exactly one frame wide -> all offsets 0
+    ).toDF("doc_id", "text")
+    val media = Multimodal.withBinaryColumn(docs, "text", "doc_id")
+    val got = Multimodal.sampleFrames(media, frameLen = 64, k = 8)
+      .collect().sortBy(f => (f.id, f.frame_idx))
+    assert(got.map(_.id).distinct.toSeq === Seq(1L, 3L))
+    val f1 = got.filter(_.id == 1L)
+    assert(f1.map(_.offset).toSeq ===
+      (0 until 8).map(j => j.toLong * (200 - 64) / 7))
+    // homogeneous payloads: every frame sum = 64 * byte value
+    assert(f1.map(_.frame_sum).distinct.toSeq === Seq(64L * 'x'.toLong))
+    val f3 = got.filter(_.id == 3L)
+    assert(f3.map(_.offset).distinct.toSeq === Seq(0L))
+    assert(f3.map(_.frame_sum).distinct.toSeq === Seq(64L * 'y'.toLong))
+    // first and last frames pin the stream ends
+    assert(f1.head.offset === 0L && f1.last.offset === (200 - 64).toLong)
+  }
 }
