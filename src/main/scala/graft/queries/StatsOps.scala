@@ -865,6 +865,68 @@ object StatsOps {
               |WHERE c.rn = mu.n_days
               |ORDER BY c.event_type""".stripMargin)),
 
+    // Forecast-baseline evaluation census: naive (yesterday) vs
+    // seasonal-naive (same weekday last week) one-step forecasts of
+    // each action's daily mean, scored by exact-integer MAE — the
+    // baseline pair every forecasting pipeline must beat before a
+    // model earns its keep. One distributed daily aggregate; the lag
+    // windows run over the ≤|days|-row per-action relation (bounded
+    // spine); absolute errors and counts ship as exact sums alongside
+    // the quantized MAEs, so downstream comparisons need no
+    // re-rounding.
+    GateQuery(
+      "q_forecast_baseline",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val daily = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000L").as("day"))
+          .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sc"))
+          .withColumn("m", expr(halfDivSpark("sc * 100", "n")))
+          .withColumn("p1", lag("m", 1).over(w))
+          .withColumn("p7", lag("m", 7).over(w))
+        daily.groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(when(col("p1").isNotNull, 1L)).cast("long").as("n1"),
+            coalesce(sum(abs(col("m") - col("p1"))), lit(0L)).cast("long")
+              .as("sum_abs1"),
+            sum(when(col("p7").isNotNull, 1L)).cast("long").as("n7"),
+            coalesce(sum(abs(col("m") - col("p7"))), lit(0L)).cast("long")
+              .as("sum_abs7"))
+          .withColumn("mae_naive_x100", expr(halfDivSpark("sum_abs1", "n1")))
+          .withColumn("mae_seasonal_x100", expr(halfDivSpark("sum_abs7", "n7")))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+              |         CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events),
+              |daily AS (
+              |  SELECT event_type, day, count(*) AS n,
+              |         CAST(sum(cents) AS HUGEINT) AS sc
+              |  FROM ev GROUP BY event_type, day),
+              |m AS (
+              |  SELECT event_type, day, ${halfDivSql("sc * 100", "n")} AS m
+              |  FROM daily),
+              |l AS (
+              |  SELECT event_type, m,
+              |         lag(m, 1) OVER (PARTITION BY event_type ORDER BY day) AS p1,
+              |         lag(m, 7) OVER (PARTITION BY event_type ORDER BY day) AS p7
+              |  FROM m),
+              |g AS (
+              |  SELECT event_type, count(*) AS n_days,
+              |         count(p1) AS n1,
+              |         CAST(coalesce(sum(abs(m - p1)), 0) AS BIGINT) AS sum_abs1,
+              |         count(p7) AS n7,
+              |         CAST(coalesce(sum(abs(m - p7)), 0) AS BIGINT) AS sum_abs7
+              |  FROM l GROUP BY event_type)
+              |SELECT event_type, n_days, n1, sum_abs1, n7, sum_abs7,
+              |       ${halfDivSql("sum_abs1", "n1")} AS mae_naive_x100,
+              |       ${halfDivSql("sum_abs7", "n7")} AS mae_seasonal_x100
+              |FROM g ORDER BY event_type""".stripMargin)),
+
     // Exact Spearman rank correlation (cents vs event time, per
     // action) — tie-correct: each row's DOUBLED average rank is the
     // integer 2p + c + 1 (p = strictly-smaller count, c = tie count),
