@@ -787,6 +787,99 @@ object StatsOps {
               |WHERE t.n_tok >= bars.p90_tok
               |GROUP BY t.source ORDER BY t.source""".stripMargin)),
 
+    // Recommendation-list quality census: catalog coverage@5 (how
+    // much of the corpus the top-5 lists actually reach) and
+    // intra-list diversity (mean pairwise cosine inside each list —
+    // high = redundant lists) over the bounded anchor set. Beyond
+    // nDCG/MRR's relevance-only view, these are the standard list-
+    // health metrics. Anchors are absolutely bounded, so the scoring
+    // scan is corpus-linear; the pair relation is |anchors|·k² — a
+    // constant-sized relation joined back to the vectors twice.
+    GateQuery(
+      "q_reco_diversity",
+      (s, d) => {
+        val e = embeddings(s, d).withColumn("v",
+          transform(col("embedding"), x => x.cast("double")))
+        def sumSq(v: org.apache.spark.sql.Column) =
+          aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+        def cosX1e4(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column) =
+          round(graft.operators.Ann.dot(a, b) /
+            (sqrt(sumSq(a)) * sqrt(sumSq(b))) * 10000).cast("long")
+        val anchors = broadcast(
+          e.filter(col("vec_id") % 7 === 0 && col("vec_id") < 700)
+            .select(col("vec_id").as("anchor_id"), col("v").as("av")))
+        val w = Window.partitionBy("anchor_id")
+          .orderBy(desc("cos_x1e4"), asc("n_id"))
+        val lists = e.select(col("vec_id").as("n_id"), col("v"))
+          .join(anchors, col("n_id") =!= col("anchor_id"))
+          .withColumn("cos_x1e4", cosX1e4(col("v"), col("av")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("anchor_id", "rnk", "n_id")
+        val pairs = lists.select(col("anchor_id"), col("rnk").as("r1"),
+            col("n_id").as("id1"))
+          .join(lists.select(col("anchor_id"), col("rnk").as("r2"),
+            col("n_id").as("id2")), Seq("anchor_id"))
+          .filter(col("r1") < col("r2"))
+          .join(e.select(col("vec_id").as("id1"), col("v").as("v1")), Seq("id1"))
+          .join(e.select(col("vec_id").as("id2"), col("v").as("v2")), Seq("id2"))
+          .withColumn("pcos", cosX1e4(col("v1"), col("v2")))
+        pairs.agg(
+            countDistinct("anchor_id").as("n_anchors"),
+            count(lit(1)).as("n_pairs"),
+            sum("pcos").cast("long").as("_sp"))
+          .withColumn("mean_pair_cos_x1e4", expr(halfDivSpark("_sp", "n_pairs")))
+          .drop("_sp")
+          .crossJoin(lists.agg(countDistinct("n_id").as("n_unique")))
+          .crossJoin(e.agg(count(lit(1)).as("n_catalog")))
+          .withColumn("coverage_x1e6", expr(halfDivSpark(
+            "n_unique * 1000000", "n_catalog")))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |  FROM embeddings),
+              |a AS (SELECT vec_id AS anchor_id, v AS av
+              |      FROM e WHERE vec_id % 7 = 0 AND vec_id < 700),
+              |sc AS (
+              |  SELECT a.anchor_id, e.vec_id AS n_id,
+              |         CAST(round(
+              |           list_sum(list_transform(list_zip(e.v, a.av),
+              |                                   p -> struct_extract(p, 1) * struct_extract(p, 2)))
+              |           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+              |              * sqrt(list_sum(list_transform(a.av, x -> x * x)))) * 10000)
+              |         AS BIGINT) AS cos_x1e4
+              |  FROM a JOIN e ON e.vec_id <> a.anchor_id),
+              |top AS (
+              |  SELECT * FROM (
+              |    SELECT anchor_id, n_id,
+              |           row_number() OVER (PARTITION BY anchor_id
+              |             ORDER BY cos_x1e4 DESC, n_id ASC) AS rnk
+              |    FROM sc) WHERE rnk <= 5),
+              |pc AS (
+              |  SELECT p.anchor_id,
+              |         CAST(round(
+              |           list_sum(list_transform(list_zip(e1.v, e2.v),
+              |                                   q -> struct_extract(q, 1) * struct_extract(q, 2)))
+              |           / (sqrt(list_sum(list_transform(e1.v, x -> x * x)))
+              |              * sqrt(list_sum(list_transform(e2.v, x -> x * x)))) * 10000)
+              |         AS BIGINT) AS pcos
+              |  FROM (SELECT t1.anchor_id, t1.n_id AS id1, t2.n_id AS id2
+              |        FROM top t1 JOIN top t2
+              |          ON t1.anchor_id = t2.anchor_id AND t1.rnk < t2.rnk) p
+              |  JOIN e e1 ON e1.vec_id = p.id1
+              |  JOIN e e2 ON e2.vec_id = p.id2),
+              |cov AS (SELECT count(DISTINCT n_id) AS n_unique FROM top),
+              |cat AS (SELECT count(*) AS n_catalog FROM e)
+              |SELECT count(DISTINCT anchor_id) AS n_anchors,
+              |       count(*) AS n_pairs,
+              |       ${halfDivSql("CAST(sum(pcos) AS HUGEINT)", "count(*)")} AS mean_pair_cos_x1e4,
+              |       n_unique, n_catalog,
+              |       ${halfDivSql("CAST(n_unique AS HUGEINT) * 1000000", "n_catalog")} AS coverage_x1e6
+              |FROM pc, cov, cat
+              |GROUP BY n_unique, n_catalog""".stripMargin)),
+
     // CUSUM change-point census (per action, daily means): the
     // classic drift detector the PSI/KS gates don't cover — a
     // SEQUENTIAL recurrence s_t = max(0, s_{t-1} + (m_t − μ)) whose
