@@ -787,6 +787,70 @@ object StatsOps {
               |WHERE t.n_tok >= bars.p90_tok
               |GROUP BY t.source ORDER BY t.source""".stripMargin)),
 
+    // Token-BUDGET greedy selection: keep the highest-quality
+    // documents whose cumulative token cost fits a byte/token budget
+    // (here 25% of the corpus) — the knapsack-greedy shape every
+    // "best data under a training budget" curation sweep uses. The
+    // greedy order is an exclusive prefix sum of token costs over a
+    // UNIQUE packed key (score·2^20 + doc_id — ties impossible, so
+    // the prefix scan is deterministic; PrefixSum requires distinct
+    // order keys and this constructs them), and the cut is the exact
+    // prefix-feasible rule cum_excl + cost ≤ B. One corpus scan, one
+    // range exchange, broadcast totals.
+    GateQuery(
+      "q_budget_select",
+      (s, d) => {
+        val stop = Seq("the", "a", "and", "of", "to", "in", "is")
+          .map(w => s"'$w'").mkString(", ")
+        val docs = documents(s, d)
+          .withColumn("words", split(trim(col("text")), " "))
+          .withColumn("n_tok", size(col("words")).cast("long"))
+          .withColumn("score",
+            expr(s"(size(filter(words, w -> w IN ($stop))) * 1000000L)" +
+              " div n_tok"))
+          .withColumn("key", col("score") * lit(1L << 20) + col("doc_id"))
+        val cum = PrefixSum.rangeExclusive(
+          docs.select("doc_id", "n_tok", "score", "key"),
+          "key", descending = true, Seq("n_tok" -> "cum_excl"))
+        val budget = cum.agg(
+          expr("max(cum_excl + n_tok) div 4").as("b"))
+        cum.crossJoin(broadcast(budget))
+          .filter(col("cum_excl") + col("n_tok") <= col("b"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum("n_tok").cast("long").as("tok_used"),
+            min("score").as("min_score_kept"),
+            max("b").as("budget_tok"),
+            sum(Curation.hashBucket(col("doc_id").cast("string")))
+              .cast("long").as("id_checksum"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, string_split(trim(text), ' ') AS words
+              |  FROM documents),
+              |sc AS (
+              |  SELECT doc_id,
+              |         CAST(len(words) AS BIGINT) AS n_tok,
+              |         (CAST(len(list_filter(words,
+              |            w -> w IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT)
+              |          * 1000000) // CAST(len(words) AS BIGINT) AS score
+              |  FROM t),
+              |k AS (
+              |  SELECT *, score * 1048576 + doc_id AS key FROM sc),
+              |c AS (
+              |  SELECT *,
+              |         coalesce(sum(n_tok) OVER (ORDER BY key DESC
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |           AS cum_excl,
+              |         sum(n_tok) OVER () AS total
+              |  FROM k)
+              |SELECT count(*) AS n_kept,
+              |       CAST(sum(n_tok) AS BIGINT) AS tok_used,
+              |       CAST(min(score) AS BIGINT) AS min_score_kept,
+              |       CAST(min(total) // 4 AS BIGINT) AS budget_tok,
+              |       CAST(sum(${bucketSql("CAST(doc_id AS VARCHAR)")}) AS BIGINT) AS id_checksum
+              |FROM c
+              |WHERE cum_excl + n_tok <= total // 4""".stripMargin)),
+
     // Recommendation-list quality census: catalog coverage@5 (how
     // much of the corpus the top-5 lists actually reach) and
     // intra-list diversity (mean pairwise cosine inside each list —
