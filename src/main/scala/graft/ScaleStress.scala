@@ -245,7 +245,9 @@ object ScaleStress {
     "q_weighted_median", "q_conformal", "q_equidepth_hist",
     "q_bootstrap_ci", "q_attribution", "q_rolling_median", "q_pareto",
     "q_table_stats", "q_phrase_search", "q_pareto_grouped",
-    "q_trimmed_mean", "q_spearman", "q_gini_value", "q_interval_join")
+    "q_trimmed_mean", "q_spearman", "q_gini_value", "q_interval_join",
+    "q_cusum_drift", "q_forecast_baseline", "q_reco_diversity",
+    "q_budget_select", "q_percentile_filter", "q_multimodal_frames")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)
