@@ -116,3 +116,36 @@ object TrainJob {
     spark.stop()
   }
 }
+
+/** AnalyzeJob <parquetPath> <outDir> [decileCol [buckets]] —
+  * ANALYZE-style per-column statistics (rows / nulls / exact NDV /
+  * min / max) for any parquet table, plus exact equi-depth boundaries
+  * for one column; writes <outDir>/column_stats.parquet and (when a
+  * column is named) <outDir>/deciles.parquet — the optimizer-stats /
+  * partition-sizing inputs a 100 TB catalog keeps next to its tables.
+  */
+object AnalyzeJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: AnalyzeJob <parquetPath> <outDir> [decileCol [buckets]]")
+    val (path, outDir) = (args(0), args(1))
+    val spark = Jobs.session("graft-analyze")
+    val df = spark.read.parquet(path)
+    val stats = graft.operators.Analyze.columnStats(df)
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/column_stats.parquet")
+    stats.collect().foreach { r =>
+      println(s"${r.getAs[String]("col_name")}: rows=${r.getAs[Long]("n_rows")}" +
+        s" nulls=${r.getAs[Long]("n_nulls")} ndv=${r.getAs[Long]("ndv")}" +
+        s" min=${r.getAs[String]("min_str")} max=${r.getAs[String]("max_str")}")
+    }
+    args.lift(2).foreach { c =>
+      val buckets = args.lift(3).map(_.toInt).getOrElse(10)
+      val d = graft.operators.Analyze.equiDepth(df, c, buckets)
+      d.coalesce(1).write.mode("overwrite").parquet(s"$outDir/deciles.parquet")
+      println(s"equi-depth($c, $buckets): " +
+        d.collect().map(r => r.getAs[String]("boundary")).mkString(", "))
+    }
+    spark.stop()
+  }
+}
