@@ -50,6 +50,80 @@ object StatsOps {
           "CAST(sum(m) AS HUGEINT)")} AS mean_x100
        |FROM m GROUP BY rep ORDER BY rep""".stripMargin
 
+  /** The CUSUM census over a (event_type, day, n, sc) daily relation
+    * — shared by the batch gate and the streaming rollup parity gate
+    * (daily (n, Σcents) partials are additive, so the streaming state
+    * reconstructs this input exactly). Recurrence runs inside an
+    * `aggregate()` fold over the ≤|days|-row per-action sequence.
+    */
+  private[queries] def cusumCensus(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    daily
+      .withColumn("mean_x100", expr(halfDivSpark("sc * 100", "n")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("mean_x100").cast("long").as("_sm"),
+        sort_array(collect_list(struct(col("day"), col("mean_x100"))))
+          .as("_seq"))
+      .withColumn("mu_x100", expr(halfDivSpark("_sm", "n_days")))
+      .withColumn("_fold", expr(
+        "aggregate(_seq," +
+          " named_struct('s', 0L, 'smax', 0L, 'argd', -1L)," +
+          " (acc, x) -> named_struct(" +
+          "   's', greatest(0L, acc.s + (x.mean_x100 - mu_x100))," +
+          "   'smax', CASE WHEN greatest(0L, acc.s + (x.mean_x100 - mu_x100)) > acc.smax" +
+          "           THEN greatest(0L, acc.s + (x.mean_x100 - mu_x100)) ELSE acc.smax END," +
+          "   'argd', CASE WHEN greatest(0L, acc.s + (x.mean_x100 - mu_x100)) > acc.smax" +
+          "           THEN x.day ELSE acc.argd END))"))
+      .select(col("event_type"), col("n_days"), col("mu_x100"),
+        col("_fold.smax").as("max_cusum_x100"),
+        col("_fold.argd").as("peak_day"))
+      .orderBy("event_type")
+
+  /** ONE ground truth for the CUSUM census — shared verbatim by
+    * q_cusum_drift and the streaming rollup parity gate
+    * q_cusum_stream.
+    */
+  private[queries] val CusumOracle: String =
+    s"""WITH RECURSIVE ev AS (
+              |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+              |         CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events),
+              |daily AS (
+              |  SELECT event_type, day, count(*) AS n,
+              |         CAST(sum(cents) AS HUGEINT) AS sc
+              |  FROM ev GROUP BY event_type, day),
+              |m AS (
+              |  SELECT event_type, day,
+              |         ${halfDivSql("sc * 100", "n")} AS mean_x100,
+              |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+              |  FROM daily),
+              |mu AS (
+              |  SELECT event_type, count(*) AS n_days,
+              |         ${halfDivSql("CAST(sum(mean_x100) AS HUGEINT)", "count(*)")} AS mu_x100
+              |  FROM m GROUP BY event_type),
+              |c(event_type, rn, s, smax, argd) AS (
+              |  SELECT m.event_type, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+              |         CAST(-1 AS BIGINT)
+              |  FROM (SELECT DISTINCT event_type FROM m) m
+              |  UNION ALL
+              |  SELECT c.event_type, c.rn + 1,
+              |         greatest(0, c.s + (m.mean_x100 - mu.mu_x100)),
+              |         CASE WHEN greatest(0, c.s + (m.mean_x100 - mu.mu_x100)) > c.smax
+              |              THEN greatest(0, c.s + (m.mean_x100 - mu.mu_x100)) ELSE c.smax END,
+              |         CASE WHEN greatest(0, c.s + (m.mean_x100 - mu.mu_x100)) > c.smax
+              |              THEN m.day ELSE c.argd END
+              |  FROM c
+              |  JOIN m ON m.event_type = c.event_type AND m.rn = c.rn + 1
+              |  JOIN mu ON mu.event_type = c.event_type)
+              |SELECT c.event_type, mu.n_days, mu.mu_x100,
+              |       CAST(c.smax AS BIGINT) AS max_cusum_x100,
+              |       CAST(c.argd AS BIGINT) AS peak_day
+              |FROM c JOIN mu ON mu.event_type = c.event_type
+              |WHERE c.rn = mu.n_days
+              |ORDER BY c.event_type""".stripMargin
+
   def queries: Seq[GateQuery] = Seq(
 
     // ANALYZE-style table statistics: per-column row/null/NDV/min/max
@@ -956,71 +1030,13 @@ object StatsOps {
     // strict-improvement argmax, same empty-start conventions.
     GateQuery(
       "q_cusum_drift",
-      (s, d) => {
-        val daily = events(s, d)
+      (s, d) => cusumCensus(
+        events(s, d)
           .withColumn("cents", round(col("value") * 100).cast("long"))
           .groupBy(col("event_type"),
             expr("unix_micros(ts) div 86400000000L").as("day"))
-          .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sc"))
-          .withColumn("mean_x100", expr(halfDivSpark("sc * 100", "n")))
-        daily.groupBy("event_type")
-          .agg(
-            count(lit(1)).as("n_days"),
-            sum("mean_x100").cast("long").as("_sm"),
-            sort_array(collect_list(struct(col("day"), col("mean_x100"))))
-              .as("_seq"))
-          .withColumn("mu_x100", expr(halfDivSpark("_sm", "n_days")))
-          .withColumn("_fold", expr(
-            "aggregate(_seq," +
-              " named_struct('s', 0L, 'smax', 0L, 'argd', -1L)," +
-              " (acc, x) -> named_struct(" +
-              "   's', greatest(0L, acc.s + (x.mean_x100 - mu_x100))," +
-              "   'smax', CASE WHEN greatest(0L, acc.s + (x.mean_x100 - mu_x100)) > acc.smax" +
-              "           THEN greatest(0L, acc.s + (x.mean_x100 - mu_x100)) ELSE acc.smax END," +
-              "   'argd', CASE WHEN greatest(0L, acc.s + (x.mean_x100 - mu_x100)) > acc.smax" +
-              "           THEN x.day ELSE acc.argd END))"))
-          .select(col("event_type"), col("n_days"), col("mu_x100"),
-            col("_fold.smax").as("max_cusum_x100"),
-            col("_fold.argd").as("peak_day"))
-          .orderBy("event_type")
-      },
-      Some(s"""WITH RECURSIVE ev AS (
-              |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-              |         CAST(round(value * 100) AS BIGINT) AS cents
-              |  FROM events),
-              |daily AS (
-              |  SELECT event_type, day, count(*) AS n,
-              |         CAST(sum(cents) AS HUGEINT) AS sc
-              |  FROM ev GROUP BY event_type, day),
-              |m AS (
-              |  SELECT event_type, day,
-              |         ${halfDivSql("sc * 100", "n")} AS mean_x100,
-              |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
-              |  FROM daily),
-              |mu AS (
-              |  SELECT event_type, count(*) AS n_days,
-              |         ${halfDivSql("CAST(sum(mean_x100) AS HUGEINT)", "count(*)")} AS mu_x100
-              |  FROM m GROUP BY event_type),
-              |c(event_type, rn, s, smax, argd) AS (
-              |  SELECT m.event_type, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-              |         CAST(-1 AS BIGINT)
-              |  FROM (SELECT DISTINCT event_type FROM m) m
-              |  UNION ALL
-              |  SELECT c.event_type, c.rn + 1,
-              |         greatest(0, c.s + (m.mean_x100 - mu.mu_x100)),
-              |         CASE WHEN greatest(0, c.s + (m.mean_x100 - mu.mu_x100)) > c.smax
-              |              THEN greatest(0, c.s + (m.mean_x100 - mu.mu_x100)) ELSE c.smax END,
-              |         CASE WHEN greatest(0, c.s + (m.mean_x100 - mu.mu_x100)) > c.smax
-              |              THEN m.day ELSE c.argd END
-              |  FROM c
-              |  JOIN m ON m.event_type = c.event_type AND m.rn = c.rn + 1
-              |  JOIN mu ON mu.event_type = c.event_type)
-              |SELECT c.event_type, mu.n_days, mu.mu_x100,
-              |       CAST(c.smax AS BIGINT) AS max_cusum_x100,
-              |       CAST(c.argd AS BIGINT) AS peak_day
-              |FROM c JOIN mu ON mu.event_type = c.event_type
-              |WHERE c.rn = mu.n_days
-              |ORDER BY c.event_type""".stripMargin)),
+          .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sc"))),
+      Some(CusumOracle)),
 
     // Forecast-baseline evaluation census: naive (yesterday) vs
     // seasonal-naive (same weekday last week) one-step forecasts of

@@ -448,6 +448,38 @@ object StreamingOps {
       },
       Some(StatsOps.BootstrapOracle)),
 
+    // ST parity: incremental CUSUM change-point monitoring. The daily
+    // (n, Σcents) partials per action are additive, so the rollup
+    // state reconstructs the exact daily-mean sequence and the CUSUM
+    // recurrence (run at read time over the bounded per-action day
+    // relation) equals the batch q_cusum_drift bit-for-bit — drift
+    // localization refreshed per micro-batch without rescanning
+    // history. Oracle shared verbatim.
+    GateQuery(
+      "q_cusum_stream",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val work = replayDir("cusum_stream")
+        Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+        withReplayConf(s) {
+          StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
+            s"$work/ckpt",
+            StructType(Seq(StructField("event_type", StringType),
+              StructField("tus", LongType), StructField("cents", LongType))))(
+            b => b.groupBy(col("event_type"),
+                expr("tus div 86400000000L").as("day"))
+              .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sc")))
+            .awaitTermination()
+        }
+        StatsOps.cusumCensus(
+          StreamingRollup.merged(s, s"$work/state",
+            Seq("event_type", "day"), Seq("n", "sc")))
+      },
+      Some(StatsOps.CusumOracle)),
+
     // ST parity: incremental exact-AUC monitoring. The per-distinct-
     // score (n_pos, n_neg) histogram is additive, so per-batch
     // histograms merged by a keyed sum reconstruct the corpus
