@@ -518,6 +518,103 @@ object StatsOps {
               |            * 10000) AS BIGINT) AS welch_t_x1e4
               |FROM m""".stripMargin)),
 
+    // CUPED variance-reduced A/B readout (Deng et al., WSDM'13): the
+    // pre-period covariate adjustment every experimentation platform
+    // applies before reading a diff. Per-user pre/post cent TOTALS
+    // stay exact integers (day 19738 = 2024-01-16 splits the fixed
+    // 30-day window); θ = pooled cov(x,y)/var(x) and the adjusted
+    // diff are the accepted correctly-rounded-double class over exact
+    // DECIMAL/HUGEINT moments (formula text mirrored verbatim); the
+    // RAW diff ships as an exact rational for contrast. Only
+    // user-level aggregates and one global moment row ever shuffle.
+    GateQuery(
+      "q_cuped",
+      (s, d) => {
+        val users = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("day", expr("unix_micros(ts) div 86400000000L"))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("day") < 19738, col("cents")).otherwise(0L))
+              .cast("long").as("x"),
+            sum(when(col("day") >= 19738, col("cents")).otherwise(0L))
+              .cast("long").as("y"))
+          .withColumn("variant",
+            pmod(Curation.hashBucket(
+              concat(lit("ab:"), col("user_id").cast("string"))), lit(2)))
+        val m = users.agg(
+          count(lit(1)).as("nu"),
+          expr("sum(CAST(x AS DECIMAL(38,0)))").as("sx"),
+          expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+          expr("sum(CAST(x AS DECIMAL(38,0)) * x)").as("sxx"),
+          expr("sum(CAST(x AS DECIMAL(38,0)) * y)").as("sxy"),
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("variant") === 0, col("x")).otherwise(0L))
+            .cast("long").as("sxa"),
+          sum(when(col("variant") === 0, col("y")).otherwise(0L))
+            .cast("long").as("sya"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("variant") === 1, col("x")).otherwise(0L))
+            .cast("long").as("sxb"),
+          sum(when(col("variant") === 1, col("y")).otherwise(0L))
+            .cast("long").as("syb"))
+        m.withColumn("raw_diff_x100", expr(halfDivSpark(
+            "(CAST(sya AS DECIMAL(38,0)) * nb - CAST(syb AS DECIMAL(38,0)) * na) * 100",
+            "CAST(na AS DECIMAL(38,0)) * nb")))
+          .withColumn("theta_x1e6", expr(
+            "CAST(round((CAST(nu AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+              " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+              " / (CAST(nu AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+              "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+              " * 1000000) AS BIGINT)"))
+          .withColumn("adj_diff_x100", expr(
+            "CAST(round(((CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)" +
+              " - (CAST(nu AS DOUBLE) * CAST(sxy AS DOUBLE)" +
+              "    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+              "   / (CAST(nu AS DOUBLE) * CAST(sxx AS DOUBLE)" +
+              "      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+              "   * (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb))" +
+              " * 100) AS BIGINT)"))
+          .select("na", "nb", "raw_diff_x100", "theta_x1e6", "adj_diff_x100")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id,
+              |         CAST(round(value * 100) AS BIGINT) AS cents,
+              |         epoch_us(ts) // 86400000000 AS day
+              |  FROM events),
+              |u AS (
+              |  SELECT user_id,
+              |         CAST(sum(CASE WHEN day < 19738 THEN cents ELSE 0 END) AS HUGEINT) AS x,
+              |         CAST(sum(CASE WHEN day >= 19738 THEN cents ELSE 0 END) AS HUGEINT) AS y,
+              |         ${bucketSql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS variant
+              |  FROM ev GROUP BY user_id),
+              |m AS (
+              |  SELECT count(*) AS nu,
+              |         sum(x) AS sx, sum(y) AS sy,
+              |         sum(x * x) AS sxx, sum(x * y) AS sxy,
+              |         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+              |         sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS sxa,
+              |         sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS sya,
+              |         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb,
+              |         sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS sxb,
+              |         sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS syb
+              |  FROM u)
+              |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+              |       ${halfDivSql("(sya * nb - syb * na) * 100", "CAST(na AS HUGEINT) * nb")} AS raw_diff_x100,
+              |       CAST(round((CAST(nu AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |           / (CAST(nu AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |           * 1000000) AS BIGINT) AS theta_x1e6,
+              |       CAST(round(((CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb)
+              |            - (CAST(nu AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |              / (CAST(nu AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |              * (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb))
+              |            * 100) AS BIGINT) AS adj_diff_x100
+              |FROM m""".stripMargin)),
+
     // Positional phrase search ("table value" adjacency): the engine
     // builds positional postings (posexplode) and answers the phrase
     // query as a postings SELF-JOIN on (doc_id, pos+1) — the
