@@ -615,6 +615,71 @@ object StatsOps {
               |            * 100) AS BIGINT) AS adj_diff_x100
               |FROM m""".stripMargin)),
 
+    // Experiment POWER census: the minimum detectable effect at
+    // α=0.05 / 80% power for the user-level metric, and the sample
+    // size a target lift would need — the "is this experiment even
+    // worth running" readout that completes the A/B family
+    // (q_ab_readout, q_cuped). z constants are shared literals
+    // rendered into both engines; σ² comes from exact DECIMAL/HUGEINT
+    // user-total moments; the two published numbers are the accepted
+    // correctly-rounded-double class (formula text mirrored).
+    //   MDE = (z_a + z_b) · sqrt(2σ²/n_min)
+    //   n_req(Δ = 10% of mean) = ceil(2σ²(z_a+z_b)² / Δ²)
+    GateQuery(
+      "q_power_mde",
+      (s, d) => {
+        val z = "2.8015971216" // z_{0.025} + z_{0.20} = 1.959964 + 0.841621
+        val users = events(s, d)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .groupBy("user_id")
+          .agg(sum("cents").cast("long").as("y"))
+          .withColumn("variant",
+            pmod(Curation.hashBucket(
+              concat(lit("ab:"), col("user_id").cast("string"))), lit(2)))
+        users.agg(
+            count(lit(1)).as("nu"),
+            expr("sum(CAST(y AS DECIMAL(38,0)))").as("sy"),
+            expr("sum(CAST(y AS DECIMAL(38,0)) * y)").as("syy"),
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"))
+          .withColumn("var_x1", expr(
+            "(CAST(nu AS DOUBLE) * CAST(syy AS DOUBLE)" +
+              " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))" +
+              " / (CAST(nu AS DOUBLE) * (nu - 1))"))
+          .withColumn("mde_x100", expr(
+            s"CAST(round($z * sqrt(2.0 * var_x1 / least(na, nb)) * 100) AS BIGINT)"))
+          .withColumn("n_required", expr(
+            s"CAST(ceil(2.0 * var_x1 * $z * $z" +
+              " / ((CAST(sy AS DOUBLE) / nu * 0.1)" +
+              "    * (CAST(sy AS DOUBLE) / nu * 0.1))) AS BIGINT)"))
+          .select("nu", "na", "nb", "mde_x100", "n_required")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM events),
+              |u AS (
+              |  SELECT user_id, CAST(sum(cents) AS HUGEINT) AS y,
+              |         ${bucketSql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS variant
+              |  FROM ev GROUP BY user_id),
+              |m AS (
+              |  SELECT count(*) AS nu, sum(y) AS sy, sum(y * y) AS syy,
+              |         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+              |         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb
+              |  FROM u),
+              |v AS (
+              |  SELECT *,
+              |         (CAST(nu AS DOUBLE) * CAST(syy AS DOUBLE)
+              |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              |         / (CAST(nu AS DOUBLE) * (nu - 1)) AS var_x1
+              |  FROM m)
+              |SELECT CAST(nu AS BIGINT) AS nu, CAST(na AS BIGINT) AS na,
+              |       CAST(nb AS BIGINT) AS nb,
+              |       CAST(round(2.8015971216 * sqrt(2.0 * var_x1 / least(na, nb)) * 100) AS BIGINT) AS mde_x100,
+              |       CAST(ceil(2.0 * var_x1 * 2.8015971216 * 2.8015971216
+              |            / ((CAST(sy AS DOUBLE) / nu * 0.1)
+              |               * (CAST(sy AS DOUBLE) / nu * 0.1))) AS BIGINT) AS n_required
+              |FROM v""".stripMargin)),
+
     // Positional phrase search ("table value" adjacency): the engine
     // builds positional postings (posexplode) and answers the phrase
     // query as a postings SELF-JOIN on (doc_id, pos+1) — the
