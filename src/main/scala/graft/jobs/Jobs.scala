@@ -132,9 +132,15 @@ object AnalyzeJob {
     val spark = Jobs.session("graft-analyze")
     val df = spark.read.parquet(path)
     val stats = graft.operators.Analyze.columnStats(df)
-    stats.coalesce(1).write.mode("overwrite")
+    // evaluate the corpus-wide aggregation ONCE: collect the bounded
+    // (one-row-per-column) result, then write + print from the
+    // collected rows — writing `stats` and collecting it again would
+    // scan the table twice
+    val rows = stats.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), stats.schema)
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/column_stats.parquet")
-    stats.collect().foreach { r =>
+    rows.foreach { r =>
       println(s"${r.getAs[String]("col_name")}: rows=${r.getAs[Long]("n_rows")}" +
         s" nulls=${r.getAs[Long]("n_nulls")} ndv=${r.getAs[Long]("ndv")}" +
         s" min=${r.getAs[String]("min_str")} max=${r.getAs[String]("max_str")}")

@@ -21,21 +21,27 @@ object Analyze {
   def columnStats(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     require(cols.nonEmpty, "empty schema")
+    // a generic ANALYZE entry point sees arbitrary column names —
+    // reference them backtick-quoted (`` doubled) and carry the name
+    // itself as a typed literal, never spliced into SQL text
+    def qc(c: String) = col("`" + c.replace("`", "``") + "`")
     val wide = df.agg(
       count(lit(1)).as("n_rows"),
       cols.zipWithIndex.flatMap { case (c, i) => Seq(
-        sum(col(c).isNull.cast("long")).as(s"_nn_$i"),
-        countDistinct(col(c)).as(s"_nd_$i"),
-        min(col(c)).cast("string").as(s"_mn_$i"),
-        max(col(c)).cast("string").as(s"_mx_$i"))
+        sum(qc(c).isNull.cast("long")).as(s"_nn_$i"),
+        countDistinct(qc(c)).as(s"_nd_$i"),
+        min(qc(c)).cast("string").as(s"_mn_$i"),
+        max(qc(c)).cast("string").as(s"_mx_$i"))
       }: _*)
-    val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"'$c', _nn_$i, _nd_$i, _mn_$i, _mx_$i" }
-      .mkString(", ")
-    wide.selectExpr("n_rows",
-      s"stack(${cols.size}, $stackArgs)" +
-        " as (col_name, n_nulls, ndv, min_str, max_str)")
-      .select("col_name", "n_rows", "n_nulls", "ndv", "min_str", "max_str")
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"_nn_$i").as("n_nulls"),
+        col(s"_nd_$i").as("ndv"), col(s"_mn_$i").as("min_str"),
+        col(s"_mx_$i").as("max_str"))
+    }
+    wide.select(col("n_rows"), explode(array(rows: _*)).as("_s"))
+      .select(col("_s.col_name").as("col_name"), col("n_rows"),
+        col("_s.n_nulls").as("n_nulls"), col("_s.ndv").as("ndv"),
+        col("_s.min_str").as("min_str"), col("_s.max_str").as("max_str"))
       .orderBy("col_name")
   }
 

@@ -35,15 +35,25 @@ object Skyline {
     * rows only dominate same-group rows). Both columns must be
     * orderable numerics; nulls in either coordinate are dominated by
     * definition (they never beat anything and anything beats them) —
-    * callers filter nulls first if they mean "unknown".
+    * they are tagged dominated=true here and excluded from the
+    * dominance histogram, so a (null, high-max) row can never feed
+    * the prefix max of real rows.
     */
   def markDominated(df: DataFrame, minCol: String, maxCol: String,
       dominatedCol: String = "dominated",
       groupCols: Seq[String] = Nil): DataFrame = {
+    // null-coordinate rows: dominated by definition, and they must
+    // not contribute to _sky_same/_sky_cheaper (nulls sort FIRST
+    // under the ascending prefix max, so an unfiltered null-min row
+    // would poison every real row's cheaper-max)
+    val nullRows = df
+      .filter(col(minCol).isNull || col(maxCol).isNull)
+      .withColumn(dominatedCol, lit(true))
+    val clean = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
     // per-distinct-(group, minCol) histogram: the only relation the
     // prefix scan touches; distinct keys by construction (groupBy),
     // so the exclusive window is tie-free
-    val hist = df
+    val hist = clean
       .groupBy((groupCols.map(col) :+ col(minCol).as("_sky_k")): _*)
       .agg(max(col(maxCol)).as("_sky_same"))
     val marked = PrefixSum.rangeExclusiveMax(hist, "_sky_k", "_sky_same",
@@ -51,7 +61,7 @@ object Skyline {
       .withColumnsRenamed(groupCols.map(c => c -> s"_sky_g_$c").toMap)
     val joinCond = (groupCols.map(c => col(c) <=> col(s"_sky_g_$c")) :+
       (col(minCol) === col("_sky_k"))).reduce(_ && _)
-    df.join(marked, joinCond)
+    clean.join(marked, joinCond)
       .withColumn(dominatedCol,
         // strictly-cheaper same-group row at least ties maxCol, or a
         // same-cost row strictly beats it
@@ -60,6 +70,7 @@ object Skyline {
           col("_sky_same") > col(maxCol))
       .drop(("_sky_k" +: "_sky_same" +: "_sky_cheaper" +:
         groupCols.map(c => s"_sky_g_$c")): _*)
+      .unionByName(nullRows)
   }
 
   /** The skyline itself: rows of `df` not dominated under

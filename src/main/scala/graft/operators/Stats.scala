@@ -91,8 +91,17 @@ object Stats {
     */
   def percentileInterval(replicates: DataFrame, loRank: Int, hiRank: Int)
       : (Long, Long) = {
+    // Half-up must be sign-explicit: the plain (2n+d) div (2d) form
+    // mis-rounds negative numerators (integer div truncates toward
+    // zero). Mirrors SharedOracles.halfDivSpark. Empty replicates
+    // (n_eff = 0 — a Poisson draw that kept no rows) have no defined
+    // mean and are dropped rather than NPE-ing on a NULL division.
     val means = replicates
-      .select(expr("CAST((2 * wsum * 100 + n_eff) div (2 * n_eff) AS BIGINT)"))
+      .filter(col("n_eff") > 0)
+      .select(expr(
+        "CASE WHEN wsum < 0" +
+          " THEN -CAST((2 * (-wsum) * 100 + n_eff) div (2 * n_eff) AS BIGINT)" +
+          " ELSE CAST((2 * wsum * 100 + n_eff) div (2 * n_eff) AS BIGINT) END"))
       .collect().map(_.getLong(0)).sorted
     require(loRank >= 1 && hiRank <= means.length && loRank <= hiRank,
       s"ranks out of range: [$loRank, $hiRank] of ${means.length}")

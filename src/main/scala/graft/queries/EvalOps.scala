@@ -388,25 +388,44 @@ object EvalOps {
              |FROM terms, mi
              |ORDER BY x, y""".stripMargin)),
 
-    // Feature-relevance RANKING by MI against the language label:
-    // `source` vs a derived length bucket, each through ONE
-    // mutualInformation pass, ranked by the exact integer mi_x1e9 (no
-    // float ever decides the order). The deliberately weak length
-    // feature must rank below source -- a swapped marginal or a
-    // mis-normalized term would reorder them.
+    // Feature-relevance RANKING against the language label: `source`
+    // vs a derived length bucket, each through ONE mutualInformation
+    // pass, ranked by the chi-squared association statistic derived
+    // ENTIRELY from the exact integer inputs the operator ships
+    // (n_xy, n_x, n_y): per cell, (n·n_xy − n_x·n_y)²·1e6 div
+    // (n·n_x·n_y) — exact integer multiply/divide on both engines, so
+    // NO libm term (mutualInformation's mi_term_x1e9 is the one
+    // accepted advisory class) ever decides a published order or
+    // hash. The deliberately weak length feature must rank below
+    // source — a swapped marginal or a mis-normalized term would
+    // reorder them.
     GateQuery(
       "q_feature_rank",
       (s, d) => {
-        def one(df: org.apache.spark.sql.DataFrame, name: String) =
-          Metrics.mutualInformation(df, "f", "lang")
-            .agg(count(lit(1)).as("n_cells"), max("mi_x1e9").as("mi_x1e9"))
-            .select(lit(name).as("feature"), col("n_cells"), col("mi_x1e9"))
+        def one(df: org.apache.spark.sql.DataFrame, name: String) = {
+          val cells = Metrics.mutualInformation(df, "f", "lang")
+            .select("n_xy", "n_x", "n_y")
+          val tot = cells.agg(sum("n_xy").cast("long").as("_n"))
+          cells.crossJoin(broadcast(tot))
+            // d = n·n_xy − n_x·n_y fits a long (|d| ≤ n² ≈ 2.5e9 at
+            // sf0.1); d²·1e6 needs DECIMAL(38,0) — exact, then the
+            // integral div is exact and non-negative (no truncation
+            // direction ambiguity across engines)
+            .withColumn("_t", expr(
+              "CAST((CAST(_n * n_xy - n_x * n_y AS DECIMAL(38,0)) *" +
+                " (_n * n_xy - n_x * n_y) * 1000000)" +
+                " div (CAST(_n AS DECIMAL(38,0)) * n_x * n_y) AS BIGINT)"))
+            .agg(count(lit(1)).as("n_cells"),
+              sum("_t").cast("long").as("chi2_x1e6"))
+            .select(lit(name).as("feature"), col("n_cells"),
+              col("chi2_x1e6"))
+        }
         val docs = documents(s, d)
         one(docs.select(col("source").as("f"), col("lang")), "source")
           .unionByName(one(
             docs.select(expr("n_chars div 500").as("f"), col("lang")),
             "len_bucket"))
-          .orderBy(desc("mi_x1e9"), asc("feature"))
+          .orderBy(desc("chi2_x1e6"), asc("feature"))
       },
       Some("""WITH
              |f1 AS (SELECT source AS f, lang AS y FROM documents
@@ -414,26 +433,26 @@ object EvalOps {
              |c1 AS (SELECT f, y, CAST(count(*) AS BIGINT) AS n_xy FROM f1 GROUP BY 1, 2),
              |x1 AS (SELECT f, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c1 GROUP BY 1),
              |y1 AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c1 GROUP BY 1),
-             |t1 AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS n FROM c1),
+             |t1 AS (SELECT CAST(sum(n_xy) AS HUGEINT) AS n FROM c1),
              |m1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
-             |              CAST(sum(CAST(round((n_xy / n) * ln((n_xy / n) / ((n_x / n) * (n_y / n))) * 1e9) AS BIGINT)) AS BIGINT) AS mi_x1e9
+             |              CAST(sum((n * n_xy - CAST(n_x AS HUGEINT) * n_y) * (n * n_xy - CAST(n_x AS HUGEINT) * n_y) * 1000000 // (n * n_x * n_y)) AS BIGINT) AS chi2_x1e6
              |       FROM c1 JOIN x1 ON c1.f = x1.f JOIN y1 ON c1.y = y1.y, t1),
              |f2 AS (SELECT n_chars // 500 AS f, lang AS y FROM documents
              |       WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
              |c2 AS (SELECT f, y, CAST(count(*) AS BIGINT) AS n_xy FROM f2 GROUP BY 1, 2),
              |x2 AS (SELECT f, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c2 GROUP BY 1),
              |y2 AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c2 GROUP BY 1),
-             |t2 AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS n FROM c2),
+             |t2 AS (SELECT CAST(sum(n_xy) AS HUGEINT) AS n FROM c2),
              |m2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
-             |              CAST(sum(CAST(round((n_xy / n) * ln((n_xy / n) / ((n_x / n) * (n_y / n))) * 1e9) AS BIGINT)) AS BIGINT) AS mi_x1e9
+             |              CAST(sum((n * n_xy - CAST(n_x AS HUGEINT) * n_y) * (n * n_xy - CAST(n_x AS HUGEINT) * n_y) * 1000000 // (n * n_x * n_y)) AS BIGINT) AS chi2_x1e6
              |       FROM c2 JOIN x2 ON c2.f = x2.f JOIN y2 ON c2.y = y2.y, t2),
              |u AS (
-             |  SELECT 'source' AS feature, n_cells, mi_x1e9 FROM m1
+             |  SELECT 'source' AS feature, n_cells, chi2_x1e6 FROM m1
              |  UNION ALL
-             |  SELECT 'len_bucket' AS feature, n_cells, mi_x1e9 FROM m2)
-             |SELECT feature, n_cells, mi_x1e9
+             |  SELECT 'len_bucket' AS feature, n_cells, chi2_x1e6 FROM m2)
+             |SELECT feature, n_cells, chi2_x1e6
              |FROM u
-             |ORDER BY mi_x1e9 DESC, feature ASC""".stripMargin)),
+             |ORDER BY chi2_x1e6 DESC, feature ASC""".stripMargin)),
 
 
     // Per-source quantile normalization: every document's EXACT

@@ -1028,9 +1028,11 @@ object StatsOps {
     // (here 25% of the corpus) — the knapsack-greedy shape every
     // "best data under a training budget" curation sweep uses. The
     // greedy order is an exclusive prefix sum of token costs over a
-    // UNIQUE packed key (score·2^20 + doc_id — ties impossible, so
-    // the prefix scan is deterministic; PrefixSum requires distinct
-    // order keys and this constructs them), and the cut is the exact
+    // UNIQUE packed key (score·2^40 + doc_id — score ≤ 1e6 so the
+    // product fits a long, and doc_id stays < 2^40 even under the
+    // x10 stress replicas' +r·10^7 id shift, so ties stay impossible;
+    // PrefixSum requires distinct order keys and this constructs
+    // them), and the cut is the exact
     // prefix-feasible rule cum_excl + cost ≤ B. One corpus scan, one
     // range exchange, broadcast totals.
     GateQuery(
@@ -1044,7 +1046,7 @@ object StatsOps {
           .withColumn("score",
             expr(s"(size(filter(words, w -> w IN ($stop))) * 1000000L)" +
               " div n_tok"))
-          .withColumn("key", col("score") * lit(1L << 20) + col("doc_id"))
+          .withColumn("key", col("score") * lit(1L << 40) + col("doc_id"))
         val cum = PrefixSum.rangeExclusive(
           docs.select("doc_id", "n_tok", "score", "key"),
           "key", descending = true, Seq("n_tok" -> "cum_excl"))
@@ -1071,7 +1073,7 @@ object StatsOps {
               |          * 1000000) // CAST(len(words) AS BIGINT) AS score
               |  FROM t),
               |k AS (
-              |  SELECT *, score * 1048576 + doc_id AS key FROM sc),
+              |  SELECT *, score * 1099511627776 + doc_id AS key FROM sc),
               |c AS (
               |  SELECT *,
               |         coalesce(sum(n_tok) OVER (ORDER BY key DESC

@@ -29,16 +29,20 @@ import graft.operators.Winnow
   * (token-sized window, see Winnow), one equi-join against the
   * fingerprint table on `fp` (fan-in per fingerprint = its df —
   * bucket-bounded like the LSH band join), and two parquet appends.
-  * The fingerprint table grows with the corpus; a production
-  * deployment compacts/buckets it by `fp` on a cadence (the
-  * incremental-dedup-table shape, like StreamingAudit's seen-values
-  * ledger) so the per-batch join prunes to matching buckets.
+  * The fingerprint table grows with the corpus, but the per-batch
+  * cost does NOT: the prior-side scan is pruned to the new batch's
+  * fingerprint set by a broadcast semi-join BEFORE the pair join, so
+  * each micro-batch shuffles only the colliding slice of the store,
+  * never the whole corpus.
   *
-  * Delivery semantics are AT-LEAST-ONCE (the [[StreamingIndex]]
-  * contract): a crash between the appends and the checkpoint commit
-  * replays the batch — duplicated fingerprint/flag rows, never lost
-  * ones. Consumers census flags with countDistinct; reconciliation
-  * dedups the fingerprint table by (doc_id, fp).
+  * Delivery semantics are EXACTLY-ONCE by construction (the
+  * [[StreamingRollup]] contract): each batch writes its fingerprints
+  * and flags to its own `batch=<id>` partition with overwrite, so a
+  * crash-replayed batch replaces its own output instead of appending
+  * a duplicate — the store is duplicate-free without any per-batch
+  * full-pool `distinct()`, and the flag derivation reads the prior
+  * store EXCLUDING its own partition, making replay idempotent even
+  * when the crash happened after the fingerprint write.
   */
 object StreamingNearDup {
 
@@ -71,7 +75,8 @@ object StreamingNearDup {
   }
 
   /** One batch: fingerprint, match against prior + intra-batch
-    * lower ids, append flags and fingerprints. Public for the spec.
+    * lower ids, overwrite this batch's own `batch=<id>` flag and
+    * fingerprint partitions. Public for the spec.
     */
   def processBatch(spark: SparkSession, batch: DataFrame, fpDir: String,
       flagDir: String, batchId: Long, k: Int, w: Int, minShared: Int): Unit = {
@@ -79,44 +84,61 @@ object StreamingNearDup {
       batch.filter(col("text").isNotNull), "doc_id", "text", k, w)
       .persist()
     try {
+      // prior = every batch EXCEPT this one: on a crash replay the
+      // store may already hold this batch's own partition (the fp
+      // write committed before the checkpoint did), and re-reading it
+      // would pair every new doc with itself-from-last-time. The
+      // partition filter prunes it at the scan.
       val prior =
-        if (parquetExists(spark, fpDir)) spark.read.parquet(fpDir)
+        if (parquetExists(spark, fpDir))
+          spark.read.parquet(fpDir)
+            .filter(col("batch") =!= batchId)
+            .select("doc_id", "fp")
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("doc_id", LongType),
             StructField("fp", StringType))))
-      // pool = everything a new arrival can collide with: prior
-      // batches plus the batch itself. The flagged id is the LARGER
-      // of each qualifying pair — NOT "the new doc": a lower-id doc
-      // arriving after its higher-id partner must still flag that
-      // partner, or the flag set would depend on arrival order and
-      // the id-order contract (and batch replayability) would break.
-      // distinct BEFORE the fp join: the at-least-once contract means
-      // a crash-replayed batch re-appends its fingerprints, and a
-      // duplicated (doc_id, fp) row would double-count into _n_shared
-      // — a pair sharing only 1 distinct fingerprint could then cross
-      // minShared and be falsely flagged, breaking the "flag set is a
-      // pure function of the corpus" contract. Dedup here (not just at
-      // reconciliation) makes the flag derivation itself replay-proof.
-      val pool = prior.unionByName(newFps)
-        .select(col("doc_id").as("_id_old"), col("fp"))
-        .distinct()
-      val flagged = newFps
-        .select(col("doc_id").as("_id_new"), col("fp"))
-        .join(pool, Seq("fp"))
-        .filter(col("_id_old") =!= col("_id_new"))
-        .groupBy("_id_new", "_id_old")
-        .agg(count(lit(1)).as("_n_shared"))
-        .filter(col("_n_shared") >= minShared)
-        .select(greatest(col("_id_new"), col("_id_old")).as("doc_id"))
-        .distinct()
-        .withColumn("batch", lit(batchId))
-      // flags first: a crash between the writes replays the batch and
-      // re-appends BOTH (at-least-once); flags-then-fps never leaves a
-      // fingerprinted doc whose flag check was skipped
-      flagged.write.mode("append").parquet(flagDir)
-      newFps.write.mode("append").parquet(fpDir)
+      val flagged = flagDerivation(prior, newFps, minShared)
+      // each write lands in the batch's OWN partition with overwrite:
+      // replay replaces, never duplicates, so no ordering between the
+      // two writes matters (both are idempotent given the prior
+      // partitions, and the derivation above never reads them)
+      flagged.write.mode("overwrite").parquet(s"$flagDir/batch=$batchId")
+      newFps.write.mode("overwrite").parquet(s"$fpDir/batch=$batchId")
     } finally { newFps.unpersist(blocking = false); () }
+  }
+
+  /** The flag derivation for one batch, given the (duplicate-free)
+    * prior fingerprint store and the batch's own fingerprints. The
+    * flagged id is the LARGER of each qualifying pair — NOT "the new
+    * doc": a lower-id doc arriving after its higher-id partner must
+    * still flag that partner, or the flag set would depend on arrival
+    * order and the id-order contract (and batch replayability) would
+    * break.
+    *
+    * Scale shape: `prior` is corpus-sized but is pruned to the new
+    * batch's fingerprint set by a BROADCAST semi-join before anything
+    * shuffles — per-batch cost is O(batch + collisions), flat in the
+    * store size. No full-pool distinct: the store is duplicate-free
+    * by construction (batch=<id> overwrite) and [[Winnow.fingerprints]]
+    * emits distinct (doc_id, fp) rows, so pair counting is exact
+    * without one. Public for the spec's plan assertions.
+    */
+  def flagDerivation(prior: DataFrame, newFps: DataFrame,
+      minShared: Int): DataFrame = {
+    val pruned = prior.join(
+      broadcast(newFps.select("fp").distinct()), Seq("fp"), "left_semi")
+    val pool = pruned.unionByName(newFps.select("doc_id", "fp"))
+      .select(col("doc_id").as("_id_old"), col("fp"))
+    newFps
+      .select(col("doc_id").as("_id_new"), col("fp"))
+      .join(pool, Seq("fp"))
+      .filter(col("_id_old") =!= col("_id_new"))
+      .groupBy("_id_new", "_id_old")
+      .agg(count(lit(1)).as("_n_shared"))
+      .filter(col("_n_shared") >= minShared)
+      .select(greatest(col("_id_new"), col("_id_old")).as("doc_id"))
+      .distinct()
   }
 
   private def parquetExists(spark: SparkSession, dir: String): Boolean = {

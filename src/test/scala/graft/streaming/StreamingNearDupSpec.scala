@@ -72,6 +72,47 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Set(50L))
   }
 
+  test("crash replay is exactly-once: re-running a batch changes nothing") {
+    import spark.implicits._
+    val all = corpus
+    val batches = Seq(all.take(13), all.drop(13)).map(_.toDF("doc_id", "text"))
+    val dir = work()
+    val expected = runBatches(batches, dir)
+    val fpsBefore = spark.read.parquet(s"$dir/fps").count()
+    // worst-case replay: BOTH writes of the last batch committed, then
+    // the checkpoint didn't — the stream re-delivers batch 1 against a
+    // store that already holds batch 1's own fingerprints
+    StreamingNearDup.processBatch(spark, batches(1), s"$dir/fps",
+      s"$dir/flags", 1L, k = 5, w = 4, minShared = 2)
+    assert(spark.read.parquet(s"$dir/fps").count() === fpsBefore,
+      "replayed batch must overwrite its own partition, not append")
+    assert(spark.read.parquet(s"$dir/flags")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      === expected, "replay must reproduce the identical flag set")
+  }
+
+  test("derivation plan: semi-join-pruned prior, no full-pool distinct") {
+    import spark.implicits._
+    val dir = work()
+    runBatches(Seq(corpus.take(10).toDF("doc_id", "text")), dir)
+    val prior = spark.read.parquet(s"$dir/fps")
+      .filter(col("batch") =!= 1L).select("doc_id", "fp")
+    val newFps = Winnow.fingerprints(
+      corpus.drop(10).toDF("doc_id", "text"), "doc_id", "text", 5, 4)
+    val plan = StreamingNearDup.flagDerivation(prior, newFps, 2)
+      .queryExecution.optimizedPlan.toString()
+    assert(plan.contains("LeftSemi"),
+      "prior store must be pruned by a semi-join on the batch's fps")
+    // a distinct over the corpus-sized (prior ∪ new) pool would
+    // re-shuffle the whole store every micro-batch. The optimizer
+    // rewrites distinct to Aggregate, so a pool distinct would show
+    // as an Aggregate grouping on [_id_old, fp] — the only legitimate
+    // _id_old aggregate is the pair count grouped [_id_new, _id_old].
+    assert(!plan.contains("Aggregate [_id_old") &&
+      !plan.contains("Deduplicate [_id_old"),
+      s"full-pool distinct over the fingerprint pool:\n$plan")
+  }
+
   test("no flags below minShared; empty and null-text batches are safe") {
     import spark.implicits._
     val dir = work()
