@@ -31,19 +31,38 @@ object Winnow {
     * Documents with fewer than k + w − 1 words emit nothing (no full
     * window exists).
     *
-    * Implementation note: the selection runs as a sliding `min` over
-    * the POSITIONALLY EXPLODED gram relation (one row per gram,
-    * rowsBetween(0, w−1)), not as a nested array lambda
-    * (`transform(..., j -> array_min(slice(_grams, ...)))`).
-    * CollapseProject inlines a deterministic `_grams` definition into
-    * every lambda reference, so the array form recomputes the full
-    * md5 gram array once PER WINDOW — O(len²) md5 calls per document
-    * (measured: 370 s for the sf0.1 corpus vs seconds for this
-    * shape). The exploded form hashes each gram once and pays one
-    * token-sized shuffle; per-doc window partitions are bounded by
-    * document length.
+    * Implementation: winnowing is a per-ROW computation, so the whole
+    * selection (k-gram md5, sliding w-minimum, per-row dedup) runs as
+    * ONE native scalar expression
+    * ([[graft.functions.WinnowExpression]] — monotonic-deque sliding
+    * min, each gram hashed exactly once) inside the corpus scan: zero
+    * shuffle until the fingerprint explode, and the exploded relation
+    * is born ~2/(w+1)-of-tokens-sized instead of tokens-sized. The
+    * final distinct unions fingerprints across rows SHARING an id (a
+    * pre-dedup corpus, a union replaying an id) — per-row sets are
+    * already distinct. [[fingerprintsDeclarative]] keeps the pure
+    * column-program derivation; the spec pins them equal.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(idCol != "fp", "fingerprints: idCol 'fp' would collide with the output column")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(graft.functions.WinnowExpression
+          .winnowFps(col(textCol), k, w)).as("fp"))
+      .distinct()
+  }
+
+  /** The declarative reference derivation of [[fingerprints]]: a
+    * sliding `min` over the POSITIONALLY EXPLODED gram relation (one
+    * row per gram, rowsBetween(0, w−1)). Not the default path — the
+    * explode + per-document window costs one corpus-tokens-sized
+    * shuffle (the nested array-lambda alternative is worse still:
+    * CollapseProject inlines the gram array into every window —
+    * O(len²) md5 calls per document, measured 370 s at sf0.1). Kept
+    * as the spec's differential oracle for the native expression.
+    */
+  def fingerprintsDeclarative(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")

@@ -96,9 +96,10 @@ object StreamingOps {
           // few coalesced fixture files: the file source lists/plans
           // per file, and dozens of near-empty shuffle outputs are
           // harness cost, not engine cost
-          ev.unionByName(sentinel).coalesce(2).write.mode("overwrite").json(s"$work/drop")
+          ev.unionByName(sentinel).coalesce(2).write.mode("overwrite").parquet(s"$work/drop")
           StreamingSessions.sessionStream(s, s"$work/drop", s"$work/out",
-            s"$work/ckpt", gapSeconds = gap).awaitTermination()
+            s"$work/ckpt", gapSeconds = gap,
+            format = "parquet").awaitTermination()
         }
         ev.unpersist(blocking = false)
         s.read.parquet(s"$work/out")
@@ -131,10 +132,10 @@ object StreamingOps {
           lit(maxTs + 4 * 3600L).as("ts"), lit("__sentinel__").as("event_type"),
           lit(0.0).as("value"))
         withReplayConf(s) {
-          ev.unionByName(sentinel).coalesce(2).write.mode("overwrite").json(s"$work/drop")
+          ev.unionByName(sentinel).coalesce(2).write.mode("overwrite").parquet(s"$work/drop")
           StreamingAggregates.windowedCounts(s, s"$work/drop", s"$work/out",
-            s"$work/ckpt", windowLength = "1 hour", lateness = "30 minutes")
-            .awaitTermination()
+            s"$work/ckpt", windowLength = "1 hour", lateness = "30 minutes",
+            format = "parquet").awaitTermination()
         }
         ev.unpersist(blocking = false)
         s.read.parquet(s"$work/out")
@@ -165,10 +166,11 @@ object StreamingOps {
             lit(1700000000L).as("ts"), // one instant: all within horizon
             col("text"))
           .filter(col("text").isNotNull)
-          .coalesce(2).write.mode("overwrite").json(s"$work/drop")
+          .coalesce(2).write.mode("overwrite").parquet(s"$work/drop")
         withReplayConf(s) {
           StreamingDedup.dedupStream(s, s"$work/drop", s"$work/out",
-            s"$work/ckpt", horizon = "1 hour").awaitTermination()
+            s"$work/ckpt", horizon = "1 hour",
+            format = "parquet").awaitTermination()
         }
         s.read.parquet(s"$work/out")
           .agg(
@@ -210,17 +212,18 @@ object StreamingOps {
               col("ts"),
               concat(lit("i"), (col("event_id") % 20).cast("string")).as("item"))
             .orderBy("ts").coalesce(1)
-            .write.mode("overwrite").json(s"$work/decisions")
+            .write.mode("overwrite").parquet(s"$work/decisions")
           ev.filter(col("value").isNotNull)
             .select(
               col("event_id").cast("string").as("decision_id"),
               (col("ts") + (col("event_id") % 4) * 3600L).as("ts"),
               col("value").as("reward"))
             .orderBy("ts").coalesce(1)
-            .write.mode("overwrite").json(s"$work/rewards")
+            .write.mode("overwrite").parquet(s"$work/rewards")
           StreamingJoin.rewardJoinStream(s, s"$work/decisions", s"$work/rewards",
             s"$work/out", s"$work/ckpt",
-            lateness = "1 hour", maxRewardDelay = "2 hours").awaitTermination()
+            lateness = "1 hour", maxRewardDelay = "2 hours",
+            format = "parquet").awaitTermination()
         }
         ev.unpersist(blocking = false)
         s.read.parquet(s"$work/out")
@@ -276,10 +279,10 @@ object StreamingOps {
         withReplayConf(s) {
           corpus.filter(col("vec_id") % 2 === 0)
             .repartition(3)
-            .write.mode("overwrite").json(s"$work/drop")
+            .write.mode("overwrite").parquet(s"$work/drop")
           graft.streaming.StreamingIndex.appendStream(
-            s, s"$work/drop", s"$work/ckpt", idx, "v", schema)
-            .awaitTermination()
+            s, s"$work/drop", s"$work/ckpt", idx, "v", schema,
+            format = "parquet").awaitTermination()
         }
         graft.operators.IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
@@ -304,7 +307,7 @@ object StreamingOps {
         withReplayConf(s) {
           // several files → several micro-batches (maxFilesPerTrigger
           // = 1), so the accumulate/ledger path actually exercises
-          docs.repartition(4).write.mode("overwrite").json(s"$work/drop")
+          docs.repartition(4).write.mode("overwrite").parquet(s"$work/drop")
           graft.streaming.StreamingAudit.auditStream(
             s, s"$work/drop", s"$work/state", s"$work/ckpt",
             StructType(Seq(
@@ -312,7 +315,8 @@ object StreamingOps {
               StructField("text", StringType),
               StructField("lang", StringType),
               StructField("n_chars", LongType))),
-            AuditOps.DocExpectations).awaitTermination()
+            AuditOps.DocExpectations,
+            format = "parquet").awaitTermination()
         }
         graft.streaming.StreamingAudit
           .result(s, s"$work/state", AuditOps.DocExpectations)
@@ -336,11 +340,11 @@ object StreamingOps {
           // several files -> several micro-batches, so the
           // prior-vs-intra-batch split is actually exercised
           .repartition(4)
-          .write.mode("overwrite").json(s"$work/drop")
+          .write.mode("overwrite").parquet(s"$work/drop")
         withReplayConf(s) {
           graft.streaming.StreamingNearDup.flagStream(
-            s, s"$work/drop", s"$work/nd", s"$work/ckpt")
-            .awaitTermination()
+            s, s"$work/drop", s"$work/nd", s"$work/ckpt",
+            format = "parquet").awaitTermination()
         }
         val flagged = s.read.parquet(s"$work/nd/flags")
           .select("doc_id").distinct()
@@ -390,11 +394,12 @@ object StreamingOps {
         Tables.lineitem(s, d).select("l_partkey")
           // several files -> several micro-batches, so merged() really
           // sums cross-batch contributions
-          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+          .repartition(4).write.mode("overwrite").parquet(s"$work/drop")
         withReplayConf(s) {
           StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
             s"$work/ckpt",
-            StructType(Seq(StructField("l_partkey", LongType))))(
+            StructType(Seq(StructField("l_partkey", LongType))),
+            format = "parquet")(
             b => CountMin.build(b, "l_partkey", depth = 4, width = 256))
             .awaitTermination()
         }
@@ -430,12 +435,13 @@ object StreamingOps {
         Tables.events(s, d)
           .select(col("event_id"),
             round(col("value") * 100).cast("long").as("cents"))
-          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+          .repartition(4).write.mode("overwrite").parquet(s"$work/drop")
         withReplayConf(s) {
           StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
             s"$work/ckpt",
             StructType(Seq(StructField("event_id", LongType),
-              StructField("cents", LongType))))(
+              StructField("cents", LongType))),
+            format = "parquet")(
             b => Stats.poissonBootstrap(b, col("event_id"), col("cents"),
               reps = 20))
             .awaitTermination()
@@ -463,12 +469,13 @@ object StreamingOps {
         Tables.events(s, d)
           .select(col("event_type"), unix_micros(col("ts")).as("tus"),
             round(col("value") * 100).cast("long").as("cents"))
-          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+          .repartition(4).write.mode("overwrite").parquet(s"$work/drop")
         withReplayConf(s) {
           StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
             s"$work/ckpt",
             StructType(Seq(StructField("event_type", StringType),
-              StructField("tus", LongType), StructField("cents", LongType))))(
+              StructField("tus", LongType), StructField("cents", LongType))),
+            format = "parquet")(
             b => b.groupBy(col("event_type"),
                 expr("tus div 86400000000L").as("day"))
               .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sc")))
@@ -498,12 +505,13 @@ object StreamingOps {
         val work = replayDir("auc_stream")
         EvalOps.scored(s, d)
           .select(col("y"), col("score").cast("double").as("score"))
-          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+          .repartition(4).write.mode("overwrite").parquet(s"$work/drop")
         withReplayConf(s) {
           StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
             s"$work/ckpt",
             StructType(Seq(StructField("y", IntegerType),
-              StructField("score", DoubleType))))(
+              StructField("score", DoubleType))),
+            format = "parquet")(
             b => b.filter(col("score").isNotNull && col("y").isNotNull)
               .groupBy("score")
               .agg(sum(when(col("y") =!= 0, 1L).otherwise(0L)).as("_np"),
@@ -537,10 +545,11 @@ object StreamingOps {
         val (lo, hi) = (b.getDouble(0), b.getDouble(1))
         li.filter(col("l_orderkey") % 2 === 1)
           .select(col("l_extendedprice").cast("double").as("x"))
-          .repartition(4).write.mode("overwrite").json(s"$work/drop")
+          .repartition(4).write.mode("overwrite").parquet(s"$work/drop")
         withReplayConf(s) {
           StreamingRollup.rollupStream(s, s"$work/drop", s"$work/state",
-            s"$work/ckpt", StructType(Seq(StructField("x", DoubleType))))(
+            s"$work/ckpt", StructType(Seq(StructField("x", DoubleType))),
+            format = "parquet")(
             batch => Drift.binCounts(batch, "x",
               batch.sparkSession.range(1)
                 .select(lit(lo).as("_lo"), lit(hi).as("_hi")),

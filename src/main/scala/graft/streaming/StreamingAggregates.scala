@@ -19,25 +19,21 @@ object StreamingAggregates {
     */
   def windowedCounts(spark: SparkSession, dropDir: String, outDir: String,
       checkpointDir: String, windowLength: String = "1 hour",
-      lateness: String = "30 minutes"): StreamingQuery = {
+      lateness: String = "30 minutes", format: String = "json"): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
 
-    val events = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
-      .text(dropDir)
-      .select(from_json(col("value"), schema).as("e"))
-      // malformed lines parse to null — a null event_time would enter
-      // the window state under a key the watermark can never close
-      // (state grows forever, nothing is emitted for it)
-      .filter(col("e").isNotNull && col("e.ts").isNotNull &&
-        col("e.event_type").isNotNull)
+    // null ts/event_type rows (malformed lines already dropped by the
+    // lenient read) would enter the window state under a key the
+    // watermark can never close (state grows forever, nothing is
+    // emitted for it)
+    val events = DropFolder.lenient(spark, dropDir, schema, format)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(
-        timestamp_seconds(col("e.ts")).as("event_time"),
-        col("e.event_type"), col("e.value"))
+        timestamp_seconds(col("ts")).as("event_time"),
+        col("event_type"), col("value"))
 
     events
       .withWatermark("event_time", lateness)

@@ -42,12 +42,9 @@ object StreamingAudit {
     */
   def auditStream(spark: SparkSession, dropDir: String, workDir: String,
       ckptDir: String, schema: StructType, expectations: Seq[Expectation],
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1, format: String = "json"): StreamingQuery = {
     Expectations.validate(expectations)
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dropDir)
+    DropFolder.stream(spark, dropDir, schema, maxFilesPerTrigger, format)
       .writeStream
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())

@@ -27,8 +27,9 @@ object StreamingDedup {
     * fingerprint column attached.
     */
   def dedupStream(spark: SparkSession, dropDir: String, outDir: String,
-      checkpointDir: String, horizon: String = "1 hour"): StreamingQuery =
-    dedup(readDocs(spark, dropDir), horizon)
+      checkpointDir: String, horizon: String = "1 hour",
+      format: String = "json"): StreamingQuery =
+    dedup(readDocs(spark, dropDir, format), horizon)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -52,28 +53,25 @@ object StreamingDedup {
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
-  private def readDocs(spark: SparkSession, dropDir: String): DataFrame = {
+  private def readDocs(spark: SparkSession, dropDir: String,
+      format: String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
-      .text(dropDir)
-      .select(from_json(col("value"), schema).as("d"))
-      // drop malformed lines EXPLICITLY: an unparseable row would
-      // otherwise flow on with a null event_time/fingerprint — the
-      // first one emitted as an all-null record, later ones silently
-      // swallowed as late data once the watermark moves. (The batch
-      // ingest path censuses its rejects — FirehoseRecords; here the
-      // guard keeps the stream clean and the invalid line count is
-      // observable via the file-source input minus output metrics.)
-      .filter(col("d").isNotNull && col("d.doc_id").isNotNull &&
-        col("d.ts").isNotNull && col("d.text").isNotNull)
+    // malformed lines are dropped by the lenient read; null-FIELD
+    // rows are dropped here — a null event_time/fingerprint row would
+    // otherwise be emitted as an all-null record (first one) or
+    // silently swallowed as late data once the watermark moves.
+    // (The batch ingest path censuses its rejects — FirehoseRecords;
+    // here the guard keeps the stream clean and the invalid line
+    // count is observable via input-minus-output metrics.)
+    DropFolder.lenient(spark, dropDir, schema, format)
+      .filter(col("doc_id").isNotNull &&
+        col("ts").isNotNull && col("text").isNotNull)
       .select(
-        col("d.doc_id").as("doc_id"),
-        timestamp_seconds(col("d.ts")).as("event_time"),
-        col("d.text").as("text"))
+        col("doc_id"),
+        timestamp_seconds(col("ts")).as("event_time"),
+        col("text"))
   }
 }

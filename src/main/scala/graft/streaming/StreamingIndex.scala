@@ -32,11 +32,8 @@ object StreamingIndex {
     */
   def appendStream(spark: SparkSession, dropDir: String, ckptDir: String,
       index: IvfIndex.Index, vecCol: String, schema: StructType,
-      maxFilesPerTrigger: Int = 1): StreamingQuery =
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dropDir)
+      maxFilesPerTrigger: Int = 1, format: String = "json"): StreamingQuery =
+    DropFolder.stream(spark, dropDir, schema, maxFilesPerTrigger, format)
       .writeStream
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())

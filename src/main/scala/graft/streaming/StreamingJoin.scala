@@ -31,15 +31,12 @@ object StreamingJoin {
     StructField("ts", LongType),
     StructField("reward", DoubleType)))
 
-  private def jsonlStream(spark: SparkSession, dir: String, schema: StructType) =
-    spark.readStream
-      .schema(StructType(Seq(StructField("value", StringType))))
-      .text(dir)
-      .select(from_json(col("value"), schema).as("e"))
-      // malformed lines parse to null — null keys/timestamps would pin
-      // unexpirable join state
-      .filter(col("e").isNotNull && col("e.decision_id").isNotNull &&
-        col("e.ts").isNotNull)
+  // malformed lines are dropped by the lenient read; null
+  // keys/timestamps would pin unexpirable join state
+  private def sideStream(spark: SparkSession, dir: String,
+      schema: StructType, format: String) =
+    DropFolder.lenient(spark, dir, schema, format)
+      .filter(col("decision_id").isNotNull && col("ts").isNotNull)
 
   /** JSONL decisions {decision_id, ts, item} under `decisionsDir` and
     * rewards {decision_id, ts, reward} under `rewardsDir` →
@@ -48,15 +45,16 @@ object StreamingJoin {
   def rewardJoinStream(spark: SparkSession, decisionsDir: String,
       rewardsDir: String, outDir: String, checkpointDir: String,
       lateness: String = "1 hour",
-      maxRewardDelay: String = "2 hours"): StreamingQuery = {
-    val decisions = jsonlStream(spark, decisionsDir, decisionSchema)
-      .select(col("e.decision_id"), timestamp_seconds(col("e.ts")).as("d_time"),
-        col("e.item"))
+      maxRewardDelay: String = "2 hours",
+      format: String = "json"): StreamingQuery = {
+    val decisions = sideStream(spark, decisionsDir, decisionSchema, format)
+      .select(col("decision_id"), timestamp_seconds(col("ts")).as("d_time"),
+        col("item"))
       .withWatermark("d_time", lateness)
-    val rewards = jsonlStream(spark, rewardsDir, rewardSchema)
-      .filter(col("e.reward").isNotNull)
-      .select(col("e.decision_id").as("r_decision_id"),
-        timestamp_seconds(col("e.ts")).as("r_time"), col("e.reward"))
+    val rewards = sideStream(spark, rewardsDir, rewardSchema, format)
+      .filter(col("reward").isNotNull)
+      .select(col("decision_id").as("r_decision_id"),
+        timestamp_seconds(col("ts")).as("r_time"), col("reward"))
       .withWatermark("r_time", lateness)
 
     decisions.join(rewards,

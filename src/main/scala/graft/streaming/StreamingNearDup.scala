@@ -53,23 +53,21 @@ object StreamingNearDup {
     */
   def flagStream(spark: SparkSession, dropDir: String, workDir: String,
       checkpointDir: String, k: Int = 5, w: Int = 4, minShared: Int = 2,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1, format: String = "json"): StreamingQuery = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val fpDir = s"$workDir/fps"
     val flagDir = s"$workDir/flags"
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dropDir)
+    DropFolder.stream(spark, dropDir, schema, maxFilesPerTrigger, format)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+      // no isEmpty pre-check: it costs a full extra decode of the
+      // batch, and processBatch is empty-safe (an empty batch writes
+      // empty partitions — idempotent under replay like any other)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          processBatch(spark, batch, fpDir, flagDir, batchId, k, w, minShared)
-        }
+        processBatch(spark, batch, fpDir, flagDir, batchId, k, w, minShared)
       }
       .start()
   }

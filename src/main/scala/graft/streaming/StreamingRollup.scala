@@ -30,19 +30,18 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingRollup {
 
-  /** Start an AvailableNow rollup stream over JSON files in `dropDir`
-    * (explicit `schema`): per micro-batch, `rollup(batch)` computes
-    * the batch's keyed contribution, written to
+  /** Start an AvailableNow rollup stream over `format` files in
+    * `dropDir` (explicit `schema`; json default / parquet for bulk
+    * replays — [[DropFolder]]): per micro-batch, `rollup(batch)`
+    * computes the batch's keyed contribution, written to
     * `stateDir/batch=<id>`. Read the accumulated state with
     * [[merged]] after termination (or at any monitoring cadence).
     */
   def rollupStream(spark: SparkSession, dropDir: String, stateDir: String,
-      ckptDir: String, schema: StructType, maxFilesPerTrigger: Int = 1)(
+      ckptDir: String, schema: StructType, maxFilesPerTrigger: Int = 1,
+      format: String = "json")(
       rollup: DataFrame => DataFrame): StreamingQuery =
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dropDir)
+    DropFolder.stream(spark, dropDir, schema, maxFilesPerTrigger, format)
       .writeStream
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())

@@ -46,8 +46,9 @@ object StreamingSessions {
     */
   def sessionStream(spark: SparkSession, dropDir: String, outDir: String,
       checkpointDir: String, gapSeconds: Long,
-      horizon: String = "0 seconds"): StreamingQuery =
-    sessionize(readEvents(spark, dropDir), gapSeconds, horizon)
+      horizon: String = "0 seconds",
+      format: String = "json"): StreamingQuery =
+    sessionize(readEvents(spark, dropDir, format), gapSeconds, horizon)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -56,24 +57,23 @@ object StreamingSessions {
       .option("path", outDir)
       .start()
 
-  private def readEvents(spark: SparkSession, dropDir: String): Dataset[SessionEvent] = {
+  private def readEvents(spark: SparkSession, dropDir: String,
+      format: String): Dataset[SessionEvent] = {
     val schema = StructType(Seq(
       StructField("user_id", LongType),
       StructField("ts", LongType),
       StructField("value", DoubleType)))
     implicit val enc = Encoders.product[SessionEvent]
-    spark.readStream
-      .schema(StructType(Seq(StructField("value", StringType))))
-      .text(dropDir)
-      .select(from_json(col("value"), schema).as("e"))
-      // malformed lines are dropped explicitly — a null event_time row
-      // would poison the watermark path (see StreamingDedup)
-      .filter(col("e").isNotNull && col("e.user_id").isNotNull &&
-        col("e.ts").isNotNull && col("e.value").isNotNull)
+    // malformed lines are dropped by the lenient read; a null
+    // event_time row would poison the watermark path (see
+    // StreamingDedup)
+    DropFolder.lenient(spark, dropDir, schema, format)
+      .filter(col("user_id").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull)
       .select(
-        col("e.user_id").as("user_id"),
-        timestamp_seconds(col("e.ts")).as("event_time"),
-        col("e.value").as("value"))
+        col("user_id"),
+        timestamp_seconds(col("ts")).as("event_time"),
+        col("value"))
       .as[SessionEvent]
   }
 

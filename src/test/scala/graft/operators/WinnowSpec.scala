@@ -95,6 +95,35 @@ class WinnowSpec extends AnyFunSuite with SparkTestBase {
     assert(!fps.contains(1L) && !fps.contains(2L) && fps.contains(3L))
   }
 
+  test("native expression equals the declarative derivation on adversarial text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val adversarial = Seq(
+      1L -> "", // empty
+      2L -> "   ", // spaces only
+      3L -> "a\tb c d e f g h i j", // tab INSIDE a word (split is space-only)
+      4L -> " lead and trail pad word one two three four ", // trim boundary
+      5L -> ("x " * (K + W - 1)).trim, // exactly the minimum length
+      6L -> ("x " * (K + W - 2)).trim, // one below the minimum
+      7L -> (1 to 25).map(_ => "same").mkString(" "), // all-equal grams (dedup-heavy)
+      8L -> "héllo wörld ünïcode ♞ tokens 日本語 mixed in here too yes", // multi-byte UTF-8
+      9L -> (1 to 40).map(i => s"a${i % 3}").mkString("  ") // empty tokens between words
+    ) ++ (10L to 40L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(60))(s"v${rnd.nextInt(25)}").mkString(" "))
+    }
+    val df = adversarial.toDF("doc_id", "text")
+    def toMap(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getString(1))).groupBy(_._1)
+      .map { case (id, fps) => id -> fps.map(_._2).toSet }
+    assert(toMap(Winnow.fingerprints(df, "doc_id", "text", K, W))
+      === toMap(Winnow.fingerprintsDeclarative(df, "doc_id", "text", K, W)))
+    // and at (k, w) extremes
+    for ((k, w) <- Seq((1, 1), (2, 7), (9, 2)))
+      assert(toMap(Winnow.fingerprints(df, "doc_id", "text", k, w))
+        === toMap(Winnow.fingerprintsDeclarative(df, "doc_id", "text", k, w)),
+        s"(k=$k, w=$w)")
+  }
+
   test("candidatePairs: planted quote pairs found, minShared respected") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"b$i").mkString(" ")
