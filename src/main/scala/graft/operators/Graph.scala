@@ -135,15 +135,20 @@ object Graph {
     * two exact integers so no cross-engine float division happens
     * here.
     *
-    * Scale shape: the classic node-iterator-with-orientation join.
-    * Edges are oriented by a TOTAL degree order (degree, then node id)
-    * so every triangle is counted exactly once from its lowest node,
-    * and — the scale property — wedge fan-in is Σ outdeg², where the
-    * orientation bounds outdeg by O(√m) on any graph (a high-degree
-    * hub receives edges instead of emitting them). Two
-    * hash-partitioned joins (wedge build on the shared endpoint,
-    * wedge close against the edge relation) + long-sum aggs; no
-    * driver state, no adjacency broadcast.
+    * Scale shape: edge-iterator with degree orientation and
+    * ADJACENCY-ARRAY intersection. Edges are oriented by a TOTAL
+    * degree order (degree, then node id) so every triangle is counted
+    * exactly once from its lowest node, and the orientation bounds
+    * out-degree by O(√m) on any graph (a high-degree hub receives
+    * edges instead of emitting them). Each oriented edge (u, v)
+    * contributes |N⁺(u) ∩ N⁺(v)| triangles: the out-adjacency is one
+    * keyed collect (per-node arrays O(√m) by the bound), each edge
+    * picks up both endpoint arrays through two co-partitioned joins,
+    * and the intersection runs INSIDE codegen (array_intersect's hash
+    * set) — so the exchanges move O(m) edge/adjacency rows, never the
+    * Σ outdeg² wedge relation (the previous formulation materialized
+    * and re-shuffled every wedge; at the x10 stress graph that is
+    * ~20× the edge count). No driver state, no adjacency broadcast.
     */
   def triangleCensus(edges: DataFrame, aCol: String,
       bCol: String): DataFrame = {
@@ -173,31 +178,34 @@ object Graph {
           .as("_e"))
       .select(col("_e.lo").as("lo"), col("_e.hi").as("hi"))
       .localCheckpoint()
-    // wedge build: two oriented edges out of the same low node; close
-    // against the UNDIRECTED edge set (canonical a < b).
-    //
-    // DATA-SCALED shuffle width: the oriented-wedge relation is an
-    // order of magnitude larger than the input edges, and pushing it
-    // through the session-default partition count spills once the
-    // graph outgrows the box the default was sized for — measured at
-    // the x10 stress corpus: 12M edges through 32 partitions ran the
-    // census at 346 s; at a width sized to the edge count, 152 s.
-    // ~100k edge rows per partition, clamped to [session default,
-    // 4096] — on a real cluster the same rule sizes the exchange to
-    // the data, not to a config constant.
+    // DATA-SCALED shuffle width (~100k edge rows per partition,
+    // clamped to [session default, 4096]): on a real cluster the same
+    // rule sizes the exchanges to the data, not to a config constant.
     val width = Math.min(4096L,
       Math.max(e.sparkSession.sessionState.conf.numShufflePartitions.toLong,
         nEdges / 100000L)).toInt
-    val w1 = oriented.repartition(width, col("lo"))
-      .select(col("lo"), col("hi").as("x"))
-    val w2 = oriented.repartition(width, col("lo"))
-      .select(col("lo"), col("hi").as("y"))
-    val wedges = w1.join(w2, Seq("lo")).filter(col("x") < col("y"))
-    val closed = wedges
-      .repartition(width, col("x"), col("y"))
-      .join(e.repartition(width, col("a"), col("b")),
-        wedges("x") === e("a") && wedges("y") === e("b"))
-    val nTriangles = closed.count()
+    // out-adjacency arrays, hash-partitioned on the node: the
+    // explicit repartition both sizes the exchange and lets the
+    // aggregation and the first join REUSE the partitioning (no
+    // second exchange of the edge relation)
+    val byLo = oriented.repartition(width, col("lo"))
+    val adj = byLo.groupBy(col("lo"))
+      .agg(collect_list(col("hi")).as("_nbrs"))
+      .localCheckpoint() // consumed twice (both endpoint joins)
+    // (u, v) ⋈ N⁺(u) on lo, then ⋈ N⁺(v) on hi (inner: a v with no
+    // out-edges closes nothing); the per-edge triangle count is the
+    // codegen'd array intersection — never a materialized wedge row
+    val closed = byLo
+      .join(adj.select(col("lo"), col("_nbrs").as("_nu")), Seq("lo"))
+      .repartition(width, col("hi"))
+      .join(adj.select(col("lo").as("hi"), col("_nbrs").as("_nv")),
+        Seq("hi"))
+      .select(size(array_intersect(col("_nu"), col("_nv")))
+        .cast("long").as("_t"))
+    val nTriangles = closed.agg(sum("_t")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     val spark = edges.sparkSession
     import spark.implicits._
     Seq((nNodes, nEdges, nWedges, nTriangles))
