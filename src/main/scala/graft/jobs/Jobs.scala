@@ -152,6 +152,12 @@ object AnalyzeJob {
       println(s"equi-depth($c, $buckets): " +
         d.collect().map(r => r.getAs[String]("boundary")).mkString(", "))
     }
+    // the CBO feedback product (second scan — byte widths are
+    // measured, not in the column census): rows/bytes/NDV that
+    // Cbo.statsJoin pins join strategies from
+    val tStats = graft.operators.Cbo.collectStats(df)
+    graft.operators.Cbo.writeStats(spark, tStats, outDir)
+    println(s"table_stats: rows=${tStats.rows} bytes=${tStats.bytes}")
     spark.stop()
   }
 }

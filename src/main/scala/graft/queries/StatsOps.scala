@@ -126,6 +126,55 @@ object StatsOps {
 
   def queries: Seq[GateQuery] = Seq(
 
+    // The ANALYZE feedback loop closed: measured stats (Cbo
+    // .collectStats — the AnalyzeJob product) PIN the join strategy
+    // instead of the optimizer's scan-size guess. nation's measured
+    // ~2 KB fits the budget → broadcast; lineitem's measured bytes
+    // exceed it → pinned sort-merge (a bad static estimate can never
+    // buffer an unbounded build side). The gate asserts BOTH planned
+    // strategies in-gate (loud requires on the executed plan) and the
+    // oracle checks the join RESULT census — strategy must never
+    // change the answer.
+    GateQuery(
+      "q_cbo_join",
+      (s, d) => {
+        import graft.operators.Cbo
+        val nat = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        val natStats = Cbo.collectStats(nat, Seq("s_nationkey"))
+        val liStats = Cbo.collectStats(li)
+        // 64 KB budget: stats-scaled so the flip holds at every sf the
+        // suite runs (nation is ~2 KB at any sf; the lineitem
+        // projection is ≥96 KB from sf0.001 up)
+        val budget = 64L << 10
+        require(natStats.isKey("s_nationkey"),
+          "q_cbo_join: nation key not measured unique")
+        val supNat = Cbo.statsJoin(
+          supplier(s, d).select("s_suppkey", "s_nationkey"),
+          nat, natStats, Seq("s_nationkey"), broadcastBytes = budget)
+        val joined = Cbo.statsJoin(
+          supNat, li.withColumnRenamed("l_suppkey", "s_suppkey"),
+          liStats, Seq("s_suppkey"), broadcastBytes = budget)
+        val plan = joined.queryExecution.executedPlan.toString()
+        require(plan.contains("BroadcastHashJoin"),
+          s"q_cbo_join: stats said broadcast nation, plan disagrees:\n$plan")
+        require(plan.contains("SortMergeJoin"),
+          s"q_cbo_join: stats said shuffle-join lineitem, plan disagrees:\n$plan")
+        joined.groupBy("n_name")
+          .agg(countDistinct(col("s_suppkey")).as("n_suppliers"),
+            sum("qty").cast("long").as("total_qty"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN lineitem ON l_suppkey = s_suppkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
     // ANALYZE-style table statistics: per-column row/null/NDV/min/max
     // census — the stats relation a cost-based optimizer (join order,
     // broadcast thresholds, partition sizing) is fed from. ONE corpus
