@@ -356,6 +356,20 @@ object ScaleStress {
     require(maxFanin <= maxCluster * 2 + 64,
       s"LSH bucket fan-in $maxFanin far exceeds the largest verified " +
         s"duplicate cluster ($maxCluster) — buckets not explained by real cliques")
+    // RECORDED ENVELOPE GUARD (r10/r11): the x10 minhash replay's
+    // operating point is 64 GiB heap / ~715 s, and the quantity that
+    // drives it is the candidate volume the band join emits. Measured
+    // at the recorded envelope: cand_bound = 733.3M against 15.45M
+    // verified pairs — ratio 47.5 (a true pair at j≥0.9 collides in
+    // ~10 of 16 bands; the rest is sub-threshold clique noise the
+    // verify stage pays to reject). A ratio past 60 (1.26× headroom)
+    // means candidate volume regressed past what the 64 GiB envelope
+    // absorbed — fail loudly BEFORE someone discovers it as an OOM.
+    require(candBound <= 60L * nPairs.max(1L),
+      f"minhash candidate volume regressed past the recorded envelope: " +
+        f"cand_bound=$candBound = ${candBound.toDouble / nPairs.max(1L)}%.1f× " +
+        f"verified pairs ($nPairs); recorded ratio 47.5, guard 60 — the " +
+        "64 GiB x10 replay envelope no longer holds")
 
     }
 
