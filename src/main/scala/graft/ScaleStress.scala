@@ -306,7 +306,7 @@ object ScaleStress {
       x: Int, xl: Int): Unit = {
     import graft.operators.{Ann, Dedup, IvfIndex}
 
-    // SPARK_GRAFT_INV_ONLY=lsh,xl,store,prefix replays a subset
+    // SPARK_GRAFT_INV_ONLY=lsh,xl,neardup,store,prefix replays a subset
     // (iteration aid, same contract as SPARK_GRAFT_STRESS_ONLY)
     val invOnly = sys.env.get("SPARK_GRAFT_INV_ONLY").map(_.split(',').toSet)
     def sel(name: String): Boolean = invOnly.forall(_.contains(name))
@@ -421,6 +421,44 @@ object ScaleStress {
       f"max_cell=${cellStats.getLong(1)} avg=${cellStats.getDouble(2)}%.0f " +
       f"knn($nQ queries, nprobe=8/128)=${probeSec}%.1fs rows=$nn |")
     emb.unpersist(blocking = false)
+    }
+
+    if (sel("neardup")) {
+    // Streaming near-dup flat-cost contract at x: replay the x10
+    // document corpus through processBatch in 10 batches and require
+    // the per-batch wall stays FLAT as the fingerprint store grows
+    // 10×. The store is duplicate-free by construction (batch=<id>
+    // overwrite) and the prior-side scan is semi-join-pruned by the
+    // batch's fingerprints, so batch cost is O(batch + collisions) —
+    // the removed pathology (per-batch full-pool distinct) made batch
+    // N cost ∝ N, which this guard (last ≤ 3× the early median)
+    // catches with margin while flat behavior sits near 1×.
+    val ndDocs = spark.read.parquet(s"$xDir/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .withColumn("_b", pmod(col("doc_id"), lit(10)))
+      .persist()
+    ndDocs.count()
+    val ndWork = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(if (new java.io.File("/dev/shm").canWrite)
+        "/dev/shm" else System.getProperty("java.io.tmpdir")), "nd_stress").toString
+    val walls = (0 until 10).map { b =>
+      val batch = ndDocs.filter(col("_b") === b).drop("_b")
+      val t0 = System.nanoTime()
+      graft.streaming.StreamingNearDup.processBatch(spark, batch,
+        s"$ndWork/fps", s"$ndWork/flags", b.toLong, 5, 4, 2)
+      (System.nanoTime() - t0) / 1e9
+    }
+    ndDocs.unpersist(blocking = false)
+    val flagged = spark.read.parquet(s"$ndWork/flags")
+      .select("doc_id").distinct().count()
+    val earlyMedian = walls.slice(1, 4).sorted.apply(1)
+    println(f"| streaming near-dup flat-cost @x$x | 10 batches, walls=" +
+      walls.map(w => f"$w%.1f").mkString("[", ",", "]") +
+      f" early_median=$earlyMedian%.1fs last=${walls.last}%.1fs flagged=$flagged |")
+    require(walls.last <= earlyMedian * 3 + 1.0,
+      f"per-batch near-dup cost grew with the store: last batch " +
+        f"${walls.last}%.1fs vs early median $earlyMedian%.1fs — the " +
+        "O(batch + collisions) contract regressed")
     }
 
     if (sel("store")) {
