@@ -66,23 +66,125 @@ object Ann {
     df.orderBy(col(idCol)).limit(c).select(col(vecCol))
       .collect().map(_.getSeq[Double](0))
 
-  /** Proper coarse quantizer: seeded k-means over (a sample of) the
-    * corpus — better-balanced cells ⇒ better recall per probe. This is
-    * the variant to use at scale; `centroids` exists for deterministic
-    * fixtures.
+  /** Proper coarse quantizer: seeded spherical k-means (cosine — the
+    * metric cells are assigned and probed by) over a SAMPLE-BOUNDED
+    * training set. This is the variant to use at scale; `centroids`
+    * exists for deterministic fixtures.
+    *
+    * Why driver-local Lloyd's and not a distributed fit: quantizer
+    * training is a 128·k-vector task (the FAISS operating practice —
+    * past ~10²–10³ vectors per centroid the cells stop moving), so at
+    * ANY corpus size the training set is driver-bounded by
+    * construction, like the centroid/boundary collects everywhere
+    * else in the engine. A distributed fit pays ~20 scheduler
+    * round-trips per build for work that is milliseconds of local
+    * arithmetic at gate scale and ~1 s (parallel streams) at the
+    * 512-cell stress scale; the corpus-wide work — the assignment
+    * pass — stays distributed (withCell's codegen expression).
+    * Deterministic: the sample is re-sorted into a content order
+    * (collect order is partition-layout-dependent), init is a seeded
+    * shuffle, ties break by lowest centroid index.
     */
   def kmeansCentroids(df: DataFrame, vecCol: String, k: Int, seed: Long = 7L,
-      sampleFraction: Double = 1.0): Array[Seq[Double]] = {
-    import org.apache.spark.ml.functions.array_to_vector
+      sampleFraction: Double = 1.0, maxIter: Int = 20): Array[Seq[Double]] = {
+    require(k >= 1, s"k must be >= 1: $k")
     val sampled = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
-    val vecs = sampled.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20)
-      // cells are assigned and probed by cosine (withCell/topK), so
-      // the quantizer must optimize the same metric
-      .setDistanceMeasure("cosine")
-      .fit(vecs)
-    model.clusterCenters.map(_.toArray.toSeq)
+    val pool = sampled.select(col(vecCol)).filter(col(vecCol).isNotNull)
+    val n = pool.count()
+    require(n > 0, "kmeansCentroids: no non-null vectors")
+    val cap = 128 * k
+    val fetch =
+      if (n <= cap) pool
+      // 1.3 oversample: Bernoulli sampling undershoots; truncate below
+      else pool.sample(math.min(1.0, cap * 1.3 / n), seed)
+    val raw = fetch.collect().map(_.getSeq[Double](0).toArray)
+    val pts = raw.sortWith(lexLess).take(math.min(cap, raw.length)).map(normUnit)
+    val dim = pts.head.length
+    // farthest-point init (deterministic k-means++ flavor): a seeded
+    // pick for the first center, then greedily the point with the
+    // LARGEST min-cosine-distance to the chosen set (ties by sample
+    // order). Spread-out seeds keep Lloyd's out of the
+    // split-one-cluster/merge-two local optimum a naive random init
+    // lands in on well-separated data.
+    val rnd = new java.util.Random(seed)
+    val first = rnd.nextInt(pts.length)
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]](pts(first))
+    val minDist = Array.fill(pts.length)(Double.PositiveInfinity)
+    while (chosen.length < k) {
+      val last = chosen.last
+      var best = -1; var bestD = Double.NegativeInfinity
+      var p = 0
+      while (p < pts.length) {
+        var d = 0.0; var e = 0
+        val v = pts(p)
+        while (e < dim) { d += v(e) * last(e); e += 1 }
+        val dist = 1.0 - d
+        if (dist < minDist(p)) minDist(p) = dist
+        if (minDist(p) > bestD) { bestD = minDist(p); best = p }
+        p += 1
+      }
+      chosen += pts(best)
+    }
+    var cents = chosen.toArray
+    val assign = new Array[Int](pts.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val cur = cents
+      // assignment: the O(sample · k · dim) hot loop, parallel
+      java.util.stream.IntStream.range(0, pts.length).parallel().forEach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cur.length) {
+          var d = 0.0; var e = 0
+          val v = pts(p); val ct = cur(c)
+          while (e < dim) { d += v(e) * ct(e); e += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+      }
+      // recompute: sequential O(sample · dim); empty cluster keeps its
+      // centroid (deterministic, matches the frozen-quantizer spirit)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      var p = 0
+      while (p < pts.length) {
+        val c = assign(p); counts(c) += 1
+        val v = pts(p); val s = sums(c)
+        var e = 0
+        while (e < dim) { s(e) += v(e); e += 1 }
+        p += 1
+      }
+      val next = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else normUnit(sums(c)))
+      moved = next.indices.exists(c => !java.util.Arrays.equals(next(c), cents(c)))
+      cents = next
+      iter += 1
+    }
+    cents.map(_.toSeq)
+  }
+
+  private def normUnit(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val m = math.sqrt(s)
+    if (m == 0.0) v.clone() else v.map(_ / m)
+  }
+
+  /** Deterministic lexicographic order on vectors (shorter first on
+    * shared prefix) — the content sort that makes the collected
+    * training sample independent of partition layout.
+    */
+  private def lexLess(a: Array[Double], b: Array[Double]): Boolean = {
+    val len = math.min(a.length, b.length)
+    var i = 0
+    while (i < len) {
+      if (a(i) < b(i)) return true
+      if (a(i) > b(i)) return false
+      i += 1
+    }
+    a.length < b.length
   }
 
   /** Adds a `cell` column: index of the nearest centroid — a native
