@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("flatten_features"),
       new ExpressionInfo(classOf[FlattenJsonExpression].getName, "flatten_features"),
       graft.functions.Functions.flattenFeaturesBuilder(_)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.functions.WinnowExpression].getName, "winnow_fps"),
+      graft.functions.Functions.winnowFpsBuilder(_)))
   }
 }

@@ -90,6 +90,30 @@ object Functions {
     FlattenJsonExpression(args(0), args(1))
   }
 
+  /** winnow_fps(text[, k, w]) — native MOSS winnowing fingerprints
+    * (defaults k=5, w=4, the near-dup pipeline's parameters). k and w
+    * must be foldable: they parameterize the expression itself.
+    */
+  def winnowFpsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1 || args.length == 3, "winnow_fps(text[, k, w])")
+    def intArg(e: Expression, name: String): Int = e match {
+      case lit if lit.foldable =>
+        lit.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"winnow_fps: $name must be an integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"winnow_fps: $name must be a literal")
+    }
+    val (k, w) =
+      if (args.length == 3) (intArg(args(1), "k"), intArg(args(2), "w"))
+      else (5, 4)
+    require(k >= 1 && w >= 1, s"winnow_fps: k and w must be >= 1 ($k, $w)")
+    WinnowExpression(args.head, k, w)
+  }
+
   def register(spark: SparkSession): Unit = {
     // native expressions via the function registry (not UDFs)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -104,6 +128,8 @@ object Functions {
       "ksuid_basic_iso", ksuidBasicIsoBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "flatten_features", flattenFeaturesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", winnowFpsBuilder, "scala_udf")
 
     spark.udf.register("is_valid_ksuid",
       (id: String, nowEpochSeconds: Long) => Ksuid.isValid(id, nowEpochSeconds))

@@ -36,6 +36,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect().head
       assert(vec.getDouble(0) == 1.0)
       assert(vec.getDouble(1) == 2.0 + 7.0) // table[0*2+0] + table[1*2+1]
+      // winnow_fps: defaults (k=5, w=4) equal the explicit spelling,
+      // and a full-window doc yields at least one fingerprint
+      val fps = s.sql(
+        "SELECT winnow_fps('a b c d e f g h i j') AS d," +
+          " winnow_fps('a b c d e f g h i j', 5, 4) AS e").collect().head
+      assert(fps.getSeq[String](0).nonEmpty &&
+        fps.getSeq[String](0) == fps.getSeq[String](1))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
