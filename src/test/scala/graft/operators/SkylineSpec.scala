@@ -71,6 +71,26 @@ class SkylineSpec extends AnyFunSuite with SparkTestBase {
     assert(sky === Set(1L, 2L))
   }
 
+  test("null coordinates are dominated and never poison real rows") {
+    import spark.implicits._
+    // the (null, 999) row sorts FIRST under the ascending prefix max —
+    // unfiltered it would feed _sky_cheaper of every real row and
+    // falsely dominate the genuine frontier
+    val df = Seq(
+      (1L, Some(1L), Some(10L)), // frontier
+      (2L, Some(2L), Some(20L)), // frontier
+      (3L, Some(3L), Some(5L)), // dominated by 2
+      (4L, None: Option[Long], Some(999L)), // null min: dominated
+      (5L, Some(0L), None: Option[Long]) // null max: dominated
+    ).toDF("id", "mn", "mx")
+    val marked = Skyline.markDominated(df, "mn", "mx")
+      .select("id", "dominated").as[(Long, Boolean)].collect().toMap
+    assert(marked === Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> true, 5L -> true))
+    assert(Skyline.pareto2d(df, "mn", "mx")
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
   test("single point and strictly-sorted chain edge cases") {
     assert(Skyline.pareto2d(Seq((1L, 7L, 7L)).toDF("id", "mn", "mx"),
       "mn", "mx").count() === 1L)

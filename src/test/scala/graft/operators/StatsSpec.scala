@@ -60,4 +60,18 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
       Stats.percentileInterval(reps, 0, 4)
     }
   }
+
+  test("percentileInterval: sign-correct rounding, empty replicates dropped") {
+    // negative replicate mean ×100 = −150.5 must round AWAY from zero
+    // (−151), not truncate toward it (−150); an n_eff=0 replicate has
+    // no mean and is dropped, not NPE'd
+    val reps = Seq(
+      (0L, 200L, -301L), // mean ×100 = −150.5 → −151 (half-away)
+      (1L, 10L, 1000L), // 10000
+      (2L, 0L, 0L), // empty replicate: dropped
+      (3L, 200L, 301L) // mean ×100 = 150.5 → 151 (half-up)
+    ).toDF("rep", "n_eff", "wsum")
+    assert(Stats.percentileInterval(reps, 1, 3) === (-151L, 10000L))
+    assert(Stats.percentileInterval(reps, 2, 2) === (151L, 151L))
+  }
 }
