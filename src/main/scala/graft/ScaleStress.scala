@@ -451,6 +451,9 @@ object ScaleStress {
     ndDocs.unpersist(blocking = false)
     val flagged = spark.read.parquet(s"$ndWork/flags")
       .select("doc_id").distinct().count()
+    // the store is RAM-backed (/dev/shm) and x10-corpus-sized: delete
+    // it or repeated runs accumulate until tmpfs ENOSPC
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ndWork))
     val earlyMedian = walls.slice(1, 4).sorted.apply(1)
     println(f"| streaming near-dup flat-cost @x$x | 10 batches, walls=" +
       walls.map(w => f"$w%.1f").mkString("[", ",", "]") +

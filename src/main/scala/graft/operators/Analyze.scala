@@ -22,9 +22,9 @@ object Analyze {
     val cols = df.columns.toSeq
     require(cols.nonEmpty, "empty schema")
     // a generic ANALYZE entry point sees arbitrary column names —
-    // reference them backtick-quoted (`` doubled) and carry the name
-    // itself as a typed literal, never spliced into SQL text
-    def qc(c: String) = col("`" + c.replace("`", "``") + "`")
+    // reference them backtick-quoted (graft.core.SqlIdent) and carry
+    // the name itself as a typed literal, never spliced into SQL text
+    def qc(c: String) = col(graft.core.SqlIdent.quote(c))
     val wide = df.agg(
       count(lit(1)).as("n_rows"),
       cols.zipWithIndex.flatMap { case (c, i) => Seq(

@@ -65,12 +65,13 @@ object Cbo {
   }
 
   /** Persist stats next to the table (the AnalyzeJob layout):
-    * one-row parquet at `dir/table_stats.parquet`.
+    * one-row parquet at `dir/table_stats.parquet`. The NDV entries
+    * ride a real MAP column — column names are data and may contain
+    * any character, so no delimiter-joined string rendering.
     */
   def writeStats(spark: SparkSession, stats: TableStats, dir: String): Unit = {
     import spark.implicits._
-    Seq((stats.rows, stats.bytes,
-      stats.ndv.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString(",")))
+    Seq((stats.rows, stats.bytes, stats.ndv))
       .toDF("rows", "bytes", "ndv")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/table_stats.parquet")
   }
@@ -80,10 +81,8 @@ object Cbo {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val r = spark.read.parquet(p.toString).collect().headOption.getOrElse(return None)
-    val ndv = r.getString(2).split(",").filter(_.nonEmpty).map { kv =>
-      val Array(k, v) = kv.split("=", 2); k -> v.toLong
-    }.toMap
-    Some(TableStats(r.getLong(0), r.getLong(1), ndv))
+    Some(TableStats(r.getLong(0), r.getLong(1),
+      r.getMap[String, Long](2).toMap))
   }
 
   /** Default broadcast budget: MEASURED bytes, so it can sit well
@@ -105,6 +104,5 @@ object Cbo {
     else
       left.join(right.hint("merge"), keys, joinType)
 
-  private def field(name: String): String =
-    "`" + name.replace("`", "``") + "`"
+  private def field(name: String): String = graft.core.SqlIdent.quote(name)
 }

@@ -21,12 +21,16 @@ private[streaming] object DropFolder {
       maxFilesPerTrigger: Int, format: String): DataFrame =
     reader(spark, schema, Some(maxFilesPerTrigger), format).load(dir)
 
-  /** Malformed-line-tolerant read, FLAT columns: the json path reads
-    * raw lines and `from_json`s them, so an unparseable line becomes
-    * one null struct dropped here — it can never poison a watermark
-    * or pin unexpirable state downstream (parquet rows cannot be
-    * malformed; per-FIELD nulls are data and remain the caller's
-    * filter to apply).
+  /** Line-tolerant read, FLAT columns. The json path reads raw lines
+    * and `from_json`s them so an unparseable line can never FAIL the
+    * stream — but note Spark's PERMISSIVE contract: a malformed line
+    * parses to a row of all-null FIELDS (only a NULL input line
+    * yields the null struct dropped here), indistinguishable from a
+    * legitimately all-null record. Required-field null filters are
+    * therefore the CALLER's job in both formats — every operator
+    * filters its key/event-time columns before any watermark or
+    * state, which is what actually keeps a malformed line from
+    * poisoning a watermark or pinning unexpirable state.
     */
   def lenient(spark: SparkSession, dir: String, schema: StructType,
       format: String, maxFilesPerTrigger: Option[Int] = None): DataFrame =
@@ -40,7 +44,7 @@ private[streaming] object DropFolder {
           .select(from_json(col("value"), schema).as("_e"))
           .filter(col("_e").isNotNull)
           .select(schema.fieldNames.toIndexedSeq
-            .map(f => col("_e.`" + f + "`").as(f)): _*)
+            .map(f => col("_e." + graft.core.SqlIdent.quote(f)).as(f)): _*)
       case other => throw new IllegalArgumentException(
         s"unsupported drop-folder format: $other")
     }

@@ -25,10 +25,11 @@ object StreamingAggregates {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
 
-    // null ts/event_type rows (malformed lines already dropped by the
-    // lenient read) would enter the window state under a key the
-    // watermark can never close (state grows forever, nothing is
-    // emitted for it)
+    // null ts/event_type rows — including malformed json lines, which
+    // PERMISSIVE parsing surfaces as all-null-field rows — would enter
+    // the window state under a key the watermark can never close
+    // (state grows forever, nothing is emitted for it): this filter is
+    // the actual malformed-line guard
     val events = DropFolder.lenient(spark, dropDir, schema, format)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(

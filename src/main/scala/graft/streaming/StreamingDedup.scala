@@ -59,13 +59,14 @@ object StreamingDedup {
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-    // malformed lines are dropped by the lenient read; null-FIELD
-    // rows are dropped here — a null event_time/fingerprint row would
-    // otherwise be emitted as an all-null record (first one) or
-    // silently swallowed as late data once the watermark moves.
-    // (The batch ingest path censuses its rejects — FirehoseRecords;
-    // here the guard keeps the stream clean and the invalid line
-    // count is observable via input-minus-output metrics.)
+    // null-FIELD rows — including malformed json lines, which
+    // PERMISSIVE parsing surfaces as all-null rows — are dropped
+    // here: a null event_time/fingerprint row would otherwise be
+    // emitted as an all-null record (first one) or silently swallowed
+    // as late data once the watermark moves. (The batch ingest path
+    // censuses its rejects — FirehoseRecords; here the guard keeps
+    // the stream clean and the invalid line count is observable via
+    // input-minus-output metrics.)
     DropFolder.lenient(spark, dropDir, schema, format)
       .filter(col("doc_id").isNotNull &&
         col("ts").isNotNull && col("text").isNotNull)

@@ -31,8 +31,9 @@ object StreamingJoin {
     StructField("ts", LongType),
     StructField("reward", DoubleType)))
 
-  // malformed lines are dropped by the lenient read; null
-  // keys/timestamps would pin unexpirable join state
+  // null keys/timestamps — including malformed json lines, which
+  // PERMISSIVE parsing surfaces as all-null rows — would pin
+  // unexpirable join state: this filter is the malformed-line guard
   private def sideStream(spark: SparkSession, dir: String,
       schema: StructType, format: String) =
     DropFolder.lenient(spark, dir, schema, format)

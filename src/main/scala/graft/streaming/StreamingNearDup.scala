@@ -117,10 +117,16 @@ object StreamingNearDup {
     * Scale shape: `prior` is corpus-sized but is pruned to the new
     * batch's fingerprint set by a BROADCAST semi-join before anything
     * shuffles — per-batch cost is O(batch + collisions), flat in the
-    * store size. No full-pool distinct: the store is duplicate-free
-    * by construction (batch=<id> overwrite) and [[Winnow.fingerprints]]
-    * emits distinct (doc_id, fp) rows, so pair counting is exact
-    * without one. Public for the spec's plan assertions.
+    * store size. The pool distinct that makes pair counting exact
+    * runs AFTER that prune, over the collision-sized relation, never
+    * the corpus: batch=<id> overwrite already dedups whole-batch
+    * crash replays, but the SAME document re-delivered in two
+    * DIFFERENT batches (an at-least-once producer re-appending a
+    * file) legitimately lands in two store partitions, and without
+    * the distinct its duplicated (doc_id, fp) rows would double-count
+    * into _n_shared — a pair sharing only one distinct fingerprint
+    * could cross minShared and be falsely flagged. Public for the
+    * spec's plan assertions.
     */
   def flagDerivation(prior: DataFrame, newFps: DataFrame,
       minShared: Int): DataFrame = {
@@ -128,6 +134,7 @@ object StreamingNearDup {
       broadcast(newFps.select("fp").distinct()), Seq("fp"), "left_semi")
     val pool = pruned.unionByName(newFps.select("doc_id", "fp"))
       .select(col("doc_id").as("_id_old"), col("fp"))
+      .distinct()
     newFps
       .select(col("doc_id").as("_id_new"), col("fp"))
       .join(pool, Seq("fp"))

@@ -64,9 +64,10 @@ object StreamingSessions {
       StructField("ts", LongType),
       StructField("value", DoubleType)))
     implicit val enc = Encoders.product[SessionEvent]
-    // malformed lines are dropped by the lenient read; a null
-    // event_time row would poison the watermark path (see
-    // StreamingDedup)
+    // null-field rows — including malformed json lines, which
+    // PERMISSIVE parsing surfaces as all-null rows — are dropped
+    // here: a null event_time row would poison the watermark path
+    // (see StreamingDedup)
     DropFolder.lenient(spark, dropDir, schema, format)
       .filter(col("user_id").isNotNull &&
         col("ts").isNotNull && col("value").isNotNull)

@@ -103,14 +103,54 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.optimizedPlan.toString()
     assert(plan.contains("LeftSemi"),
       "prior store must be pruned by a semi-join on the batch's fps")
-    // a distinct over the corpus-sized (prior ∪ new) pool would
-    // re-shuffle the whole store every micro-batch. The optimizer
-    // rewrites distinct to Aggregate, so a pool distinct would show
-    // as an Aggregate grouping on [_id_old, fp] — the only legitimate
-    // _id_old aggregate is the pair count grouped [_id_new, _id_old].
-    assert(!plan.contains("Aggregate [_id_old") &&
-      !plan.contains("Deduplicate [_id_old"),
-      s"full-pool distinct over the fingerprint pool:\n$plan")
+    // the pool dedup (cross-batch redelivery protection) must exist,
+    // and must consume the semi-join-PRUNED relation — a distinct
+    // over the raw (prior ∪ new) pool would re-shuffle the whole
+    // store every micro-batch. The optimizer prints parents first, so
+    // the dedup Aggregate/Deduplicate on [_id_old, fp] must appear
+    // ABOVE the LeftSemi in the plan text (the prune is inside its
+    // subtree). The pair count groups [_id_new, _id_old], so the
+    // "[_id_old" prefix uniquely identifies the pool dedup.
+    val dedupAt = Seq(plan.indexOf("Aggregate [_id_old"),
+      plan.indexOf("Deduplicate [_id_old")).filter(_ >= 0)
+    assert(dedupAt.nonEmpty,
+      s"pool dedup missing — cross-batch redelivery would double-count:\n$plan")
+    assert(dedupAt.min < plan.indexOf("LeftSemi"),
+      s"pool dedup must run over the PRUNED relation, not the raw store:\n$plan")
+  }
+
+  test("a document re-delivered in a LATER batch never double-counts shared fps") {
+    import spark.implicits._
+    // deterministically find a pair of texts sharing EXACTLY ONE
+    // winnowed fingerprint: a minimal shared run (k + w - 1 words)
+    // between otherwise-disjoint documents, searched over salts
+    def brute(t: String): Set[String] = {
+      val words = t.trim.split(" ", -1)
+      if (words.length < 5) return Set.empty
+      val grams = words.sliding(5).map { g =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 16)
+      }.toVector
+      if (grams.length < 4) Set.empty else grams.sliding(4).map(_.min).toSet
+    }
+    val (a, b) = (1 to 1000).iterator.map { salt =>
+      val run = (1 to 8).map(i => s"s${salt}_$i")
+      val ta = ((1 to 12).map(i => s"a${salt}_$i") ++ run).mkString(" ")
+      val tb = (run ++ (1 to 12).map(i => s"b${salt}_$i")).mkString(" ")
+      (ta, tb)
+    }.find { case (ta, tb) => (brute(ta) & brute(tb)).size == 1 }.get
+    // doc 7 (text a) arrives in batch 0 AND again in batch 1 (an
+    // at-least-once producer re-appending a file — two different
+    // store partitions, so batch=<id> overwrite alone cannot dedup
+    // it); doc 9 shares exactly one fingerprint with it and must NOT
+    // cross minShared=2 via the duplicated rows
+    val got = runBatches(Seq(
+      Seq(7L -> a).toDF("doc_id", "text"),
+      Seq(7L -> a).toDF("doc_id", "text"),
+      Seq(9L -> b).toDF("doc_id", "text")), work())
+    assert(got === Set.empty,
+      "duplicated (doc_id, fp) rows from redelivery double-counted into n_shared")
   }
 
   test("no flags below minShared; empty and null-text batches are safe") {
