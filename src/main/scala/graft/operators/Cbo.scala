@@ -64,25 +64,52 @@ object Cbo {
     TableStats(rows, bytes, ndv)
   }
 
-  /** Persist stats next to the table (the AnalyzeJob layout):
-    * one-row parquet at `dir/table_stats.parquet`. The NDV entries
-    * ride a real MAP column — column names are data and may contain
-    * any character, so no delimiter-joined string rendering.
+  /** The sidecar filename, next to the table's parquet files. JSON —
+    * not parquet — deliberately: [[graft.plans.StatsBroadcastRule]]
+    * reads it INSIDE the optimizer, where planning a nested Spark
+    * query to read a stats row would recurse into the very rule doing
+    * the reading; a Hadoop-FS byte read + Jackson parse has no such
+    * cycle (and column names are data — JSON escaping handles any
+    * character, no delimiter-joined rendering).
     */
+  val StatsFile = "table_stats.json"
+
   def writeStats(spark: SparkSession, stats: TableStats, dir: String): Unit = {
-    import spark.implicits._
-    Seq((stats.rows, stats.bytes, stats.ndv))
-      .toDF("rows", "bytes", "ndv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/table_stats.parquet")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("rows", stats.rows)
+    root.put("bytes", stats.bytes)
+    val nd = root.putObject("ndv")
+    stats.ndv.toSeq.sortBy(_._1).foreach { case (k, v) => nd.put(k, v) }
+    val p = new org.apache.hadoop.fs.Path(dir, StatsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
   }
 
-  def readStats(spark: SparkSession, dir: String): Option[TableStats] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/table_stats.parquet")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  def readStats(spark: SparkSession, dir: String): Option[TableStats] =
+    readStatsPath(new org.apache.hadoop.fs.Path(dir, StatsFile),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** FS-level read used by both [[readStats]] and the optimizer rule
+    * (which has no DataFrame reader available mid-plan).
+    */
+  def readStatsPath(p: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Option[TableStats] = {
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return None
-    val r = spark.read.parquet(p.toString).collect().headOption.getOrElse(return None)
-    Some(TableStats(r.getLong(0), r.getLong(1),
-      r.getMap[String, Long](2).toMap))
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      val nd = root.get("ndv")
+      val ndv = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(nd.fieldNames()).asScala
+        .map(f => f -> nd.get(f).asLong()).toMap
+      Some(TableStats(root.get("rows").asLong(), root.get("bytes").asLong(), ndv))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Default broadcast budget: MEASURED bytes, so it can sit well

@@ -60,12 +60,15 @@ class CboSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("writeStats/readStats round-trip through the AnalyzeJob layout") {
-    val st = Cbo.TableStats(123L, 4567L, Map("a" -> 9L, "b" -> 123L))
+    // column names are DATA: delimiters, equals signs, backticks and
+    // quotes must all survive the sidecar round-trip
+    val st = Cbo.TableStats(123L, 4567L,
+      Map("a,b" -> 9L, "x=y" -> 3L, "q`\"z" -> 123L))
     val dir = java.nio.file.Files.createTempDirectory("cbo_spec").toString
     Cbo.writeStats(spark, st, dir)
     assert(Cbo.readStats(spark, dir) === Some(st))
     assert(Cbo.readStats(spark, dir + "/missing") === None)
-    assert(Cbo.readStats(spark, dir).get.isKey("b") &&
-      !Cbo.readStats(spark, dir).get.isKey("a"))
+    assert(Cbo.readStats(spark, dir).get.isKey("q`\"z") &&
+      !Cbo.readStats(spark, dir).get.isKey("a,b"))
   }
 }
