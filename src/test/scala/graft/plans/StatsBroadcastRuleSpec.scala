@@ -13,7 +13,10 @@ import graft.operators.Cbo
 class StatsBroadcastRuleSpec extends AnyFunSuite {
 
   test("sidecar stats flip the join strategy; user hints and the kill switch win") {
-    val old = SparkSession.getActiveSession
+    // The JVM-wide SparkContext is shared with other suites, so swap
+    // the default session out and back rather than stop() anything
+    // (the GraftExtensionsSpec convention).
+    val old = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -65,7 +68,6 @@ class StatsBroadcastRuleSpec extends AnyFunSuite {
       assert(!plan("dim_small").contains("BroadcastHashJoin"))
       s.conf.unset("spark.graft.cbo.broadcastBytes")
     } finally {
-      s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       old.foreach { o =>
