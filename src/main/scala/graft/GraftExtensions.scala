@@ -54,5 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table_stats.json sidecars fill absent Join hints with BROADCAST
     // (graft.plans.StatsBroadcastRule — the session-wide statsJoin)
     ext.injectOptimizerRule(graft.plans.StatsBroadcastRule.apply)
+    // transparent zone-map data skipping: _zone_map.json sidecars
+    // (ZoneMapJob / ZoneMap.writeSidecar) shrink a filtered scan's
+    // file list before the scan plans (graft.plans.ZoneSkipRule)
+    ext.injectOptimizerRule(graft.plans.ZoneSkipRule.apply)
   }
 }

@@ -161,3 +161,27 @@ object AnalyzeJob {
     spark.stop()
   }
 }
+
+/** ZoneMapJob <parquetDir> <outDir> <col[,col...]> — harvest the
+  * file-level zone manifest (per-file min/max/null stats from parquet
+  * FOOTERS — no data pages read) for the named columns and write it to
+  * <outDir>/zone_map.parquet. `ZoneMap.prunedRead` then skips whole
+  * files against it before a scan; pairs with Layout.zOrder so BOTH
+  * layout dimensions prune.
+  */
+object ZoneMapJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ZoneMapJob <parquetDir> <outDir> <col[,col...]>")
+    val Array(path, outDir, colArg) = args
+    val cols = colArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val spark = Jobs.session("graft-zonemap")
+    val mf = graft.operators.ZoneMap.build(spark, path, cols)
+    mf.coalesce(1).write.mode("overwrite").parquet(s"$outDir/zone_map.parquet")
+    val perCol = mf.groupBy("col")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("nNulls"))
+      .collect()
+    perCol.foreach(r => println(s"${r.get(0)}: files=${r.get(1)} nulls=${r.get(2)}"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,303 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+import scala.language.existentials // parquet Statistics[T <: Comparable[T]]
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-level zone maps: a persisted manifest of per-file column
+  * min/max/null statistics harvested from parquet FOOTERS (metadata
+  * bytes only — no data pages are read), plus a pruned-scan entry
+  * point that drops whole files whose zones cannot satisfy a range
+  * predicate BEFORE Spark lists them into a scan.
+  *
+  * This is the manifest-driven data-skipping layer of a lake table
+  * format (Delta/Iceberg keep the same stats in their commit logs;
+  * the reference trainer gets coarse pruning from its lexicographic
+  * key layout, `/root/reference/src/trainer/worker.py` date-prefix
+  * listing). It composes with [[Layout.zOrder]]: a z-ordered table
+  * gives every file a compact rectangle in (a, b) space, so BOTH
+  * dimensions prune — that end-to-end pair is gated by
+  * `q_zonemap_prune` and spec-tested in ZoneMapSpec.
+  *
+  * Scale shape: the manifest build is one flatMap over the FILE LIST
+  * (footer reads, ~KBs per file); pruning collects only the manifest
+  * slice for the predicate columns — O(files × predicate columns)
+  * driver rows, the same order as the file listing Spark's own scan
+  * planning already materializes. At 100 TB the manifest is built
+  * incrementally per ingest batch and unioned; `build` is
+  * deterministic per file so re-running a batch overwrites to the
+  * identical rows.
+  *
+  * Executors open footers with a fresh `Configuration()` — on a real
+  * cluster the filesystem conf (core-site.xml) rides the executor
+  * classpath, the standard deployment; no driver-side Hadoop state is
+  * shipped.
+  */
+object ZoneMap {
+
+  /** One manifest row: the zone of `col` inside `file`.
+    *
+    * `hasStats` false ⇒ the footer carried no usable statistics (or an
+    * unsupported physical type) — such a file is NEVER pruned on that
+    * column. An all-null column has `hasStats` true with null bounds:
+    * range predicates are null-rejecting, so the file IS prunable.
+    * Numeric bounds are widened one ulp when lossily narrowed from
+    * int64/int96 so a rounded bound can never fake a miss.
+    */
+  final case class ZoneEntry(
+      file: String,
+      col: String,
+      nRows: Long,
+      hasStats: Boolean,
+      vminNum: Option[Double],
+      vmaxNum: Option[Double],
+      vminStr: Option[String],
+      vmaxStr: Option[String],
+      nNulls: Long)
+
+  /** A necessary range condition on one column — a RELAXATION of the
+    * query's real filter (pruning keeps a superset; the query filter
+    * still runs on the survivors). `None` = unbounded on that side.
+    */
+  sealed trait ZonePred { def col: String }
+  final case class NumRange(col: String, lo: Option[Double], hi: Option[Double])
+    extends ZonePred
+  final case class StrRange(col: String, lo: Option[String], hi: Option[String])
+    extends ZonePred
+
+  final case class PruneResult(df: DataFrame, filesTotal: Int, filesKept: Int)
+
+  /** Data files of a parquet directory (skips _SUCCESS / hidden). */
+  def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      })
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** Harvest the zone manifest for `cols` over every data file of
+    * `dir`: one distributed pass over the file LIST, footer-only IO.
+    */
+  def build(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val files = dataFiles(spark, dir)
+    require(files.nonEmpty, s"no parquet data files under $dir")
+    val slices = math.min(files.size, spark.sparkContext.defaultParallelism)
+    val colsB = cols.toVector
+    val rdd = spark.sparkContext
+      .parallelize(files, slices)
+      .flatMap(f => readZones(f, colsB))
+    spark.createDataFrame(rdd)
+  }
+
+  /** Footer scan of one file → one ZoneEntry per requested column. */
+  private[operators] def readZones(
+      file: String, cols: Seq[String]): Seq[ZoneEntry] = {
+    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      cols.map { c =>
+        // fold this column's chunk stats across every row group; any
+        // group without usable stats poisons the whole file to
+        // hasStats = false (a partial bound is not a bound)
+        var ok = blocks.nonEmpty
+        var nNulls = 0L
+        var minN = Option.empty[Double]
+        var maxN = Option.empty[Double]
+        var minS = Option.empty[String]
+        var maxS = Option.empty[String]
+        blocks.foreach { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case None => ok = false
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || !st.isNumNullsSet) ok = false
+              else {
+                nNulls += st.getNumNulls
+                if (st.hasNonNullValue) {
+                  val pt = cc.getPrimitiveType
+                  (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+                    case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                      val lo = st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+                      val hi = st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+                      minS = Some(minS.fold(lo)(m => if (lo < m) lo else m))
+                      maxS = Some(maxS.fold(hi)(m => if (hi > m) hi else m))
+                    case (INT32 | INT64 | FLOAT | DOUBLE, lt) =>
+                      val scale = lt match {
+                        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                          math.pow(10.0, d.getScale)
+                        case _ => 1.0
+                      }
+                      // int32/float/double narrow losslessly into a
+                      // double; int64 beyond 2^53 and scaled decimals
+                      // do not — widen those one ulp per side so a
+                      // rounded bound can never fake a zone miss
+                      def bound(n: Number, up: Boolean): Double = {
+                        val v = n.doubleValue / scale
+                        val lossy = scale != 1.0 ||
+                          (n.isInstanceOf[java.lang.Long] &&
+                            math.abs(n.longValue) > (1L << 53))
+                        if (!lossy) v
+                        else if (up) Math.nextUp(v) else Math.nextDown(v)
+                      }
+                      val lo = bound(st.genericGetMin.asInstanceOf[Number], up = false)
+                      val hi = bound(st.genericGetMax.asInstanceOf[Number], up = true)
+                      minN = Some(minN.fold(lo)(math.min(_, lo)))
+                      maxN = Some(maxN.fold(hi)(math.max(_, hi)))
+                    case _ => ok = false // INT96/FIXED/BOOLEAN: not prunable here
+                  }
+                }
+              }
+          }
+        }
+        if (!ok) ZoneEntry(file, c, nRows, hasStats = false, None, None, None, None, 0L)
+        else ZoneEntry(file, c, nRows, hasStats = true, minN, maxN, minS, maxS, nNulls)
+      }
+    } finally reader.close()
+  }
+
+  /** THE prune decision for one file: can a file with these zones
+    * (keyed by column; a column may be absent) still satisfy every
+    * predicate? Shared by the DataFrame path ([[keptFiles]]) and the
+    * optimizer-rule sidecar path ([[graft.plans.ZoneSkipRule]]).
+    */
+  def keepFile(entries: Map[String, ZoneEntry], preds: Seq[ZonePred]): Boolean =
+    preds.forall { p =>
+      entries.get(p.col) match {
+        case None => true // column not in the manifest: cannot prune
+        case Some(e) if !e.hasStats => true // no usable stats
+        case Some(e) =>
+          // an all-null column has stats but no bounds of EITHER
+          // kind: range preds reject nulls, so the file prunes. A
+          // missing bound of only the predicate's kind is a type
+          // mismatch (numeric pred on a string zone) — keep, the
+          // real filter decides.
+          val allNull = e.vminNum.isEmpty && e.vminStr.isEmpty
+          p match {
+            case NumRange(_, lo, hi) =>
+              if (allNull) false
+              else if (e.vminNum.isEmpty) true
+              else lo.forall(e.vmaxNum.get >= _) && hi.forall(e.vminNum.get <= _)
+            case StrRange(_, lo, hi) =>
+              if (allNull) false
+              else if (e.vminStr.isEmpty) true
+              else lo.forall(e.vmaxStr.get >= _) && hi.forall(e.vminStr.get <= _)
+          }
+      }
+    }
+
+  /** Files that can still satisfy EVERY predicate (conjunction), plus
+    * the total file count. Driver work is one bounded collect of the
+    * manifest slice for the predicate columns.
+    */
+  def keptFiles(manifest: DataFrame, preds: Seq[ZonePred]): (Seq[String], Int) = {
+    require(preds.nonEmpty, "no predicates — nothing to prune on")
+    val rows = manifest
+      .select("file", "col", "nRows", "hasStats", "vminNum", "vmaxNum",
+        "vminStr", "vmaxStr", "nNulls")
+      .collect()
+      .map(r => ZoneEntry(r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        Option(r.getString(6)), Option(r.getString(7)), r.getLong(8)))
+    val byFile = rows.groupBy(_.file)
+    val kept = byFile.keys.toArray.filter { f =>
+      keepFile(byFile(f).map(e => e.col -> e).toMap, preds)
+    }
+    (kept.sorted.toSeq, byFile.size)
+  }
+
+  /** Read `dir` with zone-map file skipping: only files whose zones
+    * overlap every predicate are handed to the scan. The caller MUST
+    * still apply its real filter — pruning guarantees a superset.
+    */
+  def prunedRead(spark: SparkSession, dir: String, manifest: DataFrame,
+      preds: Seq[ZonePred]): PruneResult = {
+    val (kept, total) = keptFiles(manifest, preds)
+    val df =
+      if (kept.isEmpty) spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(kept: _*)
+    PruneResult(df, total, kept.size)
+  }
+
+  /** Sidecar filename inside the table directory. Underscore-prefixed
+    * so every parquet listing ignores it; JSON — not parquet — because
+    * [[graft.plans.ZoneSkipRule]] reads it INSIDE the optimizer, where
+    * planning a nested query would recurse into the rule itself (the
+    * [[Cbo.StatsFile]] precedent).
+    */
+  val SidecarFile = "_zone_map.json"
+
+  /** Persist the manifest as the table's sidecar: one bounded collect
+    * (files × columns rows), one FS write.
+    */
+  def writeSidecar(spark: SparkSession, tableDir: String, manifest: DataFrame): Unit = {
+    val entries = manifest
+      .select("file", "col", "nRows", "hasStats", "vminNum", "vmaxNum",
+        "vminStr", "vmaxStr", "nNulls")
+      .collect()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createArrayNode()
+    entries.foreach { r =>
+      val o = root.addObject()
+      o.put("file", r.getString(0))
+      o.put("col", r.getString(1))
+      o.put("nRows", r.getLong(2))
+      o.put("hasStats", r.getBoolean(3))
+      if (!r.isNullAt(4)) o.put("vminNum", r.getDouble(4))
+      if (!r.isNullAt(5)) o.put("vmaxNum", r.getDouble(5))
+      if (r.getString(6) != null) o.put("vminStr", r.getString(6))
+      if (r.getString(7) != null) o.put("vmaxStr", r.getString(7))
+      o.put("nNulls", r.getLong(8))
+    }
+    val p = new Path(tableDir, SidecarFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(m.writeValueAsBytes(root)) finally out.close()
+  }
+
+  /** FS-level sidecar read for the optimizer rule (no DataFrame
+    * reader available mid-plan). Double bounds survive the JSON
+    * round-trip exactly (Jackson renders doubles losslessly).
+    */
+  def readSidecarPath(p: Path,
+      conf: Configuration): Option[Seq[ZoneEntry]] = {
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      val it = root.elements()
+      val buf = scala.collection.mutable.ArrayBuffer[ZoneEntry]()
+      while (it.hasNext) {
+        val o = it.next()
+        def optNum(f: String) = Option(o.get(f)).map(_.asDouble())
+        def optStr(f: String) = Option(o.get(f)).map(_.asText())
+        buf += ZoneEntry(o.get("file").asText(), o.get("col").asText(),
+          o.get("nRows").asLong(), o.get("hasStats").asBoolean(),
+          optNum("vminNum"), optNum("vmaxNum"),
+          optStr("vminStr"), optStr("vmaxStr"), o.get("nNulls").asLong())
+      }
+      Some(buf.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}

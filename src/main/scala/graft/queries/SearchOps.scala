@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Bloom, InvertedIndex, Layout, Search}
+import graft.operators.{Ann, Bloom, InvertedIndex, Layout, Search, ZoneMap}
 
 /** Lexical + hybrid retrieval gates over `documents`/`embeddings`:
   * TF-IDF weighting, BM25 ranking, and reciprocal-rank fusion of a
@@ -23,6 +23,23 @@ object SearchOps {
   private val interleaveSql = (0 until 16).map { i =>
     s"(((qa >> $i) & 1) * ${1L << (2 * i)}) + (((qb >> $i) & 1) * ${1L << (2 * i + 1)})"
   }.mkString(" + ")
+
+  // z-ordered lineitem + its footer zone map, materialized once per
+  // (JVM, sfDir) — the lake products a table format keeps (the laid-
+  // out files plus the stats manifest its commit log carries)
+  private val zmCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String =
+    zmCache.computeIfAbsent(d, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_zonemap").toString
+      Layout.zOrder(
+          lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice"),
+          "l_quantity", "l_extendedprice", 24,
+          ranges = Some((1.0, 50.0, 900.0, 105000.0)))
+        .write.mode("overwrite").parquet(s"$out/table")
+      ZoneMap.build(s, s"$out/table", Seq("l_quantity", "l_extendedprice"))
+        .write.mode("overwrite").parquet(s"$out/zone_map")
+      out
+    })
 
   val queries: Seq[GateQuery] = Seq(
 
@@ -205,6 +222,39 @@ object SearchOps {
               |FROM z
               |GROUP BY zbucket
               |ORDER BY zbucket""".stripMargin)),
+
+    // Manifest-driven data skipping end-to-end: the z-ordered lineitem
+    // copy + its parquet-FOOTER zone map answer a 2-D range census
+    // through ZoneMap.prunedRead — whole files are dropped BEFORE the
+    // scan (the Delta/Iceberg data-skipping shape; at 100 TB the
+    // manifest prunes the file listing itself, not just row groups).
+    // The oracle computes the same census over the FULL table, so a
+    // single wrongly-skipped file fails the hash; skipped_files pins
+    // that pruning actually happened (oracle literal TRUE).
+    GateQuery(
+      "q_zonemap_prune",
+      (s, d) => {
+        val root = zonemapArtifacts(s, d)
+        val mf = s.read.parquet(s"$root/zone_map")
+        val pr = ZoneMap.prunedRead(s, s"$root/table", mf, Seq(
+          ZoneMap.NumRange("l_quantity", None, Some(5.0)),
+          ZoneMap.NumRange("l_extendedprice", None, Some(20000.0))))
+        pr.df
+          .filter(col("l_quantity") <= 5.0 && col("l_extendedprice") <= 20000.0)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).cast("long")
+              .as("price_sum_x100"),
+            countDistinct(col("l_orderkey")).as("n_orders"))
+          .withColumn("skipped_files", lit(pr.filesKept < pr.filesTotal))
+      },
+      Some("""SELECT count(*) AS n,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS price_sum_x100,
+             |       count(DISTINCT l_orderkey) AS n_orders,
+             |       TRUE AS skipped_files
+             |FROM lineitem
+             |WHERE l_quantity <= 5.0 AND l_extendedprice <= 20000.0""".stripMargin)),
 
     // Hybrid retrieval: BM25 top-50 ⊕ cosine-vs-vec-0 top-50, fused by
     // reciprocal rank (k = 60); top-10 of the fused list. Ranks are

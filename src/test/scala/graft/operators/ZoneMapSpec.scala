@@ -1,0 +1,159 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.ZoneMap.{NumRange, StrRange, ZoneEntry}
+
+/** Zone-map manifest + file pruning: footer stats must be EXACT on
+  * what was written, pruning must never drop a matching row (the
+  * superset contract), and the prune decision table (no-stats /
+  * all-null / type-mismatch) must behave as documented.
+  */
+class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft_zonemap_spec").toString
+
+  private def writePartitioned(df: DataFrame, dir: String, parts: Int): Unit =
+    df.repartitionByRange(parts, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+
+  test("manifest carries exact per-file min/max/null/row stats") {
+    import spark.implicits._
+    val dir = scratch() + "/t"
+    // one file by construction: bounds are those of the whole column
+    Seq((1L, 10.0, "apple"), (2L, -3.5, "pear"), (3L, 7.25, null))
+      .toDF("k", "v", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("k", "v", "s")).as[ZoneEntry]
+      .collect().map(e => e.col -> e).toMap
+    assert(mf.keySet === Set("k", "v", "s"))
+    assert(mf.values.forall(e => e.hasStats && e.nRows == 3))
+    assert(mf("k").vminNum.contains(1.0))
+    assert(mf("k").vmaxNum.contains(3.0))
+    assert(mf("v").vminNum.contains(-3.5))
+    assert(mf("v").vmaxNum.contains(10.0))
+    assert(mf("s").vminStr.contains("apple"))
+    assert(mf("s").vmaxStr.contains("pear"))
+    assert(mf("s").nNulls === 1)
+    assert(mf("k").nNulls === 0)
+  }
+
+  test("pruned read is exactly the full filtered multiset, and skips files") {
+    import spark.implicits._
+    val dir = scratch() + "/t"
+    val df = (0 until 4000)
+      .map(i => (i.toLong, (i % 97).toDouble, s"u${i % 13}"))
+      .toDF("k", "v", "s")
+    writePartitioned(df, dir, 16)
+    val mf = ZoneMap.build(spark, dir, Seq("k", "v"))
+    val preds = Seq(NumRange("k", Some(100.0), Some(340.0)))
+    val pr = ZoneMap.prunedRead(spark, dir, mf, preds)
+    assert(pr.filesTotal === 16)
+    assert(pr.filesKept < pr.filesTotal, "range-sorted files must skip")
+    val got = pr.df.filter(col("k").between(100, 340))
+      .orderBy("k").select("k", "v", "s").collect().toSeq
+    val want = spark.read.parquet(dir).filter(col("k").between(100, 340))
+      .orderBy("k").select("k", "v", "s").collect().toSeq
+    assert(got === want)
+  }
+
+  test("conjunction prunes on either column; open-ended bounds work") {
+    import spark.implicits._
+    val dir = scratch() + "/t"
+    val df = (0 until 2000).map(i => (i.toLong, i.toDouble / 2)).toDF("k", "v")
+    writePartitioned(df, dir, 8)
+    val mf = ZoneMap.build(spark, dir, Seq("k", "v"))
+    // v tracks k here, so a v-only bound prunes too
+    val (keptV, total) = ZoneMap.keptFiles(mf, Seq(NumRange("v", None, Some(100.0))))
+    assert(total === 8 && keptV.size < 8)
+    val (keptBoth, _) = ZoneMap.keptFiles(
+      mf, Seq(NumRange("k", Some(1990.0), None), NumRange("v", None, Some(100.0))))
+    assert(keptBoth.isEmpty, "contradictory conjunction leaves no file")
+    val pr = ZoneMap.prunedRead(spark, dir, mf,
+      Seq(NumRange("k", Some(1990.0), None), NumRange("v", None, Some(100.0))))
+    assert(pr.df.count() === 0L && pr.df.columns.toSeq === Seq("k", "v"))
+  }
+
+  test("string zones prune lexicographic ranges without dropping matches") {
+    import spark.implicits._
+    val dir = scratch() + "/t"
+    val df = ('a' to 'z').flatMap(c => (0 until 40).map(i => (f"$c$i%02d", i.toLong)))
+      .toDF("k", "n") // k: "a00".."z39", range-sorted into files
+    writePartitioned(df, dir, 6)
+    val mf = ZoneMap.build(spark, dir, Seq("k"))
+    val pr = ZoneMap.prunedRead(spark, dir, mf,
+      Seq(StrRange("k", Some("c"), Some("d~"))))
+    assert(pr.filesKept < pr.filesTotal)
+    val got = pr.df.filter(col("k") >= "c" && col("k") <= "d~")
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val want = spark.read.parquet(dir).filter(col("k") >= "c" && col("k") <= "d~")
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("all-null column prunes under a range predicate; mixed nulls keep") {
+    import spark.implicits._
+    val dir = scratch() + "/t"
+    Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("v"))
+    val (kept, total) = ZoneMap.keptFiles(mf, Seq(NumRange("v", Some(0.0), None)))
+    assert(total === 1 && kept.isEmpty, "all-null file must prune")
+    // mixed null/value file: bounds come from the values, file keeps
+    val dir2 = scratch() + "/t2"
+    Seq((1L, Some(5.0)), (2L, Option.empty[Double]))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dir2)
+    val mf2 = ZoneMap.build(spark, dir2, Seq("v"))
+    val (kept2, _) = ZoneMap.keptFiles(mf2, Seq(NumRange("v", Some(4.0), Some(6.0))))
+    assert(kept2.size === 1)
+  }
+
+  test("decision table: no-stats keeps, type mismatch keeps, missing col keeps") {
+    import spark.implicits._
+    val manifest = Seq(
+      // f1: no usable stats on k -> never pruned on k
+      ZoneEntry("f1", "k", 10, hasStats = false, None, None, None, None, 0),
+      // f2: string zone on k -> a NumRange on k is a type mismatch
+      ZoneEntry("f2", "k", 10, hasStats = true, None, None, Some("a"), Some("b"), 0),
+      // f3: numeric zone far outside the predicate -> prunes
+      ZoneEntry("f3", "k", 10, hasStats = true, Some(1000.0), Some(2000.0), None, None, 0)
+    ).toDF()
+    val (kept, total) = ZoneMap.keptFiles(manifest, Seq(NumRange("k", Some(0.0), Some(5.0))))
+    assert(total === 3 && kept.toSet === Set("f1", "f2"))
+    // predicate on a column absent from the manifest: keep everything
+    val (kept2, _) = ZoneMap.keptFiles(manifest, Seq(NumRange("zzz", Some(0.0), Some(1.0))))
+    assert(kept2.toSet === Set("f1", "f2", "f3"))
+    // StrRange against the string zone prunes / keeps by bounds
+    val (kept3, _) = ZoneMap.keptFiles(manifest, Seq(StrRange("k", Some("c"), None)))
+    assert(!kept3.contains("f2") && kept3.contains("f1"))
+  }
+
+  test("z-ordered layout + zone map prunes BOTH dimensions") {
+    import spark.implicits._
+    val dir = scratch() + "/t"
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 8000)
+      .map(_ => (rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("a", "b")
+    Layout.zOrder(df, "a", "b", 16, ranges = Some((0.0, 100.0, 0.0, 100.0)))
+      .write.mode("overwrite").parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("a", "b"))
+    val (keptA, total) = ZoneMap.keptFiles(mf, Seq(NumRange("a", None, Some(10.0))))
+    val (keptB, _) = ZoneMap.keptFiles(mf, Seq(NumRange("b", None, Some(10.0))))
+    assert(total === 16)
+    assert(keptA.size < total, "z-order must make dim a prunable")
+    assert(keptB.size < total, "z-order must make dim b prunable")
+    // correctness under the 2-D corner predicate
+    val preds = Seq(NumRange("a", None, Some(10.0)), NumRange("b", None, Some(10.0)))
+    val pr = ZoneMap.prunedRead(spark, dir, mf, preds)
+    val got = pr.df.filter(col("a") <= 10 && col("b") <= 10).count()
+    val want = spark.read.parquet(dir).filter(col("a") <= 10 && col("b") <= 10).count()
+    assert(got === want && want > 0)
+  }
+}
