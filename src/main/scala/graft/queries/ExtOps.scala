@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, CountMin, Dedup, Frequency, IvfIndex, Multimodal, SketchRollup}
+import graft.operators.{Ann, CountMin, Dedup, Frequency, IvfIndex, Kmv, Multimodal, SketchRollup}
 
 /** Gate queries for the scale extensions: MinHash-LSH / SimHash dedup,
   * IVF ANN, sketches, heavy hitters, multimodal binary plumbing —
@@ -1077,6 +1077,71 @@ object ExtOps {
              |FROM events
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
+
+    // Quantile-sketch-as-table rollup: per-(event_type, day) bottom-k
+    // (KMV) unit samples merged across days answer per-type percentile
+    // queries without rescanning raw events — the order-statistics
+    // sibling of q_hll_rollup. The sample is content-derived (md5
+    // bucket, event_id tiebreak), so the DuckDB oracle re-derives the
+    // IDENTICAL sample relationally and the estimates hash-match
+    // exactly; the in-plan guards pin the estimates within a bound of the
+    // exact percentiles (15%, ~2x the measured worst drift at k=512;
+    // oracle literal TRUE fails the gate on drift).
+    GateQuery(
+      "q_quantile_rollup",
+      (s, d) => {
+        val k = 512
+        val ev = events(s, d).select(
+          col("event_type"), to_date(col("ts")).as("day"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val units = Kmv.buildUnits(ev, Seq("event_type", "day"), "event_id", "cents", k)
+        val merged = Kmv.mergeOverSlice(units, Seq("event_type"), k)
+          .select(col("event_type"), col("n_rows"),
+            Kmv.sampleQuantile(col("sample"), 0.5).as("p50_est_x100"),
+            Kmv.sampleQuantile(col("sample"), 0.9).as("p90_est_x100"))
+        val exact = ev.groupBy("event_type")
+          .agg(expr("percentile(cents, array(0.5, 0.9))").as("_ex"))
+        merged.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_rows"),
+            col("p50_est_x100"), col("p90_est_x100"),
+            (abs(col("p50_est_x100") - element_at(col("_ex"), 1)) <=
+              element_at(col("_ex"), 1) * 0.15).as("p50_ok"),
+            (abs(col("p90_est_x100") - element_at(col("_ex"), 2)) <=
+              element_at(col("_ex"), 2) * 0.15).as("p90_ok"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+              |         CAST(round(value * 100) AS BIGINT) AS cents,
+              |         ${SharedOracles.bucketSql("'kmv:' || CAST(event_id AS VARCHAR)")} AS h
+              |  FROM events),
+              |u AS (
+              |  SELECT *, row_number() OVER (PARTITION BY event_type, day
+              |                               ORDER BY h, event_id) AS rk
+              |  FROM ev),
+              |s AS (
+              |  SELECT event_type, event_id, h, cents,
+              |         row_number() OVER (PARTITION BY event_type
+              |                            ORDER BY h, event_id) AS rk2
+              |  FROM u WHERE rk <= 512),
+              |samp AS (SELECT event_type, cents FROM s WHERE rk2 <= 512),
+              |sl AS (SELECT event_type, count(*) AS slen FROM samp GROUP BY 1),
+              |ordered AS (
+              |  SELECT event_type, cents,
+              |         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS vr
+              |  FROM samp),
+              |est AS (
+              |  SELECT o.event_type,
+              |         max(CASE WHEN vr = greatest(1, CAST(ceil(0.5 * slen) AS BIGINT))
+              |                  THEN cents END) AS p50,
+              |         max(CASE WHEN vr = greatest(1, CAST(ceil(0.9 * slen) AS BIGINT))
+              |                  THEN cents END) AS p90
+              |  FROM ordered o JOIN sl USING (event_type) GROUP BY 1),
+              |n AS (SELECT event_type, count(*) AS n_rows FROM ev GROUP BY 1)
+              |SELECT event_type, n_rows, p50 AS p50_est_x100, p90 AS p90_est_x100,
+              |       TRUE AS p50_ok, TRUE AS p90_ok
+              |FROM est JOIN n USING (event_type)
+              |ORDER BY event_type""".stripMargin)),
 
     // Count-Min point-frequency estimates, cross-checked against the
     // exact census: the sketch is built (weighted) over the partkey
