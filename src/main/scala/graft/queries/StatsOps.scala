@@ -1427,6 +1427,70 @@ object StatsOps {
               |SELECT event_type, n, CAST(_t AS BIGINT) AS total_cents,
               |       ${halfDivSql("(_a2 - (n + 1) * _t) * 1000000",
                  "CAST(n AS HUGEINT) * _t")} AS gini_x1e6
-              |FROM m ORDER BY event_type""".stripMargin))
+              |FROM m ORDER BY event_type""".stripMargin)),
+
+    // Per-segment linear trend fit: exact closed-form OLS of daily
+    // value-cents against the day index, entirely from the five
+    // integer moments (n, Σx, Σy, Σx², Σxy, Σy²) — one scan, one agg,
+    // no libm anywhere. slope/intercept/R² are exact integer rationals
+    // quantized by the house half-away division; DECIMAL(38,0) /
+    // HUGEINT widening because the R² numerator squares the slope
+    // numerator (~1e29 at sf0.1). The per-segment regression readout a
+    // metrics warehouse runs daily — map-side partial agg, scales by
+    // segment count not rows.
+    GateQuery(
+      "q_trend_fit",
+      (s, d) =>
+        events(s, d)
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+              .cast("long").as("x"),
+            round(col("value") * 100).cast("long").as("y"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+          .selectExpr(
+            "event_type", "n",
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS snum",
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS sden",
+            "CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy AS inum",
+            "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS yden")
+          .where("sden > 0 AND yden > 0")
+          .selectExpr(
+            "event_type", "n",
+            s"${halfDivSpark("snum * 1000000", "sden")} AS slope_x1e6",
+            s"${halfDivSpark("inum * 100", "sden")} AS intercept_x100",
+            s"${halfDivSpark("snum * snum * 1000000", "sden * yden")} AS r2_x1e6")
+          .orderBy("event_type"),
+      Some(s"""WITH ev AS (
+              |  SELECT event_type,
+              |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+              |         CAST(round(value * 100) AS BIGINT) AS y
+              |  FROM events),
+              |m AS (
+              |  SELECT event_type, count(*) AS n,
+              |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+              |         CAST(sum(x * x) AS HUGEINT) AS sxx,
+              |         CAST(sum(x * y) AS HUGEINT) AS sxy,
+              |         CAST(sum(y * y) AS HUGEINT) AS syy
+              |  FROM ev GROUP BY 1),
+              |f AS (
+              |  SELECT event_type, n,
+              |         n * sxy - sx * sy AS snum,
+              |         n * sxx - sx * sx AS sden,
+              |         sy * sxx - sx * sxy AS inum,
+              |         n * syy - sy * sy AS yden
+              |  FROM m)
+              |SELECT event_type, n,
+              |       ${halfDivSql("snum * 1000000", "sden")} AS slope_x1e6,
+              |       ${halfDivSql("inum * 100", "sden")} AS intercept_x100,
+              |       ${halfDivSql("snum * snum * 1000000", "sden * yden")} AS r2_x1e6
+              |FROM f
+              |WHERE sden > 0 AND yden > 0
+              |ORDER BY event_type""".stripMargin))
   )
 }
