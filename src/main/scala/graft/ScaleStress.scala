@@ -247,7 +247,14 @@ object ScaleStress {
     "q_table_stats", "q_phrase_search", "q_pareto_grouped",
     "q_trimmed_mean", "q_spearman", "q_gini_value", "q_interval_join",
     "q_cusum_drift", "q_forecast_baseline", "q_reco_diversity",
-    "q_budget_select", "q_percentile_filter", "q_multimodal_frames")
+    "q_budget_select", "q_percentile_filter", "q_multimodal_frames",
+    // r11 additions: KMV rollup (bounded-buffer bottom-k agg — unit
+    // count grows with days×types, per-unit work with rows), exact-OLS
+    // moments (pure map-side-combined agg), and the zone-map chain
+    // (z-order range shuffle + footer harvest + pruned scan: the
+    // x10 cost is the one-off layout write, the query itself must
+    // stay sublinear BECAUSE pruning drops data-proportional files)
+    "q_quantile_rollup", "q_trend_fit", "q_zonemap_prune")
 
   def run(spark: SparkSession, baseDir: String, xDir: String, x: Int): Unit = {
     // SPARK_GRAFT_STRESS_ONLY=q_a,q_b replays a subset (iteration aid)

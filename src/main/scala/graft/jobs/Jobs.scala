@@ -164,10 +164,12 @@ object AnalyzeJob {
 
 /** ZoneMapJob <parquetDir> <outDir> <col[,col...]> — harvest the
   * file-level zone manifest (per-file min/max/null stats from parquet
-  * FOOTERS — no data pages read) for the named columns and write it to
-  * <outDir>/zone_map.parquet. `ZoneMap.prunedRead` then skips whole
-  * files against it before a scan; pairs with Layout.zOrder so BOTH
-  * layout dimensions prune.
+  * FOOTERS — no data pages read) for the named columns, write it to
+  * <outDir>/zone_map.parquet for the explicit `ZoneMap.prunedRead`
+  * path, AND drop the `_zone_map.json` sidecar into <parquetDir> so
+  * `graft.plans.ZoneSkipRule` skips files TRANSPARENTLY for every
+  * filtered query in extension-built sessions. Pairs with
+  * Layout.zOrder so BOTH layout dimensions prune.
   */
 object ZoneMapJob {
   def main(args: Array[String]): Unit = {
@@ -175,8 +177,9 @@ object ZoneMapJob {
     val Array(path, outDir, colArg) = args
     val cols = colArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = Jobs.session("graft-zonemap")
-    val mf = graft.operators.ZoneMap.build(spark, path, cols)
+    val mf = graft.operators.ZoneMap.build(spark, path, cols).persist()
     mf.coalesce(1).write.mode("overwrite").parquet(s"$outDir/zone_map.parquet")
+    graft.operators.ZoneMap.writeSidecar(spark, path, mf)
     val perCol = mf.groupBy("col")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
         org.apache.spark.sql.functions.sum("nNulls"))

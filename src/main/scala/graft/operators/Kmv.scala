@@ -39,7 +39,11 @@ object Kmv {
       valueCol: String, k: Int): DataFrame = {
     require(unitCols.nonEmpty, "at least one unit column required")
     val bk = udaf(new BottomK(k), Encoders.product[KmvEntry])
-    df.groupBy(unitCols.map(col).toIndexedSeq: _*)
+    // null id/value rows are dropped BEFORE the agg (the KmvEntry
+    // encoder's primitive longs reject nulls with an opaque runtime
+    // error otherwise); n_rows therefore counts the SAMPLEABLE census
+    df.where(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(unitCols.map(col).toIndexedSeq: _*)
       .agg(
         count(lit(1)).as("n_rows"),
         bk(

@@ -45,12 +45,20 @@ object ZoneMap {
 
   /** One manifest row: the zone of `col` inside `file`.
     *
-    * `hasStats` false ⇒ the footer carried no usable statistics (or an
-    * unsupported physical type) — such a file is NEVER pruned on that
-    * column. An all-null column has `hasStats` true with null bounds:
-    * range predicates are null-rejecting, so the file IS prunable.
-    * Numeric bounds are widened one ulp when lossily narrowed from
-    * int64/int96 so a rounded bound can never fake a miss.
+    * `hasStats` false ⇒ the footer carried no usable statistics (an
+    * unsupported physical type, a row group whose writer dropped
+    * min/max — parquet-mr omits bounds for oversized binary values —
+    * or an all-NaN float chunk) — such a file is NEVER pruned on that
+    * column. An all-null column is detected by `nNulls == nRows`, not
+    * by absent bounds: range predicates are null-rejecting, so only a
+    * PROVABLY all-null file is prunable. Numeric bounds are widened
+    * one ulp when lossily narrowed from int64/decimal so a rounded
+    * bound can never fake a miss. `isFloat` marks float/double zones:
+    * parquet writers skip NaN when folding min/max while Spark's
+    * total order ranks NaN above every value, so a floating zone's
+    * max is NOT an upper bound for lower-bound predicates — keepFile
+    * disables the lo test there (the hi test stays sound: NaN rows
+    * never satisfy `a <= hi`).
     */
   final case class ZoneEntry(
       file: String,
@@ -61,7 +69,8 @@ object ZoneMap {
       vmaxNum: Option[Double],
       vminStr: Option[String],
       vmaxStr: Option[String],
-      nNulls: Long)
+      nNulls: Long,
+      isFloat: Boolean)
 
   /** A necessary range condition on one column — a RELAXATION of the
     * query's real filter (pruning keeps a superset; the query filter
@@ -116,6 +125,7 @@ object ZoneMap {
         // group without usable stats poisons the whole file to
         // hasStats = false (a partial bound is not a bound)
         var ok = blocks.nonEmpty
+        var isFloat = false
         var nNulls = 0L
         var minN = Option.empty[Double]
         var maxN = Option.empty[Double]
@@ -127,6 +137,12 @@ object ZoneMap {
             case Some(cc) =>
               val st = cc.getStatistics
               if (st == null || st.isEmpty || !st.isNumNullsSet) ok = false
+              // a chunk with values but no bounds: the writer DROPPED
+              // min/max (oversized binaries) — its values are invisible
+              // to the fold, so no bound derived from the other chunks
+              // is a bound for the file
+              else if (!st.hasNonNullValue && st.getNumNulls < b.getRowCount)
+                ok = false
               else {
                 nNulls += st.getNumNulls
                 if (st.hasNonNullValue) {
@@ -135,9 +151,12 @@ object ZoneMap {
                     case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
                       val lo = st.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
                       val hi = st.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
-                      minS = Some(minS.fold(lo)(m => if (lo < m) lo else m))
-                      maxS = Some(maxS.fold(hi)(m => if (hi > m) hi else m))
-                    case (INT32 | INT64 | FLOAT | DOUBLE, lt) =>
+                      // fold in UTF-8 BYTE order (parquet's and Spark's
+                      // string order), not Java UTF-16 code-unit order
+                      minS = Some(minS.fold(lo)(m => if (utf8Compare(lo, m) < 0) lo else m))
+                      maxS = Some(maxS.fold(hi)(m => if (utf8Compare(hi, m) > 0) hi else m))
+                    case (pt @ (INT32 | INT64 | FLOAT | DOUBLE), lt) =>
+                      if (pt == FLOAT || pt == DOUBLE) isFloat = true
                       val scale = lt match {
                         case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
                           math.pow(10.0, d.getScale)
@@ -157,18 +176,47 @@ object ZoneMap {
                       }
                       val lo = bound(st.genericGetMin.asInstanceOf[Number], up = false)
                       val hi = bound(st.genericGetMax.asInstanceOf[Number], up = true)
-                      minN = Some(minN.fold(lo)(math.min(_, lo)))
-                      maxN = Some(maxN.fold(hi)(math.max(_, hi)))
+                      // an all-NaN chunk initializes parquet min/max to
+                      // NaN: every comparison against it is false, so a
+                      // NaN bound is no bound at all
+                      if (lo.isNaN || hi.isNaN) ok = false
+                      else {
+                        minN = Some(minN.fold(lo)(math.min(_, lo)))
+                        maxN = Some(maxN.fold(hi)(math.max(_, hi)))
+                      }
                     case _ => ok = false // INT96/FIXED/BOOLEAN: not prunable here
                   }
                 }
               }
           }
         }
-        if (!ok) ZoneEntry(file, c, nRows, hasStats = false, None, None, None, None, 0L)
-        else ZoneEntry(file, c, nRows, hasStats = true, minN, maxN, minS, maxS, nNulls)
+        if (!ok)
+          ZoneEntry(file, c, nRows, hasStats = false, None, None, None, None,
+            0L, isFloat = false)
+        else
+          ZoneEntry(file, c, nRows, hasStats = true, minN, maxN, minS, maxS,
+            nNulls, isFloat)
       }
     } finally reader.close()
+  }
+
+  /** UTF-8 byte order (unsigned) — the order parquet computes binary
+    * stats in and Spark compares UTF8Strings in. Java String order is
+    * UTF-16 code-unit order, which DISAGREES above the BMP (an emoji
+    * sorts below U+FFFF in Java but above it in bytes) — pruning on
+    * Java order could skip a file whose rows match the Spark filter.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** THE prune decision for one file: can a file with these zones
@@ -182,21 +230,28 @@ object ZoneMap {
         case None => true // column not in the manifest: cannot prune
         case Some(e) if !e.hasStats => true // no usable stats
         case Some(e) =>
-          // an all-null column has stats but no bounds of EITHER
-          // kind: range preds reject nulls, so the file prunes. A
-          // missing bound of only the predicate's kind is a type
-          // mismatch (numeric pred on a string zone) — keep, the
-          // real filter decides.
-          val allNull = e.vminNum.isEmpty && e.vminStr.isEmpty
+          // all-null is PROVEN by the null census (nNulls == nRows),
+          // never inferred from absent bounds — a writer may drop
+          // min/max while keeping null counts. Range preds reject
+          // nulls, so a proven all-null file prunes. A bound of the
+          // wrong kind for the predicate (numeric pred on a string
+          // zone) or a missing bound keeps the file — the real filter
+          // decides. Floating zones skip the lo test: parquet min/max
+          // exclude NaN while Spark ranks NaN above every value, so
+          // vmax is not an upper bound for `a >= lo`; `vmin <= hi`
+          // stays sound (NaN rows never satisfy `a <= hi`).
+          val allNull = e.nRows > 0 && e.nNulls >= e.nRows
           p match {
             case NumRange(_, lo, hi) =>
               if (allNull) false
-              else if (e.vminNum.isEmpty) true
-              else lo.forall(e.vmaxNum.get >= _) && hi.forall(e.vminNum.get <= _)
+              else
+                lo.forall(b => e.isFloat || e.vmaxNum.forall(_ >= b)) &&
+                  hi.forall(b => e.vminNum.forall(_ <= b))
             case StrRange(_, lo, hi) =>
               if (allNull) false
-              else if (e.vminStr.isEmpty) true
-              else lo.forall(e.vmaxStr.get >= _) && hi.forall(e.vminStr.get <= _)
+              else
+                lo.forall(b => e.vmaxStr.forall(utf8Compare(_, b) >= 0)) &&
+                  hi.forall(b => e.vminStr.forall(utf8Compare(_, b) <= 0))
           }
       }
     }
@@ -207,20 +262,29 @@ object ZoneMap {
     */
   def keptFiles(manifest: DataFrame, preds: Seq[ZonePred]): (Seq[String], Int) = {
     require(preds.nonEmpty, "no predicates — nothing to prune on")
+    import org.apache.spark.sql.functions.col
+    // collect only the predicate columns' slice; the full file list
+    // comes from a distinct projection (a predicate on a never-mapped
+    // column must keep every file, including ones the slice misses)
+    val predCols = preds.map(_.col).distinct
     val rows = manifest
+      .where(col("col").isin(predCols: _*))
       .select("file", "col", "nRows", "hasStats", "vminNum", "vmaxNum",
-        "vminStr", "vmaxStr", "nNulls")
+        "vminStr", "vmaxStr", "nNulls", "isFloat")
       .collect()
       .map(r => ZoneEntry(r.getString(0), r.getString(1), r.getLong(2),
         r.getBoolean(3),
         if (r.isNullAt(4)) None else Some(r.getDouble(4)),
         if (r.isNullAt(5)) None else Some(r.getDouble(5)),
-        Option(r.getString(6)), Option(r.getString(7)), r.getLong(8)))
+        Option(r.getString(6)), Option(r.getString(7)), r.getLong(8),
+        r.getBoolean(9)))
     val byFile = rows.groupBy(_.file)
-    val kept = byFile.keys.toArray.filter { f =>
-      keepFile(byFile(f).map(e => e.col -> e).toMap, preds)
+    val all = manifest.select("file").distinct()
+      .collect().map(_.getString(0))
+    val kept = all.filter { f =>
+      byFile.get(f).forall(es => keepFile(es.map(e => e.col -> e).toMap, preds))
     }
-    (kept.sorted.toSeq, byFile.size)
+    (kept.sorted.toSeq, all.length)
   }
 
   /** Read `dir` with zone-map file skipping: only files whose zones
@@ -250,7 +314,7 @@ object ZoneMap {
   def writeSidecar(spark: SparkSession, tableDir: String, manifest: DataFrame): Unit = {
     val entries = manifest
       .select("file", "col", "nRows", "hasStats", "vminNum", "vmaxNum",
-        "vminStr", "vmaxStr", "nNulls")
+        "vminStr", "vmaxStr", "nNulls", "isFloat")
       .collect()
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createArrayNode()
@@ -265,11 +329,9 @@ object ZoneMap {
       if (r.getString(6) != null) o.put("vminStr", r.getString(6))
       if (r.getString(7) != null) o.put("vmaxStr", r.getString(7))
       o.put("nNulls", r.getLong(8))
+      o.put("isFloat", r.getBoolean(9))
     }
-    val p = new Path(tableDir, SidecarFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(m.writeValueAsBytes(root)) finally out.close()
+    SidecarIndex.writeSidecar(tableDir, SidecarFile, m.writeValueAsString(root))
   }
 
   /** FS-level sidecar read for the optimizer rule (no DataFrame
@@ -295,7 +357,8 @@ object ZoneMap {
         buf += ZoneEntry(o.get("file").asText(), o.get("col").asText(),
           o.get("nRows").asLong(), o.get("hasStats").asBoolean(),
           optNum("vminNum"), optNum("vmaxNum"),
-          optStr("vminStr"), optStr("vmaxStr"), o.get("nNulls").asLong())
+          optStr("vminStr"), optStr("vmaxStr"), o.get("nNulls").asLong(),
+          Option(o.get("isFloat")).exists(_.asBoolean()))
       }
       Some(buf.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }

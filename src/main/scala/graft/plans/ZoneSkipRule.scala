@@ -134,8 +134,11 @@ object ZoneSkipRule {
     def tightenS(col: String, lo: Option[String], hi: Option[String]): Unit = {
       val a = acc.getOrElse(col, Acc(None, None, None, None))
       acc(col) = a.copy(
-        loS = (a.loS.toSeq ++ lo.toSeq).reduceOption((x: String, y: String) => if (x >= y) x else y),
-        hiS = (a.hiS.toSeq ++ hi.toSeq).reduceOption((x: String, y: String) => if (x <= y) x else y))
+        // intersect in UTF-8 byte order — the order keepFile compares in
+        loS = (a.loS.toSeq ++ lo.toSeq).reduceOption((x: String, y: String) =>
+          if (ZoneMap.utf8Compare(x, y) >= 0) x else y),
+        hiS = (a.hiS.toSeq ++ hi.toSeq).reduceOption((x: String, y: String) =>
+          if (ZoneMap.utf8Compare(x, y) <= 0) x else y))
     }
     // literal → safe double bound: int64 beyond 2^53 widens OUTWARD
     // (lo down, hi up) so double rounding can never fake a miss

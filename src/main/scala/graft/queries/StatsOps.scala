@@ -1432,12 +1432,21 @@ object StatsOps {
     // Per-segment linear trend fit: exact closed-form OLS of daily
     // value-cents against the day index, entirely from the five
     // integer moments (n, Σx, Σy, Σx², Σxy, Σy²) — one scan, one agg,
-    // no libm anywhere. slope/intercept/R² are exact integer rationals
-    // quantized by the house half-away division; DECIMAL(38,0) /
-    // HUGEINT widening because the R² numerator squares the slope
-    // numerator (~1e29 at sf0.1). The per-segment regression readout a
-    // metrics warehouse runs daily — map-side partial agg, scales by
-    // segment count not rows.
+    // no libm anywhere. slope/intercept are exact integer rationals
+    // quantized by the house half-away division (DECIMAL(38,0) /
+    // HUGEINT widening). R² = snum²/(sden·yden): the naive
+    // snum²·1e6 numerator would overflow 38 digits at x10 (snum grows
+    // ~n²), and Spark's `div` RETURNS BIGINT, so any single division
+    // whose quotient exceeds 2^63 silently wraps. The published form
+    // divides twice — t = snum² div yden (by Cauchy–Schwarz snum² ≤
+    // sden·yden, so t ≤ sden: long-ranged through ~x1000), then
+    // (t·1e6) div sden (≤ 1e6) — every intermediate inside 38 digits
+    // through ~x100 segment sizes (n ≈ 2e6 at these value ranges;
+    // beyond that, segment finer or pre-aggregate days). Both engines
+    // truncate toward zero, so the value is identical on both and
+    // within ~1e6/sden of exact R²·1e6 (≪ 1 unit here). The
+    // per-segment regression readout a metrics warehouse runs daily —
+    // map-side partial agg, scales by segment count not rows.
     GateQuery(
       "q_trend_fit",
       (s, d) =>
@@ -1464,7 +1473,8 @@ object StatsOps {
             "event_type", "n",
             s"${halfDivSpark("snum * 1000000", "sden")} AS slope_x1e6",
             s"${halfDivSpark("inum * 100", "sden")} AS intercept_x100",
-            s"${halfDivSpark("snum * snum * 1000000", "sden * yden")} AS r2_x1e6")
+            "CAST((CAST((snum * snum) div yden AS DECIMAL(38,0)) * 1000000)" +
+              " div sden AS BIGINT) AS r2_x1e6")
           .orderBy("event_type"),
       Some(s"""WITH ev AS (
               |  SELECT event_type,
@@ -1488,7 +1498,7 @@ object StatsOps {
               |SELECT event_type, n,
               |       ${halfDivSql("snum * 1000000", "sden")} AS slope_x1e6,
               |       ${halfDivSql("inum * 100", "sden")} AS intercept_x100,
-              |       ${halfDivSql("snum * snum * 1000000", "sden * yden")} AS r2_x1e6
+              |       CAST((CAST((snum * snum) // yden AS HUGEINT) * 1000000) // sden AS BIGINT) AS r2_x1e6
               |FROM f
               |WHERE sden > 0 AND yden > 0
               |ORDER BY event_type""".stripMargin))

@@ -83,6 +83,18 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
     assert(got === ((50L, 90L, 100L, 10L)))
   }
 
+  test("null ids/values are dropped before the agg, not crashed on") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", Some(1L), Some(10L)), ("g", Some(2L), Some(20L)),
+      ("g", None, Some(30L)), ("g", Some(4L), None))
+      .toDF("g", "id", "v")
+    val units = Kmv.buildUnits(df, Seq("g"), "id", "v", 8)
+    val r = units.select("n_rows", "sample").head()
+    assert(r.getLong(0) === 2L, "n_rows counts the sampleable census")
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sample").length === 2)
+  }
+
   test("sample quantiles land near exact quantiles on a big skewed group") {
     import spark.implicits._
     // deterministic skewed values: v = i*i % 9973 over 20k rows, k=256

@@ -118,11 +118,11 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     val manifest = Seq(
       // f1: no usable stats on k -> never pruned on k
-      ZoneEntry("f1", "k", 10, hasStats = false, None, None, None, None, 0),
+      ZoneEntry("f1", "k", 10, hasStats = false, None, None, None, None, 0, isFloat = false),
       // f2: string zone on k -> a NumRange on k is a type mismatch
-      ZoneEntry("f2", "k", 10, hasStats = true, None, None, Some("a"), Some("b"), 0),
+      ZoneEntry("f2", "k", 10, hasStats = true, None, None, Some("a"), Some("b"), 0, isFloat = false),
       // f3: numeric zone far outside the predicate -> prunes
-      ZoneEntry("f3", "k", 10, hasStats = true, Some(1000.0), Some(2000.0), None, None, 0)
+      ZoneEntry("f3", "k", 10, hasStats = true, Some(1000.0), Some(2000.0), None, None, 0, isFloat = false)
     ).toDF()
     val (kept, total) = ZoneMap.keptFiles(manifest, Seq(NumRange("k", Some(0.0), Some(5.0))))
     assert(total === 3 && kept.toSet === Set("f1", "f2"))
@@ -132,6 +132,62 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     // StrRange against the string zone prunes / keeps by bounds
     val (kept3, _) = ZoneMap.keptFiles(manifest, Seq(StrRange("k", Some("c"), None)))
     assert(!kept3.contains("f2") && kept3.contains("f1"))
+  }
+
+  test("soundness hardening: big-binary bound drop, NaN, UTF-8 order, one-sided entry") {
+    import spark.implicits._
+    // bounds absent but NOT all-null (the oversized-binary shape where
+    // a writer drops min/max yet keeps null counts): must KEEP under
+    // any range predicate — all-null is proven only by nNulls == nRows
+    val dropped = Map("s" -> ZoneEntry("f", "s", 10, hasStats = true,
+      None, None, None, None, nNulls = 3, isFloat = false))
+    assert(ZoneMap.keepFile(dropped, Seq(StrRange("s", Some("a"), None))))
+    assert(ZoneMap.keepFile(dropped, Seq(NumRange("s", Some(1.0), None))))
+    val allNull = Map("s" -> ZoneEntry("f", "s", 10, hasStats = true,
+      None, None, None, None, nNulls = 10, isFloat = false))
+    assert(!ZoneMap.keepFile(allNull, Seq(StrRange("s", Some("a"), None))))
+
+    // a real file with a NaN row: Spark ranks NaN above every value,
+    // so `v >= 5` MATCHES the NaN row — the file must be kept (the
+    // writer omits float min/max when NaN is present, which the
+    // harvest guards surface as hasStats=false: conservative on BOTH
+    // sides)
+    val dir = scratch() + "/nan"
+    Seq((1L, 1.0), (2L, Double.NaN)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val mf = ZoneMap.build(spark, dir, Seq("v"))
+    val (keptLo, _) = ZoneMap.keptFiles(mf, Seq(NumRange("v", Some(5.0), None)))
+    assert(keptLo.size === 1, "float lo-bound must not prune (NaN rows match)")
+    val sparkMatches = spark.read.parquet(dir).filter(col("v") >= 5.0).count()
+    assert(sparkMatches === 1L, "Spark total order: NaN >= 5.0")
+
+    // clean float file (no NaN): bounds exist, but the lo test is
+    // STILL disabled (a different file of the same column may hold
+    // NaN invisibly — the stats alone cannot prove max-ness under
+    // Spark's total order), while the hi side prunes soundly
+    val dirF = scratch() + "/fl"
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dirF)
+    val mfF = ZoneMap.build(spark, dirF, Seq("v"))
+    val (keptFLo, _) = ZoneMap.keptFiles(mfF, Seq(NumRange("v", Some(5.0), None)))
+    assert(keptFLo.size === 1, "float zones never prune on a lower bound")
+    val (keptFHi, _) = ZoneMap.keptFiles(mfF, Seq(NumRange("v", None, Some(0.5))))
+    assert(keptFHi.isEmpty, "float hi-bound pruning stays sound")
+    assert(spark.read.parquet(dirF).filter(col("v") <= 0.5).count() === 0L)
+
+    // UTF-8 vs UTF-16 order: an emoji (4-byte UTF-8) is the byte-order
+    // max even though Java String order puts it below U+FFFF
+    val dir2 = scratch() + "/utf8"
+    Seq((1L, "￿"), (2L, "😀")).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir2)
+    val mf2 = ZoneMap.build(spark, dir2, Seq("s"))
+    val (keptS, _) = ZoneMap.keptFiles(mf2, Seq(StrRange("s", Some("￿"), None)))
+    assert(keptS.size === 1, "file holds a matching row; byte-order max is the emoji")
+
+    // one-sided sidecar entry must keep, never crash
+    val oneSided = Map("k" -> ZoneEntry("f", "k", 10, hasStats = true,
+      Some(1.0), None, None, None, 0, isFloat = false))
+    assert(ZoneMap.keepFile(oneSided, Seq(NumRange("k", Some(100.0), Some(200.0)))))
   }
 
   test("z-ordered layout + zone map prunes BOTH dimensions") {
