@@ -334,6 +334,49 @@ object ZoneMap {
     SidecarIndex.writeSidecar(tableDir, SidecarFile, m.writeValueAsString(root))
   }
 
+  /** Incrementally refresh the sidecar after an ingest batch: harvest
+    * footers ONLY for data files the sidecar does not mention yet and
+    * drop entries for files that no longer exist — O(new files) work
+    * per batch instead of a full re-harvest, the maintenance loop a
+    * 100 TB table actually runs. Columns default to the ones the
+    * existing sidecar tracks; a fresh table needs them passed.
+    * Returns (files added, files dropped).
+    */
+  def refreshSidecar(spark: SparkSession, tableDir: String,
+      cols: Seq[String] = Nil): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = readSidecarPath(new Path(tableDir, SidecarFile), conf)
+      .getOrElse(Seq.empty)
+    val trackCols =
+      if (cols.nonEmpty) cols else prior.map(_.col).distinct
+    require(trackCols.nonEmpty,
+      "no existing sidecar and no columns named — nothing to track")
+    val live = dataFiles(spark, tableDir)
+    val liveSet = live.toSet
+    val known = prior.map(_.file).toSet
+    // prior entries survive only for still-live files and still-tracked
+    // columns; a column-set change re-harvests everything it added
+    val keepPrior = prior.filter(e =>
+      liveSet.contains(e.file) && trackCols.contains(e.col))
+    val coveredCols = keepPrior.groupBy(_.file).view.mapValues(_.map(_.col).toSet)
+    val todo = live.filter(f =>
+      !known.contains(f) || !trackCols.forall(coveredCols.getOrElse(f, Set.empty)))
+    val colsB = trackCols.toVector
+    val freshEntries: Seq[ZoneEntry] =
+      if (todo.isEmpty) Seq.empty
+      else {
+        val slices = math.min(todo.size, spark.sparkContext.defaultParallelism)
+        spark.sparkContext.parallelize(todo, slices)
+          .flatMap(f => readZones(f, colsB)).collect().toSeq
+      }
+    val freshKeys = freshEntries.map(e => (e.file, e.col)).toSet
+    val merged = keepPrior.filterNot(e => freshKeys.contains((e.file, e.col))) ++
+      freshEntries
+    import spark.implicits._
+    writeSidecar(spark, tableDir, merged.toDF())
+    (todo.size, (known -- liveSet).size)
+  }
+
   /** FS-level sidecar read for the optimizer rule (no DataFrame
     * reader available mid-plan). Double bounds survive the JSON
     * round-trip exactly (Jackson renders doubles losslessly).

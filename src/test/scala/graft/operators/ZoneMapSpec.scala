@@ -190,6 +190,37 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     assert(ZoneMap.keepFile(oneSided, Seq(NumRange("k", Some(100.0), Some(200.0)))))
   }
 
+  test("refreshSidecar harvests only new files and drops deleted ones") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = scratch() + "/t"
+    (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    assert(ZoneMap.refreshSidecar(spark, dir, Seq("k")) === ((2, 0)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    def entries() = ZoneMap
+      .readSidecarPath(new Path(dir, ZoneMap.SidecarFile), conf).get
+    assert(entries().map(_.file).distinct.size === 2)
+
+    // append: only the new file is harvested; columns come from the
+    // existing sidecar
+    (100 until 150).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(ZoneMap.refreshSidecar(spark, dir) === ((1, 0)))
+    val es = entries()
+    assert(es.map(_.file).distinct.size === 3)
+    // the refreshed manifest prunes exactly like a fresh build
+    val (kept, total) = ZoneMap.keptFiles(es.toDF(), Seq(NumRange("k", Some(120.0), None)))
+    assert(total === 3 && kept.size === 1)
+
+    // delete a file: its entries drop on the next refresh
+    val victim = es.map(_.file).distinct.sorted.head
+    new Path(victim).getFileSystem(conf).delete(new Path(victim), false)
+    assert(ZoneMap.refreshSidecar(spark, dir) === ((0, 1)))
+    assert(entries().map(_.file).distinct.size === 2)
+  }
+
   test("z-ordered layout + zone map prunes BOTH dimensions") {
     import spark.implicits._
     val dir = scratch() + "/t"
