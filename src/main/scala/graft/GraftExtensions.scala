@@ -51,7 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WinnowExpression].getName, "winnow_fps"),
       graft.functions.Functions.winnowFpsBuilder(_)))
     // the ANALYZE feedback loop as an optimizer rule: measured
-    // table_stats.json sidecars fill absent Join hints with BROADCAST
+    // _table_stats.json sidecars fill absent Join hints with BROADCAST
     // (graft.plans.StatsBroadcastRule — the session-wide statsJoin)
     ext.injectOptimizerRule(graft.plans.StatsBroadcastRule.apply)
     // transparent zone-map data skipping: _zone_map.json sidecars

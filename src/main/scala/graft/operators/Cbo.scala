@@ -70,9 +70,13 @@ object Cbo {
     * query to read a stats row would recurse into the very rule doing
     * the reading; a Hadoop-FS byte read + Jackson parse has no such
     * cycle (and column names are data — JSON escaping handles any
-    * character, no delimiter-joined rendering).
+    * character, no delimiter-joined rendering). Underscore-prefixed so
+    * Spark's file listing ignores it when the sidecar sits INSIDE the
+    * table directory (where the optimizer rule looks for it): an
+    * unprefixed JSON next to the parquet files would be listed as
+    * table data and fail every executed read of the table.
     */
-  val StatsFile = "table_stats.json"
+  val StatsFile = "_table_stats.json"
 
   def writeStats(spark: SparkSession, stats: TableStats, dir: String): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()

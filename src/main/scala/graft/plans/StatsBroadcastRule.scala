@@ -14,7 +14,7 @@ import graft.operators.Cbo
   * rule (`spark.sql.extensions=graft.GraftExtensions`) that fills a
   * Join side's MISSING hint with BROADCAST when the side is a scan —
   * possibly under projects/filters/aliases — of a table whose
-  * `table_stats.json` sidecar (the AnalyzeJob product) reports
+  * `_table_stats.json` sidecar (the AnalyzeJob product) reports
   * measured bytes within the budget.
   *
   * Why a rule and not per-call statsJoin: the static planner sizes a
