@@ -177,9 +177,25 @@ object ZoneMapJob {
     val Array(path, outDir, colArg) = args
     val cols = colArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val spark = Jobs.session("graft-zonemap")
-    val mf = graft.operators.ZoneMap.build(spark, path, cols).persist()
+    val zm = graft.operators.ZoneMap
+    // incremental when a sidecar already exists: only changed files
+    // re-harvest (footer reads are cheap, but O(new) beats O(all) on
+    // a table with millions of files); fresh tables do the full build
+    val sidecar = new org.apache.hadoop.fs.Path(path, zm.SidecarFile)
+    val hasSidecar = sidecar
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sidecar)
+    val mf = if (hasSidecar) {
+      val (harvested, dropped) = zm.refreshSidecar(spark, path, cols)
+      println(s"sidecar refreshed: $harvested file(s) harvested, $dropped dropped")
+      import spark.implicits._
+      zm.readSidecarPath(sidecar, spark.sparkContext.hadoopConfiguration)
+        .get.toDF()
+    } else {
+      val built = zm.build(spark, path, cols).persist()
+      zm.writeSidecar(spark, path, built)
+      built
+    }
     mf.coalesce(1).write.mode("overwrite").parquet(s"$outDir/zone_map.parquet")
-    graft.operators.ZoneMap.writeSidecar(spark, path, mf)
     val perCol = mf.groupBy("col")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
         org.apache.spark.sql.functions.sum("nNulls"))

@@ -89,6 +89,10 @@ object Cbo {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(m.writeValueAsBytes(root)) finally out.close()
+    // best-effort cleanup of the legacy UNPREFIXED sidecar name: left
+    // in a table directory it gets listed as table data and fails
+    // every read of the table (the reason StatsFile is now _-prefixed)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "table_stats.json"), false)
   }
 
   def readStats(spark: SparkSession, dir: String): Option[TableStats] =

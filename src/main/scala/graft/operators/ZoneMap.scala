@@ -70,7 +70,13 @@ object ZoneMap {
       vminStr: Option[String],
       vmaxStr: Option[String],
       nNulls: Long,
-      isFloat: Boolean)
+      isFloat: Boolean,
+      // source-file modification time at harvest: [[refreshSidecar]]
+      // re-harvests a file whose live mtime differs (a compactor may
+      // rewrite a file IN PLACE at the same path — path identity alone
+      // would keep stale zones and prune unsoundly). 0 = unknown
+      // (legacy entries): always treated as stale.
+      mtime: Long = 0L)
 
   /** A necessary range condition on one column — a RELAXATION of the
     * query's real filter (pruning keeps a superset; the query filter
@@ -115,7 +121,10 @@ object ZoneMap {
   /** Footer scan of one file → one ZoneEntry per requested column. */
   private[operators] def readZones(
       file: String, cols: Seq[String]): Seq[ZoneEntry] = {
-    val in = HadoopInputFile.fromPath(new Path(file), new Configuration())
+    val conf = new Configuration()
+    val path = new Path(file)
+    val mtime = path.getFileSystem(conf).getFileStatus(path).getModificationTime
+    val in = HadoopInputFile.fromPath(path, conf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -192,10 +201,10 @@ object ZoneMap {
         }
         if (!ok)
           ZoneEntry(file, c, nRows, hasStats = false, None, None, None, None,
-            0L, isFloat = false)
+            0L, isFloat = false, mtime = mtime)
         else
           ZoneEntry(file, c, nRows, hasStats = true, minN, maxN, minS, maxS,
-            nNulls, isFloat)
+            nNulls, isFloat, mtime = mtime)
       }
     } finally reader.close()
   }
@@ -314,33 +323,54 @@ object ZoneMap {
   def writeSidecar(spark: SparkSession, tableDir: String, manifest: DataFrame): Unit = {
     val entries = manifest
       .select("file", "col", "nRows", "hasStats", "vminNum", "vmaxNum",
-        "vminStr", "vmaxStr", "nNulls", "isFloat")
+        "vminStr", "vmaxStr", "nNulls", "isFloat", "mtime")
       .collect()
+      .map(r => ZoneEntry(r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        Option(r.getString(6)), Option(r.getString(7)), r.getLong(8),
+        r.getBoolean(9), r.getLong(10)))
+    writeSidecarEntries(tableDir, entries.toSeq)
+  }
+
+  /** Driver-side sidecar write from an in-memory entry list — the
+    * path [[refreshSidecar]] uses (no Spark job for data already on
+    * the driver).
+    */
+  def writeSidecarEntries(tableDir: String, entries: Seq[ZoneEntry]): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = m.createArrayNode()
-    entries.foreach { r =>
+    entries.foreach { e =>
       val o = root.addObject()
-      o.put("file", r.getString(0))
-      o.put("col", r.getString(1))
-      o.put("nRows", r.getLong(2))
-      o.put("hasStats", r.getBoolean(3))
-      if (!r.isNullAt(4)) o.put("vminNum", r.getDouble(4))
-      if (!r.isNullAt(5)) o.put("vmaxNum", r.getDouble(5))
-      if (r.getString(6) != null) o.put("vminStr", r.getString(6))
-      if (r.getString(7) != null) o.put("vmaxStr", r.getString(7))
-      o.put("nNulls", r.getLong(8))
-      o.put("isFloat", r.getBoolean(9))
+      o.put("file", e.file)
+      o.put("col", e.col)
+      o.put("nRows", e.nRows)
+      o.put("hasStats", e.hasStats)
+      e.vminNum.foreach(o.put("vminNum", _))
+      e.vmaxNum.foreach(o.put("vmaxNum", _))
+      e.vminStr.foreach(o.put("vminStr", _))
+      e.vmaxStr.foreach(o.put("vmaxStr", _))
+      o.put("nNulls", e.nNulls)
+      o.put("isFloat", e.isFloat)
+      o.put("mtime", e.mtime)
     }
     SidecarIndex.writeSidecar(tableDir, SidecarFile, m.writeValueAsString(root))
   }
 
   /** Incrementally refresh the sidecar after an ingest batch: harvest
-    * footers ONLY for data files the sidecar does not mention yet and
-    * drop entries for files that no longer exist — O(new files) work
-    * per batch instead of a full re-harvest, the maintenance loop a
-    * 100 TB table actually runs. Columns default to the ones the
-    * existing sidecar tracks; a fresh table needs them passed.
-    * Returns (files added, files dropped).
+    * footers ONLY for data files whose (path, mtime) the sidecar does
+    * not already cover — new files, files REWRITTEN IN PLACE (same
+    * path, new mtime: a compactor's move — path identity alone would
+    * keep stale zones and prune unsoundly), and files missing a newly
+    * tracked column — and drop entries for files that no longer
+    * exist. O(changed files) work per batch instead of a full
+    * re-harvest, the maintenance loop a 100 TB table actually runs;
+    * the final write happens entirely on the driver (no Spark job for
+    * the merge). Columns default to the ones the existing sidecar
+    * tracks; a fresh table needs them passed. Returns (files
+    * (re)harvested, files dropped) — a column-set change re-harvests
+    * every file it touches, so the first count is NOT "new files".
     */
   def refreshSidecar(spark: SparkSession, tableDir: String,
       cols: Seq[String] = Nil): (Int, Int) = {
@@ -352,15 +382,22 @@ object ZoneMap {
     require(trackCols.nonEmpty,
       "no existing sidecar and no columns named — nothing to track")
     val live = dataFiles(spark, tableDir)
-    val liveSet = live.toSet
+    // a transiently empty listing (mid-overwrite window) must not
+    // silently wipe the manifest and lose the tracked-column set
+    require(live.nonEmpty, s"no parquet data files under $tableDir — " +
+      "refusing to wipe the sidecar (retry after the write settles)")
+    val fsys = new Path(tableDir).getFileSystem(conf)
+    val liveMtime = live.map(f =>
+      f -> fsys.getFileStatus(new Path(f)).getModificationTime).toMap
     val known = prior.map(_.file).toSet
-    // prior entries survive only for still-live files and still-tracked
-    // columns; a column-set change re-harvests everything it added
+    // prior entries survive only for still-live UNCHANGED files and
+    // still-tracked columns; mtime 0 (legacy entries) is always stale
     val keepPrior = prior.filter(e =>
-      liveSet.contains(e.file) && trackCols.contains(e.col))
+      liveMtime.get(e.file).contains(e.mtime) && e.mtime != 0L &&
+        trackCols.contains(e.col))
     val coveredCols = keepPrior.groupBy(_.file).view.mapValues(_.map(_.col).toSet)
     val todo = live.filter(f =>
-      !known.contains(f) || !trackCols.forall(coveredCols.getOrElse(f, Set.empty)))
+      !trackCols.forall(coveredCols.getOrElse(f, Set.empty)))
     val colsB = trackCols.toVector
     val freshEntries: Seq[ZoneEntry] =
       if (todo.isEmpty) Seq.empty
@@ -372,9 +409,8 @@ object ZoneMap {
     val freshKeys = freshEntries.map(e => (e.file, e.col)).toSet
     val merged = keepPrior.filterNot(e => freshKeys.contains((e.file, e.col))) ++
       freshEntries
-    import spark.implicits._
-    writeSidecar(spark, tableDir, merged.toDF())
-    (todo.size, (known -- liveSet).size)
+    writeSidecarEntries(tableDir, merged)
+    (todo.size, (known -- liveMtime.keySet).size)
   }
 
   /** FS-level sidecar read for the optimizer rule (no DataFrame
@@ -401,7 +437,8 @@ object ZoneMap {
           o.get("nRows").asLong(), o.get("hasStats").asBoolean(),
           optNum("vminNum"), optNum("vmaxNum"),
           optStr("vminStr"), optStr("vmaxStr"), o.get("nNulls").asLong(),
-          Option(o.get("isFloat")).exists(_.asBoolean()))
+          Option(o.get("isFloat")).exists(_.asBoolean()),
+          Option(o.get("mtime")).map(_.asLong()).getOrElse(0L))
       }
       Some(buf.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }

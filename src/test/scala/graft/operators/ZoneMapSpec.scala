@@ -214,8 +214,26 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     val (kept, total) = ZoneMap.keptFiles(es.toDF(), Seq(NumRange("k", Some(120.0), None)))
     assert(total === 3 && kept.size === 1)
 
+    // a file REWRITTEN IN PLACE (same path, new content/mtime) must
+    // re-harvest — path identity alone would keep stale zones and
+    // prune unsoundly
+    val rewrite = es.map(_.file).distinct.sorted.last
+    val tmp = scratch() + "/rw"
+    (9000 until 9050).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmpFile = ZoneMap.dataFiles(spark, tmp).head
+    val fsy = new Path(rewrite).getFileSystem(conf)
+    Thread.sleep(5) // ensure the copy lands on a different mtime tick
+    org.apache.hadoop.fs.FileUtil.copy(
+      fsy, new Path(tmpFile), fsy, new Path(rewrite), false, true, conf)
+    assert(ZoneMap.refreshSidecar(spark, dir) === ((1, 0)))
+    val (keptRw, _) = ZoneMap.keptFiles(entries().toDF(),
+      Seq(NumRange("k", Some(9000.0), None)))
+    assert(keptRw === Seq(rewrite),
+      "refresh must pick up the rewritten file's new zones")
+
     // delete a file: its entries drop on the next refresh
-    val victim = es.map(_.file).distinct.sorted.head
+    val victim = entries().map(_.file).distinct.sorted.head
     new Path(victim).getFileSystem(conf).delete(new Path(victim), false)
     assert(ZoneMap.refreshSidecar(spark, dir) === ((0, 1)))
     assert(entries().map(_.file).distinct.size === 2)

@@ -23,7 +23,10 @@ class ExtensionRulesInterplaySpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
-      .master("local[2]")
+      // matches SparkTestBase: if this suite runs first, the JVM-wide
+      // context it creates has the same thread budget as every other
+      // suite expects
+      .master("local[4]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
