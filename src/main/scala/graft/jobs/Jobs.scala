@@ -128,8 +128,16 @@ object AnalyzeJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: AnalyzeJob <parquetPath> <outDir> [decileCol [buckets]]")
-    val (path, outDir) = (args(0), args(1))
     val spark = Jobs.session("graft-analyze")
+    run(spark, args(0), args(1), args.lift(2), args.lift(3).map(_.toInt).getOrElse(10))
+    spark.stop()
+  }
+
+  /** The job body, session-in — what `main` wraps and what specs call
+    * (main's `spark.stop()` would tear down a suite-shared context).
+    */
+  def run(spark: SparkSession, path: String, outDir: String,
+      decileCol: Option[String] = None, buckets: Int = 10): Unit = {
     val df = spark.read.parquet(path)
     val stats = graft.operators.Analyze.columnStats(df)
     // evaluate the corpus-wide aggregation ONCE: collect the bounded
@@ -145,8 +153,7 @@ object AnalyzeJob {
         s" nulls=${r.getAs[Long]("n_nulls")} ndv=${r.getAs[Long]("ndv")}" +
         s" min=${r.getAs[String]("min_str")} max=${r.getAs[String]("max_str")}")
     }
-    args.lift(2).foreach { c =>
-      val buckets = args.lift(3).map(_.toInt).getOrElse(10)
+    decileCol.foreach { c =>
       val d = graft.operators.Analyze.equiDepth(df, c, buckets)
       d.coalesce(1).write.mode("overwrite").parquet(s"$outDir/deciles.parquet")
       println(s"equi-depth($c, $buckets): " +
@@ -156,9 +163,17 @@ object AnalyzeJob {
     // measured, not in the column census): rows/bytes/NDV that
     // Cbo.statsJoin pins join strategies from
     val tStats = graft.operators.Cbo.collectStats(df)
-    graft.operators.Cbo.writeStats(spark, tStats, outDir)
+    // the sidecar the injected StatsBroadcastRule reads lives in the
+    // TABLE directory — writing it only to outDir would leave the
+    // "ANALYZE once, every session broadcasts right" loop open unless
+    // the caller happened to pass outDir == parquetPath. outDir keeps
+    // a report copy alongside column_stats.parquet.
+    val tablePath = new org.apache.hadoop.fs.Path(path)
+    val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tableFs.getFileStatus(tablePath).isDirectory)
+      graft.operators.Cbo.writeStats(spark, tStats, path)
+    if (outDir != path) graft.operators.Cbo.writeStats(spark, tStats, outDir)
     println(s"table_stats: rows=${tStats.rows} bytes=${tStats.bytes}")
-    spark.stop()
   }
 }
 

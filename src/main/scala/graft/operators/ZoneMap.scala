@@ -87,11 +87,26 @@ object ZoneMap {
     extends ZonePred
   final case class StrRange(col: String, lo: Option[String], hi: Option[String])
     extends ZonePred
+  /** Nullness as a zone predicate: the footer's null census proves
+    * whether a file CAN satisfy `IS NULL` (needs nNulls > 0) or
+    * `IS NOT NULL` (needs a non-null row). Range predicates already
+    * reject provably-all-null files; this makes the standalone
+    * `IS [NOT] NULL` conjuncts Spark adds to most filters prune too.
+    */
+  final case class NullnessPred(col: String, mustHaveNull: Boolean)
+    extends ZonePred
 
   final case class PruneResult(df: DataFrame, filesTotal: Int, filesKept: Int)
 
   /** Data files of a parquet directory (skips _SUCCESS / hidden). */
-  def dataFiles(spark: SparkSession, dir: String): Seq[String] = {
+  def dataFiles(spark: SparkSession, dir: String): Seq[String] =
+    dataFileStatuses(spark, dir).map(_._1)
+
+  /** (path, mtime) of every data file from ONE `listStatus` call — the
+    * listing already carries the statuses, so per-file `getFileStatus`
+    * round-trips (one NameNode call each at 10⁶ files) never happen.
+    */
+  def dataFileStatuses(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).toSeq
@@ -99,8 +114,8 @@ object ZoneMap {
         val n = s.getPath.getName
         n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
       })
-      .map(_.getPath.toString)
-      .sorted
+      .map(s => (s.getPath.toString, s.getModificationTime))
+      .sortBy(_._1)
   }
 
   /** Harvest the zone manifest for `cols` over every data file of
@@ -166,18 +181,31 @@ object ZoneMap {
                       maxS = Some(maxS.fold(hi)(m => if (utf8Compare(hi, m) > 0) hi else m))
                     case (pt @ (INT32 | INT64 | FLOAT | DOUBLE), lt) =>
                       if (pt == FLOAT || pt == DOUBLE) isFloat = true
-                      val scale = lt match {
+                      // value → Spark-internal units: decimals unscale,
+                      // timestamps normalize to MICROS (the unit of
+                      // Spark's Literal values and therefore of zone
+                      // predicates — a MILLIS/NANOS-annotated file from
+                      // another writer would otherwise compare in the
+                      // wrong unit and prune unsoundly)
+                      val (factor, lossyUnit) = lt match {
                         case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
-                          math.pow(10.0, d.getScale)
-                        case _ => 1.0
+                          (math.pow(10.0, -d.getScale), true)
+                        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                          t.getUnit match {
+                            case LogicalTypeAnnotation.TimeUnit.MILLIS => (1000.0, true)
+                            case LogicalTypeAnnotation.TimeUnit.NANOS => (0.001, true)
+                            case _ => (1.0, false)
+                          }
+                        case _ => (1.0, false)
                       }
                       // int32/float/double narrow losslessly into a
-                      // double; int64 beyond 2^53 and scaled decimals
-                      // do not — widen those one ulp per side so a
-                      // rounded bound can never fake a zone miss
+                      // double; int64 beyond 2^53, scaled decimals and
+                      // unit-converted timestamps do not — widen those
+                      // one ulp per side so a rounded bound can never
+                      // fake a zone miss
                       def bound(n: Number, up: Boolean): Double = {
-                        val v = n.doubleValue / scale
-                        val lossy = scale != 1.0 ||
+                        val v = n.doubleValue * factor
+                        val lossy = lossyUnit ||
                           (n.isInstanceOf[java.lang.Long] &&
                             math.abs(n.longValue) > (1L << 53))
                         if (!lossy) v
@@ -254,13 +282,19 @@ object ZoneMap {
             case NumRange(_, lo, hi) =>
               if (allNull) false
               else
-                lo.forall(b => e.isFloat || e.vmaxNum.forall(_ >= b)) &&
-                  hi.forall(b => e.vminNum.forall(_ <= b))
+                // defensive: a NaN bound never prunes (comparisons
+                // against NaN are all false, which would drop every
+                // stats-carrying file — including ones whose NaN rows
+                // match under Spark's NaN = NaN semantics)
+                lo.forall(b => b.isNaN || e.isFloat || e.vmaxNum.forall(_ >= b)) &&
+                  hi.forall(b => b.isNaN || e.vminNum.forall(_ <= b))
             case StrRange(_, lo, hi) =>
               if (allNull) false
               else
                 lo.forall(b => e.vmaxStr.forall(utf8Compare(_, b) >= 0)) &&
                   hi.forall(b => e.vminStr.forall(utf8Compare(_, b) <= 0))
+            case NullnessPred(_, mustHaveNull) =>
+              if (mustHaveNull) e.nNulls > 0 else !allNull
           }
       }
     }
@@ -309,13 +343,35 @@ object ZoneMap {
     PruneResult(df, total, kept.size)
   }
 
-  /** Sidecar filename inside the table directory. Underscore-prefixed
-    * so every parquet listing ignores it; JSON — not parquet — because
-    * [[graft.plans.ZoneSkipRule]] reads it INSIDE the optimizer, where
-    * planning a nested query would recurse into the rule itself (the
-    * [[Cbo.StatsFile]] precedent).
+  /** Sidecar INDEX filename inside the table directory. Underscore-
+    * prefixed so every parquet listing ignores it; JSON — not parquet —
+    * because [[graft.plans.ZoneSkipRule]] reads it INSIDE the
+    * optimizer, where planning a nested query would recurse into the
+    * rule itself (the [[Cbo.StatsFile]] precedent).
+    *
+    * v2 layout (SHARDED): the index is a small object
+    * `{"v":2,"shards":{"<col>":"<shardFile>", ...}}` and each column's
+    * entries live in their own `_zone_map.c<hash>.<uuid>.json` array —
+    * the optimizer reads ONLY the predicate columns' shards, so its
+    * driver allocation is O(files × predicate columns), never
+    * O(files × all tracked columns). Shard files are uuid-versioned
+    * and referenced by exact name from the index, written BEFORE the
+    * index swaps in: a concurrent reader sees either the old snapshot
+    * or the new one, never a mix (stale shards are garbage-collected
+    * after the index write). A v1 sidecar (a bare JSON array) still
+    * reads — and the next write upgrades it.
     */
   val SidecarFile = "_zone_map.json"
+
+  /** Stable shard filename for one column: hash-named (column names
+    * are data — any character) with a per-write uuid version.
+    */
+  private def shardName(col: String, uuid: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(col.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.take(6).map(b => f"${b & 0xff}%02x").mkString
+    s"_zone_map.c$hex.$uuid.json"
+  }
 
   /** Persist the manifest as the table's sidecar: one bounded collect
     * (files × columns rows), one FS write.
@@ -340,22 +396,46 @@ object ZoneMap {
     */
   def writeSidecarEntries(tableDir: String, entries: Seq[ZoneEntry]): Unit = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = m.createArrayNode()
-    entries.foreach { e =>
-      val o = root.addObject()
-      o.put("file", e.file)
-      o.put("col", e.col)
-      o.put("nRows", e.nRows)
-      o.put("hasStats", e.hasStats)
-      e.vminNum.foreach(o.put("vminNum", _))
-      e.vmaxNum.foreach(o.put("vmaxNum", _))
-      e.vminStr.foreach(o.put("vminStr", _))
-      e.vmaxStr.foreach(o.put("vmaxStr", _))
-      o.put("nNulls", e.nNulls)
-      o.put("isFloat", e.isFloat)
-      o.put("mtime", e.mtime)
+    def entryArray(es: Seq[ZoneEntry]): String = {
+      val root = m.createArrayNode()
+      es.foreach { e =>
+        val o = root.addObject()
+        o.put("file", e.file)
+        o.put("col", e.col)
+        o.put("nRows", e.nRows)
+        o.put("hasStats", e.hasStats)
+        e.vminNum.foreach(o.put("vminNum", _))
+        e.vmaxNum.foreach(o.put("vmaxNum", _))
+        e.vminStr.foreach(o.put("vminStr", _))
+        e.vmaxStr.foreach(o.put("vmaxStr", _))
+        o.put("nNulls", e.nNulls)
+        o.put("isFloat", e.isFloat)
+        o.put("mtime", e.mtime)
+      }
+      m.writeValueAsString(root)
     }
-    SidecarIndex.writeSidecar(tableDir, SidecarFile, m.writeValueAsString(root))
+    // snapshot-isolated write order: uuid-versioned shards first, then
+    // the index that names them, then GC of unreferenced old shards —
+    // a reader holding either index sees a complete consistent set
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val byCol = entries.groupBy(_.col)
+    val shardOf = byCol.keys.toSeq.sorted.map(c => c -> shardName(c, uuid)).toMap
+    shardOf.foreach { case (c, name) =>
+      SidecarIndex.writeSidecar(tableDir, name, entryArray(byCol(c)))
+    }
+    val idx = m.createObjectNode()
+    idx.put("v", 2)
+    val sh = idx.putObject("shards")
+    shardOf.toSeq.sortBy(_._1).foreach { case (c, name) => sh.put(c, name) }
+    SidecarIndex.writeSidecar(tableDir, SidecarFile, m.writeValueAsString(idx))
+    // best-effort GC: shard files from superseded snapshots
+    val fs = SidecarIndex.fs(tableDir)
+    val liveNames = shardOf.values.toSet + SidecarFile
+    try fs.listStatus(new Path(tableDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith("_zone_map.c") && !liveNames.contains(n))
+        fs.delete(st.getPath, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Incrementally refresh the sidecar after an ingest batch: harvest
@@ -381,14 +461,16 @@ object ZoneMap {
       if (cols.nonEmpty) cols else prior.map(_.col).distinct
     require(trackCols.nonEmpty,
       "no existing sidecar and no columns named — nothing to track")
-    val live = dataFiles(spark, tableDir)
+    // ONE listStatus carries both the file list and the live mtimes —
+    // a per-file getFileStatus loop here would be 10⁶ NameNode calls
+    // on the table this maintenance loop is for
+    val liveStatuses = dataFileStatuses(spark, tableDir)
+    val live = liveStatuses.map(_._1)
     // a transiently empty listing (mid-overwrite window) must not
     // silently wipe the manifest and lose the tracked-column set
     require(live.nonEmpty, s"no parquet data files under $tableDir — " +
       "refusing to wipe the sidecar (retry after the write settles)")
-    val fsys = new Path(tableDir).getFileSystem(conf)
-    val liveMtime = live.map(f =>
-      f -> fsys.getFileStatus(new Path(f)).getModificationTime).toMap
+    val liveMtime = liveStatuses.toMap
     val known = prior.map(_.file).toSet
     // prior entries survive only for still-live UNCHANGED files and
     // still-tracked columns; mtime 0 (legacy entries) is always stale
@@ -413,34 +495,69 @@ object ZoneMap {
     (todo.size, (known -- liveMtime.keySet).size)
   }
 
-  /** FS-level sidecar read for the optimizer rule (no DataFrame
-    * reader available mid-plan). Double bounds survive the JSON
-    * round-trip exactly (Jackson renders doubles losslessly).
+  /** FS-level full sidecar read (every tracked column) — the
+    * maintenance path ([[refreshSidecar]], ZoneMapJob reporting). The
+    * optimizer rule uses [[readSidecarColumns]] instead, which touches
+    * only the predicate columns' shards.
     */
   def readSidecarPath(p: Path,
-      conf: Configuration): Option[Seq[ZoneEntry]] = {
+      conf: Configuration): Option[Seq[ZoneEntry]] =
+    readSidecarColumns(p, conf, cols = None)
+
+  /** Column-sliced sidecar read: `cols = Some(set)` reads ONLY those
+    * columns' shards — O(files × |cols|) driver bytes regardless of
+    * how many columns the manifest tracks; `None` reads everything.
+    * A v1 sidecar (bare array) is read whole and filtered. Double
+    * bounds survive the JSON round-trip exactly (Jackson renders
+    * doubles losslessly).
+    */
+  def readSidecarColumns(p: Path, conf: Configuration,
+      cols: Option[Set[String]]): Option[Seq[ZoneEntry]] = {
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
+    def readText(path: Path): Option[String] =
+      try {
+        val in = fs.open(path)
+        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def parseEntries(text: String): Option[Seq[ZoneEntry]] =
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        if (!root.isArray) return None
+        val it = root.elements()
+        val buf = scala.collection.mutable.ArrayBuffer[ZoneEntry]()
+        while (it.hasNext) {
+          val o = it.next()
+          def optNum(f: String) = Option(o.get(f)).map(_.asDouble())
+          def optStr(f: String) = Option(o.get(f)).map(_.asText())
+          buf += ZoneEntry(o.get("file").asText(), o.get("col").asText(),
+            o.get("nRows").asLong(), o.get("hasStats").asBoolean(),
+            optNum("vminNum"), optNum("vmaxNum"),
+            optStr("vminStr"), optStr("vmaxStr"), o.get("nNulls").asLong(),
+            Option(o.get("isFloat")).exists(_.asBoolean()),
+            Option(o.get("mtime")).map(_.asLong()).getOrElse(0L))
+        }
+        Some(buf.toSeq)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val text = readText(p).getOrElse(return None)
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-      val it = root.elements()
-      val buf = scala.collection.mutable.ArrayBuffer[ZoneEntry]()
-      while (it.hasNext) {
-        val o = it.next()
-        def optNum(f: String) = Option(o.get(f)).map(_.asDouble())
-        def optStr(f: String) = Option(o.get(f)).map(_.asText())
-        buf += ZoneEntry(o.get("file").asText(), o.get("col").asText(),
-          o.get("nRows").asLong(), o.get("hasStats").asBoolean(),
-          optNum("vminNum"), optNum("vmaxNum"),
-          optStr("vminStr"), optStr("vmaxStr"), o.get("nNulls").asLong(),
-          Option(o.get("isFloat")).exists(_.asBoolean()),
-          Option(o.get("mtime")).map(_.asLong()).getOrElse(0L))
-      }
-      Some(buf.toSeq)
+      if (root.isArray) // legacy v1: one blob, filter in memory
+        parseEntries(text).map(es =>
+          cols.fold(es)(want => es.filter(e => want.contains(e.col))))
+      else if (root.isObject && root.has("shards")) {
+        val sh = root.get("shards")
+        val names = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(sh.fieldNames()).asScala.toSeq
+        val wanted = cols.fold(names)(want => names.filter(want.contains))
+        val parts = wanted.map { c =>
+          readText(new Path(p.getParent, sh.get(c).asText()))
+            .flatMap(parseEntries)
+        }
+        // a missing/corrupt shard poisons the whole read (None) — the
+        // rule then prunes nothing rather than pruning on partial state
+        if (parts.exists(_.isEmpty)) None else Some(parts.flatMap(_.get))
+      } else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 }

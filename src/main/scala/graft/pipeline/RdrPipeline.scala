@@ -122,6 +122,18 @@ object RdrPipeline {
   // the verify/bench harnesses clearCache() between queries.
   private val mergedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Bench setup hook: force the firehose generation + ingest merge
+    * now so the shared fixed cost lands in the explicit `setup` entry
+    * instead of whichever rdr gate runs first.
+    */
+  private[graft] def warmDerived(spark: SparkSession, sfDir: String): Unit = {
+    cachedMerged(spark, sfDir); ()
+  }
+
+  /** Gates that consume [[cachedMerged]]/[[cachedFirehose]]. */
+  private[graft] val derivedConsumers: Set[String] =
+    Set("q_rdr_merge", "q_rdr_train", "q_train_soft", "q_rdr_store")
+
   private def cachedMerged(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = mergedCache.computeIfAbsent(sfDir, { _ =>
       val out = java.nio.file.Files.createTempDirectory("rdr_merged").toString

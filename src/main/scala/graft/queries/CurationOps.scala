@@ -544,22 +544,31 @@ object CurationOps {
           .withColumn("n_words", size(words))
           .withColumn("dup_frac",
             lit(1.0) - size(array_distinct(words)).cast("double") / col("n_words"))
+        // each stage is PERSISTED: the closing census crossJoins five
+        // independent aggregates, and without the pins every branch
+        // re-evaluates its whole upstream chain (decontaminate ran 3×,
+        // which is where this gate's 2-4× run-to-run swing came from —
+        // the memory-pressure-dependent recomputes, not the operators).
+        // The bench/verify harnesses clearCache() between gates.
         val quality = annotated
           .filter(col("n_words") >= 20 && col("dup_frac") <= 0.65)
+          .persist()
         val unique = quality
           .withColumn("fp", md5(lower(trim(col("text")))))
           .withColumn("_rn",
             row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
           .filter(col("_rn") === 1).drop("_rn", "fp")
+          .persist()
         val evalDocs = docs.filter(col("doc_id") % 17 === 0)
         val corpus = unique.filter(col("doc_id") % 17 =!= 0)
         val flagged = Curation
           .decontaminate(corpus, evalDocs, "doc_id", "text", n = 5, minHits = 2)
           .select("doc_id")
-        val clean = corpus.join(flagged, Seq("doc_id"), "left_anti")
+        val clean = corpus.join(flagged, Seq("doc_id"), "left_anti").persist()
         val sampled = Curation.stratifiedSample(clean, "doc_id", "source",
           Map.empty, 0.5)
         val packed = Curation.packShards(sampled, "source", "doc_id", "n_words", 256L)
+          .persist()
         docs.agg(count(lit(1)).as("n_total"))
           .crossJoin(quality.agg(count(lit(1)).as("n_quality")))
           .crossJoin(unique.agg(count(lit(1)).as("n_unique")))

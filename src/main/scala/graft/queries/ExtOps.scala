@@ -66,6 +66,24 @@ object ExtOps {
       out
     })
 
+  /** Bench setup hook: force the one-time per-(JVM, sfDir) signature/
+    * pair/cluster materialization NOW so its cost lands in the bench's
+    * explicit `setup` entry instead of whichever consumer gate runs
+    * first (round-over-round per-query compare was unreliable for the
+    * whole dedup family — the same work was charged to different gates
+    * run to run).
+    */
+  private[graft] def warmDerived(s: SparkSession, d: String): Unit = {
+    cachedDeriv(s, d); ()
+  }
+
+  /** The gates that read the [[cachedDeriv]] artifacts — the bench
+    * only pays the setup when one of these is selected.
+    */
+  private[graft] val derivedConsumers: Set[String] = Set(
+    "q_dedup_minhash", "q_dedup_clusters", "q_dedup_soft", "q_dedup_remove",
+    "q_dedup_keep_best", "q_split_leakage", "q_dedup_delta")
+
   private[graft] def cachedVerifiedPairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/pairs")
 
@@ -1114,7 +1132,9 @@ object ExtOps {
               |  SELECT event_type, CAST(ts AS DATE) AS day, event_id,
               |         CAST(round(value * 100) AS BIGINT) AS cents,
               |         ${SharedOracles.bucketSql("'kmv:' || CAST(event_id AS VARCHAR)")} AS h
-              |  FROM events),
+              |  -- mirror Kmv.buildUnits: null id/value rows never enter the
+              |  -- sample OR the n_rows census on the Spark side
+              |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
               |u AS (
               |  SELECT *, row_number() OVER (PARTITION BY event_type, day
               |                               ORDER BY h, event_id) AS rk

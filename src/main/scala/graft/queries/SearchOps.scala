@@ -28,6 +28,12 @@ object SearchOps {
   // (JVM, sfDir) — the lake products a table format keeps (the laid-
   // out files plus the stats manifest its commit log carries)
   private val zmCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Bench setup hook + its consumer set: see ExtOps.warmDerived. */
+  private[graft] def warmDerived(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    zonemapArtifacts(s, d); ()
+  }
+  private[graft] val derivedConsumers: Set[String] = Set("q_zonemap_prune")
+
   private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String =
     zmCache.computeIfAbsent(d, { _ =>
       val out = java.nio.file.Files.createTempDirectory("graft_zonemap").toString
@@ -36,8 +42,13 @@ object SearchOps {
           "l_quantity", "l_extendedprice", 24,
           ranges = Some((1.0, 50.0, 900.0, 105000.0)))
         .write.mode("overwrite").parquet(s"$out/table")
-      ZoneMap.build(s, s"$out/table", Seq("l_quantity", "l_extendedprice"))
-        .write.mode("overwrite").parquet(s"$out/zone_map")
+      val mf = ZoneMap.build(s, s"$out/table", Seq("l_quantity", "l_extendedprice"))
+        .persist()
+      mf.write.mode("overwrite").parquet(s"$out/zone_map")
+      // the sharded JSON sidecar too: the gate's second census routes
+      // through the TRANSPARENT ZoneSkipRule, which reads exactly this
+      ZoneMap.writeSidecar(s, s"$out/table", mf)
+      mf.unpersist(blocking = false)
       out
     })
 
@@ -239,6 +250,33 @@ object SearchOps {
         val pr = ZoneMap.prunedRead(s, s"$root/table", mf, Seq(
           ZoneMap.NumRange("l_quantity", None, Some(5.0)),
           ZoneMap.NumRange("l_extendedprice", None, Some(20000.0))))
+        // SECOND census through the TRANSPARENT rule: install
+        // ZoneSkipRule for the duration (the extensions-session
+        // injection point, via the public ExperimentalMethods hook), run
+        // a PLAIN filtered read against the sidecar-carrying table, and
+        // assert in-plan that the scan's file list shrank. Its census
+        // values become literal columns the oracle re-derives — the
+        // rule path is hash-checked end-to-end, not just spec-checked.
+        val rule = graft.plans.ZoneSkipRule(s)
+        val prior = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prior :+ rule
+        val (ruleN, rulePriceSum, ruleScanned) =
+          try {
+            val df = s.read.parquet(s"$root/table")
+              .filter(col("l_quantity") <= 5.0 && col("l_extendedprice") <= 20000.0)
+              .agg(
+                count(lit(1)).as("n"),
+                sum(round(col("l_extendedprice") * 100).cast("long")).cast("long")
+                  .as("p"))
+            val scanned = df.queryExecution.executedPlan.collect {
+              case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+                sc.relation.location.inputFiles.length
+            }.sum
+            val row = df.collect().head
+            (row.getLong(0), row.getLong(1), scanned)
+          } finally s.experimental.extraOptimizations = prior
+        require(ruleScanned < pr.filesTotal,
+          s"q_zonemap_prune: the transparent rule scanned all $ruleScanned files")
         pr.df
           .filter(col("l_quantity") <= 5.0 && col("l_extendedprice") <= 20000.0)
           .agg(
@@ -247,12 +285,19 @@ object SearchOps {
               .as("price_sum_x100"),
             countDistinct(col("l_orderkey")).as("n_orders"))
           .withColumn("skipped_files", lit(pr.filesKept < pr.filesTotal))
+          .withColumn("rule_n", lit(ruleN))
+          .withColumn("rule_price_sum_x100", lit(rulePriceSum))
+          .withColumn("rule_skipped_files", lit(ruleScanned < pr.filesTotal))
       },
       Some("""SELECT count(*) AS n,
              |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
              |         AS price_sum_x100,
              |       count(DISTINCT l_orderkey) AS n_orders,
-             |       TRUE AS skipped_files
+             |       TRUE AS skipped_files,
+             |       count(*) AS rule_n,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS rule_price_sum_x100,
+             |       TRUE AS rule_skipped_files
              |FROM lineitem
              |WHERE l_quantity <= 5.0 AND l_extendedprice <= 20000.0""".stripMargin)),
 

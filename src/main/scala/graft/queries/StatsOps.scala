@@ -1444,7 +1444,11 @@ object StatsOps {
     // through ~x100 segment sizes (n ≈ 2e6 at these value ranges;
     // beyond that, segment finer or pre-aggregate days). Both engines
     // truncate toward zero, so the value is identical on both and
-    // within ~1e6/sden of exact R²·1e6 (≪ 1 unit here). The
+    // within ~1e6/sden of exact R²·1e6 (≪ 1 unit here). Beyond the
+    // envelope (|snum| ≥ 1e19, where snum² would exceed 38 digits)
+    // BOTH engines emit an explicit NULL — Spark's silent decimal
+    // NULL and DuckDB's HUGEINT overflow error would otherwise fail
+    // DIFFERENTLY. The
     // per-segment regression readout a metrics warehouse runs daily —
     // map-side partial agg, scales by segment count not rows.
     GateQuery(
@@ -1473,8 +1477,13 @@ object StatsOps {
             "event_type", "n",
             s"${halfDivSpark("snum * 1000000", "sden")} AS slope_x1e6",
             s"${halfDivSpark("inum * 100", "sden")} AS intercept_x100",
-            "CAST((CAST((snum * snum) div yden AS DECIMAL(38,0)) * 1000000)" +
-              " div sden AS BIGINT) AS r2_x1e6")
+            // magnitude guard: snum² needs < 38 digits; past |snum| ≥ 1e19
+            // Spark's non-ANSI decimal would go silently NULL while DuckDB
+            // HUGEINT raises — an EXPLICIT NULL on BOTH engines keeps them
+            // identical and makes the envelope breach visible in output
+            "CASE WHEN abs(snum) < 10000000000000000000 THEN " +
+              "CAST((CAST((snum * snum) div yden AS DECIMAL(38,0)) * 1000000)" +
+              " div sden AS BIGINT) ELSE NULL END AS r2_x1e6")
           .orderBy("event_type"),
       Some(s"""WITH ev AS (
               |  SELECT event_type,
@@ -1498,7 +1507,9 @@ object StatsOps {
               |SELECT event_type, n,
               |       ${halfDivSql("snum * 1000000", "sden")} AS slope_x1e6,
               |       ${halfDivSql("inum * 100", "sden")} AS intercept_x100,
-              |       CAST((CAST((snum * snum) // yden AS HUGEINT) * 1000000) // sden AS BIGINT) AS r2_x1e6
+              |       CASE WHEN abs(snum) < 10000000000000000000
+              |            THEN CAST((CAST((snum * snum) // yden AS HUGEINT) * 1000000) // sden AS BIGINT)
+              |            ELSE NULL END AS r2_x1e6
               |FROM f
               |WHERE sden > 0 AND yden > 0
               |ORDER BY event_type""".stripMargin))

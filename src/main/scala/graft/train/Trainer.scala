@@ -101,9 +101,30 @@ object Trainer {
   private def fitPartitions(rows: Long): Int =
     math.max(8, math.min(64, (rows / 250000L).toInt + 1))
 
+  /** `SPARK_GRAFT_TRAIN_TIMINGS=1` prints per-stage wall times to
+    * stderr (and forces the encoded frame before the fit so encode
+    * and boosting cost separate) — the profiling surface for the
+    * train-step line in the bench; off by default, zero overhead.
+    */
+  private val timingsOn =
+    sys.env.get("SPARK_GRAFT_TRAIN_TIMINGS").contains("1")
+  private def step[A](name: String)(body: => A): A =
+    if (!timingsOn) body
+    else {
+      val t0 = System.nanoTime()
+      try body finally System.err.println(String.format(
+        java.util.Locale.ROOT, "[train-timing] %s %.2fs",
+        name, Double.box((System.nanoTime() - t0) / 1e9)))
+    }
+  private def forceIfTiming(df: DataFrame): DataFrame = {
+    if (timingsOn) { df.persist(); df.count() }
+    df
+  }
+
   /** Phase 1. `df` = rewarded decisions (item/context/sample/count). */
   def trainPropensity(df: DataFrame, config: TrainConfig = TrainConfig()): PropensityModel = {
-    val countRow = df.agg(avg(Schema.Count), count(lit(1))).collect().head
+    val countRow = step("p1.countAgg")(
+      df.agg(avg(Schema.Count), count(lit(1))).collect().head)
     require(!countRow.isNullAt(0),
       "trainPropensity: no training data (empty input or all-null counts)")
     val meanItemCount = countRow.getDouble(0)
@@ -116,24 +137,28 @@ object Trainer {
         map_concat(col("nums"), map(lit(TimestampFeature), col("_t"))))
       .persist()
 
-    val featureNames = Encoding.selectFeatures(flat, config.maxFeatures)
+    val featureNames = step("p1.selectFeatures")(
+      Encoding.selectFeatures(flat, config.maxFeatures))
     // no prior: propensity is memorization (propensities.py design note)
-    val tables = Encoding.buildStringTables(flat, featureNames, modelSeed,
-      priorMean = 0.0, priorCount = 0,
-      pruneMinCount = config.pruneMinStringCount,
-      maxStringsPerFeature = config.maxStringsPerFeature)
+    val tables = step("p1.stringTables")(
+      Encoding.buildStringTables(flat, featureNames, modelSeed,
+        priorMean = 0.0, priorCount = 0,
+        pruneMinCount = config.pruneMinStringCount,
+        maxStringsPerFeature = config.maxStringsPerFeature))
 
-    val encoded = Encoding.withFeatureVector(flat, featureNames, tables, modelSeed)
-      .select(col(Schema.DecisionId), col("features"),
-        col(TargetCol).cast("double").as("label"), col(WeightCol))
-      .repartition(fitPartitions(nRows))
+    val encoded = step("p1.encode")(forceIfTiming(
+      Encoding.withFeatureVector(flat, featureNames, tables, modelSeed)
+        .select(col(Schema.DecisionId), col("features"),
+          col(TargetCol).cast("double").as("label"), col(WeightCol))
+        .repartition(fitPartitions(nRows))))
 
     val gbt = new GBTClassifier()
       .setMaxIter(config.propensityTrees)
       .setMaxDepth(config.treeDepth)
       .setWeightCol(WeightCol)
       .setSeed(modelSeed)
-    val model = fitWithValidation(gbt.fit, gbt.setValidationIndicatorCol _, encoded, config)
+    val model = step("p1.fit")(
+      fitWithValidation(gbt.fit, gbt.setValidationIndicatorCol _, encoded, config))
     flat.unpersist()
     PropensityModel(model, featureNames, tables, modelSeed, meanItemCount)
   }
@@ -161,8 +186,9 @@ object Trainer {
     if (config.binaryRewards)
       df = df.withColumn(Schema.Reward, when(col(Schema.Reward) > 0, 1.0).otherwise(0.0))
 
-    val stats = df.agg(avg(Schema.Reward), stddev_samp(Schema.Reward),
-      count(lit(1))).collect().head
+    val stats = step("p2.statsAgg")(
+      df.agg(avg(Schema.Reward), stddev_samp(Schema.Reward),
+        count(lit(1))).collect().head)
     require(!stats.isNullAt(0),
       "trainDecision: no training data (empty input or all-null rewards)")
     val rewardMean = stats.getDouble(0)
@@ -190,7 +216,6 @@ object Trainer {
         if (config.normalizeRewards)
           (col(Schema.Reward) - lit(rewardMean)) / lit(rewardStd)
         else col(Schema.Reward))
-      .persist()
 
     // context dropout (5% of rows lose context — regularization of the
     // feature encoding, reference decision_trainer.py:119). The
@@ -205,32 +230,39 @@ object Trainer {
     // decode + map rebuild that nothing ever reads (phase 1 and the
     // propensity TRANSFORM above do need it — their feature set
     // includes `t`)
+    // persisted HERE (not at `weighted`): stringTables and the encode
+    // both scan `dropped`, and every row of it embeds the phase-1
+    // model transform (_ipw) — pinning the post-dropout flattened frame
+    // pays that transform once instead of once per consumer
     val dropped = Encoding.withFlatFeatures(
         weighted.withColumn(Schema.Context,
           when(hashUniform(col(Schema.DecisionId), modelSeed + 11) < config.sampleContext,
             col(Schema.Context)))
           .drop("nums", "strs"))
+      .persist()
 
     val featureNames = pm.selectedFeatures
     val priorMean = if (config.normalizeRewards) 0.0 else rewardMean
-    val tables = Encoding.buildStringTables(dropped, featureNames, modelSeed,
-      priorMean = priorMean, priorCount = config.rewardPriorCount,
-      pruneMinCount = config.pruneMinStringCount,
-      maxStringsPerFeature = config.maxStringsPerFeature)
+    val tables = step("p2.stringTables")(
+      Encoding.buildStringTables(dropped, featureNames, modelSeed,
+        priorMean = priorMean, priorCount = config.rewardPriorCount,
+        pruneMinCount = config.pruneMinStringCount,
+        maxStringsPerFeature = config.maxStringsPerFeature))
 
     // per-row population-id noise sprinkled over every feature
-    val encoded = Encoding.withFeatureVector(
-        dropped, featureNames, tables, modelSeed,
-        Some(hashUniform(col(Schema.DecisionId), modelSeed + 17)))
-      .select(col("features"), col(TargetCol).cast("double").as("label"), col(WeightCol))
-      .repartition(fitPartitions(nRows))
+    val encoded = step("p2.encode")(forceIfTiming(
+      Encoding.withFeatureVector(
+          dropped, featureNames, tables, modelSeed,
+          Some(hashUniform(col(Schema.DecisionId), modelSeed + 17)))
+        .select(col("features"), col(TargetCol).cast("double").as("label"), col(WeightCol))
+        .repartition(fitPartitions(nRows))))
 
     val gbt = new GBTRegressor()
       .setMaxIter(config.maxTrees)
       .setMaxDepth(config.treeDepth)
       .setWeightCol(WeightCol)
       .setSeed(modelSeed)
-    val model = gbt.fit(encoded) // no early stop in phase 2 (reference)
+    val model = step("p2.fit")(gbt.fit(encoded)) // no early stop in phase 2 (reference)
     // XGBoost4J probe: when the jars are on the classpath, also emit a
     // genuine native booster (same encoded frame, mapped params) so
     // reference consumers keep loading `.xgb` artifacts unchanged; on

@@ -239,6 +239,67 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     assert(entries().map(_.file).distinct.size === 2)
   }
 
+  test("sharded sidecar: column slices bound the read, legacy v1 still parses, snapshots GC") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = scratch() + "/t"
+    (0 until 400).map(i => (i.toLong, i.toDouble, s"s$i", i * 2.0))
+      .toDF("k", "v", "name", "w")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    ZoneMap.writeSidecar(spark, dir,
+      ZoneMap.build(spark, dir, Seq("k", "v", "name", "w")))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val idx = new Path(dir, ZoneMap.SidecarFile)
+
+    // the index is tiny no matter how many files/columns the manifest
+    // tracks: O(columns) bytes, not O(files × columns)
+    assert(fs.getFileStatus(idx).getLen < 512,
+      "the index must stay a bounded column->shard map")
+    // one shard per column, all underscore-prefixed (invisible to scans)
+    val shards = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("_zone_map.c"))
+    assert(shards.length === 4)
+
+    // a single-column slice returns ONLY that column's entries (8 files)
+    val slice = ZoneMap.readSidecarColumns(idx, conf, Some(Set("k"))).get
+    assert(slice.map(_.col).distinct === Seq("k"))
+    assert(slice.size === 8)
+    // and the full read still sees everything
+    assert(ZoneMap.readSidecarPath(idx, conf).get.size === 32)
+    // a column the manifest doesn't track: empty slice, not a failure
+    assert(ZoneMap.readSidecarColumns(idx, conf, Some(Set("zzz"))).get.isEmpty)
+
+    // table data stays readable with the sidecar files in place
+    assert(spark.read.parquet(dir).count() === 400L)
+
+    // a re-write supersedes the snapshot and GCs the old shard files
+    ZoneMap.writeSidecar(spark, dir, ZoneMap.build(spark, dir, Seq("k", "v")))
+    val after = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("_zone_map.c"))
+    assert(after.length === 2, s"stale shards must GC (got ${after.toSeq})")
+    assert(after.toSet.intersect(shards.toSet).isEmpty,
+      "new snapshot must use fresh shard names")
+
+    // legacy v1 (bare array) sidecars still read, sliced or whole
+    val legacy = ZoneMap.readSidecarPath(idx, conf).get
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = m.createArrayNode()
+    legacy.foreach { e =>
+      val o = arr.addObject()
+      o.put("file", e.file); o.put("col", e.col); o.put("nRows", e.nRows)
+      o.put("hasStats", e.hasStats)
+      e.vminNum.foreach(o.put("vminNum", _)); e.vmaxNum.foreach(o.put("vmaxNum", _))
+      o.put("nNulls", e.nNulls); o.put("isFloat", e.isFloat); o.put("mtime", e.mtime)
+    }
+    val out = fs.create(idx, true)
+    try out.write(m.writeValueAsBytes(arr)) finally out.close()
+    assert(ZoneMap.readSidecarPath(idx, conf).get.size === legacy.size)
+    assert(ZoneMap.readSidecarColumns(idx, conf, Some(Set("v"))).get
+      .forall(_.col == "v"))
+  }
+
   test("z-ordered layout + zone map prunes BOTH dimensions") {
     import spark.implicits._
     val dir = scratch() + "/t"

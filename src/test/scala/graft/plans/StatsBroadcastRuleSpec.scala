@@ -76,4 +76,44 @@ class StatsBroadcastRuleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("AnalyzeJob on a table dir closes the loop: a plain join broadcasts with no manual sidecar placement") {
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("cbo_loop").toString
+      (1L to 5000L).map(i => (i % 20 + 1, i)).toDF("k", "v")
+        .write.mode("overwrite").parquet(s"$work/fact")
+      (1L to 20L).map(i => (i, s"n$i")).toDF("k", "name")
+        .write.mode("overwrite").parquet(s"$work/dim")
+      def plan() = s.read.parquet(s"$work/fact")
+        .join(s.read.parquet(s"$work/dim"), Seq("k"))
+        .queryExecution.executedPlan.toString()
+      assert(!plan().contains("BroadcastHashJoin"),
+        "pre-ANALYZE: no sidecar, no broadcast")
+      // the user-facing job, table dir in — ONLY the job places stats
+      graft.jobs.AnalyzeJob.run(s, s"$work/dim", s"$work/report")
+      assert(plan().contains("BroadcastHashJoin"),
+        "post-ANALYZE: the CLI product alone must feed the rule")
+      // the report copy also landed, and the table still reads clean
+      assert(graft.operators.Cbo.readStats(s, s"$work/report").nonEmpty)
+      assert(s.read.parquet(s"$work/dim").count() === 20L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      old.foreach { o =>
+        SparkSession.setDefaultSession(o)
+        SparkSession.setActiveSession(o)
+      }
+    }
+  }
 }

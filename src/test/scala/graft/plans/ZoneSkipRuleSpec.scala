@@ -91,6 +91,105 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("casts, IN lists, prefixes and nullness prune end-to-end; NaN and bad conf never break") {
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      // micros annotation so footers carry comparable timestamp stats
+      // (INT96 has no usable zone; the realistic lake-table layout)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val work = Files.createTempDirectory("zone_skip_shapes").toString
+      val dir = s"$work/t"
+      // 10 day-files: ts spans 2024-01-01..2024-01-10, id follows,
+      // name is day-prefixed, and day 3's value column is all null
+      (1 to 10).foreach { d =>
+        (0 until 100).map { i =>
+          (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:${i % 60}%02d"),
+            (d * 1000 + i).toLong, f"d$d%02d-n$i%03d",
+            if (d == 3) None else Some(i.toDouble))
+        }.toDF("ts", "id", "name", "value").coalesce(1)
+          .write.mode("append").parquet(dir)
+      }
+      ZoneMap.writeSidecar(s, dir,
+        ZoneMap.build(s, dir, Seq("ts", "id", "name", "value")))
+      val total = scanFileCount(s.read.parquet(dir))
+      assert(total === 10)
+      def files(df: org.apache.spark.sql.DataFrame): Int = scanFileCount(df)
+
+      // CAST(ts AS DATE) <= lit: prunes (±1 day tz slop keeps 3 files)
+      val castQ = s.read.parquet(dir)
+        .filter(to_date($"ts") <= lit(java.sql.Date.valueOf("2024-01-02")))
+      assert(files(castQ) < total, "date-cast predicate must prune")
+      assert(castQ.count() === 200L, "date-cast pruning must stay exact")
+
+      // widening numeric cast on the attribute side
+      val numCastQ = s.read.parquet(dir)
+        .filter($"id".cast("double") <= lit(2099.0))
+      assert(files(numCastQ) < total, "widening-cast predicate must prune")
+      assert(numCastQ.count() === 200L)
+
+      // IN list relaxes to [min, max]
+      val inQ = s.read.parquet(dir).filter($"id".isin(1001L, 1005L, 2003L))
+      assert(files(inQ) < total, "IN list must prune")
+      assert(inQ.count() === 3L)
+
+      // startswith prefix range
+      val preQ = s.read.parquet(dir).filter($"name".startsWith("d04-"))
+      assert(files(preQ) < total, "prefix predicate must prune")
+      assert(preQ.count() === 100L)
+
+      // IS NOT NULL drops the provably-all-null file, IS NULL keeps it
+      val nnQ = s.read.parquet(dir).filter($"value".isNotNull)
+      assert(files(nnQ) === total - 1, "IS NOT NULL must drop the all-null file")
+      assert(nnQ.count() === 900L)
+      val nQ = s.read.parquet(dir).filter($"value".isNull)
+      assert(files(nQ) === 1, "IS NULL keeps only null-carrying files")
+      assert(nQ.count() === 100L)
+
+      // NaN predicate: Spark ranks NaN ABOVE every value, so
+      // value <= NaN matches every non-null row — a NaN range bound
+      // would have pruned all stats-carrying files and lost them all
+      // (Spark adds an implied IsNotNull conjunct, which soundly drops
+      // the all-null file — the NaN bound itself must prune nothing)
+      val nanQ = s.read.parquet(dir).filter($"value" <= lit(Double.NaN))
+      assert(files(nanQ) === total - 1, "a NaN bound must not prune anything")
+      assert(nanQ.count() === 900L, "NaN-bounded rows must not vanish")
+
+      // malformed kill-switch value: rule disabled-or-ignored, never a throw
+      s.conf.set("spark.graft.zonemap.skip", "off")
+      assert(s.read.parquet(dir).filter($"id" <= 1050L).count() === 51L)
+      s.conf.unset("spark.graft.zonemap.skip")
+
+      // stale zones (in-place rewrite since harvest) keep the file: the
+      // live mtime disagrees with the recorded one. Pick a file that is
+      // OUT of the query range (max id < 9000) and touch it.
+      val one = ZoneMap.dataFiles(s, dir).find { f =>
+        s.read.parquet(f).agg(max($"id")).as[Long].head() < 9000L
+      }.get
+      val p = new org.apache.hadoop.fs.Path(one)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      fs.setTimes(p, st.getModificationTime + 60000L, -1)
+      val idQ = s.read.parquet(dir).filter($"id" >= 9000L)
+      // in-range d09+d10 plus the touched (stale, unprunable) file
+      assert(files(idQ) === 3, "stale-zone file must be kept")
+      assert(idQ.count() === 200L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      old.foreach(SparkSession.setDefaultSession)
+      old.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("range extraction: conjunctions tighten, orientations flip, others ignored") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
@@ -114,5 +213,64 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
         Literal((1L << 60) + 1L)))
     val lo = big.collect { case ZoneMap.NumRange(_, Some(l), _) => l }.head
     assert(lo < ((1L << 60) + 1L).toDouble)
+  }
+
+  test("range extraction: cast shapes, IN, prefix and nullness relax soundly") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val i = AttributeReference("i", IntegerType)()
+    val ts = AttributeReference("ts", TimestampType)()
+    val d = AttributeReference("d", DateType)()
+    val k = AttributeReference("k", StringType)()
+    val f = AttributeReference("f", DoubleType)()
+
+    // widening integral cast: exact bound
+    val w = ZoneSkipRule.extractRanges(
+      LessThanOrEqual(Cast(i, LongType), Literal(7L)))
+    assert(w === Seq(ZoneMap.NumRange("i", None, Some(7.0))))
+
+    // CAST(ts AS DATE) <= date: +2 days upper slop in micros
+    val day = 19731 // some day number
+    val c = ZoneSkipRule.extractRanges(
+      LessThanOrEqual(Cast(ts, DateType), Literal(day, DateType)))
+    val hi = c.collect { case ZoneMap.NumRange("ts", _, Some(h)) => h }.head
+    assert(hi === ((day + 2L) * 86400000000L).toDouble)
+
+    // CAST(d AS TIMESTAMP) >= micros: −1 day lower slop in days
+    val micros = 19731L * 86400000000L + 123L
+    val c2 = ZoneSkipRule.extractRanges(
+      GreaterThanOrEqual(Cast(d, TimestampType), Literal(micros, TimestampType)))
+    val lo2 = c2.collect { case ZoneMap.NumRange("d", Some(l), _) => l }.head
+    assert(lo2 === (19731L - 1L).toDouble)
+
+    // narrowing cast: nothing (wrap could make it non-monotone)
+    assert(ZoneSkipRule.extractRanges(
+      LessThanOrEqual(Cast(AttributeReference("l", LongType)(), IntegerType),
+        Literal(7))).isEmpty)
+
+    // IN relaxes to [min, max]; a null element is ignored
+    val in = ZoneSkipRule.extractRanges(
+      In(i, Seq(Literal(5), Literal(2), Literal.create(null, IntegerType), Literal(9))))
+    assert(in === Seq(ZoneMap.NumRange("i", Some(2.0), Some(9.0))))
+
+    // InSet (the optimized IN) extracts the same way
+    val inset = ZoneSkipRule.extractRanges(InSet(i, Set[Any](5, 2, 9)))
+    assert(inset === Seq(ZoneMap.NumRange("i", Some(2.0), Some(9.0))))
+
+    // startswith: [p, successor)
+    val pre = ZoneSkipRule.extractRanges(
+      StartsWith(k, Literal.create("ab", StringType)))
+    assert(pre === Seq(ZoneMap.StrRange("k", Some("ab"), Some("ac"))))
+
+    // nullness conjuncts become census predicates
+    val nn = ZoneSkipRule.extractRanges(
+      And(IsNotNull(i), IsNull(k))).toSet
+    assert(nn === Set(
+      ZoneMap.NullnessPred("i", mustHaveNull = false),
+      ZoneMap.NullnessPred("k", mustHaveNull = true)))
+
+    // NaN literal: no bound at all
+    assert(ZoneSkipRule.extractRanges(
+      LessThanOrEqual(f, Literal(Double.NaN))).isEmpty)
   }
 }
