@@ -95,6 +95,26 @@ object ZoneMap {
     */
   final case class NullnessPred(col: String, mustHaveNull: Boolean)
     extends ZonePred
+  /** A disjunction of predicate conjunctions: a file survives when ANY
+    * branch is zone-satisfiable (each branch is the extraction of one
+    * OR arm — a branch that extracted nothing must be passed as an
+    * empty Seq by the CALLER... no: an un-extractable arm makes the
+    * whole disjunction unprunable, so callers simply don't build an
+    * OrPred then). `a < 5 OR a > 90` and multi-column arms both prune.
+    * `col` is a representative for the single-column decision table;
+    * use [[predCols]] for the full referenced set.
+    */
+  final case class OrPred(branches: Seq[Seq[ZonePred]]) extends ZonePred {
+    require(branches.nonEmpty && branches.forall(_.nonEmpty),
+      "every OR branch needs at least one extracted predicate")
+    def col: String = branches.head.head.col
+  }
+
+  /** Every column a predicate tree references (manifest-slice keys). */
+  def predCols(p: ZonePred): Seq[String] = p match {
+    case OrPred(bs) => bs.flatten.flatMap(predCols)
+    case other => Seq(other.col)
+  }
 
   final case class PruneResult(df: DataFrame, filesTotal: Int, filesKept: Int)
 
@@ -262,7 +282,16 @@ object ZoneMap {
     * optimizer-rule sidecar path ([[graft.plans.ZoneSkipRule]]).
     */
   def keepFile(entries: Map[String, ZoneEntry], preds: Seq[ZonePred]): Boolean =
-    preds.forall { p =>
+    preds.forall(satisfiable(entries, _))
+
+  /** Can a file with these zones still satisfy ONE predicate? An OR
+    * node is satisfiable when any branch's conjunction is.
+    */
+  private def satisfiable(entries: Map[String, ZoneEntry], pred: ZonePred): Boolean =
+    pred match {
+      case OrPred(branches) =>
+        branches.exists(_.forall(satisfiable(entries, _)))
+      case p =>
       entries.get(p.col) match {
         case None => true // column not in the manifest: cannot prune
         case Some(e) if !e.hasStats => true // no usable stats
@@ -295,6 +324,7 @@ object ZoneMap {
                   hi.forall(b => e.vminStr.forall(utf8Compare(_, b) <= 0))
             case NullnessPred(_, mustHaveNull) =>
               if (mustHaveNull) e.nNulls > 0 else !allNull
+            case _: OrPred => true // unreachable: handled by the outer match
           }
       }
     }
@@ -309,9 +339,9 @@ object ZoneMap {
     // collect only the predicate columns' slice; the full file list
     // comes from a distinct projection (a predicate on a never-mapped
     // column must keep every file, including ones the slice misses)
-    val predCols = preds.map(_.col).distinct
+    val sliceCols = preds.flatMap(predCols).distinct
     val rows = manifest
-      .where(col("col").isin(predCols: _*))
+      .where(col("col").isin(sliceCols: _*))
       .select("file", "col", "nRows", "hasStats", "vminNum", "vmaxNum",
         "vminStr", "vmaxStr", "nNulls", "isFloat")
       .collect()

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.ZoneMap
-import graft.operators.ZoneMap.{NullnessPred, NumRange, StrRange, ZoneEntry, ZonePred}
+import graft.operators.ZoneMap.{NullnessPred, NumRange, OrPred, StrRange, ZoneEntry, ZonePred}
 
 /** TRANSPARENT zone-map data skipping as an injected optimizer rule
   * (`spark.sql.extensions=graft.GraftExtensions`): a plain
@@ -36,11 +36,14 @@ import graft.operators.ZoneMap.{NullnessPred, NumRange, StrRange, ZoneEntry, Zon
   *     provably MONOTONE `Cast` shapes over the attribute — widening
   *     integral casts, integral→float/double with one-ulp outward
   *     widening, and date↔timestamp casts widened one full day per
-  *     side so any session timezone stays covered. Disjunctions,
-  *     functions, non-monotone casts: ignored (no pruning from them),
-  *     never unsound. Strict bounds relax to inclusive ones. NaN
-  *     literals contribute no bound (zone min/max exclude NaN while
-  *     Spark ranks NaN above everything and NaN = NaN is true).
+  *     side so any session timezone stays covered. A DISJUNCTION
+  *     conjunct prunes as a union: a file survives when any arm's
+  *     extraction stays satisfiable, and an arm that extracts nothing
+  *     disables the whole disjunction. Functions, non-monotone casts:
+  *     ignored (no pruning from them), never unsound. Strict bounds
+  *     relax to inclusive ones. NaN literals contribute no bound
+  *     (zone min/max exclude NaN while Spark ranks NaN above
+  *     everything and NaN = NaN is true).
   *   - the filter itself is LEFT IN PLACE — pruning only shrinks the
   *     scan's file list (the superset contract);
   *   - files the sidecar does not mention are kept (late-arrived data
@@ -92,8 +95,10 @@ case class ZoneSkipRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // matter how wide the tracked-column set is
     val entries = ZoneSkipRule.cachedSidecar(
       root, spark.sparkContext.hadoopConfiguration,
-      preds.map(_.col).toSet)
-    if (entries.isEmpty) return None
+      preds.flatMap(ZoneMap.predCols).toSet)
+    // no sidecar, or none of the predicate columns tracked: nothing
+    // can prune — skip the listing walk entirely
+    if (entries.isEmpty || entries.get.isEmpty) return None
     val byFile: Map[String, Map[String, ZoneEntry]] = entries.get
       .groupBy(e => ZoneSkipRule.normalize(e.file))
       .map { case (f, es) => f -> es.map(e => e.col -> e).toMap }
@@ -239,6 +244,8 @@ object ZoneSkipRule {
         loS: Option[String], hiS: Option[String],
         notNull: Boolean = false, mustNull: Boolean = false)
     val acc = scala.collection.mutable.LinkedHashMap[String, Acc]()
+    // non-column-keyed conjuncts (extracted OR unions)
+    val extra = scala.collection.mutable.ArrayBuffer[ZonePred]()
     def get(col: String): Acc = acc.getOrElse(col, Acc(None, None, None, None))
     def tightenN(col: String, lo: Option[Double], hi: Option[Double]): Unit = {
       val a = get(col)
@@ -360,6 +367,19 @@ object ZoneSkipRule {
       }
     def walk(e: Expression): Unit = e match {
       case And(x, y) => walk(x); walk(y)
+      // a disjunction conjunct prunes as a UNION: flatten the Or tree
+      // into arms, extract each arm recursively, and keep files where
+      // ANY arm stays satisfiable. An arm that extracts nothing is
+      // always satisfiable, so the whole disjunction contributes
+      // nothing then — never unsound. Enables `a < 5 OR a > 90` and
+      // multi-column arms like `(a < 5 AND b > 2) OR c = 7`.
+      case Or(_, _) =>
+        def arms(x: Expression): Seq[Expression] = x match {
+          case Or(p, q) => arms(p) ++ arms(q)
+          case other => Seq(other)
+        }
+        val branches = arms(e).map(extractRanges)
+        if (branches.forall(_.nonEmpty)) extra += OrPred(branches)
       case GreaterThanOrEqual(a, l: Literal) => visit(a, l, lowerOfA = true, upperOfA = false)
       case GreaterThan(a, l: Literal) => visit(a, l, lowerOfA = true, upperOfA = false)
       case LessThanOrEqual(a, l: Literal) => visit(a, l, lowerOfA = false, upperOfA = true)
@@ -399,6 +419,6 @@ object ZoneSkipRule {
       val nn = if (a.notNull) Some(NullnessPred(c, mustHaveNull = false)) else None
       val mn = if (a.mustNull) Some(NullnessPred(c, mustHaveNull = true)) else None
       n.toSeq ++ s.toSeq ++ nn.toSeq ++ mn.toSeq
-    }
+    } ++ extra.toSeq
   }
 }

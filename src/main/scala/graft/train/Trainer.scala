@@ -288,10 +288,16 @@ object Trainer {
       setValidation: String => GBTClassifier,
       encoded: DataFrame, config: TrainConfig): GBTClassificationModel = {
     // fold by decision-id hash: retry-stable, and both expanded rows of
-    // one decision land in the same fold (no chosen/sample leakage)
+    // one decision land in the same fold (no chosen/sample leakage).
+    // PERSISTED: MLlib materializes the train and validation folds as
+    // two separate filtered RDD conversions, so an unpinned frame pays
+    // the whole encode chain twice.
     val withVal = encoded.withColumn("_is_val",
       hashUniform(col(Schema.DecisionId), config.seed + 7) < config.testSplit)
-    setValidation("_is_val")
-    fit(withVal)
+      .persist()
+    try {
+      setValidation("_is_val")
+      fit(withVal)
+    } finally { withVal.unpersist(blocking = false); () }
   }
 }

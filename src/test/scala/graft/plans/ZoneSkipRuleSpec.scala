@@ -70,9 +70,20 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
       ZoneMap.writeSidecar(s, dir, ZoneMap.build(s, dir, Seq("a", "b")))
       assert(q().count() === wantCount + 50)
 
-      // disjunctions/casts contribute nothing - no pruning, no error
+      // a disjunction prunes as a UNION: only files where neither
+      // arm can hold drop, and the answer stays exact
       val orQ = s.read.parquet(dir).filter($"a" <= 10.0 || $"b" <= 10.0)
-      assert(scanFileCount(orQ) === scanFileCount(s.read.parquet(dir)))
+      s.conf.set("spark.graft.zonemap.skip", "false")
+      val orWant = s.read.parquet(dir)
+        .filter($"a" <= 10.0 || $"b" <= 10.0).agg(sum("id")).as[Long].head()
+      s.conf.set("spark.graft.zonemap.skip", "true")
+      assert(scanFileCount(orQ) < scanFileCount(s.read.parquet(dir)),
+        "an OR of extractable arms must prune")
+      assert(orQ.agg(sum("id")).as[Long].head() === orWant)
+      // an arm that extracts nothing disables the whole disjunction
+      val orOpaque = s.read.parquet(dir)
+        .filter($"a" <= 10.0 || abs($"b") <= 10.0)
+      assert(scanFileCount(orOpaque) === scanFileCount(s.read.parquet(dir)))
 
       // kill switch restores the full listing
       s.conf.set("spark.graft.zonemap.skip", "false")
@@ -203,10 +214,15 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
     assert(got.toSet === Set(
       ZoneMap.NumRange("a", Some(2.0), Some(5.0)),
       ZoneMap.StrRange("k", Some("x"), Some("x"))))
-    // disjunction and IS NULL are not necessary conditions: nothing
-    val none = ZoneSkipRule.extractRanges(
+    // a disjunction extracts as a UNION of its arms' extractions
+    val union = ZoneSkipRule.extractRanges(
       Or(GreaterThan(a, Literal(1.0)), IsNull(a)))
-    assert(none.isEmpty)
+    assert(union === Seq(ZoneMap.OrPred(Seq(
+      Seq(ZoneMap.NumRange("a", Some(1.0), None)),
+      Seq(ZoneMap.NullnessPred("a", mustHaveNull = true))))))
+    // ... but an arm that extracts nothing disables the whole OR
+    assert(ZoneSkipRule.extractRanges(
+      Or(GreaterThan(a, Literal(1.0)), GreaterThan(a, a))).isEmpty)
     // int64 beyond 2^53 widens outward
     val big = ZoneSkipRule.extractRanges(
       GreaterThanOrEqual(AttributeReference("n", LongType)(),
@@ -272,5 +288,16 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
     // NaN literal: no bound at all
     assert(ZoneSkipRule.extractRanges(
       LessThanOrEqual(f, Literal(Double.NaN))).isEmpty)
+
+    // union semantics on the decision side: a two-sided OR keeps a
+    // file iff EITHER interval overlaps its zone
+    val low = ZoneSkipRule.extractRanges(
+      Or(LessThan(f, Literal(5.0)), GreaterThan(f, Literal(90.0))))
+    def entry(lo: Double, hi: Double) = Map("f" -> ZoneMap.ZoneEntry(
+      "x.parquet", "f", 100L, hasStats = true, Some(lo), Some(hi),
+      None, None, 0L, isFloat = false, mtime = 1L))
+    assert(ZoneMap.keepFile(entry(0.0, 3.0), low), "low zone overlaps arm 1")
+    assert(ZoneMap.keepFile(entry(95.0, 99.0), low), "high zone overlaps arm 2")
+    assert(!ZoneMap.keepFile(entry(40.0, 60.0), low), "middle zone overlaps neither")
   }
 }
