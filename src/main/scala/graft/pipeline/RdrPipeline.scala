@@ -122,6 +122,20 @@ object RdrPipeline {
   // the verify/bench harnesses clearCache() between queries.
   private val mergedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Fixture-scale shuffle width for the train gates (the
+    * StreamingOps.withReplayConf convention): the gate trains on a
+    * ~100k-row fixture, where every aggregation exchange at the
+    * session's 32-partition width is mostly task-scheduling overhead.
+    * Results are exact and hash-identical at any width — a production
+    * 8M-row run keeps whatever its session configures.
+    */
+  private def withGateShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, old)
+  }
+
   /** Bench setup hook: force the firehose generation + ingest merge
     * now so the shared fixed cost lands in the explicit `setup` entry
     * instead of whichever rdr gate runs first.
@@ -223,21 +237,22 @@ object RdrPipeline {
     val pm = warm.getOrElse {
       // phase 1: minRows = maxRows realizes the scarce-data override
       // (the explore sample only thins data the cap would drop anyway)
-      val phase1 = Loader.load(spark, storeDir, model,
+      val phase1 = Trainer.step("load1")(Loader.load(spark, storeDir, model,
         maxRows = maxRows, minRows = maxRows, sample = sample, seed = cfg.seed)
-        .withColumn(Schema.Model, lit(model)).persist()
+        .withColumn(Schema.Model, lit(model)).persist())
       try {
-        phaseTap(1, phase1)
+        Trainer.step("tap1")(phaseTap(1, phase1))
         val trained = Trainer.trainPropensity(phase1, cfg)
-        ckptDir.foreach(d => ModelStore.saveCheckpoint(trained, d))
+        Trainer.step("ckptSave")(
+          ckptDir.foreach(d => ModelStore.saveCheckpoint(trained, d)))
         trained
       } finally { phase1.unpersist(); () }
     }
-    val phase2 = Loader.load(spark, storeDir, model,
+    val phase2 = Trainer.step("load2")(Loader.load(spark, storeDir, model,
       maxRows = maxRows, sample = sample, seed = cfg.seed + 1)
-      .withColumn(Schema.Model, lit(model)).persist()
+      .withColumn(Schema.Model, lit(model)).persist())
     try {
-      phaseTap(2, phase2)
+      Trainer.step("tap2")(phaseTap(2, phase2))
       TrainedChain(pm, Trainer.trainDecision(phase2, pm, cfg), warm.isDefined)
     } finally { phase2.unpersist(); () }
   }
@@ -280,11 +295,12 @@ object RdrPipeline {
       // the gate runs the USER-FACING chain (trainFromStore): explore
       // bootstrap, scarce-data override, checkpoint save — with a tap
       // that dumps each phase's data-side frame for the oracle census
-      val chain = timed("train")(trainFromStore(spark, s"$stage/store", "events", cfg,
-        ckptDir = Some(s"$stage/ckpt"),
-        phaseTap = (phase, df) =>
-          df.select(Schema.DecisionId, Schema.Reward, Schema.Count)
-            .write.mode("overwrite").parquet(s"$stage/phase$phase")))
+      val chain = timed("train")(withGateShuffle(spark)(
+        trainFromStore(spark, s"$stage/store", "events", cfg,
+          ckptDir = Some(s"$stage/ckpt"),
+          phaseTap = (phase, df) =>
+            df.select(Schema.DecisionId, Schema.Reward, Schema.Count)
+              .write.mode("overwrite").parquet(s"$stage/phase$phase"))))
       val pm = chain.propensity
       val dm = chain.decision
       require(!chain.phase1Warm, "q_rdr_train: fresh slot must cold-start phase 1")
@@ -410,8 +426,10 @@ object RdrPipeline {
         val cfg = Trainer.TrainConfig(maxFeatures = 20, pruneMinStringCount = 0,
           maxTrees = 3, propensityTrees = 3, treeDepth = 3, seed = 7L,
           rowWeightCol = Some("_soft_w"))
-        val pm = Trainer.trainPropensity(e, cfg)
-        val dm = Trainer.trainDecision(e, pm, cfg)
+        val (pm, dm) = withGateShuffle(spark) {
+          val p = Trainer.trainPropensity(e, cfg)
+          (p, Trainer.trainDecision(e, p, cfg))
+        }
         require(pm.model.getNumTrees > 0 && dm.model.getNumTrees > 0,
           "q_train_soft: a phase trained zero trees")
         require(pm.featureNames.exists(_.contains("recency")),

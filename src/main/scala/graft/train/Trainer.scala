@@ -108,7 +108,7 @@ object Trainer {
     */
   private val timingsOn =
     sys.env.get("SPARK_GRAFT_TRAIN_TIMINGS").contains("1")
-  private def step[A](name: String)(body: => A): A =
+  private[graft] def step[A](name: String)(body: => A): A =
     if (!timingsOn) body
     else {
       val t0 = System.nanoTime()
@@ -146,10 +146,14 @@ object Trainer {
         pruneMinCount = config.pruneMinStringCount,
         maxStringsPerFeature = config.maxStringsPerFeature))
 
+    // label metadata pins numClasses = 2: without it MLlib runs its
+    // own discovery pass over the label column before boosting starts
+    val labelMeta = org.apache.spark.ml.attribute.NominalAttribute
+      .defaultAttr.withName("label").withNumValues(2).toMetadata()
     val encoded = step("p1.encode")(forceIfTiming(
       Encoding.withFeatureVector(flat, featureNames, tables, modelSeed)
         .select(col(Schema.DecisionId), col("features"),
-          col(TargetCol).cast("double").as("label"), col(WeightCol))
+          col(TargetCol).cast("double").as("label", labelMeta), col(WeightCol))
         .repartition(fitPartitions(nRows))))
 
     val gbt = new GBTClassifier()
