@@ -168,10 +168,18 @@ object AnalyzeJob {
     // "ANALYZE once, every session broadcasts right" loop open unless
     // the caller happened to pass outDir == parquetPath. outDir keeps
     // a report copy alongside column_stats.parquet.
-    val tablePath = new org.apache.hadoop.fs.Path(path)
-    val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (tableFs.getFileStatus(tablePath).isDirectory)
-      graft.operators.Cbo.writeStats(spark, tStats, path)
+    // best-effort: `path` may be a glob (spark.read.parquet accepts
+    // those) or a read-only table — neither may break the report run,
+    // so probe-and-write instead of asserting
+    try {
+      val tablePath = new org.apache.hadoop.fs.Path(path)
+      val tableFs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (tableFs.getFileStatus(tablePath).isDirectory)
+        graft.operators.Cbo.writeStats(spark, tStats, path)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[analyze] in-table stats sidecar skipped for $path: $e")
+    }
     if (outDir != path) graft.operators.Cbo.writeStats(spark, tStats, outDir)
     println(s"table_stats: rows=${tStats.rows} bytes=${tStats.bytes}")
   }

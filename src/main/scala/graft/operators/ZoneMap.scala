@@ -444,9 +444,15 @@ object ZoneMap {
       }
       m.writeValueAsString(root)
     }
-    // snapshot-isolated write order: uuid-versioned shards first, then
-    // the index that names them, then GC of unreferenced old shards —
-    // a reader holding either index sees a complete consistent set
+    // snapshot-isolated write order (single-maintainer contract, like
+    // any lake-format commit without a lock service): uuid-versioned
+    // shards first, then the index that names them swapped in via
+    // temp-file + rename (an in-place truncate-write could expose a
+    // PARTIAL index to a concurrent reader, whose parse-fail would
+    // cache as no-sidecar under that mtime), then GC of unreferenced
+    // old shards. A reader holding either index sees a complete
+    // consistent set; the worst crash window leaves NO index (readers
+    // prune nothing — sound) until the next write.
     val uuid = java.util.UUID.randomUUID().toString.take(8)
     val byCol = entries.groupBy(_.col)
     val shardOf = byCol.keys.toSeq.sorted.map(c => c -> shardName(c, uuid)).toMap
@@ -457,7 +463,13 @@ object ZoneMap {
     idx.put("v", 2)
     val sh = idx.putObject("shards")
     shardOf.toSeq.sortBy(_._1).foreach { case (c, name) => sh.put(c, name) }
-    SidecarIndex.writeSidecar(tableDir, SidecarFile, m.writeValueAsString(idx))
+    val tmpName = s".$SidecarFile.tmp-$uuid"
+    SidecarIndex.writeSidecar(tableDir, tmpName, m.writeValueAsString(idx))
+    val fsx = SidecarIndex.fs(tableDir)
+    val dst = new Path(tableDir, SidecarFile)
+    fsx.delete(dst, false) // rename-over-existing fails on some FSs
+    if (!fsx.rename(new Path(tableDir, tmpName), dst))
+      throw new java.io.IOException(s"sidecar index swap failed at $dst")
     // best-effort GC: shard files from superseded snapshots
     val fs = SidecarIndex.fs(tableDir)
     val liveNames = shardOf.values.toSet + SidecarFile

@@ -122,19 +122,13 @@ object RdrPipeline {
   // the verify/bench harnesses clearCache() between queries.
   private val mergedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Fixture-scale shuffle width for the train gates (the
-    * StreamingOps.withReplayConf convention): the gate trains on a
-    * ~100k-row fixture, where every aggregation exchange at the
-    * session's 32-partition width is mostly task-scheduling overhead.
-    * Results are exact and hash-identical at any width — a production
-    * 8M-row run keeps whatever its session configures.
+  /** Fixture-scale shuffle width for the train gates — see
+    * [[graft.core.ConfScope.withShufflePartitions]] (one shared
+    * definition with the streaming replay gates). A production 8M-row
+    * run keeps whatever its session configures.
     */
-  private def withGateShuffle[T](s: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, old)
-  }
+  private def withGateShuffle[T](s: SparkSession)(body: => T): T =
+    graft.core.ConfScope.withShufflePartitions(s, 8)(body)
 
   /** Bench setup hook: force the firehose generation + ingest merge
     * now so the shared fixed cost lands in the explicit `setup` entry

@@ -72,11 +72,13 @@ import graft.operators.ZoneMap.{NullnessPred, NumRange, OrPred, StrRange, ZoneEn
 case class ZoneSkipRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // defensively parsed: the rule runs on EVERY plan, so a malformed
-    // conf value (e.g. "off") must disable pruning, not throw and
-    // break every query in the session
-    val enabled = !spark.conf
-      .getOption("spark.graft.zonemap.skip").exists(_.equalsIgnoreCase("false"))
+    // defensively parsed AND fail-closed: the rule runs on EVERY plan,
+    // so a malformed value must never throw — and a kill switch set to
+    // anything unrecognized ("0", "off", a typo) must DISABLE pruning,
+    // not silently keep it on while someone is chasing a wrong-results
+    // suspicion. Absent = enabled (the default-on contract).
+    val enabled = spark.conf
+      .getOption("spark.graft.zonemap.skip").forall(_.equalsIgnoreCase("true"))
     if (!enabled) return plan
     plan.transformUp {
       case f @ Filter(cond, lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _))
@@ -168,7 +170,7 @@ object ZoneSkipRule {
     val mtime =
       try fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.FileNotFoundException => return None }
-    val key = p.toString + "#" + cols.toSeq.sorted.mkString(" ")
+    val key = p.toString + "#" + cols.toSeq.sorted.mkString("\u0000")
     val hit = cache.get(key)
     if (hit != null && hit._1 == mtime) return hit._2
     val fresh = ZoneMap.readSidecarColumns(p, conf, Some(cols))
@@ -307,9 +309,14 @@ object ZoneSkipRule {
         case _ => None
       }
       case TsAttrDateLit => l.value match {
-        case d: java.lang.Integer => Some((
-          ((d.longValue - 1L) * MicrosPerDay).toDouble,
-          ((d.longValue + 2L) * MicrosPerDay).toDouble))
+        case d: java.lang.Integer =>
+          // exact-multiply guard: an extreme day number would wrap the
+          // micros product negative and prune EVERYTHING — skip the
+          // bound instead (no pruning is always sound)
+          try Some((
+            Math.multiplyExact(d.longValue - 1L, MicrosPerDay).toDouble,
+            Math.multiplyExact(d.longValue + 2L, MicrosPerDay).toDouble))
+          catch { case _: ArithmeticException => None }
         case _ => None
       }
       case DateAttrTsLit => l.value match {

@@ -268,11 +268,23 @@ object SearchOps {
                 count(lit(1)).as("n"),
                 sum(round(col("l_extendedprice") * 100).cast("long")).cast("long")
                   .as("p"))
-            val scanned = df.queryExecution.executedPlan.collect {
+            // run FIRST: the aggregate's exchange makes this an AQE
+            // plan, and AdaptiveSparkPlanExec is a LEAF until executed
+            // — a plain collect{FileSourceScanExec} over it matches
+            // nothing and the guard below would pass vacuously
+            val row = df.collect().head
+            def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                scanFiles(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                scanFiles(q.plan)
               case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
                 sc.relation.location.inputFiles.length
-            }.sum
-            val row = df.collect().head
+              case other => other.children.map(scanFiles).sum
+            }
+            val scanned = scanFiles(df.queryExecution.executedPlan)
+            require(scanned > 0,
+              "q_zonemap_prune: found no file scan in the rule-census plan")
             (row.getLong(0), row.getLong(1), scanned)
           } finally s.experimental.extraOptimizations = prior
         require(ruleScanned < pr.filesTotal,

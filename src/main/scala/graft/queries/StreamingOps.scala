@@ -21,12 +21,8 @@ object StreamingOps {
     * take whatever the surrounding session configures (a production
     * stream would size this to its key cardinality).
     */
-  private def withReplayConf[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, "8")
-    try body finally s.conf.set(key, old)
-  }
+  private def withReplayConf[T](s: org.apache.spark.sql.SparkSession)(body: => T): T =
+    graft.core.ConfScope.withShufflePartitions(s, 8)(body)
 
   /** Replay scratch space: RAM-backed when the host offers it. The
     * drop folder, checkpoint, state store, and sink are all
