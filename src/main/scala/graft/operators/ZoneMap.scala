@@ -537,6 +537,64 @@ object ZoneMap {
     (todo.size, (known -- liveMtime.keySet).size)
   }
 
+  /** Metadata-only aggregate of one column, answered from the sidecar
+    * alone — zero data IO, the Iceberg/Delta `count(*)`-from-manifest
+    * shortcut. `bounds` is None for floating columns: parquet writers
+    * silently EXCLUDE NaN when folding min/max while Spark's min/max
+    * propagate it, so a footer extremum is not Spark's extremum.
+    */
+  final case class ManifestAgg(
+      nRows: Long, nNonNull: Long, bounds: Option[(Double, Double)])
+
+  /** Answer `count(*)`, `count(col)` and (non-float) `min/max(col)`
+    * for a parquet table from its `_zone_map.json` sidecar — no data
+    * file is opened. Returns None unless the answer is provably EXACT:
+    * every LIVE data file must carry a fresh (mtime-matching) stats
+    * entry for `col` — a late-arrived, rewritten, or stats-less file
+    * means the manifest cannot speak for the table and the caller
+    * falls back to a real scan. Counts come from the footer row/null
+    * censuses (always exact when present); bounds fold per-file
+    * min/max and are returned only when every value-bearing file has
+    * numeric bounds and the column is not floating (NaN invisibility)
+    * — int64 beyond 2^53 and decimals carry the build's one-ulp
+    * widening, so treat bounds as zone bounds there, exact for
+    * int32/date/small-int64 columns. At 100 TB this is one sidecar
+    * slice + one listing: the difference between answering a census in
+    * milliseconds and scheduling ten thousand scan tasks.
+    */
+  def aggFromManifest(spark: SparkSession, tableDir: String,
+      column: String): Option[ManifestAgg] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = readSidecarColumns(
+      new Path(tableDir, SidecarFile), conf, Some(Set(column)))
+      .getOrElse(return None)
+    val byFile = entries.map(e => normalizeUri(e.file) -> e).toMap
+    val live = dataFileStatuses(spark, tableDir)
+    if (live.isEmpty) return None
+    // EVERY live file must be freshly covered; extra (deleted-file)
+    // entries are ignored — they no longer contribute rows
+    val covered = live.map { case (f, mtime) =>
+      byFile.get(normalizeUri(f))
+        .filter(e => e.hasStats && e.mtime != 0L && e.mtime == mtime)
+    }
+    if (covered.exists(_.isEmpty)) return None
+    val es = covered.map(_.get)
+    val nRows = es.map(_.nRows).sum
+    val nNonNull = es.map(e => e.nRows - e.nNulls).sum
+    // bounds: fold only value-bearing files; any of them lacking
+    // numeric bounds (string/unsupported), or any float zone, means
+    // no exact extremum from metadata
+    val bearing = es.filter(e => e.nRows - e.nNulls > 0)
+    val bounds =
+      if (nNonNull == 0) None
+      else if (bearing.exists(e => e.isFloat || e.vminNum.isEmpty || e.vmaxNum.isEmpty)) None
+      else Some((bearing.flatMap(_.vminNum).min, bearing.flatMap(_.vmaxNum).max))
+    Some(ManifestAgg(nRows, nNonNull, bounds))
+  }
+
+  private def normalizeUri(file: String): String =
+    new Path(file).toUri.getPath
+
   /** FS-level full sidecar read (every tracked column) — the
     * maintenance path ([[refreshSidecar]], ZoneMapJob reporting). The
     * optimizer rule uses [[readSidecarColumns]] instead, which touches

@@ -42,7 +42,10 @@ object SearchOps {
           "l_quantity", "l_extendedprice", 24,
           ranges = Some((1.0, 50.0, 900.0, 105000.0)))
         .write.mode("overwrite").parquet(s"$out/table")
-      val mf = ZoneMap.build(s, s"$out/table", Seq("l_quantity", "l_extendedprice"))
+      // l_orderkey rides along for the metadata-aggregate gate
+      // (q_zonemap_agg): counts + int extrema answerable sidecar-only
+      val mf = ZoneMap.build(s, s"$out/table",
+          Seq("l_quantity", "l_extendedprice", "l_orderkey"))
         .persist()
       mf.write.mode("overwrite").parquet(s"$out/zone_map")
       // the sharded JSON sidecar too: the gate's second census routes
@@ -312,6 +315,36 @@ object SearchOps {
              |       TRUE AS rule_skipped_files
              |FROM lineitem
              |WHERE l_quantity <= 5.0 AND l_extendedprice <= 20000.0""".stripMargin)),
+
+    // Metadata-ONLY aggregation: count(*) / count(col) / min / max of
+    // an integer column answered purely from the zone-map sidecar —
+    // zero data files opened (the Iceberg/Delta manifest-census
+    // shortcut; at 100 TB this is a sidecar slice + one listing vs
+    // scheduling every scan task). The oracle recomputes the census
+    // from the DATA, so a single wrong footer fold, a missed file, or
+    // a stale entry accepted as fresh fails the hash. Exactness is a
+    // precondition, not a hope: aggFromManifest refuses (None) unless
+    // every live file carries fresh stats for the column.
+    GateQuery(
+      "q_zonemap_agg",
+      (s, d) => {
+        val root = zonemapArtifacts(s, d)
+        val agg = ZoneMap.aggFromManifest(s, s"$root/table", "l_orderkey")
+          .getOrElse(sys.error(
+            "q_zonemap_agg: manifest refused a freshly built table"))
+        val (mn, mx) = agg.bounds.getOrElse(
+          sys.error("q_zonemap_agg: no exact bounds for an int column"))
+        s.range(1).select(
+          lit(agg.nRows).as("n_rows"),
+          lit(agg.nNonNull).as("n_orderkeys"),
+          lit(mn.toLong).as("min_orderkey"),
+          lit(mx.toLong).as("max_orderkey"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |       count(l_orderkey) AS n_orderkeys,
+             |       CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+             |       CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+             |FROM lineitem""".stripMargin)),
 
     // Hybrid retrieval: BM25 top-50 ⊕ cosine-vs-vec-0 top-50, fused by
     // reciprocal rank (k = 60); top-10 of the fused list. Ranks are

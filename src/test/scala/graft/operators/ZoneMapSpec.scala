@@ -300,6 +300,61 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
       .forall(_.col == "v"))
   }
 
+  test("aggFromManifest: exact metadata-only census, refuses whenever it cannot prove exactness") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = scratch() + "/t"
+    (0 until 300).map(i => (i.toLong + 7,
+        if (i % 5 == 0) None else Some(i.toLong),
+        i.toDouble, s"s$i"))
+      .toDF("k", "opt", "f", "name")
+      .repartitionByRange(3, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    ZoneMap.writeSidecar(spark, dir,
+      ZoneMap.build(spark, dir, Seq("k", "opt", "f", "name")))
+
+    // int column: counts AND bounds exact
+    val k = ZoneMap.aggFromManifest(spark, dir, "k").get
+    assert(k.nRows === 300L && k.nNonNull === 300L)
+    assert(k.bounds === Some((7.0, 306.0)))
+    // nullable column: null census exact
+    val o = ZoneMap.aggFromManifest(spark, dir, "opt").get
+    assert(o.nRows === 300L && o.nNonNull === 240L)
+    // float column: counts yes, bounds refused (footer extrema of a
+    // floating column are not Spark's — NaN is invisible to them)
+    val f = ZoneMap.aggFromManifest(spark, dir, "f").get
+    assert(f.nRows === 300L && f.bounds.isEmpty)
+    // a NaN-carrying double column: parquet drops its min/max entirely
+    // (PARQUET-1225 shape), the zone is no-stats, the agg REFUSES —
+    // conservative and sound
+    val nanDir = scratch() + "/nan"
+    (0 until 50).map(i => (i.toLong, if (i % 3 == 0) Double.NaN else i.toDouble))
+      .toDF("k", "f").coalesce(1).write.mode("overwrite").parquet(nanDir)
+    ZoneMap.writeSidecar(spark, nanDir, ZoneMap.build(spark, nanDir, Seq("f")))
+    assert(ZoneMap.aggFromManifest(spark, nanDir, "f").isEmpty)
+    // string column: counts yes, numeric bounds refused
+    assert(ZoneMap.aggFromManifest(spark, dir, "name").get.bounds.isEmpty)
+    // untracked column: refused outright
+    assert(ZoneMap.aggFromManifest(spark, dir, "zzz").isEmpty)
+
+    // a late-arrived file the sidecar has not seen: refused (the
+    // manifest cannot speak for the table)
+    Seq((9999L, Option(1L), 1.0, "late")).toDF("k", "opt", "f", "name")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(ZoneMap.aggFromManifest(spark, dir, "k").isEmpty)
+    // refresh re-admits it — and the census includes the new row
+    ZoneMap.refreshSidecar(spark, dir)
+    val k2 = ZoneMap.aggFromManifest(spark, dir, "k").get
+    assert(k2.nRows === 301L && k2.bounds === Some((7.0, 9999.0)))
+
+    // an in-place rewrite (stale mtime) is refused until re-harvested
+    val one = ZoneMap.dataFiles(spark, dir).head
+    val p = new Path(one)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(p, fs.getFileStatus(p).getModificationTime + 60000L, -1)
+    assert(ZoneMap.aggFromManifest(spark, dir, "k").isEmpty)
+  }
+
   test("z-ordered layout + zone map prunes BOTH dimensions") {
     import spark.implicits._
     val dir = scratch() + "/t"
