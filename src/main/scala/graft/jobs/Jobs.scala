@@ -224,6 +224,18 @@ object ZoneMapJob {
         org.apache.spark.sql.functions.sum("nNulls"))
       .collect()
     perCol.foreach(r => println(s"${r.get(0)}: files=${r.get(1)} nulls=${r.get(2)}"))
+    // the metadata-only census the fresh sidecar can now answer —
+    // zero data IO (see ZoneMap.aggFromManifest; "refused" = the
+    // manifest cannot prove exactness, e.g. float bounds or a file
+    // changing underfoot, and a reader must scan instead)
+    cols.foreach { c =>
+      zm.aggFromManifest(spark, path, c) match {
+        case Some(a) =>
+          val b = a.bounds.map(x => s"min=${x._1} max=${x._2}").getOrElse("bounds=refused")
+          println(s"census $c: rows=${a.nRows} non_null=${a.nNonNull} $b")
+        case None => println(s"census $c: refused (manifest not exact)")
+      }
+    }
     spark.stop()
   }
 }
