@@ -93,8 +93,13 @@ object Bench {
       // a failure must be LOUD and visible in the JSON (-1 marker):
       // swallowing it would record a crashing query as a ~0s success
       // and report the regression as a bench speedup
+      // the gate-name context lets shared-derivation accessors assert
+      // their consumer sets stay complete (GateContext)
       val dt =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          graft.core.GateContext.runningGate(name)(fn(spark, sfDir).count())
+          (System.nanoTime() - t0) / 1e9
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")

@@ -33,7 +33,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try {
+      try graft.core.GateContext.runningGate(name) {
         val df = fn(spark, sfDir)
         df.schema.fields.foreach { f =>
           val isFloat = f.dataType == org.apache.spark.sql.types.DoubleType ||

@@ -143,6 +143,8 @@ object RdrPipeline {
     Set("q_rdr_merge", "q_rdr_train", "q_train_soft", "q_rdr_store")
 
   private def cachedMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    // undeclared consumers fail loudly — see GateContext
+    graft.core.GateContext.assertDeclared("setup_rdr_merged", derivedConsumers)
     val dir = mergedCache.computeIfAbsent(sfDir, { _ =>
       val out = java.nio.file.Files.createTempDirectory("rdr_merged").toString
       val fh = cachedFirehose(spark, sfDir)

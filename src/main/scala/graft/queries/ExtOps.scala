@@ -41,7 +41,11 @@ object ExtOps {
   // which would silently turn a cached plan back into a recompute.
   private val pairsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def cachedDeriv(s: SparkSession, d: String): String =
+  private def cachedDeriv(s: SparkSession, d: String): String = {
+    // a gate reading this shared derivation MUST be declared in
+    // derivedConsumers, or the bench's setup accounting silently
+    // re-charges the pair-graph build to that gate (GateContext doc)
+    graft.core.GateContext.assertDeclared("setup_dedup_pairs", derivedConsumers)
     pairsCache.computeIfAbsent(d, { _ =>
       val out = java.nio.file.Files.createTempDirectory("graft_pairs").toString
       val docs = documents(s, d).select("doc_id", "text")
@@ -65,6 +69,7 @@ object ExtOps {
         graft.pipeline.GateArtifacts.deleteTree(java.nio.file.Paths.get(out)))
       out
     })
+  }
 
   /** Bench setup hook: force the one-time per-(JVM, sfDir) signature/
     * pair/cluster materialization NOW so its cost lands in the bench's

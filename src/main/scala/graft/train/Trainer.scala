@@ -268,13 +268,16 @@ object Trainer {
       .setWeightCol(WeightCol)
       .setSeed(modelSeed)
     val model = step("p2.fit")(gbt.fit(encoded)) // no early stop in phase 2 (reference)
-    if (timingsOn) encoded.unpersist(blocking = false) // forceIfTiming's pin
     // XGBoost4J probe: when the jars are on the classpath, also emit a
     // genuine native booster (same encoded frame, mapped params) so
     // reference consumers keep loading `.xgb` artifacts unchanged; on
     // the zero-egress classpath this is a no-op returning None
     val nativeBooster = Boosters.trainNativeBooster(
       encoded, Boosters.decisionParams(config, modelSeed))
+    // forceIfTiming's pin: released only AFTER the native-booster probe
+    // — unpersisting between the two fits would make timings mode
+    // re-evaluate the whole encode chain it exists to isolate
+    if (timingsOn) encoded.unpersist(blocking = false)
     dropped.unpersist() // the pinned frame (weighted is no longer persisted)
     // the stored (mean, std) are the Scorer's DE-normalization params:
     // identity when the target was trained raw, else predictions in
