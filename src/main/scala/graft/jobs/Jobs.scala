@@ -225,11 +225,13 @@ object ZoneMapJob {
       .collect()
     perCol.foreach(r => println(s"${r.get(0)}: files=${r.get(1)} nulls=${r.get(2)}"))
     // the metadata-only census the fresh sidecar can now answer —
-    // zero data IO (see ZoneMap.aggFromManifest; "refused" = the
-    // manifest cannot prove exactness, e.g. float bounds or a file
-    // changing underfoot, and a reader must scan instead)
+    // zero data IO (see ZoneMap.aggFromManifestMulti: ONE sidecar
+    // slice + ONE listing for every column; "refused" = the manifest
+    // cannot prove exactness — float or ulp-widened bounds, a file
+    // changing underfoot — and a reader must scan instead)
+    val census = zm.aggFromManifestMulti(spark, path, cols)
     cols.foreach { c =>
-      zm.aggFromManifest(spark, path, c) match {
+      census(c) match {
         case Some(a) =>
           val b = a.bounds.map(x => s"min=${x._1} max=${x._2}").getOrElse("bounds=refused")
           println(s"census $c: rows=${a.nRows} non_null=${a.nNonNull} $b")

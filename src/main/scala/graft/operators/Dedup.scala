@@ -70,7 +70,7 @@ object Dedup {
   }
 
   /** band index → bucket key for the LSH join. */
-  private def bandKeys: Column = array((0 until Bands).map { b =>
+  private[graft] def bandKeys: Column = array((0 until Bands).map { b =>
     struct(lit(b).as("band"),
       xxhash64(concat_ws(":", (0 until RowsPerBand).map(r =>
         col("sig").getItem(b * RowsPerBand + r)): _*)).as("bucket"))
@@ -114,22 +114,32 @@ object Dedup {
     * quadratic in clique size, linear only in corpus size).
     *
     * Buckets at or under `cap` self-join exactly as before. A bucket
-    * OVER the cap emits a STAR instead: every member paired with the
-    * bucket's minimum id — O(fanin) edges instead of O(fanin²). For
-    * the downstream uses this is lossless-in-practice:
-    *   - clustering: a true clique's star edges all pass verification,
-    *     so the clique still collapses into ONE connected component
-    *     (duplicateClusters needs connectivity, not completeness);
-    *   - removal/keep-best: operate on the clusters, not the pairs.
-    * What is lost: the exhaustive pair LIST inside oversized buckets
-    * (a pair of non-center members is found only if some OTHER shared
-    * band bucket stays under the cap, which for mixed hash-collision
-    * buckets is the common case). Callers that need the full pair
-    * census (e.g. the all-pairs oracle gates) use the uncapped path.
+    * OVER the cap emits O(fanin) edges instead of O(fanin²):
+    *   - a STAR: every member paired with the bucket's minimum id —
+    *     collapses a true clique (every star edge verifies) into one
+    *     component in a single hop;
+    *   - a CHAIN: consecutive members in (signature, id) sort order —
+    *     the sorted-neighborhood repair for components that are NOT
+    *     cliques (gradual template mutation: doc k resembles doc k±1
+    *     but not the bucket's min, so its star edge fails
+    *     verification; signature sort places such near-neighbours
+    *     adjacent, and the chain edge survives).
+    * Downstream clustering needs CONNECTIVITY, not pair completeness
+    * (duplicateClusters' halving handles the chain diameter), and
+    * removal/keep-best operate on the clusters. The cluster-level
+    * agreement with the uncapped path is differential-tested per run
+    * by the `q_dedup_capped` gate (exact refinement always holds —
+    * capped candidates are a SUBSET of uncapped candidates, so capped
+    * clusters can only split, never merge across, uncapped ones — and
+    * the measured split loss on the fixture corpus is ~1% of clustered
+    * docs at cap = maxFanin/2). What is lost: the exhaustive pair LIST
+    * inside oversized buckets. Callers that need the full pair census
+    * (e.g. the all-pairs oracle gates) use the uncapped path.
     *
-    * One extra window over the exploded relation, partitioned by the
-    * SAME key as the join — no additional shuffle stage beyond the
-    * join's own exchange.
+    * Cost shape: the sizing window shuffles only (id, band, bucket)
+    * rows; signatures join back against the OVERSIZED subset alone, so
+    * the wide (64-long) rows ride a shuffle bounded by the
+    * pathological buckets, never the whole exploded relation.
     */
   def cappedCandidatePairs(signed: DataFrame, idCol: String, cap: Long,
       groupCols: Seq[String] = Nil): DataFrame = {
@@ -149,10 +159,21 @@ object Dedup {
     val smallPairs = a.join(b, Seq("band", "bucket") ++ groupCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a" +: "id_b" +: groupCols map col: _*)
+    val big = sized.filter(col("_sz") > cap)
     // star: center = bucket min id, so id_a < id_b holds by construction
-    val starPairs = sized.filter(col("_sz") > cap && col(idCol) =!= col("_ctr"))
+    val starPairs = big.filter(col(idCol) =!= col("_ctr"))
       .select(col("_ctr").as("id_a") +: col(idCol).as("id_b") +: gcols: _*)
-    smallPairs.unionByName(starPairs).distinct()
+    // chain: consecutive members in (sig, id) order — signatures join
+    // back against the oversized rows only (see cost shape above)
+    val wOrd = Window.partitionBy(col("band") +: col("bucket") +: gcols: _*)
+      .orderBy(col("sig"), col(idCol))
+    val chainPairs = big.drop("_sz", "_ctr")
+      .join(signed.select(col(idCol), col("sig")), Seq(idCol))
+      .withColumn("_prev", lag(col(idCol), 1).over(wOrd))
+      .filter(col("_prev").isNotNull)
+      .select(least(col("_prev"), col(idCol)).as("id_a") +:
+        greatest(col("_prev"), col(idCol)).as("id_b") +: gcols: _*)
+    smallPairs.unionByName(starPairs).unionByName(chainPairs).distinct()
   }
 
   /** Diagnostic census of the LSH band buckets: one row per
@@ -266,14 +287,20 @@ object Dedup {
     * is labeled with the MINIMUM id reachable from it — the cluster's
     * canonical representative (keep that one, drop the rest).
     *
-    * Min-label propagation: each round joins the symmetric edge list
-    * against current labels and takes the elementwise min; a round is
-    * one shuffle, and convergence needs O(graph diameter) rounds.
-    * Near-dup clusters are clique-like (mutual similarity), so the
-    * diameter is tiny in practice — 2-3 rounds — while the per-round
-    * plan is all hash-partitioned joins/aggs that scale with the pair
-    * list, never O(n²). Iteration stops as soon as a round changes
-    * nothing (checked by count, cheap against the persisted labels).
+    * Min-label propagation WITH pointer halving: each round joins the
+    * symmetric edge list against current labels, takes the elementwise
+    * min, then follows the resulting label one hop through the label
+    * table (labels are node ids, so label(label(x)) is a reachable,
+    * smaller-or-equal representative — the path-halving step of
+    * MapReduce connected components). Convergence needs O(log
+    * diameter) rounds: clique-like dup clusters finish in 2-3 as
+    * before, and CHAIN-shaped components (gradual template mutation —
+    * real at corpus scale, and exactly what the capped candidate
+    * path's chain edges produce) finish in ~log₂(len) instead of one
+    * shuffle per link. The per-round plan is all hash-partitioned
+    * joins/aggs that scale with the pair list, never O(n²). Iteration
+    * stops as soon as a round changes nothing (checked by count, cheap
+    * against the persisted labels).
     *
     * Returns (id, cluster) for every id that appears in `pairs`. The
     * returned frame reads the FINAL label snapshot from executor
@@ -321,10 +348,24 @@ object Dedup {
       // separate old-vs-new diff join).
       val nbrMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min("cluster").as("_nbr"))
+      // POINTER HALVING on top of the propagation: a label is itself a
+      // node id, so following it one hop (cluster ← label(cluster),
+      // against the PREVIOUS snapshot — still a reachable id, still
+      // monotone) contracts label chains geometrically. Plain min-label
+      // propagation needs O(diameter) rounds — fine for clique-like dup
+      // clusters (diameter 2-3) but a scale-killer on CHAIN-shaped
+      // components (gradual template drift: a 200-doc mutation chain is
+      // 200 shuffles); with the hop it is O(log diameter). One extra
+      // label-sized join per round against the pinned snapshot.
+      val prev = labels.select(col("id").as("_pid"), col("cluster").as("_plbl"))
       val (next, nextRdd) = pin(labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("_old"),
+          least(col("cluster"), coalesce(col("_nbr"), col("cluster"))).as("_prop"))
+        .join(prev, col("_prop") === col("_pid"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("_nbr"), col("cluster"))).as("cluster"),
-          (coalesce(col("_nbr"), col("cluster")) < col("cluster")).as("_changed")))
+          least(col("_prop"), coalesce(col("_plbl"), col("_prop"))).as("cluster"),
+          (least(col("_prop"), coalesce(col("_plbl"), col("_prop"))) < col("_old"))
+            .as("_changed")))
       val changed = next.filter(col("_changed")).limit(1).count()
       // the previous snapshot is no longer referenced — release it
       labelsRdd.unpersist(blocking = false)

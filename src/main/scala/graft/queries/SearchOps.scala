@@ -32,9 +32,12 @@ object SearchOps {
   private[graft] def warmDerived(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
     zonemapArtifacts(s, d); ()
   }
-  private[graft] val derivedConsumers: Set[String] = Set("q_zonemap_prune")
+  private[graft] val derivedConsumers: Set[String] =
+    Set("q_zonemap_prune", "q_zonemap_agg", "q_zonemap_part")
 
-  private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String =
+  private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    // undeclared consumers fail loudly — see GateContext
+    graft.core.GateContext.assertDeclared("setup_zonemap_table", derivedConsumers)
     zmCache.computeIfAbsent(d, { _ =>
       val out = java.nio.file.Files.createTempDirectory("graft_zonemap").toString
       Layout.zOrder(
@@ -52,8 +55,20 @@ object SearchOps {
       // through the TRANSPARENT ZoneSkipRule, which reads exactly this
       ZoneMap.writeSidecar(s, s"$out/table", mf)
       mf.unpersist(blocking = false)
+      // the PARTITIONED lake shape (Hive k=v layout) for the composed-
+      // pruning gate: partition dirs by return flag, files range-
+      // clustered on quantity within each dir so footer zones are
+      // tight on the non-partition dimension too
+      lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .repartitionByRange(6, org.apache.spark.sql.functions.col("l_quantity"))
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .parquet(s"$out/table_part")
+      ZoneMap.writeSidecar(s, s"$out/table_part",
+        ZoneMap.build(s, s"$out/table_part", Seq("l_quantity")))
       out
     })
+  }
 
   val queries: Seq[GateQuery] = Seq(
 
@@ -329,22 +344,111 @@ object SearchOps {
       "q_zonemap_agg",
       (s, d) => {
         val root = zonemapArtifacts(s, d)
-        val agg = ZoneMap.aggFromManifest(s, s"$root/table", "l_orderkey")
-          .getOrElse(sys.error(
-            "q_zonemap_agg: manifest refused a freshly built table"))
+        // MULTI-column census: one sidecar slice + one listing answer
+        // all three columns (the batch shape a catalog endpoint serves)
+        val census = ZoneMap.aggFromManifestMulti(s, s"$root/table",
+          Seq("l_orderkey", "l_extendedprice"))
+        val agg = census("l_orderkey").getOrElse(sys.error(
+          "q_zonemap_agg: manifest refused a freshly built table"))
         val (mn, mx) = agg.bounds.getOrElse(
           sys.error("q_zonemap_agg: no exact bounds for an int column"))
+        // the REFUSAL contract, oracle-witnessed: the float column's
+        // counts are exact metadata, but its bounds MUST be refused
+        // (parquet footers drop NaN from min/max — a footer extremum is
+        // not Spark's extremum), and the caller falls back to a REAL
+        // scan for them. Both the refusal and the fallback values land
+        // in the hashed output.
+        val prices = census("l_extendedprice").getOrElse(sys.error(
+          "q_zonemap_agg: float column counts must still answer"))
+        require(prices.bounds.isEmpty,
+          "q_zonemap_agg: float bounds must be REFUSED (NaN-blind footers)")
+        val scanned = s.read.parquet(s"$root/table")
+          .agg(round(min("l_extendedprice") * 100).cast("long"),
+            round(max("l_extendedprice") * 100).cast("long")).head()
         s.range(1).select(
           lit(agg.nRows).as("n_rows"),
           lit(agg.nNonNull).as("n_orderkeys"),
           lit(mn.toLong).as("min_orderkey"),
-          lit(mx.toLong).as("max_orderkey"))
+          lit(mx.toLong).as("max_orderkey"),
+          lit(prices.nNonNull).as("n_prices"),
+          lit(true).as("price_bounds_refused"),
+          lit(scanned.getLong(0)).as("min_price_x100"),
+          lit(scanned.getLong(1)).as("max_price_x100"))
       },
       Some("""SELECT count(*) AS n_rows,
              |       count(l_orderkey) AS n_orderkeys,
              |       CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
-             |       CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+             |       CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+             |       count(l_extendedprice) AS n_prices,
+             |       TRUE AS price_bounds_refused,
+             |       CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS min_price_x100,
+             |       CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS max_price_x100
              |FROM lineitem""".stripMargin)),
+
+    // COMPOSED pruning on the common 100 TB lake layout: a Hive-
+    // partitioned table (dirs by return flag, files range-clustered on
+    // quantity) filtered on BOTH dimensions through the transparent
+    // ZoneSkipRule. The rule zone-prunes files INSIDE every partition
+    // directory while preserving partition values, and Spark's own
+    // partition pruning then drops the other directories — the
+    // executed scan reads only the flag='R' partition's zone-surviving
+    // files. In-gate asserts pin that both prunings actually fired;
+    // the oracle recomputes the census over the FULL lineitem, so a
+    // wrongly-dropped file or a lost partition value fails the hash.
+    GateQuery(
+      "q_zonemap_part",
+      (s, d) => {
+        val root = zonemapArtifacts(s, d)
+        val table = s"$root/table_part"
+        val total = ZoneMap.dataFiles(s, table).length
+        val rule = graft.plans.ZoneSkipRule(s)
+        val prior = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prior :+ rule
+        try {
+          val df = s.read.parquet(table)
+            .filter(col("l_returnflag") === "R" && col("l_quantity") <= 5.0)
+            .agg(
+              count(lit(1)).as("n"),
+              sum(round(col("l_extendedprice") * 100).cast("long")).cast("long")
+                .as("price_sum_x100"))
+          // run FIRST (AdaptiveSparkPlanExec is a leaf until executed —
+          // the q_zonemap_prune lesson)
+          val row = df.collect().head
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): (Int, Long) = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(q.plan)
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              (sc.relation.location.inputFiles.length,
+                sc.metrics("numFiles").value)
+            case other =>
+              val cs = other.children.map(walk)
+              (cs.map(_._1).sum, cs.map(_._2).sum)
+          }
+          val (keptAcrossParts, executedFiles) =
+            walk(df.queryExecution.executedPlan)
+          require(keptAcrossParts > 0,
+            "q_zonemap_part: found no file scan in the plan")
+          require(keptAcrossParts < total,
+            s"q_zonemap_part: zone pruning kept all $total files")
+          require(executedFiles < keptAcrossParts,
+            s"q_zonemap_part: partition pruning did not compose " +
+              s"($executedFiles executed vs $keptAcrossParts zone-kept)")
+          s.range(1).select(
+            lit(row.getLong(0)).as("n"),
+            lit(row.getLong(1)).as("price_sum_x100"),
+            lit(true).as("zone_pruned"),
+            lit(true).as("partition_pruned"))
+        } finally s.experimental.extraOptimizations = prior
+      },
+      Some("""SELECT count(*) AS n,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS price_sum_x100,
+             |       TRUE AS zone_pruned,
+             |       TRUE AS partition_pruned
+             |FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity <= 5.0""".stripMargin)),
 
     // Hybrid retrieval: BM25 top-50 ⊕ cosine-vs-vec-0 top-50, fused by
     // reciprocal rank (k = 60); top-10 of the fused list. Ranks are

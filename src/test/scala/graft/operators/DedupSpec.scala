@@ -367,7 +367,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
-  test("capped candidate pairs: giant clique collapses to a star, clusters survive") {
+  test("capped candidate pairs: giant clique collapses to star+chain, clusters survive") {
     // 12-doc exact-duplicate clique + 2 small near-dups + 1 distinct
     val clique = (1 to 30).map(i => s"c$i").mkString(" ")
     val pairTxt = (1 to 30).map(i => s"p$i").mkString(" ")
@@ -382,9 +382,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       val cap = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // uncapped enumerates the full clique: 12*11/2 = 66 clique pairs
       assert(unc.count(p => p._1 <= 12 && p._2 <= 12) == 66)
-      // capped: only the star around the min id (11 edges)
-      assert(cap.count(p => p._1 <= 12 && p._2 <= 12) == 11)
+      // capped: star around the min id (11 edges) + the sorted-
+      // neighborhood chain — identical docs share one signature, so
+      // the (sig, id) order is id order and the chain is (i, i+1) for
+      // i=1..11; the union dedupes the shared (1,2) edge → 21 edges,
+      // O(fanin) not O(fanin²)
+      assert(cap.count(p => p._1 <= 12 && p._2 <= 12) == 21)
       assert((1L to 12L).forall(i => i == 1L || cap.contains((1L, i))))
+      assert((1L to 11L).forall(i => cap.contains((i, i + 1))))
       // small buckets unaffected: the 2-doc dup pair survives verbatim
       assert(cap.contains((20L, 21L)))
       assert(!cap.exists(p => p._1 == 30L || p._2 == 30L))
@@ -395,6 +400,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert((1L to 12L).forall(clusters(_) == 1L))
       assert(clusters(20L) == 20L && clusters(21L) == 20L)
+    } finally signed.unpersist(blocking = false)
+  }
+
+  test("capped chain edges keep a mutation CHAIN connected; halving converges past 20 hops") {
+    // sliding-window docs: doc i = words i..i+59, so jac(i, i+k) =
+    // (60-k)/(60+k) — near-dup for k <= 3, NOT for larger k. The
+    // component is a chain (diameter ~30 for 90 docs), the shape where
+    // a star-only cap loses connectivity (doc 80 is nothing like doc
+    // 1) and where plain min-label propagation would need ~30 rounds
+    // (> the 20-round budget) — this test fails without BOTH the chain
+    // edges and the pointer-halving.
+    import spark.implicits._
+    val words = (1 to 150).map(i => f"w$i%03d")
+    val rows = (1L to 90L).map(i =>
+      i -> words.slice(i.toInt - 1, i.toInt + 59).mkString(" "))
+    val signed = Dedup.withSignature(rows.toDF("doc_id", "text"), "text").persist()
+    try {
+      val capped = Dedup.cappedCandidatePairs(signed, "doc_id", cap = 4)
+      val verified = Dedup.exactVerify(signed, capped, "doc_id", 0.9)
+      val clusters = Dedup.duplicateClusters(verified)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters.size == 90, "every chain doc must cluster")
+      assert((1L to 90L).forall(clusters(_) == 1L),
+        s"chain split: ${clusters.values.toSet.size} components " +
+          s"(labels ${clusters.values.toSet.toSeq.sorted.take(5)}…)")
     } finally signed.unpersist(blocking = false)
   }
 

@@ -201,6 +201,84 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned table: partition pruning and zone pruning COMPOSE") {
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val work = Files.createTempDirectory("zone_skip_part").toString
+      val dir = s"$work/t"
+      // Hive layout: 3 day partitions × 5 files each, every file a
+      // tight 100-id zone (0-99, 100-199, … within each day)
+      for (day <- 1 to 3; f <- 0 until 5) {
+        (0 until 100).map(i => ((f * 100 + i).toLong, s"d$day"))
+          .toDF("id", "day").coalesce(1)
+          .write.mode("append").partitionBy("day").parquet(dir)
+      }
+      ZoneMap.writeSidecar(s, dir, ZoneMap.build(s, dir, Seq("id")))
+
+      // the recursive harvest saw every partition's files
+      assert(ZoneMap.dataFiles(s, dir).length === 15)
+
+      def executedNumFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case sc: FileSourceScanExec => sc.metrics("numFiles").value
+          case other => other.children.map(walk).sum
+        }
+        walk(df.queryExecution.executedPlan)
+      }
+
+      // data filter + partition filter: the zone index keeps 2 files
+      // per day (6 of 15), and partition pruning THEN drops the other
+      // days — the executed scan reads exactly 2 files
+      val both = s.read.parquet(dir).filter($"day" === "d2" && $"id" <= 150L)
+      assert(scanFileCount(both) === 6,
+        "zone pruning must keep 2 of 5 files in each of the 3 partitions")
+      assert(executedNumFiles(both) === 2L,
+        "partition pruning must compose on the zone-pruned index")
+      assert(both.count() === 151L, "composed pruning must stay exact")
+
+      // kill switch: identical answer over the full listing
+      s.conf.set("spark.graft.zonemap.skip", "false")
+      assert(s.read.parquet(dir)
+        .filter($"day" === "d2" && $"id" <= 150L).count() === 151L)
+      s.conf.set("spark.graft.zonemap.skip", "true")
+
+      // data filter only: partition VALUES survive the kept index —
+      // every day still answers, each from its 2 surviving files
+      val dataOnly = s.read.parquet(dir).filter($"id" <= 150L)
+        .groupBy("day").count().orderBy("day")
+      assert(dataOnly.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        === Seq(("d1", 151L), ("d2", 151L), ("d3", 151L)))
+
+      // partition filter only: nothing zone-extractable tracks in the
+      // manifest (partition values live in paths, not footers) — the
+      // rule must leave the relation alone, and Spark's own partition
+      // pruning still reads exactly one directory's files
+      val partOnly = s.read.parquet(dir).filter($"day" === "d1")
+      assert(scanFileCount(partOnly) === 15, "partition-only filter: no rewrite")
+      assert(executedNumFiles(partOnly) === 5L)
+      assert(partOnly.count() === 500L)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      old.foreach(SparkSession.setDefaultSession)
+      old.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("range extraction: conjunctions tighten, orientations flip, others ignored") {
     import org.apache.spark.sql.catalyst.dsl.expressions._
     import org.apache.spark.sql.catalyst.expressions._
