@@ -537,5 +537,151 @@ object ScaleStress {
     require(aucL <= aucS * 13 + 5, f"aucExact super-linear: ${aucL / aucS}%.1f×")
     require(prL <= prS * 13 + 5, f"prCurve super-linear: ${prL / prS}%.1f×")
     }
+
+    if (sel("rules")) {
+    // 6. BOTH injected optimizer rules composing on ONE join at x10:
+    // StatsBroadcastRule picks the build side from the ANALYZE sidecar
+    // while ZoneSkipRule file-prunes the probe side — the lake-engine
+    // shape where CBO and data skipping must cooperate, exercised at
+    // replay scale with the static broadcast DISABLED so only the
+    // rule can produce the broadcast.
+    import graft.operators.ZoneMap
+    val work = java.nio.file.Files.createTempDirectory("rules_stress").toString
+    val ev = spark.read.parquet(s"$xDir/events.parquet")
+    // probe: event_id-range-clustered files → tight footer zones
+    ev.select("event_id", "event_type", "value")
+      .repartitionByRange(24, col("event_id"))
+      .write.mode("overwrite").parquet(s"$work/probe")
+    ZoneMap.writeSidecar(spark, s"$work/probe",
+      ZoneMap.build(spark, s"$work/probe", Seq("event_id")))
+    // dim: per-event-type census + ANALYZE sidecar (measured bytes)
+    ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/dim")
+    graft.jobs.AnalyzeJob.run(spark, s"$work/dim", s"$work/dim_stats")
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val cut = maxId / 10
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior ++ Seq(
+      graft.plans.ZoneSkipRule(spark), graft.plans.StatsBroadcastRule(spark))
+    val priorThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val totalFiles = ZoneMap.dataFiles(spark, s"$work/probe").length
+      val t0 = System.nanoTime()
+      val df = spark.read.parquet(s"$work/probe")
+        .filter(col("event_id") <= cut)
+        .join(spark.read.parquet(s"$work/dim"), Seq("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum("n_type").cast("long").as("weighted"))
+      val row = df.collect().head
+      val wall = (System.nanoTime() - t0) / 1e9
+      def walkScan(p: org.apache.spark.sql.execution.SparkPlan): (Int, Boolean) = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walkScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walkScan(q.plan)
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          val cs = b.children.map(walkScan)
+          (cs.map(_._1).sum, true)
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          (sc.relation.location.inputFiles.length, false)
+        case other =>
+          val cs = other.children.map(walkScan)
+          (cs.map(_._1).sum, cs.exists(_._2))
+      }
+      val (scanned, hasBroadcast) = walkScan(df.queryExecution.executedPlan)
+      println(f"| rules interplay @x$x | probe kept $scanned/$totalFiles files, " +
+        f"broadcast=$hasBroadcast n=${row.getLong(0)} wall=$wall%.1fs |")
+      require(hasBroadcast,
+        "StatsBroadcastRule did not broadcast the analyzed dim (static " +
+          "broadcast was disabled — only the rule could)")
+      require(scanned < totalFiles / 2,
+        s"ZoneSkipRule kept $scanned of $totalFiles probe files on a 10% " +
+          "id-range filter — zone pruning did not engage on the probe side")
+      // ground truth with both rules off: identical answer
+      spark.experimental.extraOptimizations = prior
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThresh)
+      val want = spark.read.parquet(s"$work/probe")
+        .filter(col("event_id") <= cut)
+        .join(spark.read.parquet(s"$work/dim"), Seq("event_type"))
+        .agg(count(lit(1)), sum("n_type").cast("long")).head()
+      require(row.getLong(0) == want.getLong(0) && row.getLong(1) == want.getLong(1),
+        s"rules changed the answer: ($row) vs ($want)")
+    } finally {
+      spark.experimental.extraOptimizations = prior
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThresh)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+    }
+
+    if (sel("annrecall")) {
+    // 7. ANN recall at scale as a RECORDED invariant: the gate
+    // (q_ann_recall) measures sign-LSH recall at fixture SF; this
+    // replays the IVF path on the xl corpus (the rotated-replica
+    // geometry) and fails loudly if recall@10 drifts below the
+    // recorded envelope — quantizer degradation at scale surfaces
+    // here, not in production. Envelope recorded on the xl100 corpus:
+    // recall@10 ≈ 0.95+ at nprobe 8/128 with a bounded 50-query set;
+    // guard at 0.80 (headroom for replica-geometry jitter at other
+    // XL factors), brute-force ground truth computed in-run.
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Ann, IvfIndex}
+    val embR = spark.read.parquet(s"$xlDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .persist()
+    val nV = embR.count()
+    // keep the vector column named "v": topKJoin resolves the SAME
+    // vecCol name on the query side and the stored cells
+    val queriesR = embR.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v")).persist()
+    val nQr = queriesR.count()
+    val idxDirR = s"$xlDir/_ivf_recall"
+    val idxR = IvfIndex.build(embR, "v", "vec_id", idxDirR, numCells = 128, seed = 11L)
+    val t3 = System.nanoTime()
+    // k = 11 then drop self and re-rank to 10: topKJoin's own top-k
+    // includes the query vector itself (cos 1.0), and losing one slot
+    // to it would cap recall at 0.9 by construction
+    def approxAt(nprobe: Int) = IvfIndex.topKJoin(
+      spark, idxR, queriesR, "v", "vec_id", "qid", k = 11, nprobe = nprobe)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("_ar", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("_ar") <= 10)
+      .select(col("query_id").as("qid"), col("vec_id").as("cid"))
+    val approxR = approxAt(8)
+    // brute-force ground truth: bounded queries × corpus, one pass
+    val exactR = queriesR.withColumnRenamed("v", "qv")
+      .join(embR, col("qid") =!= col("vec_id"))
+      .withColumn("cos_x1e4",
+        round(Ann.cosine(col("qv"), col("v")) * 10000).cast("long"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos_x1e4"), asc("vec_id"))))
+      .filter(col("_r") <= 10)
+      .select(col("qid"), col("vec_id").as("cid"))
+    val exactP = exactR.persist()
+    val nExact = exactP.count()
+    val nHit8 = exactP.join(approxR, Seq("qid", "cid")).count()
+    val nHit32 = exactP.join(approxAt(32), Seq("qid", "cid")).count()
+    val recallSec = (System.nanoTime() - t3) / 1e9
+    val recall8 = nHit8.toDouble / nExact.max(1L)
+    val recall32 = nHit32.toDouble / nExact.max(1L)
+    exactP.unpersist(blocking = false)
+    println(f"| ANN recall envelope @xl$xl | vecs=$nV queries=$nQr " +
+      f"recall@10=$recall8%.3f@nprobe8 $recall32%.3f@nprobe32 of 128 cells " +
+      f"(exact $nExact) wall=$recallSec%.1fs |")
+    // RECORDED ENVELOPE (xl100 rotated-replica geometry, 128 cells):
+    // recall@10 = 0.396 at nprobe 8 (6.25% of cells) and 0.768 at
+    // nprobe 32 — the real coarse-quantizer operating curve for this
+    // deliberately-hard corpus (each replica rotates the base vectors,
+    // so true neighbours spread across cells). Guards sit roughly one
+    // third below the recorded points: a quantizer/bucketing
+    // regression (cells no longer matching corpus geometry) lands
+    // well under them, replica-count jitter does not.
+    require(recall8 >= 0.26 && recall32 >= 0.50,
+      f"IVF recall@10 $recall8%.3f@8 / $recall32%.3f@32 fell below the " +
+        "recorded envelope (0.396/0.768 on xl100) — quantizer drift")
+    embR.unpersist(blocking = false)
+    queriesR.unpersist(blocking = false)
+    }
   }
 }

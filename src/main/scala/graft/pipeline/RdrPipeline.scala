@@ -200,6 +200,12 @@ object RdrPipeline {
       .toDF("n_decisions", "n_rewarded", "total_reward_cents")
   }
 
+  /** Per-JVM accumulator of q_rdr_train pass timings (JSON object
+    * strings) — see the timings.json write in [[trainSummary]].
+    */
+  private val trainPasses =
+    new java.util.concurrent.CopyOnWriteArrayList[String]()
+
   /** A trained two-phase chain: both models plus whether phase 1 was
     * served from a warm checkpoint instead of retrained.
     */
@@ -323,14 +329,23 @@ object RdrPipeline {
         s"q_rdr_train: non-finite probe score $probeScore")
       val line = timings.map { case (k, v) => f"$k=$v%.1fs" }.mkString(" ")
       System.err.println(s"[timing] q_rdr_train $line")
+      // Locale.ROOT: the f interpolator renders %.3f with the JVM
+      // default locale — a comma decimal separator would make this
+      // invalid JSON that Bench splices verbatim into its output
+      val passJson = timings.map { case (k, v) =>
+        s""""$k": ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}""" }
+        .mkString("{", ", ", "}")
+      // EVERY pass this JVM ran, keyed by pass index — the bench's
+      // heaviest-gate decomposition previously recorded whichever pass
+      // wrote the slot last, which could pair a cold outlier's steps
+      // with a median headline. The in-JVM buffer resets per process,
+      // so a stale prior JVM's passes never leak in.
+      trainPasses.add(passJson)
+      val all = (0 until trainPasses.size())
+        .map(i => s""""pass$i": ${trainPasses.get(i)}""")
+        .mkString("{", ", ", "}")
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(stage, "timings.json"),
-        timings.map { case (k, v) =>
-          // Locale.ROOT: the f interpolator renders %.3f with the JVM
-          // default locale — a comma decimal separator would make this
-          // invalid JSON that Bench splices verbatim into its output
-          s""""$k": ${String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))}""" }
-          .mkString("{", ", ", "}"))
+        java.nio.file.Paths.get(stage, "timings.json"), all)
     }
     // census from the READ-BACK, PUBLISHED dumps — byte-identical
     // input to what the DuckDB oracle reads

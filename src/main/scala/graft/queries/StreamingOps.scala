@@ -16,13 +16,15 @@ object StreamingOps {
     * partition, so a 32-partition session pays 32 store commits per
     * batch for fixtures with a few hundred distinct keys — pure
     * harness overhead that scaled the r4 bench's streaming line items
-    * without touching engine cost. 8 partitions keeps the replay
-    * parallel enough for the fixture sizes; the operators themselves
-    * take whatever the surrounding session configures (a production
-    * stream would size this to its key cardinality).
+    * without touching engine cost. 4 partitions (measured: the 12-gate
+    * family dropped 70.3 s → 53.1 s same-box together with the 2-file
+    * triggers below, all hashes unchanged) keeps the replay parallel
+    * enough for the fixture sizes; the operators themselves take
+    * whatever the surrounding session configures (a production stream
+    * would size this to its key cardinality).
     */
   private def withReplayConf[T](s: org.apache.spark.sql.SparkSession)(body: => T): T =
-    graft.core.ConfScope.withShufflePartitions(s, 8)(body)
+    graft.core.ConfScope.withShufflePartitions(s, 4)(body)
 
   /** Replay scratch space: RAM-backed when the host offers it. The
     * drop folder, checkpoint, state store, and sink are all
@@ -344,7 +346,7 @@ object StreamingOps {
               StructField("lang", StringType),
               StructField("n_chars", LongType))),
             AuditOps.DocExpectations,
-            format = "parquet").awaitTermination()
+            maxFilesPerTrigger = 2, format = "parquet").awaitTermination()
         }
         graft.streaming.StreamingAudit
           .result(s, s"$work/state", AuditOps.DocExpectations)
@@ -374,6 +376,7 @@ object StreamingOps {
         withReplayConf(s) {
           graft.streaming.StreamingNearDup.flagStream(
             s, s"$fx/drop", s"$work/nd", s"$work/ckpt",
+            maxFilesPerTrigger = 2,
             format = "parquet").awaitTermination()
         }
         val flagged = s.read.parquet(s"$work/nd/flags")
@@ -431,7 +434,7 @@ object StreamingOps {
           StreamingRollup.rollupStream(s, s"$fx/drop", s"$work/state",
             s"$work/ckpt",
             StructType(Seq(StructField("l_partkey", LongType))),
-            format = "parquet")(
+            maxFilesPerTrigger = 2, format = "parquet")(
             b => CountMin.build(b, "l_partkey", depth = 4, width = 256))
             .awaitTermination()
         }
@@ -475,7 +478,7 @@ object StreamingOps {
             s"$work/ckpt",
             StructType(Seq(StructField("event_id", LongType),
               StructField("cents", LongType))),
-            format = "parquet")(
+            maxFilesPerTrigger = 2, format = "parquet")(
             b => Stats.poissonBootstrap(b, col("event_id"), col("cents"),
               reps = 20))
             .awaitTermination()
@@ -511,7 +514,7 @@ object StreamingOps {
             s"$work/ckpt",
             StructType(Seq(StructField("event_type", StringType),
               StructField("tus", LongType), StructField("cents", LongType))),
-            format = "parquet")(
+            maxFilesPerTrigger = 2, format = "parquet")(
             b => b.groupBy(col("event_type"),
                 expr("tus div 86400000000L").as("day"))
               .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sc")))
@@ -549,7 +552,7 @@ object StreamingOps {
             s"$work/ckpt",
             StructType(Seq(StructField("y", IntegerType),
               StructField("score", DoubleType))),
-            format = "parquet")(
+            maxFilesPerTrigger = 2, format = "parquet")(
             b => b.filter(col("score").isNotNull && col("y").isNotNull)
               .groupBy("score")
               .agg(sum(when(col("y") =!= 0, 1L).otherwise(0L)).as("_np"),
@@ -589,7 +592,7 @@ object StreamingOps {
         withReplayConf(s) {
           StreamingRollup.rollupStream(s, s"$fx/drop", s"$work/state",
             s"$work/ckpt", StructType(Seq(StructField("x", DoubleType))),
-            format = "parquet")(
+            maxFilesPerTrigger = 2, format = "parquet")(
             batch => Drift.binCounts(batch, "x",
               batch.sparkSession.range(1)
                 .select(lit(lo).as("_lo"), lit(hi).as("_hi")),
