@@ -614,6 +614,83 @@ object ScaleStress {
     }
     }
 
+    if (sel("bloom")) {
+    // 6b. BLOOM data skipping at x10: a point lookup on event_id over
+    // a user_id-clustered table (event_id UNCLUSTERED → ranges are
+    // powerless, the q_bloom_skip shape) must isolate the holder files
+    // through the transparent rule. Sizing is the scale lesson this
+    // invariant records: bits must track rows/file (~16 bits/row for
+    // fp ≈ 5e-6) — at x10 the 24-file layout holds ~125k rows/file, so
+    // the default 2^18 bits (sized for the store's ≤10k-row files)
+    // would saturate to fp ≈ 0.95 and prune nothing; 2^21 bits
+    // (256 KiB/file) restores the envelope. The require() below fails
+    // loudly if the sizing rule regresses.
+    import graft.operators.ZoneMap
+    val workB = java.nio.file.Files.createTempDirectory("bloom_stress").toString
+    val evB = spark.read.parquet(s"$xDir/events.parquet")
+    evB.select("event_id", "user_id", "value")
+      .repartitionByRange(24, col("user_id"))
+      .write.mode("overwrite").parquet(s"$workB/t")
+    ZoneMap.writeSidecar(spark, s"$workB/t",
+      ZoneMap.build(spark, s"$workB/t", Seq("event_id")))
+    val tB0 = System.nanoTime()
+    val nBlooms = ZoneMap.buildBloomSidecar(spark, s"$workB/t",
+      Seq("event_id"), numBits = 1L << 21)
+    val bloomBuildSec = (System.nanoTime() - tB0) / 1e9
+    val rowsB = evB.count()
+    // three real ids spread across replicas (deterministic projection)
+    val probeIds = evB.filter(col("event_id") % 997 === 7)
+      .orderBy("event_id").limit(3)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val priorB = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = priorB :+ graft.plans.ZoneSkipRule(spark)
+    try {
+      val totalB = ZoneMap.dataFiles(spark, s"$workB/t").length
+      def scanFilesB(df: DataFrame): Int = {
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.relation.location.inputFiles.length
+          case other => other.children.map(walk).sum
+        }
+        walk(df.queryExecution.executedPlan)
+      }
+      val tB1 = System.nanoTime()
+      val q = spark.read.parquet(s"$workB/t")
+        .filter(col("event_id").isin(probeIds.map(java.lang.Long.valueOf): _*))
+        .agg(count(lit(1)).as("n"))
+      val nHit = q.collect().head.getLong(0)
+      val probeSec = (System.nanoTime() - tB1) / 1e9
+      val scannedB = scanFilesB(q)
+      spark.conf.set("spark.graft.zonemap.bloom", "false")
+      val qOff = spark.read.parquet(s"$workB/t")
+        .filter(col("event_id").isin(probeIds.map(java.lang.Long.valueOf): _*))
+        .agg(count(lit(1)).as("n"))
+      qOff.collect()
+      val scannedOff = scanFilesB(qOff)
+      spark.conf.unset("spark.graft.zonemap.bloom")
+      println(f"| bloom skipping @x$x | rows=$rowsB files=$totalB " +
+        f"blooms=$nBlooms(256KiB) build=$bloomBuildSec%.1fs " +
+        f"probe: kept $scannedB/$totalB (ranges-only $scannedOff) " +
+        f"hits=$nHit wall=$probeSec%.2fs |")
+      require(nHit == probeIds.size.toLong, "probe ids must all exist")
+      require(scannedOff == totalB,
+        s"layout drift: ranges pruned $scannedOff/$totalB — the invariant " +
+          "no longer isolates bloom pruning")
+      // RECORDED ENVELOPE (x10, 24 files, 2^21 bits at ~125k rows/file):
+      // 3 holders + 0 false positives. Guard at ≤6 (fp headroom);
+      // an undersized-bits regression keeps ~all 24 and lands here.
+      require(scannedB <= 6,
+        s"bloom pruning kept $scannedB/$totalB files on a 3-key probe — " +
+          "filter saturation (bits-per-row sizing regressed?)")
+    } finally {
+      spark.experimental.extraOptimizations = priorB
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workB))
+    }
+    }
+
     if (sel("annrecall")) {
     // 7. ANN recall at scale as a RECORDED invariant: the gate
     // (q_ann_recall) measures sign-LSH recall at fixture SF; this

@@ -241,3 +241,48 @@ object ZoneMapJob {
     spark.stop()
   }
 }
+
+/** `runMain graft.jobs.BloomMapJob <parquetDir> <col[,col...]> [numBits]`
+  * — attach (or incrementally refresh) per-file BLOOM FILTERS in the
+  * table's zone-map sidecar for the named DATA columns, enabling
+  * transparent point-lookup file skipping on high-cardinality
+  * unclustered columns (see ZoneMap.buildBloomSidecar). Incremental
+  * when the sidecar already blooms the columns: only files lacking
+  * fresh coverage re-scan.
+  */
+object BloomMapJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2 || args.length == 3,
+      "usage: BloomMapJob <parquetDir> <col[,col...]> [numBits]")
+    val path = args(0)
+    val cols = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val numBits = if (args.length == 3) args(2).toLong else 1L << 18
+    val spark = Jobs.session("graft-bloommap")
+    // with explicit columns, refreshBlooms IS the fresh build too: no
+    // prior coverage means every live file is a todo
+    val written = graft.operators.ZoneMap.refreshBlooms(spark, path, cols, numBits)
+    println(s"blooms written: $written (${cols.mkString(",")}, $numBits bits/file)")
+    spark.stop()
+  }
+}
+
+/** `runMain graft.jobs.CompactJob <parquetDir> [targetBytes] [sortCol]`
+  * — OPTIMIZE-style small-file compaction with sidecar co-maintenance
+  * (see Compact.compact): bin-pack per partition directory, rewrite,
+  * refresh range zones and blooms incrementally.
+  */
+object CompactJob {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty && args.length <= 3,
+      "usage: CompactJob <parquetDir> [targetBytes] [sortCol]")
+    val path = args(0)
+    val target = if (args.length >= 2) args(1).toLong else 128L * 1024 * 1024
+    val sortCol = if (args.length == 3) Some(args(2)) else None
+    val spark = Jobs.session("graft-compact")
+    val res = graft.operators.Compact.compact(spark, path,
+      targetBytes = target, sortCol = sortCol)
+    println(s"compacted: ${res.filesIn} files (${res.bytesIn} bytes) " +
+      s"-> ${res.filesOut} in ${res.bins} bin(s)")
+    spark.stop()
+  }
+}

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  private def ensureRegistered(spark: SparkSession): Unit = {
+  private[operators] def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_bloom_agg",
       args => new BloomFilterAggregate(args(0), args(1), args(2)).toAggregateExpression(),

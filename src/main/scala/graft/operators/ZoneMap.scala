@@ -84,7 +84,27 @@ object ZoneMap {
       // column's exact extremum — [[aggFromManifest]] refuses bounds
       // built from any lossy entry. Legacy entries (field absent in
       // the sidecar JSON) parse as lossy — conservative either way.
-      boundsLossy: Boolean = false)
+      boundsLossy: Boolean = false,
+      // base64 of a Spark-sketch bloom filter over xxhash64(col) —
+      // present only on BLOOM pseudo-column entries ([[bloomKey]]),
+      // built by [[buildBloomSidecar]] (a data pass, unlike the
+      // footer-only range harvest). Lets equality/IN predicates prune
+      // files on HIGH-CARDINALITY unclustered columns where min/max
+      // zones are useless (a point lookup on an id column: every
+      // file's range covers the key, but only the file(s) actually
+      // holding it pass the membership test).
+      bloom: Option[String] = None)
+
+  /** Bloom entries live under a PSEUDO column name so the sharded
+    * sidecar stores and slices them independently of the range zones:
+    * a range query on `col` never pays the bloom shard's bytes, and a
+    * point lookup reads exactly the shards it needs. The prefix starts
+    * with '#' — not a legal first character of any column the harvest
+    * tracks from a parquet schema path.
+    */
+  private[graft] val BloomPrefix = "#bloom#"
+  def bloomKey(col: String): String = BloomPrefix + col
+  def isBloomKey(col: String): Boolean = col.startsWith(BloomPrefix)
 
   /** A necessary range condition on one column — a RELAXATION of the
     * query's real filter (pruning keeps a superset; the query filter
@@ -103,6 +123,21 @@ object ZoneMap {
     */
   final case class NullnessPred(col: String, mustHaveNull: Boolean)
     extends ZonePred
+  /** Bloom membership as a zone predicate: the attribute's value must
+    * be one of a literal set (`a = k`, `a IN (...)`) whose xxhash64
+    * hashes are `hashes` — a file whose bloom filter (pseudo-column
+    * `col` = [[bloomKey]] of the real column) rules out EVERY hash
+    * cannot hold a matching row. Necessary-condition semantics like
+    * every other ZonePred: a false positive keeps a file the real
+    * filter then empties; a missing/stale/corrupt bloom keeps the
+    * file. Hashes must be computed exactly as the build side hashed
+    * the column: Spark's `xxhash64` over the value in the ATTRIBUTE's
+    * own type (the extraction only emits this for a bare attribute
+    * compared to a same-type literal).
+    */
+  final case class BloomEq(col: String, hashes: Seq[Long]) extends ZonePred {
+    require(hashes.nonEmpty, "bloom predicate needs at least one hash")
+  }
   /** A disjunction of predicate conjunctions: a file survives when ANY
     * branch is zone-satisfiable (each branch is the extraction of one
     * OR arm). Callers must not build an OrPred when any arm extracted
@@ -314,6 +349,21 @@ object ZoneMap {
     pred match {
       case OrPred(branches) =>
         branches.exists(_.forall(satisfiable(entries, _)))
+      case BloomEq(key, hashes) =>
+        // freshness (mtime) is the CALLER's job, same as every other
+        // entry kind; a file without a (fresh) bloom entry is kept
+        entries.get(key).flatMap(_.bloom) match {
+          case None => true
+          case Some(b64) =>
+            try {
+              val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  java.util.Base64.getDecoder.decode(b64)))
+              hashes.exists(bf.mightContainLong)
+            } catch { // corrupt bloom bytes: keep the file (fail-safe)
+              case scala.util.control.NonFatal(_) => true
+            }
+        }
       case p =>
       entries.get(p.col) match {
         case None => true // column not in the manifest: cannot prune
@@ -347,7 +397,7 @@ object ZoneMap {
                   hi.forall(b => e.vminStr.forall(utf8Compare(_, b) <= 0))
             case NullnessPred(_, mustHaveNull) =>
               if (mustHaveNull) e.nNulls > 0 else !allNull
-            case _: OrPred => true // unreachable: handled by the outer match
+            case _: OrPred | _: BloomEq => true // unreachable: outer match handles both
           }
       }
     }
@@ -430,16 +480,20 @@ object ZoneMap {
     * (files × columns rows), one FS write.
     */
   def writeSidecar(spark: SparkSession, tableDir: String, manifest: DataFrame): Unit = {
+    val hasBloom = manifest.columns.contains("bloom")
     val entries = manifest
-      .select("file", "col", "nRows", "hasStats", "vminNum", "vmaxNum",
-        "vminStr", "vmaxStr", "nNulls", "isFloat", "mtime", "boundsLossy")
+      .select(("file" +: "col" +: "nRows" +: "hasStats" +: "vminNum" +:
+        "vmaxNum" +: "vminStr" +: "vmaxStr" +: "nNulls" +: "isFloat" +:
+        "mtime" +: "boundsLossy" +:
+        (if (hasBloom) Seq("bloom") else Nil)).map(org.apache.spark.sql.functions.col): _*)
       .collect()
       .map(r => ZoneEntry(r.getString(0), r.getString(1), r.getLong(2),
         r.getBoolean(3),
         if (r.isNullAt(4)) None else Some(r.getDouble(4)),
         if (r.isNullAt(5)) None else Some(r.getDouble(5)),
         Option(r.getString(6)), Option(r.getString(7)), r.getLong(8),
-        r.getBoolean(9), r.getLong(10), r.getBoolean(11)))
+        r.getBoolean(9), r.getLong(10), r.getBoolean(11),
+        if (hasBloom) Option(r.getString(12)) else None))
     writeSidecarEntries(tableDir, entries.toSeq)
   }
 
@@ -465,6 +519,7 @@ object ZoneMap {
         o.put("isFloat", e.isFloat)
         o.put("mtime", e.mtime)
         o.put("boundsLossy", e.boundsLossy)
+        e.bloom.foreach(o.put("bloom", _))
       }
       m.writeValueAsString(root)
     }
@@ -537,12 +592,20 @@ object ZoneMap {
     */
   def refreshSidecar(spark: SparkSession, tableDir: String,
       cols: Seq[String] = Nil): (Int, Int) = {
+    require(cols.forall(!isBloomKey(_)),
+      "refreshSidecar tracks REAL columns; blooms refresh via buildBloomSidecar")
     val conf = spark.sparkContext.hadoopConfiguration
     val prior = readSidecarPath(new Path(tableDir, SidecarFile), conf)
       .getOrElse(Seq.empty)
+    // bloom pseudo-entries are NOT footer-harvestable: they survive the
+    // refresh for unchanged live files and drop for rewritten/dead ones
+    // (a rewritten file's bloom is re-attached by the next
+    // buildBloomSidecar run — until then the file simply never bloom-
+    // prunes, which is sound)
+    val (priorBloom, priorRange) = prior.partition(e => isBloomKey(e.col))
     val trackCols =
-      if (cols.nonEmpty) cols else prior.map(_.col).distinct
-    require(trackCols.nonEmpty,
+      if (cols.nonEmpty) cols else priorRange.map(_.col).distinct
+    require(trackCols.nonEmpty || priorBloom.nonEmpty,
       "no existing sidecar and no columns named — nothing to track")
     // ONE listStatus carries both the file list and the live mtimes —
     // a per-file getFileStatus loop here would be 10⁶ NameNode calls
@@ -555,9 +618,11 @@ object ZoneMap {
       "refusing to wipe the sidecar (retry after the write settles)")
     val liveMtime = liveStatuses.toMap
     val known = prior.map(_.file).toSet
+    val keepBloom = priorBloom.filter(e =>
+      liveMtime.get(e.file).contains(e.mtime) && e.mtime != 0L)
     // prior entries survive only for still-live UNCHANGED files and
     // still-tracked columns; mtime 0 (legacy entries) is always stale
-    val keepPrior = prior.filter(e =>
+    val keepPrior = priorRange.filter(e =>
       liveMtime.get(e.file).contains(e.mtime) && e.mtime != 0L &&
         trackCols.contains(e.col))
     val coveredCols = keepPrior.groupBy(_.file).view.mapValues(_.map(_.col).toSet)
@@ -573,9 +638,134 @@ object ZoneMap {
       }
     val freshKeys = freshEntries.map(e => (e.file, e.col)).toSet
     val merged = keepPrior.filterNot(e => freshKeys.contains((e.file, e.col))) ++
-      freshEntries
+      freshEntries ++ keepBloom
     writeSidecarEntries(tableDir, merged)
     (todo.size, (known -- liveMtime.keySet).size)
+  }
+
+  /** Attach per-file BLOOM FILTERS for `cols` to the table's sidecar —
+    * the index a point lookup on a high-cardinality UNCLUSTERED column
+    * needs (min/max zones only prune clustered data; an id-equality
+    * scan over an arrival-ordered table keeps every file on ranges but
+    * exactly the holder(s) + false positives on blooms).
+    *
+    * Unlike the footer harvest this is a DATA pass: one distributed
+    * aggregation reading only `cols` (column-pruned scan), grouped by
+    * source file — `numBits` bits per (file, column), built over
+    * `xxhash64(col)` exactly as [[graft.plans.ZoneSkipRule]] hashes
+    * query literals. Blooms merge into the existing sidecar without
+    * touching range entries or other columns' blooms; each bloom
+    * carries the file's pre-scan mtime, so a file rewritten during or
+    * after the build fails the rule's freshness check rather than
+    * pruning on stale bits.
+    *
+    * Scale shape: the aggregation is one shuffle keyed by file name
+    * (combiner-friendly: partial blooms OR together map-side); driver
+    * memory is O(files × cols × numBits/8) for the collect — at the
+    * store's ≤10k-rows-per-file contract and the default 32 KiB
+    * filter, 10k files × 1 column ≈ 320 MB. The optimizer guards the
+    * read side with `spark.graft.zonemap.bloom.maxShardBytes` (an
+    * oversized bloom shard is skipped with a log line — pruning
+    * degrades, soundness doesn't). Returns the number of (file, col)
+    * blooms written. Default sizing: 2^18 bits with numBits/16
+    * estimated items ⇒ k = 11 hashes, fp ≈ 5e-6 at 10k rows/file.
+    */
+  def buildBloomSidecar(spark: SparkSession, tableDir: String,
+      cols: Seq[String], numBits: Long = 1L << 18): Int = {
+    require(cols.nonEmpty, "bloom sidecar needs at least one column")
+    require(cols.forall(!isBloomKey(_)), "pass REAL column names")
+    // list BEFORE reading: a file rewritten between the listing and the
+    // scan records the OLD mtime, so the live-mtime freshness check at
+    // prune time rejects its bloom — stale bits can never prune
+    val statuses = dataFileStatuses(spark, tableDir)
+    require(statuses.nonEmpty, s"no parquet data files under $tableDir")
+    val fresh = bloomEntries(spark,
+      spark.read.parquet(tableDir), statuses, cols, numBits)
+    mergeBloomWrite(spark, tableDir, fresh)
+  }
+
+  /** Incrementally RE-ATTACH blooms after table maintenance (ingest
+    * batches, [[Compact.compact]] rewrites): only files lacking a
+    * fresh (mtime-matching) bloom for every tracked column are
+    * re-scanned — O(changed files) data IO, the same maintenance-loop
+    * shape as [[refreshSidecar]]. Columns default to the ones the
+    * sidecar already blooms; pass them for a first build of a file
+    * subset. Tracked columns must be DATA columns (the explicit-file
+    * read carries no partition values). Returns blooms written.
+    */
+  def refreshBlooms(spark: SparkSession, tableDir: String,
+      cols: Seq[String] = Nil, numBits: Long = 1L << 18): Int = {
+    require(cols.forall(!isBloomKey(_)), "pass REAL column names")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prior = readSidecarPath(new Path(tableDir, SidecarFile), conf)
+      .getOrElse(Seq.empty)
+    val tracked =
+      if (cols.nonEmpty) cols
+      else prior.collect {
+        case e if isBloomKey(e.col) => e.col.stripPrefix(BloomPrefix)
+      }.distinct
+    if (tracked.isEmpty) return 0
+    val statuses = dataFileStatuses(spark, tableDir)
+    if (statuses.isEmpty) return 0
+    val liveM = statuses.toMap
+    val covered: Map[String, Set[String]] = prior
+      .filter(e => isBloomKey(e.col) && e.mtime != 0L &&
+        liveM.get(e.file).contains(e.mtime))
+      .groupBy(_.file)
+      .map { case (f, es) =>
+        f -> es.map(_.col.stripPrefix(BloomPrefix)).toSet
+      }
+    val todo = statuses.filter { case (f, _) =>
+      !tracked.forall(covered.getOrElse(f, Set.empty))
+    }
+    if (todo.isEmpty) return 0
+    val fresh = bloomEntries(spark,
+      spark.read.parquet(todo.map(_._1): _*), todo, tracked, numBits)
+    mergeBloomWrite(spark, tableDir, fresh)
+  }
+
+  /** One grouped-by-source-file bloom aggregation over `df` → sidecar
+    * entries, mtimes taken from the PRE-SCAN listing (see
+    * [[buildBloomSidecar]] for why that ordering is load-bearing).
+    */
+  private def bloomEntries(spark: SparkSession,
+      df: DataFrame, statuses: Seq[(String, Long)],
+      cols: Seq[String], numBits: Long): Seq[ZoneEntry] = {
+    import org.apache.spark.sql.functions.{call_function, col, input_file_name, lit, xxhash64}
+    val byNorm = statuses.map { case (f, m) => normalizeUri(f) -> (f, m) }.toMap
+    Bloom.ensureRegistered(spark)
+    val items = math.max(64L, numBits / 16L)
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      call_function("graft_bloom_agg", xxhash64(col(c)), lit(items), lit(numBits))
+        .as(s"_bf$i")
+    }
+    df.groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .toSeq.flatMap { r =>
+        byNorm.get(normalizeUri(r.getString(0))).toSeq.flatMap { case (f, m) =>
+          cols.indices.flatMap { i =>
+            // an all-null column aggregates to null bytes — no bloom,
+            // the file stays unprunable on that column (sound)
+            Option(r.get(i + 1)).map(_.asInstanceOf[Array[Byte]]).map { bytes =>
+              ZoneEntry(f, bloomKey(cols(i)), 0L, hasStats = false,
+                None, None, None, None, 0L, isFloat = false, mtime = m,
+                bloom = Some(java.util.Base64.getEncoder.encodeToString(bytes)))
+            }
+          }
+        }
+      }
+  }
+
+  private def mergeBloomWrite(spark: SparkSession, tableDir: String,
+      fresh: Seq[ZoneEntry]): Int = {
+    val prior = readSidecarPath(
+      new Path(tableDir, SidecarFile),
+      spark.sparkContext.hadoopConfiguration).getOrElse(Seq.empty)
+    val freshKeys = fresh.map(e => (e.file, e.col)).toSet
+    val merged = prior.filterNot(e => freshKeys.contains((e.file, e.col))) ++ fresh
+    writeSidecarEntries(tableDir, merged)
+    fresh.size
   }
 
   /** Metadata-only aggregate of one column, answered from the sidecar
@@ -679,7 +869,14 @@ object ZoneMap {
     * doubles losslessly).
     */
   def readSidecarColumns(p: Path, conf: Configuration,
-      cols: Option[Set[String]]): Option[Seq[ZoneEntry]] = {
+      cols: Option[Set[String]],
+      // BLOOM shards only: a shard bigger than this is SKIPPED (its
+      // column simply never bloom-prunes — sound) instead of read, so
+      // a giant table's bloom bytes can never blow up the driver
+      // inside the optimizer. Range shards are never capped: their
+      // entries are a few hundred bytes per file — the same order as
+      // the file listing planning already holds.
+      bloomShardCapBytes: Long = Long.MaxValue): Option[Seq[ZoneEntry]] = {
     val fs = p.getFileSystem(conf)
     def readText(path: Path): Option[String] =
       try {
@@ -705,7 +902,8 @@ object ZoneMap {
             Option(o.get("mtime")).map(_.asLong()).getOrElse(0L),
             // absent (pre-flag sidecar): assume lossy — conservative
             // for the manifest census, irrelevant for pruning
-            Option(o.get("boundsLossy")).forall(_.asBoolean()))
+            Option(o.get("boundsLossy")).forall(_.asBoolean()),
+            Option(o.get("bloom")).map(_.asText()))
         }
         Some(buf.toSeq)
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -721,8 +919,17 @@ object ZoneMap {
           .IteratorHasAsScala(sh.fieldNames()).asScala.toSeq
         val wanted = cols.fold(names)(want => names.filter(want.contains))
         val parts = wanted.map { c =>
-          readText(new Path(p.getParent, sh.get(c).asText()))
-            .flatMap(parseEntries)
+          val shardPath = new Path(p.getParent, sh.get(c).asText())
+          val tooBig = isBloomKey(c) && bloomShardCapBytes != Long.MaxValue &&
+            (try fs.getFileStatus(shardPath).getLen > bloomShardCapBytes
+            catch { case scala.util.control.NonFatal(_) => false })
+          if (tooBig) {
+            System.err.println(s"[zonemap] bloom shard for '$c' exceeds " +
+              s"$bloomShardCapBytes bytes under ${p.getParent} — skipped " +
+              "(no bloom pruning on this column; raise " +
+              "spark.graft.zonemap.bloom.maxShardBytes to use it)")
+            Some(Seq.empty[ZoneEntry])
+          } else readText(shardPath).flatMap(parseEntries)
         }
         // a missing/corrupt shard poisons the whole read (None) — the
         // rule then prunes nothing rather than pruning on partial

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.ZoneMap
-import graft.operators.ZoneMap.{NullnessPred, NumRange, OrPred, StrRange, ZoneEntry, ZonePred}
+import graft.operators.ZoneMap.{BloomEq, NullnessPred, NumRange, OrPred, StrRange, ZoneEntry, ZonePred}
 
 /** TRANSPARENT zone-map data skipping as an injected optimizer rule
   * (`spark.sql.extensions=graft.GraftExtensions`): a plain
@@ -94,14 +94,26 @@ case class ZoneSkipRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def pruned(cond: Expression, lr: LogicalRelation,
       fs: HadoopFsRelation): Option[LogicalRelation] = {
     val root = fs.location.rootPaths.head
-    val preds = ZoneSkipRule.extractRanges(cond)
+    val extracted = ZoneSkipRule.extractRanges(cond)
+    // bloom consultation has its own switch (same defensive fail-closed
+    // parse as the main one — less pruning is always sound) and a
+    // driver-bytes cap on the shard read; dropping bloom predicates
+    // only WEAKENS conditions, so the result stays a superset
+    val bloomOn = spark.conf
+      .getOption("spark.graft.zonemap.bloom").forall(_.equalsIgnoreCase("true"))
+    val preds =
+      if (bloomOn) extracted else ZoneSkipRule.dropBlooms(extracted)
     if (preds.isEmpty) return None
+    val bloomCap = spark.conf
+      .getOption("spark.graft.zonemap.bloom.maxShardBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(256L * 1024 * 1024)
     // predicate columns FIRST: the sharded sidecar reads only their
     // slices — O(files × predicate cols) driver bytes in-planning, no
     // matter how wide the tracked-column set is
     val entries = ZoneSkipRule.cachedSidecar(
       root, spark.sparkContext.hadoopConfiguration,
-      preds.flatMap(ZoneMap.predCols).toSet)
+      preds.flatMap(ZoneMap.predCols).toSet, bloomCap)
     // no sidecar, or none of the predicate columns tracked: nothing
     // can prune — skip the listing walk entirely
     if (entries.isEmpty || entries.get.isEmpty) return None
@@ -236,19 +248,34 @@ object ZoneSkipRule {
     */
   private[plans] def cachedSidecar(root: Path,
       conf: org.apache.hadoop.conf.Configuration,
-      cols: Set[String]): Option[Seq[ZoneEntry]] = {
+      cols: Set[String],
+      bloomShardCapBytes: Long = Long.MaxValue): Option[Seq[ZoneEntry]] = {
     val p = new Path(root, ZoneMap.SidecarFile)
     val fs = p.getFileSystem(conf)
     val mtime =
       try fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.FileNotFoundException => return None }
-    val key = p.toString + "#" + cols.toSeq.sorted.mkString("\u0000")
+    val key = p.toString + "#" + bloomShardCapBytes + "#" +
+      cols.toSeq.sorted.mkString("\u0000")
     val hit = cache.get(key)
     if (hit != null && hit._1 == mtime) return hit._2
-    val fresh = ZoneMap.readSidecarColumns(p, conf, Some(cols))
+    val fresh = ZoneMap.readSidecarColumns(p, conf, Some(cols), bloomShardCapBytes)
     cache.put(key, (mtime, fresh))
     fresh
   }
+
+  /** Strip bloom predicates (switch-off path): removing a conjunct only
+    * weakens a condition -- sound. An OR arm emptied by the strip makes
+    * its disjunction vacuous, so the whole OrPred drops.
+    */
+  private[plans] def dropBlooms(ps: Seq[ZonePred]): Seq[ZonePred] =
+    ps.flatMap {
+      case _: BloomEq => None
+      case OrPred(branches) =>
+        val stripped = branches.map(dropBlooms)
+        if (stripped.exists(_.isEmpty)) None else Some(OrPred(stripped))
+      case p => Some(p)
+    }
 
   private val MicrosPerDay = 86400000000L
 
@@ -398,7 +425,29 @@ object ZoneSkipRule {
         case _ => None
       }
     }
-    def visit(e: Expression, l: Literal, lowerOfA: Boolean, upperOfA: Boolean): Unit =
+    // BLOOM extraction: only a BARE attribute compared to a same-type
+    // non-null literal — exactly the shape buildBloomSidecar hashed
+    // (xxhash64 of the column in its own type). Any cast changes the
+    // hashed bit width (Spark hashes int as 4 bytes, long as 8), so
+    // cast shapes contribute ranges only. A false negative is
+    // impossible by construction; dropping the pred is always sound.
+    def bloomHashable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType | StringType => true
+      case _ => false
+    }
+    def litHash(l: Literal): Long =
+      new XxHash64(Seq(l)).eval(EmptyRow).asInstanceOf[Long]
+    def bloomEq(a: Expression, l: Literal): Unit = a match {
+      case ar: AttributeReference
+          if bloomHashable(ar.dataType) && l.value != null &&
+            l.dataType == ar.dataType =>
+        extra += BloomEq(ZoneMap.bloomKey(ar.name), Seq(litHash(l)))
+      case _ => ()
+    }
+    def visit(e: Expression, l: Literal, lowerOfA: Boolean, upperOfA: Boolean): Unit = {
+      // (true, true) is the equality shape — the only bloomable one
+      if (lowerOfA && upperOfA) bloomEq(e, l)
       unwrap(e).foreach { case (ar, sh) =>
         if (numericDomain(ar.dataType)) numInterval(l, sh).foreach { case (lo, hi) =>
           tightenN(ar.name, if (lowerOfA) Some(lo) else None,
@@ -409,9 +458,17 @@ object ZoneSkipRule {
             if (lowerOfA) str(l) else None,
             if (upperOfA) str(l) else None)
       }
+    }
     // IN (...) relaxes to [min element, max element]; skipped unless
     // EVERY element maps (a missed element would under-cover)
-    def visitIn(e: Expression, lits: Seq[Literal]): Unit =
+    def visitIn(e: Expression, lits: Seq[Literal]): Unit = {
+      e match { // bloom: any-of membership over the non-null elements
+        case ar: AttributeReference if bloomHashable(ar.dataType) =>
+          val nn = lits.filter(_.value != null)
+          if (nn.nonEmpty && nn.forall(_.dataType == ar.dataType))
+            extra += BloomEq(ZoneMap.bloomKey(ar.name), nn.map(litHash))
+        case _ => ()
+      }
       unwrap(e).foreach { case (ar, sh) =>
         val nonNull = lits.filter(_.value != null)
         if (nonNull.nonEmpty) {
@@ -430,6 +487,7 @@ object ZoneSkipRule {
           }
         }
       }
+    }
     // startswith(a, p): a ∈ [p, prefix-successor) — the successor
     // bumps the last char when the bump stays a valid non-surrogate
     // BMP char (UTF-8 is code-point-order-preserving, so every string

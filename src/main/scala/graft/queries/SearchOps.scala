@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Bloom, InvertedIndex, Layout, Search, ZoneMap}
+import graft.operators.{Ann, Bloom, Compact, InvertedIndex, Layout, Search, ZoneMap}
 
 /** Lexical + hybrid retrieval gates over `documents`/`embeddings`:
   * TF-IDF weighting, BM25 ranking, and reciprocal-rank fusion of a
@@ -33,7 +33,7 @@ object SearchOps {
     zonemapArtifacts(s, d); ()
   }
   private[graft] val derivedConsumers: Set[String] =
-    Set("q_zonemap_prune", "q_zonemap_agg", "q_zonemap_part")
+    Set("q_zonemap_prune", "q_zonemap_agg", "q_zonemap_part", "q_bloom_skip")
 
   private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // undeclared consumers fail loudly — see GateContext
@@ -66,8 +66,41 @@ object SearchOps {
         .parquet(s"$out/table_part")
       ZoneMap.writeSidecar(s, s"$out/table_part",
         ZoneMap.build(s, s"$out/table_part", Seq("l_quantity")))
+      // the UNCLUSTERED point-lookup shape (q_bloom_skip): orders
+      // spread round-robin on o_orderkey mod 16, so every file's
+      // [min, max] on the id columns covers nearly the whole domain —
+      // range zones are provably powerless for an interior key and
+      // only the per-file BLOOMS can isolate the holder files
+      orders(s, d)
+        .withColumn("okey2", col("o_orderkey") * 2)
+        .withColumn("okey_str",
+          concat(lit("ord-"), lpad(col("o_orderkey").cast("string"), 7, "0")))
+        .withColumn("grp", col("o_orderkey") % 16)
+        .repartitionByRange(16, col("grp"))
+        .drop("grp")
+        .write.mode("overwrite").parquet(s"$out/table_id")
+      ZoneMap.writeSidecar(s, s"$out/table_id",
+        ZoneMap.build(s, s"$out/table_id", Seq("okey2", "okey_str")))
+      ZoneMap.buildBloomSidecar(s, s"$out/table_id", Seq("okey2", "okey_str"))
       out
     })
+  }
+
+  /** Executed-plan file census through the ADAPTIVE wrapper (an
+    * AdaptiveSparkPlanExec is a LEAF until executed — run the query
+    * first, then walk).
+    */
+  private def executedScanFiles(df: org.apache.spark.sql.DataFrame): Int = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.inputFiles.length
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
   }
 
   val queries: Seq[GateQuery] = Seq(
@@ -449,6 +482,172 @@ object SearchOps {
              |       TRUE AS partition_pruned
              |FROM lineitem
              |WHERE l_returnflag = 'R' AND l_quantity <= 5.0""".stripMargin)),
+
+    // BLOOM data skipping on UNCLUSTERED high-cardinality columns —
+    // the point-lookup shape min/max zones cannot touch (an id probe
+    // over arrival-ordered data: every file's range covers the key).
+    // Per-file bloom filters in the sidecar let the transparent rule
+    // keep only the holder files; an interior MISS scans ZERO files.
+    // In-gate asserts pin all three claims — and that with blooms
+    // switched off the SAME query scans every file (ranges provably
+    // powerless, so the pruning is attributable to blooms alone). The
+    // oracle recomputes every census over the full orders table, so a
+    // wrongly-skipped holder fails the hash, not just an assert.
+    GateQuery(
+      "q_bloom_skip",
+      (s, d) => {
+        val root = zonemapArtifacts(s, d)
+        val table = s"$root/table_id"
+        val total = ZoneMap.dataFiles(s, table).length
+        val rule = graft.plans.ZoneSkipRule(s)
+        val prior = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prior :+ rule
+        try {
+          def inCensus() = s.read.parquet(table)
+            .filter(col("okey2").isin(14L, 422L, 2798L))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("t"))
+          val inQ = inCensus()
+          val inRow = inQ.collect().head
+          val inScanned = executedScanFiles(inQ)
+          val strQ = s.read.parquet(table)
+            .filter(col("okey_str") === "ord-0000211")
+            .agg(sum(col("o_custkey")).cast("long").as("c"))
+          val strRow = strQ.collect().head
+          val strScanned = executedScanFiles(strQ)
+          // interior miss: okey2 is even-only, 421 sits inside every
+          // file's range — blooms prove absence before any IO
+          val missQ = s.read.parquet(table)
+            .filter(col("okey2") === 421L).agg(count(lit(1)).as("n"))
+          val missRow = missQ.collect().head
+          val missScanned = executedScanFiles(missQ)
+          // same census, blooms OFF: ranges keep every file — the
+          // skipping above is attributable to the blooms alone
+          s.conf.set("spark.graft.zonemap.bloom", "false")
+          val (rangeRow, rangeScanned) =
+            try {
+              val q = inCensus()
+              (q.collect().head, executedScanFiles(q))
+            } finally s.conf.unset("spark.graft.zonemap.bloom")
+          require(inScanned <= 4 && inScanned < total,
+            s"q_bloom_skip: 3-key IN must keep ≤4 of $total files, scanned $inScanned")
+          require(strScanned <= 2 && strScanned < total,
+            s"q_bloom_skip: string point lookup scanned $strScanned of $total")
+          require(missScanned <= 1,
+            s"q_bloom_skip: provable miss scanned $missScanned files")
+          require(rangeScanned == total,
+            s"q_bloom_skip: interleaved layout must make ranges powerless " +
+              s"(scanned $rangeScanned of $total with blooms off)")
+          require(rangeRow == inRow,
+            "q_bloom_skip: bloom-on and bloom-off censuses disagree")
+          s.range(1).select(
+            lit(inRow.getLong(0)).as("n_in"),
+            lit(inRow.getLong(1)).as("total_x100_in"),
+            lit(strRow.getLong(0)).as("custkey_str"),
+            lit(missRow.getLong(0)).as("n_miss"),
+            lit(true).as("bloom_pruned"),
+            lit(true).as("range_powerless"))
+        } finally s.experimental.extraOptimizations = prior
+      },
+      Some("""SELECT (SELECT count(*) FROM orders
+             |        WHERE o_orderkey IN (7, 211, 1399)) AS n_in,
+             |       (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |        FROM orders WHERE o_orderkey IN (7, 211, 1399)) AS total_x100_in,
+             |       (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
+             |        WHERE o_orderkey = 211) AS custkey_str,
+             |       (SELECT count(*) FROM orders
+             |        WHERE o_orderkey * 2 = 421) AS n_miss,
+             |       TRUE AS bloom_pruned,
+             |       TRUE AS range_powerless""".stripMargin)),
+
+    // OPTIMIZE-style compaction end-to-end: a 24-small-file
+    // range-clustered orders copy is bin-packed ~4:1 (name-ordered
+    // packing preserves the clustering), rewritten, and its zone+bloom
+    // sidecar refreshed INCREMENTALLY — after which the transparent
+    // rule still prunes the same range census (hash-identical values)
+    // and a fresh point lookup scans ONE file. The gate measures the
+    // real maintenance loop a 100 TB table runs nightly: list → pack →
+    // rewrite → co-maintain indexes → pruning never degrades past the
+    // rewrite window.
+    GateQuery(
+      "q_compact",
+      (s, d) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        val table = s"$work/t"
+        orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .repartitionByRange(24, col("o_orderkey"))
+          .write.mode("overwrite").parquet(table)
+        ZoneMap.writeSidecar(s, table, ZoneMap.build(s, table, Seq("o_orderkey")))
+        ZoneMap.buildBloomSidecar(s, table, Seq("o_orderkey"))
+        val rule = graft.plans.ZoneSkipRule(s)
+        val prior = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prior :+ rule
+        try {
+          def census() = s.read.parquet(table)
+            .filter(col("o_orderkey") < 375L)
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("t"))
+          val totalBefore = ZoneMap.dataFiles(s, table).length
+          val q1 = census()
+          val row1 = q1.collect().head
+          val kept1 = executedScanFiles(q1)
+          require(kept1 < totalBefore,
+            s"q_compact: pre-compact census must prune ($kept1/$totalBefore)")
+          // pack ~4 neighbors per bin
+          val bytes = {
+            val p = new org.apache.hadoop.fs.Path(table)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+              .map(_.getLen).sum
+          }
+          val res = Compact.compact(s, table,
+            targetBytes = bytes * 4 / totalBefore + 1,
+            sortCol = Some("o_orderkey"))
+          val totalAfter = ZoneMap.dataFiles(s, table).length
+          require(totalAfter < totalBefore && res.filesOut < res.filesIn,
+            s"q_compact: compaction must shrink the file count " +
+              s"($totalBefore -> $totalAfter, $res)")
+          val q2 = census()
+          val row2 = q2.collect().head
+          val kept2 = executedScanFiles(q2)
+          require(row2 == row1,
+            "q_compact: census values must survive the rewrite bit-exactly")
+          require(kept2 < totalAfter,
+            s"q_compact: the REFRESHED sidecar must still prune ($kept2/$totalAfter)")
+          // point lookup through fresh zones + re-attached blooms
+          val ptQ = s.read.parquet(table)
+            .filter(col("o_orderkey") === 375L)
+            .agg(sum(col("o_custkey")).cast("long").as("c"))
+          val ptRow = ptQ.collect().head
+          require(executedScanFiles(ptQ) == 1,
+            "q_compact: a post-compact point lookup must scan exactly one file")
+          s.range(1).select(
+            lit(row1.getLong(0)).as("n_small"),
+            lit(row1.getLong(1)).as("total_x100_small"),
+            lit(ptRow.getLong(0)).as("custkey_pt"),
+            lit(true).as("compacted"),
+            lit(true).as("pruned_before"),
+            lit(true).as("pruned_after"))
+        } finally {
+          s.experimental.extraOptimizations = prior
+          // every value is collected into literals above — the per-pass
+          // table is dead weight; best-effort cleanup
+          try {
+            val p = new org.apache.hadoop.fs.Path(work)
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      },
+      Some("""SELECT (SELECT count(*) FROM orders
+             |        WHERE o_orderkey < 375) AS n_small,
+             |       (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |        FROM orders WHERE o_orderkey < 375) AS total_x100_small,
+             |       (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders
+             |        WHERE o_orderkey = 375) AS custkey_pt,
+             |       TRUE AS compacted,
+             |       TRUE AS pruned_before,
+             |       TRUE AS pruned_after""".stripMargin)),
 
     // Hybrid retrieval: BM25 top-50 ⊕ cosine-vs-vec-0 top-50, fused by
     // reciprocal rank (k = 60); top-10 of the fused list. Ranks are

@@ -289,9 +289,14 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
       And(And(GreaterThanOrEqual(a, Literal(2.0)), LessThan(a, Literal(9.0))),
         And(GreaterThan(Literal(5.0), a), // 5 > a => a <= 5
           EqualTo(k, Literal.create("x", StringType)))))
-    assert(got.toSet === Set(
+    // the bare-attribute string equality ALSO emits a bloom membership
+    // predicate (pseudo-column key, xxhash64 of the literal)
+    val (gotBloom, gotRange) = got.partition(_.isInstanceOf[ZoneMap.BloomEq])
+    assert(gotRange.toSet === Set(
       ZoneMap.NumRange("a", Some(2.0), Some(5.0)),
       ZoneMap.StrRange("k", Some("x"), Some("x"))))
+    assert(gotBloom.map(_.col) === Seq(ZoneMap.bloomKey("k")))
+    assert(gotBloom.collect { case ZoneMap.BloomEq(_, hs) => hs.size } === Seq(1))
     // a disjunction extracts as a UNION of its arms' extractions
     val union = ZoneSkipRule.extractRanges(
       Or(GreaterThan(a, Literal(1.0)), IsNull(a)))
@@ -342,14 +347,28 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
       LessThanOrEqual(Cast(AttributeReference("l", LongType)(), IntegerType),
         Literal(7))).isEmpty)
 
-    // IN relaxes to [min, max]; a null element is ignored
+    // IN relaxes to [min, max] AND emits a bloom any-of over the
+    // non-null elements; a null element is ignored by both
     val in = ZoneSkipRule.extractRanges(
       In(i, Seq(Literal(5), Literal(2), Literal.create(null, IntegerType), Literal(9))))
-    assert(in === Seq(ZoneMap.NumRange("i", Some(2.0), Some(9.0))))
+    assert(in.filterNot(_.isInstanceOf[ZoneMap.BloomEq])
+      === Seq(ZoneMap.NumRange("i", Some(2.0), Some(9.0))))
+    val inBloom = in.collect { case b: ZoneMap.BloomEq => b }
+    assert(inBloom.map(_.col) === Seq(ZoneMap.bloomKey("i")))
+    assert(inBloom.head.hashes.size === 3)
 
-    // InSet (the optimized IN) extracts the same way
+    // InSet (the optimized IN) extracts the same way — IDENTICAL
+    // hashes (the rule may see either form depending on list size)
     val inset = ZoneSkipRule.extractRanges(InSet(i, Set[Any](5, 2, 9)))
-    assert(inset === Seq(ZoneMap.NumRange("i", Some(2.0), Some(9.0))))
+    assert(inset.filterNot(_.isInstanceOf[ZoneMap.BloomEq])
+      === Seq(ZoneMap.NumRange("i", Some(2.0), Some(9.0))))
+    val insetBloom = inset.collect { case b: ZoneMap.BloomEq => b }
+    assert(insetBloom.head.hashes.toSet === inBloom.head.hashes.toSet)
+
+    // a cast shape never blooms (hash width differs): ranges only
+    assert(ZoneSkipRule.extractRanges(
+      EqualTo(Cast(i, LongType), Literal(7L)))
+      .forall(!_.isInstanceOf[ZoneMap.BloomEq]))
 
     // startswith: [p, successor)
     val pre = ZoneSkipRule.extractRanges(
@@ -377,5 +396,96 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
     assert(ZoneMap.keepFile(entry(0.0, 3.0), low), "low zone overlaps arm 1")
     assert(ZoneMap.keepFile(entry(95.0, 99.0), low), "high zone overlaps arm 2")
     assert(!ZoneMap.keepFile(entry(40.0, 60.0), low), "middle zone overlaps neither")
+  }
+
+  test("bloom sidecar prunes point lookups on UNCLUSTERED columns end-to-end") {
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val work = Files.createTempDirectory("zone_bloom").toString
+      val dir = s"$work/t"
+      // ids interleave round-robin across 12 files (grp = i mod 12), so
+      // every file's [min, max] spans nearly the whole id domain —
+      // min/max zones CANNOT prune a point lookup; only blooms can.
+      // Even ids only: odd ids are interior MISSES ranges still cover.
+      (0 until 6000).map { i =>
+        (2L * i, f"k${2 * i}%05d", i % 12)
+      }.toDF("id", "name", "grp")
+        .repartitionByRange(12, $"grp")
+        .write.mode("overwrite").parquet(dir)
+      ZoneMap.writeSidecar(s, dir, ZoneMap.build(s, dir, Seq("id", "name")))
+      val written = ZoneMap.buildBloomSidecar(s, dir, Seq("id", "name"))
+      val total = scanFileCount(s.read.parquet(dir))
+      assert(written === 2 * total, "one bloom per (file, col)")
+
+      // LONG point lookup: ranges keep everything (assert it, via the
+      // bloom kill switch), blooms keep only the holder (+fp≈0)
+      def hit() = s.read.parquet(dir).filter($"id" === 4242L)
+      s.conf.set("spark.graft.zonemap.bloom", "false")
+      assert(scanFileCount(hit()) === total,
+        "interleaved layout: min/max zones must be POWERLESS here")
+      s.conf.unset("spark.graft.zonemap.bloom")
+      assert(scanFileCount(hit()) === 1, "bloom must isolate the holder file")
+      assert(hit().count() === 1L)
+
+      // STRING point lookup
+      val sHit = s.read.parquet(dir).filter($"name" === "k04242")
+      assert(scanFileCount(sHit) === 1)
+      assert(sHit.count() === 1L)
+
+      // IN: any-of membership keeps the union of holders
+      val inQ = s.read.parquet(dir).filter($"id".isin(0L, 4242L, 11998L))
+      assert(scanFileCount(inQ) <= 3 && scanFileCount(inQ) >= 1)
+      assert(inQ.count() === 3L)
+
+      // interior MISS: ranges cover 4243 in every file, blooms prove
+      // absence — ZERO files scanned, empty exact answer
+      val miss = s.read.parquet(dir).filter($"id" === 4243L)
+      assert(scanFileCount(miss) === 0, "bloom must prune a provable miss")
+      assert(miss.count() === 0L)
+
+      // OR of two point lookups: arms prune independently
+      val orQ = s.read.parquet(dir)
+        .filter($"id" === 4242L || $"id" === 8888L)
+      assert(scanFileCount(orQ) <= 2)
+      assert(orQ.count() === 2L)
+
+      // a file the sidecar never saw stays visible (no bloom, kept)
+      Seq((4242L, "k04242", 99)).toDF("id", "name", "grp")
+        .coalesce(1).write.mode("append").parquet(dir)
+      assert(hit().count() === 2L, "unmentioned file must not be skipped")
+      assert(scanFileCount(hit()) === 2)
+
+      // refreshSidecar (range maintenance) PRESERVES blooms: old files
+      // still bloom-prune, the new file gains range zones
+      ZoneMap.refreshSidecar(s, dir)
+      assert(scanFileCount(hit()) === 2, "blooms must survive a range refresh")
+      assert(hit().count() === 2L)
+      // the new file's range [4242, 4242] now excludes the miss key,
+      // blooms exclude it everywhere else: still zero files
+      assert(scanFileCount(s.read.parquet(dir).filter($"id" === 4243L)) === 0)
+
+      // shard cap: an over-cap bloom shard is skipped (no bloom
+      // pruning), never unsound, and the range path still works
+      s.conf.set("spark.graft.zonemap.bloom.maxShardBytes", "16")
+      assert(scanFileCount(hit()) === total + 1,
+        "capped bloom shard: fall back to the full listing")
+      assert(hit().count() === 2L)
+      s.conf.unset("spark.graft.zonemap.bloom.maxShardBytes")
+      assert(scanFileCount(hit()) === 2)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      old.foreach(SparkSession.setDefaultSession)
+      old.foreach(SparkSession.setActiveSession)
+    }
   }
 }
