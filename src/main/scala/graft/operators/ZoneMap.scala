@@ -689,9 +689,13 @@ object ZoneMap {
     * fresh (mtime-matching) bloom for every tracked column are
     * re-scanned — O(changed files) data IO, the same maintenance-loop
     * shape as [[refreshSidecar]]. Columns default to the ones the
-    * sidecar already blooms; pass them for a first build of a file
-    * subset. Tracked columns must be DATA columns (the explicit-file
-    * read carries no partition values). Returns blooms written.
+    * sidecar already blooms; pass them explicitly for a first build of
+    * a file subset — and after a FULL rewrite (every file replaced), in
+    * which case no bloom entry survives to carry the column set
+    * ([[Compact.compact]] snapshots the set before refreshing for
+    * exactly this reason). Tracked columns must be DATA columns (the
+    * explicit-file read carries no partition values). Returns blooms
+    * written.
     */
   def refreshBlooms(spark: SparkSession, tableDir: String,
       cols: Seq[String] = Nil, numBits: Long = 1L << 18): Int = {

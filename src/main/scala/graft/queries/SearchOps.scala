@@ -33,7 +33,8 @@ object SearchOps {
     zonemapArtifacts(s, d); ()
   }
   private[graft] val derivedConsumers: Set[String] =
-    Set("q_zonemap_prune", "q_zonemap_agg", "q_zonemap_part", "q_bloom_skip")
+    Set("q_zonemap_prune", "q_zonemap_agg", "q_zonemap_part", "q_bloom_skip",
+      "q_dyn_prune")
 
   private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // undeclared consumers fail loudly — see GateContext
@@ -559,6 +560,48 @@ object SearchOps {
              |        WHERE o_orderkey * 2 = 421) AS n_miss,
              |       TRUE AS bloom_pruned,
              |       TRUE AS range_powerless""".stripMargin)),
+
+    // DYNAMIC file skipping: the probe's file list is pruned from the
+    // BUILD side's join keys — known only at run time (the Delta
+    // "dynamic file pruning" shape; Spark's own runtime bloom filters
+    // drop rows inside the scan but still open every file, and its
+    // dynamic partition pruning needs a partitioned probe). The build
+    // is a runtime-filtered orders slice; its keys turn into range +
+    // per-file-bloom predicates over the UNCLUSTERED probe copy, so
+    // the join scans only the holder files. The oracle recomputes the
+    // join census over the full tables — a wrongly-skipped probe file
+    // fails the hash.
+    GateQuery(
+      "q_dyn_prune",
+      (s, d) => {
+        val root = zonemapArtifacts(s, d)
+        val table = s"$root/table_id"
+        val buildKeys = orders(s, d)
+          .filter(col("o_orderkey") % 50000 === 7)
+          .select((col("o_orderkey") * 2).as("k"))
+        val pr = graft.operators.DynamicPrune.prunedProbe(s, table, "okey2", buildKeys)
+        require(pr.nKeys >= 1, "q_dyn_prune: the build slice must be non-empty")
+        require(pr.usedBlooms,
+          "q_dyn_prune: the key set fits the cap — blooms must engage")
+        require(pr.filesKept < pr.filesTotal,
+          s"q_dyn_prune: no pruning (${pr.filesKept}/${pr.filesTotal})")
+        require(pr.filesKept <= pr.nKeys + 1,
+          s"q_dyn_prune: kept ${pr.filesKept} files for ${pr.nKeys} keys")
+        pr.df.join(broadcast(buildKeys), pr.df("okey2") === col("k"))
+          .agg(count(lit(1)).as("n_join"),
+            sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
+              .as("total_x100"))
+          .withColumn("files_pruned", lit(true))
+          .withColumn("used_blooms", lit(true))
+      },
+      Some("""SELECT count(*) AS n_join,
+             |       CAST(sum(CAST(round(p.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |         AS total_x100,
+             |       TRUE AS files_pruned,
+             |       TRUE AS used_blooms
+             |FROM orders p
+             |JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 50000 = 7) b
+             |  ON p.o_orderkey = b.o_orderkey""".stripMargin)),
 
     // OPTIMIZE-style compaction end-to-end: a 24-small-file
     // range-clustered orders copy is bin-packed ~4:1 (name-ordered
