@@ -286,3 +286,30 @@ object CompactJob {
     spark.stop()
   }
 }
+
+/** `runMain graft.jobs.HllMapJob <parquetDir> <col[,col...]> [lgK]` —
+  * attach (or incrementally refresh) per-file HLL sketches in the
+  * zone-map sidecar and print the metadata NDV census (see
+  * ZoneMap.buildHllSidecar / ndvFromManifest).
+  */
+object HllMapJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2 || args.length == 3,
+      "usage: HllMapJob <parquetDir> <col[,col...]> [lgK]")
+    val path = args(0)
+    val cols = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val lgK = if (args.length == 3) args(2).toInt else 12
+    val spark = Jobs.session("graft-hllmap")
+    val zm = graft.operators.ZoneMap
+    val written = zm.refreshHlls(spark, path, cols, lgK)
+    println(s"hll sketches written: $written (${cols.mkString(",")}, lgK=$lgK)")
+    cols.foreach { c =>
+      zm.ndvFromManifest(spark, path, c) match {
+        case Some(n) =>
+          println(s"ndv $c: ~${n.estimate} (2sigma [${n.lower}, ${n.upper}])")
+        case None => println(s"ndv $c: refused (manifest not fresh-complete)")
+      }
+    }
+    spark.stop()
+  }
+}

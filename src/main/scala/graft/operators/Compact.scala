@@ -158,9 +158,15 @@ object Compact {
           case e if ZoneMap.isBloomKey(e.col) =>
             e.col.stripPrefix(ZoneMap.BloomPrefix)
         }.distinct
+        val hllCols = entries.collect {
+          case e if ZoneMap.isHllKey(e.col) =>
+            e.col.stripPrefix(ZoneMap.HllPrefix)
+        }.distinct
         ZoneMap.refreshSidecar(spark, tableDir)
         if (bloomCols.nonEmpty)
           ZoneMap.refreshBlooms(spark, tableDir, bloomCols)
+        if (hllCols.nonEmpty)
+          ZoneMap.refreshHlls(spark, tableDir, hllCols)
       }
     }
     CompactResult(bins.size, filesIn, bins.size, bytesIn)

@@ -93,7 +93,15 @@ object ZoneMap {
       // zones are useless (a point lookup on an id column: every
       // file's range covers the key, but only the file(s) actually
       // holding it pass the membership test).
-      bloom: Option[String] = None)
+      bloom: Option[String] = None,
+      // base64 of a DataSketches HLL sketch of the column's values —
+      // present only on HLL pseudo-column entries ([[hllKey]]), built
+      // by [[buildHllSidecar]]. Per-file sketches MERGE losslessly, so
+      // the table's NDV is answerable from metadata alone
+      // ([[ndvFromManifest]]) and maintains incrementally: an ingest
+      // batch sketches only its new files, where ANALYZE's
+      // count(distinct) rescans the world.
+      hll: Option[String] = None)
 
   /** Bloom entries live under a PSEUDO column name so the sharded
     * sidecar stores and slices them independently of the range zones:
@@ -105,6 +113,13 @@ object ZoneMap {
   private[graft] val BloomPrefix = "#bloom#"
   def bloomKey(col: String): String = BloomPrefix + col
   def isBloomKey(col: String): Boolean = col.startsWith(BloomPrefix)
+
+  private[graft] val HllPrefix = "#hll#"
+  def hllKey(col: String): String = HllPrefix + col
+  def isHllKey(col: String): Boolean = col.startsWith(HllPrefix)
+
+  /** Any auxiliary (non-footer-harvestable) pseudo-column entry. */
+  def isAuxKey(col: String): Boolean = isBloomKey(col) || isHllKey(col)
 
   /** A necessary range condition on one column — a RELAXATION of the
     * query's real filter (pruning keeps a superset; the query filter
@@ -520,6 +535,7 @@ object ZoneMap {
         o.put("mtime", e.mtime)
         o.put("boundsLossy", e.boundsLossy)
         e.bloom.foreach(o.put("bloom", _))
+        e.hll.foreach(o.put("hll", _))
       }
       m.writeValueAsString(root)
     }
@@ -592,17 +608,19 @@ object ZoneMap {
     */
   def refreshSidecar(spark: SparkSession, tableDir: String,
       cols: Seq[String] = Nil): (Int, Int) = {
-    require(cols.forall(!isBloomKey(_)),
-      "refreshSidecar tracks REAL columns; blooms refresh via buildBloomSidecar")
+    require(cols.forall(!isAuxKey(_)),
+      "refreshSidecar tracks REAL columns; sketches refresh via " +
+        "refreshBlooms/refreshHlls")
     val conf = spark.sparkContext.hadoopConfiguration
     val prior = readSidecarPath(new Path(tableDir, SidecarFile), conf)
       .getOrElse(Seq.empty)
-    // bloom pseudo-entries are NOT footer-harvestable: they survive the
-    // refresh for unchanged live files and drop for rewritten/dead ones
-    // (a rewritten file's bloom is re-attached by the next
-    // buildBloomSidecar run — until then the file simply never bloom-
-    // prunes, which is sound)
-    val (priorBloom, priorRange) = prior.partition(e => isBloomKey(e.col))
+    // auxiliary (bloom/HLL) pseudo-entries are NOT footer-harvestable:
+    // they survive the refresh for unchanged live files and drop for
+    // rewritten/dead ones (a rewritten file's sketches re-attach on the
+    // next refreshBlooms/refreshHlls run — until then the file simply
+    // never bloom-prunes and poisons the NDV census to refusal, both
+    // sound)
+    val (priorBloom, priorRange) = prior.partition(e => isAuxKey(e.col))
     val trackCols =
       if (cols.nonEmpty) cols else priorRange.map(_.col).distinct
     require(trackCols.nonEmpty || priorBloom.nonEmpty,
@@ -681,7 +699,7 @@ object ZoneMap {
     require(statuses.nonEmpty, s"no parquet data files under $tableDir")
     val fresh = bloomEntries(spark,
       spark.read.parquet(tableDir), statuses, cols, numBits)
-    mergeBloomWrite(spark, tableDir, fresh)
+    mergeAuxWrite(spark, tableDir, fresh)
   }
 
   /** Incrementally RE-ATTACH blooms after table maintenance (ingest
@@ -698,34 +716,73 @@ object ZoneMap {
     * written.
     */
   def refreshBlooms(spark: SparkSession, tableDir: String,
-      cols: Seq[String] = Nil, numBits: Long = 1L << 18): Int = {
-    require(cols.forall(!isBloomKey(_)), "pass REAL column names")
+      cols: Seq[String] = Nil, numBits: Long = 1L << 18): Int =
+    refreshAux(spark, tableDir, cols, BloomPrefix,
+      (df, statuses, cs) => bloomEntries(spark, df, statuses, cs, numBits))
+
+  /** Attach per-file HLL SKETCHES for `cols` (NDV pseudo-shards,
+    * [[hllKey]]): one grouped data pass like the bloom build, same
+    * list-before-read mtime discipline, same incremental refresh shape
+    * ([[refreshHlls]]). Per-file sketches merge losslessly, so
+    * [[ndvFromManifest]] answers the table's distinct-count census
+    * from metadata — the ANALYZE-without-a-rescan maintenance loop
+    * ([[Cbo.collectStats]] pays a full `count(distinct)` scan every
+    * time; this pays one O(changed files) sketch pass per batch).
+    * `lgK = 12` ⇒ ~1.6 % relative standard error, ~2 KiB per
+    * (file, column). Returns sketches written.
+    */
+  def buildHllSidecar(spark: SparkSession, tableDir: String,
+      cols: Seq[String], lgK: Int = 12): Int = {
+    require(cols.nonEmpty, "HLL sidecar needs at least one column")
+    require(cols.forall(!isAuxKey(_)), "pass REAL column names")
+    val statuses = dataFileStatuses(spark, tableDir)
+    require(statuses.nonEmpty, s"no parquet data files under $tableDir")
+    val fresh = hllEntries(spark, spark.read.parquet(tableDir), statuses, cols, lgK)
+    mergeAuxWrite(spark, tableDir, fresh)
+  }
+
+  /** Incremental [[buildHllSidecar]] — the [[refreshBlooms]] contract
+    * (fresh coverage per (file, col), explicit cols after a full
+    * rewrite, DATA columns only).
+    */
+  def refreshHlls(spark: SparkSession, tableDir: String,
+      cols: Seq[String] = Nil, lgK: Int = 12): Int =
+    refreshAux(spark, tableDir, cols, HllPrefix,
+      (df, statuses, cs) => hllEntries(spark, df, statuses, cs, lgK))
+
+  /** Shared incremental-refresh loop for auxiliary sketch shards:
+    * files lacking FRESH coverage for every tracked column re-scan
+    * (one explicit-file read), everything else is untouched.
+    */
+  private def refreshAux(spark: SparkSession, tableDir: String,
+      cols: Seq[String], prefix: String,
+      build: (DataFrame, Seq[(String, Long)], Seq[String]) => Seq[ZoneEntry]): Int = {
+    require(cols.forall(!isAuxKey(_)), "pass REAL column names")
     val conf = spark.sparkContext.hadoopConfiguration
     val prior = readSidecarPath(new Path(tableDir, SidecarFile), conf)
       .getOrElse(Seq.empty)
     val tracked =
       if (cols.nonEmpty) cols
       else prior.collect {
-        case e if isBloomKey(e.col) => e.col.stripPrefix(BloomPrefix)
+        case e if e.col.startsWith(prefix) => e.col.stripPrefix(prefix)
       }.distinct
     if (tracked.isEmpty) return 0
     val statuses = dataFileStatuses(spark, tableDir)
     if (statuses.isEmpty) return 0
     val liveM = statuses.toMap
     val covered: Map[String, Set[String]] = prior
-      .filter(e => isBloomKey(e.col) && e.mtime != 0L &&
+      .filter(e => e.col.startsWith(prefix) && e.mtime != 0L &&
         liveM.get(e.file).contains(e.mtime))
       .groupBy(_.file)
       .map { case (f, es) =>
-        f -> es.map(_.col.stripPrefix(BloomPrefix)).toSet
+        f -> es.map(_.col.stripPrefix(prefix)).toSet
       }
     val todo = statuses.filter { case (f, _) =>
       !tracked.forall(covered.getOrElse(f, Set.empty))
     }
     if (todo.isEmpty) return 0
-    val fresh = bloomEntries(spark,
-      spark.read.parquet(todo.map(_._1): _*), todo, tracked, numBits)
-    mergeBloomWrite(spark, tableDir, fresh)
+    val fresh = build(spark.read.parquet(todo.map(_._1): _*), todo, tracked)
+    mergeAuxWrite(spark, tableDir, fresh)
   }
 
   /** One grouped-by-source-file bloom aggregation over `df` → sidecar
@@ -735,33 +792,99 @@ object ZoneMap {
   private def bloomEntries(spark: SparkSession,
       df: DataFrame, statuses: Seq[(String, Long)],
       cols: Seq[String], numBits: Long): Seq[ZoneEntry] = {
-    import org.apache.spark.sql.functions.{call_function, col, input_file_name, lit, xxhash64}
-    val byNorm = statuses.map { case (f, m) => normalizeUri(f) -> (f, m) }.toMap
+    import org.apache.spark.sql.functions.{call_function, col, lit, xxhash64}
     Bloom.ensureRegistered(spark)
     val items = math.max(64L, numBits / 16L)
-    val aggs = cols.zipWithIndex.map { case (c, i) =>
-      call_function("graft_bloom_agg", xxhash64(col(c)), lit(items), lit(numBits))
-        .as(s"_bf$i")
-    }
+    auxEntries(spark, df, statuses, cols,
+      c => call_function("graft_bloom_agg", xxhash64(col(c)), lit(items), lit(numBits)),
+      (e, c, b64) => e.copy(col = bloomKey(c), bloom = Some(b64)))
+  }
+
+  /** The HLL twin of [[bloomEntries]]. */
+  private def hllEntries(spark: SparkSession,
+      df: DataFrame, statuses: Seq[(String, Long)],
+      cols: Seq[String], lgK: Int): Seq[ZoneEntry] = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg}
+    auxEntries(spark, df, statuses, cols,
+      c => hll_sketch_agg(col(c), lgK),
+      (e, c, b64) => e.copy(col = hllKey(c), hll = Some(b64)))
+  }
+
+  /** Shared grouped-by-source-file sketch aggregation: one job for all
+    * columns, mtimes from the PRE-scan listing.
+    */
+  private def auxEntries(spark: SparkSession,
+      df: DataFrame, statuses: Seq[(String, Long)], cols: Seq[String],
+      aggFor: String => org.apache.spark.sql.Column,
+      attach: (ZoneEntry, String, String) => ZoneEntry): Seq[ZoneEntry] = {
+    import org.apache.spark.sql.functions.input_file_name
+    val byNorm = statuses.map { case (f, m) => normalizeUri(f) -> (f, m) }.toMap
+    val aggs = cols.zipWithIndex.map { case (c, i) => aggFor(c).as(s"_sk$i") }
     df.groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .toSeq.flatMap { r =>
         byNorm.get(normalizeUri(r.getString(0))).toSeq.flatMap { case (f, m) =>
           cols.indices.flatMap { i =>
-            // an all-null column aggregates to null bytes — no bloom,
-            // the file stays unprunable on that column (sound)
+            // an all-null column aggregates to null bytes — no sketch,
+            // the file stays uncovered on that column (sound: pruning
+            // keeps it, the census refuses)
             Option(r.get(i + 1)).map(_.asInstanceOf[Array[Byte]]).map { bytes =>
-              ZoneEntry(f, bloomKey(cols(i)), 0L, hasStats = false,
-                None, None, None, None, 0L, isFloat = false, mtime = m,
-                bloom = Some(java.util.Base64.getEncoder.encodeToString(bytes)))
+              attach(
+                ZoneEntry(f, cols(i), 0L, hasStats = false,
+                  None, None, None, None, 0L, isFloat = false, mtime = m),
+                cols(i),
+                java.util.Base64.getEncoder.encodeToString(bytes))
             }
           }
         }
       }
   }
 
-  private def mergeBloomWrite(spark: SparkSession, tableDir: String,
+  /** Approximate distinct-count census from the sidecar's HLL shards —
+    * metadata only, with the [[aggFromManifestMulti]] freshness
+    * contract: None unless EVERY live file carries a fresh sketch for
+    * the column (a late or rewritten file means the merge cannot speak
+    * for the table). The estimate is explicitly approximate — lower
+    * and upper bounds at 2 standard deviations ride along, and a
+    * caller needing exactness runs the scan.
+    */
+  final case class NdvEstimate(estimate: Long, lower: Long, upper: Long)
+
+  def ndvFromManifest(spark: SparkSession, tableDir: String,
+      column: String): Option[NdvEstimate] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = hllKey(column)
+    val entries = readSidecarColumns(
+      new Path(tableDir, SidecarFile), conf, Some(Set(key)))
+      .getOrElse(return None)
+    val live = dataFileStatuses(spark, tableDir)
+    if (live.isEmpty) return None
+    val byFile = entries.filter(_.col == key)
+      .map(e => normalizeUri(e.file) -> e).toMap
+    val sketches = live.map { case (f, mtime) =>
+      byFile.get(normalizeUri(f))
+        .filter(e => e.mtime != 0L && e.mtime == mtime)
+        .flatMap(_.hll)
+    }
+    if (sketches.exists(_.isEmpty)) return None
+    try {
+      val union = new org.apache.datasketches.hll.Union(21)
+      sketches.flatten.foreach { b64 =>
+        union.update(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(b64)))
+      }
+      val res = union.getResult
+      Some(NdvEstimate(
+        math.round(res.getEstimate),
+        math.round(res.getLowerBound(2)),
+        math.round(res.getUpperBound(2))))
+    } catch { // corrupt sketch bytes: refuse, never a wrong census
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  private def mergeAuxWrite(spark: SparkSession, tableDir: String,
       fresh: Seq[ZoneEntry]): Int = {
     val prior = readSidecarPath(
       new Path(tableDir, SidecarFile),
@@ -907,7 +1030,8 @@ object ZoneMap {
             // absent (pre-flag sidecar): assume lossy — conservative
             // for the manifest census, irrelevant for pruning
             Option(o.get("boundsLossy")).forall(_.asBoolean()),
-            Option(o.get("bloom")).map(_.asText()))
+            Option(o.get("bloom")).map(_.asText()),
+            Option(o.get("hll")).map(_.asText()))
         }
         Some(buf.toSeq)
       } catch { case scala.util.control.NonFatal(_) => None }

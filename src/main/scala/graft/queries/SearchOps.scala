@@ -34,7 +34,7 @@ object SearchOps {
   }
   private[graft] val derivedConsumers: Set[String] =
     Set("q_zonemap_prune", "q_zonemap_agg", "q_zonemap_part", "q_bloom_skip",
-      "q_dyn_prune")
+      "q_dyn_prune", "q_ndv_census")
 
   private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // undeclared consumers fail loudly — see GateContext
@@ -83,6 +83,8 @@ object SearchOps {
       ZoneMap.writeSidecar(s, s"$out/table_id",
         ZoneMap.build(s, s"$out/table_id", Seq("okey2", "okey_str")))
       ZoneMap.buildBloomSidecar(s, s"$out/table_id", Seq("okey2", "okey_str"))
+      // HLL shards for the metadata NDV census gate (q_ndv_census)
+      ZoneMap.buildHllSidecar(s, s"$out/table_id", Seq("okey2", "o_orderstatus"))
       out
     })
   }
@@ -602,6 +604,44 @@ object SearchOps {
              |FROM orders p
              |JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 50000 = 7) b
              |  ON p.o_orderkey = b.o_orderkey""".stripMargin)),
+
+    // NDV census from METADATA: per-file HLL sketches in the sidecar
+    // merge losslessly into the table's distinct-count estimate — the
+    // ANALYZE-without-a-rescan loop (Cbo.collectStats pays a full
+    // count(distinct) scan every time; the sketch shards maintain
+    // incrementally per ingest batch). The estimate is explicitly
+    // approximate: the gate hashes the EXACT values (recomputed by a
+    // real scan on both engines) and oracle-witnesses that the 2σ
+    // bounds bracket the truth — plus exactness at tiny cardinality,
+    // where HLL degenerates to a exact set.
+    GateQuery(
+      "q_ndv_census",
+      (s, d) => {
+        val root = zonemapArtifacts(s, d)
+        val table = s"$root/table_id"
+        val ndvKey = graft.operators.ZoneMap.ndvFromManifest(s, table, "okey2")
+          .getOrElse(sys.error("q_ndv_census: fresh table must answer okey2"))
+        val ndvStatus = graft.operators.ZoneMap.ndvFromManifest(s, table, "o_orderstatus")
+          .getOrElse(sys.error("q_ndv_census: fresh table must answer status"))
+        val exact = s.read.parquet(table)
+          .agg(countDistinct(col("okey2")).as("k"),
+            countDistinct(col("o_orderstatus")).as("st")).head()
+        require(ndvKey.lower <= exact.getLong(0) && exact.getLong(0) <= ndvKey.upper,
+          s"q_ndv_census: 2σ bounds [${ndvKey.lower}, ${ndvKey.upper}] miss " +
+            s"the exact NDV ${exact.getLong(0)}")
+        require(ndvStatus.estimate == exact.getLong(1),
+          s"q_ndv_census: tiny-cardinality HLL must be exact " +
+            s"(${ndvStatus.estimate} vs ${exact.getLong(1)})")
+        s.range(1).select(
+          lit(exact.getLong(0)).as("ndv_okey"),
+          lit(exact.getLong(1)).as("ndv_status"),
+          lit(true).as("bounds_bracket"),
+          lit(true).as("census_from_metadata"))
+      },
+      Some("""SELECT (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_okey,
+             |       (SELECT count(DISTINCT o_orderstatus) FROM orders) AS ndv_status,
+             |       TRUE AS bounds_bracket,
+             |       TRUE AS census_from_metadata""".stripMargin)),
 
     // OPTIMIZE-style compaction end-to-end: a 24-small-file
     // range-clustered orders copy is bin-packed ~4:1 (name-ordered

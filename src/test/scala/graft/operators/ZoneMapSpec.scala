@@ -377,4 +377,45 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     val want = spark.read.parquet(dir).filter(col("a") <= 10 && col("b") <= 10).count()
     assert(got === want && want > 0)
   }
+
+  test("HLL shards: NDV census from metadata, fresh-coverage refusal, incremental refresh") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("zm_hll").toString
+    val dir = s"$work/t"
+    // 6 files × 500 rows; k has 1000 distinct values spread across
+    // files (every file holds a random-ish subset), s has 10
+    (0 until 6).foreach { i =>
+      (0 until 500).map { j =>
+        val g = i * 500 + j
+        ((g * 7919L) % 1000L, s"s${g % 10}")
+      }.toDF("k", "s").coalesce(1).write.mode("append").parquet(dir)
+    }
+    ZoneMap.writeSidecar(spark, dir, ZoneMap.build(spark, dir, Seq("k")))
+    assert(ZoneMap.buildHllSidecar(spark, dir, Seq("k", "s")) === 12)
+
+    val exactK = spark.read.parquet(dir).select("k").distinct().count()
+    val exactS = spark.read.parquet(dir).select("s").distinct().count()
+    val ndvK = ZoneMap.ndvFromManifest(spark, dir, "k")
+      .getOrElse(fail("fresh table must answer"))
+    val ndvS = ZoneMap.ndvFromManifest(spark, dir, "s").get
+    assert(ndvK.lower <= exactK && exactK <= ndvK.upper,
+      s"2σ bounds must bracket the truth: $ndvK vs exact $exactK")
+    assert(ndvS.estimate === exactS,
+      "10 distinct values: HLL is exact at tiny cardinality")
+    // the range maintenance loop PRESERVES sketches
+    ZoneMap.refreshSidecar(spark, dir)
+    assert(ZoneMap.ndvFromManifest(spark, dir, "k").isDefined)
+
+    // a NEW file poisons the census to refusal until sketches refresh
+    Seq((100000L, "s_new")).toDF("k", "s")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(ZoneMap.ndvFromManifest(spark, dir, "k").isEmpty,
+      "an unsketched live file must refuse the census")
+    // incremental: only the ONE new file re-scans
+    assert(ZoneMap.refreshHlls(spark, dir) === 2, "one file × two columns")
+    val after = ZoneMap.ndvFromManifest(spark, dir, "s").get
+    assert(after.estimate === exactS + 1)
+    // untracked column refuses
+    assert(ZoneMap.ndvFromManifest(spark, dir, "nope").isEmpty)
+  }
 }
