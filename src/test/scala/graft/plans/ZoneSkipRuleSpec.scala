@@ -218,11 +218,17 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
       // Hive layout: 3 day partitions × 5 files each, every file a
       // tight 100-id zone (0-99, 100-199, … within each day)
       for (day <- 1 to 3; f <- 0 until 5) {
-        (0 until 100).map(i => ((f * 100 + i).toLong, s"d$day"))
-          .toDF("id", "day").coalesce(1)
+        (0 until 100).map { i =>
+          val id = (f * 100 + i).toLong
+          // tag scatters across files (7919 coprime to 500): id zones
+          // are tight per file, tag ranges cover everything — the
+          // bloom-only-prunable shape, inside a partitioned layout
+          (id, s"t${(id * 7919) % 500}", s"d$day")
+        }.toDF("id", "tag", "day").coalesce(1)
           .write.mode("append").partitionBy("day").parquet(dir)
       }
       ZoneMap.writeSidecar(s, dir, ZoneMap.build(s, dir, Seq("id")))
+      ZoneMap.buildBloomSidecar(s, dir, Seq("tag"))
 
       // the recursive harvest saw every partition's files
       assert(ZoneMap.dataFiles(s, dir).length === 15)
@@ -271,6 +277,15 @@ class ZoneSkipRuleSpec extends AnyFunSuite {
       assert(scanFileCount(partOnly) === 15, "partition-only filter: no rewrite")
       assert(executedNumFiles(partOnly) === 5L)
       assert(partOnly.count() === 500L)
+
+      // BLOOM pruning composes with partition pruning too: exactly one
+      // id per day maps to tag t333 (7919 is invertible mod 500), so
+      // the bloom keeps its holder file inside each partition and the
+      // partition filter drops the other days — ONE executed file
+      val pt = s.read.parquet(dir).filter($"day" === "d2" && $"tag" === "t333")
+      assert(executedNumFiles(pt) === 1L,
+        "bloom + partition pruning must isolate the single holder file")
+      assert(pt.count() === 1L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
