@@ -313,3 +313,32 @@ object HllMapJob {
     spark.stop()
   }
 }
+
+/** `runMain graft.jobs.KllMapJob <parquetDir> <col[,col...]> [k]` —
+  * attach (or incrementally refresh) per-file KLL quantile sketches in
+  * the zone-map sidecar and print the metadata quantile census
+  * (median / p90 / p99, see ZoneMap.buildKllSidecar /
+  * quantilesFromManifest).
+  */
+object KllMapJob {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2 || args.length == 3,
+      "usage: KllMapJob <parquetDir> <col[,col...]> [k]")
+    val path = args(0)
+    val cols = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val k = if (args.length == 3) args(2).toInt else 200
+    val spark = Jobs.session("graft-kllmap")
+    val zm = graft.operators.ZoneMap
+    val written = zm.refreshKlls(spark, path, cols, k)
+    println(s"kll sketches written: $written (${cols.mkString(",")}, k=$k)")
+    cols.foreach { c =>
+      zm.quantilesFromManifest(spark, path, c, Seq(0.5, 0.9, 0.99)) match {
+        case Some(q) =>
+          println(f"quantiles $c: p50=${q.values(0)}%.4f p90=${q.values(1)}%.4f " +
+            f"p99=${q.values(2)}%.4f (n=${q.n}, rank err ±${q.rankError * 100}%.2f%%)")
+        case None => println(s"quantiles $c: refused (manifest not fresh-complete)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -162,11 +162,17 @@ object Compact {
           case e if ZoneMap.isHllKey(e.col) =>
             e.col.stripPrefix(ZoneMap.HllPrefix)
         }.distinct
+        val kllCols = entries.collect {
+          case e if ZoneMap.isKllKey(e.col) =>
+            e.col.stripPrefix(ZoneMap.KllPrefix)
+        }.distinct
         ZoneMap.refreshSidecar(spark, tableDir)
         if (bloomCols.nonEmpty)
           ZoneMap.refreshBlooms(spark, tableDir, bloomCols)
         if (hllCols.nonEmpty)
           ZoneMap.refreshHlls(spark, tableDir, hllCols)
+        if (kllCols.nonEmpty)
+          ZoneMap.refreshKlls(spark, tableDir, kllCols)
       }
     }
     CompactResult(bins.size, filesIn, bins.size, bytesIn)

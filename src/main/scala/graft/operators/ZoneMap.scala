@@ -101,7 +101,14 @@ object ZoneMap {
       // ([[ndvFromManifest]]) and maintains incrementally: an ingest
       // batch sketches only its new files, where ANALYZE's
       // count(distinct) rescans the world.
-      hll: Option[String] = None)
+      hll: Option[String] = None,
+      // base64 of a DataSketches KLL quantile sketch — KLL pseudo-
+      // column entries ([[kllKey]]), built by [[buildKllSidecar]].
+      // Mergeable like the HLL shards: the table's quantile census
+      // (median, percentiles, equi-depth boundaries for range
+      // partitioning) answers from metadata ([[quantilesFromManifest]])
+      // with a known normalized rank error instead of a full sort.
+      kll: Option[String] = None)
 
   /** Bloom entries live under a PSEUDO column name so the sharded
     * sidecar stores and slices them independently of the range zones:
@@ -118,8 +125,13 @@ object ZoneMap {
   def hllKey(col: String): String = HllPrefix + col
   def isHllKey(col: String): Boolean = col.startsWith(HllPrefix)
 
+  private[graft] val KllPrefix = "#kll#"
+  def kllKey(col: String): String = KllPrefix + col
+  def isKllKey(col: String): Boolean = col.startsWith(KllPrefix)
+
   /** Any auxiliary (non-footer-harvestable) pseudo-column entry. */
-  def isAuxKey(col: String): Boolean = isBloomKey(col) || isHllKey(col)
+  def isAuxKey(col: String): Boolean =
+    isBloomKey(col) || isHllKey(col) || isKllKey(col)
 
   /** A necessary range condition on one column — a RELAXATION of the
     * query's real filter (pruning keeps a superset; the query filter
@@ -536,6 +548,7 @@ object ZoneMap {
         o.put("boundsLossy", e.boundsLossy)
         e.bloom.foreach(o.put("bloom", _))
         e.hll.foreach(o.put("hll", _))
+        e.kll.foreach(o.put("kll", _))
       }
       m.writeValueAsString(root)
     }
@@ -749,6 +762,101 @@ object ZoneMap {
       cols: Seq[String] = Nil, lgK: Int = 12): Int =
     refreshAux(spark, tableDir, cols, HllPrefix,
       (df, statuses, cs) => hllEntries(spark, df, statuses, cs, lgK))
+
+  /** Attach per-file KLL QUANTILE sketches for numeric `cols`
+    * ([[kllKey]] pseudo-shards, ~3 KiB per file-column at k = 200 ⇒
+    * ~1.65 % normalized rank error): the metadata path to medians,
+    * percentiles and equi-depth boundaries ([[quantilesFromManifest]])
+    * — [[Analyze.equiDepth]] pays a full scan every run; this pays
+    * one O(changed files) pass per batch ([[refreshKlls]]). Same
+    * list-before-read mtime discipline as the bloom/HLL builds.
+    */
+  def buildKllSidecar(spark: SparkSession, tableDir: String,
+      cols: Seq[String], k: Int = 200): Int = {
+    require(cols.nonEmpty, "KLL sidecar needs at least one column")
+    require(cols.forall(!isAuxKey(_)), "pass REAL column names")
+    val statuses = dataFileStatuses(spark, tableDir)
+    require(statuses.nonEmpty, s"no parquet data files under $tableDir")
+    val fresh = kllEntries(spark, spark.read.parquet(tableDir), statuses, cols, k)
+    mergeAuxWrite(spark, tableDir, fresh)
+  }
+
+  /** Incremental [[buildKllSidecar]] (the [[refreshBlooms]] contract). */
+  def refreshKlls(spark: SparkSession, tableDir: String,
+      cols: Seq[String] = Nil, k: Int = 200): Int =
+    refreshAux(spark, tableDir, cols, KllPrefix,
+      (df, statuses, cs) => kllEntries(spark, df, statuses, cs, k))
+
+  private def ensureKllRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_agg",
+      args => graft.functions.KllSketchAgg(args(0),
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "scala_udf")
+
+  private def kllEntries(spark: SparkSession,
+      df: DataFrame, statuses: Seq[(String, Long)],
+      cols: Seq[String], k: Int): Seq[ZoneEntry] = {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    cols.foreach { c =>
+      val f = df.schema.find(_.name == c)
+        .getOrElse(sys.error(s"column $c not in the table schema"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"KLL sketches quantile NUMERIC columns; $c is ${f.dataType}")
+    }
+    ensureKllRegistered(spark)
+    auxEntries(spark, df, statuses, cols,
+      c => call_function("graft_kll_agg", col(c).cast("double"), lit(k)),
+      (e, c, b64) => e.copy(col = kllKey(c), kll = Some(b64)))
+  }
+
+  /** Approximate quantile census from the KLL shards — the
+    * [[ndvFromManifest]] contract (fresh coverage per live file or
+    * refusal). `values(i)` estimates the `ranks(i)` quantile;
+    * `rankError` is the sketch's normalized 1σ rank error (the true
+    * rank of `values(i)` lies within `ranks(i) ± 2·rankError` at
+    * ~95 % confidence); `n` is the EXACT non-null count folded from
+    * the sketches.
+    */
+  final case class QuantileCensus(values: Seq[Double], rankError: Double, n: Long)
+
+  def quantilesFromManifest(spark: SparkSession, tableDir: String,
+      column: String, ranks: Seq[Double]): Option[QuantileCensus] = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      "ranks must be in [0, 1]")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = kllKey(column)
+    val entries = readSidecarColumns(
+      new Path(tableDir, SidecarFile), conf, Some(Set(key)))
+      .getOrElse(return None)
+    val live = dataFileStatuses(spark, tableDir)
+    if (live.isEmpty) return None
+    val byFile = entries.filter(_.col == key)
+      .map(e => normalizeUri(e.file) -> e).toMap
+    val sketches = live.map { case (f, mtime) =>
+      byFile.get(normalizeUri(f))
+        .filter(e => e.mtime != 0L && e.mtime == mtime)
+        .flatMap(_.kll)
+    }
+    if (sketches.exists(_.isEmpty)) return None
+    try {
+      val parts = sketches.flatten.map { b64 =>
+        org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(
+            java.util.Base64.getDecoder.decode(b64)))
+      }
+      val merged = org.apache.datasketches.kll.KllDoublesSketch
+        .newHeapInstance(parts.map(_.getK).min)
+      parts.foreach(merged.merge)
+      if (merged.isEmpty) return None // all-null column: no quantiles
+      Some(QuantileCensus(
+        ranks.map(merged.getQuantile),
+        merged.getNormalizedRankError(false),
+        merged.getN))
+    } catch { // corrupt sketch bytes: refuse, never a wrong census
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
 
   /** Shared incremental-refresh loop for auxiliary sketch shards:
     * files lacking FRESH coverage for every tracked column re-scan
@@ -1031,7 +1139,8 @@ object ZoneMap {
             // for the manifest census, irrelevant for pruning
             Option(o.get("boundsLossy")).forall(_.asBoolean()),
             Option(o.get("bloom")).map(_.asText()),
-            Option(o.get("hll")).map(_.asText()))
+            Option(o.get("hll")).map(_.asText()),
+            Option(o.get("kll")).map(_.asText()))
         }
         Some(buf.toSeq)
       } catch { case scala.util.control.NonFatal(_) => None }

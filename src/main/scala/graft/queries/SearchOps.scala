@@ -34,7 +34,7 @@ object SearchOps {
   }
   private[graft] val derivedConsumers: Set[String] =
     Set("q_zonemap_prune", "q_zonemap_agg", "q_zonemap_part", "q_bloom_skip",
-      "q_dyn_prune", "q_ndv_census")
+      "q_dyn_prune", "q_ndv_census", "q_quantile_census")
 
   private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // undeclared consumers fail loudly — see GateContext
@@ -85,6 +85,8 @@ object SearchOps {
       ZoneMap.buildBloomSidecar(s, s"$out/table_id", Seq("okey2", "okey_str"))
       // HLL shards for the metadata NDV census gate (q_ndv_census)
       ZoneMap.buildHllSidecar(s, s"$out/table_id", Seq("okey2", "o_orderstatus"))
+      // KLL shards for the metadata quantile census (q_quantile_census)
+      ZoneMap.buildKllSidecar(s, s"$out/table_id", Seq("o_totalprice"))
       out
     })
   }
@@ -642,6 +644,58 @@ object SearchOps {
              |       (SELECT count(DISTINCT o_orderstatus) FROM orders) AS ndv_status,
              |       TRUE AS bounds_bracket,
              |       TRUE AS census_from_metadata""".stripMargin)),
+
+    // QUANTILE census from METADATA: per-file KLL sketches merge into
+    // the table's percentile estimates — no sort, no scan (the
+    // equi-depth/range-partition planning input at 100 TB). Like
+    // q_ndv_census the gate hashes EXACT values (quantized-integer
+    // percentiles recomputed by scan on both engines) and
+    // oracle-witnesses that the sketch estimates land within the
+    // published ±2ε rank window around the truth.
+    GateQuery(
+      "q_quantile_census",
+      (s, d) => {
+        val root = zonemapArtifacts(s, d)
+        val table = s"$root/table_id"
+        val qc = graft.operators.ZoneMap.quantilesFromManifest(
+          s, table, "o_totalprice", Seq(0.5, 0.9))
+          .getOrElse(sys.error("q_quantile_census: fresh table must answer"))
+        val eps = 2.0 * qc.rankError
+        val exact = s.read.parquet(table)
+          .select(col("o_totalprice"),
+            round(col("o_totalprice") * 100).cast("long").as("p100"))
+          .agg(
+            expr("percentile(p100, 0.5)").as("med"),
+            expr("percentile(p100, 0.9)").as("p90"),
+            expr(s"percentile(o_totalprice, ${0.5 - eps})").as("m_lo"),
+            expr(s"percentile(o_totalprice, ${0.5 + eps})").as("m_hi"),
+            expr(s"percentile(o_totalprice, ${0.9 - eps})").as("h_lo"),
+            expr(s"percentile(o_totalprice, ${math.min(1.0, 0.9 + eps)})").as("h_hi"),
+            count(col("o_totalprice")).as("n"))
+          .head()
+        require(qc.n == exact.getLong(6),
+          s"q_quantile_census: sketch n ${qc.n} != exact ${exact.getLong(6)}")
+        require(qc.values(0) >= exact.getDouble(2) && qc.values(0) <= exact.getDouble(3),
+          s"q_quantile_census: median estimate ${qc.values(0)} outside " +
+            s"the ±2ε rank window [${exact.getDouble(2)}, ${exact.getDouble(3)}]")
+        require(qc.values(1) >= exact.getDouble(4) && qc.values(1) <= exact.getDouble(5),
+          s"q_quantile_census: p90 estimate ${qc.values(1)} outside " +
+            s"the ±2ε rank window [${exact.getDouble(4)}, ${exact.getDouble(5)}]")
+        s.range(1).select(
+          lit(math.round(exact.getDouble(0))).as("med_x100"),
+          lit(math.round(exact.getDouble(1))).as("p90_x100"),
+          lit(exact.getLong(6)).as("n_prices"),
+          lit(true).as("approx_within_eps"),
+          lit(true).as("census_from_metadata"))
+      },
+      Some("""SELECT CAST(round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)) AS BIGINT)
+             |         AS med_x100,
+             |       CAST(round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)) AS BIGINT)
+             |         AS p90_x100,
+             |       count(o_totalprice) AS n_prices,
+             |       TRUE AS approx_within_eps,
+             |       TRUE AS census_from_metadata
+             |FROM orders""".stripMargin)),
 
     // OPTIMIZE-style compaction end-to-end: a 24-small-file
     // range-clustered orders copy is bin-packed ~4:1 (name-ordered

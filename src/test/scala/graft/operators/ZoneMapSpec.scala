@@ -418,4 +418,41 @@ class ZoneMapSpec extends AnyFunSuite with SparkTestBase {
     // untracked column refuses
     assert(ZoneMap.ndvFromManifest(spark, dir, "nope").isEmpty)
   }
+
+  test("KLL shards: quantile census from metadata with bounded rank error") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("zm_kll").toString
+    val dir = s"$work/t"
+    // v is a permutation of 0..2999 scattered across 6 files (7919 is
+    // coprime to 3000), so every file's sketch sees a uniform slice
+    (0 until 6).foreach { i =>
+      (0 until 500).map { j =>
+        val g = i * 500 + j
+        ((g * 7919L) % 3000L, s"x$g")
+      }.toDF("v", "s").coalesce(1).write.mode("append").parquet(dir)
+    }
+    assert(ZoneMap.buildKllSidecar(spark, dir, Seq("v")) === 6)
+    val q = ZoneMap.quantilesFromManifest(spark, dir, "v", Seq(0.5, 0.9))
+      .getOrElse(fail("fresh table must answer"))
+    assert(q.n === 3000L, "sketch n is the exact non-null count")
+    // uniform 0..2999: rank error eps translates to value error 3000·eps
+    val tol = 2.0 * q.rankError * 3000.0 + 1.0
+    assert(math.abs(q.values(0) - 1499.5) <= tol,
+      s"median ${q.values(0)} off by more than $tol")
+    assert(math.abs(q.values(1) - 2699.0) <= tol,
+      s"p90 ${q.values(1)} off by more than $tol")
+
+    // a new file refuses the census until sketches refresh
+    Seq((5000L, "late")).toDF("v", "s").coalesce(1)
+      .write.mode("append").parquet(dir)
+    assert(ZoneMap.quantilesFromManifest(spark, dir, "v", Seq(0.5)).isEmpty)
+    assert(ZoneMap.refreshKlls(spark, dir) === 1)
+    assert(ZoneMap.quantilesFromManifest(spark, dir, "v", Seq(0.5)).get.n === 3001L)
+
+    // non-numeric columns are refused at build time
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.buildKllSidecar(spark, dir, Seq("s"))
+    }
+    assert(e.getMessage.contains("NUMERIC"))
+  }
 }
