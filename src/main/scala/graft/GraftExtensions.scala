@@ -58,5 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (ZoneMapJob / ZoneMap.writeSidecar) shrink a filtered scan's
     // file list before the scan plans (graft.plans.ZoneSkipRule)
     ext.injectOptimizerRule(graft.plans.ZoneSkipRule.apply)
+    // transparent count(*) from the same sidecars when every live file
+    // is fresh-covered — zero scan tasks (graft.plans.ManifestCountRule)
+    ext.injectOptimizerRule(graft.plans.ManifestCountRule.apply)
   }
 }

@@ -685,6 +685,34 @@ object ScaleStress {
       require(scannedB <= 6,
         s"bloom pruning kept $scannedB/$totalB files on a 3-key probe — " +
           "filter saturation (bits-per-row sizing regressed?)")
+
+      // metadata censuses at x10 on the same table: HLL NDV and KLL
+      // quantiles from one sketch pass each, checked against exact
+      // scans — the bounds must hold at 1M rows exactly as the specs
+      // pin them at fixture scale
+      val tS0 = System.nanoTime()
+      graft.operators.ZoneMap.buildHllSidecar(spark, s"$workB/t", Seq("user_id"))
+      graft.operators.ZoneMap.buildKllSidecar(spark, s"$workB/t", Seq("value"))
+      val sketchBuildSec = (System.nanoTime() - tS0) / 1e9
+      val ndv = graft.operators.ZoneMap.ndvFromManifest(spark, s"$workB/t", "user_id")
+        .getOrElse(sys.error("fresh x10 table must answer the NDV census"))
+      val exactNdv = spark.read.parquet(s"$workB/t")
+        .select("user_id").distinct().count()
+      val qc = graft.operators.ZoneMap.quantilesFromManifest(
+        spark, s"$workB/t", "value", Seq(0.5, 0.99))
+        .getOrElse(sys.error("fresh x10 table must answer the quantile census"))
+      val eps = 2.0 * qc.rankError
+      val edges = spark.read.parquet(s"$workB/t")
+        .agg(expr(s"percentile(value, ${0.5 - eps})"),
+          expr(s"percentile(value, ${0.5 + eps})")).head()
+      println(f"| sketch censuses @x$x | build=$sketchBuildSec%.1fs " +
+        f"ndv(user_id)=${ndv.estimate} [${ndv.lower},${ndv.upper}] exact=$exactNdv " +
+        f"median(value)=${qc.values(0)}%.4f p99=${qc.values(1)}%.4f n=${qc.n} |")
+      require(ndv.lower <= exactNdv && exactNdv <= ndv.upper,
+        s"HLL 2σ bounds [${ndv.lower}, ${ndv.upper}] miss exact $exactNdv at x10")
+      require(qc.values(0) >= edges.getDouble(0) && qc.values(0) <= edges.getDouble(1),
+        s"KLL median ${qc.values(0)} outside the ±2ε window at x10")
+      require(qc.n == rowsB, "KLL n must be the exact row count")
     } finally {
       spark.experimental.extraOptimizations = priorB
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(workB))

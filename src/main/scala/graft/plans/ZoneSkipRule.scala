@@ -264,6 +264,39 @@ object ZoneSkipRule {
     fresh
   }
 
+  private val shardColsCache =
+    new ConcurrentHashMap[String, (Long, Option[Seq[String]])]()
+
+  /** The column names the table's sidecar INDEX shards — one tiny JSON
+    * read, (path, mtime)-cached like [[cachedSidecar]]. None for a
+    * missing/corrupt/legacy-v1 sidecar (callers treat that as
+    * "manifest cannot answer").
+    */
+  private[plans] def sidecarShardColumns(root: Path,
+      conf: org.apache.hadoop.conf.Configuration): Option[Seq[String]] = {
+    val p = new Path(root, ZoneMap.SidecarFile)
+    val fs = p.getFileSystem(conf)
+    val mtime =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return None }
+    val hit = shardColsCache.get(p.toString)
+    if (hit != null && hit._1 == mtime) return hit._2
+    val cols =
+      try {
+        val in = fs.open(p)
+        val text =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val rootNode = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        if (rootNode.isObject && rootNode.has("shards"))
+          Some(scala.jdk.CollectionConverters
+            .IteratorHasAsScala(rootNode.get("shards").fieldNames()).asScala.toSeq)
+        else None // legacy v1 blob: no shard index — not worth a full parse
+      } catch { case scala.util.control.NonFatal(_) => None }
+    shardColsCache.put(p.toString, (mtime, cols))
+    cols
+  }
+
   /** Strip bloom predicates (switch-off path): removing a conjunct only
     * weakens a condition -- sound. An OR arm emptied by the strip makes
     * its disjunction vacuous, so the whole OrPred drops.

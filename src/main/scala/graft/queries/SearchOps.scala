@@ -34,7 +34,7 @@ object SearchOps {
   }
   private[graft] val derivedConsumers: Set[String] =
     Set("q_zonemap_prune", "q_zonemap_agg", "q_zonemap_part", "q_bloom_skip",
-      "q_dyn_prune", "q_ndv_census", "q_quantile_census")
+      "q_dyn_prune", "q_ndv_census", "q_quantile_census", "q_count_star")
 
   private def zonemapArtifacts(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // undeclared consumers fail loudly — see GateContext
@@ -644,6 +644,42 @@ object SearchOps {
              |       (SELECT count(DISTINCT o_orderstatus) FROM orders) AS ndv_status,
              |       TRUE AS bounds_bracket,
              |       TRUE AS census_from_metadata""".stripMargin)),
+
+    // TRANSPARENT count(*) from the manifest: the injected
+    // ManifestCountRule turns an unfiltered global count over a
+    // fresh-covered table into a LocalRelation — the EXECUTED plan
+    // contains no file scan at all (asserted), where Spark's own
+    // parquet count optimization still schedules a task per file. A
+    // filtered count is the in-gate fallback witness: it must scan,
+    // and both answers hash against DuckDB recomputing from the data.
+    GateQuery(
+      "q_count_star",
+      (s, d) => {
+        val root = zonemapArtifacts(s, d)
+        val table = s"$root/table_id"
+        val rule = graft.plans.ManifestCountRule(s)
+        val prior = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations = prior :+ rule
+        try {
+          val bare = s.read.parquet(table).agg(count(lit(1)).as("n"))
+          val n = bare.collect().head.getLong(0)
+          require(executedScanFiles(bare) == 0,
+            "q_count_star: a covered count(*) must plan ZERO file scans")
+          val filtered = s.read.parquet(table)
+            .filter(col("o_orderkey") % 2 === 0)
+            .agg(count(lit(1)).as("nf"))
+          val nf = filtered.collect().head.getLong(0)
+          require(executedScanFiles(filtered) > 0,
+            "q_count_star: a filtered count must fall back to a scan")
+          s.range(1).select(
+            lit(n).as("n_rows"),
+            lit(nf).as("n_even"),
+            lit(true).as("zero_scan_count"))
+        } finally s.experimental.extraOptimizations = prior
+      },
+      Some("""SELECT (SELECT count(*) FROM orders) AS n_rows,
+             |       (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_even,
+             |       TRUE AS zero_scan_count""".stripMargin)),
 
     // QUANTILE census from METADATA: per-file KLL sketches merge into
     // the table's percentile estimates — no sort, no scan (the
