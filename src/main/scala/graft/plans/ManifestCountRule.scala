@@ -46,10 +46,12 @@ case class ManifestCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .forall(_.equalsIgnoreCase("true"))
     if (!enabled) return plan
     plan.transformUp {
+      // the literal must be NON-NULL: count(NULL) counts nothing, so
+      // rewriting it to the row census would be wrong, not just slow
       case a @ Aggregate(Nil, Seq(Alias(
-            AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _),
+            AggregateExpression(Count(Seq(Literal(v, _))), Complete, false, None, _),
             _)), child, _)
-          if bareRelation(child).isDefined =>
+          if v != null && bareRelation(child).isDefined =>
         val fs = bareRelation(child).get
         manifestCount(fs) match {
           case Some(n) =>

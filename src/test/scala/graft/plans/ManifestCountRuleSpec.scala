@@ -58,6 +58,12 @@ class ManifestCountRuleSpec extends AnyFunSuite {
       val countCol = s.read.parquet(dir).agg(count($"v").as("n"))
       assert(countCol.as[Long].head() === 2700L)
       assert(scanCount(countCol) === 1)
+      // count(NULL) counts nothing — a null literal must NOT rewrite
+      // to the row census (it may constant-fold to 0 upstream; either
+      // way the answer must be 0)
+      val countNull = s.read.parquet(dir)
+        .agg(count(lit(null).cast("int")).as("n"))
+      assert(countNull.as[Long].head() === 0L)
       // filter disqualifies
       val filtered = s.read.parquet(dir).filter($"id" < 100L).agg(count(lit(1)))
       assert(filtered.as[Long].head() === 100L)
