@@ -48,13 +48,30 @@ object ExtOps {
     graft.core.GateContext.assertDeclared("setup_dedup_pairs", derivedConsumers)
     pairsCache.computeIfAbsent(d, { _ =>
       val out = java.nio.file.Files.createTempDirectory("graft_pairs").toString
+      // The source table is ONE small parquet file (one row group), so
+      // every scan gets exactly ONE input partition and the whole
+      // signature computation + LSH band join + pair distinct would run
+      // on a single core (measured: the pair-graph setup was 1-core
+      // bound at 45M pre-distinct candidate rows). Fan out ONCE, scale-
+      // adaptively (defaultParallelism = the session's core budget, not
+      // a constant), before the heavy per-row work; the signed parquet
+      // inherits the fan-out so every downstream consumer (capped/delta
+      // gates) scans in parallel too. Signatures are per-row
+      // deterministic hashes — partition layout cannot change any value.
       val docs = documents(s, d).select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
       // sign ONCE, materialize the signature table AND the verified
       // pair graph — the two relations a production lake would keep
       // (signatures at ingest; pairs as the dedup product). The delta
       // gate reads the signatures instead of re-shingling the corpus.
       val signed = Dedup.withSignature(docs, "text").persist()
-      try {
+      // AQE's stage-by-stage re-optimization costs ~3× on this build's
+      // ~9-exchange plan whose trees carry the 16-band signature
+      // expressions (measured 45.0 s → 14.5 s, identical output;
+      // ConfScope.withAqeOff doc) — scoped here, overridable with
+      // SPARK_GRAFT_KEEP_AQE=1 for lake-scale runs that want AQE's
+      // skew splitting on the verify joins.
+      try graft.core.ConfScope.withAqeOff(s) {
         signed.write.mode("overwrite").parquet(s"$out/signed")
         val pairs = Dedup.verifiedPairsSigned(signed, "doc_id", 0.9)
         pairs.write.mode("overwrite").parquet(s"$out/pairs")
@@ -216,7 +233,14 @@ object ExtOps {
     // truth, same SQL as q_dedup_clusters) plus the assertion flags.
     GateQuery(
       "q_dedup_capped",
-      (s, d) => {
+      // AQE-off scope (env-overridable, ConfScope.withAqeOff doc): this
+      // gate is a ~15-exchange diagnostic pipeline over cap-bounded
+      // relations; the capped candidate path structurally REMOVES the
+      // oversized-bucket skew (every bucket's pair volume ≤ cap², star/
+      // chain are O(fanin)), so AQE's skew splitting has nothing left
+      // to split and its stage-by-stage re-planning is pure fixed cost
+      // (measured: gate 19.0 s → see OPTIMIZATION_r13.md).
+      (s, d) => graft.core.ConfScope.withAqeOff(s) {
         val signed = cachedSigned(s, d)
         val census = Dedup.bandBucketCensus(signed, "doc_id")
         val maxFanin = census.agg(max("fanin")).head().getLong(0)

@@ -93,6 +93,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("duplicate clusters: local union-find path == distributed loop") {
+    import spark.implicits._
+    // chain (multi-round diameter), clique, isolated pair — on LONG ids
+    val pairs = Seq((7L, 3L), (3L, 9L), (9L, 1L), (1L, 5L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = run() // default cap >> 8 edges: local path
+    val viaDistributed =
+      graft.core.ConfScope.withConf(spark, "spark.graft.cc.localEdges", "0")(run())
+    assert(viaLocal == viaDistributed)
+    assert(viaLocal(5L) == 1L && viaLocal(7L) == 1L && viaLocal(22L) == 20L
+      && viaLocal(31L) == 30L)
+    // STRING ids take the local path too and label with the min string
+    val spairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id_a", "id_b")
+    val sGot = Dedup.duplicateClusters(spairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sWant = graft.core.ConfScope.withConf(
+      spark, "spark.graft.cc.localEdges", "0")(
+      Dedup.duplicateClusters(spairs)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+    assert(sGot == sWant && sGot == Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // an over-cap graph routes to the distributed loop (cap = 2 edges)
+    val big = graft.core.ConfScope.withConf(
+      spark, "spark.graft.cc.localEdges", "2")(run())
+    assert(big == viaLocal)
+  }
+
   test("deltaPairs finds delta-vs-corpus near-dups only") {
     import spark.implicits._
     val corpus = Seq(
