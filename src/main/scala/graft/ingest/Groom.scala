@@ -181,7 +181,8 @@ object Groom {
     peakCompactions.getAndAccumulate(active, math.max)
     try {
       compactionStartHook()
-      compactGroupImpl(spark, baseDir, model, keys, maxRowsPerFile)
+      graft.train.Trainer.step(s"groom.group(${keys.length} keys)")(
+        compactGroupImpl(spark, baseDir, model, keys, maxRowsPerFile))
     } finally activeCompactions.decrementAndGet()
   }
 

@@ -327,7 +327,7 @@ object AuditOps {
       "q_label_noise",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e = embeddings(s, d)
+        val e = fanOut(embeddings(s, d))  // 1-file scan feeds the all-pairs knn (Tables.fanOut doc)
           .withColumn("v", transform(col("embedding"), x => x.cast("double")))
         val cents = graft.operators.Ann.centroids(e, "v", "vec_id", 8)
         val lab = e.select(col("vec_id"), col("label"))

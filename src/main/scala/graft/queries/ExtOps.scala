@@ -21,7 +21,7 @@ import graft.operators.{Ann, CountMin, Dedup, Frequency, IvfIndex, Kmv, Multimod
   */
 private[queries] object GateScratch {
   lazy val root: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gate_idx")
+    val dir = java.nio.file.Paths.get(graft.pipeline.GateArtifacts.scratchTempDir("graft_gate_idx"))
     sys.addShutdownHook(graft.pipeline.GateArtifacts.deleteTree(dir))
     dir.toString
   }
@@ -47,7 +47,7 @@ object ExtOps {
     // re-charges the pair-graph build to that gate (GateContext doc)
     graft.core.GateContext.assertDeclared("setup_dedup_pairs", derivedConsumers)
     pairsCache.computeIfAbsent(d, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_pairs").toString
+      val out = graft.pipeline.GateArtifacts.scratchTempDir("graft_pairs")
       // The source table is ONE small parquet file (one row group), so
       // every scan gets exactly ONE input partition and the whole
       // signature computation + LSH band join + pair distinct would run
@@ -574,7 +574,7 @@ object ExtOps {
     GateQuery(
       "q_dedup_embedding",
       (s, d) => {
-        val base = embeddings(s, d)
+        val base = fanOut(embeddings(s, d))  // 1-file scan feeds the simhash+verify chain (Tables.fanOut doc)
           .select(col("vec_id"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
         val dups = base.filter(col("vec_id") % 10 === 0)
@@ -630,7 +630,7 @@ object ExtOps {
     GateQuery(
       "q_dedup_semantic",
       (s, d) => {
-        val base = embeddings(s, d)
+        val base = embeddings(s, d)  // fanOut measured 2.5x WORSE here: 3-branch union re-exchanges each branch
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
         val scaled = base.filter(col("vec_id") % 10 === 0)
@@ -707,7 +707,7 @@ object ExtOps {
     GateQuery(
       "q_dedup_semantic_keephigh",
       (s, d) => {
-        val base = embeddings(s, d)
+        val base = embeddings(s, d)  // fanOut measured 2.5x WORSE here: 3-branch union re-exchanges each branch
           .select(col("vec_id"), col("label"),
             transform(col("embedding"), x => x.cast("double")).as("v"))
         val scaled = base.filter(col("vec_id") % 10 === 0)

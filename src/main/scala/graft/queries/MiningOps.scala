@@ -66,7 +66,7 @@ object MiningOps {
   private def cachedMatches(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val out = fuzzyMatchCache.computeIfAbsent(d, { _ =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+      val dir = graft.pipeline.GateArtifacts.scratchTempDir("graft_fuzzy")
       val (base, dirty) = fuzzyCorpus(s, d)
       Fuzzy.editJoin(dirty, "id", "str", base, "id", "str", k = 1)
         .write.mode("overwrite").parquet(s"$dir/matches")
@@ -246,7 +246,7 @@ object MiningOps {
     GateQuery(
       "q_hard_negatives",
       (s, d) => {
-        val e = embeddings(s, d).withColumn("v",
+        val e = fanOut(embeddings(s, d)).withColumn("v",  // 1-file scan feeds anchors-x-corpus cosines (Tables.fanOut doc)
           transform(col("embedding"), x => x.cast("double")))
         def sumSq(v: org.apache.spark.sql.Column) =
           aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)

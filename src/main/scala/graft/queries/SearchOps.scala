@@ -40,7 +40,7 @@ object SearchOps {
     // undeclared consumers fail loudly — see GateContext
     graft.core.GateContext.assertDeclared("setup_zonemap_table", derivedConsumers)
     zmCache.computeIfAbsent(d, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_zonemap").toString
+      val out = graft.pipeline.GateArtifacts.scratchTempDir("graft_zonemap")
       Layout.zOrder(
           lineitem(s, d).select("l_orderkey", "l_quantity", "l_extendedprice"),
           "l_quantity", "l_extendedprice", 24,
@@ -745,7 +745,7 @@ object SearchOps {
     GateQuery(
       "q_compact",
       (s, d) => {
-        val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        val work = graft.pipeline.GateArtifacts.scratchTempDir("graft_compact")
         val table = s"$work/t"
         orders(s, d)
           .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -1149,7 +1149,7 @@ object StatsOps {
     GateQuery(
       "q_reco_diversity",
       (s, d) => {
-        val e = embeddings(s, d).withColumn("v",
+        val e = fanOut(embeddings(s, d)).withColumn("v",  // 1-file scan feeds anchors-x-corpus cosines (Tables.fanOut doc)
           transform(col("embedding"), x => x.cast("double")))
         def sumSq(v: org.apache.spark.sql.Column) =
           aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)

@@ -38,6 +38,27 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Scale-adaptive fan-out for a heavy-compute path fed by one of the
+    * single-file fixture tables. Each table is ONE small parquet file
+    * (one row group), so every scan yields exactly ONE input partition
+    * — and any gate whose expensive per-row work (vector cosines,
+    * signatures, shingles) sits BELOW the first exchange runs it on a
+    * single core (e.g. a broadcast join keeps the probe side's scan
+    * partitioning all the way to the aggregate). One narrow round-robin
+    * exchange of the scan output, sized by defaultParallelism (the
+    * session's core budget — never a constant), restores parallelism.
+    * Results are unaffected: the repartition moves rows, not values,
+    * and every consumer gate quantizes per row before any order-
+    * sensitive fold. Use ONLY where heavy per-row work follows the
+    * scan directly; a plain aggregate over one small file is cheaper
+    * without the extra exchange. At lake scale a real table has many
+    * row groups and arrives pre-parallel — the exchange this adds is
+    * one narrow pass over data that is about to be expanded by orders
+    * of magnitude (pairs, postings, candidates), which is noise there.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
 /** One gate query: a Spark DataFrame program plus (optionally) the

@@ -346,7 +346,7 @@ object VectorOps {
     GateQuery(
       "q_rag_funnel",
       (s, d) => {
-        val docs = documents(s, d)
+        val docs = fanOut(documents(s, d))  // 1-file scan feeds chunking (Tables.fanOut doc)
         val emb = withVec(embeddings(s, d))
         val nEmb = emb.count()
         val chunks = graft.operators.Curation
