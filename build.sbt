@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default, measured both ways: local[32] runs 32 concurrent
+  // tasks in ONE JVM — at 8g (~250 MB execution memory per task slot)
+  // the late-suite GBT fits hit old-gen GC thrash (q_rdr_train 42.2 s
+  // median in full-suite position vs ~15 s isolated), while at 20g the
+  // deserialized-row caches of the dedup build bloat the heap and GC
+  // churn makes the pair-graph setup ~1.6x SLOWER (warmDerived 24.5 s
+  // @8g / 22.2 s @12g / 37.9 s @20g, same box back-to-back). 12g holds
+  // both: train ~15 s AND setup ~14-20 s. SPARK_DRIVER_MEM overrides
+  // for smaller hosts; the driver's lower-core runs need less.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -245,7 +245,7 @@ object CurationOps {
     GateQuery(
       "q_decontaminate",
       (s, d) => {
-        val docs = documents(s, d)
+        val docs = fanOut(documents(s, d))  // 1-file scan feeds the shingle explode (Tables.fanOut doc)
         val eval  = docs.filter(col("doc_id") % 17 === 0)
         val train = docs.filter(col("doc_id") % 17 =!= 0)
         Curation.decontaminate(train, eval, "doc_id", "text", n = 5, minHits = 2)
@@ -345,7 +345,7 @@ object CurationOps {
     GateQuery(
       "q_repeated_ngrams",
       (s, d) =>
-        Curation.repeatedPassages(documents(s, d), "doc_id", "text",
+        Curation.repeatedPassages(fanOut(documents(s, d)), "doc_id", "text",  // 1-file scan feeds the ngram explode (Tables.fanOut doc)
           n = 8, minDocs = 2)
           .agg(
             count(lit(1)).as("n_repeated"),
@@ -825,7 +825,7 @@ object CurationOps {
     GateQuery(
       "q_source_overlap",
       (s, d) => {
-        val sh = documents(s, d)
+        val sh = fanOut(documents(s, d))  // 1-file scan feeds the shingle explode (Tables.fanOut doc)
           .select(col("source"),
             explode(Curation.shingleHashes(col("text"), 5)).as("sh"))
           .distinct()

@@ -219,7 +219,7 @@ object ScaleOps {
     GateQuery(
       "q_set_join_exact",
       (s, d) => {
-        SetJoin.jaccardJoin(documents(s, d).select("doc_id", "text"),
+        SetJoin.jaccardJoin(fanOut(documents(s, d)).select("doc_id", "text"),  // Tables.fanOut doc
             "doc_id", "text", 0.9)
           .withColumn("_jx", round(col("jac") * 100000000).cast("long"))
           .agg(
@@ -240,7 +240,7 @@ object ScaleOps {
     GateQuery(
       "q_containment_join",
       (s, d) => {
-        SetJoin.containmentJoin(documents(s, d).select("doc_id", "text"),
+        SetJoin.containmentJoin(fanOut(documents(s, d)).select("doc_id", "text"),  // Tables.fanOut doc
             "doc_id", "text", 0.8)
           .agg(
             count(lit(1)).as("n_pairs"),

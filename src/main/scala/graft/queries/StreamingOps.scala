@@ -24,7 +24,13 @@ object StreamingOps {
     * would size this to its key cardinality).
     */
   private def withReplayConf[T](s: org.apache.spark.sql.SparkSession)(body: => T): T =
-    graft.core.ConfScope.withShufflePartitions(s, 4)(body)
+    graft.core.ConfScope.withShufflePartitions(s, 4)(
+      // the STREAM disables AQE itself, but every foreachBatch body is
+      // a plain batch query that would still pay AQE's stage-by-stage
+      // re-planning per micro-batch — pure fixed cost at replay scale
+      // (ConfScope.withAqeOff doc; env-overridable). A production
+      // stream's batches are big enough to amortize it — and keep it.
+      graft.core.ConfScope.withAqeOff(s)(body))
 
   /** Replay scratch space: RAM-backed when the host offers it. The
     * drop folder, checkpoint, state store, and sink are all
