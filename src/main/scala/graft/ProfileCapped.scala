@@ -34,6 +34,36 @@ object ProfileCapped {
       census.agg(max("fanin")).head().getLong(0))
     val cap = math.max(8L, maxFanin / 2)
     System.err.println(s"  maxFanin=$maxFanin cap=$cap")
+    // internal decomposition of the capped candidate build
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val exploded = signed
+        .select(col("doc_id"), explode(Dedup.bandKeys).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.bucket"))
+      timed("  exploded count")(System.err.println(s"  n=${exploded.count()}"))
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      val sized = exploded
+        .withColumn("_sz", count(lit(1)).over(w))
+        .withColumn("_ctr", min(col("doc_id")).over(w))
+      timed("  window sized")(sized.write.format("noop").mode("overwrite").save())
+      val small = sized.filter(col("_sz") <= cap).drop("_sz", "_ctr")
+      val a = small.select(col("doc_id").as("id_a"), col("band"), col("bucket"))
+      val b = small.select(col("doc_id").as("id_b"), col("band"), col("bucket"))
+      val smallPairs = a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      timed("  smallPairs pre-distinct")(
+        System.err.println(s"  n=${smallPairs.count()}"))
+      timed("  smallPairs distinct")(
+        System.err.println(s"  n=${smallPairs.distinct().count()}"))
+    }
+    // the composed chain the gate actually executes once per pass
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/capped_chain_plan.txt"),
+      Dedup.exactVerify(signed,
+          Dedup.cappedCandidatePairs(signed, "doc_id", cap), "doc_id", 0.9)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     val cands = Dedup.cappedCandidatePairs(signed, "doc_id", cap).persist()
     timed("cappedCandidatePairs")(System.err.println(s"  n=${cands.count()}"))
     val verified = Dedup.exactVerify(signed, cands, "doc_id", 0.9).persist()

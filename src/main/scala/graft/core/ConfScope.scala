@@ -2,7 +2,19 @@ package graft.core
 
 import org.apache.spark.sql.SparkSession
 
-/** Scoped session-conf overrides — set, run, restore. */
+/** Scoped session-conf overrides — set, run, restore.
+  *
+  * SINGLE-THREADED BY CONTRACT: the override mutates session-global
+  * SQL conf, so a scope held open while ANOTHER thread submits queries
+  * on the same session leaks the override into that thread's queries,
+  * and two overlapping scopes restore each other's values out of
+  * order. Every current call site holds the scope on the one thread
+  * driving the gate (the bench/verify harnesses run gates serially);
+  * a body that ITSELF fans out driver threads (e.g. groom's concurrent
+  * group compactions) is fine — inheriting the override is the point —
+  * but concurrent INDEPENDENT scopes need a cloned session
+  * (spark.newSession() inherits conf yet isolates set/unset).
+  */
 private[graft] object ConfScope {
 
   /** Run `body` under a fixture-scale shuffle width. Every stateful

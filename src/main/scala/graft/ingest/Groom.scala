@@ -205,20 +205,20 @@ object Groom {
       PartitionStore.read(spark, baseDir, keys)
         .withColumn(Merge.SrcOrder, pathOrder)
         .withColumn(Schema.Model, lit(model)))
-    // Disk-stage the (bounded, ≤ a pair of groups × maxRowsPerFile)
-    // merge rather than persist() it: groom groups run CONCURRENTLY,
-    // and every persist() serializes on the session-global
-    // CacheManager write lock + builds a deserialized-row cache — at
-    // 12 concurrent groups that lock convoy made each group's write
-    // ~8.4 s wall where the disk-staged path takes ~3.5 s (groom step
-    // total 9.1 → 4.3 s, measured via SPARK_GRAFT_TRAIN_TIMINGS).
-    // The staged parquet is 2 tiny files on the store's own
-    // filesystem, and production grooming runs MORE groups at once,
-    // not fewer — the lock convoy only gets worse with scale while
-    // the staging round-trip stays per-group constant.
+    // No staging for the (bounded, ≤ a pair of groups × maxRowsPerFile)
+    // group merge: the upstream is a deterministic scan of the group's
+    // own few parquet files + one tiny merge agg, cheap to run once
+    // per write() pass. Memory staging serializes the concurrent
+    // groups on the session-global CacheManager write lock (measured
+    // r13: ~8.4 s/group at 12 concurrent); disk staging pays a
+    // write+read round-trip per group that dominated each group's wall
+    // time (measured r14: store.stage ~1.7 s of a ~1.9 s group write).
+    // Production grooming runs MORE groups at once, not fewer — both
+    // convoys worsen with scale while the double-scan stays per-group
+    // constant.
     val written = graft.train.Trainer.step("groom.write")(
       PartitionStore.write(Merge.merge(df), baseDir, model, maxRowsPerFile,
-        stageToDisk = true))
+        staging = PartitionStore.Staging.Recompute))
     graft.train.Trainer.step("groom.delete")(
       PartitionStore.delete(spark, baseDir, keys))
     written
@@ -264,11 +264,26 @@ object Groom {
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
+        // Data-derived shuffle width for the group merges: a group is
+        // REFERENCE-BOUNDED (≤ 1000 keys and ≤ ~2 groups × 10k rows —
+        // the grouping caps above), so each compaction's merge/stage/
+        // chunk exchanges move at most ~20k rows no matter the corpus
+        // size — a session-wide width (e.g. 32) schedules 32 near-empty
+        // tasks per stage × 3 jobs × every concurrent group, and the
+        // scheduler convoy tripled each group's wall time (measured:
+        // group write 1.85 s concurrent vs 0.6 s alone; groom step
+        // 3.7 → see OPTIMIZATION_r14.md). The width is set once around
+        // the fan-out (session conf is global, the group threads
+        // inherit it — ConfScope single-thread contract holds: groom
+        // owns the session while it runs).
+        graft.core.ConfScope.withShufflePartitions(spark,
+          math.max(2, 2 * maxRowsPerFile / PartitionStore.MaxRowsPerFile)) {
         val futures = groups.map(g => scala.concurrent.Future {
           compactGroup(spark, baseDir, model, g, maxRowsPerFile)
         })
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+        }
       } finally {
         pool.shutdown()
         // a fail-fast Await may leave sibling compactions mid-flight;

@@ -155,13 +155,13 @@ object Merge {
       models.map { m =>
         // the staged slice lost the model column to the directory key;
         // PartitionStore.write drops it anyway, so no need to restore.
-        // stageToDisk = false: the slice is ALREADY cheap re-runnable
-        // columnar input (a pruned scan of the staging tree we just
-        // wrote), so a third disk copy buys nothing — a memory persist
-        // (spill-safe) covers write()'s two passes
+        // Recompute: the slice is ALREADY cheap re-runnable columnar
+        // input (a pruned scan of the staging tree we just wrote), so
+        // neither a third disk copy nor a CacheManager persist buys
+        // anything — write()'s two passes each scan the pruned subtree
         m -> graft.ingest.PartitionStore.write(
           spark.read.parquet(s"$stageDir/$Model=$m"), storeDir, m,
-          stageToDisk = false)
+          staging = graft.ingest.PartitionStore.Staging.Recompute)
       }.toMap
     } finally { fs.delete(stagePath, true); () }
   }

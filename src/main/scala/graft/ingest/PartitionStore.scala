@@ -48,29 +48,53 @@ object PartitionStore {
   private val MinPrefix = 6
   private val MaxPrefix = 15
 
+  /** How write() materializes its input for the two passes it makes
+    * (prefix-length census, then the chunked write).
+    */
+  sealed trait Staging
+  object Staging {
+    /** Stage to transient parquet and read back — the default, correct
+      * for EXPENSIVE upstreams (gzip JSONL parse + merge): the
+      * upstream runs exactly once and never has to fit in memory.
+      */
+    case object Disk extends Staging
+    /** Memory persist (spill-safe) — for small bounded batches where a
+      * disk round-trip costs more than it saves. Serializes on the
+      * session-global CacheManager write lock, so AVOID under
+      * concurrent writers (the groom lock convoy, r13).
+      */
+    case object Memory extends Staging
+    /** No staging: run the upstream once per pass. ONLY for upstreams
+      * that are already cheap re-runnable columnar scans (a staged
+      * parquet tree, a bounded groom group) AND deterministic — the
+      * census pass and the write pass must see identical rows. Removes
+      * the extra write+read round-trip and the CacheManager lock
+      * entirely; measured on the 12-concurrent-group groom fan-out,
+      * where the per-group disk stage was most of each group's wall
+      * time (OPTIMIZATION_r14.md).
+      */
+    case object Recompute extends Staging
+  }
+
   /** Write a merged rewarded-decision DataFrame for ONE model into the
     * store at `baseDir`; returns the written keys (relative to baseDir).
     */
   def write(df: DataFrame, baseDir: String, model: String,
       maxRowsPerFile: Int = MaxRowsPerFile,
-      stageToDisk: Boolean = true): Seq[String] = {
+      staging: Staging = Staging.Disk): Seq[String] = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(baseDir).getFileSystem(conf)
 
-    // Stage the batch to parquet ONCE: the upstream (typically gzip
-    // JSONL parse + merge — not prunable, not cheap) executes exactly
-    // one time, and both follow-up passes read the staged columnar
-    // files instead (the counts pass reads just the decision_id
-    // column). Disk staging instead of persist() means the batch never
-    // has to fit in executor memory — a 100× backfill costs 2× write
-    // I/O, not an OOM. LZ4 because the stage is transient: encode/
-    // decode speed is the cost that matters, not bytes on disk.
-    //
-    // stageToDisk = false swaps the stage for a memory persist — for
-    // callers whose batches are small and bounded by construction
-    // (groom pair-merges cap at a few files × maxRowsPerFile), where
-    // a per-call disk round-trip costs more than it saves.
+    // Default (Disk) staging writes the batch to parquet ONCE: the
+    // upstream (typically gzip JSONL parse + merge — not prunable, not
+    // cheap) executes exactly one time, and both follow-up passes read
+    // the staged columnar files instead (the counts pass reads just
+    // the decision_id column). Disk staging instead of persist() means
+    // the batch never has to fit in executor memory — a 100× backfill
+    // costs 2× write I/O, not an OOM. LZ4 because the stage is
+    // transient: encode/decode speed is the cost that matters, not
+    // bytes on disk. See [[Staging]] for the Memory/Recompute modes.
     val stageDir = s"$baseDir/_stage_${java.util.UUID.randomUUID()}"
     val tmpDir = s"$baseDir/_tmp_${java.util.UUID.randomUUID()}"
     // native codegen KSUID decode (limb arithmetic, no BigInteger/UDF);
@@ -78,11 +102,14 @@ object PartitionStore {
     val withTs = df.drop(Schema.Model)
       .withColumn("_ts",
         graft.functions.KsuidExpressions.ksuidBasicIso(col(Schema.DecisionId)))
-    val staged =
-      if (stageToDisk) {
-        withTs.write.option("compression", "lz4").parquet(stageDir)
+    val staged = staging match {
+      case Staging.Disk =>
+        graft.train.Trainer.step("store.stage")(
+          withTs.write.option("compression", "lz4").parquet(stageDir))
         spark.read.parquet(stageDir)
-      } else withTs.persist()
+      case Staging.Memory => withTs.persist()
+      case Staging.Recompute => withTs
+    }
     // cleanup in finally: a failed write must not leak the staged
     // batch copy / partial tmp output under baseDir (they live outside
     // rewarded_decisions/, so nothing would ever reclaim them) nor the
@@ -94,7 +121,7 @@ object PartitionStore {
     // one row per distinct second — roll up over all candidate
     // lengths in one distributed agg, so exactly
     // (MaxPrefix−MinPrefix+1) rows reach the driver.
-    val levelMax = staged
+    val levelMax = graft.train.Trainer.step("store.levelMax")(staged
       .select(substring(col("_ts"), 1, MaxPrefix).as("_p"))
       .groupBy("_p").count()
       .select(explode(array((MinPrefix to MaxPrefix).map(i =>
@@ -103,7 +130,7 @@ object PartitionStore {
       .groupBy(col("lp.len").as("len"), col("lp.pfx"))
       .agg(sum("count").as("n"))
       .groupBy("len").agg(max("n").as("maxN"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val prefixLen = (MinPrefix to MaxPrefix)
       .find(i => levelMax.getOrElse(i, 0L) <= maxRowsPerFile)
       .getOrElse(MaxPrefix)
@@ -115,7 +142,7 @@ object PartitionStore {
     // the reference writes one oversized file in that case
     // (partition.py:375-405 splits only down to 1s resolution) and
     // so do we.
-    staged
+    graft.train.Trainer.step("store.chunkWrite")(staged
       .withColumn("_chunk", substring(col("_ts"), 1, prefixLen))
       .drop("_ts")
       .repartition(col("_chunk"))
@@ -123,8 +150,9 @@ object PartitionStore {
       .write
       .partitionBy("_chunk")
       .option("compression", "zstd")
-      .parquet(tmpDir)
+      .parquet(tmpDir))
 
+    graft.train.Trainer.step("store.rename") {
     val written = listFiles(fs, new Path(tmpDir)).filter(_.getName.endsWith(".parquet"))
     // Footer reads and renames are independent metadata operations; a
     // pooled pass keeps the driver tail O(files / pool) instead of
@@ -151,9 +179,13 @@ object PartitionStore {
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
     } finally pool.shutdownNow()
+    }
     } finally {
-      if (stageToDisk) fs.delete(new Path(stageDir), true)
-      else staged.unpersist(blocking = false)
+      staging match {
+        case Staging.Disk => fs.delete(new Path(stageDir), true)
+        case Staging.Memory => staged.unpersist(blocking = false)
+        case Staging.Recompute => ()
+      }
       fs.delete(new Path(tmpDir), true)
     }
   }

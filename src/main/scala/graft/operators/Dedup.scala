@@ -63,6 +63,12 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .withColumn("wset", wordSet(col(textCol)))
       .withColumn("_h31", transform(col("wset"), h => pmod(h, lit(MersennePrime))))
+    // minhash values fit in 31 bits, but narrowing the signature to
+    // array<int> measured WORSE here (same box, back-to-back isolated
+    // bench: setup 11.6→12.4 s, capped gate 7.4→8.6 s): the 64 extra
+    // cast expressions per row cost more than the halved sig bytes
+    // save at fixture scale, where the verify joins are already
+    // estimate-pruned. Left at long.
     val sig = array(perms(seed).map { case (a, b) =>
       array_min(transform(col("_h31"), h => pmod(h * a + b, lit(MersennePrime))))
     }: _*)
@@ -139,7 +145,16 @@ object Dedup {
     * Cost shape: the sizing window shuffles only (id, band, bucket)
     * rows; signatures join back against the OVERSIZED subset alone, so
     * the wide (64-long) rows ride a shuffle bounded by the
-    * pathological buckets, never the whole exploded relation.
+    * pathological buckets, never the whole exploded relation. The
+    * sized relation is PINNED for the build: four branches consume it
+    * (both sides of the small-bucket self-join, the star filter, the
+    * chain filter), and without the pin each branch re-ran the explode
+    * + sizing window from the scan — 5 Window nodes in the executed
+    * chain, measured ~2 s of pure recompute per gate pass at sf0.1.
+    *
+    * Returns a PERSISTED, materialized frame — the caller owns the
+    * cache ([[Caching.handOff]] contract): `.unpersist()` when done in
+    * a long-lived session.
     */
   def cappedCandidatePairs(signed: DataFrame, idCol: String, cap: Long,
       groupCols: Seq[String] = Nil): DataFrame = {
@@ -153,27 +168,31 @@ object Dedup {
     val sized = exploded
       .withColumn("_sz", count(lit(1)).over(w))
       .withColumn("_ctr", min(col(idCol)).over(w))
-    val small = sized.filter(col("_sz") <= cap).drop("_sz", "_ctr")
-    val a = small.select(col(idCol).as("id_a") +: gcols :+ col("band") :+ col("bucket"): _*)
-    val b = small.select(col(idCol).as("id_b") +: gcols :+ col("band") :+ col("bucket"): _*)
-    val smallPairs = a.join(b, Seq("band", "bucket") ++ groupCols)
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a" +: "id_b" +: groupCols map col: _*)
-    val big = sized.filter(col("_sz") > cap)
-    // star: center = bucket min id, so id_a < id_b holds by construction
-    val starPairs = big.filter(col(idCol) =!= col("_ctr"))
-      .select(col("_ctr").as("id_a") +: col(idCol).as("id_b") +: gcols: _*)
-    // chain: consecutive members in (sig, id) order — signatures join
-    // back against the oversized rows only (see cost shape above)
-    val wOrd = Window.partitionBy(col("band") +: col("bucket") +: gcols: _*)
-      .orderBy(col("sig"), col(idCol))
-    val chainPairs = big.drop("_sz", "_ctr")
-      .join(signed.select(col(idCol), col("sig")), Seq(idCol))
-      .withColumn("_prev", lag(col(idCol), 1).over(wOrd))
-      .filter(col("_prev").isNotNull)
-      .select(least(col("_prev"), col(idCol)).as("id_a") +:
-        greatest(col("_prev"), col(idCol)).as("id_b") +: gcols: _*)
-    smallPairs.unionByName(starPairs).unionByName(chainPairs).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val small = sized.filter(col("_sz") <= cap).drop("_sz", "_ctr")
+      val a = small.select(col(idCol).as("id_a") +: gcols :+ col("band") :+ col("bucket"): _*)
+      val b = small.select(col(idCol).as("id_b") +: gcols :+ col("band") :+ col("bucket"): _*)
+      val smallPairs = a.join(b, Seq("band", "bucket") ++ groupCols)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a" +: "id_b" +: groupCols map col: _*)
+      val big = sized.filter(col("_sz") > cap)
+      // star: center = bucket min id, so id_a < id_b holds by construction
+      val starPairs = big.filter(col(idCol) =!= col("_ctr"))
+        .select(col("_ctr").as("id_a") +: col(idCol).as("id_b") +: gcols: _*)
+      // chain: consecutive members in (sig, id) order — signatures join
+      // back against the oversized rows only (see cost shape above)
+      val wOrd = Window.partitionBy(col("band") +: col("bucket") +: gcols: _*)
+        .orderBy(col("sig"), col(idCol))
+      val chainPairs = big.drop("_sz", "_ctr")
+        .join(signed.select(col(idCol), col("sig")), Seq(idCol))
+        .withColumn("_prev", lag(col(idCol), 1).over(wOrd))
+        .filter(col("_prev").isNotNull)
+        .select(least(col("_prev"), col(idCol)).as("id_a") +:
+          greatest(col("_prev"), col(idCol)).as("id_b") +: gcols: _*)
+      Caching.handOff(
+        smallPairs.unionByName(starPairs).unionByName(chainPairs).distinct())
+    } finally { sized.unpersist(blocking = false); () }
   }
 
   /** Diagnostic census of the LSH band buckets: one row per
@@ -228,6 +247,13 @@ object Dedup {
       left: DataFrame, leftIdIn: String, leftKey: String,
       right: DataFrame, rightIdIn: String, rightKey: String,
       threshold: Double, carryCols: Seq[String] = Nil): DataFrame = {
+    // matching-position count via zip_with+filter+size. Measured
+    // alternative for the record: unrolling into 64 getItem equality
+    // terms (to stay inside whole-stage codegen) ran ~6× SLOWER
+    // (setup 12→78 s, capped gate 7→27 s, clean calibration) — the
+    // 128-leaf expression tree falls out of codegen entirely and the
+    // whole join stage drops to interpreted mode. The higher-order
+    // form evaluates as one compact loop per row.
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast("double") / NumHashes
     val survivors = cands
@@ -331,16 +357,25 @@ object Dedup {
       .getOption("spark.graft.cc.localEdges")
       .orElse(sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES"))
       .map(_.toLong).getOrElse(2000000L)
+    // null-id pairs are dropped on BOTH paths: the distributed loop's
+    // equi-joins never match them anyway, so filtering up front makes
+    // the local path's semantics identical instead of hard-failing on
+    // an edge the distributed path would silently ignore
+    val cleanPairs = pairs.filter(col(idA).isNotNull && col(idB).isNotNull)
     val idType = pairs.schema(idA).dataType
     val localable = localCap > 0 && idType == pairs.schema(idB).dataType &&
       (idType == org.apache.spark.sql.types.LongType ||
         idType == org.apache.spark.sql.types.IntegerType ||
         idType == org.apache.spark.sql.types.StringType)
+    // clamp before the Int conversion: a cap above Int.MaxValue-1 must
+    // mean "collect up to the probe bound", not overflow into a
+    // negative limit
+    val probe = math.min(localCap, Int.MaxValue - 1L).toInt + 1
     val localEdges = if (!localable) null
-      else pairs.select(col(idA), col(idB)).limit(localCap.toInt + 1).collect()
-    if (localEdges != null && localEdges.length <= localCap)
+      else cleanPairs.select(col(idA), col(idB)).limit(probe).collect()
+    if (localEdges != null && localEdges.length < probe)
       localClusters(pairs.sparkSession, localEdges, idType)
-    else distributedClusters(pairs, idA, idB, maxIter)
+    else distributedClusters(cleanPairs, idA, idB, maxIter)
   }
 
   /** Local union-find over a bounded edge list: roots are kept at the
@@ -353,10 +388,18 @@ object Dedup {
   private def localClusters(spark: org.apache.spark.sql.SparkSession,
       edges: Array[org.apache.spark.sql.Row],
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    // StringType compares in UTF-8 BYTE order (UTF8String.compareTo),
+    // matching the distributed loop's least()/min over Spark's binary
+    // string ordering — java.lang.String's UTF-16 code-unit order
+    // diverges on supplementary-plane ids (e.g. emoji in corpus keys)
     val ord: Ordering[Any] = (idType match {
       case org.apache.spark.sql.types.LongType => Ordering.Long
       case org.apache.spark.sql.types.IntegerType => Ordering.Int
-      case _ => Ordering.String
+      case _ => new Ordering[String] {
+        def compare(a: String, b: String): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      }
     }).asInstanceOf[Ordering[Any]]
     val index = new java.util.HashMap[Any, Integer](edges.length * 2)
     val values = new scala.collection.mutable.ArrayBuffer[Any](edges.length)
@@ -372,8 +415,7 @@ object Dedup {
       x
     }
     edges.foreach { r =>
-      require(!r.isNullAt(0) && !r.isNullAt(1),
-        "duplicateClusters: null id in pair list")
+      // nulls were filtered by the caller (duplicateClusters)
       val a = idx(r.get(0)); val b = idx(r.get(1))
       while (parent.length < values.length) parent += parent.length
       val ra = find(a); val rb = find(b)

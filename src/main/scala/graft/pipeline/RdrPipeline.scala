@@ -51,11 +51,26 @@ object GateArtifacts {
     * outside the gate/bench harness reads this root. Override with
     * SPARK_GRAFT_GATES_DIR (e.g. to force disk when RAM is tight).
     */
+  /** tmpfs is typically capped at 50% of RAM and shared with the JVM
+    * heap; a nearly-full /dev/shm would ENOSPC mid-gate (or pressure
+    * the OOM killer) with only the env override as an escape hatch, so
+    * the RAM default requires this much usable space — generous next
+    * to the fixture artifacts (sf0.1 writes well under 1 GiB) — and
+    * falls back to disk otherwise.
+    */
+  private[graft] val MinShmUsableBytes: Long = 8L << 30
+
   private[graft] lazy val scratchRoot: String =
     sys.env.get("SPARK_GRAFT_GATES_DIR").getOrElse {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) &&
-          java.nio.file.Files.isWritable(shm)) shm.toString
+      val usable =
+        try
+          if (java.nio.file.Files.isDirectory(shm) &&
+            java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.getFileStore(shm).getUsableSpace
+          else 0L
+        catch { case _: java.io.IOException => 0L }
+      if (usable >= MinShmUsableBytes) shm.toString
       else System.getProperty("java.io.tmpdir")
     }
 
@@ -316,7 +331,10 @@ object RdrPipeline {
         try body finally timings(step) = (System.nanoTime() - t0) / 1e9
       }
       val ingested = timed("merge")(cachedMerged(spark, sfDir))
-      timed("store_write")(PartitionStore.write(ingested, s"$stage/store", "events"))
+      // Recompute staging: `ingested` is the materialized merged-cache
+      // parquet — already cheap re-runnable columnar input
+      timed("store_write")(PartitionStore.write(ingested, s"$stage/store", "events",
+        staging = PartitionStore.Staging.Recompute))
       val cfg = Trainer.TrainConfig(
         maxFeatures = 20, pruneMinStringCount = 0, maxTrees = 5,
         propensityTrees = 5, treeDepth = 4, seed = 42L)
@@ -507,8 +525,11 @@ object RdrPipeline {
     val slot = GateArtifacts.buildSlot(sfDir, "store") { stage =>
       val merged = graft.train.Trainer.step("store.merged")(
         cachedMerged(spark, sfDir))
+      // Recompute staging: `merged` is the materialized merged-cache
+      // parquet — already cheap re-runnable columnar input
       graft.train.Trainer.step("store.write")(
-        PartitionStore.write(merged, stage, "events"))
+        PartitionStore.write(merged, stage, "events",
+          staging = PartitionStore.Staging.Recompute))
       graft.train.Trainer.step("store.groom")(
         Groom.groom(spark, stage, "events"))
     }

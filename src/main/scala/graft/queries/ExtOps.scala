@@ -58,8 +58,7 @@ object ExtOps {
       // inherits the fan-out so every downstream consumer (capped/delta
       // gates) scans in parallel too. Signatures are per-row
       // deterministic hashes — partition layout cannot change any value.
-      val docs = documents(s, d).select("doc_id", "text")
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = fanOut(documents(s, d).select("doc_id", "text"))
       // sign ONCE, materialize the signature table AND the verified
       // pair graph — the two relations a production lake would keep
       // (signatures at ingest; pairs as the dedup product). The delta

@@ -56,9 +56,20 @@ object Tables {
     * row groups and arrives pre-parallel — the exchange this adds is
     * one narrow pass over data that is about to be expanded by orders
     * of magnitude (pairs, postings, candidates), which is noise there.
+    *
+    * GUARDED on the scan's actual partition count: a pre-parallel
+    * input (multi-row-group lake table) already spreads the work, and
+    * forcing a full-table round-robin exchange down to exactly
+    * defaultParallelism partitions there would ADD a shuffle and CAP
+    * the width — so when the plan already yields at least
+    * defaultParallelism partitions this is the identity. The peek at
+    * `df.rdd` costs one extra physical planning of the subtree, never
+    * a job.
     */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
 }
 
 /** One gate query: a Spark DataFrame program plus (optionally) the

@@ -124,6 +124,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(big == viaLocal)
   }
 
+  test("duplicate clusters: local path matches distributed on non-BMP string ids") {
+    import spark.implicits._
+    // U+FFFF sorts BELOW U+1F600 in UTF-8 byte order (Spark's binary
+    // string comparison: EF BF BF < F0 9F 98 80) but ABOVE it in Java's
+    // UTF-16 code-unit order (FFFF > D83D) — the exact divergence the
+    // local path must not reintroduce
+    val hi = "￿"
+    val emoji = "😀" // 😀 U+1F600
+    // the {emoji, U+FFFF} component has NO ASCII member, so its min
+    // differs between the two orderings — the discriminating case
+    val spairs = Seq((emoji, hi), ("aa", "ab")).toDF("id_a", "id_b")
+    def run(): Map[String, String] =
+      Dedup.duplicateClusters(spairs)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaLocal = run()
+    val viaDistributed = graft.core.ConfScope.withConf(
+      spark, "spark.graft.cc.localEdges", "0")(run())
+    assert(viaLocal == viaDistributed)
+    assert(viaLocal(emoji) == hi && viaLocal(hi) == hi && viaLocal("ab") == "aa")
+  }
+
+  test("duplicate clusters: null-id pairs drop out on both paths") {
+    import spark.implicits._
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("id_a", "id_b")
+    def run(): Map[Long, Long] =
+      Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = run()
+    val viaDistributed = graft.core.ConfScope.withConf(
+      spark, "spark.graft.cc.localEdges", "0")(run())
+    assert(viaLocal == Map(1L -> 1L, 2L -> 1L))
+    assert(viaDistributed == viaLocal)
+  }
+
   test("deltaPairs finds delta-vs-corpus near-dups only") {
     import spark.implicits._
     val corpus = Seq(
