@@ -380,6 +380,45 @@ object ScaleStress {
 
     }
 
+    if (sel("fanout")) {
+    // 1b. fanOut guard (VERDICT r13 Next #2): on a PRE-PARALLEL input
+    // (multi-file lake table whose scan already yields ≥
+    // defaultParallelism partitions) Tables.fanOut must be the
+    // IDENTITY — zero extra exchanges — while the single-file fixture
+    // still fans out. The x-dir tables are multi-file but tiny, so a
+    // scoped 1 MB split size stands in for the lake shape where files
+    // outnumber cores.
+    graft.core.ConfScope.withConf(spark, "spark.sql.files.maxPartitionBytes",
+      (1L << 20).toString) {
+      val multi = spark.read.parquet(s"$xDir/documents.parquet")
+      val parts = multi.rdd.getNumPartitions
+      val want = spark.sparkContext.defaultParallelism
+      require(parts >= want,
+        s"fanout invariant precondition: multi-file scan yields $parts < $want " +
+          "partitions even at 1 MB splits — regenerate the stress dir")
+      val fanned = graft.queries.Tables.fanOut(multi)
+      val plan = fanned.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r14"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("plans/r14/fanout_guard_x10.txt"),
+        s"// fanOut(multi-file scan, $parts partitions >= $want cores)" +
+          s" -> identity, $exchanges Exchange nodes\n" + plan)
+      println(s"| fanOut guard @x$x | multi-file scan $parts partitions, " +
+        s"fanOut exchanges=$exchanges (must be 0) |")
+      require(exchanges == 0,
+        s"fanOut added $exchanges exchange(s) on a pre-parallel input")
+    }
+    // the single-file fixture table must STILL fan out
+    val single = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val fannedSingle = graft.queries.Tables.fanOut(single)
+    require(fannedSingle.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      .linesIterator.exists(_.contains("Exchange")),
+      "fanOut skipped the exchange on a single-file scan")
+    }
+
     if (sel("xl")) {
     // 2. SemDeDup contract at xl: label-clustering MUST be rejected
     // (cluster ≈ xl·200 rows ≫ cap → quadratic pair fan-in), and the

@@ -157,15 +157,20 @@ object Graph {
       // close); without pinning, each action re-derives the upstream
       // extraction over the full log
       .localCheckpoint()
+    // degrees are consumed FOUR times (node census, wedge census, and
+    // both orientation joins) — pin them too, or each consumer re-runs
+    // the union+agg exchange over the edge list
     val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-    val nNodes = deg.count()
+      .localCheckpoint()
+    // node + wedge census in ONE pass over the pinned degrees
+    // (wedges from UNORIENTED degrees: Σ C(d, 2))
+    val censusRow = deg.agg(
+      count(lit(1)).as("_n"),
+      sum(expr("d * (d - 1) div 2")).as("_w")).head()
+    val nNodes = censusRow.getLong(0)
+    val nWedges = if (censusRow.isNullAt(1)) 0L else censusRow.getLong(1)
     val nEdges = e.count()
-    // wedges from UNORIENTED degrees: Σ C(d, 2)
-    val nWedges = deg.agg(sum(expr("d * (d - 1) div 2"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
     // orient low → high in (degree, id) order
     val dA = deg.select(col("n").as("a"), col("d").as("_da"))
     val dB = deg.select(col("n").as("b"), col("d").as("_db"))

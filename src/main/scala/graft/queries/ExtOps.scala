@@ -103,7 +103,8 @@ object ExtOps {
     */
   private[graft] val derivedConsumers: Set[String] = Set(
     "q_dedup_minhash", "q_dedup_clusters", "q_dedup_capped", "q_dedup_soft",
-    "q_dedup_remove", "q_dedup_keep_best", "q_split_leakage", "q_dedup_delta")
+    "q_dedup_remove", "q_dedup_keep_best", "q_split_leakage", "q_dedup_delta",
+    "q_jaccard_pairs")
 
   private[graft] def cachedVerifiedPairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"${cachedDeriv(s, d)}/pairs")

@@ -23,6 +23,18 @@ object StreamingOps {
     * whatever the surrounding session configures (a production stream
     * would size this to its key cardinality).
     */
+  /** Replay-parallelism note: a micro-batch's input partition count is
+    * its FILE count (small files, one split each), so a 4-file fixture
+    * at 2 files/trigger ran every foreachBatch body's per-row work
+    * (sketch hashing, shingles, cell assignment) on 2 cores. The
+    * order-insensitive rollup fixtures write 16 files at 8/trigger —
+    * same number of micro-batches (the cross-batch semantics under
+    * test), each arriving pre-parallel; measured on q_cms_stream:
+    * steady-state drain 2.0 → 1.6 s/pass, addBatch 670 → 430 ms.
+    * Watermark/arrival-order gates (sessionize, agg_window, reward
+    * join) keep their ordered few-file fixtures — file order IS part
+    * of their contract.
+    */
   private def withReplayConf[T](s: org.apache.spark.sql.SparkSession)(body: => T): T =
     graft.core.ConfScope.withShufflePartitions(s, 4)(
       // the STREAM disables AQE itself, but every foreachBatch body is
@@ -297,8 +309,12 @@ object StreamingOps {
           .select("v").collect().head.getSeq[Double](0)
         val corpus = emb.filter(col("vec_id") =!= 0)
         val fx = cachedFixture("ivf_stream", d) { fx =>
+          // 12 files / 4 per trigger: same ~3 micro-batch appends, but
+          // each batch arrives 4-file-parallel instead of as one file
+          // (the cell-assignment pass below is per-row work — see the
+          // replay-parallelism note on withReplayConf)
           corpus.filter(col("vec_id") % 2 === 0)
-            .repartition(3)
+            .repartition(12)
             .write.mode("overwrite").parquet(s"$fx/drop")
         }
         // the index is NOT fixture: each pass rebuilds it from the odd
@@ -316,7 +332,7 @@ object StreamingOps {
         withReplayConf(s) {
           graft.streaming.StreamingIndex.appendStream(
             s, s"$fx/drop", s"$work/ckpt", idx, "v", schema,
-            format = "parquet").awaitTermination()
+            maxFilesPerTrigger = 4, format = "parquet").awaitTermination()
         }
         graft.operators.IvfIndex.topK(s, idx, "v", "vec_id", query, 10, nprobe = 8)
           .select("vec_id", "label", "cos")
@@ -374,7 +390,11 @@ object StreamingOps {
           Tables.documents(s, d).select(col("doc_id"), col("text"))
             .filter(col("text").isNotNull)
             // several files -> several micro-batches, so the
-            // prior-vs-intra-batch split is actually exercised
+            // prior-vs-intra-batch split is actually exercised.
+            // 16-file parallel arrival measured WORSE here (3.3-4.4 s
+            // vs 3.1 s at 4/2 — the per-batch prior-state join pays
+            // more in extra shuffle width than the shingle map side
+            // gains) — left at 4 files / 2 per trigger.
             .repartition(4)
             .write.mode("overwrite").parquet(s"$fx/drop")
         }
@@ -433,14 +453,14 @@ object StreamingOps {
           Tables.lineitem(s, d).select("l_partkey")
             // several files -> several micro-batches, so merged() really
             // sums cross-batch contributions
-            .repartition(4).write.mode("overwrite").parquet(s"$fx/drop")
+            .repartition(16).write.mode("overwrite").parquet(s"$fx/drop")
         }
         val work = replayDir("cms_stream_run")
         withReplayConf(s) {
           StreamingRollup.rollupStream(s, s"$fx/drop", s"$work/state",
             s"$work/ckpt",
             StructType(Seq(StructField("l_partkey", LongType))),
-            maxFilesPerTrigger = 2, format = "parquet")(
+            maxFilesPerTrigger = 8, format = "parquet")(
             b => CountMin.build(b, "l_partkey", depth = 4, width = 256))
             .awaitTermination()
         }
@@ -476,7 +496,7 @@ object StreamingOps {
           Tables.events(s, d)
             .select(col("event_id"),
               round(col("value") * 100).cast("long").as("cents"))
-            .repartition(4).write.mode("overwrite").parquet(s"$fx/drop")
+            .repartition(16).write.mode("overwrite").parquet(s"$fx/drop")
         }
         val work = replayDir("bootstrap_stream_run")
         withReplayConf(s) {
@@ -484,7 +504,7 @@ object StreamingOps {
             s"$work/ckpt",
             StructType(Seq(StructField("event_id", LongType),
               StructField("cents", LongType))),
-            maxFilesPerTrigger = 2, format = "parquet")(
+            maxFilesPerTrigger = 8, format = "parquet")(
             b => Stats.poissonBootstrap(b, col("event_id"), col("cents"),
               reps = 20))
             .awaitTermination()
@@ -512,7 +532,7 @@ object StreamingOps {
           Tables.events(s, d)
             .select(col("event_type"), unix_micros(col("ts")).as("tus"),
               round(col("value") * 100).cast("long").as("cents"))
-            .repartition(4).write.mode("overwrite").parquet(s"$fx/drop")
+            .repartition(16).write.mode("overwrite").parquet(s"$fx/drop")
         }
         val work = replayDir("cusum_stream_run")
         withReplayConf(s) {
@@ -520,7 +540,7 @@ object StreamingOps {
             s"$work/ckpt",
             StructType(Seq(StructField("event_type", StringType),
               StructField("tus", LongType), StructField("cents", LongType))),
-            maxFilesPerTrigger = 2, format = "parquet")(
+            maxFilesPerTrigger = 8, format = "parquet")(
             b => b.groupBy(col("event_type"),
                 expr("tus div 86400000000L").as("day"))
               .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sc")))
@@ -550,7 +570,7 @@ object StreamingOps {
         val fx = cachedFixture("auc_stream", d) { fx =>
           EvalOps.scored(s, d)
             .select(col("y"), col("score").cast("double").as("score"))
-            .repartition(4).write.mode("overwrite").parquet(s"$fx/drop")
+            .repartition(16).write.mode("overwrite").parquet(s"$fx/drop")
         }
         val work = replayDir("auc_stream_run")
         withReplayConf(s) {
@@ -558,7 +578,7 @@ object StreamingOps {
             s"$work/ckpt",
             StructType(Seq(StructField("y", IntegerType),
               StructField("score", DoubleType))),
-            maxFilesPerTrigger = 2, format = "parquet")(
+            maxFilesPerTrigger = 8, format = "parquet")(
             b => b.filter(col("score").isNotNull && col("y").isNotNull)
               .groupBy("score")
               .agg(sum(when(col("y") =!= 0, 1L).otherwise(0L)).as("_np"),
@@ -592,13 +612,13 @@ object StreamingOps {
         val fx = cachedFixture("drift_stream", d) { fx =>
           li.filter(col("l_orderkey") % 2 === 1)
             .select(col("l_extendedprice").cast("double").as("x"))
-            .repartition(4).write.mode("overwrite").parquet(s"$fx/drop")
+            .repartition(16).write.mode("overwrite").parquet(s"$fx/drop")
         }
         val work = replayDir("drift_stream_run")
         withReplayConf(s) {
           StreamingRollup.rollupStream(s, s"$fx/drop", s"$work/state",
             s"$work/ckpt", StructType(Seq(StructField("x", DoubleType))),
-            maxFilesPerTrigger = 2, format = "parquet")(
+            maxFilesPerTrigger = 8, format = "parquet")(
             batch => Drift.binCounts(batch, "x",
               batch.sparkSession.range(1)
                 .select(lit(lo).as("_lo"), lit(hi).as("_hi")),

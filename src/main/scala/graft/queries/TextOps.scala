@@ -219,14 +219,31 @@ object TextOps {
     GateQuery(
       "q_jaccard_pairs",
       (s, d) => {
-        val docs = documents(s, d).select("doc_id", "source", "text")
-        Dedup.verifiedPairs(docs, "doc_id", "text", 0.9, groupCols = Seq("source"))
+        // the materialized signature table serves this consumer too
+        // (the production shape — signatures computed once at ingest);
+        // `source` rides back in via one id-keyed join instead of
+        // re-shingling the corpus on a single-partition scan. Per-pair
+        // jac quantizes to exact ×1e8 ints BEFORE the per-source fold
+        // (the q_dedup_minhash `_jx` idiom), so the mean is one integer
+        // half-up division — layout/order-independent, which is what
+        // makes the parallel signed scan safe here.
+        val signed = ExtOps.cachedSigned(s, d)
+          .join(documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        // AQE stays ON here (measured: the setup build's AQE-off scope
+        // applied to this gate ran 5.3-7.8 s vs 4.2 s — the source join
+        // and per-source band join profit from AQE's runtime broadcast
+        // conversion more than they pay in re-planning)
+        Dedup.verifiedPairsSigned(signed, "doc_id", 0.9, groupCols = Seq("source"))
+          .withColumn("_jx", round(col("jac") * 100000000).cast("long"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_pairs"),
-            round(avg("jac") * 10000).cast("long").as("avg_jac_x1e4"))
+            expr("CAST((2 * sum(CAST(_jx AS DECIMAL(38,0))) + count(1) * 10000)" +
+              " div (2 * count(1) * 10000) AS BIGINT)").as("avg_jac_x1e4"))
           .orderBy("source")
       },
-      Some("""SELECT source, count(*) AS n_pairs, CAST(round(avg(jac) * 10000) AS BIGINT) AS avg_jac_x1e4
+      Some("""SELECT source, count(*) AS n_pairs,
+             |       CAST((2 * sum(CAST(round(jac * 100000000) AS HUGEINT)) + count(*) * 10000)
+             |            // (2 * count(*) * 10000) AS BIGINT) AS avg_jac_x1e4
              |FROM (
              |  SELECT a.source AS source,
              |         CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)

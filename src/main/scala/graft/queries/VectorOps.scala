@@ -386,7 +386,9 @@ object VectorOps {
             // nearest-integer after ×10⁴ cannot
             round(sum("cos") * 10000).cast("long")).collect().head
           import s.implicits._
-          Seq((docs.count(), chunks.count(), pooled.count(), nIndex,
+          // n_docs counts the RAW scan — counting the fanned-out frame
+          // would pay the round-robin exchange just to count rows
+          Seq((documents(s, d).count(), chunks.count(), pooled.count(), nIndex,
             kr.getLong(0), kr.getLong(1), kr.getLong(2)))
             .toDF("n_docs", "n_chunks", "n_pooled", "n_index",
               "n_knn", "knn_rank_sum", "knn_cos_sum")
