@@ -385,12 +385,19 @@ object ScaleStress {
     // (multi-file lake table whose scan already yields ≥
     // defaultParallelism partitions) Tables.fanOut must be the
     // IDENTITY — zero extra exchanges — while the single-file fixture
-    // still fans out. The x-dir tables are multi-file but tiny, so a
-    // scoped 1 MB split size stands in for the lake shape where files
-    // outnumber cores.
+    // still fans out. The stand-in lake table is the x-dir documents
+    // rewritten as 2×cores files (a real table has many row groups; a
+    // scan partition per file needs the small-file split floor too).
     graft.core.ConfScope.withConf(spark, "spark.sql.files.maxPartitionBytes",
       (1L << 20).toString) {
-      val multi = spark.read.parquet(s"$xDir/documents.parquet")
+    graft.core.ConfScope.withConf(spark, "spark.sql.files.openCostInBytes",
+      (1L << 20).toString) {
+      val manyDir = s"$xDir/documents_manyfiles.parquet"
+      if (!new java.io.File(manyDir).exists())
+        spark.read.parquet(s"$xDir/documents.parquet")
+          .repartition(2 * spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(manyDir)
+      val multi = spark.read.parquet(manyDir)
       val parts = multi.rdd.getNumPartitions
       val want = spark.sparkContext.defaultParallelism
       require(parts >= want,
@@ -409,7 +416,7 @@ object ScaleStress {
         s"fanOut exchanges=$exchanges (must be 0) |")
       require(exchanges == 0,
         s"fanOut added $exchanges exchange(s) on a pre-parallel input")
-    }
+    }}
     // the single-file fixture table must STILL fan out
     val single = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val fannedSingle = graft.queries.Tables.fanOut(single)

@@ -22,13 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Basket {
 
-  /** Distinct (basket, item) pairs with oversized baskets removed. */
+  /** Distinct (basket, item) pairs with oversized baskets removed.
+    *
+    * ONE basket-keyed exchange serves the whole derivation (§2.4):
+    * hash-partitioning on `b` satisfies the clustering requirement of
+    * the (b, i) distinct, the basket-size aggregation, the cap
+    * semi-join, AND the downstream pair self-join on `b` — without the
+    * explicit repartition each of those re-shuffled the relation on
+    * its own key mix (measured on q_assoc_rules: gate build 3.3 →
+    * see OPTIMIZATION_r14.md).
+    */
   private def items(df: DataFrame, basketCol: String, itemCol: String,
       maxBasketSize: Int): DataFrame = {
     val it = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
       // a null item is not an item: it must neither pair nor count
       // toward the basket-size cap
       .where(col("b").isNotNull && col("i").isNotNull)
+      .repartition(col("b"))
       .distinct()
     val ok = it.groupBy("b").agg(count(lit(1)).as("_sz"))
       .where(col("_sz") <= maxBasketSize).select("b")
@@ -77,7 +87,8 @@ object Basket {
     val it = items(df, basketCol, itemCol, maxBasketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nBaskets = it.select(countDistinct(col("b"))).head().getLong(0)
+      val nBaskets = graft.train.Trainer.step("basket.nBaskets")(
+        it.select(countDistinct(col("b"))).head().getLong(0))
       val sup = it.groupBy("i").agg(count(lit(1)).as("s"))
       val pairs = pairsOf(it, minSupport)
       val out = pairs
@@ -95,7 +106,7 @@ object Basket {
           (col("pair_sup") * nBaskets /
             (col("_sa") * col("_sb")).cast("double")).as("lift"))
       // consume `it` fully before releasing it
-      Caching.handOff(out)
+      graft.train.Trainer.step("basket.rules")(Caching.handOff(out))
     } finally { it.unpersist(blocking = false); () }
   }
 }
