@@ -68,6 +68,18 @@ object ProfileCapped {
     timed("cappedCandidatePairs")(System.err.println(s"  n=${cands.count()}"))
     val verified = Dedup.exactVerify(signed, cands, "doc_id", 0.9).persist()
     timed("exactVerify")(System.err.println(s"  n=${verified.count()}"))
+    // experiment: exact verify WITHOUT the est pre-filter (wset joins
+    // + intersect directly over all candidates)
+    locally {
+      val direct = cands
+        .join(signed.select(col("doc_id").as("id_a"), col("wset").as("set_a")), Seq("id_a"))
+        .join(signed.select(col("doc_id").as("id_b"), col("wset").as("set_b")), Seq("id_b"))
+        .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))))
+        .withColumn("jac", col("n_common").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("n_common")))
+        .filter(col("jac") >= 0.9)
+      timed("directVerify (no est)")(System.err.println(s"  n=${direct.count()}"))
+    }
     val capped = timed("duplicateClusters")(
       graft.operators.Caching.handOff(Dedup.duplicateClusters(verified)))
     timed("refinement joins") {

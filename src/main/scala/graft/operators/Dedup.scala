@@ -246,7 +246,8 @@ object Dedup {
   private def verifyStaged(cands: DataFrame,
       left: DataFrame, leftIdIn: String, leftKey: String,
       right: DataFrame, rightIdIn: String, rightKey: String,
-      threshold: Double, carryCols: Seq[String] = Nil): DataFrame = {
+      threshold: Double, carryCols: Seq[String] = Nil,
+      estimateGate: Boolean = true): DataFrame = {
     // matching-position count via zip_with+filter+size. Measured
     // alternative for the record: unrolling into 64 getItem equality
     // terms (to stay inside whole-stage codegen) ran ~6× SLOWER
@@ -256,13 +257,28 @@ object Dedup {
     // form evaluates as one compact loop per row.
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast("double") / NumHashes
-    val survivors = cands
-      .join(left.select(col(leftIdIn).as(leftKey), col("sig").as("sig_a")),
-        Seq(leftKey))
-      .join(right.select(col(rightIdIn).as(rightKey), col("sig").as("sig_b")),
-        Seq(rightKey))
-      .filter(est >= threshold - 0.25)
-      .select(col(leftKey) +: col(rightKey) +: carryCols.map(col): _*)
+    // estimateGate=false skips the signature stage entirely and
+    // verifies every candidate by set intersection. Measured (sf0.1
+    // capped candidates, 2.1M rows): direct verify 0.9 s vs 3.0 s
+    // est-gated, identical output — the per-candidate cost of the
+    // 64-slot zip_with PLUS two 512-byte sig joins exceeds one
+    // intersection of ~23-element word-hash sets. The estimate stays
+    // the DEFAULT because its value is width/volume control where word
+    // sets are large (long documents) or candidate bulk is mostly
+    // sub-threshold: the sig row is a fixed 512 bytes while wset is
+    // document-sized, and est prunes before the wset join. Callers
+    // whose candidate sets are high-precision and whose word sets are
+    // short (the capped clique path) switch it off on measurement.
+    val survivors =
+      if (!estimateGate) cands.select(
+        col(leftKey) +: col(rightKey) +: carryCols.map(col): _*)
+      else cands
+        .join(left.select(col(leftIdIn).as(leftKey), col("sig").as("sig_a")),
+          Seq(leftKey))
+        .join(right.select(col(rightIdIn).as(rightKey), col("sig").as("sig_b")),
+          Seq(rightKey))
+        .filter(est >= threshold - 0.25)
+        .select(col(leftKey) +: col(rightKey) +: carryCols.map(col): _*)
     survivors
       .join(left.select(col(leftIdIn).as(leftKey), col("wset").as("set_a")),
         Seq(leftKey))
@@ -276,9 +292,10 @@ object Dedup {
   }
 
   def exactVerify(signed: DataFrame, cands: DataFrame, idCol: String,
-      threshold: Double, carryCols: Seq[String] = Nil): DataFrame =
+      threshold: Double, carryCols: Seq[String] = Nil,
+      estimateGate: Boolean = true): DataFrame =
     verifyStaged(cands, signed, idCol, "id_a", signed, idCol, "id_b",
-      threshold, carryCols)
+      threshold, carryCols, estimateGate)
 
   /** Exact Jaccard verification of candidates against word sets.
     * `groupCols` scope the dedup to same-group pairs (see
@@ -298,9 +315,9 @@ object Dedup {
     * of re-shingling the corpus.
     */
   def verifiedPairsSigned(signed: DataFrame, idCol: String, threshold: Double,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil, estimateGate: Boolean = true): DataFrame = {
     val out = exactVerify(signed, candidatePairs(signed, idCol, groupCols),
-      idCol, threshold, carryCols = groupCols)
+      idCol, threshold, carryCols = groupCols, estimateGate = estimateGate)
     // materialize eagerly so any upstream signature cache can be
     // released; the (bounded) pair set is what stays cached — the
     // caller owns it (Caching.handOff contract)
@@ -561,7 +578,7 @@ object Dedup {
     * (Caching.handOff contract) — `.unpersist()` when done.
     */
   def deltaPairsSigned(sd: DataFrame, sc: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, estimateGate: Boolean = true): DataFrame = {
     {
       val a = sd.select(col(idCol).as("id_delta"), explode(bandKeys).as("bk"))
         .select(col("id_delta"), col("bk.band"), col("bk.bucket"))
@@ -570,7 +587,7 @@ object Dedup {
       val cands = a.join(b, Seq("band", "bucket"))
         .select("id_delta", "id_corpus").distinct()
       val out = verifyStaged(cands, sd, idCol, "id_delta",
-        sc, idCol, "id_corpus", threshold)
+        sc, idCol, "id_corpus", threshold, estimateGate = estimateGate)
       Caching.handOff(out)
     }
   }
