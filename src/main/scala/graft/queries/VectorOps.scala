@@ -348,6 +348,10 @@ object VectorOps {
       (s, d) => {
         val docs = fanOut(documents(s, d))  // 1-file scan feeds chunking (Tables.fanOut doc)
         val emb = withVec(embeddings(s, d))
+        // measured-left: folding this count into the pipeline as a
+        // broadcast 1-row aggregate (one less driver job) ran 1-2 s
+        // WORSE isolated — the broadcast wait serializes ahead of the
+        // chunk stage; the scalar count is cheaper
         val nEmb = emb.count()
         val chunks = graft.operators.Curation
           .chunkDocuments(docs.select("doc_id", "text"), "text", size = 200, overlap = 50)
